@@ -1,13 +1,372 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Joins, Quality, TimeAgg}
+import graft.functions.TextFunctions
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data extensions), each with a DuckDB
+  * oracle in `oracleSql` where ANSI-SQL-expressible.
+  *
+  * Conventions enforced throughout:
+  *  - every computed column is aliased identically in the Spark plan and
+  *    the oracle SQL (the driver's compare sorts columns by name);
+  *  - every query is deterministic: explicit tie-breaks on all top-k /
+  *    window orderings, no clock, no RNG;
+  *  - constants are chosen so filters actually select (see TESTDATA
+  *    ranges) and predicate pushdown is exercised.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a
+    // nanosecond LongType under spark.sql.legacy.parquet.nanosAsLong
+    // (set in Verify/Bench/tests). Convert with integer division —
+    // double math at 1e18 ns would lose precision.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Core relational inventory (SURVEY §2.1–§2.9)
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2/A3/A5 + P6/F5: multi-aggregate scan with pushed-down filter.
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") < 45)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // E2 parity (A2/F3): time-bucketed multi-avg.
+    "q2_monthly_avg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(year(col("ts")).as("year"), month(col("ts")).as("month"))
+        .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n_rows"))
+    }),
+
+    // J1: fact-fact equi-join + agg (E3 parity at real cardinality).
+    "q3_join_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // J1 chain + broadcast dims: star-schema rollup.
+    "q4_region_stats" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      Joins.withDim(Joins.withDim(c, n.withColumnRenamed("n_nationkey", "c_nationkey"), Seq("c_nationkey")),
+          r.withColumnRenamed("r_regionkey", "n_regionkey"), Seq("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), avg(col("c_acctbal")).as("avg_acctbal"))
+    }),
+
+    // A7: one-pass null-count vector (the scalable form of P7).
+    "q5_null_vector" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Quality.nullCountVector(ev, Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    }),
+
+    // A1/P14: duplicate-key detection.
+    "q6_dup_keys" -> ((s, dir) =>
+      Quality.duplicateKeys(t(s, dir, "events"), Seq("user_id", "event_type"))),
+
+    // W3/D1: deterministic keep-first dedup.
+    "q7_dedup_first" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Dedup.keepFirst(ev, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+    }),
+
+    // W-family beyond parity: running aggregate window.
+    "q8_running_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_value"))
+    }),
+
+    // O3: true top-k (TakeOrderedAndProject), deterministic tie-break.
+    "q9_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // A9: exact distinct counting.
+    "q10_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id"), col("event_type")).as("n_user_type"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // A4: conditional aggregates.
+    "q11_conditional_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(
+          avg(when(col("value") > 50, col("value"))).as("avg_high"),
+          count(when(col("value") > 50, lit(1))).as("n_high"),
+          avg(col("value")).as("avg_value"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // A6: global (no-group) aggregates incl. date range.
+    "q12_global_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        avg(col("value")).as("avg_value"),
+        min(to_date(col("ts"))).as("min_day"),
+        max(to_date(col("ts"))).as("max_day"))
+    }),
+
+    // P11/P12: conditional quality flag, then agg over the flag.
+    "q13_quality_flag" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.withColumn("is_promo", when(col("l_discount") >= 0.05, lit(true)).otherwise(lit(false)))
+        .groupBy(col("is_promo"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
+    // A12/P14: aggregate over duplicate group sizes.
+    "q14_dup_rollup" -> ((s, dir) => {
+      Quality.duplicateKeys(t(s, dir, "events"), Seq("user_id", "event_type"))
+        .agg(sum(col("dup_count")).as("total_dup_rows"), count(lit(1)).as("n_dup_keys"))
+    }),
+
+    // A11/A13: completeness-% report per group.
+    "q15_completeness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (avg(when(col("text").isNotNull && length(col("text")) > 0, 1.0).otherwise(0.0)) * 100).as("completeness_pct"),
+          avg(col("n_chars")).as("avg_chars"))
+    }),
+
+    // P8/P9: folded conjunction/disjunction predicates, one pass.
+    "q16_clean_counts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      li.agg(
+        sum(Quality.cleanFilter(cols, Quality.DropIfAnyNull).cast("long")).as("n_clean_and"),
+        sum(cols.map(col(_).isNull).reduce(_ || _).cast("long")).as("n_any_null"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // A5/A6/F3: per-day multi-stat profile.
+    "q17_daily_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          avg(col("value")).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // §2.8 extension: union + full-row distinct (storage-append semantics).
+    "q18_union_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      o.filter(col("o_orderstatus") === "F")
+        .union(o.filter(col("o_totalprice") > 400000))
+        .distinct()
+    }),
+
+    // F9: JSON extraction done inside Spark (replaces the reference's
+    // driver-side dict indexing).
+    "q19_json_extract" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"), avg(col("value")).as("avg_value"))
+    }),
+
+    // F5/F6/P2: derived label (concat/lpad/round) + rollup.
+    "q20_month_label" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.withColumn("label",
+          concat(year(col("o_orderdate")).cast("string"), lit("-"),
+            lpad(month(col("o_orderdate")).cast("string"), 2, "0")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles (driver runs these on the same parquet tables).
+  // Written in DuckDB dialect; every computed column aliased to match
+  // the Spark plan exactly.
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_quantity < 45
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_monthly_avg" ->
+      """SELECT year(ts) AS year, month(ts) AS month,
+        |  avg(value) AS avg_value, count(*) AS n_rows
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q3_join_revenue" ->
+      """SELECT o_orderpriority,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q4_region_stats" ->
+      """SELECT r_name, count(*) AS n_customers, avg(c_acctbal) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "q5_null_vector" ->
+      """SELECT count(*) - count(event_id) AS event_id,
+        |  count(*) - count(ts) AS ts,
+        |  count(*) - count(user_id) AS user_id,
+        |  count(*) - count(event_type) AS event_type,
+        |  count(*) - count(value) AS value,
+        |  count(*) - count(props) AS props
+        |FROM events""".stripMargin,
+
+    "q6_dup_keys" ->
+      """SELECT user_id, event_type, count(*) AS dup_count
+        |FROM events GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "q7_dedup_first" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "q8_running_window" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER w AS rn,
+        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q9_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q10_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT (user_id, event_type)) AS n_user_type,
+        |  count(*) AS n_rows
+        |FROM events""".stripMargin,
+
+    "q11_conditional_agg" ->
+      """SELECT event_type,
+        |  avg(CASE WHEN value > 50 THEN value END) AS avg_high,
+        |  count(CASE WHEN value > 50 THEN 1 END) AS n_high,
+        |  avg(value) AS avg_value,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q12_global_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  avg(value) AS avg_value,
+        |  min(CAST(ts AS DATE)) AS min_day,
+        |  max(CAST(ts AS DATE)) AS max_day
+        |FROM events""".stripMargin,
+
+    "q13_quality_flag" ->
+      """SELECT (l_discount >= 0.05) AS is_promo,
+        |  count(*) AS n_rows,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q14_dup_rollup" ->
+      """SELECT sum(dup_count) AS total_dup_rows, count(*) AS n_dup_keys
+        |FROM (SELECT count(*) AS dup_count FROM events
+        |      GROUP BY user_id, event_type HAVING count(*) > 1)""".stripMargin,
+
+    "q15_completeness" ->
+      """SELECT source, count(*) AS n_docs,
+        |  avg(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1.0 ELSE 0.0 END) * 100 AS completeness_pct,
+        |  avg(n_chars) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q16_clean_counts" ->
+      """SELECT
+        |  sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |            AND l_discount IS NOT NULL AND l_tax IS NOT NULL THEN 1 ELSE 0 END) AS n_clean_and,
+        |  sum(CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL
+        |            OR l_discount IS NULL OR l_tax IS NULL THEN 1 ELSE 0 END) AS n_any_null,
+        |  count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q17_daily_stats" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  avg(value) AS avg_value, min(value) AS min_value,
+        |  max(value) AS max_value, count(*) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q18_union_distinct" ->
+      """SELECT DISTINCT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT CAST(props->>'$.k' AS INTEGER) AS k,
+        |  count(*) AS n_rows, avg(value) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q20_month_label" ->
+      """SELECT CAST(year(o_orderdate) AS VARCHAR) || '-' ||
+        |       lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS label,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY 1""".stripMargin
+  )
 }

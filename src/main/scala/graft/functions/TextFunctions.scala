@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for a training-data pipeline: tokenization,
+  * language-ID, quality scoring, fingerprinting, shingling.
+  *
+  * Everything here is built from codegen'd `functions._` or array
+  * higher-order functions — no Scala UDFs — so the expressions stay
+  * inside Catalyst, are column-prunable, and never serialize rows out
+  * of Tungsten format. All functions are deterministic (no RNG, no
+  * clock) so results are reproducible across retries and cluster sizes.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: alpha runs, digit runs, and single
+    * non-alphanumeric marks counted separately (a cheap, deterministic
+    * stand-in for a real BPE vocab — the plumbing a tokenizer-aware
+    * pipeline needs, without shipping a vocab file).
+    */
+  def subTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  // Stopword marker sets per language. Tiny fixed tables — the n-gram
+  // heuristic of fastText-style lang-ID reduced to its deterministic core.
+  val EnStop = Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")
+  val EsStop = Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para")
+  val FrStop = Seq("le", "la", "les", "de", "et", "un", "est", "pour", "dans", "que")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Language-ID: argmax of per-language stopword hits; ties break in
+    * (en, de, es, fr) order; zero hits everywhere → "und".
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = hitCount(t, EnStop); val de = hitCount(t, DeStop)
+    val es = hitCount(t, EsStop); val fr = hitCount(t, FrStop)
+    val best = greatest(en, de, es, fr)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(es === best, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Stopword ratio (English set) — a quality signal: natural prose has
+    * a stable ~0.3–0.5; keyword soup and boilerplate sit near 0.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(hitCount(t, EnStop).cast("double") / size(t).cast("double"))
+  }
+
+  /** Punctuation-character ratio over non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val noSpace = regexp_replace(text, "\\s", "")
+    when(length(noSpace) === 0, lit(0.0))
+      .otherwise(
+        (length(noSpace) - length(regexp_replace(noSpace, "[.,!?;:'\"()\\[\\]{}-]", "")))
+          .cast("double") / length(noSpace).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / size(t).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards prose-like stopword
+    * density, moderate token length, and low punctuation noise.
+    * Deterministic linear blend — the shape of a Gopher/C4-style rule
+    * filter, tuned for the synthetic corpus.
+    */
+  def qualityScore(text: Column): Column = {
+    val sw = stopwordRatio(text)
+    val mtl = meanTokenLen(text)
+    val pr = punctRatio(text)
+    val lenOk = when(tokenCount(text).between(5, 10000), lit(1.0)).otherwise(lit(0.0))
+    val mtlOk = when(mtl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    round(least(lit(1.0),
+      sw * 2.0 * lit(0.4) + mtlOk * lit(0.3) + lenOk * lit(0.2) + (lit(1.0) - least(pr * 5.0, lit(1.0))) * lit(0.1)
+    ), 6)
+  }
+
+  /** Canonical content fingerprint: md5 of the whitespace-normalized,
+    * lowercased text. Identical output in any ANSI engine with md5 —
+    * the exact-dedup key at corpus scale.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " ").cast("binary"))
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Input for MinHash /
+    * Jaccard near-dup. Empty array when fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+}
