@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Joins, Quality, TimeAgg}
+import graft.operators.{Dedup, EmbeddingAnn, Joins, NearDup, Quality, TimeAgg}
 import graft.functions.TextFunctions
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -40,7 +40,8 @@ object SparkEntry {
   // Core relational inventory (SURVEY §2.1–§2.9)
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // A2/A3/A5 + P6/F5: multi-aggregate scan with pushed-down filter.
     "q1_pricing_summary" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_quantity") < 45)
@@ -225,6 +226,98 @@ object SparkEntry {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
     })
+  ) ++ extensionQueries
+
+  // ---------------------------------------------------------------------
+  // Training-data pipeline extensions: dedup, similarity search, text
+  // analysis, multimodal plumbing (north-star operators beyond the
+  // reference's own surface).
+  // ---------------------------------------------------------------------
+
+  private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact corpus dedup via content fingerprint: shuffle carries
+    // (hash, id), never the text.
+    "dedup_exact_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(TextFunctions.fingerprint(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+    }),
+
+    // MinHash + LSH near-dup: candidates from 16x4 banding, verified
+    // with exact Jaccard. Oracle is the exact O(n^2) pairwise answer —
+    // at j >= 0.89 (this corpus's near-dup band) LSH recall is
+    // 1 - 1.4e-7, so the sets coincide.
+    "dedup_minhash" -> ((s, dir) =>
+      NearDup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+
+    // Brute-force n-gram Jaccard baseline, sampled query side (the
+    // plan LSH exists to avoid; kept oracle-checkable).
+    "dedup_ngram_sample" -> ((s, dir) =>
+      NearDup.bruteForceJaccard(t(s, dir, "documents"), "doc_id", "text",
+        querySide = col("doc_id") % 5 === 0, n = 3, threshold = 0.5)),
+
+    // SimHash near-dup: 64-bit fingerprint, 4-chunk pigeonhole banding,
+    // exact Hamming verify. xxhash64-specific → rows-only check.
+    "dedup_simhash" -> ((s, dir) =>
+      NearDup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // Embedding cosine near-dup, brute force (oracle-checkable).
+    "dedup_embedding" -> ((s, dir) =>
+      EmbeddingAnn.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)),
+
+    // Exact top-k cosine ANN baseline: small query batch broadcast
+    // against the corpus, per-query window for top-k.
+    "ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      EmbeddingAnn.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    }),
+
+    // LSH-bucketed ANN (sign random projections) — the scale path;
+    // approximate by construction → rows-only check.
+    "ann_lsh" -> ((s, dir) =>
+      EmbeddingAnn.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, nBits = 6)),
+
+    // Per-document text stats: token counts, BPE-ish sub-tokens,
+    // mean token length, stopword/punct ratios, composite quality score.
+    "text_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subTokenCount(col("text")).as("n_subtokens"),
+        TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))
+    }),
+
+    // Heuristic language-ID (stopword-hit argmax).
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    // Content fingerprints: normalized-md5 + winnowing-style min
+    // shingle hash (both engine-portable).
+    "text_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp_norm"),
+        array_min(transform(TextFunctions.shingles(col("text"), 3), sh => md5(sh.cast("binary"))))
+          .as("fp_winnow"))
+    }),
+
+    // Multimodal plumbing: treat content as opaque bytes + typed
+    // metadata (size, digest). The decode/feature-extract stage lives
+    // in graft.operators.Multimodal (stubbed decode, real plumbing).
+    "multimodal_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha256_hex"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -368,5 +461,120 @@ object SparkEntry {
         |       lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS label,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY 1""".stripMargin
+  ) ++ extensionOracles
+
+  // DuckDB-dialect mirrors of the extension queries. Tokenization,
+  // shingling, and set-Jaccard are reproduced with DuckDB list lambdas;
+  // md5/sha256 are engine-portable. dedup_simhash / ann_lsh are
+  // xxhash64- / seed-specific → intentionally no oracle (rows-only).
+  private val duckTokens =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+  private def duckShingles(tok: String) =
+    s"list_distinct(list_transform(range(1, len($tok) - 1), i -> array_to_string($tok[i:i+2], ' ')))"
+
+  private def extensionOracles: Map[String, String] = Map(
+    "dedup_exact_text" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+        |  min(doc_id) AS doc_id, count(*) AS group_size
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${duckShingles("tok")} AS sh
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
+         |  WHERE len(tok) >= 3)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "dedup_ngram_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${duckShingles("tok")} AS sh
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
+         |  WHERE len(tok) >= 3)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.v, b.v) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4""".stripMargin,
+
+    "ann_topk" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+        |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 20)
+        |WHERE rank <= 5""".stripMargin,
+
+    "text_profile" ->
+      s"""SELECT doc_id,
+         |  len(tok) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens,
+         |  CASE WHEN len(tok) = 0 THEN 0.0
+         |       ELSE list_sum(list_transform(tok, t -> strlen(t)))::DOUBLE / len(tok)::DOUBLE
+         |  END AS mean_token_len,
+         |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE sw_hits::DOUBLE / len(tok)::DOUBLE END AS stopword_ratio,
+         |  CASE WHEN strlen(nospace) = 0 THEN 0.0
+         |       ELSE (strlen(nospace) - strlen(regexp_replace(nospace, '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE
+         |            / strlen(nospace)::DOUBLE
+         |  END AS punct_ratio,
+         |  least(1.0,
+         |    (CASE WHEN len(tok) = 0 THEN 0.0 ELSE sw_hits::DOUBLE / len(tok)::DOUBLE END) * 2.0 * 0.4
+         |    + (CASE WHEN (CASE WHEN len(tok) = 0 THEN 0.0
+         |                  ELSE list_sum(list_transform(tok, t -> strlen(t)))::DOUBLE / len(tok)::DOUBLE END)
+         |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN len(tok) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (1.0 - least((CASE WHEN strlen(nospace) = 0 THEN 0.0
+         |         ELSE (strlen(nospace) - strlen(regexp_replace(nospace, '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE
+         |              / strlen(nospace)::DOUBLE END) * 5.0, 1.0)) * 0.1
+         |  ) AS quality_score
+         |FROM (SELECT doc_id, text, $duckTokens AS tok,
+         |        regexp_replace(text, '\\s', '', 'g') AS nospace,
+         |        len(list_filter($duckTokens, t -> list_contains(
+         |          ['the','and','of','to','a','in','is','that','for','with'], t))) AS sw_hits
+         |      FROM documents)""".stripMargin,
+
+    "text_langid" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |       WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |       WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |       WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |  len(list_filter(tok, t -> list_contains(['the','and','of','to','a','in','is','that','for','with'], t))) AS en,
+         |  len(list_filter(tok, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t))) AS de,
+         |  len(list_filter(tok, t -> list_contains(['el','la','de','que','y','en','un','por','con','para'], t))) AS es,
+         |  len(list_filter(tok, t -> list_contains(['le','la','les','de','et','un','est','pour','dans','que'], t))) AS fr
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents))""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_norm,
+         |  CASE WHEN len(sh) = 0 THEN NULL
+         |       ELSE list_sort(list_transform(sh, s -> md5(s)))[1] END AS fp_winnow
+         |FROM (SELECT doc_id, text, CASE WHEN len(tok) < 3 THEN [] ELSE ${duckShingles("tok")} END AS sh
+         |      FROM (SELECT doc_id, text, $duckTokens AS tok FROM documents))""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS sha256_hex
+        |FROM documents""".stripMargin
   )
 }

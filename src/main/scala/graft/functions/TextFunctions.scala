@@ -93,9 +93,8 @@ object TextFunctions {
     val pr = punctRatio(text)
     val lenOk = when(tokenCount(text).between(5, 10000), lit(1.0)).otherwise(lit(0.0))
     val mtlOk = when(mtl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
-    round(least(lit(1.0),
-      sw * 2.0 * lit(0.4) + mtlOk * lit(0.3) + lenOk * lit(0.2) + (lit(1.0) - least(pr * 5.0, lit(1.0))) * lit(0.1)
-    ), 6)
+    least(lit(1.0),
+      sw * 2.0 * lit(0.4) + mtlOk * lit(0.3) + lenOk * lit(0.2) + (lit(1.0) - least(pr * 5.0, lit(1.0))) * lit(0.1))
   }
 
   /** Canonical content fingerprint: md5 of the whitespace-normalized,

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection for document corpora: MinHash+LSH, SimHash,
+  * and brute-force n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *  - MinHash signatures are computed per-row with array higher-order
+  *    functions — no shuffle, no UDF, linear scan.
+  *  - Candidate generation shuffles only (band_hash, doc_id) pairs —
+  *    ~16 small rows per document, never the text — and self-joins on
+  *    the band key, so equal-band groups meet in the same partition.
+  *  - Exact Jaccard verification joins the (much smaller) candidate
+  *    pair set back to the shingle sets; cost is O(candidates), not
+  *    O(n²).
+  * Brute-force Jaccard is kept as the oracle-checkable baseline with a
+  * sampled query side; it is exactly the plan LSH avoids.
+  *
+  * All hash mixing is deterministic: fixed-seed permutation
+  * coefficients, Spark's xxhash64 for shingle/band hashing.
+  */
+object NearDup {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  // MinHash universe: shingle hashes in [0, 2^32); permutations
+  // h_i(x) = (a_i*x + b_i) mod P with P prime > 2^32 and a_i < 2^30,
+  // so a*x < 2^62 never overflows a signed long.
+  private val P = 4294967311L
+  private val (coefA, coefB) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(NumHashes)(1L + rnd.nextInt((1 << 30) - 1).toLong)
+    val b = Array.fill(NumHashes)(rnd.nextInt(1 << 30).toLong)
+    (a, b)
+  }
+
+  /** doc_id + distinct word-n-gram shingle set. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), array_distinct(TextFunctions.shingles(col(textCol), n)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** 64-element MinHash signature per document. */
+  def signatures(shingled: DataFrame, idCol: String): DataFrame = {
+    val hashes = transform(col("shingles"), s => pmod(xxhash64(s), lit(4294967296L)))
+    val sig = array((0 until NumHashes).map { i =>
+      array_min(transform(hashes, h => pmod(h * coefA(i) + coefB(i), lit(P))))
+    }: _*)
+    shingled.select(col(idCol), col("shingles"), sig.as("sig"))
+  }
+
+  /** LSH candidate pairs (idA < idB), deduplicated across bands. */
+  def candidatePairs(signed: DataFrame, idCol: String): DataFrame = {
+    val bandStructs = array((0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }: _*)
+    val banded = signed
+      .select(col(idCol), explode(bandStructs).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard between two shingle-set columns (set semantics). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Full MinHash+LSH near-dup pipeline: pairs with exact Jaccard ≥
+    * `threshold` among LSH candidates. With 16×4 banding, a pair at
+    * j=0.8 is caught with probability 1-(1-0.8⁴)^16 ≈ 0.9997, so for
+    * thresholds ≥ ~0.8 this equals the exact O(n²) answer w.h.p.
+    */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+    val cands = candidatePairs(signatures(sh, idCol), idCol)
+    val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    cands.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force n-gram Jaccard with a sampled query side — the
+    * oracle-checkable baseline. `querySide` filters which docs act as
+    * the left side; the join is a cartesian product, so keep the query
+    * side small (this is precisely the cost LSH removes).
+    */
+  def bruteForceJaccard(docs: DataFrame, idCol: String, textCol: String,
+                        querySide: Column, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+    val q = sh.filter(querySide).select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val c = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    q.crossJoin(c)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit j of the fingerprint is
+    * the sign of Σ_tokens (±1 by bit j of xxhash64(token)), weighted by
+    * occurrence. Computed per-row with HOFs — no shuffle.
+    */
+  def simHash(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val bitCols = (0 until 64).map { j =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
+    * Pigeonhole banding: split the 64-bit fingerprint into 4 16-bit
+    * chunks; a pair within Hamming ≤ 3 must agree on ≥ 1 chunk, so the
+    * join key is (chunk_idx, chunk_value) and only candidates pay the
+    * exact bit_count(xor) check.
+    */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
+    val fp = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
+    val chunks = array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"), shiftright(col("simhash"), 16 * c).bitwiseAND(0xFFFFL).as("cv"))
+    }: _*)
+    val banded = fp.select(col(idCol), col("simhash"), explode(chunks).as("ch"))
+      .select(col(idCol), col("simhash"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("cv"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("cv"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}
