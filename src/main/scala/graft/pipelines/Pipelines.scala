@@ -1,0 +1,106 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Joins, Quality, TimeAgg}
+import graft.sources.{ColumnarJson, TableManager}
+
+/** The three reference pipelines (SURVEY §3), re-expressed Spark-first.
+  *
+  * Differences from the reference, by design (SURVEY §4.3):
+  *  - flattening happens on executors (ColumnarJson), not the driver;
+  *  - the quality report is ONE job (Quality.report), not ~15 count()
+  *    actions;
+  *  - keep-first dedup is deterministic (explicit ordering);
+  *  - the clean-row policy is an explicit parameter, not an accident
+  *    of which LLM wrote the script.
+  */
+object AirQuality {
+  val Pollutants = Seq("pm10", "pm2_5", "carbon_monoxide", "carbon_dioxide",
+    "nitrogen_dioxide", "sulphur_dioxide", "ozone")
+  val WeatherMetrics = Seq("temperature_2m", "relative_humidity_2m", "dew_point_2m",
+    "apparent_temperature", "precipitation_probability", "rain", "wind_speed_10m")
+}
+
+/** Result bundle for a pipeline run: target row counts + the quality
+  * report the reference prints (null counts, dup counts, retention).
+  */
+case class PipelineResult(bronzeRows: Long, silverRows: Long, report: DataFrame)
+
+/** E1: ingest → Bronze (partitioned append) → quality → dedup/clean →
+  * Silver. Canonical reference flow: `First experiment/GPT 5.py:70-172`.
+  */
+class BronzeSilverPipeline(spark: SparkSession, tables: TableManager,
+                           cleanPolicy: Quality.CleanPolicy = Quality.DropIfAnyNull) {
+  import AirQuality._
+
+  def run(sourcePath: String, ingestionDate: String,
+          bronzeTable: String = "air_quality_bronze",
+          silverTable: String = "air_quality_silver"): PipelineResult = {
+    val hourly = ColumnarJson.read(spark, sourcePath, Pollutants)
+      .withColumn("ingestion_date", to_date(lit(ingestionDate)))
+      .select(("time" +: Pollutants :+ "ingestion_date").map(col): _*)
+
+    tables.append(hourly, bronzeTable, partitionBy = Seq("ingestion_date"))
+
+    val bronze = spark.table(bronzeTable)
+    val report = Quality.report(bronze, Pollutants, keys = Seq("time"))
+
+    val silver = Quality.clean(
+      Dedup.keepFirst(bronze, Seq("time"), col("ingestion_date") +: Pollutants.map(col)),
+      Pollutants, cleanPolicy)
+    tables.overwrite(silver, silverTable, partitionBy = Seq("ingestion_date"))
+
+    PipelineResult(bronze.count(), spark.table(silverTable).count(), report)
+  }
+}
+
+/** E2: ingest → (year, month) multi-avg → monthly table. Canonical:
+  * `Second Experiment/Qwen3-235B-A22B-2507.py:125-163`.
+  */
+class MonthlyAggPipeline(spark: SparkSession, tables: TableManager) {
+  import AirQuality._
+
+  def run(sourcePath: String, monthlyTable: String = "air_quality_monthly_avg"): DataFrame = {
+    val hourly = ColumnarJson.read(spark, sourcePath, Pollutants)
+    val monthly = TimeAgg.monthlyAvg(hourly, "time", Pollutants)
+      .orderBy(col("year"), col("month"))
+    tables.overwrite(monthly, monthlyTable)
+    spark.table(monthlyTable)
+  }
+}
+
+/** E3: dual ingest → two Bronzes → inner join on time → quality →
+  * dedup → merged Silver. Canonical: `Third Experiment/GPT 5.py:139-261`.
+  */
+class JoinedSilverPipeline(spark: SparkSession, tables: TableManager) {
+  import AirQuality._
+
+  def run(aqPath: String, wxPath: String, ingestionDate: String,
+          aqBronze: String = "aq_bronze", wxBronze: String = "weather_bronze",
+          silverTable: String = "air_quality_and_weather_silver"): PipelineResult = {
+    def load(path: String, metrics: Seq[String]) =
+      ColumnarJson.read(spark, path, metrics)
+        .withColumn("ingestion_date", to_date(lit(ingestionDate)))
+        .select(("time" +: metrics :+ "ingestion_date").map(col): _*)
+
+    val aq = load(aqPath, Pollutants)
+    val wx = load(wxPath, WeatherMetrics)
+    tables.append(aq, aqBronze, partitionBy = Seq("ingestion_date"))
+    tables.append(wx, wxBronze, partitionBy = Seq("ingestion_date"))
+
+    // J4 disambiguation: keep one ingestion_date, drop the other side's.
+    val joined = Joins.equi(
+      spark.table(aqBronze),
+      spark.table(wxBronze).drop("ingestion_date"),
+      keys = Seq("time"))
+
+    val report = Quality.report(joined, Pollutants ++ WeatherMetrics, keys = Seq("time"))
+    val silver = Dedup.keepFirst(joined, Seq("time"),
+      col("ingestion_date") +: (Pollutants ++ WeatherMetrics).map(col))
+    tables.overwrite(silver, silverTable, partitionBy = Seq("ingestion_date"))
+
+    PipelineResult(spark.table(aqBronze).count(), spark.table(silverTable).count(), report)
+  }
+}

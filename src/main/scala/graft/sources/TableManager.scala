@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Managed-table layer over Parquet — the stand-in for the reference's
+  * Delta sinks (SURVEY §2.1 S6, S8–S15). Delta jars are unavailable
+  * offline; the interface keeps Delta-swappable semantics:
+  * append/overwrite/partitionBy/insertInto, exists/DDL-create,
+  * mergeSchema emulation via explicit schema alignment
+  * (`Second Experiment/GPT 5 nano.py:106-175`), and OPTIMIZE/ZORDER
+  * approximated by repartition + sortWithinPartitions compaction.
+  */
+class TableManager(spark: SparkSession) {
+
+  def exists(table: String): Boolean = spark.catalog.tableExists(table)
+
+  def schemaOf(table: String): StructType = spark.table(table).schema
+
+  /** S8: partitioned append (creates the table on first write). */
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.format("parquet").mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
+  }
+
+  /** S10: overwrite. */
+  def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
+  }
+
+  /** S11: position-based insert into an existing table. */
+  def insertInto(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).insertInto(table)
+
+  /** S12: DDL creation from a StructType (reference builds the CREATE
+    * TABLE string from the schema: `Third Experiment/GPT 5.py:113-137`).
+    */
+  def create(table: String, schema: StructType, partitionBy: Seq[String] = Nil): Unit = {
+    val cols = schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val part = if (partitionBy.nonEmpty) partitionBy.mkString(" PARTITIONED BY (", ", ", ")") else ""
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$table` ($cols) USING PARQUET$part")
+  }
+
+  /** Project/pad `df` to an exact target schema: missing columns become
+    * typed nulls, extra columns are dropped, order matches. The core of
+    * the reference's schema-reconciliation subsystem
+    * (`Second Experiment/GPT 5 nano.py:150-170`).
+    */
+  def alignToSchema(df: DataFrame, target: StructType): DataFrame =
+    df.select(target.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
+  /** S9 (`mergeSchema`) emulation: append with schema evolution. New
+    * columns in `df` widen the table (rewrite with merged schema —
+    * the explicit cost Delta hides); missing columns become nulls.
+    */
+  def appendEvolving(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    if (!exists(table)) { append(df, table, partitionBy); return }
+    val existing = schemaOf(table)
+    val newCols = df.schema.fields.filterNot(f => existing.fieldNames.contains(f.name))
+    if (newCols.isEmpty) {
+      append(alignToSchema(df, existing), table, partitionBy)
+    } else {
+      val merged = StructType(existing.fields ++ newCols)
+      val old = alignToSchema(spark.table(table), merged)
+      val incoming = alignToSchema(df, merged)
+      // Two-phase rewrite: materialize the merged history (checkpoint
+      // severs the plan's reference to the table being overwritten),
+      // then overwrite the target. Non-atomic (documented Delta gap).
+      val staged = old.union(incoming).localCheckpoint(true)
+      overwrite(staged, table, partitionBy)
+    }
+  }
+
+  /** S15 stand-in for OPTIMIZE [ZORDER]: compact to `numFiles` and
+    * cluster rows within partitions by `clusterBy` for data-skipping-
+    * friendly layout.
+    */
+  def compact(table: String, numFiles: Int, clusterBy: Seq[String] = Nil,
+              partitionBy: Seq[String] = Nil): Unit = {
+    val df = spark.table(table)
+    val re = df.repartition(numFiles)
+    val clustered =
+      if (clusterBy.nonEmpty) re.sortWithinPartitions(clusterBy.map(col): _*) else re
+    // Materialize (and sever lineage from the table) before overwrite.
+    val staged = clustered.localCheckpoint(true)
+    overwrite(staged, table, partitionBy)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.ColumnarJson
+import graft.sources.ColumnarJson._
+import graft.pipelines.AirQuality.Pollutants
+
+class ColumnarJsonSpec extends SparkSuite {
+
+  test("clean payload flattens to one row per hour with typed columns") {
+    val df = ColumnarJson.read(spark, fixture("aq_clean_768h.json"), Pollutants)
+    assert(df.count() === 768)
+    assert(df.schema("time").dataType.typeName === "timestamp")
+    assert(df.schema("pm10").dataType.typeName === "double")
+    val firstTime = df.agg(min(col("time"))).collect()(0).getTimestamp(0).toString
+    assert(firstTime.startsWith("2025-03-01 00:00"))
+  }
+
+  test("nulls in arrays survive the pivot") {
+    val df = ColumnarJson.read(spark, fixture("aq_with_nulls.json"), Pollutants)
+    assert(df.count() === 100)
+    val ozoneNulls = df.filter(col("ozone").isNull).count()
+    assert(ozoneNulls === 100) // all-null column in fixture
+    assert(df.filter(col("pm10").isNull).count() > 0) // scattered nulls
+  }
+
+  test("ragged arrays: PadToLongest vs TruncateToShortest vs AlignToTime") {
+    // fixture: time has 50, pm10 has 45 (short), ozone has 53 (long)
+    val pad = ColumnarJson.read(spark, fixture("aq_ragged.json"), Pollutants, PadToLongest)
+    assert(pad.count() === 53)
+    assert(pad.filter(col("time").isNull).count() === 3) // beyond time axis
+
+    val trunc = ColumnarJson.read(spark, fixture("aq_ragged.json"), Pollutants, TruncateToShortest)
+    assert(trunc.count() === 45)
+    assert(trunc.filter(col("pm10").isNull).count() === 0)
+
+    val align = ColumnarJson.read(spark, fixture("aq_ragged.json"), Pollutants, AlignToTime)
+    assert(align.count() === 50)
+    assert(align.filter(col("time").isNull).count() === 0)
+    assert(align.filter(col("pm10").isNull).count() === 5) // padded tail
+  }
+
+  test("missing metric key becomes a typed-null column") {
+    val df = ColumnarJson.read(spark, fixture("aq_missing_key.json"), Pollutants)
+    assert(df.count() === 50)
+    assert(df.schema("carbon_dioxide").dataType.typeName === "double")
+    assert(df.filter(col("carbon_dioxide").isNull).count() === 50)
+  }
+
+  test("empty hourly payload yields zero rows, full schema") {
+    val df = ColumnarJson.read(spark, fixture("aq_empty.json"), Pollutants)
+    assert(df.count() === 0)
+    assert(df.columns.toSeq.containsSlice("time" +: Pollutants))
+  }
+
+  test("flatten plan has no driver-side collect (Generate on executors)") {
+    val df = ColumnarJson.read(spark, fixture("aq_clean_768h.json"), Pollutants)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"))
+  }
+}

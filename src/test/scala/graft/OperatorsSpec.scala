@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.TextFunctions
+
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("nullCountVector counts per-column nulls in one pass") {
+    val df = Seq((Some(1.0), None: Option[Double]), (None, Some(2.0)), (Some(3.0), Some(4.0)))
+      .toDF("a", "b")
+    val r = Quality.nullCountVector(df, Seq("a", "b")).collect()(0)
+    assert(r.getLong(0) === 1 && r.getLong(1) === 1)
+  }
+
+  test("keepFirst is deterministic and idempotent") {
+    val df = Seq((1, "a", 10.0), (1, "b", 5.0), (1, "a", 1.0), (2, "c", 7.0))
+      .toDF("k", "s", "v")
+    val once = Dedup.keepFirst(df, Seq("k"), Seq(col("v"), col("s")))
+    val rows = once.orderBy("k").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getDouble(2) === 1.0) // min v for k=1
+    val twice = Dedup.keepFirst(once, Seq("k"), Seq(col("v"), col("s")))
+    assert(twice.collect().toSet === once.collect().toSet)
+  }
+
+  test("keepFirstAgg matches windowed keepFirst on unique order column") {
+    val df = Seq((1, 10.0, "x"), (1, 5.0, "y"), (2, 7.0, "z")).toDF("k", "ord", "payload")
+    val viaWindow = Dedup.keepFirst(df, Seq("k"), Seq(col("ord"))).orderBy("k").collect()
+    val viaAgg = Dedup.keepFirstAgg(df, Seq("k"), "ord").orderBy("k").collect()
+    assert(viaWindow.map(r => (r.getInt(0), r.getDouble(1))).toSeq ===
+      viaAgg.map(r => (r.getInt(0), r.getDouble(1))).toSeq)
+  }
+
+  test("minhash LSH finds planted near-duplicates with exact jaccard verify") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    val other = "completely different content about spark catalyst optimizer internals here"
+    val df = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val pairs = NearDup.minHashNearDups(df, "doc_id", "text", n = 3, threshold = 0.5).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 0L && pairs(0).getLong(1) === 1L)
+    assert(pairs(0).getDouble(2) > 0.6)
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within 3") {
+    val r = NearDup.simHashNearDups(
+      Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (2L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text"),
+      "doc_id", "text", maxHamming = 3).collect()
+    val m = r.map(row => (row.getLong(0), row.getLong(1)) -> row.getAs[Number]("hamming").longValue()).toMap
+    assert(m((0L, 1L)) === 0L)
+  }
+
+  test("ANN brute-force: self-similar vectors rank first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.98f, 0.2f)))   // near 2
+      .toDF("vec_id", "embedding")
+    val top1 = EmbeddingAnn.bruteForceTopK(vecs, vecs.filter($"vec_id" < 2), "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(top1(0L) === 1L && top1(1L) === 0L)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog for a walk in the park"),
+      (2L, "der hund und die katze ist nicht mit von zu haus"),
+      (3L, "el perro y la casa de que un con para en madrid"),
+      (4L, "xyzzy qwerty asdf")).toDF("id", "text")
+    val r = df.select($"id", TextFunctions.langId($"text").as("lang"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "en" && r(2L) === "de" && r(3L) === "es" && r(4L) === "und")
+  }
+
+  test("quality score rewards prose over symbol soup") {
+    val prose = "the quick brown fox is happy that the sun rises for a new day with light"
+    val soup = ";;; ??? !!! ### $$$ %%% ^^^ &&&"
+    val df = Seq((1L, prose), (2L, soup)).toDF("id", "text")
+    val r = df.select($"id", TextFunctions.qualityScore($"text").as("q"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L))
+    assert(r(1L) > 0.5 && r(2L) <= 0.5)
+  }
+
+  test("shingles produce n-grams; fewer than n tokens → empty") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val r = df.select($"id", TextFunctions.shingles($"text", 3).as("sh"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1)).toMap
+    assert(r(1L) === Seq("a b c", "b c d"))
+    assert(r(2L) === Seq())
+  }
+
+  test("exactByHash groups identical content under one hash") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val r = Dedup.exactByHash(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(r.length === 2)
+    assert(r(0).getAs[Long]("doc_id") === 1L && r(0).getAs[Long]("group_size") === 2L)
+  }
+}

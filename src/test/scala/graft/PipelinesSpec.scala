@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quality
+import graft.pipelines._
+import graft.sources.TableManager
+
+class PipelinesSpec extends SparkSuite {
+
+  lazy val tables = new TableManager(spark)
+
+  test("E1 bronze→silver: clean payload keeps all rows") {
+    val p = new BronzeSilverPipeline(spark, tables)
+    val r = p.run(fixture("aq_clean_768h.json"), "2025-04-02",
+      bronzeTable = "e1_bronze", silverTable = "e1_silver")
+    assert(r.bronzeRows === 768)
+    assert(r.silverRows === 768)
+    val rep = r.report.collect()(0)
+    assert(rep.getAs[Long]("total_rows") === 768)
+    assert(rep.getAs[Long]("duplicate_rows") === 0)
+  }
+
+  test("E1 with nulls: DropIfAnyNull removes rows with any null pollutant") {
+    val p = new BronzeSilverPipeline(spark, tables, Quality.DropIfAnyNull)
+    val r = p.run(fixture("aq_with_nulls.json"), "2025-04-02",
+      bronzeTable = "e1n_bronze", silverTable = "e1n_silver")
+    assert(r.bronzeRows === 100)
+    assert(r.silverRows === 0) // fixture has an all-null ozone column
+  }
+
+  test("E1 with nulls: DropIfAllNull keeps rows with any pollutant present") {
+    val p = new BronzeSilverPipeline(spark, tables, Quality.DropIfAllNull)
+    val r = p.run(fixture("aq_with_nulls.json"), "2025-04-02",
+      bronzeTable = "e1o_bronze", silverTable = "e1o_silver")
+    assert(r.silverRows === 100)
+  }
+
+  test("E1 dedup: duplicate timestamps collapse deterministically") {
+    val p = new BronzeSilverPipeline(spark, tables, Quality.KeepAll)
+    val r = p.run(fixture("aq_dup_ts.json"), "2025-04-02",
+      bronzeTable = "e1d_bronze", silverTable = "e1d_silver")
+    assert(r.bronzeRows === 60) // 50 + 10 repeated hours
+    assert(r.silverRows === 50)
+    // deterministic: rerunning the dedup yields identical pm10 sum
+    val s1 = spark.table("e1d_silver").agg(sum("pm10")).collect()(0).getDouble(0)
+    val p2 = new BronzeSilverPipeline(spark, tables, Quality.KeepAll)
+    tables.overwrite(spark.table("e1d_bronze"), "e1d_bronze2")
+    val s2 = graft.operators.Dedup.keepFirst(spark.table("e1d_bronze2"), Seq("time"),
+        col("ingestion_date") +: AirQuality.Pollutants.map(col))
+      .agg(sum("pm10")).collect()(0).getDouble(0)
+    assert(s1 === s2)
+  }
+
+  test("E2 monthly aggregation: 4416 hours → 6 month groups") {
+    val p = new MonthlyAggPipeline(spark, tables)
+    val monthly = p.run(fixture("aq_mar_aug_4416h.json"), monthlyTable = "e2_monthly")
+    assert(monthly.count() === 6)
+    assert(monthly.columns.contains("avg_pm10"))
+    val months = monthly.select("month").collect().map(_.getInt(0)).sorted
+    assert(months.toSeq === Seq(3, 4, 5, 6, 7, 8))
+    // avg of avgs sanity: every avg within the generator's [0,100] range
+    val row = monthly.filter(col("month") === 3).collect()(0)
+    AirQuality.Pollutants.foreach { m =>
+      val v = row.getAs[Double](s"avg_$m")
+      assert(v > 0 && v < 100)
+    }
+  }
+
+  test("E3 join pipeline: aligned payloads join 1:1; mismatch drops rows") {
+    val p = new JoinedSilverPipeline(spark, tables)
+    val r = p.run(fixture("aq_clean_768h.json"), fixture("wx_clean_768h.json"), "2025-04-02",
+      aqBronze = "e3_aq", wxBronze = "e3_wx", silverTable = "e3_silver")
+    assert(r.silverRows === 768)
+    val silver = spark.table("e3_silver")
+    assert(silver.columns.contains("pm10") && silver.columns.contains("temperature_2m"))
+
+    // mismatched time axes: aq hours 0..49, wx hours 12..61 → 38 overlap
+    val r2 = p.run(fixture("aq_dup_ts.json"), fixture("wx_mismatch.json"), "2025-04-03",
+      aqBronze = "e3m_aq", wxBronze = "e3m_wx", silverTable = "e3m_silver")
+    assert(r2.silverRows === 38)
+  }
+}

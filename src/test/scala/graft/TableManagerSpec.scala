@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.TableManager
+
+class TableManagerSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val tables = new TableManager(spark)
+
+  test("append creates then accumulates; partition pruning works") {
+    val d1 = Seq((1L, "2025-01-01"), (2L, "2025-01-01")).toDF("id", "d")
+      .withColumn("d", col("d").cast("date"))
+    val d2 = Seq((3L, "2025-01-02")).toDF("id", "d")
+      .withColumn("d", col("d").cast("date"))
+    tables.append(d1, "tm_append", Seq("d"))
+    tables.append(d2, "tm_append", Seq("d"))
+    assert(spark.table("tm_append").count() === 3)
+    // partition filter prunes: only one partition dir scanned
+    val pruned = spark.table("tm_append").filter(col("d") === lit("2025-01-02").cast("date"))
+    assert(pruned.count() === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(!scan.contains("PartitionFilters: []"))
+  }
+
+  test("insertInto appends by position") {
+    val d = Seq((10L, "x")).toDF("id", "s")
+    tables.overwrite(d, "tm_insert")
+    tables.insertInto(Seq((11L, "y")).toDF("id", "s"), "tm_insert")
+    assert(spark.table("tm_insert").count() === 2)
+  }
+
+  test("create from StructType via DDL; exists reflects catalog") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType), StructField("d", DateType)))
+    assert(!tables.exists("tm_ddl"))
+    tables.create("tm_ddl", schema, partitionBy = Seq("d"))
+    assert(tables.exists("tm_ddl"))
+    assert(tables.schemaOf("tm_ddl").fieldNames.toSet === Set("k", "v", "d"))
+  }
+
+  test("alignToSchema pads missing columns with typed nulls and reorders") {
+    val target = StructType(Seq(
+      StructField("a", LongType), StructField("b", DoubleType), StructField("c", StringType)))
+    val df = Seq((1.5, 7L)).toDF("b", "a") // wrong order, no c
+    val aligned = tables.alignToSchema(df, target)
+    assert(aligned.columns.toSeq === Seq("a", "b", "c"))
+    val row = aligned.collect()(0)
+    assert(row.getLong(0) === 7L && row.getDouble(1) === 1.5 && row.isNullAt(2))
+  }
+
+  test("appendEvolving widens the table when new columns arrive") {
+    tables.overwrite(Seq((1L, 2.0)).toDF("id", "v"), "tm_evolve")
+    tables.appendEvolving(Seq((2L, 3.0, "new")).toDF("id", "v", "extra"), "tm_evolve")
+    val t = spark.table("tm_evolve")
+    assert(t.count() === 2)
+    assert(t.columns.contains("extra"))
+    assert(t.filter(col("id") === 1L).collect()(0).isNullAt(t.columns.indexOf("extra")))
+    // old-schema write still appends (missing col → null)
+    tables.appendEvolving(Seq((3L, 4.0)).toDF("id", "v"), "tm_evolve")
+    assert(spark.table("tm_evolve").count() === 3)
+  }
+
+  test("compact reduces file count and clusters rows") {
+    val df = spark.range(1000).withColumn("v", rand(7)).repartition(8)
+    tables.overwrite(df, "tm_compact")
+    tables.compact("tm_compact", numFiles = 1, clusterBy = Seq("v"))
+    assert(spark.table("tm_compact").count() === 1000)
+    val files = spark.table("tm_compact").inputFiles
+    assert(files.length === 1)
+  }
+}
