@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EmbeddingAnn, Joins, NearDup, Quality, TimeAgg}
+import graft.operators.{Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, TimeAgg}
 import graft.functions.TextFunctions
+import graft.streaming.StreamingJobs
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data extensions), each with a DuckDB
@@ -317,6 +318,24 @@ object SparkEntry {
         col("doc_id"),
         octet_length(col("text")).as("n_bytes"),
         sha2(col("text").cast("binary"), 256).as("sha256_hex"))
+    }),
+
+    // Batched per-partition feature extraction over an opaque binary
+    // column (the multimodal inference shape; decode stubbed, plumbing
+    // real — see graft.operators.Multimodal).
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      Multimodal.extractFeatures(media, batchSize = 32)
+        .select(col("media_id"), col("n_bytes"), col("n_spaces"), col("first_byte"))
+    }),
+
+    // Structured Streaming over the events table (file source +
+    // watermark + tumbling window), materialized via a memory sink and
+    // oracle-checked against the equivalent batch aggregation.
+    "streaming_hourly" -> ((s, dir) => {
+      val stream = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
+      val sink = s"streaming_hourly_${System.nanoTime}"
+      StreamingJobs.runToMemory(s, StreamingJobs.hourlyAgg(stream), sink)
     })
   )
 
@@ -575,6 +594,18 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS sha256_hex
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  strlen(text) - strlen(replace(text, ' ', '')) AS n_spaces,
+        |  CASE WHEN strlen(text) = 0 THEN -1 ELSE ascii(text) END AS first_byte
+        |FROM documents""".stripMargin,
+
+    "streaming_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |  count(*) AS n_rows, avg(value) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

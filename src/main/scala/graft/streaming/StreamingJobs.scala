@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extensions (SURVEY §2.10: the reference is
+  * batch-only, but its E1 pipeline is shaped exactly like a streaming
+  * job — hourly JSON → dedup → partitioned sink). These wrap that shape
+  * with real watermarks and windowed state.
+  */
+object StreamingJobs {
+
+  /** Parquet schema of the events table as the stream source reads it
+    * (ts arrives as nanosecond LongType under nanosAsLong).
+    */
+  val EventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream of the events table with ts normalized to a
+    * real timestamp. The file stream source requires a directory; a
+    * plain-file path is staged behind a symlink dir.
+    */
+  def eventsStream(spark: SparkSession, path: String): DataFrame = {
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p.toAbsolutePath)
+        d.toString
+      } else path
+    spark.readStream.schema(EventsRawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window aggregate: rows per window per event_type with
+    * avg value. Watermark bounds state; partial aggregation happens
+    * map-side exactly as in batch.
+    */
+  def hourlyAgg(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_rows"), avg(col("value")).as("avg_value"))
+      .select(col("w.start").as("hour_ts"), col("n_rows"), col("avg_value"))
+
+  /** Streaming dedup (the E1 story as a stream): keep the first row per
+    * key within the watermark horizon.
+    */
+  def dedupStream(stream: DataFrame, keys: Seq[String]): DataFrame =
+    stream.withWatermark("ts", "2 hours").dropDuplicates(keys)
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (synchronous test/verify harness).
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  mode: String = "complete"): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
