@@ -218,6 +218,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), avg(col("value")).as("avg_value"))
     }),
 
+    // S7/S14/P10/F4/A11: SQL-text entry point over a registered view,
+    // with string predicates, date arithmetic, and CASE aggregates —
+    // the reference's spark.sql report-query surface.
+    "q21_sql_report" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price,
+               count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+               datediff(max(o_orderdate), min(o_orderdate)) AS span_days,
+               count(CASE WHEN o_orderdate >= date_sub(TIMESTAMP '2001-08-01', 365) THEN 1 END) AS n_last_year
+        FROM orders_v
+        WHERE o_totalprice > 1000 OR o_orderstatus = 'F'
+        GROUP BY o_orderstatus""")
+    }),
+
     // F5/F6/P2: derived label (concat/lpad/round) + rollup.
     "q20_month_label" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -255,7 +272,7 @@ object SparkEntry {
     // plan LSH exists to avoid; kept oracle-checkable).
     "dedup_ngram_sample" -> ((s, dir) =>
       NearDup.bruteForceJaccard(t(s, dir, "documents"), "doc_id", "text",
-        querySide = col("doc_id") % 5 === 0, n = 3, threshold = 0.5)),
+        querySide = col("doc_id") % 20 === 0, n = 3, threshold = 0.5)),
 
     // SimHash near-dup: 64-bit fingerprint, 4-chunk pigeonhole banding,
     // exact Hamming verify. xxhash64-specific → rows-only check.
@@ -281,27 +298,18 @@ object SparkEntry {
 
     // Per-document text stats: token counts, BPE-ish sub-tokens,
     // mean token length, stopword/punct ratios, composite quality score.
-    "text_profile" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.subTokenCount(col("text")).as("n_subtokens"),
-        TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
-        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
-        TextFunctions.qualityScore(col("text")).as("quality_score"))
-    }),
+    "text_profile" -> ((s, dir) =>
+      TextFunctions.profile(t(s, dir, "documents"), "doc_id", "text")),
 
     // Heuristic language-ID (stopword-hit argmax).
     "text_langid" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
+      TextFunctions.langIdBulk(t(s, dir, "documents"), "doc_id", "text")),
 
     // Content fingerprints: normalized-md5 + winnowing-style min
     // shingle hash (both engine-portable).
     "text_fingerprint" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // md5-per-shingle is compute-bound; spread the single-file scan.
+      val d = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
       d.select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp_norm"),
@@ -475,6 +483,17 @@ object SparkEntry {
         |  count(*) AS n_rows, avg(value) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
 
+    "q21_sql_report" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_orders,
+        |  round(avg(o_totalprice), 2) AS avg_price,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        |  datediff('day', min(o_orderdate), max(o_orderdate)) AS span_days,
+        |  count(CASE WHEN o_orderdate >= TIMESTAMP '2001-08-01' - INTERVAL 365 DAY THEN 1 END) AS n_last_year
+        |FROM orders
+        |WHERE o_totalprice > 1000 OR o_orderstatus = 'F'
+        |GROUP BY o_orderstatus""".stripMargin,
+
     "q20_month_label" ->
       """SELECT CAST(year(o_orderdate) AS VARCHAR) || '-' ||
         |       lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS label,
@@ -519,7 +538,7 @@ object SparkEntry {
          |    len(list_intersect(a.sh, b.sh))::DOUBLE
          |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE a.doc_id % 5 = 0)
+         |  WHERE a.doc_id % 20 = 0)
          |WHERE jaccard >= 0.5""".stripMargin,
 
     "dedup_embedding" ->

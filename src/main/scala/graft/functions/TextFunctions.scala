@@ -114,4 +114,75 @@ object TextFunctions {
         sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
   }
+
+  // -------------------------------------------------------------------
+  // Materialized bulk profiling. The single-column functions above each
+  // re-tokenize their input; composing five of them in one projection
+  // tokenizes five times (HOFs are interpreted — no common-subexpression
+  // elimination). The bulk form tokenizes ONCE into a column and derives
+  // every metric from it — the shape to use on a corpus scan.
+  // -------------------------------------------------------------------
+
+  private def hitCountIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Per-document text-quality profile: one pass, one tokenization.
+    * Output: idCol, n_tokens, n_subtokens, mean_token_len,
+    * stopword_ratio, punct_ratio, quality_score.
+    */
+  def profile(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.repartition(par).select(
+      col(idCol),
+      col(textCol).as("__text"),
+      tokens(col(textCol)).as("__tok"),
+      regexp_replace(col(textCol), "\\s", "").as("__nospace"))
+    val n = size(col("__tok"))
+    val mtl = when(n === 0, lit(0.0))
+      .otherwise(aggregate(col("__tok"), lit(0L), (acc, x) => acc + length(x)).cast("double") / n.cast("double"))
+    val sw = when(n === 0, lit(0.0))
+      .otherwise(hitCountIn(col("__tok"), EnStop).cast("double") / n.cast("double"))
+    val pr = when(length(col("__nospace")) === 0, lit(0.0))
+      .otherwise((length(col("__nospace")) -
+        length(regexp_replace(col("__nospace"), "[.,!?;:'\"()\\[\\]{}-]", "")))
+        .cast("double") / length(col("__nospace")).cast("double"))
+    // Two-layer projection: the ratio expressions become attributes so
+    // quality_score reuses them instead of duplicating their HOF trees
+    // (CollapseProject keeps multi-referenced non-cheap aliases).
+    val mid = base.select(
+      col(idCol),
+      n.as("n_tokens"),
+      subTokenCount(col("__text")).as("n_subtokens"),
+      mtl.as("mean_token_len"),
+      sw.as("stopword_ratio"),
+      pr.as("punct_ratio"))
+    mid.select(
+      col(idCol), col("n_tokens"), col("n_subtokens"), col("mean_token_len"),
+      col("stopword_ratio"), col("punct_ratio"),
+      least(lit(1.0),
+        col("stopword_ratio") * 2.0 * lit(0.4)
+          + when(col("mean_token_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0)) * lit(0.3)
+          + when(col("n_tokens").between(5, 10000), lit(1.0)).otherwise(lit(0.0)) * lit(0.2)
+          + (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * lit(0.1)).as("quality_score"))
+  }
+
+  /** Bulk language-ID: tokenize once, score all stopword sets from the
+    * materialized array. Output: idCol, lang_pred.
+    */
+  def langIdBulk(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), tokens(col(textCol)).as("__tok"))
+    val scored = base.select(col(idCol),
+      hitCountIn(col("__tok"), EnStop).as("__en"),
+      hitCountIn(col("__tok"), DeStop).as("__de"),
+      hitCountIn(col("__tok"), EsStop).as("__es"),
+      hitCountIn(col("__tok"), FrStop).as("__fr"))
+    val best = greatest(col("__en"), col("__de"), col("__es"), col("__fr"))
+    scored.select(col(idCol),
+      when(best === 0, lit("und"))
+        .when(col("__en") === best, lit("en"))
+        .when(col("__de") === best, lit("de"))
+        .when(col("__es") === best, lit("es"))
+        .otherwise(lit("fr")).as("lang_pred"))
+  }
 }

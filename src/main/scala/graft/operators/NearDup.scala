@@ -40,16 +40,33 @@ object NearDup {
     (a, b)
   }
 
-  /** doc_id + distinct word-n-gram shingle set. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol), array_distinct(TextFunctions.shingles(col(textCol), n)).as("shingles"))
+  /** doc_id + distinct word-n-gram shingle set, represented as xxhash64
+    * values in [0, 2^32). All downstream set operations (Jaccard
+    * intersect/union, MinHash permutations) run on primitive long
+    * arrays — string shingles are hashed exactly once here and never
+    * shuffled or compared again. Collision probability for an ~100-
+    * shingle doc is ~100²/2³² ≈ 2e-6 per pair — far below the float
+    * tolerance of any downstream consumer.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // Per-row shingling/hashing is compute-heavy; a small corpus read
+    // from one parquet file would otherwise sit in a single partition
+    // and use one core. At scale the scan already has many splits and
+    // this shuffle is noise relative to the candidate join.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par)
+      .select(col(idCol),
+        array_distinct(transform(TextFunctions.shingles(col(textCol), n),
+          s => pmod(xxhash64(s), lit(4294967296L)))).as("shingles"))
       .filter(size(col("shingles")) > 0)
+  }
 
-  /** 64-element MinHash signature per document. */
+  /** 64-element MinHash signature per document: pure arithmetic over
+    * the pre-hashed shingle array.
+    */
   def signatures(shingled: DataFrame, idCol: String): DataFrame = {
-    val hashes = transform(col("shingles"), s => pmod(xxhash64(s), lit(4294967296L)))
     val sig = array((0 until NumHashes).map { i =>
-      array_min(transform(hashes, h => pmod(h * coefA(i) + coefB(i), lit(P))))
+      array_min(transform(col("shingles"), h => pmod(h * coefA(i) + coefB(i), lit(P))))
     }: _*)
     shingled.select(col(idCol), col("shingles"), sig.as("sig"))
   }
@@ -98,20 +115,27 @@ object NearDup {
   def bruteForceJaccard(docs: DataFrame, idCol: String, textCol: String,
                         querySide: Column, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, n)
-    val q = sh.filter(querySide).select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
-    val c = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    val q = sh.filter(querySide)
+      .select(col(idCol).as("id_a"), col("shingles").as("sh_a"), size(col("shingles")).as("__na"))
+    val c = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"), size(col("shingles")).as("__nb"))
     q.crossJoin(c)
       .filter(col("id_a") < col("id_b"))
+      // Size bound: j(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs with
+      // incompatible set sizes can be dropped before the (expensive)
+      // intersection — a lossless prune for the given threshold.
+      .filter(least(col("__na"), col("__nb")).cast("double")
+        / greatest(col("__na"), col("__nb")).cast("double") >= threshold)
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit j of the fingerprint is
-    * the sign of Σ_tokens (±1 by bit j of xxhash64(token)), weighted by
-    * occurrence. Computed per-row with HOFs — no shuffle.
+  /** SimHash fingerprint from a pre-materialized token-hash array: bit
+    * j of the fingerprint is the sign of Σ_tokens (±1 by bit j of the
+    * token hash). The caller must materialize the hash array in its own
+    * projection — referencing a hash *expression* here would re-hash
+    * every token 64 times.
     */
-  def simHash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+  def simHashFromHashes(hashes: Column): Column = {
     val bitCols = (0 until 64).map { j =>
       val bitSum = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -119,6 +143,12 @@ object NearDup {
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** 64-bit SimHash over whitespace tokens (convenience single-column
+    * form; prefer the two-step materialized path in bulk pipelines).
+    */
+  def simHash(text: Column): Column =
+    simHashFromHashes(transform(TextFunctions.tokens(text), t => xxhash64(t)))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
     * Pigeonhole banding: split the 64-bit fingerprint into 4 16-bit
@@ -129,7 +159,10 @@ object NearDup {
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
-    val fp = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
+    val fp = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+      .select(col(idCol), simHashFromHashes(col("__th")).as("simhash"))
     val chunks = array((0 until 4).map { c =>
       struct(lit(c).as("chunk"), shiftright(col("simhash"), 16 * c).bitwiseAND(0xFFFFL).as("cv"))
     }: _*)
