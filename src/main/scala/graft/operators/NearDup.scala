@@ -61,14 +61,16 @@ object NearDup {
       .filter(size(col("shingles")) > 0)
   }
 
-  /** 64-element MinHash signature per document: pure arithmetic over
-    * the pre-hashed shingle array.
+  /** 64-element MinHash signature per document: one native pass over
+    * the pre-hashed shingle array (all permutations per element),
+    * arithmetic identical to the composable 64× array_min∘transform
+    * form it replaces.
     */
   def signatures(shingled: DataFrame, idCol: String): DataFrame = {
-    val sig = array((0 until NumHashes).map { i =>
-      array_min(transform(col("shingles"), h => pmod(h * coefA(i) + coefB(i), lit(P))))
-    }: _*)
-    shingled.select(col(idCol), col("shingles"), sig.as("sig"))
+    shingled.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => graft.plans.MinHashSignature(exprs.head, coefA, coefB, P), "built-in")
+    shingled.select(col(idCol), col("shingles"), expr("graft_minhash(shingles)").as("sig"))
   }
 
   /** LSH candidate pairs (idA < idB), deduplicated across bands. */
@@ -98,7 +100,12 @@ object NearDup {
     */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // The shingle sets feed three plan subtrees (signatures + both
+    // sides of the verify join); without persistence the shingling and
+    // hashing rerun three times. ~(id, array<long>) per doc — a few MB
+    // per million docs per executor, spilled to disk if larger.
     val sh = shingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(signatures(sh, idCol), idCol)
     val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
@@ -115,6 +122,7 @@ object NearDup {
   def bruteForceJaccard(docs: DataFrame, idCol: String, textCol: String,
                         querySide: Column, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = sh.filter(querySide)
       .select(col(idCol).as("id_a"), col("shingles").as("sh_a"), size(col("shingles")).as("__na"))
     val c = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"), size(col("shingles")).as("__nb"))

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join strategies for the 100 TB path.
+  *
+  * AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`) is the
+  * first line of defense and needs no code. Salting is the explicit
+  * fallback for the cases AQE can't fix — e.g. one hot key holding >50%
+  * of a fact table joined against a non-broadcastable dimension side:
+  * the fact side's hot keys are split across `saltBuckets` shuffle
+  * partitions, and the other side is replicated `saltBuckets`× so every
+  * salted partition finds its match.
+  */
+object Skew {
+
+  /** Salted inner equi-join on `key`: `left` (large, skewed) gets a
+    * random-but-deterministic salt derived from stable row content;
+    * `right` is exploded `saltBuckets`×. Result equals the plain join
+    * (salting only affects partitioning).
+    *
+    * @param saltOn stable columns of `left` used to derive the salt —
+    *               deterministic across retries (no rand()), which
+    *               matters for speculative execution and reruns.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltOn: Seq[String], saltBuckets: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(saltOn.map(col): _*), lit(saltBuckets)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+
+  /** Top-N heaviest keys with their frequencies — the diagnostic that
+    * decides between broadcast, AQE, and salting. One partial-agg scan.
+    */
+  def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col(key))
+      .limit(topN)
+}

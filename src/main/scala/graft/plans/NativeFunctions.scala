@@ -47,6 +47,43 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** All-permutation MinHash signature in a single pass: for shingle
+  * hashes S and permutations h_i(x) = (a_i·x + b_i) mod P, emits
+  * `array(min_i)` for i < k. The composable form (k× `array_min ∘
+  * transform`) walks the shingle array k times through interpreted
+  * lambdas; this loops S×k over primitive longs. Arithmetic is
+  * identical, so signatures (and thus LSH bands) are unchanged.
+  */
+case class MinHashSignature(child: Expression, coefA: Array[Long], coefB: Array[Long], p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private val k = coefA.length
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    if (hs.isEmpty) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < k) {
+        val v = (coefA(i) * h + coefB(i)) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeFunctions {
   /** Idempotently register the native functions in a session so they
     * are callable via `expr("graft_dot(a, b)")` and plain SQL.

@@ -38,17 +38,24 @@ object ColumnarJson {
     * @param metrics expected metric keys; absent keys yield typed-null
     *                columns so downstream schemas stay fixed.
     */
-  def read(spark: SparkSession, path: String, metrics: Seq[String],
-           policy: RaggedPolicy = PadToLongest): DataFrame = {
+  /** Payload schema for a given metric set (shared by the file and
+    * HTTP paths, and usable with `from_json` on any string column).
+    */
+  def payloadSchema(metrics: Seq[String]): StructType = {
     val hourlySchema = StructType(
       StructField("time", ArrayType(StringType)) +:
         metrics.map(m => StructField(m, ArrayType(DoubleType))))
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("latitude", DoubleType),
       StructField("longitude", DoubleType),
       StructField("timezone", StringType),
       StructField("hourly", hourlySchema)))
-    val raw = spark.read.option("multiLine", "true").schema(schema).json(path)
+  }
+
+  def read(spark: SparkSession, path: String, metrics: Seq[String],
+           policy: RaggedPolicy = PadToLongest): DataFrame = {
+    val raw = spark.read.option("multiLine", "true")
+      .schema(payloadSchema(metrics)).json(path)
     flatten(raw, metrics, policy)
   }
 

@@ -76,6 +76,18 @@ class TableManager(spark: SparkSession) {
     }
   }
 
+  /** Bucketed write: pre-shuffles into `numBuckets` hash buckets on
+    * `bucketBy` (sorted within files). Two tables bucketed the same way
+    * join WITHOUT a shuffle — the co-located-join layout for fact
+    * tables that are joined repeatedly on the same key at scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** S15 stand-in for OPTIMIZE [ZORDER]: compact to `numFiles` and
     * cluster rows within partitions by `clusterBy` for data-skipping-
     * friendly layout.

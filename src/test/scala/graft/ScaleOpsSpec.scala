@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sketches, Skew}
+import graft.sources.TableManager
+
+class ScaleOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // 90% of left rows share one hot key
+    val left = spark.range(2000)
+      .select((when(col("id") % 10 === 0, col("id") % 5).otherwise(lit(42L))).as("k"),
+        col("id").as("payload"))
+    val right = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+
+    val plain = left.join(right, Seq("k"), "inner")
+      .select("k", "payload", "name").collect().toSet
+    val salted = Skew.saltedJoin(left, right, "k", saltOn = Seq("payload"), saltBuckets = 8)
+      .select("k", "payload", "name").collect().toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("key histogram surfaces the hot key") {
+    val df = spark.range(1000)
+      .select(when(col("id") % 10 === 0, col("id") % 3).otherwise(lit(7L)).as("k"))
+    val top = Skew.keyHistogram(df, "k", topN = 1).collect()(0)
+    assert(top.getLong(0) === 7L)
+    assert(top.getLong(1) === 900L)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val tables = new TableManager(spark)
+    val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
+    val b = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    tables.writeBucketed(a, "bk_a", numBuckets = 4, bucketCols = Seq("k"))
+    tables.writeBucketed(b, "bk_b", numBuckets = 4, bucketCols = Seq("k"))
+    // Force the non-broadcast path (tiny test tables would otherwise be
+    // broadcast): the bucketed layout must yield a SortMergeJoin with
+    // NO shuffle exchange on either side.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_a").join(spark.table("bk_b"), Seq("k"))
+      assert(joined.count() === 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"), s"scan should be bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("HLL approx distinct lands within rsd of exact") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val exact = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val approx = Sketches.approxDistinct(ev, Seq("user_id"), rsd = 0.02)
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+
+  test("approx quantiles bracket the median; describe emits stats rows") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val Seq(q50) = Sketches.approxQuantiles(ev, "value", Seq(0.5))
+    assert(q50 > 0 && q50 < 490)
+    val d = Sketches.describe(ev, "value").collect()
+    assert(d.map(_.getString(0)).toSet === Set("count", "mean", "stddev", "min", "max"))
+  }
+}
