@@ -235,6 +235,31 @@ object SparkEntry {
         GROUP BY o_orderstatus""")
     }),
 
+    // Beyond-reference breadth: hierarchical subtotals (rollup).
+    "q22_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+    }),
+
+    // Beyond-reference breadth: pivot (wide) with an explicit value
+    // list so the output schema is deterministic.
+    "q23_pivot" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(avg(col("value")))
+    }),
+
+    // Beyond-reference breadth: unpivot (long) — the inverse reshape.
+    "q24_unpivot" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("quantity"), avg(col("l_discount")).as("discount"))
+      li.unpivot(Array(col("l_returnflag")),
+        Array(col("quantity"), col("discount")), "metric", "avg_value")
+    }),
+
     // F5/F6/P2: derived label (concat/lpad/round) + rollup.
     "q20_month_label" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -267,6 +292,11 @@ object SparkEntry {
     // 1 - 1.4e-7, so the sets coincide.
     "dedup_minhash" -> ((s, dir) =>
       NearDup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+
+    // EXACT global near-dup via prefix filtering (AllPairs/PPJoin):
+    // same answer as the O(n^2) scan, inverted-index candidates only.
+    "dedup_allpairs" -> ((s, dir) =>
+      NearDup.allPairsNearDups(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
 
     // Brute-force n-gram Jaccard baseline, sampled query side (the
     // plan LSH exists to avoid; kept oracle-checkable).
@@ -483,6 +513,28 @@ object SparkEntry {
         |  count(*) AS n_rows, avg(value) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
 
+    "q22_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q23_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  avg(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |  avg(CASE WHEN event_type = 'error' THEN value END) AS error,
+        |  avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+        |  avg(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+        |  avg(CASE WHEN event_type = 'view' THEN value END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q24_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, avg(l_quantity) AS quantity, avg(l_discount) AS discount
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'quantity' AS metric, quantity AS avg_value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'discount' AS metric, discount AS avg_value FROM agg""".stripMargin,
+
     "q21_sql_report" ->
       """SELECT o_orderstatus,
         |  count(*) AS n_orders,
@@ -515,6 +567,18 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS doc_id, count(*) AS group_size
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_allpairs" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${duckShingles("tok")} AS sh
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
+         |  WHERE len(tok) >= 3)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH s AS (

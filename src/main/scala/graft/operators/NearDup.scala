@@ -114,6 +114,38 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT near-dup pairs via prefix filtering (AllPairs/PPJoin
+    * family): with shingle hashes globally sorted, two sets with
+    * Jaccard ≥ τ must share at least one element among their first
+    * |A| − ⌈τ·|A|⌉ + 1 elements. Candidates come from an inverted
+    * index on those prefix elements (shuffle carries (prefix_hash, id)
+    * pairs only); each candidate pays one exact Jaccard check.
+    *
+    * Same output as the O(n²) scan, zero probabilistic misses —
+    * the deterministic alternative to MinHash when exactness is
+    * contractual. Degrades when many docs share prefix elements
+    * (near-uniform corpora); MinHash LSH is the fallback there.
+    */
+  def allPairsNearDups(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+      .withColumn("shingles", array_sort(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (size(col("shingles"))
+      - ceil(lit(threshold) * size(col("shingles"))).cast("int") + 1)
+    val prefixes = sh
+      .select(col(idCol), explode(slice(col("shingles"), lit(1), prefixLen)).as("pfx"))
+    val cands = prefixes.select(col(idCol).as("id_a"), col("pfx"))
+      .join(prefixes.select(col(idCol).as("id_b"), col("pfx")), Seq("pfx"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    cands.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Brute-force n-gram Jaccard with a sampled query side — the
     * oracle-checkable baseline. `querySide` filters which docs act as
     * the left side; the join is a cartesian product, so keep the query
