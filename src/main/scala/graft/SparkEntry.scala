@@ -235,6 +235,15 @@ object SparkEntry {
         GROUP BY o_orderstatus""")
     }),
 
+    // §2.11 extension surface: typed Aggregator (geometric mean) used
+    // from the untyped agg API — partial-aggregates like a built-in.
+    "q25_geomean" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(graft.functions.TypedAggregators.geomean(col("value")).as("geo_value"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Beyond-reference breadth: hierarchical subtotals (rollup).
     "q22_rollup" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -511,6 +520,10 @@ object SparkEntry {
     "q19_json_extract" ->
       """SELECT CAST(props->>'$.k' AS INTEGER) AS k,
         |  count(*) AS n_rows, avg(value) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q25_geomean" ->
+      """SELECT event_type, exp(avg(ln(value))) AS geo_value, count(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
 
     "q22_rollup" ->

@@ -53,6 +53,30 @@ object StreamingJobs {
   def dedupStream(stream: DataFrame, keys: Seq[String]): DataFrame =
     stream.withWatermark("ts", "2 hours").dropDuplicates(keys)
 
+  /** Per-user running aggregate state. */
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful processing via mapGroupsWithState (SURVEY §2.10
+    * extension): a running (count, sum) per user, emitted on every
+    * update. The state store shards by the group key, so this scales
+    * like any keyed aggregation; after one batch the state equals the
+    * batch groupBy — which makes it testable synchronously.
+    */
+  def statefulUserTotals(stream: DataFrame): org.apache.spark.sql.Dataset[UserAgg] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserAgg](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          UserAgg(uid, n, s)
+      }
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous test/verify harness).
     */

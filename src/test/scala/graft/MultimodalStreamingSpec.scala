@@ -46,6 +46,21 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(s.toSeq === b.toSeq)
   }
 
+  test("stateful mapGroupsWithState totals equal batch groupBy after one batch") {
+    val dir = "/root/testdata/sf0.001"
+    val stateful = StreamingJobs.runToMemory(spark,
+      StreamingJobs.statefulUserTotals(
+        StreamingJobs.eventsStream(spark, s"$dir/events.parquet")).toDF(),
+      "t_stream_state", mode = "update")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
+    val s = stateful.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    val b = batch.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    assert(s.toSeq === b.toSeq)
+  }
+
   test("streaming dedup keeps one row per key") {
     val dir = "/root/testdata/sf0.001"
     val deduped = StreamingJobs.runToMemory(spark,
