@@ -329,11 +329,21 @@ object SparkEntry {
       EmbeddingAnn.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
     }),
 
-    // LSH-bucketed ANN (sign random projections) — the scale path;
-    // approximate by construction → rows-only check.
+    // LSH-bucketed ANN (sign random projections, 2 OR-ed tables) — the
+    // scale path; approximate by construction → rows-only check.
     "ann_lsh" -> ((s, dir) =>
       EmbeddingAnn.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, dim = 64, nBits = 6)),
+        threshold = 0.3, dim = 64, nBits = 6, nTables = 2)),
+
+    // IVF ANN: deterministic k-means coarse quantizer, nprobe-cluster
+    // search. Approximate → rows-only check; recall vs the exact
+    // baseline is asserted in AnnIvfSpec.
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = EmbeddingAnn.trainCentroids(e, "vec_id", "embedding", nlist = 16)
+      EmbeddingAnn.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, centroids, nprobe = 4)
+    }),
 
     // Per-document text stats: token counts, BPE-ish sub-tokens,
     // mean token length, stopword/punct ratios, composite quality score.

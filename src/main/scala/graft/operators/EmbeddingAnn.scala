@@ -73,14 +73,14 @@ object EmbeddingAnn {
   }
 
   /** Deterministic random hyperplanes: `nBits` rows of `dim` gaussians. */
-  private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
+  private def hyperplanes(nBits: Int, dim: Int, seed: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   /** Sign-random-projection bucket id (0 .. 2^nBits-1) for each vector. */
-  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
-    val planes = hyperplanes(nBits, dim)
+  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Int = 42): Column = {
+    val planes = hyperplanes(nBits, dim, seed)
     val bits = planes.zipWithIndex.map { case (p, j) =>
       val planeCol = array(p.map(lit): _*)
       val d = aggregate(zip_with(vec, planeCol, (x, w) => x.cast("double") * w),
@@ -91,19 +91,119 @@ object EmbeddingAnn {
   }
 
   /** Approximate near-dup pairs via LSH bucketing: only same-bucket
-    * pairs are scored. Recall < 1 by construction; cost drops from
-    * O(n²) to Σ_buckets O(|bucket|²).
+    * pairs are scored. `nTables` independent hash tables are OR-ed
+    * (a pair is scored if it collides in ANY table), trading compute
+    * for recall: miss probability per table p becomes p^nTables.
+    * Cost drops from O(n²) to nTables · Σ_buckets O(|bucket|²).
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, dim: Int, nBits: Int = 8): DataFrame = {
+                      threshold: Double, dim: Int, nBits: Int = 8,
+                      nTables: Int = 1): DataFrame = {
     val n = normalized(corpus, vecCol)
-      .withColumn("bucket", lshBucket(col("vnorm"), dim, nBits))
-    val a = n.select(col(idCol).as("id_a"), col("vnorm").as("va"), col("bucket"))
-    val b = n.select(col(idCol).as("id_b"), col("vnorm").as("vb"), col("bucket"))
+    val buckets = array((0 until nTables).map { t =>
+      lshBucket(col("vnorm"), dim, nBits, seed = 42 + t) + lit(t.toLong << 32)
+    }: _*)
+    val banded = n.select(col(idCol), col("vnorm"), explode(buckets).as("bucket"))
+    val a = banded.select(col(idCol).as("id_a"), col("vnorm").as("va"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("vnorm").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), nativeDot(n, "va", "vb").as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
+  }
+
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN: cluster the corpus once, then restrict
+  // each query to its `nprobe` nearest clusters. The coarse quantizer
+  // is a deterministic k-means (fixed seed, fixed iterations) trained
+  // on the corpus; centroids are tiny (nlist × dim doubles) and live
+  // on the driver / in the closure — the corpus itself only shuffles
+  // once, on its assigned cluster id.
+  // -------------------------------------------------------------------
+
+  /** Deterministic k-means over the (normalized) corpus. Returns
+    * nlist centroids. Init = first nlist vectors by id order; a fixed
+    * number of Lloyd iterations; ties broken by lowest centroid index.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, iters: Int = 5,
+                     trainSample: Int = 100000): Array[Array[Double]] = {
+    val n = normalized(corpus, vecCol)
+    var centroids: Array[Array[Double]] = n.orderBy(col(idCol)).limit(nlist)
+      .select(col("vnorm")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // Train on a bounded sample (standard IVF practice): the quantizer
+    // needs representative geometry, not the whole corpus, and the
+    // driver must never hold more than trainSample × dim doubles.
+    val data = n.select(col("vnorm")).limit(trainSample).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](centroids.head.length))
+      val counts = new Array[Long](centroids.length)
+      data.foreach { v =>
+        var best = 0; var bestD = Double.NegativeInfinity
+        for (c <- centroids.indices) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * centroids(c)(i); i += 1 }
+          if (d > bestD) { bestD = d; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          if (norm == 0) centroids(c) else m.map(_ / norm)
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  private def centroidScores(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.toIndexedSeq.map { c =>
+      aggregate(zip_with(vec, array(c.map(lit): _*), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+    }
+
+  /** Cluster id (argmax centroid dot) for each vector. */
+  def assignCluster(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = centroidScores(vec, centroids)
+    val arr = array(scores: _*)
+    // argmax with lowest-index tie-break
+    array_position(arr, array_max(arr)).cast("int") - 1
+  }
+
+  /** IVF top-k: corpus partitioned by nearest centroid; each query
+    * probes its `nprobe` closest clusters and scores only those
+    * postings. Wall-clock scales with nprobe/nlist of the corpus
+    * instead of all of it.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val c = normalized(corpus, vecCol)
+      .withColumn("cluster", assignCluster(col("vnorm"), centroids))
+      .select(col(idCol).as("neighbor_id"), col("vnorm").as("vc"), col("cluster"))
+    val probeList = {
+      val scores = centroidScores(col("vnorm"), centroids)
+      val scored = array(scores.zipWithIndex.map { case (s, i) =>
+        struct(s.as("score"), lit(i).as("idx"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, nprobe)
+    }
+    val q = normalized(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("vnorm").as("vq"),
+        explode(probeList).as("probe"))
+      .select(col("query_id"), col("vq"), col("probe.idx").as("cluster"))
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), nativeDot(c, "vq", "vc").as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

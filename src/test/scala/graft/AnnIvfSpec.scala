@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EmbeddingAnn
+
+class AnnIvfSpec extends SparkSuite {
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("IVF centroids are deterministic and unit-norm") {
+    val c1 = EmbeddingAnn.trainCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+    val c2 = EmbeddingAnn.trainCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    c1.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+  }
+
+  test("IVF top-k recall vs exact brute force is high at nprobe=4/16") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = EmbeddingAnn.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = EmbeddingAnn.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val ivf = EmbeddingAnn.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, centroids, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (exact=${exact.size}, hit=${(exact & ivf).size})")
+    // every IVF result must also be a genuine neighbor of its query
+    assert(ivf.forall { case (q, n) => q != n })
+  }
+
+  test("multi-table LSH finds at least the single-table pairs") {
+    val one = EmbeddingAnn.lshNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, dim = 64, nBits = 6, nTables = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = EmbeddingAnn.lshNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, dim = 64, nBits = 6, nTables = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one.subsetOf(two))
+    assert(two.size >= one.size)
+  }
+}
