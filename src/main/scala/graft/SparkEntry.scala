@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, TimeAgg}
+import graft.operators.{Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Skew, TimeAgg}
 import graft.functions.TextFunctions
 import graft.streaming.StreamingJobs
 
@@ -233,6 +233,35 @@ object SparkEntry {
         FROM orders_v
         WHERE o_totalprice > 1000 OR o_orderstatus = 'F'
         GROUP BY o_orderstatus""")
+    }),
+
+    // Skew-handling salted join: identical result to the plain join
+    // (salting only changes partitioning), so the oracle is the plain
+    // join — the driver gate proves result-equivalence.
+    "q26_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      Skew.saltedJoin(o, c, "o_custkey", saltOn = Seq("o_orderkey"), saltBuckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // Left-anti join: "rows the inner join would drop" report.
+    "q27_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"))
+      Joins.dropped(o, li, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
+    // Left-semi join: EXISTS without materializing the right side.
+    "q28_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(big, Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), avg(col("c_acctbal")).as("avg_acctbal"))
     }),
 
     // §2.11 extension surface: typed Aggregator (geometric mean) used
@@ -535,6 +564,23 @@ object SparkEntry {
     "q25_geomean" ->
       """SELECT event_type, exp(avg(ln(value))) AS geo_value, count(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q26_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q27_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    "q28_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, avg(c_acctbal) AS avg_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |GROUP BY 1""".stripMargin,
 
     "q22_rollup" ->
       """SELECT l_returnflag, l_linestatus,

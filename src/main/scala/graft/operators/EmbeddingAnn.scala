@@ -129,15 +129,17 @@ object EmbeddingAnn {
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      nlist: Int, iters: Int = 5,
                      trainSample: Int = 100000): Array[Array[Double]] = {
-    val n = normalized(corpus, vecCol)
-    var centroids: Array[Array[Double]] = n.orderBy(col(idCol)).limit(nlist)
-      .select(col("vnorm")).collect()
-      .map(_.getSeq[Double](0).toArray)
     // Train on a bounded sample (standard IVF practice): the quantizer
     // needs representative geometry, not the whole corpus, and the
     // driver must never hold more than trainSample × dim doubles.
-    val data = n.select(col("vnorm")).limit(trainSample).collect()
+    // One job: the sample doubles as k-means init (first nlist rows in
+    // id order — deterministic).
+    val data = normalized(corpus, vecCol)
+      .orderBy(col(idCol)).limit(trainSample)
+      .select(col("vnorm")).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(data.length >= nlist, s"corpus smaller than nlist=$nlist")
+    var centroids: Array[Array[Double]] = data.take(nlist).map(_.clone())
     for (_ <- 0 until iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](centroids.head.length))
       val counts = new Array[Long](centroids.length)
@@ -164,19 +166,27 @@ object EmbeddingAnn {
     centroids
   }
 
-  private def centroidScores(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
-    centroids.toIndexedSeq.map { c =>
-      aggregate(zip_with(vec, array(c.map(lit): _*), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-    }
-
-  /** Cluster id (argmax centroid dot) for each vector. */
-  def assignCluster(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scores = centroidScores(vec, centroids)
-    val arr = array(scores: _*)
-    // argmax with lowest-index tie-break
-    array_position(arr, array_max(arr)).cast("int") - 1
+  /** All centroid dots as one native array expression (registered
+    * per-session; the centroid matrix lives inside the expression,
+    * not as literal plan nodes).
+    */
+  private def centroidScoresNative(df: DataFrame, vecCol: String,
+                                   centroids: Array[Array[Double]]): Column = {
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_centroid_scores",
+      exprs => graft.plans.CentroidScores(exprs.head, centroids), "built-in")
+    expr(s"graft_centroid_scores($vecCol)")
   }
+
+  /** Corpus with a `cluster` column: argmax centroid dot per vector
+    * (native score array materialized once, argmax over the attribute).
+    */
+  def withCluster(df: DataFrame, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("__scores", centroidScoresNative(df, vecCol, centroids))
+      .withColumn("cluster",
+        (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
+      .drop("__scores")
 
   /** IVF top-k: corpus partitioned by nearest centroid; each query
     * probes its `nprobe` closest clusters and scores only those
@@ -185,20 +195,25 @@ object EmbeddingAnn {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
-    val c = normalized(corpus, vecCol)
-      .withColumn("cluster", assignCluster(col("vnorm"), centroids))
+    // Two-layer projection: the native 16-score array is materialized
+    // once per row, then argmax / probe-sort read the attribute.
+    val cn = normalized(corpus, vecCol)
+    val c = cn
+      .withColumn("__scores", centroidScoresNative(cn, "vnorm", centroids))
+      .withColumn("cluster",
+        (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
       .select(col(idCol).as("neighbor_id"), col("vnorm").as("vc"), col("cluster"))
+    val qn = normalized(queries, vecCol)
     val probeList = {
-      val scores = centroidScores(col("vnorm"), centroids)
-      val scored = array(scores.zipWithIndex.map { case (s, i) =>
-        struct(s.as("score"), lit(i).as("idx"))
-      }: _*)
-      slice(reverse(array_sort(scored)), 1, nprobe)
+      val withIdx = transform(col("__scores"),
+        (s, i) => struct(s.as("score"), i.as("idx")))
+      slice(reverse(array_sort(withIdx)), 1, nprobe)
     }
-    val q = normalized(queries, vecCol)
+    val q = qn
+      .withColumn("__scores", centroidScoresNative(qn, "vnorm", centroids))
       .select(col(idCol).as("query_id"), col("vnorm").as("vq"),
         explode(probeList).as("probe"))
-      .select(col("query_id"), col("vq"), col("probe.idx").as("cluster"))
+      .select(col("query_id"), col("vq"), col("probe.idx").cast("int").as("cluster"))
     val scored = c.join(broadcast(q), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), nativeDot(c, "vq", "vc").as("cosine"))

@@ -84,6 +84,38 @@ case class MinHashSignature(child: Expression, coefA: Array[Long], coefB: Array[
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All centroid dot products in one native pass: for a unit vector v
+  * and centroid matrix C (held inside the expression, NOT as literal
+  * plan nodes — a 16×64 literal array bloats every optimizer pass),
+  * returns array(v·C₀, …, v·Cₖ₋₁). Used by IVF cluster assignment and
+  * query probing.
+  */
+case class CentroidScores(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_scores"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(v.length, cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v(i) * cv(i); i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeFunctions {
   /** Idempotently register the native functions in a session so they
     * are callable via `expr("graft_dot(a, b)")` and plain SQL.
