@@ -264,6 +264,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"), avg(col("c_acctbal")).as("avg_acctbal"))
     }),
 
+    // As-of join (the time-series join Spark lacks natively): each
+    // click event joined to the user's most recent signup at-or-before
+    // it. Composed via keyed-timeline carry-forward; oracle is DuckDB's
+    // native ASOF LEFT JOIN.
+    "q29_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_id"))
+      Joins.asOf(clicks, signups, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "signup_ts", rightCols = Seq("signup_id"))
+    }),
+
     // §2.11 extension surface: typed Aggregator (geometric mean) used
     // from the untyped agg API — partial-aggregates like a built-in.
     "q25_geomean" -> ((s, dir) => {
@@ -564,6 +578,15 @@ object SparkEntry {
     "q25_geomean" ->
       """SELECT event_type, exp(avg(ln(value))) AS geo_value, count(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q29_asof_join" ->
+      """SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id, c.value,
+        |  s.signup_id AS asof_signup_id
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS signup_ts, event_id AS signup_id
+        |      FROM events WHERE event_type = 'signup') s
+        |ON c.user_id = s.user_id AND c.ts >= s.signup_ts""".stripMargin,
 
     "q26_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS total_price

@@ -38,4 +38,53 @@ object Joins {
     */
   def dropped(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.join(right, keys, "left_anti")
+
+  /** As-of join: for every left row, the single most recent right row
+    * with `rightTs` ≤ `leftTs` within the same key (the time-series
+    * join Spark lacks natively). Composed, not custom-planned: both
+    * sides union into one keyed timeline, and a carry-forward window
+    * (`last(_, ignoreNulls)`) attaches the latest right payload to
+    * each left row. ONE shuffle on the key, sort within partitions —
+    * the same cost profile a dedicated as-of SparkPlan would have.
+    *
+    * `rightCols` are the right-side columns to attach (emitted with an
+    * `asof_` prefix, null when no right row precedes the left row).
+    * Both timestamp columns must be named differently from `asof_ts`.
+    * Ties on (key, ts) between sides resolve as right-before-left
+    * (i.e., `≤`, matching ASOF semantics); ties among right rows
+    * resolve to the later row in `tieBreak` order.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightCols: Seq[String],
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightCols.map(col): _*).schema.fields)))
+    val rightTagged = right
+      .select((keys ++ Seq(rightTs) ++ rightCols ++ tieBreak).distinct.map(col): _*)
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(rightCols.map(col): _*))
+    val unioned = leftTagged.select(
+        (keys.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")) ++
+          left.columns.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+      .unionByName(
+        rightTagged.select(
+          (keys.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")): _*)
+          .withColumns(left.columns.filterNot(keys.contains)
+            .map(c => s"__l_$c" -> lit(null).cast(left.schema(c).dataType)).toMap))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col("__ts"), col("__side")) ++ tieBreak.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c =>
+          (if (keys.contains(c)) col(c) else col(s"__l_$c")).as(c)) ++
+        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
 }

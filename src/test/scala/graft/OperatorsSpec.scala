@@ -97,6 +97,17 @@ class OperatorsSpec extends SparkSuite {
     assert(r(2L) === Seq())
   }
 
+  test("asOf join: latest right row at-or-before each left row; null when none") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 30L, "r30")).toDF("k", "rt", "rv")
+    val r = Joins.asOf(left, right, keys = Seq("k"), leftTs = "t", rightTs = "rt",
+        rightCols = Seq("rv"))
+      .orderBy("k", "t").collect()
+    // t=10 matches rt=10 (<= semantics), t=20 matches rt=15, k=2 has no right → null
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getString(3))).toSeq ===
+      Seq((1L, 10L, "r10"), (1L, 20L, "r15"), (2L, 5L, null)))
+  }
+
   test("exactByHash groups identical content under one hash") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = Dedup.exactByHash(df, "text", "doc_id").orderBy("doc_id").collect()
