@@ -278,6 +278,21 @@ object SparkEntry {
           leftTs = "ts", rightTs = "signup_ts", rightCols = Seq("signup_id"))
     }),
 
+    // Binned range (interval) join: error events paired with click
+    // events by the same user within ±2 hours — equi-join on
+    // tolerance-sized time bins instead of a cartesian product.
+    "q30_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      Joins.rangeJoinBinned(errors, clicks, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "click_ts", toleranceSec = 7200)
+        .select(col("error_id"), col("click_id"), col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts"))).as("dt_sec"))
+    }),
+
     // §2.11 extension surface: typed Aggregator (geometric mean) used
     // from the untyped agg API — partial-aggregates like a built-in.
     "q25_geomean" -> ((s, dir) => {
@@ -578,6 +593,16 @@ object SparkEntry {
     "q25_geomean" ->
       """SELECT event_type, exp(avg(ln(value))) AS geo_value, count(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q30_range_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+        |  CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+        |    - CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS dt_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id
+        | AND abs(CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+        |       - CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT)) <= 7200""".stripMargin,
 
     "q29_asof_join" ->
       """SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id, c.value,

@@ -39,6 +39,26 @@ object Joins {
   def dropped(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.join(right, keys, "left_anti")
 
+  /** Binned range join: pairs (l, r) sharing `keys` with
+    * |l.leftTs − r.rightTs| ≤ `toleranceSec` — the interval join that
+    * would otherwise plan as a cartesian product with a filter. Both
+    * sides bucket their timestamps into tolerance-sized bins; a left
+    * row can only match right rows in its own or adjacent bins, so the
+    * left side explodes into 3 bin keys and the join runs as a plain
+    * equi-join on (keys, bin) before the exact predicate. Shuffle is
+    * O(3·|L| + |R|) keyed rows; no cross product ever materializes.
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String, toleranceSec: Long): DataFrame = {
+    val lBin = (unix_timestamp(col(leftTs)) / toleranceSec).cast("long")
+    val rBin = (unix_timestamp(col(rightTs)) / toleranceSec).cast("long")
+    val l = left.withColumn("__bin", explode(array(lBin - 1, lBin, lBin + 1)))
+    val r = right.withColumn("__bin", rBin)
+    l.join(r, keys :+ "__bin")
+      .filter(abs(unix_timestamp(col(leftTs)) - unix_timestamp(col(rightTs))) <= toleranceSec)
+      .drop("__bin")
+  }
+
   /** As-of join: for every left row, the single most recent right row
     * with `rightTs` ≤ `leftTs` within the same key (the time-series
     * join Spark lacks natively). Composed, not custom-planned: both
