@@ -32,23 +32,37 @@ object Bench {
 
     // Two passes per query, min taken: local-mode timings are noisy
     // (page cache, JIT, compaction pauses) and the min is the stable
-    // estimator of achievable latency.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // estimator of achievable latency. A query that throws on either
+    // pass is reported as -1 and listed in "failed" — a crash must not
+    // masquerade as a fast run.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      val (t1, ok1) = timeOnce(name, fn)
+      val (t2, ok2) = timeOnce(name, fn)
+      name -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // O(n^2)-by-construction oracle baselines: input-capped in
+    // SparkEntry, labeled here so readers don't treat them as the
+    // scale path (LSH/IVF/AllPairs are).
+    val baselines = SparkEntry.baselineQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"baseline":$baselines,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,10 +35,14 @@ object EmbeddingAnn {
   /** Corpus with an added `vnorm: array<double>` unit-vector column.
     * Repartitioned to full parallelism: the downstream pairwise stages
     * inherit the corpus partitioning, and a single-file corpus would
-    * otherwise score all pairs on one core.
+    * otherwise score all pairs on one core. Idempotent — a frame that
+    * already carries `vnorm` passes through untouched, so callers can
+    * normalize (and persist) once and share the result across
+    * training and search instead of paying the pass twice.
     */
   def normalized(df: DataFrame, vecCol: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if (df.columns.contains("vnorm")) df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("vnorm", l2Normalize(col(vecCol)))
 
   /** Exact top-k cosine neighbors of each query vector (brute force —
@@ -132,12 +136,17 @@ object EmbeddingAnn {
     // Train on a bounded sample (standard IVF practice): the quantizer
     // needs representative geometry, not the whole corpus, and the
     // driver must never hold more than trainSample × dim doubles.
-    // One job: the sample doubles as k-means init (first nlist rows in
-    // id order — deterministic).
+    // Plain limit, NOT orderBy().limit(): a global-sort TakeOrdered
+    // ships partitions × trainSample rows to the merge at scale,
+    // whereas limit stops the scan after trainSample rows. Init
+    // determinism is restored by sorting the sample by id driver-side
+    // (trainSample × dim doubles — bounded by construction).
     val data = normalized(corpus, vecCol)
-      .orderBy(col(idCol)).limit(trainSample)
-      .select(col("vnorm")).collect()
-      .map(_.getSeq[Double](0).toArray)
+      .select(col(idCol).cast("long").as("__id"), col("vnorm"))
+      .limit(trainSample)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     require(data.length >= nlist, s"corpus smaller than nlist=$nlist")
     var centroids: Array[Array[Double]] = data.take(nlist).map(_.clone())
     for (_ <- 0 until iters) {

@@ -59,52 +59,88 @@ object Joins {
       .drop("__bin")
   }
 
-  /** As-of join: for every left row, the single most recent right row
-    * with `rightTs` ≤ `leftTs` within the same key (the time-series
-    * join Spark lacks natively). Composed, not custom-planned: both
-    * sides union into one keyed timeline, and a carry-forward window
-    * (`last(_, ignoreNulls)`) attaches the latest right payload to
-    * each left row. ONE shuffle on the key, sort within partitions —
-    * the same cost profile a dedicated as-of SparkPlan would have.
+  /** As-of join: for every left row, the single nearest right row on
+    * the `direction` side of `leftTs` within the same key (the
+    * time-series join Spark lacks natively). Composed, not
+    * custom-planned: both sides union into one keyed timeline, and a
+    * carry-forward window (`last(_, ignoreNulls)`) attaches the
+    * nearest right payload to each left row. ONE shuffle on the key,
+    * sort within partitions — the same cost profile a dedicated as-of
+    * SparkPlan would have.
     *
     * `rightCols` are the right-side columns to attach (emitted with an
-    * `asof_` prefix, null when no right row precedes the left row).
-    * Both timestamp columns must be named differently from `asof_ts`.
-    * Ties on (key, ts) between sides resolve as right-before-left
-    * (i.e., `≤`, matching ASOF semantics); ties among right rows
-    * resolve to the later row in `tieBreak` order.
+    * `asof_` prefix, null when no matching right row exists).
+    * `direction = "backward"` (default) matches the most recent right
+    * row with `rightTs` ≤ `leftTs`; `"forward"` matches the earliest
+    * right row with `rightTs` ≥ `leftTs`. `toleranceSec`, when set,
+    * nulls out matches farther than that many seconds from `leftTs`
+    * (the left row is kept — as-of is a left join). Ties on (key, ts)
+    * between sides match (`≤`/`≥` are inclusive, as in ASOF); ties
+    * among right rows at the same ts resolve via `tieBreak` — to the
+    * last row in tieBreak order for backward, the first for forward.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, rightCols: Seq[String],
-           tieBreak: Seq[String] = Nil): DataFrame = {
+           tieBreak: Seq[String] = Nil, direction: String = "backward",
+           toleranceSec: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asOf direction must be backward|forward, got $direction")
     import org.apache.spark.sql.expressions.Window
+    // Payload carries the matched right ts (field __mts, needed for the
+    // tolerance test) ahead of the requested rightCols.
+    val payloadFields = right.select(
+      (col(rightTs).as("__mts") +: rightCols.map(col)): _*).schema.fields
+    // Tie-break columns survive the union as __tb_i (null on the left
+    // side, where they are never compared — left rows carry no payload).
+    val tbAliases = tieBreak.zipWithIndex
     val leftTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__payload", lit(null).cast(
-        org.apache.spark.sql.types.StructType(
-          right.select(rightCols.map(col): _*).schema.fields)))
+      .withColumn("__payload",
+        lit(null).cast(org.apache.spark.sql.types.StructType(payloadFields)))
     val rightTagged = right
       .select((keys ++ Seq(rightTs) ++ rightCols ++ tieBreak).distinct.map(col): _*)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-      .withColumn("__payload", struct(rightCols.map(col): _*))
+      .withColumn("__payload",
+        struct((col(rightTs).as("__mts") +: rightCols.map(col)): _*))
     val unioned = leftTagged.select(
         (keys.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")) ++
+          tbAliases.map { case (c, i) =>
+            lit(null).cast(right.schema(c).dataType).as(s"__tb_$i") } ++
           left.columns.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
       .unionByName(
         rightTagged.select(
-          (keys.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")): _*)
+          (keys.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")) ++
+            tbAliases.map { case (c, i) => col(c).as(s"__tb_$i") }: _*)
           .withColumns(left.columns.filterNot(keys.contains)
             .map(c => s"__l_$c" -> lit(null).cast(left.schema(c).dataType)).toMap))
+    // Backward walks the timeline ascending; forward walks it descending
+    // (so "carry forward the last right row seen" becomes "the earliest
+    // right row at-or-after"). Right rows (__side 0) sort before left
+    // rows at equal ts in both directions, keeping the bound inclusive.
+    val orderCols =
+      if (direction == "backward")
+        Seq(col("__ts").asc, col("__side").asc) ++
+          tbAliases.map { case (_, i) => col(s"__tb_$i").asc }
+      else
+        Seq(col("__ts").desc, col("__side").asc) ++
+          tbAliases.map { case (_, i) => col(s"__tb_$i").desc }
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((Seq(col("__ts"), col("__side")) ++ tieBreak.map(col)): _*)
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // On surviving (left) rows __ts IS leftTs; the raw left columns are
+    // only reachable under their __l_ aliases at this point.
+    val withinTol = toleranceSec match {
+      case Some(tol) =>
+        abs(col("__ts").cast("double") - col("__asof.__mts").cast("double")) <= tol
+      case None => col("__asof").isNotNull
+    }
     unioned
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(left.columns.map(c =>
           (if (keys.contains(c)) col(c) else col(s"__l_$c")).as(c)) ++
-        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+        rightCols.map(c => when(withinTol, col(s"__asof.$c")).as(s"asof_$c")): _*)
   }
 }

@@ -48,10 +48,13 @@ object StreamingJobs {
       .select(col("w.start").as("hour_ts"), col("n_rows"), col("avg_value"))
 
   /** Streaming dedup (the E1 story as a stream): keep the first row per
-    * key within the watermark horizon.
+    * key, with per-key state evicted once the watermark passes it —
+    * `dropDuplicates(keys)` alone never evicts (the watermark only
+    * bounds state when the event-time column is part of the key set),
+    * so state would grow without bound on a real stream.
     */
   def dedupStream(stream: DataFrame, keys: Seq[String]): DataFrame =
-    stream.withWatermark("ts", "2 hours").dropDuplicates(keys)
+    stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(keys)
 
   /** Per-user running aggregate state. */
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)

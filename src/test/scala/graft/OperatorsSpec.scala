@@ -108,6 +108,40 @@ class OperatorsSpec extends SparkSuite {
       Seq((1L, 10L, "r10"), (1L, 20L, "r15"), (2L, 5L, null)))
   }
 
+  test("asOf join: forward direction matches earliest right at-or-after") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 40L, "c")).toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 30L, "r30")).toDF("k", "rt", "rv")
+    val r = Joins.asOf(left, right, keys = Seq("k"), leftTs = "t", rightTs = "rt",
+        rightCols = Seq("rv"), direction = "forward")
+      .orderBy("k", "t").collect()
+    // t=10 matches rt=10 (>= is inclusive), t=20 matches rt=30, t=40 has nothing after
+    assert(r.map(x => (x.getLong(1), x.getString(3))).toSeq ===
+      Seq((10L, "r10"), (20L, "r30"), (40L, null)))
+  }
+
+  test("asOf join: tolerance nulls matches farther than the bound, keeps the row") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b")).toDF("k", "t", "lv")
+    val right = Seq((1L, 95L, "r95"), (1L, 100L, "r100")).toDF("k", "rt", "rv")
+    // Backward both match rt=100; |dt| is 0 and 100 → tolerance 50 nulls the second.
+    val r = Joins.asOf(left, right, keys = Seq("k"), leftTs = "t", rightTs = "rt",
+        rightCols = Seq("rv"), toleranceSec = Some(50L))
+      .orderBy("t").collect()
+    assert(r.map(x => (x.getLong(1), x.getString(3))).toSeq ===
+      Seq((100L, "r100"), (200L, null)))
+  }
+
+  test("asOf join: tieBreak resolves equal-ts right rows per direction") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, 1L, "first"), (1L, 10L, 2L, "second"))
+      .toDF("k", "rt", "seq", "rv")
+    val back = Joins.asOf(left, right, keys = Seq("k"), leftTs = "t", rightTs = "rt",
+      rightCols = Seq("rv"), tieBreak = Seq("seq")).collect()
+    assert(back.head.getString(3) === "second") // backward: last in tieBreak order
+    val fwd = Joins.asOf(left, right, keys = Seq("k"), leftTs = "t", rightTs = "rt",
+      rightCols = Seq("rv"), tieBreak = Seq("seq"), direction = "forward").collect()
+    assert(fwd.head.getString(3) === "first")   // forward: first in tieBreak order
+  }
+
   test("exactByHash groups identical content under one hash") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = Dedup.exactByHash(df, "text", "doc_id").orderBy("doc_id").collect()
