@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Skew, TimeAgg}
 import graft.functions.TextFunctions
+import graft.sources.{ColumnarJson, TableManager}
 import graft.streaming.StreamingJobs
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -21,6 +22,24 @@ import graft.streaming.StreamingJobs
   *    ranges) and predicate pushdown is exercised.
   */
 object SparkEntry {
+
+  /** Checked-in columnar-JSON payload fixtures (two Open-Meteo-shaped
+    * files) — the ingestion-layer gate reads these so the Bronze path
+    * carries CORRECTNESS rows, not just ScalaTests.
+    */
+  private val ColumnarFixtureDir = "/root/repo/fixtures/columnar"
+
+  /** Drop `tbl` from the catalog AND delete its warehouse directory —
+    * the sink-layer gate queries must be re-runnable: with the default
+    * in-memory catalog the table entry dies with the session but the
+    * warehouse files survive, so a bare re-append would accumulate.
+    */
+  private def resetTable(s: SparkSession, tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(wh, true)
+  }
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -365,6 +384,48 @@ object SparkEntry {
         .agg(avg(col("l_quantity")).as("quantity"), avg(col("l_discount")).as("discount"))
       li.unpivot(Array(col("l_returnflag")),
         Array(col("quantity"), col("discount")), "metric", "avg_value")
+    }),
+
+    // S1-S5/F1: Bronze ingestion — columnar parallel-array JSON
+    // flattened to one row per hour on executors (Generate node, no
+    // driver materialization), caller-declared metric schema. The
+    // undeclared o3 key in the fixture is intentionally dropped here
+    // (pinned schema) and surfaced by s_columnar_dynamic.
+    "s_columnar_flatten" -> ((s, _) =>
+      ColumnarJson.read(s, ColumnarFixtureDir, Seq("pm10", "pm2_5"),
+        ColumnarJson.AlignToTime)),
+
+    // S2 dynamic form: metric keys discovered from the payload itself —
+    // the fixture's o3 key appears as a column without being declared.
+    "s_columnar_dynamic" -> ((s, _) =>
+      ColumnarJson.readDynamic(s, ColumnarFixtureDir)),
+
+    // S6/S8/S9/S13: sink round-trip — append creates the table,
+    // appendEvolving widens it (n_nationkey arrives; old rows null),
+    // then the result is read back through the catalog. The oracle
+    // reconstructs the same history from the source tables.
+    "s_append_evolve" -> ((s, dir) => {
+      val tm = new TableManager(s)
+      val tbl = "graft_gate_evolve"
+      resetTable(s, tbl)
+      tm.append(t(s, dir, "region").select(col("r_regionkey"), col("r_name")), tbl)
+      tm.appendEvolving(t(s, dir, "nation").select(
+        col("n_regionkey").as("r_regionkey"), col("n_name").as("r_name"),
+        col("n_nationkey")), tbl)
+      s.table(tbl)
+    }),
+
+    // S10/S14: overwrite sink + permanent catalog view over it (the
+    // reference's monitoring-view surface), read back through the view.
+    "s_view_report" -> ((s, dir) => {
+      val tm = new TableManager(s)
+      val tbl = "graft_gate_quality"
+      val agg = t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("n_chars")).as("avg_chars"))
+      tm.overwrite(agg, tbl)
+      tm.createOrReplaceView(s"${tbl}_v",
+        s"SELECT source, n_docs, avg_chars FROM `$tbl` WHERE n_docs > 0")
+      s.table(s"${tbl}_v")
     }),
 
     // F5/F6/P2: derived label (concat/lpad/round) + rollup.
@@ -740,7 +801,38 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS VARCHAR) || '-' ||
         |       lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS label,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // DuckDB's parallel unnest zips the same-level lists in lockstep —
+    // the fixture's arrays are equal-length so all three ragged
+    // policies coincide (raggedness is ScalaTest-covered).
+    "s_columnar_flatten" ->
+      """SELECT strptime(t, '%Y-%m-%dT%H:%M') AS time, pm10, pm2_5,
+        |       latitude, longitude, timezone
+        |FROM (SELECT latitude, longitude, timezone,
+        |        unnest(hourly.time) AS t,
+        |        unnest(hourly.pm10) AS pm10,
+        |        unnest(hourly.pm2_5) AS pm2_5
+        |      FROM read_json_auto('/root/repo/fixtures/columnar/*.json'))""".stripMargin,
+
+    "s_columnar_dynamic" ->
+      """SELECT strptime(t, '%Y-%m-%dT%H:%M') AS time, o3, pm10, pm2_5,
+        |       latitude, longitude, timezone
+        |FROM (SELECT latitude, longitude, timezone,
+        |        unnest(hourly.time) AS t,
+        |        unnest(hourly.o3) AS o3,
+        |        unnest(hourly.pm10) AS pm10,
+        |        unnest(hourly.pm2_5) AS pm2_5
+        |      FROM read_json_auto('/root/repo/fixtures/columnar/*.json'))""".stripMargin,
+
+    "s_append_evolve" ->
+      """SELECT r_regionkey, r_name, CAST(NULL AS INTEGER) AS n_nationkey FROM region
+        |UNION ALL
+        |SELECT n_regionkey AS r_regionkey, n_name AS r_name, n_nationkey FROM nation""".stripMargin,
+
+    "s_view_report" ->
+      """SELECT source, count(*) AS n_docs, avg(n_chars) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin
   ) ++ extensionOracles
 
   // DuckDB-dialect mirrors of the extension queries. Tokenization,

@@ -59,6 +59,30 @@ object ColumnarJson {
     flatten(raw, metrics, policy)
   }
 
+  /** S2 dynamic form: discover the metric keys from the payload itself
+    * (every `hourly.*` array except `time`), so an unexpected metric
+    * key SURFACES as a column instead of silently vanishing — the
+    * reference builds its schema from the JSON's own keys
+    * (`Third Experiment/Claude Haiku 3.5.py:55-59`). Runs Spark's JSON
+    * schema inference as a discovery pass; keys are returned sorted so
+    * the output schema is deterministic regardless of file order.
+    */
+  def discoverMetrics(spark: SparkSession, path: String): Seq[String] = {
+    val inferred = spark.read.option("multiLine", "true").json(path)
+    inferred.schema.find(_.name == "hourly").map(_.dataType) match {
+      case Some(st: StructType) => st.fieldNames.filterNot(_ == "time").sorted.toSeq
+      case _ => Seq.empty
+    }
+  }
+
+  /** Read with payload-discovered metric keys (two passes over the
+    * files: inference, then the typed read — the price of not trusting
+    * a caller-supplied key list).
+    */
+  def readDynamic(spark: SparkSession, path: String,
+                  policy: RaggedPolicy = PadToLongest): DataFrame =
+    read(spark, path, discoverMetrics(spark, path), policy)
+
   /** Flatten a parsed payload DataFrame (one row per payload, `hourly`
     * struct-of-arrays) into one row per hour. Executor-side only.
     */

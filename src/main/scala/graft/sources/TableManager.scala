@@ -54,6 +54,52 @@ class TableManager(spark: SparkSession) {
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
 
+  /** `alignToSchema` with rename reconciliation: a df column missing
+    * from `target` whose underscore-token multiset equals a missing
+    * target column's is treated as that column renamed — the
+    * `x_avg` ↔ `avg_x` matching the reference performs when
+    * reconciling against the live table
+    * (`Second Experiment/GPT 5 nano.py:106-175`). Only unambiguous
+    * (single-candidate) matches rename; everything else falls back to
+    * add-missing-as-typed-null / drop-extra / reorder / cast.
+    */
+  def alignToSchemaRenamed(df: DataFrame, target: StructType): DataFrame = {
+    def key(n: String) = n.toLowerCase.split('_').filter(_.nonEmpty).sorted.mkString("_")
+    val present = df.columns.toSet
+    val extras = df.columns.filterNot(target.fieldNames.contains)
+    val extraByKey: Map[String, String] =
+      extras.groupBy(key).collect { case (k, Array(one)) => k -> one }
+    df.select(target.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else extraByKey.get(key(f.name)) match {
+        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Schema-compat check with drop-and-recreate repair (the reference's
+    * validate-then-rebuild path: `Third Experiment/GPT 5.py:100-137`).
+    * Compatible = same field count, every expected field present with
+    * the same dataType (order-insensitive). Returns true when the
+    * table was (re)created. With `repair=false` an incompatible table
+    * raises instead of being dropped.
+    */
+  def ensureTable(table: String, schema: StructType,
+                  partitionBy: Seq[String] = Nil, repair: Boolean = true): Boolean = {
+    if (!exists(table)) { create(table, schema, partitionBy); return true }
+    val actual = schemaOf(table)
+    val compatible = actual.fields.length == schema.fields.length &&
+      schema.fields.forall(f => actual.find(_.name == f.name).exists(_.dataType == f.dataType))
+    if (compatible) false
+    else if (repair) {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      create(table, schema, partitionBy)
+      true
+    } else throw new IllegalStateException(
+      s"table $table schema ${actual.simpleString} incompatible with expected ${schema.simpleString}")
+  }
+
   /** S9 (`mergeSchema`) emulation: append with schema evolution. New
     * columns in `df` widen the table (rewrite with merged schema —
     * the explicit cost Delta hides); missing columns become nulls.
@@ -75,6 +121,14 @@ class TableManager(spark: SparkSession) {
       overwrite(staged, table, partitionBy)
     }
   }
+
+  /** S14 (second half): permanent catalog view — survives the session
+    * when the catalog does (hive metastore in PipelineRunner), unlike
+    * `createOrReplaceTempView`. The reference's monitoring view:
+    * `First experiment/Claude Sonnet 4.py:660-678`.
+    */
+  def createOrReplaceView(name: String, viewSql: String): Unit =
+    spark.sql(s"CREATE OR REPLACE VIEW `$name` AS $viewSql")
 
   /** Bucketed write: pre-shuffles into `numBuckets` hash buckets on
     * `bucketBy` (sorted within files). Two tables bucketed the same way

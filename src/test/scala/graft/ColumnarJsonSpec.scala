@@ -53,6 +53,24 @@ class ColumnarJsonSpec extends SparkSuite {
     assert(df.columns.toSeq.containsSlice("time" +: Pollutants))
   }
 
+  test("readDynamic discovers undeclared metric keys from the payload") {
+    // aq_clean_768h declares the standard pollutant keys in its own
+    // hourly block; discovery must return exactly those (sorted),
+    // with no caller-supplied list.
+    val discovered = ColumnarJson.discoverMetrics(spark, fixture("aq_clean_768h.json"))
+    assert(discovered.nonEmpty && discovered == discovered.sorted)
+    assert(!discovered.contains("time"))
+    val df = ColumnarJson.readDynamic(spark, fixture("aq_clean_768h.json"))
+    assert(df.count() === 768)
+    discovered.foreach(m => assert(df.columns.contains(m)))
+
+    // A payload with a key the Pollutants list doesn't know about:
+    // read() drops it silently; readDynamic surfaces it.
+    val dyn = ColumnarJson.readDynamic(spark, "/root/repo/fixtures/columnar")
+    assert(dyn.columns.contains("o3"))
+    assert(dyn.filter(col("o3").isNotNull).count() === 8)
+  }
+
   test("flatten plan has no driver-side collect (Generate on executors)") {
     val df = ColumnarJson.read(spark, fixture("aq_clean_768h.json"), Pollutants)
     val plan = df.queryExecution.executedPlan.toString

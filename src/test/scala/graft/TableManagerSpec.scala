@@ -62,6 +62,47 @@ class TableManagerSpec extends SparkSuite {
     assert(spark.table("tm_evolve").count() === 3)
   }
 
+  test("alignToSchemaRenamed matches renamed columns by token multiset") {
+    val target = StructType(Seq(
+      StructField("avg_x", DoubleType), StructField("n", LongType),
+      StructField("missing", StringType)))
+    // x_avg should rename to avg_x; junk is an extra with no match → dropped
+    val df = Seq((1.5, 7L, "z")).toDF("x_avg", "n", "junk")
+    val aligned = tables.alignToSchemaRenamed(df, target)
+    assert(aligned.columns.toSeq === Seq("avg_x", "n", "missing"))
+    val row = aligned.collect()(0)
+    assert(row.getDouble(0) === 1.5 && row.getLong(1) === 7L && row.isNullAt(2))
+    // exact-name match always wins over a rename candidate
+    val both = Seq((1.0, 2.0)).toDF("avg_x", "x_avg")
+    assert(tables.alignToSchemaRenamed(both,
+      StructType(Seq(StructField("avg_x", DoubleType)))).collect()(0).getDouble(0) === 1.0)
+  }
+
+  test("ensureTable: creates, no-ops on compatible, repairs on incompatible") {
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    assert(tables.ensureTable("tm_ensure", schema) === true)   // created
+    tables.insertInto(Seq((1L, 2.0)).toDF("k", "v"), "tm_ensure")
+    assert(tables.ensureTable("tm_ensure", schema) === false)  // compatible: kept
+    assert(spark.table("tm_ensure").count() === 1)
+    val changed = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    assert(tables.ensureTable("tm_ensure", changed) === true)  // repaired: dropped+recreated
+    assert(spark.table("tm_ensure").count() === 0)
+    assert(tables.schemaOf("tm_ensure")("v").dataType === StringType)
+    intercept[IllegalStateException] {
+      tables.ensureTable("tm_ensure", schema, repair = false)
+    }
+  }
+
+  test("permanent view reads through the catalog and survives table rewrites") {
+    tables.overwrite(Seq((1L, 10.0), (2L, 0.5)).toDF("id", "score"), "tm_viewbase")
+    tables.createOrReplaceView("tm_view", "SELECT id, score FROM tm_viewbase WHERE score > 1")
+    assert(spark.table("tm_view").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(spark.catalog.tableExists("tm_view"))
+    // view tracks the table: rewrite the base, view reflects it
+    tables.overwrite(Seq((3L, 5.0)).toDF("id", "score"), "tm_viewbase")
+    assert(spark.table("tm_view").collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("compact reduces file count and clusters rows") {
     val df = spark.range(1000).withColumn("v", rand(7)).repartition(8)
     tables.overwrite(df, "tm_compact")
