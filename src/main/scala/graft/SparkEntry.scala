@@ -420,6 +420,9 @@ object SparkEntry {
     "s_view_report" -> ((s, dir) => {
       val tm = new TableManager(s)
       val tbl = "graft_gate_quality"
+      // Overwrite-saveAsTable refuses a leftover location the (fresh
+      // in-memory) catalog doesn't know about — clear both first.
+      resetTable(s, tbl)
       val agg = t(s, dir, "documents").groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), avg(col("n_chars")).as("avg_chars"))
       tm.overwrite(agg, tbl)
@@ -513,6 +516,21 @@ object SparkEntry {
       val centroids = EmbeddingAnn.trainCentroids(cn, "vec_id", "embedding", nlist = 16)
       EmbeddingAnn.ivfTopK(cn, cn.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 5, centroids, nprobe = 4)
+    }),
+
+    // REAL multimodal decode: binary-file scan of checked-in BMP/WAV
+    // fixtures, container headers parsed on executors through the
+    // batched mapPartitions plumbing. The oracle pins the known
+    // header fields of the static fixtures.
+    "multimodal_decode" -> ((s, _) => {
+      import org.apache.spark.sql.Encoders
+      val files = s.read.format("binaryFile").load("/root/repo/fixtures/media/*")
+      implicit val enc = Encoders.product[Multimodal.MediaRow]
+      val media = files.select(
+        regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long").as("media_id"),
+        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("media_type"),
+        col("content")).as[Multimodal.MediaRow]
+      Multimodal.extractMeta(media, batchSize = 2).toDF()
     }),
 
     // Per-document text stats: token counts, BPE-ish sub-tokens,
@@ -967,6 +985,21 @@ object SparkEntry {
         |  strlen(text) - strlen(replace(text, ' ', '')) AS n_spaces,
         |  CASE WHEN strlen(text) = 0 THEN -1 ELSE ascii(text) END AS first_byte
         |FROM documents""".stripMargin,
+
+    // Static fixtures → expected header fields are known constants.
+    "multimodal_decode" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
+        |  CAST(n_bytes AS INTEGER) AS n_bytes
+        |FROM (VALUES
+        |  (1, 'bmp', 7, 5, -1, -1, 24, 174),
+        |  (2, 'bmp', 16, 9, -1, -1, 32, 630),
+        |  (3, 'wav', -1, -1, 2, 44100, 16, 444),
+        |  (4, 'wav', -1, -1, 1, 8000, 8, 108)
+        |) AS t(media_id, kind, width, height, channels, sample_rate, bits_per_sample, n_bytes)""".stripMargin,
 
     "streaming_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,

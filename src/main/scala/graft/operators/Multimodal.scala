@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed by batched
   * per-partition inference.
   *
-  * The decode step is STUBBED (no codec libraries in this
-  * environment): `decodeStub` produces deterministic fake features
-  * from the raw bytes. Everything around it — the schema, the
-  * partition-level batching (models want fixed-size batches, not
-  * row-at-a-time calls), the executor-side iterator pipeline, and the
-  * repartition-before-inference pattern — is the real 100 TB shape:
-  * swap `decodeStub` for a JNI/ONNX call and nothing else changes.
+  * Two decode layers:
+  *  - [[decodeMeta]] is REAL: pure-JVM container-header parsing for
+  *    BMP (width/height/bpp) and RIFF/WAVE (channels/rate/bits) —
+  *    no codec dependency needed.
+  *  - [[decodeStub]] stands in for the ML feature-extraction forward
+  *    pass (no model runtimes in this environment) with deterministic
+  *    byte-derived fakes. Everything around it — the schema, the
+  *    partition-level batching (models want fixed-size batches, not
+  *    row-at-a-time calls), the executor-side iterator pipeline, and
+  *    the repartition-before-inference pattern — is the real 100 TB
+  *    shape: swap `decodeStub` for a JNI/ONNX call and nothing else
+  *    changes.
   */
 object Multimodal {
 
@@ -47,6 +52,60 @@ object Multimodal {
     val sharded = numPartitions.map(media.repartition(_)).getOrElse(media)
     sharded.mapPartitions { it =>
       it.grouped(batchSize).flatMap(b => decodeStub(b))
+    }
+  }
+
+  /** Decoded container metadata: the image fields are -1 for audio and
+    * vice versa; `kind` is "bmp" / "wav" / "unknown".
+    */
+  case class MediaMeta(media_id: Long, kind: String, width: Int, height: Int,
+                       channels: Int, sample_rate: Int, bits_per_sample: Int,
+                       n_bytes: Int)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b.slice(o, o + 4), java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL (non-stub) decoder for the two container formats parseable
+    * with zero codec dependencies: BMP (BITMAPINFOHEADER — width/height
+    * le32 at 18/22, bpp le16 at 28) and RIFF/WAVE (chunk walk to
+    * `fmt `: channels le16 +2, sample rate le32 +4, bits le16 +14).
+    * Anything else → kind "unknown" with only n_bytes populated. Pure
+    * JVM byte parsing; runs inside the same batched mapPartitions
+    * plumbing as the model-inference stub.
+    */
+  def decodeMeta(r: MediaRow): MediaMeta = {
+    val b = r.content
+    if (b.length >= 30 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
+      MediaMeta(r.media_id, "bmp", le32(b, 18), le32(b, 22), -1, -1, le16(b, 28), b.length)
+    } else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
+      // Walk chunks from offset 12: [4-byte id][le32 size][payload].
+      var o = 12
+      var meta: Option[MediaMeta] = None
+      while (meta.isEmpty && o + 8 <= b.length) {
+        val id = tag(b, o); val size = le32(b, o + 4)
+        if (id == "fmt " && o + 8 + 16 <= b.length)
+          meta = Some(MediaMeta(r.media_id, "wav", -1, -1,
+            le16(b, o + 10), le32(b, o + 12), le16(b, o + 22), b.length))
+        // chunks are word-aligned: odd sizes carry a pad byte
+        o += 8 + size + (size & 1)
+      }
+      meta.getOrElse(MediaMeta(r.media_id, "unknown", -1, -1, -1, -1, -1, b.length))
+    } else MediaMeta(r.media_id, "unknown", -1, -1, -1, -1, -1, b.length)
+  }
+
+  /** Batched metadata decode over a media Dataset — identical
+    * partition/batch shape to [[extractFeatures]], real decode.
+    */
+  def extractMeta(media: Dataset[MediaRow], batchSize: Int = 32,
+                  numPartitions: Option[Int] = None): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    val sharded = numPartitions.map(media.repartition(_)).getOrElse(media)
+    sharded.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(decodeMeta))
     }
   }
 
