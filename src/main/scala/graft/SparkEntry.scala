@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Skew, TimeAgg}
+import graft.operators.{Components, Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Sessions, Skew, TimeAgg}
 import graft.functions.TextFunctions
 import graft.sources.{ColumnarJson, TableManager}
 import graft.streaming.StreamingJobs
@@ -386,6 +386,41 @@ object SparkEntry {
         Array(col("quantity"), col("discount")), "metric", "avg_value")
     }),
 
+    // Sessionization: inactivity-gap session split + per-session stats
+    // — one shuffle on the user key, gap detection and session counter
+    // share a single Window sort.
+    "q33_sessionize" -> ((s, dir) =>
+      Sessions.sessionStats(t(s, dir, "events"), "user_id", "ts",
+        gapSec = 1800, tieBreak = Seq("event_id"))),
+
+    // Exact percentiles per group (linear interpolation, matching
+    // DuckDB quantile_cont); the approximate scale path is
+    // Sketches.describe / approx_percentile (ScaleOpsSpec).
+    "q34_percentiles" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"),
+        count(lit(1)).as("n_rows"))),
+
+    // Full cube (all grouping-set combinations; q22 covers rollup).
+    "q35_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))),
+
+    // Analytic window functions beyond frames: lag/lead/rank/ntile,
+    // all orderings fully tie-broken for determinism.
+    "q36_window_funcs" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wt = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      ev.select(col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(wt).as("prev_value"),
+        lead(col("value"), 1).over(wt).as("next_value"),
+        rank().over(wv).as("value_rank"),
+        ntile(4).over(wt).as("quartile"))
+    }),
+
     // S1-S5/F1: Bronze ingestion — columnar parallel-array JSON
     // flattened to one row per hour on executors (Generate node, no
     // driver materialization), caller-declared metric schema. The
@@ -478,6 +513,16 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") < 5000), "doc_id", "text",
         querySide = col("doc_id") % 20 === 0, n = 3, threshold = 0.5)),
 
+    // Near-dup pairs → dedup CLUSTERS: connected components over the
+    // MinHash pair list (min-label propagation), with the canonical
+    // keeper per cluster. The oracle reproduces the closure with a
+    // recursive CTE over the exact-Jaccard pair set.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = NearDup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Components.keepDecision(Components.connectedComponents(pairs))
+    }),
+
     // SimHash near-dup: 64-bit fingerprint, 4-chunk pigeonhole banding,
     // exact Hamming verify. xxhash64-specific → rows-only check.
     "dedup_simhash" -> ((s, dir) =>
@@ -541,6 +586,11 @@ object SparkEntry {
     // Heuristic language-ID (stopword-hit argmax).
     "text_langid" -> ((s, dir) =>
       TextFunctions.langIdBulk(t(s, dir, "documents"), "doc_id", "text")),
+
+    // TF-IDF top-3 terms per document (tokenize-once, aggregated df,
+    // broadcast doc count — no driver action in the plan).
+    "text_tfidf" -> ((s, dir) =>
+      TextFunctions.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
 
     // Content fingerprints: normalized-md5 + winnowing-style min
     // shingle hash (both engine-portable).
@@ -821,6 +871,43 @@ object SparkEntry {
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY 1""".stripMargin,
 
+    "q33_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+        |      FROM g)
+        |SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+        |  count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  epoch(max(ts)) - epoch(min(ts)) AS duration_sec
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q34_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.75) AS p75,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q35_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q36_window_funcs" ->
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER wt AS prev_value,
+        |  lead(value, 1) OVER wt AS next_value,
+        |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS value_rank,
+        |  CAST(ntile(4) OVER wt AS INTEGER) AS quartile
+        |FROM events
+        |WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
     // DuckDB's parallel unnest zips the same-level lists in lockstep —
     // the fixture's arrays are equal-length so all three ragged
     // policies coincide (raggedness is ScalaTest-covered).
@@ -904,6 +991,47 @@ object SparkEntry {
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
          |  WHERE a.doc_id % 20 = 0)
          |WHERE jaccard >= 0.5""".stripMargin,
+
+    // Recursive closure over the exact-Jaccard pair set: reach(node,
+    // label) accumulates every reachable node id; min per node is the
+    // component id (matches min-label propagation on the Spark side).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${duckShingles("tok")} AS sh
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
+         |  WHERE len(tok) >= 3),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      len(list_intersect(a.sh, b.sh))::DOUBLE
+         |        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+         |SELECT CAST(node AS BIGINT) AS node,
+         |  CAST(min(label) AS BIGINT) AS cluster_id,
+         |  min(label) = node AS keep
+         |FROM reach GROUP BY node""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckTokens) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, t.term, t.tf, d.df,
+         |    t.tf * ln(n_docs::DOUBLE / d.df::DOUBLE) AS tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY t.tf * ln(n_docs::DOUBLE / d.df::DOUBLE) DESC, t.term ASC) AS rk
+         |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rk <= 3""".stripMargin,
 
     "dedup_embedding" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000)

@@ -166,6 +166,33 @@ object TextFunctions {
           + (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * lit(0.1)).as("quality_score"))
   }
 
+  /** TF-IDF top-k terms per document. tf = in-doc term count, idf =
+    * ln(N/df) with N = total docs, df = docs containing the term.
+    * Output: idCol, term, tf, df, tfidf — the k highest-tfidf terms
+    * per doc (ties broken by term, ascending).
+    *
+    * Scale shape: one tokenize+explode pass; tf is a (doc, term)
+    * partial-aggregable groupBy; df reuses tf's output (terms only —
+    * the heavy doc×term frame aggregates down before the join); the
+    * doc count joins in as a broadcast scalar, never a driver action.
+    */
+  def topTerms(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+               k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.repartition(par)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("__n").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Bulk language-ID: tokenize once, score all stopword sets from the
     * materialized array. Output: idCol, lang_pred.
     */

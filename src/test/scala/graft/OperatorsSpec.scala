@@ -142,6 +142,39 @@ class OperatorsSpec extends SparkSuite {
     assert(fwd.head.getString(3) === "first")   // forward: first in tieBreak order
   }
 
+  test("sessionize splits on inactivity gaps; stats aggregate per session") {
+    // user 1: t=0,100 in one session, t=5000 starts a new one (gap > 1800)
+    val df = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 5000L, 3L), (2L, 50L, 4L))
+      .toDF("user_id", "ts", "event_id")
+    val r = Sessions.sessionize(df, "user_id", "ts", gapSec = 1800, tieBreak = Seq("event_id"))
+      .orderBy("user_id", "ts").collect()
+    assert(r.map(_.getLong(3)).toSeq === Seq(1L, 1L, 2L, 1L))
+    val stats = Sessions.sessionStats(df, "user_id", "ts", 1800, Seq("event_id"))
+      .orderBy("user_id", "session_num").collect()
+    assert(stats.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(5))).toSeq ===
+      Seq((1L, 1L, 2L, 100.0), (1L, 2L, 1L, 0.0), (2L, 1L, 1L, 0.0)))
+  }
+
+  test("connectedComponents labels chains with the component minimum") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val r = Components.keepDecision(Components.connectedComponents(edges))
+      .orderBy("node").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq ===
+      Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+        (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("topTerms: corpus-wide terms score zero, rare frequent terms rank first") {
+    val d = Seq((1L, "apple apple banana the"), (2L, "the banana cherry"), (3L, "the dog"))
+      .toDF("doc_id", "text")
+    val r = TextFunctions.topTerms(d, "doc_id", "text", k = 2)
+    val d1 = r.filter(col("doc_id") === 1).orderBy(col("tfidf").desc).collect()
+    assert(d1.head.getString(1) === "apple") // tf=2, df=1 → top
+    // 'the' is in every doc → idf = ln(1) = 0 → never beats a rare term
+    val theRows = r.filter(col("term") === "the").collect()
+    assert(theRows.forall(_.getDouble(4) === 0.0))
+  }
+
   test("exactByHash groups identical content under one hash") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = Dedup.exactByHash(df, "text", "doc_id").orderBy("doc_id").collect()
