@@ -80,6 +80,68 @@ object StreamingJobs {
       }
   }
 
+  /** Stream-static join: every micro-batch joins the (small) static
+    * dimension — broadcast, no streaming state, the standard
+    * enrichment step between source and aggregation.
+    */
+  def withStaticDim(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** A closed session emitted by [[sessionizeStream]] (epoch seconds). */
+  case class SessionOut(user_id: Long, n_events: Long, start_sec: Double, end_sec: Double)
+
+  /** Streaming sessionization via flatMapGroupsWithState — the
+    * streaming form of [[graft.operators.Sessions]]: per-user state
+    * holds the one open session; an event farther than `gapSec` past
+    * the open session's end closes and EMITS it. The final session of
+    * each user stays open in state (a real deployment closes it with
+    * an event-time timeout; batch-synchronous tests compare emitted ==
+    * all-but-open).
+    */
+  def sessionizeStream(stream: DataFrame, gapSec: Long)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.selectExpr("user_id", "CAST(ts AS DOUBLE) AS sec").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double, Long), SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          // Rows within a group arrive unordered; sort this batch.
+          val times = rows.map(_._2).toArray.sorted
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          var (start, end, n) = state.getOption
+            .getOrElse((times.head, times.head, 0L))
+          times.foreach { t =>
+            if (n > 0 && t - end > gapSec) {
+              closed += SessionOut(uid, n, start, end)
+              start = t; n = 0L
+            }
+            end = t; n += 1
+          }
+          state.update((start, end, n))
+          closed.iterator
+      }
+  }
+
+  /** foreachBatch sink: append each micro-batch to a managed table via
+    * TableManager — the streaming→catalog bridge (batch-id available
+    * for idempotent sinks that need it).
+    */
+  def runToTable(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    val tables = new graft.sources.TableManager(spark)
+    val q = df.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        tables.append(batch, table)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous test/verify harness).
     */
