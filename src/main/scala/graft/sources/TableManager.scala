@@ -142,6 +142,36 @@ class TableManager(spark: SparkSession) {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** S15/S13 (DESCRIBE DETAIL stand-in): one-row table report —
+    * format, location, schema string, file count, total bytes,
+    * partition columns — assembled from the catalog plus a filesystem
+    * walk of the table location (the offline equivalent of Delta's
+    * `DESCRIBE DETAIL`; history tracking itself needs a transaction
+    * log and stays out of scope — documented in BASELINE.md).
+    */
+  def describeDetail(table: String): DataFrame = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val loc = meta.location.toString
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(loc), true)
+    var nFiles = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_")) {
+        nFiles += 1; bytes += f.getLen
+      }
+    }
+    import spark.implicits._
+    Seq((table, meta.provider.getOrElse("parquet"), loc,
+      spark.table(table).schema.simpleString,
+      nFiles, bytes, meta.partitionColumnNames.mkString(",")))
+      .toDF("table_name", "format", "location", "schema",
+        "num_files", "size_bytes", "partition_columns")
+  }
+
   /** S15 stand-in for OPTIMIZE [ZORDER]: compact to `numFiles` and
     * cluster rows within partitions by `clusterBy` for data-skipping-
     * friendly layout.

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Quality}
+import graft.operators.{Components, Dedup, NearDup, Quality}
 
 /** Property tests for the invariants SURVEY §5.2 pins: dedup
   * idempotence, avg ignoring nulls, clean-policy containment,
@@ -47,6 +47,32 @@ class PropertySpec extends SparkSuite {
       val all = Quality.clean(df, Seq("a", "b"), Quality.KeepAll).count()
       assert(strict <= loose && loose <= all && all === 60L)
     }
+  }
+
+  test("allPairs is ordering-invariant: hash-order == frequency-order result") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val hashOrd = NearDup.allPairsNearDups(docs, "doc_id", "text", freqOrder = false)
+    val freqOrd = NearDup.allPairsNearDups(docs, "doc_id", "text", freqOrder = true)
+    val h = canon(hashOrd)
+    assert(h.nonEmpty)           // the corpus has injected near-dup pairs
+    assert(h === canon(freqOrd)) // prefix theorem holds under any total order
+  }
+
+  test("connectedComponents is idempotent and symmetric in edge direction") {
+    val r = new scala.util.Random(11)
+    val edges = List.fill(30)((r.nextInt(20).toLong, r.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("id_a", "id_b")
+    val flipped = edges.map(_.swap).toDF("id_a", "id_b")
+    def canon(c: org.apache.spark.sql.DataFrame) =
+      c.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val once = canon(Components.connectedComponents(df))
+    assert(once === canon(Components.connectedComponents(flipped)))
+    // every label is itself a member node of the same cluster (root fixpoint)
+    val labels = once.toMap
+    once.foreach { case (_, cl) => assert(labels(cl) === cl) }
   }
 
   test("append-then-dedup == union-then-dedup (storage is the union operator)") {

@@ -103,6 +103,17 @@ class TableManagerSpec extends SparkSuite {
     assert(spark.table("tm_view").collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("describeDetail reports files, bytes, schema, and partitioning") {
+    val df = Seq((1L, "a", "2025-01-01"), (2L, "b", "2025-01-02")).toDF("id", "s", "d")
+    tables.overwrite(df, "tm_detail", partitionBy = Seq("d"))
+    val r = tables.describeDetail("tm_detail").collect()(0)
+    assert(r.getAs[String]("table_name") === "tm_detail")
+    assert(r.getAs[Long]("num_files") >= 2)     // one file per partition dir
+    assert(r.getAs[Long]("size_bytes") > 0)
+    assert(r.getAs[String]("partition_columns") === "d")
+    assert(r.getAs[String]("schema").contains("id:bigint"))
+  }
+
   test("compact reduces file count and clusters rows") {
     val df = spark.range(1000).withColumn("v", rand(7)).repartition(8)
     tables.overwrite(df, "tm_compact")
