@@ -36,6 +36,29 @@ object HttpJson {
     resp.body()
   }
 
+  /** Wrap any transport with bounded retry + exponential backoff —
+    * executor-side resilience for transient fetch failures. The
+    * reference's answer to a failed GET is re-running the notebook
+    * cell; an engine retries inside the task so one flaky URL doesn't
+    * fail a 10⁶-URL ingest stage.
+    */
+  def withRetry(transport: Transport, attempts: Int = 3,
+                backoffMs: Long = 100): Transport = { url =>
+    var out: String = null
+    var last: Throwable = null
+    var i = 0
+    while (out == null && i < attempts) {
+      try out = transport(url)
+      catch {
+        case e: Throwable =>
+          last = e; i += 1
+          if (i < attempts) Thread.sleep(backoffMs << (i - 1))
+      }
+    }
+    if (out == null) throw last
+    out
+  }
+
   /** Offline transport: treat the "url" as a local file path. */
   val fileTransport: Transport = { path =>
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),

@@ -52,6 +52,47 @@ class ScaleOpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sessionize plans exactly one exchange, shared by windows and agg") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = graft.operators.Sessions.sessionStats(ev, "user_id", "ts", 1800, Seq("event_id"))
+    q.count() // materialize so AQE finalizes the plan
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one shuffle, plan:\n$plan")
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // 100k rows all sharing ONE join key vs a tiny dim: with the skew
+    // thresholds forced low, AQE's skew-join handling must kick in
+    // (plan shows the skew marker) and results stay correct.
+    val prev = (spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // Non-constant key (or Catalyst folds the join away entirely):
+      // 99% of rows share k=1, the rest spread over the dim's range.
+      val fact = spark.range(100000).select(
+        when(col("id") % 100 === 0, col("id") % 7).otherwise(lit(1L)).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(8).select(col("id").as("k"), col("id").as("d"))
+      val joined = fact.join(dim, Seq("k"))
+      // collect() drives THIS DataFrame's QueryExecution (count() would
+      // spawn a fresh one and leave this plan un-finalized by AQE)
+      assert(joined.collect().length === 100000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew handling in plan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._1)
+      prev._2.foreach(spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", _))
+      prev._3.foreach(spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", _))
+    }
+  }
+
   test("HLL approx distinct lands within rsd of exact") {
     val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     val exact = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
