@@ -450,6 +450,32 @@ object SparkEntry {
       s.table(tbl)
     }),
 
+    // MERGE-style upsert: same-key rows replaced, others kept, new
+    // keys appended; oracle reconstructs the merge from the source.
+    "s_upsert" -> ((s, dir) => {
+      val tm = new TableManager(s)
+      val tbl = "graft_gate_upsert"
+      resetTable(s, tbl)
+      tm.append(t(s, dir, "region"), tbl)
+      val upd = t(s, dir, "region").filter(col("r_regionkey") < 3)
+        .select(col("r_regionkey"), concat(lit("UPD_"), col("r_name")).as("r_name"))
+        .union(s.sql("SELECT CAST(99 AS INT) AS r_regionkey, 'NEWREGION' AS r_name"))
+      tm.upsert(upd, tbl, keys = Seq("r_regionkey"))
+      s.table(tbl)
+    }),
+
+    // Trailing 1-hour range-frame window per user (RANGE, not ROWS —
+    // the frame is time-defined, peers included).
+    "q37_rolling_avg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("tsec", unix_timestamp(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+        .rangeBetween(-3600L, 0L)
+      ev.select(col("event_id"), col("user_id"), col("ts"),
+        avg(col("value")).over(w).as("avg_1h"),
+        count(lit(1)).over(w).as("n_1h"))
+    }),
+
     // S10/S14: overwrite sink + permanent catalog view over it (the
     // reference's monitoring-view surface), read back through the view.
     "s_view_report" -> ((s, dir) => {
@@ -937,7 +963,23 @@ object SparkEntry {
 
     "s_view_report" ->
       """SELECT source, count(*) AS n_docs, avg(n_chars) AS avg_chars
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "s_upsert" ->
+      """SELECT r_regionkey, 'UPD_' || r_name AS r_name FROM region WHERE r_regionkey < 3
+        |UNION ALL
+        |SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 3
+        |UNION ALL
+        |SELECT CAST(99 AS INTEGER) AS r_regionkey, 'NEWREGION' AS r_name""".stripMargin,
+
+    "q37_rolling_avg" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  avg(value) OVER w AS avg_1h,
+        |  count(*) OVER w AS n_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
   ) ++ extensionOracles
 
   // DuckDB-dialect mirrors of the extension queries. Tokenization,

@@ -122,6 +122,22 @@ class TableManager(spark: SparkSession) {
     }
   }
 
+  /** MERGE-style upsert without a transaction log: rows of `df` replace
+    * same-key rows of `table`, everything else is kept, result
+    * rewritten atomically-per-session (the documented non-atomic gap
+    * vs Delta MERGE, same as [[appendEvolving]]'s rewrite). Incoming
+    * rows are aligned to the table schema first.
+    */
+  def upsert(df: DataFrame, table: String, keys: Seq[String],
+             partitionBy: Seq[String] = Nil): Unit = {
+    if (!exists(table)) { append(df, table, partitionBy); return }
+    val target = schemaOf(table)
+    val incoming = alignToSchema(df, target)
+    val kept = spark.table(table).join(incoming.select(keys.map(col): _*), keys, "left_anti")
+    val staged = kept.union(incoming).localCheckpoint(true)
+    overwrite(staged, table, partitionBy)
+  }
+
   /** S14 (second half): permanent catalog view — survives the session
     * when the catalog does (hive metastore in PipelineRunner), unlike
     * `createOrReplaceTempView`. The reference's monitoring view:

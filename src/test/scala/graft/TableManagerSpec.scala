@@ -103,6 +103,17 @@ class TableManagerSpec extends SparkSuite {
     assert(spark.table("tm_view").collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("upsert replaces matching keys, keeps the rest, appends new") {
+    tables.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "tm_upsert")
+    tables.upsert(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "tm_upsert", keys = Seq("k"))
+    val r = spark.table("tm_upsert").orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(r === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // idempotent: same upsert again changes nothing
+    tables.upsert(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "tm_upsert", keys = Seq("k"))
+    assert(spark.table("tm_upsert").count() === 3)
+  }
+
   test("describeDetail reports files, bytes, schema, and partitioning") {
     val df = Seq((1L, "a", "2025-01-01"), (2L, "b", "2025-01-02")).toDF("id", "s", "d")
     tables.overwrite(df, "tm_detail", partitionBy = Seq("d"))
