@@ -32,7 +32,8 @@ case class PipelineResult(bronzeRows: Long, silverRows: Long, report: DataFrame)
   * Silver. Canonical reference flow: `First experiment/GPT 5.py:70-172`.
   */
 class BronzeSilverPipeline(spark: SparkSession, tables: TableManager,
-                           cleanPolicy: Quality.CleanPolicy = Quality.DropIfAnyNull) {
+                           cleanPolicy: Quality.CleanPolicy = Quality.DropIfAnyNull,
+                           idempotentIngest: Boolean = false) {
   import AirQuality._
 
   def run(sourcePath: String, ingestionDate: String,
@@ -42,7 +43,12 @@ class BronzeSilverPipeline(spark: SparkSession, tables: TableManager,
       .withColumn("ingestion_date", to_date(lit(ingestionDate)))
       .select(("time" +: Pollutants :+ "ingestion_date").map(col): _*)
 
-    tables.append(hourly, bronzeTable, partitionBy = Seq("ingestion_date"))
+    // Reference semantics = blind append (re-running a cell duplicates
+    // Bronze); idempotentIngest replaces just this date's partition.
+    if (idempotentIngest)
+      tables.overwritePartitions(hourly, bronzeTable, partitionBy = Seq("ingestion_date"))
+    else
+      tables.append(hourly, bronzeTable, partitionBy = Seq("ingestion_date"))
 
     val bronze = spark.table(bronzeTable)
     val report = Quality.report(bronze, Pollutants, keys = Seq("time"))

@@ -122,6 +122,26 @@ class TableManager(spark: SparkSession) {
     }
   }
 
+  /** Dynamic partition overwrite: replace ONLY the partitions present
+    * in `df`, leaving all others — the idempotent re-ingestion
+    * primitive (re-running a day's load must not duplicate Bronze;
+    * the reference's blind `append` does:
+    * `First experiment/GPT 5.py:114`). Uses Spark's dynamic
+    * partitionOverwriteMode, scoped to this call.
+    */
+  def overwritePartitions(df: DataFrame, table: String, partitionBy: Seq[String]): Unit = {
+    if (!exists(table)) { append(df, table, partitionBy); return }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      alignToSchema(df, schemaOf(table))
+        .write.mode(SaveMode.Overwrite).insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** MERGE-style upsert without a transaction log: rows of `df` replace
     * same-key rows of `table`, everything else is kept, result
     * rewritten atomically-per-session (the documented non-atomic gap

@@ -35,6 +35,21 @@ class PipelinesSpec extends SparkSuite {
     assert(r.silverRows === 100)
   }
 
+  test("E1 idempotent re-ingest: rerunning a date does not duplicate Bronze") {
+    val p = new BronzeSilverPipeline(spark, tables, idempotentIngest = true)
+    val r1 = p.run(fixture("aq_clean_768h.json"), "2025-04-02",
+      bronzeTable = "e1i_bronze", silverTable = "e1i_silver")
+    assert(r1.bronzeRows === 768)
+    // same date again → partition replaced, not appended
+    val r2 = p.run(fixture("aq_clean_768h.json"), "2025-04-02",
+      bronzeTable = "e1i_bronze", silverTable = "e1i_silver")
+    assert(r2.bronzeRows === 768)
+    // a different date still accumulates
+    val r3 = p.run(fixture("aq_clean_768h.json"), "2025-04-03",
+      bronzeTable = "e1i_bronze", silverTable = "e1i_silver")
+    assert(r3.bronzeRows === 1536)
+  }
+
   test("E1 dedup: duplicate timestamps collapse deterministically") {
     val p = new BronzeSilverPipeline(spark, tables, Quality.KeepAll)
     val r = p.run(fixture("aq_dup_ts.json"), "2025-04-02",

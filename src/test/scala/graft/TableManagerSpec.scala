@@ -103,6 +103,21 @@ class TableManagerSpec extends SparkSuite {
     assert(spark.table("tm_view").collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("overwritePartitions replaces only the partitions present in df") {
+    val d = (v: String, day: String) => Seq((v, day)).toDF("v", "d")
+      .withColumn("d", col("d").cast("date"))
+    tables.append(d("a1", "2025-01-01"), "tm_dynpart", Seq("d"))
+    tables.append(d("b1", "2025-01-02"), "tm_dynpart", Seq("d"))
+    // re-ingest day 1 with new content: day 1 replaced, day 2 untouched
+    tables.overwritePartitions(d("a2", "2025-01-01"), "tm_dynpart", Seq("d"))
+    val r = spark.table("tm_dynpart").orderBy("d").collect()
+      .map(x => (x.getString(0), x.getDate(1).toString)).toSeq
+    assert(r === Seq(("a2", "2025-01-01"), ("b1", "2025-01-02")))
+    // idempotent: same call again changes nothing
+    tables.overwritePartitions(d("a2", "2025-01-01"), "tm_dynpart", Seq("d"))
+    assert(spark.table("tm_dynpart").count() === 2)
+  }
+
   test("upsert replaces matching keys, keeps the rest, appends new") {
     tables.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "tm_upsert")
     tables.upsert(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "tm_upsert", keys = Seq("k"))
