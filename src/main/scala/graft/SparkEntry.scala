@@ -386,6 +386,25 @@ object SparkEntry {
         Array(col("quantity"), col("discount")), "metric", "avg_value")
     }),
 
+    // Explicit GROUPING SETS with grouping() markers (q22/q35 cover
+    // the rollup/cube shorthands).
+    "q38_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n_rows
+        FROM lineitem_gs_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""")
+    }),
+
+    // P13 driver gate: the clean() DataFrame itself (policy form),
+    // not just its counts (q16 covers the folded-predicate counts).
+    "q39_clean_drop" -> ((s, dir) =>
+      Quality.clean(t(s, dir, "events"), Seq("value", "props"), Quality.DropIfAllNull)
+        .select(col("event_id"), col("value"), col("props"))),
+
     // Sessionization: inactivity-gap session split + per-session stats
     // — one shuffle on the user key, gap detection and session counter
     // share a single Window sort.
@@ -896,6 +915,18 @@ object SparkEntry {
         |       lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS label,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q38_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin,
+
+    "q39_clean_drop" ->
+      """SELECT event_id, value, props FROM events
+        |WHERE value IS NOT NULL OR props IS NOT NULL""".stripMargin,
 
     "q33_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
