@@ -51,6 +51,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (t1, ok1) = timeOnce(name, fn)
       val (t2, ok2) = timeOnce(name, fn)
+      // Several queries persist() intermediates; drop them outside the
+      // timed region so caches can't accumulate across 2×N runs and
+      // pressure later queries' memory.
+      spark.catalog.clearCache()
       name -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -48,6 +48,13 @@ object Components {
       converged = changed == 0
       i += 1
     }
+    // Partial labels are WRONG labels: a component with diameter >
+    // maxIter would carry non-minimum cluster ids whose "canonical"
+    // node is itself unkept — keepDecision would then drop every doc
+    // of that component. Fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "a component has diameter > maxIter; raise maxIter")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 

@@ -138,14 +138,18 @@ object EmbeddingAnn {
     // driver must never hold more than trainSample × dim doubles.
     // Plain limit, NOT orderBy().limit(): a global-sort TakeOrdered
     // ships partitions × trainSample rows to the merge at scale,
-    // whereas limit stops the scan after trainSample rows. Init
-    // determinism is restored by sorting the sample by id driver-side
-    // (trainSample × dim doubles — bounded by construction).
+    // whereas limit stops the scan after trainSample rows. WHICH rows
+    // limit takes depends on the partition layout, so centroids are
+    // deterministic for a fixed layout (same files, same parallelism)
+    // but not across layouts — acceptable for a coarse quantizer whose
+    // recall is asserted, not its exact centroids. The driver-side sort
+    // (string form: works for any id type) fixes the k-means INIT order
+    // within whatever sample was taken.
     val data = normalized(corpus, vecCol)
-      .select(col(idCol).cast("long").as("__id"), col("vnorm"))
+      .select(col(idCol).cast("string").as("__id"), col("vnorm"))
       .limit(trainSample)
       .collect()
-      .sortBy(_.getLong(0))
+      .sortBy(r => Option(r.getString(0)).getOrElse(""))
       .map(_.getSeq[Double](1).toArray)
     require(data.length >= nlist, s"corpus smaller than nlist=$nlist")
     var centroids: Array[Array[Double]] = data.take(nlist).map(_.clone())

@@ -85,13 +85,17 @@ object Multimodal {
       // Walk chunks from offset 12: [4-byte id][le32 size][payload].
       var o = 12
       var meta: Option[MediaMeta] = None
-      while (meta.isEmpty && o + 8 <= b.length) {
+      var corrupt = false
+      while (meta.isEmpty && !corrupt && o + 8 <= b.length) {
         val id = tag(b, o); val size = le32(b, o + 4)
         if (id == "fmt " && o + 8 + 16 <= b.length)
           meta = Some(MediaMeta(r.media_id, "wav", -1, -1,
             le16(b, o + 10), le32(b, o + 12), le16(b, o + 22), b.length))
-        // chunks are word-aligned: odd sizes carry a pad byte
-        o += 8 + size + (size & 1)
+        // chunks are word-aligned: odd sizes carry a pad byte. A
+        // negative le32 size (corrupt/malicious header) would stall or
+        // rewind the walk — bail out as unknown instead of looping.
+        if (size < 0) corrupt = true
+        else o += 8 + size + (size & 1)
       }
       meta.getOrElse(MediaMeta(r.media_id, "unknown", -1, -1, -1, -1, -1, b.length))
     } else MediaMeta(r.media_id, "unknown", -1, -1, -1, -1, -1, b.length)

@@ -70,7 +70,15 @@ object ColumnarJson {
   def discoverMetrics(spark: SparkSession, path: String): Seq[String] = {
     val inferred = spark.read.option("multiLine", "true").json(path)
     inferred.schema.find(_.name == "hourly").map(_.dataType) match {
-      case Some(st: StructType) => st.fieldNames.filterNot(_ == "time").sorted.toSeq
+      case Some(st: StructType) =>
+        // Only array-typed fields are metrics: a scalar annotation
+        // (e.g. hourly.units: "ug/m3") force-read as array<double>
+        // would become a silent all-null column — exactly the failure
+        // this path exists to prevent. Non-array fields stay visible
+        // through the inferred schema instead.
+        st.fields.collect {
+          case StructField(name, _: ArrayType, _, _) if name != "time" => name
+        }.sorted.toSeq
       case _ => Seq.empty
     }
   }

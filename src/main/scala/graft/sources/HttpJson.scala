@@ -45,17 +45,22 @@ object HttpJson {
   def withRetry(transport: Transport, attempts: Int = 3,
                 backoffMs: Long = 100): Transport = { url =>
     var out: String = null
+    var done = false
     var last: Throwable = null
     var i = 0
-    while (out == null && i < attempts) {
-      try out = transport(url)
+    while (!done && i < attempts) {
+      // NonFatal only: an InterruptedException is Spark cancelling the
+      // task — retrying would delay the kill, not recover anything.
+      try { out = transport(url); done = true }
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           last = e; i += 1
           if (i < attempts) Thread.sleep(backoffMs << (i - 1))
       }
     }
-    if (out == null) throw last
+    if (!done) throw last
+    if (out == null)
+      throw new RuntimeException(s"transport returned null body for $url")
     out
   }
 

@@ -69,11 +69,17 @@ class TableManager(spark: SparkSession) {
     val extras = df.columns.filterNot(target.fieldNames.contains)
     val extraByKey: Map[String, String] =
       extras.groupBy(key).collect { case (k, Array(one)) => k -> one }
+    // Ambiguity must be checked on BOTH sides: two missing target
+    // columns sharing one token key must not both receive the same
+    // source column's data.
+    val missingKeyCounts = target.fields.filterNot(f => present.contains(f.name))
+      .groupBy(f => key(f.name)).map { case (k, fs) => k -> fs.length }
     df.select(target.fields.map { f =>
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else extraByKey.get(key(f.name)) match {
-        case Some(src) => col(src).cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(src) if missingKeyCounts(key(f.name)) == 1 =>
+          col(src).cast(f.dataType).as(f.name)
+        case _ => lit(null).cast(f.dataType).as(f.name)
       }
     }.toIndexedSeq: _*)
   }
@@ -118,7 +124,7 @@ class TableManager(spark: SparkSession) {
       // severs the plan's reference to the table being overwritten),
       // then overwrite the target. Non-atomic (documented Delta gap).
       val staged = old.union(incoming).localCheckpoint(true)
-      overwrite(staged, table, partitionBy)
+      overwrite(staged, table, effectivePartitions(table, partitionBy))
     }
   }
 
@@ -155,8 +161,18 @@ class TableManager(spark: SparkSession) {
     val incoming = alignToSchema(df, target)
     val kept = spark.table(table).join(incoming.select(keys.map(col): _*), keys, "left_anti")
     val staged = kept.union(incoming).localCheckpoint(true)
-    overwrite(staged, table, partitionBy)
+    overwrite(staged, table, effectivePartitions(table, partitionBy))
   }
+
+  /** The partition columns a full-table rewrite must preserve: the
+    * caller's, or (default) whatever the catalog says the table is
+    * already partitioned by — a rewrite must never silently flatten a
+    * partitioned table.
+    */
+  private def effectivePartitions(table: String, partitionBy: Seq[String]): Seq[String] =
+    if (partitionBy.nonEmpty) partitionBy
+    else spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).partitionColumnNames
 
   /** S14 (second half): permanent catalog view — survives the session
     * when the catalog does (hive metastore in PipelineRunner), unlike
@@ -220,6 +236,6 @@ class TableManager(spark: SparkSession) {
       if (clusterBy.nonEmpty) re.sortWithinPartitions(clusterBy.map(col): _*) else re
     // Materialize (and sever lineage from the table) before overwrite.
     val staged = clustered.localCheckpoint(true)
-    overwrite(staged, table, partitionBy)
+    overwrite(staged, table, effectivePartitions(table, partitionBy))
   }
 }

@@ -109,6 +109,11 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         case (uid, rows, state) =>
           // Rows within a group arrive unordered; sort this batch.
+          // Cross-batch late events (t at or before the open session's
+          // end) merge into the open session — end NEVER moves
+          // backwards, so gap detection and durations stay monotonic
+          // (without a watermark this is the bounded-correct choice; a
+          // late event can't reopen an already-closed session).
           val times = rows.map(_._2).toArray.sorted
           val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
           var (start, end, n) = state.getOption
@@ -116,9 +121,14 @@ object StreamingJobs {
           times.foreach { t =>
             if (n > 0 && t - end > gapSec) {
               closed += SessionOut(uid, n, start, end)
-              start = t; n = 0L
+              start = t; end = t; n = 1L
+            } else if (n == 0) {
+              start = t; end = t; n = 1L
+            } else {
+              if (t < start) start = t
+              if (t > end) end = t
+              n += 1
             }
-            end = t; n += 1
           }
           state.update((start, end, n))
           closed.iterator

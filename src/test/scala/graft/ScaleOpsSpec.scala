@@ -88,8 +88,12 @@ class ScaleOpsSpec extends SparkSuite {
         s"expected AQE skew handling in plan:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._1)
-      prev._2.foreach(spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", _))
-      prev._3.foreach(spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", _))
+      // Restore OR unset: leaving the forced 64KB thresholds behind
+      // would warp AQE decisions for every later test in the session.
+      def restore(key: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      restore("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prev._2)
+      restore("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev._3)
     }
   }
 

@@ -76,6 +76,13 @@ class TableManagerSpec extends SparkSuite {
     val both = Seq((1.0, 2.0)).toDF("avg_x", "x_avg")
     assert(tables.alignToSchemaRenamed(both,
       StructType(Seq(StructField("avg_x", DoubleType)))).collect()(0).getDouble(0) === 1.0)
+    // two missing targets sharing one token key: NEITHER may claim the
+    // single source column (no silent data duplication)
+    val ambiguous = tables.alignToSchemaRenamed(
+      Seq(Tuple1(5.0)).toDF("b__a"),
+      StructType(Seq(StructField("a_b", DoubleType), StructField("b_a", DoubleType))))
+    val arow = ambiguous.collect()(0)
+    assert(arow.isNullAt(0) && arow.isNullAt(1))
   }
 
   test("ensureTable: creates, no-ops on compatible, repairs on incompatible") {
