@@ -89,9 +89,22 @@ object NearDup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard between two shingle-set columns (set semantics). */
+  /** Exact Jaccard between two shingle-set columns (set semantics,
+    * composable HOF form — kept as the reference implementation and
+    * for ad-hoc use on arbitrary Columns).
+    */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Native single-pass Jaccard over two named distinct-array columns
+    * (plans.JaccardSim): one probe-set pass per pair instead of
+    * array_intersect + array_union each building hash structures and
+    * materializing arrays. Values are identical to [[jaccard]].
+    */
+  private def nativeJaccard(df: DataFrame, a: String, b: String): Column = {
+    graft.plans.NativeFunctions.ensureRegistered(df.sparkSession)
+    expr(s"graft_jaccard($a, $b)")
+  }
 
   /** Full MinHash+LSH near-dup pipeline: pairs with exact Jaccard ≥
     * `threshold` among LSH candidates. With 16×4 banding, a pair at
@@ -110,7 +123,7 @@ object NearDup {
     val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
     cands.join(shA, "id_a").join(shB, "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), nativeJaccard(sh, "sh_a", "sh_b").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -174,7 +187,7 @@ object NearDup {
     val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
     cands.join(shA, "id_a").join(shB, "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), nativeJaccard(sh, "sh_a", "sh_b").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -197,7 +210,7 @@ object NearDup {
       // intersection — a lossless prune for the given threshold.
       .filter(least(col("__na"), col("__nb")).cast("double")
         / greatest(col("__na"), col("__nb")).cast("double") >= threshold)
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), nativeJaccard(sh, "sh_a", "sh_b").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

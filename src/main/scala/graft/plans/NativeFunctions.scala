@@ -116,6 +116,64 @@ case class CentroidScores(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Exact Jaccard |A∩B| / |A∪B| over two DISTINCT long-hash arrays in
+  * ONE pass: an open-addressed probe set of the left array, probed by
+  * the right. The composable form
+  * (`size(array_intersect)/size(array_union)`) builds two hash
+  * structures and materializes two result arrays PER PAIR — ruinous
+  * inside an O(candidates) verify join. Inputs must be distinct
+  * (shingleSets guarantees it), so |A∪B| = |A|+|B|−|A∩B| and one probe
+  * pass suffices. Division semantics match the HOF form exactly
+  * (0-element union → NaN, never produced on shingleSets' non-empty
+  * arrays).
+  */
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    // Open-addressed linear-probe set of `a` (capacity = next pow2 ≥ 2|a|).
+    // 0 marks empty; shingle hashes are pmod-ed into [0, 2^32) but a
+    // genuine 0 hash is possible, so track it with a flag.
+    var cap = 4
+    while (cap < a.length * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var hasZero = false
+    var i = 0
+    while (i < a.length) {
+      val v = a(i)
+      if (v == 0L) hasZero = true
+      else {
+        var idx = (java.lang.Long.hashCode(v) & Int.MaxValue) & mask
+        while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
+        table(idx) = v
+      }
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < b.length) {
+      val v = b(i)
+      if (v == 0L) { if (hasZero) inter += 1 }
+      else {
+        var idx = (java.lang.Long.hashCode(v) & Int.MaxValue) & mask
+        while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
+        if (table(idx) == v) inter += 1
+      }
+      i += 1
+    }
+    val union = a.length + b.length - inter
+    inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object NativeFunctions {
   /** Idempotently register the native functions in a session so they
     * are callable via `expr("graft_dot(a, b)")` and plain SQL.
@@ -123,5 +181,7 @@ object NativeFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard", exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -75,6 +75,22 @@ class PropertySpec extends SparkSuite {
     once.foreach { case (_, cl) => assert(labels(cl) === cl) }
   }
 
+  test("native graft_jaccard equals the composable intersect/union form") {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    val r = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      val a = Seq.fill(r.nextInt(30) + 1)(r.nextInt(40).toLong).distinct
+      val b = Seq.fill(r.nextInt(30) + 1)(r.nextInt(40).toLong).distinct
+      (i, a, b)
+    }
+    // include a zero-valued hash on both sides (the sentinel edge case)
+    val df = (rows :+ ((0, Seq(0L, 5L), Seq(0L, 9L)))).toDF("i", "a", "b")
+    val out = df.select(
+      expr("graft_jaccard(a, b)").as("native"),
+      NearDup.jaccard(col("a"), col("b")).as("hof")).collect()
+    out.foreach(x => assert(x.getDouble(0) === x.getDouble(1)))
+  }
+
   test("append-then-dedup == union-then-dedup (storage is the union operator)") {
     for (seed <- 1 to 8) {
       val d1 = randomRows(seed)
