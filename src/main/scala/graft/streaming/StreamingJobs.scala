@@ -135,6 +135,57 @@ object StreamingJobs {
       }
   }
 
+  /** Watermark-closed sessionization: like [[sessionizeStream]], but a
+    * session also closes when the EVENT-TIME WATERMARK passes its end
+    * plus the gap — so the final session of an idle user eventually
+    * emits instead of dangling in state forever. Input must carry a
+    * `ts` TIMESTAMP column with `withWatermark` already applied (the
+    * watermark both bounds state and drives the timeout clock).
+    */
+  def sessionizeStreamEventTime(stream: DataFrame, gapSec: Long)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double, Long), SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, n, s, e))
+          } else {
+            val times = rows.map(_._2.getTime / 1000.0).toArray.sorted
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var (start, end, n) = state.getOption
+              .getOrElse((times.head, times.head, 0L))
+            times.foreach { t =>
+              if (n > 0 && t - end > gapSec) {
+                closed += SessionOut(uid, n, start, end)
+                start = t; end = t; n = 1L
+              } else if (n == 0) {
+                start = t; end = t; n = 1L
+              } else {
+                if (t < start) start = t
+                if (t > end) end = t
+                n += 1
+              }
+            }
+            state.update((start, end, n))
+            // Fire once the watermark passes end+gap. The timeout must
+            // sit beyond the current watermark (stale keys would
+            // otherwise throw), hence the max.
+            state.setTimeoutTimestamp(math.max(
+              (end * 1000).toLong + gapSec * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            closed.iterator
+          }
+      }
+  }
+
   /** foreachBatch sink: append each micro-batch to a managed table via
     * TableManager — the streaming→catalog bridge (batch-id available
     * for idempotent sinks that need it).

@@ -52,6 +52,28 @@ class ScaleOpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q1 scan gets pushed filters and pruned columns") {
+    val q = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,45.0)"),
+      s"filter must reach the parquet reader:\n$formatted")
+    // 6 of 11 lineitem columns read — pruning holds
+    val readSchema = formatted.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.split(",").length === 6, readSchema)
+  }
+
+  test("q4 dimension joins broadcast; the fact side never shuffles for them") {
+    val q = SparkEntry.queries("q4_region_stats")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // only the executed final section.
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("BroadcastExchange".r.findAllIn(plan).length === 2, plan)
+    // the only hash exchange is the final groupBy aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("sessionize plans exactly one exchange, shared by windows and agg") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
