@@ -386,6 +386,26 @@ object SparkEntry {
         Array(col("quantity"), col("discount")), "metric", "avg_value")
     }),
 
+    // Statistical aggregates: correlation, covariance, stddev/variance
+    // (single-pass co-moment forms in both engines).
+    "q40_stats_aggs" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type")).agg(
+        corr(col("value"), col("user_id").cast("double")).as("corr_vu"),
+        covar_samp(col("value"), col("user_id").cast("double")).as("covar_vu"),
+        stddev_samp(col("value")).as("sd_value"),
+        var_samp(col("value")).as("var_value"),
+        count(lit(1)).as("n_rows"))),
+
+    // Regexp extraction/replacement/counting over document text.
+    "q41_regexp" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([0-9]+)", 1).as("first_number"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowels"),
+        size(split(col("text"), " the ")).minus(1).as("n_the_mid"))
+    }),
+
     // Explicit GROUPING SETS with grouping() markers (q22/q35 cover
     // the rollup/cube shorthands).
     "q38_grouping_sets" -> ((s, dir) => {
@@ -915,6 +935,23 @@ object SparkEntry {
         |       lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS label,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q40_stats_aggs" ->
+      """SELECT event_type,
+        |  corr(value, CAST(user_id AS DOUBLE)) AS corr_vu,
+        |  covar_samp(value, CAST(user_id AS DOUBLE)) AS covar_vu,
+        |  stddev_samp(value) AS sd_value,
+        |  var_samp(value) AS var_value,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // DuckDB length/len are BIGINT; Spark's are INT — cast to match.
+    "q41_regexp" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([0-9]+)', 1) AS first_number,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS len_novowels,
+        |  CAST(len(string_split(text, ' the ')) - 1 AS INTEGER) AS n_the_mid
+        |FROM documents""".stripMargin,
 
     "q38_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
