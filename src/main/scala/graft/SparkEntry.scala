@@ -388,13 +388,18 @@ object SparkEntry {
 
     // Statistical aggregates: correlation, covariance, stddev/variance
     // (single-pass co-moment forms in both engines).
-    "q40_stats_aggs" -> ((s, dir) =>
+    // NaN→null on the moment aggregates: Spark yields NaN on
+    // zero-variance/degenerate groups where DuckDB yields NULL — the
+    // nanvl guard keeps oracle parity on ANY data distribution.
+    "q40_stats_aggs" -> ((s, dir) => {
+      def nn(c: Column) = nanvl(c, lit(null).cast("double"))
       t(s, dir, "events").groupBy(col("event_type")).agg(
-        corr(col("value"), col("user_id").cast("double")).as("corr_vu"),
-        covar_samp(col("value"), col("user_id").cast("double")).as("covar_vu"),
-        stddev_samp(col("value")).as("sd_value"),
-        var_samp(col("value")).as("var_value"),
-        count(lit(1)).as("n_rows"))),
+        nn(corr(col("value"), col("user_id").cast("double"))).as("corr_vu"),
+        nn(covar_samp(col("value"), col("user_id").cast("double"))).as("covar_vu"),
+        nn(stddev_samp(col("value"))).as("sd_value"),
+        nn(var_samp(col("value"))).as("var_value"),
+        count(lit(1)).as("n_rows"))
+    }),
 
     // Regexp extraction/replacement/counting over document text.
     "q41_regexp" -> ((s, dir) => {

@@ -83,19 +83,22 @@ object Multimodal {
       MediaMeta(r.media_id, "bmp", le32(b, 18), le32(b, 22), -1, -1, le16(b, 28), b.length)
     } else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
       // Walk chunks from offset 12: [4-byte id][le32 size][payload].
-      var o = 12
+      // Offsets tracked in Long: a crafted chunk size near Int.MaxValue
+      // would overflow an Int offset to negative and index out of
+      // bounds; with Long math an oversized or negative size just walks
+      // past b.length and terminates as unknown.
+      var o = 12L
       var meta: Option[MediaMeta] = None
       var corrupt = false
       while (meta.isEmpty && !corrupt && o + 8 <= b.length) {
-        val id = tag(b, o); val size = le32(b, o + 4)
+        val oi = o.toInt
+        val id = tag(b, oi); val size = le32(b, oi + 4)
         if (id == "fmt " && o + 8 + 16 <= b.length)
           meta = Some(MediaMeta(r.media_id, "wav", -1, -1,
-            le16(b, o + 10), le32(b, o + 12), le16(b, o + 22), b.length))
-        // chunks are word-aligned: odd sizes carry a pad byte. A
-        // negative le32 size (corrupt/malicious header) would stall or
-        // rewind the walk — bail out as unknown instead of looping.
+            le16(b, oi + 10), le32(b, oi + 12), le16(b, oi + 22), b.length))
+        // chunks are word-aligned: odd sizes carry a pad byte
         if (size < 0) corrupt = true
-        else o += 8 + size + (size & 1)
+        else o += 8L + size.toLong + (size & 1)
       }
       meta.getOrElse(MediaMeta(r.media_id, "unknown", -1, -1, -1, -1, -1, b.length))
     } else MediaMeta(r.media_id, "unknown", -1, -1, -1, -1, -1, b.length)

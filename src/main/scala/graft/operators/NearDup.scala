@@ -96,14 +96,15 @@ object NearDup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
-  /** Native single-pass Jaccard over two named distinct-array columns
-    * (plans.JaccardSim): one probe-set pass per pair instead of
-    * array_intersect + array_union each building hash structures and
-    * materializing arrays. Values are identical to [[jaccard]].
+  /** Native single-pass Jaccard (plans.JaccardSim): one probe-set pass
+    * per pair instead of array_intersect + array_union each building
+    * hash structures and materializing arrays. Values are identical to
+    * [[jaccard]] for any array<long> inputs.
     */
-  private def nativeJaccard(df: DataFrame, a: String, b: String): Column = {
-    graft.plans.NativeFunctions.ensureRegistered(df.sparkSession)
-    expr(s"graft_jaccard($a, $b)")
+  private def nativeJaccard(spark: org.apache.spark.sql.SparkSession,
+                            a: Column, b: Column): Column = {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    call_function("graft_jaccard", a, b)
   }
 
   /** Full MinHash+LSH near-dup pipeline: pairs with exact Jaccard ≥
@@ -123,7 +124,7 @@ object NearDup {
     val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
     cands.join(shA, "id_a").join(shB, "id_b")
-      .select(col("id_a"), col("id_b"), nativeJaccard(sh, "sh_a", "sh_b").as("jaccard"))
+      .select(col("id_a"), col("id_b"), nativeJaccard(sh.sparkSession, col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -187,7 +188,7 @@ object NearDup {
     val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
     cands.join(shA, "id_a").join(shB, "id_b")
-      .select(col("id_a"), col("id_b"), nativeJaccard(sh, "sh_a", "sh_b").as("jaccard"))
+      .select(col("id_a"), col("id_b"), nativeJaccard(sh.sparkSession, col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -210,7 +211,7 @@ object NearDup {
       // intersection — a lossless prune for the given threshold.
       .filter(least(col("__na"), col("__nb")).cast("double")
         / greatest(col("__na"), col("__nb")).cast("double") >= threshold)
-      .select(col("id_a"), col("id_b"), nativeJaccard(sh, "sh_a", "sh_b").as("jaccard"))
+      .select(col("id_a"), col("id_b"), nativeJaccard(sh.sparkSession, col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

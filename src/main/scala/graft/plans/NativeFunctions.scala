@@ -116,57 +116,87 @@ case class CentroidScores(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Exact Jaccard |A∩B| / |A∪B| over two DISTINCT long-hash arrays in
-  * ONE pass: an open-addressed probe set of the left array, probed by
-  * the right. The composable form
-  * (`size(array_intersect)/size(array_union)`) builds two hash
+/** Exact set-Jaccard |A∩B| / |A∪B| over two long arrays in ONE pass
+  * each: open-addressed probe sets replace the composable form
+  * (`size(array_intersect)/size(array_union)`), which builds two hash
   * structures and materializes two result arrays PER PAIR — ruinous
-  * inside an O(candidates) verify join. Inputs must be distinct
-  * (shingleSets guarantees it), so |A∪B| = |A|+|B|−|A∩B| and one probe
-  * pass suffices. Division semantics match the HOF form exactly
-  * (0-element union → NaN, never produced on shingleSets' non-empty
-  * arrays).
+  * inside an O(candidates) verify join. Set semantics hold for ANY
+  * input (duplicates collapse exactly like array_intersect/union):
+  * distinct counts are taken while inserting, and the intersection
+  * counts each distinct right element at most once. Division matches
+  * the HOF form (0-element union → NaN). Inputs must be
+  * `array<long>` — enforced at analysis time.
   */
 case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+    def accepts(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (accepts(left.dataType) && accepts(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ${ok.simpleString} arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  /** Linear-probe insert; returns true when v was not yet present.
+    * 0 marks an empty slot, so a genuine 0 value is tracked by the
+    * caller via a flag.
+    */
+  private def insert(table: Array[Long], mask: Int, v: Long): Boolean = {
+    var idx = (java.lang.Long.hashCode(v) & Int.MaxValue) & mask
+    while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
+    if (table(idx) == v) false else { table(idx) = v; true }
+  }
+
+  private def contains(table: Array[Long], mask: Int, v: Long): Boolean = {
+    var idx = (java.lang.Long.hashCode(v) & Int.MaxValue) & mask
+    while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
+    table(idx) == v
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toLongArray()
     val b = r.asInstanceOf[ArrayData].toLongArray()
-    // Open-addressed linear-probe set of `a` (capacity = next pow2 ≥ 2|a|).
-    // 0 marks empty; shingle hashes are pmod-ed into [0, 2^32) but a
-    // genuine 0 hash is possible, so track it with a flag.
-    var cap = 4
-    while (cap < a.length * 2) cap <<= 1
-    val table = new Array[Long](cap)
-    val mask = cap - 1
-    var hasZero = false
+    def newTable(n: Int) = {
+      var cap = 4
+      while (cap < n * 2) cap <<= 1
+      (new Array[Long](cap), cap - 1)
+    }
+    val (ta, maskA) = newTable(a.length)
+    var uniqueA = 0
+    var zeroA = false
     var i = 0
     while (i < a.length) {
       val v = a(i)
-      if (v == 0L) hasZero = true
-      else {
-        var idx = (java.lang.Long.hashCode(v) & Int.MaxValue) & mask
-        while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
-        table(idx) = v
-      }
+      if (v == 0L) { if (!zeroA) { zeroA = true; uniqueA += 1 } }
+      else if (insert(ta, maskA, v)) uniqueA += 1
       i += 1
     }
+    val (tb, maskB) = newTable(b.length)
+    var uniqueB = 0
+    var zeroB = false
     var inter = 0
     i = 0
     while (i < b.length) {
       val v = b(i)
-      if (v == 0L) { if (hasZero) inter += 1 }
-      else {
-        var idx = (java.lang.Long.hashCode(v) & Int.MaxValue) & mask
-        while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
-        if (table(idx) == v) inter += 1
+      val first =
+        if (v == 0L) { if (!zeroB) { zeroB = true; true } else false }
+        else insert(tb, maskB, v)
+      if (first) {
+        uniqueB += 1
+        if (if (v == 0L) zeroA else contains(ta, maskA, v)) inter += 1
       }
       i += 1
     }
-    val union = a.length + b.length - inter
+    val union = uniqueA + uniqueB - inter
     inter.toDouble / union.toDouble
   }
 

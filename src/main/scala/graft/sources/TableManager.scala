@@ -24,10 +24,16 @@ class TableManager(spark: SparkSession) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
   }
 
-  /** S10: overwrite. */
+  /** S10: overwrite. When `partitionBy` is omitted and the table
+    * already exists, its catalog partition columns are preserved — a
+    * full-table rewrite must never silently flatten a partitioned
+    * table, and this is the primitive every rewrite path
+    * (upsert/appendEvolving/compact) goes through.
+    */
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val parts = effectivePartitions(table, partitionBy)
     val w = df.write.format("parquet").mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(table)
   }
 
   /** S11: position-based insert into an existing table. */
@@ -124,7 +130,7 @@ class TableManager(spark: SparkSession) {
       // severs the plan's reference to the table being overwritten),
       // then overwrite the target. Non-atomic (documented Delta gap).
       val staged = old.union(incoming).localCheckpoint(true)
-      overwrite(staged, table, effectivePartitions(table, partitionBy))
+      overwrite(staged, table, partitionBy)
     }
   }
 
@@ -161,16 +167,15 @@ class TableManager(spark: SparkSession) {
     val incoming = alignToSchema(df, target)
     val kept = spark.table(table).join(incoming.select(keys.map(col): _*), keys, "left_anti")
     val staged = kept.union(incoming).localCheckpoint(true)
-    overwrite(staged, table, effectivePartitions(table, partitionBy))
+    overwrite(staged, table, partitionBy)
   }
 
-  /** The partition columns a full-table rewrite must preserve: the
-    * caller's, or (default) whatever the catalog says the table is
-    * already partitioned by — a rewrite must never silently flatten a
-    * partitioned table.
+  /** The partition columns a rewrite must preserve: the caller's, or
+    * (default) whatever the catalog says an existing table is already
+    * partitioned by.
     */
   private def effectivePartitions(table: String, partitionBy: Seq[String]): Seq[String] =
-    if (partitionBy.nonEmpty) partitionBy
+    if (partitionBy.nonEmpty || !exists(table)) partitionBy
     else spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).partitionColumnNames
 
@@ -236,6 +241,6 @@ class TableManager(spark: SparkSession) {
       if (clusterBy.nonEmpty) re.sortWithinPartitions(clusterBy.map(col): _*) else re
     // Materialize (and sever lineage from the table) before overwrite.
     val staged = clustered.localCheckpoint(true)
-    overwrite(staged, table, effectivePartitions(table, partitionBy))
+    overwrite(staged, table, partitionBy)
   }
 }

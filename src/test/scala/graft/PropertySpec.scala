@@ -78,13 +78,14 @@ class PropertySpec extends SparkSuite {
   test("native graft_jaccard equals the composable intersect/union form") {
     graft.plans.NativeFunctions.ensureRegistered(spark)
     val r = new scala.util.Random(7)
+    // deliberately NOT distinct: set semantics must hold on duplicates
     val rows = (1 to 50).map { i =>
-      val a = Seq.fill(r.nextInt(30) + 1)(r.nextInt(40).toLong).distinct
-      val b = Seq.fill(r.nextInt(30) + 1)(r.nextInt(40).toLong).distinct
+      val a = Seq.fill(r.nextInt(30) + 1)(r.nextInt(40).toLong)
+      val b = Seq.fill(r.nextInt(30) + 1)(r.nextInt(40).toLong)
       (i, a, b)
     }
-    // include a zero-valued hash on both sides (the sentinel edge case)
-    val df = (rows :+ ((0, Seq(0L, 5L), Seq(0L, 9L)))).toDF("i", "a", "b")
+    // zero-valued hashes (the probe-set sentinel) incl. duplicated zeros
+    val df = (rows :+ ((0, Seq(0L, 0L, 5L), Seq(0L, 9L, 9L)))).toDF("i", "a", "b")
     val out = df.select(
       expr("graft_jaccard(a, b)").as("native"),
       NearDup.jaccard(col("a"), col("b")).as("hof")).collect()
