@@ -354,10 +354,14 @@ object SparkEntry {
 
     // §2.11 extension surface: typed Aggregator (geometric mean) used
     // from the untyped agg API — partial-aggregates like a built-in.
+    // nanvl: a group with no positive values is NaN from the
+    // aggregator but NULL from the oracle's avg-of-empty.
     "q25_geomean" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       ev.groupBy(col("event_type"))
-        .agg(graft.functions.TypedAggregators.geomean(col("value")).as("geo_value"),
+        .agg(
+          nanvl(graft.functions.TypedAggregators.geomean(col("value")),
+            lit(null).cast("double")).as("geo_value"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -843,8 +847,13 @@ object SparkEntry {
         |  count(*) AS n_rows, avg(value) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
 
+    // CASE mirrors the aggregator's skip of non-positive values (ln
+    // domain); avg ignores the resulting NULLs. Bare ln(value) ERRORS
+    // in DuckDB when any value is 0 — bit us at sf0.1.
     "q25_geomean" ->
-      """SELECT event_type, exp(avg(ln(value))) AS geo_value, count(*) AS n_rows
+      """SELECT event_type,
+        |  exp(avg(CASE WHEN value > 0 THEN ln(value) END)) AS geo_value,
+        |  count(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
 
     "q30_range_join" ->
