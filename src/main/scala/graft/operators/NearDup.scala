@@ -245,10 +245,17 @@ object NearDup {
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
+    // Native single-pass fingerprint (plans.SimHash64) — bit-identical
+    // to simHashFromHashes, which walks the hash array through 64
+    // interpreted aggregate lambdas. coalesce keeps null-text rows at
+    // fingerprint 0 exactly as the HOF form does.
+    graft.plans.NativeFunctions.ensureRegistered(docs.sparkSession)
     val fp = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
-      .select(col(idCol), simHashFromHashes(col("__th")).as("simhash"))
+      .select(col(idCol),
+        coalesce(transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)),
+          array().cast("array<bigint>")).as("__th"))
+      .select(col(idCol), call_function("graft_simhash", col("__th")).as("simhash"))
     val chunks = array((0 until 4).map { c =>
       struct(lit(c).as("chunk"), shiftright(col("simhash"), 16 * c).bitwiseAND(0xFFFFL).as("cv"))
     }: _*)

@@ -204,6 +204,52 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** 64-bit SimHash from a token-hash array in ONE pass: bit j of the
+  * fingerprint is the sign of Σ_tokens(±1 by bit j of the hash). The
+  * composable form ([[graft.operators.NearDup.simHashFromHashes]])
+  * walks the array through 64 interpreted `aggregate` lambdas — 64
+  * passes per document. This loops tokens × 64 over primitive longs
+  * with identical arithmetic, so fingerprints are bit-identical.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeFunctions {
   /** Idempotently register the native functions in a session so they
     * are callable via `expr("graft_dot(a, b)")` and plain SQL.
@@ -213,5 +259,7 @@ object NativeFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard", exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
   }
 }

@@ -92,6 +92,18 @@ class PropertySpec extends SparkSuite {
     out.foreach(x => assert(x.getDouble(0) === x.getDouble(1)))
   }
 
+  test("native graft_simhash equals the 64-lambda composable form") {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    val r = new scala.util.Random(13)
+    val rows = (1 to 40).map(i => (i, Seq.fill(r.nextInt(50) + 1)(r.nextLong()))) :+
+      ((0, Seq.empty[Long]))
+    val df = rows.toDF("i", "hs")
+    val out = df.select(
+      expr("graft_simhash(hs)").as("native"),
+      NearDup.simHashFromHashes(col("hs")).as("hof")).collect()
+    out.foreach(x => assert(x.getLong(0) === x.getLong(1)))
+  }
+
   test("append-then-dedup == union-then-dedup (storage is the union operator)") {
     for (seed <- 1 to 8) {
       val d1 = randomRows(seed)
