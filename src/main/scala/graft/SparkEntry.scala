@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Sessions, Skew, TimeAgg}
+import graft.operators.{Components, CorpusHygiene, Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Sessions, Skew, TimeAgg}
 import graft.functions.TextFunctions
 import graft.sources.{ColumnarJson, TableManager}
 import graft.streaming.StreamingJobs
@@ -652,6 +652,23 @@ object SparkEntry {
       Multimodal.extractMeta(media, batchSize = 2).toDF()
     }),
 
+    // Benchmark decontamination: corpus docs sharing >= 2 shingles
+    // with any doc of a (deterministic) benchmark subset (threshold
+    // chosen so the synthetic corpus actually selects ~40 pairs).
+    "decon_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusHygiene.contaminationPairs(d, d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, minShared = 2)
+    }),
+
+    // Cross-document boilerplate: sentence segments in >= 3 docs.
+    // The synthetic corpus has no exact repeated sentences (0 rows —
+    // parity of the split/trim/count pipeline is still gated);
+    // behavior is proven on repeated lines in OperatorsSpec.
+    "text_boilerplate" -> ((s, dir) =>
+      CorpusHygiene.boilerplateLines(t(s, dir, "documents"), "doc_id", "text",
+        minDocs = 3)),
+
     // Per-document text stats: token counts, BPE-ish sub-tokens,
     // mean token length, stopword/punct ratios, composite quality score.
     "text_profile" -> ((s, dir) =>
@@ -1078,6 +1095,24 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS doc_id, count(*) AS group_size
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "decon_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${duckShingles("tok")} AS sh
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
+         |  WHERE len(tok) >= 3)
+         |SELECT c.doc_id, b.doc_id AS bench_id,
+         |  CAST(len(list_intersect(c.sh, b.sh)) AS BIGINT) AS n_shared
+         |FROM sh c JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b
+         |  ON c.doc_id != b.doc_id
+         |WHERE len(list_intersect(c.sh, b.sh)) >= 2""".stripMargin,
+
+    "text_boilerplate" ->
+      """SELECT line, count(*) AS n_docs FROM (
+        |  SELECT DISTINCT doc_id, trim(line) AS line
+        |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS line FROM documents)
+        |  WHERE length(trim(line)) > 0)
+        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
 
     "dedup_allpairs" ->
       s"""WITH s AS (

@@ -175,6 +175,28 @@ class OperatorsSpec extends SparkSuite {
     assert(theRows.forall(_.getDouble(4) === 0.0))
   }
 
+  test("boilerplateLines surfaces segments repeated across documents") {
+    val docs = Seq(
+      (1L, "Subscribe to our newsletter. unique alpha text"),
+      (2L, "Subscribe to our newsletter. unique beta text"),
+      (3L, "Subscribe to our newsletter. unique gamma text"),
+      (4L, "totally different content")).toDF("doc_id", "text")
+    val r = CorpusHygiene.boilerplateLines(docs, "doc_id", "text", minDocs = 3).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ===
+      Seq(("Subscribe to our newsletter", 3L)))
+  }
+
+  test("contaminationPairs flags docs overlapping the benchmark, not self") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"), (2L, "x y z w q r s"), (10L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 10L)
+    val r = CorpusHygiene.contaminationPairs(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 3).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ===
+      Seq((1L, 10L, 5L))) // 5 shared trigram shingles; doc 2 and self excluded
+  }
+
   test("exactByHash groups identical content under one hash") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = Dedup.exactByHash(df, "text", "doc_id").orderBy("doc_id").collect()
