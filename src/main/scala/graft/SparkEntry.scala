@@ -652,13 +652,15 @@ object SparkEntry {
       Multimodal.extractMeta(media, batchSize = 2).toDF()
     }),
 
-    // Benchmark decontamination: corpus docs sharing >= 2 shingles
-    // with any doc of a (deterministic) benchmark subset (threshold
-    // chosen so the synthetic corpus actually selects ~40 pairs).
+    // Benchmark decontamination: corpus docs sharing >= 2 FIVE-gram
+    // shingles with any doc of a (deterministic) benchmark subset.
+    // Long n-grams are the point: at n=3 ubiquitous phrases explode
+    // the shingle join ~100x (measured 4.8s at sf0.1) and flag noise;
+    // at n=5 only the true near-duplicate of a benchmark doc matches.
     "decon_overlap" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       CorpusHygiene.contaminationPairs(d, d.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", n = 3, minShared = 2)
+        "doc_id", "text", n = 5, minShared = 2)
     }),
 
     // Cross-document boilerplate: sentence segments in >= 3 docs.
@@ -1096,11 +1098,14 @@ object SparkEntry {
         |  min(doc_id) AS doc_id, count(*) AS group_size
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // 5-gram shingles: range/slice arithmetic mirrors duckShingles at n=5.
     "decon_overlap" ->
       s"""WITH sh AS (
-         |  SELECT doc_id, ${duckShingles("tok")} AS sh
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(tok) - 3),
+         |      i -> array_to_string(tok[i:i+4], ' '))) AS sh
          |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
-         |  WHERE len(tok) >= 3)
+         |  WHERE len(tok) >= 5)
          |SELECT c.doc_id, b.doc_id AS bench_id,
          |  CAST(len(list_intersect(c.sh, b.sh)) AS BIGINT) AS n_shared
          |FROM sh c JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b

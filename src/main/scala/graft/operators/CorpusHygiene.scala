@@ -15,23 +15,35 @@ object CorpusHygiene {
     * sharing at least `minShared` distinct n-gram shingles with a
     * benchmark doc (self-pairs excluded, so the benchmark may be a
     * subset of the corpus). Scale shape: shingles hash to longs once
-    * (NearDup.shingleSets), the shuffle carries (shingle_hash, id)
-    * pairs, and the benchmark side is tiny — Catalyst broadcasts it,
-    * so the corpus never shuffles for the join; the groupBy aggregates
-    * partial map-side.
+    * (NearDup.shingleSets); the benchmark's shingle sets — KB–MB by
+    * definition for an eval suite — collect to the driver and ride
+    * inside a native expression (plans.BenchmarkOverlap) as an
+    * inverted index, so each corpus document is scored in ONE pass of
+    * its own row. The corpus never explodes, never shuffles: the only
+    * distributed work is the linear shingling scan.
     */
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 3, minShared: Long = 5): DataFrame = {
-    val c = NearDup.shingleSets(corpus, idCol, textCol, n)
-      .select(col(idCol).as("doc_id"), explode(col("shingles")).as("s"))
-    val b = NearDup.shingleSets(benchmark, idCol, textCol, n)
-      .select(col(idCol).as("bench_id"), explode(col("shingles")).as("s"))
-    c.join(broadcast(b), "s")
+    val spark = corpus.sparkSession
+    val bench: Array[(Long, Array[Long])] =
+      NearDup.shingleSets(benchmark, idCol, textCol, n)
+        .select(col(idCol).cast("long"), col("shingles"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bench_overlap",
+      exprs => graft.plans.BenchmarkOverlap(exprs.head, bench, minShared), "built-in")
+    // Persisted like every other shingle consumer (NearDup.*): the
+    // linear shingling scan dominates and repeated hygiene passes over
+    // the same corpus reuse it.
+    NearDup.shingleSets(corpus, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("graft_bench_overlap", col("shingles"))).as("m"))
+      .select(col("doc_id"), col("m.bench_id").as("bench_id"), col("m.n_shared").as("n_shared"))
       .filter(col("doc_id") =!= col("bench_id"))
-      .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
   }
 
   /** Cross-document boilerplate: sentence-level segments appearing in

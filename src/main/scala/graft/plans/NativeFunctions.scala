@@ -250,6 +250,67 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-document benchmark-overlap counts in ONE pass: the benchmark's
+  * (id, shingle-set) pairs live inside the expression as an inverted
+  * index (shingle → bench ordinals). For each corpus document this
+  * walks its shingle array once, accumulates per-benchmark counts, and
+  * emits array<struct<bench_id, n_shared>> for benchmarks with
+  * n_shared ≥ minShared. Replaces explode-corpus → shuffle-join →
+  * re-aggregate (the corpus never leaves its row). Benchmark sets are
+  * driver-bounded by definition (eval suites are KB–MB scale, the same
+  * justification as IVF centroids).
+  */
+case class BenchmarkOverlap(child: Expression, bench: Array[(Long, Array[Long])],
+                            minShared: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bench_id", LongType, nullable = false),
+    StructField("n_shared", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bench_overlap"
+
+  @transient private lazy val index: java.util.HashMap[Long, Array[Int]] = {
+    val m = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < bench.length) {
+      bench(i)._2.foreach { s =>
+        var buf = m.get(s)
+        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Int]; m.put(s, buf) }
+        buf += i
+      }
+      i += 1
+    }
+    val out = new java.util.HashMap[Long, Array[Int]](m.size())
+    m.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val counts = new Array[Long](bench.length)
+    var i = 0
+    while (i < hs.length) {
+      val hits = index.get(hs(i))
+      if (hits != null) {
+        var j = 0
+        while (j < hits.length) { counts(hits(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < counts.length) {
+      if (counts(i) >= minShared)
+        rows += org.apache.spark.sql.catalyst.InternalRow(bench(i)._1, counts(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeFunctions {
   /** Idempotently register the native functions in a session so they
     * are callable via `expr("graft_dot(a, b)")` and plain SQL.
