@@ -54,12 +54,23 @@ object NearDup {
     // and use one core. At scale the scan already has many splits and
     // this shuffle is noise relative to the candidate join.
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    graft.plans.NativeFunctions.ensureRegistered(docs.sparkSession)
+    // Native single-pass shingle+hash (plans.ShingleHashes) — bit-
+    // identical to the four-layer HOF chain it replaces (kept below as
+    // the reference form, equality-asserted in ShingleHashesSpec), and
+    // the difference between a ~4s and a sub-second COLD corpus scan.
     docs.repartition(par)
       .select(col(idCol),
-        array_distinct(transform(TextFunctions.shingles(col(textCol), n),
-          s => pmod(xxhash64(s), lit(4294967296L)))).as("shingles"))
+        call_function("graft_shingle_hashes", col(textCol), lit(n)).as("shingles"))
       .filter(size(col("shingles")) > 0)
   }
+
+  /** The composable-HOF form of [[shingleSets]]'s projection — the
+    * reference implementation the native expression must match.
+    */
+  def shingleHashesHof(text: Column, n: Int): Column =
+    array_distinct(transform(TextFunctions.shingles(text, n),
+      s => pmod(xxhash64(s), lit(4294967296L))))
 
   /** 64-element MinHash signature per document: one native pass over
     * the pre-hashed shingle array (all permutations per element),

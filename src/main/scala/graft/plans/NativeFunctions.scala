@@ -311,6 +311,99 @@ case class BenchmarkOverlap(child: Expression, bench: Array[(Long, Array[Long])]
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct hashed word-n-gram shingles of a text column in ONE pass:
+  * the native form of
+  * `array_distinct(transform(TextFunctions.shingles(text, n),
+  *   s => pmod(xxhash64(s), 2^32)))`.
+  *
+  * That composable chain re-walks the token array through four
+  * interpreted HOF layers (split → filter → transform/slice/concat_ws
+  * → xxhash64 → array_distinct), allocating an intermediate string per
+  * shingle per layer — it dominated the COLD run of every shingle
+  * consumer (decon_overlap, dedup_minhash/allpairs/clusters) at ~4s
+  * per corpus scan. This expression lowercases once, splits once,
+  * UTF-8-encodes each token once, and hashes each n-gram from a reused
+  * byte buffer.
+  *
+  * Bit-identical to the HOF form by construction:
+  *  - lowercase = UTF8String.toLowerCase (what `lower()` calls for the
+  *    default UTF8_BINARY collation);
+  *  - tokens = java.util.regex split on "\\s+" (what `split()` calls),
+  *    empties dropped (the `filter(length > 0)` step);
+  *  - shingle bytes = tokens joined by ' ' (concat_ws of a slice);
+  *  - hash = XXH64 over the shingle's UTF-8 bytes with seed 42
+  *    (exactly `xxhash64(string)`), then pmod 2^32;
+  *  - distinct keeps first-occurrence order (array_distinct).
+  * Fewer than n tokens → empty array; null text → null (both match —
+  * ShingleHashesSpec asserts full equality on the real corpus).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  private val Mod = 4294967296L
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    // Pattern.split with limit -1 mirrors Spark's split(); only a
+    // leading separator can produce an empty token — drop it like the
+    // filter(length > 0) step does.
+    val raw = ws.split(lowered, -1)
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) nTok += 1; i += 1 }
+    if (nTok < n) return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val tokBytes = new Array[Array[Byte]](nTok)
+    i = 0; var j = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        tokBytes(j) = raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        j += 1
+      }
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val buf = new Array[Byte](tokBytes.map(_.length).max * n + (n - 1))
+    var s = 0
+    while (s <= nTok - n) {
+      var len = 0
+      var k = 0
+      while (k < n) {
+        if (k > 0) { buf(len) = ' '; len += 1 }
+        val tb = tokBytes(s + k)
+        System.arraycopy(tb, 0, buf, len, tb.length)
+        len += tb.length
+        k += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      val r = h % Mod
+      seen.add(if (r < 0) (r + Mod) % Mod else r)
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeFunctions {
   /** Idempotently register the native functions in a session so they
     * are callable via `expr("graft_dot(a, b)")` and plain SQL.
@@ -322,5 +415,9 @@ object NativeFunctions {
       "graft_jaccard", exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      exprs => ShingleHashes(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
   }
 }
