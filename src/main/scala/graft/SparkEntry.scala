@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, CorpusHygiene, Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Sessions, Skew, TimeAgg}
-import graft.functions.TextFunctions
+import graft.operators.{Components, CorpusHygiene, Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Sampling, Sessions, Skew, TimeAgg}
+import graft.functions.{QualitySignals, TextFunctions}
 import graft.sources.{ColumnarJson, TableManager}
 import graft.streaming.StreamingJobs
 
@@ -540,6 +540,30 @@ object SparkEntry {
       s.table(s"${tbl}_v")
     }),
 
+    // Correlated scalar subquery (decorrelated by Catalyst into an
+    // aggregate + join — no per-row re-execution at scale).
+    "q42_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_sq_v")
+      s.sql("""
+        SELECT c_nationkey, count(*) AS n_above
+        FROM customer_sq_v c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_sq_v c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey""")
+    }),
+
+    // IN-subquery (planned as a left-semi join, same as q28's API form).
+    "q43_in_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_in_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_in_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders_in_v
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_in_v
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority""")
+    }),
+
     // F5/F6/P2: derived label (concat/lpad/round) + rollup.
     "q20_month_label" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -724,6 +748,81 @@ object SparkEntry {
       val stream = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
       val sink = s"streaming_hourly_${System.nanoTime}"
       StreamingJobs.runToMemory(s, StreamingJobs.hourlyAgg(stream), sink)
+    }),
+
+    // Streaming dedup with watermark-evicted state
+    // (dropDuplicatesWithinWatermark): emitted keys == batch DISTINCT.
+    "streaming_dedup" -> ((s, dir) => {
+      val stream = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
+      val sink = s"streaming_dedup_${System.nanoTime}"
+      StreamingJobs.runToMemory(s,
+        StreamingJobs.dedupStream(stream, Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type")),
+        sink, mode = "append")
+    }),
+
+    // Gopher-style rule signals per document (length / word shape /
+    // symbol ratio / stopword presence) with the composite pass flag.
+    "text_gopher" -> ((s, dir) =>
+      QualitySignals.gopherSignals(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Word-2-gram repetition metrics (the Gopher duplicate-n-gram
+    // family): explode → two map-side-combinable aggregates.
+    "text_repetition" -> ((s, dir) =>
+      QualitySignals.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Language-ID router audit against the corpus's ground-truth lang
+    // column: per-language accuracy (zh is outside the classifier's
+    // set — its accuracy is 0 by construction, and the report says so).
+    "text_langid_eval" -> ((s, dir) =>
+      QualitySignals.langIdEval(t(s, dir, "documents"), "doc_id", "text", "lang")),
+
+    // PII scrub: the corpus carries no PII, so the query plants a
+    // deterministic email + IPv4 per document (same construction in
+    // the oracle) and the redaction pipeline must find and strip
+    // exactly those. md5 of the redacted text keeps the compare tight.
+    "text_pii" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from host 10."),
+          (col("doc_id") % 250).cast("string"), lit(".0.7")).as("text"))
+      QualitySignals.piiRedact(aug, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+          md5(col("redacted").cast("binary")).as("redacted_md5"))
+    }),
+
+    // C4-style line-level dedup: a shared header line is planted on
+    // every document (deterministically, mirrored in the oracle); the
+    // boilerplate remover must drop exactly it and keep the unique
+    // body. Boilerplate set broadcast — the corpus never shuffles.
+    "dedup_lines" -> ((s, dir) => {
+      val d2 = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Corpus shared header. "), col("text")).as("text"))
+      CorpusHygiene.removeBoilerplate(d2, "doc_id", "text", minDocs = 3)
+    }),
+
+    // Deterministic stratified hash-sampling (data mixing): per-source
+    // keep rates via md5 bucketing — reproducible across engines,
+    // re-runs, and partition layouts; unlisted sources drop.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "source", "doc_id",
+          rates = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125))
+        .select(col("doc_id"), col("source"))),
+
+    // Symmetric int8 floor-quantization of the embedding column:
+    // range, codes' L1 mass, first code — the 4× memory lever for
+    // billion-vector IVF postings, floor-based so codes are
+    // bit-portable across engines.
+    "emb_quantize" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = graft.functions.VectorFunctions.quantizeFloor(col("embedding"))
+      e.select(
+        col("vec_id"),
+        graft.functions.VectorFunctions.maxAbs(col("embedding")).as("max_abs"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        aggregate(q, lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+        element_at(q, 1).as("q_first"))
     })
   )
 

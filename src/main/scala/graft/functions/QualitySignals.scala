@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-quality signals of the kind a pretraining-data pipeline
+  * gates on before any model sees the text: the rule families
+  * published with Gopher (Rae et al. 2021, §A1.1) and C4 (Raffel et
+  * al. 2020) — length/word-shape bounds, symbol ratios, stopword
+  * presence, and n-gram repetition — plus PII redaction and a
+  * language-ID accuracy report.
+  *
+  * Everything is pure Catalyst expressions (no UDFs): the per-document
+  * signals are one-pass/one-tokenization map work; the repetition
+  * metrics are the one genuinely distributed shape here (a corpus-wide
+  * explode → two partial-aggregable groupBys), because "most frequent
+  * 2-gram per document" is a grouped aggregate, not a scalar.
+  */
+object QualitySignals {
+
+  /** Gopher-style per-document rule signals, one tokenization:
+    * token count, mean word length, fraction of words containing an
+    * alphabetic character, symbol-to-word ratio (# and ellipsis),
+    * distinct required-stopword hits, and the composite pass flag
+    * with the published thresholds (adapted: lower token bound 20).
+    */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.repartition(par)
+      .select(col(idCol), col(textCol).as("__text"),
+        TextFunctions.tokens(col(textCol)).as("__tok"))
+    val n = size(col("__tok"))
+    val mwl = when(n === 0, lit(0.0))
+      .otherwise(aggregate(col("__tok"), lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / n.cast("double"))
+    val alphaFrac = when(n === 0, lit(0.0))
+      .otherwise(size(filter(col("__tok"), t => regexp_like(t, lit("[a-z]")))).cast("double")
+        / n.cast("double"))
+    val symRatio = when(n === 0, lit(0.0))
+      .otherwise(regexp_count(col("__text"), lit("#|\\.\\.\\.")).cast("double")
+        / n.cast("double"))
+    // Gopher's "contains >= 2 of a small must-have stopword list".
+    val stopHits = size(array_intersect(array_distinct(col("__tok")),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
+    val mid = base.select(
+      col(idCol),
+      n.cast("long").as("n_tokens"),
+      mwl.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"),
+      symRatio.as("symbol_word_ratio"),
+      stopHits.cast("long").as("stop_hits"))
+    mid.select(col(idCol), col("n_tokens"), col("mean_word_len"),
+      col("alpha_word_frac"), col("symbol_word_ratio"), col("stop_hits"),
+      (col("n_tokens").between(20L, 100000L) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("symbol_word_ratio") <= 0.1 &&
+        col("stop_hits") >= 2L).as("gopher_pass"))
+  }
+
+  /** Word-2-gram repetition metrics per document (the Gopher
+    * duplicate-n-gram family): total 2-gram occurrences, the most
+    * frequent 2-gram's share, and the fraction of occurrences that
+    * are repeats of an earlier one. Documents with fewer than two
+    * tokens have no 2-grams and drop out.
+    *
+    * Scale shape: explode to (doc, gram) — the shuffle carries short
+    * strings, never the document — then two groupBys, both
+    * map-side-combinable. No window: max/sum/count over the
+    * (doc, gram) counts is a plain second aggregate.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val grams = df.repartition(par)
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), 2)).as("gram"))
+    grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_2grams"),
+        max(col("cnt")).as("__top"),
+        count(lit(1)).as("__distinct"))
+      .select(col(idCol), col("n_2grams"),
+        (col("__top").cast("double") / col("n_2grams").cast("double")).as("top_2gram_frac"),
+        ((col("n_2grams") - col("__distinct")).cast("double")
+          / col("n_2grams").cast("double")).as("dup_2gram_frac"))
+  }
+
+  /** Language-ID accuracy against a ground-truth label column: per
+    * true language, document count, correct predictions, and accuracy.
+    * Languages outside the classifier's set (e.g. zh here) score 0 —
+    * the report is exactly how a corpus pipeline audits its router.
+    */
+  def langIdEval(df: DataFrame, idCol: String, textCol: String,
+                 truthCol: String): DataFrame = {
+    val pred = TextFunctions.langIdBulk(df, idCol, textCol)
+    df.select(col(idCol), col(truthCol).as("lang"))
+      .join(pred, idCol)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("lang"), col("n_docs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs").cast("double")).as("accuracy"))
+  }
+
+  /** Email-address regex — alternation-free so Java (leftmost-first)
+    * and RE2 (leftmost-longest) engines agree on every match.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 regex (same engine-agreement property). */
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrub over a text column: counts and redacts email addresses
+    * and IPv4 literals (emails first — an address can contain digits
+    * but a dotted quad can't contain '@', so the order is lossless).
+    * Emits counts plus the redacted text — pure map work, the shape
+    * that runs inline in a corpus ingestion scan.
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      redacted.as("redacted"))
+  }
+}

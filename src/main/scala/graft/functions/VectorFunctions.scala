@@ -42,4 +42,24 @@ object VectorFunctions {
     when(n === 0.0, transform(a, x => x.cast("double")))
       .otherwise(transform(a, x => x.cast("double") / n))
   }
+
+  /** Max-abs of the vector's elements (double) — the symmetric-
+    * quantization range.
+    */
+  def maxAbs(a: Column): Column =
+    array_max(transform(a, x => abs(x.cast("double"))))
+
+  /** Symmetric int8-style floor quantization: qᵢ = floor(aᵢ·127/maxabs)
+    * in [-128, 127], dequantize as qᵢ·maxabs/127. floor, not round —
+    * floor is defined identically in every engine while round ties
+    * (HALF_UP vs banker's) are not, so quantized codes are bit-portable.
+    * Zero vectors quantize to all-zero codes. 4× smaller ANN postings
+    * at a recall cost the caller measures — the standard memory lever
+    * for billion-vector IVF lists.
+    */
+  def quantizeFloor(a: Column): Column = {
+    val mx = maxAbs(a)
+    when(mx === 0.0, transform(a, x => lit(0L)))
+      .otherwise(transform(a, x => floor(x.cast("double") * lit(127.0) / mx).cast("long")))
+  }
 }

@@ -59,4 +59,25 @@ object CorpusHygiene {
       .distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+
+  /** C4-style line-level dedup: drop every segment that
+    * [[boilerplateLines]] flags (appears in ≥ `minDocs` docs) and
+    * report per-document line counts before/after. The boilerplate set
+    * is small by construction — lines repeated across MANY documents —
+    * so the anti-join broadcasts it and the corpus never shuffles;
+    * per-doc re-aggregation groups on the id the explode preserved.
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        minDocs: Long = 3, sep: String = "\\. "): DataFrame = {
+    val boiler = boilerplateLines(docs, idCol, textCol, minDocs, sep)
+      .select(col("line"))
+    val lines = docs
+      .select(col(idCol), explode(split(col(textCol), sep)).as("line"))
+      .select(col(idCol), trim(col("line")).as("line"))
+      .filter(length(col("line")) > 0)
+    lines.join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_kept"))
+      .join(lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines")), Seq(idCol), "right")
+      .select(col(idCol), col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }
