@@ -794,12 +794,16 @@ object SparkEntry {
 
     // C4-style line-level dedup: a shared header line is planted on
     // every document (deterministically, mirrored in the oracle); the
-    // boilerplate remover must drop exactly it and keep the unique
-    // body. Boilerplate set broadcast — the corpus never shuffles.
+    // boilerplate remover must drop exactly it, keep the unique body,
+    // and reconstruct the cleaned text (md5-compared against the
+    // oracle's string_agg rebuild). Boilerplate set broadcast — the
+    // corpus never shuffles.
     "dedup_lines" -> ((s, dir) => {
       val d2 = t(s, dir, "documents").select(col("doc_id"),
         concat(lit("Corpus shared header. "), col("text")).as("text"))
       CorpusHygiene.removeBoilerplate(d2, "doc_id", "text", minDocs = 3)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
     }),
 
     // Deterministic stratified hash-sampling (data mixing): per-source
@@ -1179,7 +1183,23 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
-        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // Verbatim ANSI forms of the subquery pair — DuckDB decorrelates
+    // the scalar subquery the same way Catalyst does.
+    "q42_scalar_subquery" ->
+      """SELECT c_nationkey, count(*) AS n_above
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q43_in_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority""".stripMargin
   ) ++ extensionOracles
 
   // DuckDB-dialect mirrors of the extension queries. Tokenization,
@@ -1190,6 +1210,27 @@ object SparkEntry {
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
   private def duckShingles(tok: String) =
     s"list_distinct(list_transform(range(1, len($tok) - 1), i -> array_to_string($tok[i:i+2], ' ')))"
+
+  // Stopword-argmax lang-ID — shared by text_langid and the
+  // text_langid_eval accuracy report.
+  private val duckLangIdSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+       |       WHEN en = greatest(en, de, es, fr) THEN 'en'
+       |       WHEN de = greatest(en, de, es, fr) THEN 'de'
+       |       WHEN es = greatest(en, de, es, fr) THEN 'es'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM (SELECT doc_id,
+       |  len(list_filter(tok, t -> list_contains(['the','and','of','to','a','in','is','that','for','with'], t))) AS en,
+       |  len(list_filter(tok, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t))) AS de,
+       |  len(list_filter(tok, t -> list_contains(['el','la','de','que','y','en','un','por','con','para'], t))) AS es,
+       |  len(list_filter(tok, t -> list_contains(['le','la','les','de','et','un','est','pour','dans','que'], t))) AS fr
+       |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents))""".stripMargin
+
+  // The PII regexes, verbatim from QualitySignals (single-quoted SQL
+  // strings pass backslashes through to DuckDB's RE2 untouched).
+  private val duckEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val duckIpv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   private def extensionOracles: Map[String, String] = Map(
     "dedup_exact_text" ->
@@ -1343,19 +1384,7 @@ object SparkEntry {
          |          ['the','and','of','to','a','in','is','that','for','with'], t))) AS sw_hits
          |      FROM documents)""".stripMargin,
 
-    "text_langid" ->
-      s"""SELECT doc_id,
-         |  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
-         |       WHEN en = greatest(en, de, es, fr) THEN 'en'
-         |       WHEN de = greatest(en, de, es, fr) THEN 'de'
-         |       WHEN es = greatest(en, de, es, fr) THEN 'es'
-         |       ELSE 'fr' END AS lang_pred
-         |FROM (SELECT doc_id,
-         |  len(list_filter(tok, t -> list_contains(['the','and','of','to','a','in','is','that','for','with'], t))) AS en,
-         |  len(list_filter(tok, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t))) AS de,
-         |  len(list_filter(tok, t -> list_contains(['el','la','de','que','y','en','un','por','con','para'], t))) AS es,
-         |  len(list_filter(tok, t -> list_contains(['le','la','les','de','et','un','est','pour','dans','que'], t))) AS fr
-         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents))""".stripMargin,
+    "text_langid" -> duckLangIdSql,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,
@@ -1395,6 +1424,131 @@ object SparkEntry {
     "streaming_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
         |  count(*) AS n_rows, avg(value) AS avg_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // One micro-batch over the whole file + state watermark ⇒ the
+    // streaming dedup's emitted keys are exactly the batch DISTINCT.
+    "streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "text_gopher" ->
+      s"""SELECT doc_id, n_tokens, mean_word_len, alpha_word_frac,
+         |  symbol_word_ratio, stop_hits,
+         |  (n_tokens BETWEEN 20 AND 100000
+         |   AND mean_word_len BETWEEN 3.0 AND 10.0
+         |   AND alpha_word_frac >= 0.8
+         |   AND symbol_word_ratio <= 0.1
+         |   AND stop_hits >= 2) AS gopher_pass
+         |FROM (
+         |  SELECT doc_id,
+         |    len(tok) AS n_tokens,
+         |    CASE WHEN len(tok) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(tok, t -> strlen(t)))::DOUBLE / len(tok)::DOUBLE
+         |    END AS mean_word_len,
+         |    CASE WHEN len(tok) = 0 THEN 0.0
+         |         ELSE len(list_filter(tok, t -> regexp_matches(t, '[a-z]')))::DOUBLE / len(tok)::DOUBLE
+         |    END AS alpha_word_frac,
+         |    CASE WHEN len(tok) = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE / len(tok)::DOUBLE
+         |    END AS symbol_word_ratio,
+         |    len(list_intersect(list_distinct(tok),
+         |      ['the','be','to','of','and','that','have','with'])) AS stop_hits
+         |  FROM (SELECT doc_id, text, $duckTokens AS tok FROM documents))""".stripMargin,
+
+    // Non-distinct word 2-grams (multiplicity IS the signal); the Spark
+    // side hashes grams to longs before the shuffle, which leaves every
+    // count — and therefore every metric — unchanged.
+    "text_repetition" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tok)),
+         |      i -> array_to_string(tok[i:i+1], ' '))) AS gram
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
+         |  WHERE len(tok) >= 2),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+         |  max(cnt)::DOUBLE / sum(cnt)::DOUBLE AS top_2gram_frac,
+         |  (sum(cnt) - count(*))::DOUBLE / sum(cnt)::DOUBLE AS dup_2gram_frac
+         |FROM c GROUP BY doc_id""".stripMargin,
+
+    "text_langid_eval" ->
+      s"""WITH pred AS ($duckLangIdSql)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  sum(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE AS accuracy
+         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY d.lang""".stripMargin,
+
+    // Mirrors the deterministic PII planting in the query, then the
+    // same two-pass redaction: emails counted on the original text,
+    // IPv4 counted on the email-redacted text (what the IP pass sees).
+    "text_pii" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com from host 10.'
+         |      || CAST(doc_id % 250 AS VARCHAR) || '.0.7' AS text
+         |  FROM documents),
+         |r AS (SELECT doc_id, text,
+         |        regexp_replace(text, '$duckEmailRe', '<EMAIL>', 'g') AS t1
+         |      FROM aug)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$duckEmailRe')) AS n_emails,
+         |  len(regexp_extract_all(t1, '$duckIpv4Re')) AS n_ipv4,
+         |  md5(regexp_replace(t1, '$duckIpv4Re', '<IP>', 'g')) AS redacted_md5
+         |FROM r""".stripMargin,
+
+    // Rebuilds the C4 line-dedup end to end: lockstep unnest keeps the
+    // original segment order, string_agg(… ORDER BY pos) reconstructs
+    // the cleaned text for the md5 compare.
+    "dedup_lines" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, 'Corpus shared header. ' || text AS text FROM documents),
+        |lines AS (
+        |  SELECT doc_id, pos, trim(line) AS line FROM (
+        |    SELECT doc_id, unnest(parts) AS line,
+        |      unnest(range(1, len(parts) + 1)) AS pos
+        |    FROM (SELECT doc_id, string_split_regex(text, '\. ') AS parts FROM d2))
+        |  WHERE length(trim(line)) > 0),
+        |boiler AS (
+        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+        |  GROUP BY line HAVING count(*) >= 3),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, '. ' ORDER BY pos) AS clean_text
+        |  FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+        |  GROUP BY doc_id)
+        |SELECT l.doc_id, l.n_lines,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  md5(coalesce(k.clean_text, '')) AS clean_md5
+        |FROM (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id) l
+        |LEFT JOIN kept k ON l.doc_id = k.doc_id""".stripMargin,
+
+    // md5-bucket mirror of Sampling.hashBucket/cutHex: floor(rate*256)
+    // as a 2-hex-char cut — src0 0.5→'80', src1 0.25→'40', src2
+    // 0.125→'20'; unlisted sources get NULL (dropped), like the
+    // otherwise(null) fold on the Spark side.
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE source WHEN 'src0' THEN '80' WHEN 'src1' THEN '40'
+        |              WHEN 'src2' THEN '20' END""".stripMargin,
+
+    // Same double arithmetic in the same order (x * 127.0 / maxabs,
+    // floor) ⇒ bit-identical codes; both engines widen float→double
+    // before any math.
+    "emb_quantize" ->
+      """SELECT vec_id, mx AS max_abs, len(v) AS n_dims,
+        |  CAST(list_sum(list_transform(q, y -> abs(y))) AS BIGINT) AS q_l1,
+        |  q[1] AS q_first
+        |FROM (
+        |  SELECT vec_id, v, mx,
+        |    CASE WHEN mx = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS BIGINT))
+        |    END AS q
+        |  FROM (
+        |    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+        |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)))""".stripMargin
   )
 }

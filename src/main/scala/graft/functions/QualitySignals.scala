@@ -70,9 +70,16 @@ object QualitySignals {
     * (doc, gram) counts is a plain second aggregate.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.NativeFunctions.ensureRegistered(df.sparkSession)
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // Grams are hashed to longs IN the shingling expression (native
+    // single pass, multiplicity kept): every metric below is a count,
+    // so hashed grams give identical results while the shuffle carries
+    // 8-byte longs instead of gram strings.
     val grams = df.repartition(par)
-      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), 2)).as("gram"))
+      .select(col(idCol),
+        explode(call_function("graft_shingle_hashes", col(textCol), lit(2), lit(false)))
+          .as("gram"))
     grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_2grams"),
@@ -106,23 +113,34 @@ object QualitySignals {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** Dotted-quad IPv4 regex (same engine-agreement property). */
+  /** Dotted-quad IPv4 regex (same engine-agreement property).
+    * Deliberately unanchored: digit-boundary guards need lookarounds,
+    * which RE2-family engines lack — so anchoring would break the
+    * Java/RE2 agreement this module promises. The documented tradeoff:
+    * a >3-digit run like "1234.5.6.78901" gets a partial mid-token
+    * match. Counts and redactions still agree with each other because
+    * both passes see the same text (see [[piiRedact]]).
+    */
   val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** PII scrub over a text column: counts and redacts email addresses
     * and IPv4 literals (emails first — an address can contain digits
     * but a dotted quad can't contain '@', so the order is lossless).
+    * `n_ipv4` is counted on the email-redacted text — the exact input
+    * the IPv4 replacement pass sees — so a dotted quad inside an email
+    * domain (user@10.2.3.4) is consumed by `<EMAIL>` and neither
+    * counted nor double-redacted; counts always equal replacements.
     * Emits counts plus the redacted text — pure map work, the shape
     * that runs inline in a corpus ingestion scan.
     */
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val redacted = regexp_replace(
-      regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+    val emailScrubbed = regexp_replace(t, EmailRe, "<EMAIL>")
+    val redacted = regexp_replace(emailScrubbed, Ipv4Re, "<IP>")
     df.select(
       col(idCol),
       regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(emailScrubbed, lit(Ipv4Re)).cast("long").as("n_ipv4"),
       redacted.as("redacted"))
   }
 }

@@ -60,24 +60,41 @@ object CorpusHygiene {
       .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
-  /** C4-style line-level dedup: drop every segment that
-    * [[boilerplateLines]] flags (appears in ≥ `minDocs` docs) and
-    * report per-document line counts before/after. The boilerplate set
-    * is small by construction — lines repeated across MANY documents —
-    * so the anti-join broadcasts it and the corpus never shuffles;
-    * per-doc re-aggregation groups on the id the explode preserved.
+  /** C4-style line-level dedup: drop every segment that appears in
+    * ≥ `minDocs` distinct docs (the [[boilerplateLines]] rule) and
+    * emit, per document, the line counts before/after AND the cleaned
+    * text — kept segments rejoined in original order, so the operator
+    * is a usable pipeline stage, not just a report. The corpus is
+    * split/exploded ONCE and persisted; the boilerplate set, the
+    * anti-join side, and the per-doc totals all read the cached frame.
+    * The boilerplate set is small by construction — lines repeated
+    * across MANY documents — so the anti-join broadcasts it and the
+    * corpus never shuffles; per-doc re-aggregation groups on the id
+    * the explode preserved. Documents whose every line was boilerplate
+    * survive with n_kept = 0 and empty clean_text.
     */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         minDocs: Long = 3, sep: String = "\\. "): DataFrame = {
-    val boiler = boilerplateLines(docs, idCol, textCol, minDocs, sep)
-      .select(col("line"))
     val lines = docs
-      .select(col(idCol), explode(split(col(textCol), sep)).as("line"))
-      .select(col(idCol), trim(col("line")).as("line"))
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"), trim(col("line")).as("line"))
       .filter(length(col("line")) > 0)
-    lines.join(broadcast(boiler), Seq("line"), "left_anti")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_kept"))
-      .join(lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines")), Seq(idCol), "right")
-      .select(col(idCol), col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = lines.select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"))
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          ". ").as("clean_text"))
+    lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

@@ -311,10 +311,12 @@ case class BenchmarkOverlap(child: Expression, bench: Array[(Long, Array[Long])]
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Distinct hashed word-n-gram shingles of a text column in ONE pass:
-  * the native form of
+/** Hashed word-n-gram shingles of a text column in ONE pass — with
+  * `distinct = true` (the default) the native form of
   * `array_distinct(transform(TextFunctions.shingles(text, n),
-  *   s => pmod(xxhash64(s), 2^32)))`.
+  *   s => pmod(xxhash64(s), 2^32)))`; with `distinct = false` every
+  * occurrence is kept in order (the shape n-gram REPETITION metrics
+  * need, where multiplicity is the signal).
   *
   * That composable chain re-walks the token array through four
   * interpreted HOF layers (split → filter → transform/slice/concat_ws
@@ -337,7 +339,7 @@ case class BenchmarkOverlap(child: Expression, bench: Array[(Long, Array[Long])]
   * Fewer than n tokens → empty array; null text → null (both match —
   * ShingleHashesSpec asserts full equality on the real corpus).
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.types._
@@ -358,8 +360,9 @@ case class ShingleHashes(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val lowered = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toLowerCase.toString
-    // Pattern.split with limit -1 mirrors Spark's split(); only a
-    // leading separator can produce an empty token — drop it like the
+    // Pattern.split with limit -1 mirrors Spark's split(); leading AND
+    // trailing separators both yield empty tokens under limit -1
+    // ("a b " -> [a, b, ""]) — all dropped, like the
     // filter(length > 0) step does.
     val raw = ws.split(lowered, -1)
     var nTok = 0
@@ -375,7 +378,8 @@ case class ShingleHashes(child: Expression, n: Int)
       }
       i += 1
     }
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen = if (distinct) new java.util.LinkedHashSet[java.lang.Long]() else null
+    val all = if (distinct) null else new Array[Long](nTok - n + 1)
     val buf = new Array[Byte](tokBytes.map(_.length).max * n + (n - 1))
     var s = 0
     while (s <= nTok - n) {
@@ -391,9 +395,12 @@ case class ShingleHashes(child: Expression, n: Int)
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
       val r = h % Mod
-      seen.add(if (r < 0) (r + Mod) % Mod else r)
+      val v = if (r < 0) (r + Mod) % Mod else r
+      if (distinct) seen.add(v) else all(s) = v
       s += 1
     }
+    if (!distinct)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(all)
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     i = 0
@@ -417,7 +424,26 @@ object NativeFunctions {
       "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
-      exprs => ShingleHashes(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+      exprs => {
+        // The shingle width (and optional distinct flag) parameterize the
+        // expression itself, so they must be literals — a clean analysis
+        // error here beats an NPE from eval(null) on a non-foldable arg.
+        def foldableOrFail(e: Expression, what: String): Any = {
+          if (!e.foldable) throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              s"graft_shingle_hashes requires a literal $what, got non-foldable: ${e.sql}"))
+          e.eval(null)
+        }
+        if (exprs.length < 2 || exprs.length > 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              s"graft_shingle_hashes expects (text, n[, distinct]), got ${exprs.length} args"))
+        val n = foldableOrFail(exprs(1), "shingle width n").asInstanceOf[Number].intValue()
+        val dist = if (exprs.length < 3) true
+          else foldableOrFail(exprs(2), "distinct flag").asInstanceOf[Boolean]
+        ShingleHashes(exprs(0), n, dist)
+      }, "built-in")
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.functions.TextFunctions
+import graft.functions.{QualitySignals, TextFunctions}
 
 class OperatorsSpec extends SparkSuite {
   import spark.implicits._
@@ -202,5 +202,52 @@ class OperatorsSpec extends SparkSuite {
     val r = Dedup.exactByHash(df, "text", "doc_id").orderBy("doc_id").collect()
     assert(r.length === 2)
     assert(r(0).getAs[Long]("doc_id") === 1L && r(0).getAs[Long]("group_size") === 2L)
+  }
+
+  test("removeBoilerplate drops repeated lines, rebuilds text in order") {
+    val docs = Seq(
+      (1L, "Shared header. body one. tail one"),
+      (2L, "Shared header. body two. tail two"),
+      (3L, "Shared header. body three. tail three"),
+      (4L, "Shared header. Shared header. Shared header")).toDF("doc_id", "text")
+    val r = CorpusHygiene.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(r.length === 4)
+    assert(r(0).getAs[Long]("n_lines") === 3L && r(0).getAs[Long]("n_kept") === 2L)
+    // Kept segments rejoined in original order with the '. ' separator.
+    assert(r(0).getAs[String]("clean_text") === "body one. tail one")
+    // A document that was pure boilerplate survives, empty.
+    assert(r(3).getAs[Long]("n_kept") === 0L)
+    assert(r(3).getAs[String]("clean_text") === "")
+  }
+
+  test("piiRedact: dotted quad inside an email is consumed by <EMAIL>, not counted as IPv4") {
+    val df = Seq(
+      (1L, "reach bob@10.2.3.4.example.com from 192.168.0.1 please"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val r = QualitySignals.piiRedact(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_emails") === 1L)
+    // The quad in the email domain vanished with the address — only the
+    // standalone IP is counted, and counts equal actual replacements.
+    assert(r(0).getAs[Long]("n_ipv4") === 1L)
+    assert(r(0).getAs[String]("redacted") === "reach <EMAIL> from <IP> please")
+    assert(r(1).getAs[Long]("n_emails") === 0L && r(1).getAs[Long]("n_ipv4") === 0L)
+  }
+
+  test("repetitionSignals: hashed-gram metrics equal the string-gram form") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),
+      (2L, "all words here are different ones"),
+      (3L, "one")).toDF("doc_id", "text")
+    val r = QualitySignals.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: four identical "spam spam" grams → top frac 1.0, dup frac 3/4.
+    assert(r.length === 2) // doc 3 has no 2-grams
+    assert(r(0).getAs[Long]("n_2grams") === 4L)
+    assert(r(0).getAs[Double]("top_2gram_frac") === 1.0)
+    assert(r(0).getAs[Double]("dup_2gram_frac") === 0.75)
+    // doc 2: five distinct grams, no repeats.
+    assert(r(1).getAs[Long]("n_2grams") === 5L)
+    assert(r(1).getAs[Double]("dup_2gram_frac") === 0.0)
   }
 }

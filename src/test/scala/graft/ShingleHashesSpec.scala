@@ -45,4 +45,30 @@ class ShingleHashesSpec extends SparkSuite {
     assert(rep.getSeq[Long](0) === rep.getSeq[Long](1))
     assert(rep.getSeq[Long](0).length === 3) // "a b c", "b c a", "c a b"
   }
+
+  test("distinct=false keeps every occurrence in order") {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    // "a b" occurs twice ("a b a b" → a-b, b-a, a-b); the non-distinct
+    // form must keep the repeat exactly where the HOF transform chain
+    // (no array_distinct) puts it.
+    val row = Seq("a b a b").toDF("text")
+      .select(
+        call_function("graft_shingle_hashes", col("text"), lit(2), lit(false)).as("all"),
+        transform(graft.functions.TextFunctions.shingles(col("text"), 2),
+          s => pmod(xxhash64(s), lit(4294967296L))).as("hof"))
+      .collect()(0)
+    assert(row.getSeq[Long](0) === row.getSeq[Long](1))
+    assert(row.getSeq[Long](0).length === 3)
+    assert(row.getSeq[Long](0)(0) === row.getSeq[Long](0)(2)) // the repeat survives
+  }
+
+  test("non-literal n raises a clean analysis error, not an NPE") {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    val e = intercept[Exception] {
+      Seq(("a b c", 2)).toDF("text", "n")
+        .select(call_function("graft_shingle_hashes", col("text"), col("n")))
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"), s"unexpected error: ${e.getMessage}")
+  }
 }
