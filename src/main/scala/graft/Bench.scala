@@ -66,7 +66,14 @@ object Bench {
     // scale path (LSH/IVF/AllPairs are).
     val baselines = SparkEntry.baselineQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"baseline":$baselines,"sf":"$sfDir"}""")
+    // Box load at measurement time: a loaded machine inflates every
+    // query uniformly (round 3 committed a 6× artifact that a quiet-box
+    // re-run disproved) — the JSON must carry the evidence to judge
+    // itself. 1-minute loadavg, read after the runs.
+    val loadavg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0)
+      catch { case _: Throwable => "-1" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"baseline":$baselines,"loadavg":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
