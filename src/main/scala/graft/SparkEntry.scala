@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Components, CorpusHygiene, Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Sampling, Sessions, Skew, TimeAgg}
 import graft.functions.{QualitySignals, TextFunctions}
+import graft.pipelines.{BronzeSilverPipeline, JoinedSilverPipeline, MonthlyAggPipeline}
 import graft.sources.{ColumnarJson, TableManager}
 import graft.streaming.StreamingJobs
 
@@ -28,6 +29,11 @@ object SparkEntry {
     * carries CORRECTNESS rows, not just ScalaTests.
     */
   private val ColumnarFixtureDir = "/root/repo/fixtures/columnar"
+
+  /** Open-Meteo-shaped payload fixtures driving the three end-to-end
+    * pipeline gates (E1/E2/E3) — same files PipelinesSpec uses.
+    */
+  private val PipelineFixtureDir = "/root/repo/src/test/resources/fixtures"
 
   /** Drop `tbl` from the catalog AND delete its warehouse directory —
     * the sink-layer gate queries must be re-runnable: with the default
@@ -538,6 +544,44 @@ object SparkEntry {
       tm.createOrReplaceView(s"${tbl}_v",
         s"SELECT source, n_docs, avg_chars FROM `$tbl` WHERE n_docs > 0")
       s.table(s"${tbl}_v")
+    }),
+
+    // E1 END TO END: ingest → Bronze append (two runs, two ingestion
+    // dates — the dup file collides with the clean file's first 20
+    // hours) → deterministic keep-first dedup → clean → Silver. The
+    // oracle rebuilds Silver from the raw JSON payloads with the same
+    // window + filter. This is the reference's actual deliverable
+    // (First experiment/GPT 5.py:70-172) as a CORRECTNESS row.
+    "s_e1_pipeline" -> ((s, _) => {
+      val tm = new TableManager(s)
+      resetTable(s, "graft_gate_e1_bronze"); resetTable(s, "graft_gate_e1_silver")
+      val p = new BronzeSilverPipeline(s, tm)
+      p.run(s"$PipelineFixtureDir/aq_clean_768h.json", "2025-04-02",
+        "graft_gate_e1_bronze", "graft_gate_e1_silver")
+      p.run(s"$PipelineFixtureDir/aq_dup_ts.json", "2025-04-03",
+        "graft_gate_e1_bronze", "graft_gate_e1_silver")
+      s.table("graft_gate_e1_silver")
+    }),
+
+    // E2 END TO END: ingest → (year, month) multi-avg → monthly table
+    // (Second Experiment/Qwen3-235B-A22B-2507.py:125-163).
+    "s_e2_pipeline" -> ((s, _) => {
+      resetTable(s, "graft_gate_e2_monthly")
+      new MonthlyAggPipeline(s, new TableManager(s))
+        .run(s"$PipelineFixtureDir/aq_mar_aug_4416h.json", "graft_gate_e2_monthly")
+    }),
+
+    // E3 END TO END: dual ingest → two Bronzes → inner join on time →
+    // dedup → merged Silver (Third Experiment/GPT 5.py:139-261).
+    "s_e3_pipeline" -> ((s, _) => {
+      val tm = new TableManager(s)
+      Seq("graft_gate_e3_aq", "graft_gate_e3_wx", "graft_gate_e3_silver")
+        .foreach(resetTable(s, _))
+      new JoinedSilverPipeline(s, tm).run(
+        s"$PipelineFixtureDir/aq_clean_768h.json",
+        s"$PipelineFixtureDir/wx_clean_768h.json", "2025-04-02",
+        "graft_gate_e3_aq", "graft_gate_e3_wx", "graft_gate_e3_silver")
+      s.table("graft_gate_e3_silver")
     }),
 
     // Correlated scalar subquery (decorrelated by Catalyst into an
@@ -1199,7 +1243,49 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // E1: Bronze (two ingestion dates) → deterministic keep-first on
+    // time (ordered by ingestion_date then the pollutant values, the
+    // exact Dedup.keepFirst tie-break) → drop-if-any-null clean.
+    "s_e1_pipeline" -> {
+      import graft.pipelines.AirQuality.Pollutants
+      val cols = Pollutants.mkString(", ")
+      val notNull = Pollutants.map(m => s"$m IS NOT NULL").mkString(" AND ")
+      s"""WITH raw AS (
+         |  SELECT *, DATE '2025-04-02' AS ingestion_date
+         |  FROM (${duckPayload(s"$PipelineFixtureDir/aq_clean_768h.json", Pollutants)})
+         |  UNION ALL
+         |  SELECT *, DATE '2025-04-03' AS ingestion_date
+         |  FROM (${duckPayload(s"$PipelineFixtureDir/aq_dup_ts.json", Pollutants)})),
+         |dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY time
+         |    ORDER BY ingestion_date, $cols) AS rn
+         |  FROM raw)
+         |SELECT time, $cols, ingestion_date
+         |FROM dd WHERE rn = 1 AND $notNull""".stripMargin
+    },
+
+    // E2: monthly multi-avg straight off the raw payload.
+    "s_e2_pipeline" -> {
+      import graft.pipelines.AirQuality.Pollutants
+      val avgs = Pollutants.map(m => s"avg($m) AS avg_$m").mkString(", ")
+      s"""SELECT year(time) AS year, month(time) AS month, $avgs
+         |FROM (${duckPayload(s"$PipelineFixtureDir/aq_mar_aug_4416h.json", Pollutants)})
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // E3: both payloads rebuilt, inner join on time (1:1 here, so the
+    // pipeline's keep-first dedup is the identity).
+    "s_e3_pipeline" -> {
+      import graft.pipelines.AirQuality.{Pollutants, WeatherMetrics}
+      val aqCols = Pollutants.map("a." + _).mkString(", ")
+      val wxCols = WeatherMetrics.map("w." + _).mkString(", ")
+      s"""WITH aq AS (${duckPayload(s"$PipelineFixtureDir/aq_clean_768h.json", Pollutants)}),
+         |wx AS (${duckPayload(s"$PipelineFixtureDir/wx_clean_768h.json", WeatherMetrics)})
+         |SELECT a.time, $aqCols, DATE '2025-04-02' AS ingestion_date, $wxCols
+         |FROM aq a JOIN wx w ON a.time = w.time""".stripMargin
+    }
   ) ++ extensionOracles
 
   // DuckDB-dialect mirrors of the extension queries. Tokenization,
@@ -1210,6 +1296,14 @@ object SparkEntry {
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
   private def duckShingles(tok: String) =
     s"list_distinct(list_transform(range(1, len($tok) - 1), i -> array_to_string($tok[i:i+2], ' ')))"
+
+  // Lockstep-unnest rebuild of a columnar Open-Meteo payload — the
+  // Bronze shape the E1/E2/E3 pipeline oracles start from.
+  private def duckPayload(path: String, metrics: Seq[String]): String = {
+    val um = metrics.map(m => s"unnest(hourly.$m) AS $m").mkString(", ")
+    s"""SELECT strptime(t, '%Y-%m-%dT%H:%M') AS time, ${metrics.mkString(", ")}
+       |FROM (SELECT unnest(hourly.time) AS t, $um FROM read_json_auto('$path'))""".stripMargin
+  }
 
   // Stopword-argmax lang-ID — shared by text_langid and the
   // text_langid_eval accuracy report.
