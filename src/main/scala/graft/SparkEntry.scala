@@ -584,6 +584,61 @@ object SparkEntry {
       s.table("graft_gate_e3_silver")
     }),
 
+    // S11: position-based insertInto an existing table — append creates
+    // it with the first half, insertInto lands the second half.
+    "s_insert_into" -> ((s, dir) => {
+      val tm = new TableManager(s)
+      val tbl = "graft_gate_insert"
+      resetTable(s, tbl)
+      tm.append(t(s, dir, "region").filter(col("r_regionkey") < 3), tbl)
+      tm.insertInto(t(s, dir, "region").filter(col("r_regionkey") >= 3), tbl)
+      s.table(tbl)
+    }),
+
+    // S12: DDL create from a StructType, then compare-then-repair — the
+    // second ensureTable sees an incompatible (wider) expected schema,
+    // drops and recreates, and the reload lands in the repaired table.
+    "s_ddl_repair" -> ((s, dir) => {
+      val tm = new TableManager(s)
+      val tbl = "graft_gate_ddl"
+      resetTable(s, tbl)
+      val two = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val three = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      tm.ensureTable(tbl, two.schema)
+      tm.insertInto(two, tbl)
+      tm.ensureTable(tbl, three.schema) // incompatible → drop + recreate
+      tm.insertInto(three, tbl)
+      s.table(tbl)
+    }),
+
+    // S15/S13: OPTIMIZE stand-in — append a deliberately fragmented
+    // 8-file table, compact to ONE clustered file, and prove it via
+    // describeDetail's file count riding in the output (num_files = 1
+    // only if the compaction actually rewrote the layout).
+    "s_compact" -> ((s, dir) => {
+      val tm = new TableManager(s)
+      val tbl = "graft_gate_compact"
+      resetTable(s, tbl)
+      val agg = t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      tm.append(agg.repartition(8), tbl)
+      tm.compact(tbl, numFiles = 1, clusterBy = Seq("source"))
+      val detail = tm.describeDetail(tbl).select(col("num_files"))
+      s.table(tbl).crossJoin(detail)
+    }),
+
+    // J3: aliased join — both sides aliased, condition and grouping
+    // through the qualified names.
+    "q44_aliased_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").as("o")
+      val c = t(s, dir, "customer").as("c")
+      o.join(c, col("o.o_custkey") === col("c.c_custkey"))
+        .groupBy(col("c.c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o.o_orderkey")).as("n_distinct_orders"))
+    }),
+
     // Correlated scalar subquery (decorrelated by Catalyst into an
     // aggregate + join — no per-row re-execution at scale).
     "q42_scalar_subquery" -> ((s, dir) => {
@@ -703,6 +758,29 @@ object SparkEntry {
       val centroids = EmbeddingAnn.trainCentroids(cn, "vec_id", "embedding", nlist = 16)
       EmbeddingAnn.ivfTopK(cn, cn.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 5, centroids, nprobe = 4)
+    }),
+
+    // IVF quality made driver-visible: recall of the IVF path against
+    // the exact brute-force top-k over the same corpus, gated on a
+    // pinned floor (0.5; measured 0.81 at sf0.01 — AnnIvfSpec asserts
+    // the same bound). The oracle pins (n_exact, recall_ok), so an IVF
+    // regression below the floor becomes a CORRECTNESS failure, not
+    // just a ScalaTest one.
+    "ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cn = EmbeddingAnn.normalized(e, "embedding").persist()
+      val centroids = EmbeddingAnn.trainCentroids(cn, "vec_id", "embedding", nlist = 16)
+      val ivf = EmbeddingAnn.ivfTopK(cn, cn.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, centroids, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = EmbeddingAnn.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double") >= 0.5).as("recall_ok"))
     }),
 
     // REAL multimodal decode: binary-file scan of checked-in BMP/WAV
@@ -1245,6 +1323,25 @@ object SparkEntry {
         |                    WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority""".stripMargin,
 
+    "s_insert_into" -> "SELECT r_regionkey, r_name FROM region",
+
+    // Final state after repair: the 2-column history was dropped with
+    // the old table; only the 3-column reload remains.
+    "s_ddl_repair" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // num_files pinned to 1: true only if compact() actually rewrote
+    // the 8-file layout into a single clustered file.
+    "s_compact" ->
+      """SELECT source, count(*) AS n_docs, CAST(1 AS BIGINT) AS num_files
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q44_aliased_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  count(DISTINCT o_orderkey) AS n_distinct_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
     // E1: Bronze (two ingestion dates) → deterministic keep-first on
     // time (ordered by ingestion_date then the pollutant values, the
     // exact Dedup.keepFirst tie-break) → drop-if-any-null clean.
@@ -1438,6 +1535,12 @@ object SparkEntry {
         |    list_cosine_similarity(a.v, b.v) AS cosine
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4""".stripMargin,
+
+    // 20 queries × k=5 exact pairs; recall_ok pinned true at the 0.5
+    // floor (IVF is deterministic — seeded sample, fixed iteration —
+    // so this is a stable gate, measured 0.81 at sf0.01).
+    "ann_recall" ->
+      "SELECT CAST(100 AS BIGINT) AS n_exact, true AS recall_ok",
 
     "ann_topk" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
