@@ -701,6 +701,14 @@ object SparkEntry {
     "dedup_allpairs" -> ((s, dir) =>
       NearDup.allPairsNearDups(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
 
+    // Same operator, prefix order chosen by the frequency-skew
+    // pre-check (hash order on this flat-vocabulary corpus; a skewed
+    // one flips to rare-first, reusing the already-counted df frame).
+    // Result is order-independent — the oracle proves it.
+    "dedup_allpairs_auto" -> ((s, dir) =>
+      NearDup.allPairsNearDupsAuto(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+
     // Brute-force n-gram Jaccard baseline, sampled query side (the
     // plan LSH exists to avoid; kept oracle-checkable). Corpus capped
     // at a fixed id range so this O(n^2) baseline stays flat as sf
@@ -718,6 +726,16 @@ object SparkEntry {
       val pairs = NearDup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)
       Components.keepDecision(Components.connectedComponents(pairs))
+    }),
+
+    // Same closure via star contraction (large-star/small-star):
+    // O(log² n) rounds independent of component diameter — the
+    // extreme-diameter upgrade over label propagation, proven
+    // result-identical by the same recursive-CTE oracle.
+    "dedup_clusters_star" -> ((s, dir) => {
+      val pairs = NearDup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Components.keepDecision(Components.connectedComponentsStar(pairs))
     }),
 
     // SimHash near-dup: 64-bit fingerprint, 4-chunk pigeonhole banding,
@@ -1418,6 +1436,50 @@ object SparkEntry {
        |  len(list_filter(tok, t -> list_contains(['le','la','les','de','et','un','est','pour','dans','que'], t))) AS fr
        |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents))""".stripMargin
 
+  // Exact O(n²) pairwise-Jaccard answer — the common oracle for every
+  // exact or high-recall near-dup path (minhash LSH, allpairs hash- and
+  // freq-ordered): at this corpus's j ≥ 0.89 near-dup band they all
+  // coincide with the exhaustive scan.
+  private lazy val duckExactPairsSql =
+    s"""WITH s AS (
+       |  SELECT doc_id, ${duckShingles("tok")} AS sh
+       |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
+       |  WHERE len(tok) >= 3)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.sh, b.sh))::DOUBLE
+       |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  // Recursive closure over the exact-Jaccard pair set: reach(node,
+  // label) accumulates every reachable node id; min per node is the
+  // component id. Oracles BOTH closure algorithms (label propagation
+  // and star contraction) — they must agree exactly.
+  private lazy val duckClustersSql =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${duckShingles("tok")} AS sh
+       |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
+       |  WHERE len(tok) >= 3),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      len(list_intersect(a.sh, b.sh))::DOUBLE
+       |        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+       |SELECT CAST(node AS BIGINT) AS node,
+       |  CAST(min(label) AS BIGINT) AS cluster_id,
+       |  min(label) = node AS keep
+       |FROM reach GROUP BY node""".stripMargin
+
   // The PII regexes, verbatim from QualitySignals (single-quoted SQL
   // strings pass backslashes through to DuckDB's RE2 untouched).
   private val duckEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -1450,29 +1512,10 @@ object SparkEntry {
         |  WHERE length(trim(line)) > 0)
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
 
-    "dedup_allpairs" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, ${duckShingles("tok")} AS sh
-         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
-         |  WHERE len(tok) >= 3)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    len(list_intersect(a.sh, b.sh))::DOUBLE
-         |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-         |WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_allpairs" -> duckExactPairsSql,
+    "dedup_allpairs_auto" -> duckExactPairsSql,
 
-    "dedup_minhash" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, ${duckShingles("tok")} AS sh
-         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
-         |  WHERE len(tok) >= 3)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    len(list_intersect(a.sh, b.sh))::DOUBLE
-         |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-         |WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_minhash" -> duckExactPairsSql,
 
     "dedup_ngram_sample" ->
       s"""WITH s AS (
@@ -1490,29 +1533,8 @@ object SparkEntry {
     // Recursive closure over the exact-Jaccard pair set: reach(node,
     // label) accumulates every reachable node id; min per node is the
     // component id (matches min-label propagation on the Spark side).
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, ${duckShingles("tok")} AS sh
-         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
-         |  WHERE len(tok) >= 3),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |      len(list_intersect(a.sh, b.sh))::DOUBLE
-         |        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.5),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(node, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
-         |SELECT CAST(node AS BIGINT) AS node,
-         |  CAST(min(label) AS BIGINT) AS cluster_id,
-         |  min(label) = node AS keep
-         |FROM reach GROUP BY node""".stripMargin,
+    "dedup_clusters" -> duckClustersSql,
+    "dedup_clusters_star" -> duckClustersSql,
 
     "text_tfidf" ->
       s"""WITH toks AS (

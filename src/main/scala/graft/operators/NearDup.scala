@@ -167,20 +167,54 @@ object NearDup {
                        freqOrder: Boolean = false): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val orderedSets =
-      if (freqOrder) {
-        val exploded = sh.select(col(idCol), explode(col("shingles")).as("s"))
-        val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("f"))
-        exploded.join(freq, "s")
+    allPairsCore(sh, idCol, threshold,
+      if (freqOrder) Some(shingleFreq(sh, idCol)) else None)
+  }
+
+  /** [[allPairsNearDups]] with the prefix ordering chosen by a
+    * frequency-skew pre-check instead of a caller guess: the document
+    * frequencies are counted once (one map-side-combinable aggregate
+    * over the same explode the prefix index performs anyway), and if
+    * the hottest shingle's posting list is more than `skewFactor` times
+    * the mean, the corpus is skewed enough that hash-ordered prefixes
+    * would hit that posting list's quadratic candidate blowup — so the
+    * already-paid-for frequency frame is reused to order prefixes
+    * rare-first. On flat vocabularies (max ≈ mean) the check picks hash
+    * order and skips the ordering join entirely. Either choice is
+    * exact; the stat collect is one row.
+    */
+  def allPairsNearDupsAuto(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5,
+                           skewFactor: Double = 8.0): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = shingleFreq(sh, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stat = freq.agg(max(col("f")).as("mx"), avg(col("f")).as("av")).head()
+    val skewed = stat.getLong(0).toDouble > skewFactor * stat.getDouble(1)
+    allPairsCore(sh, idCol, threshold, if (skewed) Some(freq) else None)
+  }
+
+  /** Global shingle document frequencies over a shingle-set frame. */
+  private def shingleFreq(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol), explode(col("shingles")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("f"))
+
+  private def allPairsCore(sh: DataFrame, idCol: String, threshold: Double,
+                           freq: Option[DataFrame]): DataFrame = {
+    val orderedSets = freq match {
+      case Some(f) =>
+        sh.select(col(idCol), explode(col("shingles")).as("s"))
+          .join(f, "s")
           .groupBy(col(idCol))
           .agg(array_sort(collect_list(struct(col("f"), col("s")))).as("__ord"))
           .select(col(idCol),
             transform(col("__ord"), x => x.getField("s")).as("ord_shingles"),
             size(col("__ord")).as("sz"))
-      } else {
+      case None =>
         sh.select(col(idCol), array_sort(col("shingles")).as("ord_shingles"),
           size(col("shingles")).as("sz"))
-      }
+    }
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
     // Persisted: the candidate self-join reads this subtree twice, and
     // without a cache the whole frequency/ordering pipeline above runs

@@ -75,6 +75,43 @@ class PropertySpec extends SparkSuite {
     once.foreach { case (_, cl) => assert(labels(cl) === cl) }
   }
 
+  test("star contraction == label propagation on random graphs") {
+    def canon(c: org.apache.spark.sql.DataFrame) =
+      c.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    for (seed <- 1 to 5) {
+      val r = new scala.util.Random(seed)
+      val edges = List.fill(40)((r.nextInt(30).toLong, r.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      assert(canon(Components.connectedComponentsStar(df)) ===
+        canon(Components.connectedComponents(df)))
+    }
+  }
+
+  test("star contraction labels a 200-node chain (diameter >> label-prop budget)") {
+    // Label propagation needs O(diameter) rounds — 200 here, past its
+    // maxIter guard; star contraction needs O(log²) and must finish
+    // well inside 30. This is exactly the graph shape the variant
+    // exists for.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Components.connectedComponentsStar(chain).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(labels.length === 200)
+    assert(labels.forall(_._2 === 0L)) // one component, min node 0
+    intercept[IllegalStateException] {
+      Components.connectedComponents(chain, maxIter = 20)
+    }
+  }
+
+  test("allPairsNearDupsAuto matches the explicit-order result") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val auto = canon(NearDup.allPairsNearDupsAuto(docs, "doc_id", "text"))
+    assert(auto.nonEmpty)
+    assert(auto === canon(NearDup.allPairsNearDups(docs, "doc_id", "text")))
+  }
+
   test("native graft_jaccard equals the composable intersect/union form") {
     graft.plans.NativeFunctions.ensureRegistered(spark)
     val r = new scala.util.Random(7)
