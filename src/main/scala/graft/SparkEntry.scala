@@ -954,6 +954,22 @@ object SparkEntry {
           rates = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125))
         .select(col("doc_id"), col("source"))),
 
+    // Token-BUDGET mixture sampling: per-source token budgets (the way
+    // training mixtures are actually specified), admission in
+    // deterministic hash order, running totals in the output.
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSample(t(s, dir, "documents"), "source", "doc_id", "text",
+        budgets = Map("src0" -> 1500L, "src1" -> 800L, "src3" -> 300L))),
+
+    // Decontamination as the shipped compose: corpus minus every doc
+    // sharing >= 2 five-gram shingles with the benchmark subset.
+    "decon_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusHygiene.removeContaminated(d, d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 5, minShared = 2)
+        .select(col("doc_id"))
+    }),
+
     // Symmetric int8 floor-quantization of the embedding column:
     // range, codes' L1 mass, first code — the 4× memory lever for
     // billion-vector IVF postings, floor-based so codes are
@@ -1436,6 +1452,21 @@ object SparkEntry {
        |  len(list_filter(tok, t -> list_contains(['le','la','les','de','et','un','est','pour','dans','que'], t))) AS fr
        |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents))""".stripMargin
 
+  // 5-gram contamination pairs — shared by the detect report
+  // (decon_overlap) and the remove compose (decon_filter).
+  private lazy val duckDeconPairsSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(tok) - 3),
+       |      i -> array_to_string(tok[i:i+4], ' '))) AS sh
+       |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
+       |  WHERE len(tok) >= 5)
+       |SELECT c.doc_id, b.doc_id AS bench_id,
+       |  CAST(len(list_intersect(c.sh, b.sh)) AS BIGINT) AS n_shared
+       |FROM sh c JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b
+       |  ON c.doc_id != b.doc_id
+       |WHERE len(list_intersect(c.sh, b.sh)) >= 2""".stripMargin
+
   // Exact O(n²) pairwise-Jaccard answer — the common oracle for every
   // exact or high-recall near-dup path (minhash LSH, allpairs hash- and
   // freq-ordered): at this corpus's j ≥ 0.89 near-dup band they all
@@ -1492,18 +1523,23 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     // 5-gram shingles: range/slice arithmetic mirrors duckShingles at n=5.
-    "decon_overlap" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(tok) - 3),
-         |      i -> array_to_string(tok[i:i+4], ' '))) AS sh
-         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
-         |  WHERE len(tok) >= 5)
-         |SELECT c.doc_id, b.doc_id AS bench_id,
-         |  CAST(len(list_intersect(c.sh, b.sh)) AS BIGINT) AS n_shared
-         |FROM sh c JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b
-         |  ON c.doc_id != b.doc_id
-         |WHERE len(list_intersect(c.sh, b.sh)) >= 2""".stripMargin,
+    "decon_overlap" -> duckDeconPairsSql,
+
+    "decon_filter" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM ($duckDeconPairsSql))""".stripMargin,
+
+    "sample_token_budget" ->
+      s"""SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS cum_tokens
+         |  FROM (SELECT doc_id, source,
+         |          CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents))
+         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1500
+         |                                WHEN 'src1' THEN 800
+         |                                WHEN 'src3' THEN 300 END""".stripMargin,
 
     "text_boilerplate" ->
       """SELECT line, count(*) AS n_docs FROM (

@@ -46,6 +46,20 @@ object CorpusHygiene {
       .filter(col("doc_id") =!= col("bench_id"))
   }
 
+  /** Decontamination as a FILTER: the corpus minus every document
+    * [[contaminationPairs]] flags — the compose a pipeline actually
+    * ships (detect feeds remove). Same scale shape: the benchmark
+    * rides inside the native expression, the corpus pass is linear,
+    * and the flagged-id set (small by construction) anti-joins back.
+    */
+  def removeContaminated(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5, minShared: Long = 2): DataFrame = {
+    val bad = contaminationPairs(corpus, benchmark, idCol, textCol, n, minShared)
+      .select(col("doc_id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Cross-document boilerplate: sentence-level segments appearing in
     * at least `minDocs` DISTINCT documents (headers, disclaimers,
     * navigation chrome — the C4-style repeated-line filter target).

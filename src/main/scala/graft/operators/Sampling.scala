@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for corpus construction and data mixing.
@@ -51,4 +52,42 @@ object Sampling {
     val n = math.floor(rate * 256).toInt
     if (n >= 256) "g" else f"$n%02x"
   }
+
+  /** Token-BUDGET mixture sampling: training mixtures are specified in
+    * tokens per source, not keep-rates — "50M tokens of src0, 20M of
+    * src1". Documents are admitted per stratum in deterministic
+    * md5-hash order (an engine-portable random permutation) while the
+    * running token total stays within that stratum's budget; strata
+    * without a budget drop entirely. Deterministic, layout-independent,
+    * re-drawable with a different salt — the same properties as
+    * [[stratifiedSample]], but budgeted by token mass instead of row
+    * fraction. Output keeps `n_tokens` and the running `cum_tokens`
+    * so the mixture report is free.
+    *
+    * Scale shape: ONE shuffle on the stratum key, then a per-stratum
+    * sort by 128-bit hash for the running sum — a range-partitioned
+    * sort Spark handles at any size; no driver state, no collect. The
+    * admission boundary cuts mid-document never: the last admitted doc
+    * is the one that keeps cum ≤ budget.
+    */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, keyCol: String,
+                        textCol: String, budgets: Map[String, Long],
+                        salt: String = "graft"): DataFrame = {
+    val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (stratum, b)) =>
+      when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket32(col(keyCol), salt))
+    df.select(col(keyCol), col(strataCol),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Full md5 hex of (salt || key) — the deterministic per-stratum
+    * permutation order for [[tokenBudgetSample]]; unique per key, so
+    * the window order is total and engine-portable.
+    */
+  def hashBucket32(key: Column, salt: String): Column =
+    md5(concat(lit(salt), key.cast("string")).cast("binary"))
 }

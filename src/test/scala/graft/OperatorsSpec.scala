@@ -204,6 +204,44 @@ class OperatorsSpec extends SparkSuite {
     assert(r(0).getAs[Long]("doc_id") === 1L && r(0).getAs[Long]("group_size") === 2L)
   }
 
+  test("tokenBudgetSample admits docs in hash order until the stratum budget") {
+    val df = Seq(
+      (1L, "a", "one two three"),          // 3 tokens
+      (2L, "a", "one two three four"),     // 4
+      (3L, "a", "one two"),                // 2
+      (4L, "b", "one two three four five") // 5, no budget for b
+    ).toDF("doc_id", "source", "text")
+    val r = Sampling.tokenBudgetSample(df, "source", "doc_id", "text",
+      budgets = Map("a" -> 6L))
+    val rows = r.orderBy("cum_tokens").collect()
+    // Budget 6 admits a prefix of the hash-ordered 'a' docs; stratum
+    // 'b' drops entirely. Each admitted row keeps cum <= 6.
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("source") == "a"))
+    assert(rows.forall(_.getAs[Long]("cum_tokens") <= 6L))
+    // Running totals are consistent: each cum = previous cum + n_tokens.
+    rows.foldLeft(0L) { (prev, row) =>
+      val cum = row.getAs[Long]("cum_tokens")
+      assert(cum === prev + row.getAs[Long]("n_tokens"))
+      cum
+    }
+    // Determinism: a second run returns the identical admitted set.
+    val again = Sampling.tokenBudgetSample(df, "source", "doc_id", "text",
+      budgets = Map("a" -> 6L)).orderBy("cum_tokens").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ===
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("removeContaminated drops exactly the flagged docs, keeps the benchmark") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"), (2L, "x y z w q r s"), (10L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 10L)
+    val kept = CorpusHygiene.removeContaminated(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 3).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L, 10L)) // doc 1 contaminated; 10 is the benchmark itself
+  }
+
   test("removeBoilerplate drops repeated lines, rebuilds text in order") {
     val docs = Seq(
       (1L, "Shared header. body one. tail one"),
