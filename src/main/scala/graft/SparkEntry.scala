@@ -901,6 +901,20 @@ object SparkEntry {
         sink, mode = "append")
     }),
 
+    // Stream-stream inner join with event-time range state eviction:
+    // clicks paired with same-user purchases within the next hour.
+    // One micro-batch over the file ⇒ emitted pairs == the batch join.
+    "streaming_join" -> ((s, dir) => {
+      val clicks = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
+        .filter(col("event_type") === "click")
+      val buys = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+      val sink = s"streaming_join_${System.nanoTime}"
+      StreamingJobs.runToMemory(s,
+        StreamingJobs.streamStreamJoin(clicks, buys, withinSec = 3600),
+        sink, mode = "append")
+    }),
+
     // Gopher-style rule signals per document (length / word shape /
     // symbol ratio / stopword presence) with the composite pass flag.
     "text_gopher" -> ((s, dir) =>
@@ -960,6 +974,13 @@ object SparkEntry {
     "sample_token_budget" -> ((s, dir) =>
       Sampling.tokenBudgetSample(t(s, dir, "documents"), "source", "doc_id", "text",
         budgets = Map("src0" -> 1500L, "src1" -> 800L, "src3" -> 300L))),
+
+    // The full hygiene FUNNEL as one retention report: exact dedup →
+    // near-dup clusters → C4 length band → language filter, counts per
+    // stage — the headline numbers of a corpus-curation run, in one
+    // lazy job. The oracle replays every stage in SQL.
+    "corpus_funnel" -> ((s, dir) =>
+      CorpusHygiene.hygieneFunnel(t(s, dir, "documents"), "doc_id", "text")),
 
     // Decontamination as the shipped compose: corpus minus every doc
     // sharing >= 2 five-gram shingles with the benchmark subset.
@@ -1436,9 +1457,10 @@ object SparkEntry {
        |FROM (SELECT unnest(hourly.time) AS t, $um FROM read_json_auto('$path'))""".stripMargin
   }
 
-  // Stopword-argmax lang-ID — shared by text_langid and the
-  // text_langid_eval accuracy report.
-  private val duckLangIdSql =
+  // Stopword-argmax lang-ID — shared by text_langid, the
+  // text_langid_eval accuracy report, and the hygiene funnel (which
+  // runs it over a survivors CTE instead of the base table).
+  private def duckLangIdFrom(rel: String): String =
     s"""SELECT doc_id,
        |  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
        |       WHEN en = greatest(en, de, es, fr) THEN 'en'
@@ -1450,7 +1472,9 @@ object SparkEntry {
        |  len(list_filter(tok, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t))) AS de,
        |  len(list_filter(tok, t -> list_contains(['el','la','de','que','y','en','un','por','con','para'], t))) AS es,
        |  len(list_filter(tok, t -> list_contains(['le','la','les','de','et','un','est','pour','dans','que'], t))) AS fr
-       |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents))""".stripMargin
+       |  FROM (SELECT doc_id, $duckTokens AS tok FROM $rel))""".stripMargin
+
+  private lazy val duckLangIdSql = duckLangIdFrom("documents")
 
   // 5-gram contamination pairs — shared by the detect report
   // (decon_overlap) and the remove compose (decon_filter).
@@ -1511,6 +1535,32 @@ object SparkEntry {
        |  min(label) = node AS keep
        |FROM reach GROUP BY node""".stripMargin
 
+  // Gopher-rule signals + composite pass flag — shared by text_gopher
+  // and the hygiene funnel's quality stage.
+  private def duckGopherFrom(rel: String): String =
+    s"""SELECT doc_id, n_tokens, mean_word_len, alpha_word_frac,
+       |  symbol_word_ratio, stop_hits,
+       |  (n_tokens BETWEEN 20 AND 100000
+       |   AND mean_word_len BETWEEN 3.0 AND 10.0
+       |   AND alpha_word_frac >= 0.8
+       |   AND symbol_word_ratio <= 0.1
+       |   AND stop_hits >= 2) AS gopher_pass
+       |FROM (
+       |  SELECT doc_id,
+       |    len(tok) AS n_tokens,
+       |    CASE WHEN len(tok) = 0 THEN 0.0
+       |         ELSE list_sum(list_transform(tok, t -> strlen(t)))::DOUBLE / len(tok)::DOUBLE
+       |    END AS mean_word_len,
+       |    CASE WHEN len(tok) = 0 THEN 0.0
+       |         ELSE len(list_filter(tok, t -> regexp_matches(t, '[a-z]')))::DOUBLE / len(tok)::DOUBLE
+       |    END AS alpha_word_frac,
+       |    CASE WHEN len(tok) = 0 THEN 0.0
+       |         ELSE len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE / len(tok)::DOUBLE
+       |    END AS symbol_word_ratio,
+       |    len(list_intersect(list_distinct(tok),
+       |      ['the','be','to','of','and','that','have','with'])) AS stop_hits
+       |  FROM (SELECT doc_id, text, $duckTokens AS tok FROM $rel))""".stripMargin
+
   // The PII regexes, verbatim from QualitySignals (single-quoted SQL
   // strings pass backslashes through to DuckDB's RE2 untouched).
   private val duckEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -1528,6 +1578,45 @@ object SparkEntry {
     "decon_filter" ->
       s"""SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM ($duckDeconPairsSql))""".stripMargin,
+
+    // Every funnel stage replayed in SQL over the previous stage's
+    // survivors: fingerprint-dedup, recursive-CTE near-dup clusters,
+    // Gopher rules, lang-ID — the stage SQL bodies are the same ones
+    // the standalone oracles use, re-pointed at the survivor CTEs.
+    "corpus_funnel" ->
+      s"""WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents),
+         |k1 AS (SELECT min(doc_id) AS doc_id FROM d0
+         |       GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+         |d1 AS (SELECT d0.* FROM d0 JOIN k1 USING (doc_id)),
+         |sh AS (
+         |  SELECT doc_id, ${duckShingles("tok")} AS sh
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM d1)
+         |  WHERE len(tok) >= 3),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      len(list_intersect(a.sh, b.sh))::DOUBLE
+         |        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         |comp AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
+         |d2 AS (SELECT * FROM d1
+         |       WHERE doc_id NOT IN (SELECT node FROM comp WHERE cid != node)),
+         |d3 AS (SELECT * FROM d2 WHERE len($duckTokens) BETWEEN 20 AND 100000),
+         |p AS (SELECT doc_id FROM (${duckLangIdFrom("d3")}) WHERE lang_pred = 'en'),
+         |d4 AS (SELECT d3.* FROM d3 JOIN p USING (doc_id))
+         |SELECT 's0_total' AS stage, count(*) AS n_docs FROM d0
+         |UNION ALL SELECT 's1_exact_dedup', count(*) FROM d1
+         |UNION ALL SELECT 's2_near_dedup', count(*) FROM d2
+         |UNION ALL SELECT 's3_length', count(*) FROM d3
+         |UNION ALL SELECT 's4_lang_en', count(*) FROM d4""".stripMargin,
 
     "sample_token_budget" ->
       s"""SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
@@ -1686,29 +1775,18 @@ object SparkEntry {
     "streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
-    "text_gopher" ->
-      s"""SELECT doc_id, n_tokens, mean_word_len, alpha_word_frac,
-         |  symbol_word_ratio, stop_hits,
-         |  (n_tokens BETWEEN 20 AND 100000
-         |   AND mean_word_len BETWEEN 3.0 AND 10.0
-         |   AND alpha_word_frac >= 0.8
-         |   AND symbol_word_ratio <= 0.1
-         |   AND stop_hits >= 2) AS gopher_pass
-         |FROM (
-         |  SELECT doc_id,
-         |    len(tok) AS n_tokens,
-         |    CASE WHEN len(tok) = 0 THEN 0.0
-         |         ELSE list_sum(list_transform(tok, t -> strlen(t)))::DOUBLE / len(tok)::DOUBLE
-         |    END AS mean_word_len,
-         |    CASE WHEN len(tok) = 0 THEN 0.0
-         |         ELSE len(list_filter(tok, t -> regexp_matches(t, '[a-z]')))::DOUBLE / len(tok)::DOUBLE
-         |    END AS alpha_word_frac,
-         |    CASE WHEN len(tok) = 0 THEN 0.0
-         |         ELSE len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE / len(tok)::DOUBLE
-         |    END AS symbol_word_ratio,
-         |    len(list_intersect(list_distinct(tok),
-         |      ['the','be','to','of','and','that','have','with'])) AS stop_hits
-         |  FROM (SELECT doc_id, text, $duckTokens AS tok FROM documents))""".stripMargin,
+    // Timestamps compared AFTER the cast to microsecond precision on
+    // both sides (the stream truncates nanos the same way).
+    "streaming_join" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, CAST(ts AS TIMESTAMP) AS a_ts
+        |           FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, CAST(ts AS TIMESTAMP) AS b_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a_id, b_id, a_ts, b_ts
+        |FROM a JOIN b ON a.user_id = b.user_id
+        | AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "text_gopher" -> duckGopherFrom("documents"),
 
     // Non-distinct word 2-grams (multiplicity IS the signal); the Spark
     // side hashes grams to longs before the shuffle, which leaves every

@@ -60,6 +60,45 @@ object CorpusHygiene {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** The hygiene FUNNEL a pretraining corpus goes through before
+    * tokenization, as one retention report: exact dedup → near-dup
+    * cluster dedup → C4-style length filter → language filter, each
+    * stage applied to the previous stage's survivors, counts per
+    * stage. This is the headline number a data-curation run reports
+    * ("500k docs in, 310k after dedup, 170k after quality, 120k en").
+    * The length band is an integer predicate (no float-boundary
+    * sensitivity between engines); the full Gopher rule set stays
+    * available separately via QualitySignals.gopherSignals.
+    *
+    * All five counts are lazy single-row aggregates unioned into one
+    * DataFrame — the driver triggers ONE job; no stage materializes a
+    * doc list beyond the id sets the joins need.
+    */
+  def hygieneFunnel(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.5,
+                    minTokens: Int = 20, maxTokens: Int = 100000,
+                    lang: String = "en"): DataFrame = {
+    import graft.functions.TextFunctions
+    val d0 = docs.select(col(idCol), col(textCol))
+    val keep1 = d0.groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+    val d1 = d0.join(keep1, Seq(idCol), "left_semi")
+    val pairs = NearDup.minHashNearDups(d1, idCol, textCol, n, threshold)
+    val drop2 = Components.keepDecision(Components.connectedComponents(pairs))
+      .filter(!col("keep")).select(col("node").as(idCol))
+    val d2 = d1.join(drop2, Seq(idCol), "left_anti")
+    val d3 = d2.filter(
+      TextFunctions.tokenCount(col(textCol)).between(minTokens, maxTokens))
+    val d4 = d3.filter(TextFunctions.langId(col(textCol)) === lang)
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    stage("s0_total", d0)
+      .unionAll(stage("s1_exact_dedup", d1))
+      .unionAll(stage("s2_near_dedup", d2))
+      .unionAll(stage("s3_length", d3))
+      .unionAll(stage(s"s4_lang_$lang", d4))
+  }
+
   /** Cross-document boilerplate: sentence-level segments appearing in
     * at least `minDocs` DISTINCT documents (headers, disclaimers,
     * navigation chrome — the C4-style repeated-line filter target).

@@ -87,6 +87,28 @@ object StreamingJobs {
   def withStaticDim(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** STREAM-STREAM inner join with an event-time range bound: each
+    * left event pairs with right events of the same user inside
+    * [left.ts, left.ts + withinSec]. Both sides carry watermarks AND
+    * the join carries the time-range condition — together they let
+    * Spark's join state manager evict buffered rows once the watermark
+    * passes the range; drop either and state grows without bound.
+    * Output: (user_id, a_id, b_id, a_ts, b_ts), append mode.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       withinSec: Long): DataFrame = {
+    val a = left.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "2 hours")
+    val b = right.select(col("user_id").as("__b_user"),
+        col("event_id").as("b_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "2 hours")
+    a.join(b,
+        col("user_id") === col("__b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinSec SECONDS"))
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts"), col("b_ts"))
+  }
+
   /** A closed session emitted by [[sessionizeStream]] (epoch seconds). */
   case class SessionOut(user_id: Long, n_events: Long, start_sec: Double, end_sec: Double)
 
