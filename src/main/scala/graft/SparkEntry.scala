@@ -628,6 +628,31 @@ object SparkEntry {
       s.table(tbl).crossJoin(detail)
     }),
 
+    // A9 (HLL half): approx_count_distinct gated on its error contract
+    // instead of its (sketch-specific) value — the relative error vs
+    // the exact count must sit inside 5% (rsd=0.02, so 5% is a
+    // comfortable-but-meaningful bound). The oracle pins the exact
+    // counts and the bound flags, so an HLL regression becomes a
+    // CORRECTNESS failure.
+    // Approx and exact run as SEPARATE aggregations joined at one row:
+    // mixing them in one agg makes Catalyst expand every input row
+    // once per distinct group, and each expanded copy updates the
+    // (register-heavy at rsd=0.02) HLL sketch — measured 2.9s vs 1.5s
+    // for the two-scan shape at sf0.1.
+    "q45_approx_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val exact = ev.agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_id")).as("n_events"))
+      val approx = ev.agg(approx_count_distinct(col("user_id"), 0.02).as("__au"),
+        approx_count_distinct(col("event_id"), 0.02).as("__ae"))
+      exact.crossJoin(approx)
+        .select(col("n_users"), col("n_events"),
+          (abs(col("__au") - col("n_users")).cast("double")
+            / col("n_users").cast("double") < 0.05).as("users_within_5pct"),
+          (abs(col("__ae") - col("n_events")).cast("double")
+            / col("n_events").cast("double") < 0.05).as("events_within_5pct"))
+    }),
+
     // J3: aliased join — both sides aliased, condition and grouping
     // through the qualified names.
     "q44_aliased_join" -> ((s, dir) => {
@@ -910,9 +935,12 @@ object SparkEntry {
       val buys = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
         .filter(col("event_type") === "purchase")
       val sink = s"streaming_join_${System.nanoTime}"
+      // 4 state stores/partition for a stream-stream join: 8 partitions
+      // = 32 store commits/batch instead of 128 — sized to the stream's
+      // ~250 join keys, not the batch scan default.
       StreamingJobs.runToMemory(s,
         StreamingJobs.streamStreamJoin(clicks, buys, withinSec = 3600),
-        sink, mode = "append")
+        sink, mode = "append", statePartitions = Some(8))
     }),
 
     // Gopher-style rule signals per document (length / word shape /
@@ -1390,6 +1418,12 @@ object SparkEntry {
     "s_compact" ->
       """SELECT source, count(*) AS n_docs, CAST(1 AS BIGINT) AS num_files
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q45_approx_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_id) AS n_events,
+        |  true AS users_within_5pct, true AS events_within_5pct
+        |FROM events""".stripMargin,
 
     "q44_aliased_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

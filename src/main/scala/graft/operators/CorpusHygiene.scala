@@ -80,8 +80,14 @@ object CorpusHygiene {
                     lang: String = "en"): DataFrame = {
     import graft.functions.TextFunctions
     val d0 = docs.select(col(idCol), col(textCol))
+    // The keeper-ID SETS persist, never the text: five stage counts
+    // re-traverse d1/d2, and without the cache each would re-run the
+    // fingerprint aggregation; ids are tiny at any corpus size. (The
+    // near-dup drop set needs no persist — connectedComponents returns
+    // localCheckpoint-flattened labels, already materialized.)
     val keep1 = d0.groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
       .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d1 = d0.join(keep1, Seq(idCol), "left_semi")
     val pairs = NearDup.minHashNearDups(d1, idCol, textCol, n, threshold)
     val drop2 = Components.keepDecision(Components.connectedComponents(pairs))

@@ -227,13 +227,28 @@ object StreamingJobs {
 
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous test/verify harness).
+    *
+    * `statePartitions` scopes `spark.sql.shuffle.partitions` to this
+    * query (restored after): every stateful streaming operator
+    * instantiates one state store PER shuffle partition per internal
+    * store (a stream-stream join keeps four), and each store commits a
+    * delta file every batch — so partition count, not data volume, is
+    * the fixed cost of a small keyed stream. Size it to key
+    * cardinality/throughput; the batch default (sized for scan
+    * parallelism) is far too high for state.
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-                  mode: String = "complete"): DataFrame = {
-    val q: StreamingQuery = df.writeStream
-      .outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+                  mode: String = "complete",
+                  statePartitions: Option[Int] = None): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q: StreamingQuery = df.writeStream
+        .outputMode(mode).format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
