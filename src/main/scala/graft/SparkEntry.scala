@@ -628,6 +628,27 @@ object SparkEntry {
       s.table(tbl).crossJoin(detail)
     }),
 
+    // S15 (bucketed layout): both fact tables written bucketed+sorted
+    // on the join key, then joined through the catalog — result proven
+    // identical to the plain join by the oracle; the NO-SHUFFLE plan
+    // property is asserted in ScaleOpsSpec (bucketed scan feeds
+    // SortMergeJoin with no Exchange).
+    "s_bucketed_join" -> ((s, dir) => {
+      val tm = new TableManager(s)
+      resetTable(s, "graft_gate_bkt_orders"); resetTable(s, "graft_gate_bkt_lineitem")
+      tm.writeBucketed(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_gate_bkt_orders", numBuckets = 8, bucketCols = Seq("o_orderkey"))
+      tm.writeBucketed(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")),
+        "graft_gate_bkt_lineitem", numBuckets = 8, bucketCols = Seq("l_orderkey"))
+      s.table("graft_gate_bkt_orders")
+        .join(s.table("graft_gate_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // A9 (HLL half): approx_count_distinct gated on its error contract
     // instead of its (sketch-specific) value — the relative error vs
     // the exact count must sit inside 5% (rsd=0.02, so 5% is a
@@ -1418,6 +1439,11 @@ object SparkEntry {
     "s_compact" ->
       """SELECT source, count(*) AS n_docs, CAST(1 AS BIGINT) AS num_files
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "s_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q45_approx_distinct" ->
       """SELECT count(DISTINCT user_id) AS n_users,
