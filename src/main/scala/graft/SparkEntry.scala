@@ -933,7 +933,8 @@ object SparkEntry {
     "streaming_hourly" -> ((s, dir) => {
       val stream = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
       val sink = s"streaming_hourly_${System.nanoTime}"
-      StreamingJobs.runToMemory(s, StreamingJobs.hourlyAgg(stream), sink)
+      StreamingJobs.runToMemory(s, StreamingJobs.hourlyAgg(stream), sink,
+        statePartitions = Some(8))
     }),
 
     // Streaming dedup with watermark-evicted state
@@ -944,7 +945,24 @@ object SparkEntry {
       StreamingJobs.runToMemory(s,
         StreamingJobs.dedupStream(stream, Seq("user_id", "event_type"))
           .select(col("user_id"), col("event_type")),
-        sink, mode = "append")
+        sink, mode = "append", statePartitions = Some(8))
+    }),
+
+    // Streaming → catalog bridge: the deduped stream written through
+    // the foreachBatch table sink (append semantics — dedup emits
+    // first-seen rows immediately, unlike a watermarked aggregate
+    // whose trailing windows would still be open), read back through
+    // the catalog. Closes the runToTable surface with a CORRECTNESS
+    // row.
+    "streaming_to_table" -> ((s, dir) => {
+      val tbl = "graft_gate_stream_sink"
+      resetTable(s, tbl)
+      val stream = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
+      StreamingJobs.runToTable(s,
+        StreamingJobs.dedupStream(stream, Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type")),
+        tbl, statePartitions = Some(8))
+      s.table(tbl)
     }),
 
     // Stream-stream inner join with event-time range state eviction:
@@ -1833,6 +1851,9 @@ object SparkEntry {
     // One micro-batch over the whole file + state watermark ⇒ the
     // streaming dedup's emitted keys are exactly the batch DISTINCT.
     "streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "streaming_to_table" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
     // Timestamps compared AFTER the cast to microsecond precision on

@@ -212,17 +212,23 @@ object StreamingJobs {
     * TableManager — the streaming→catalog bridge (batch-id available
     * for idempotent sinks that need it).
     */
-  def runToTable(spark: SparkSession, df: DataFrame, table: String): Unit = {
+  def runToTable(spark: SparkSession, df: DataFrame, table: String,
+                 statePartitions: Option[Int] = None): Unit = {
     val tables = new graft.sources.TableManager(spark)
-    val q = df.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        tables.append(batch, table)
-      }
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = df.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          tables.append(batch, table)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Run a streaming DataFrame to completion against a memory sink and
