@@ -8,10 +8,15 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val r = SparkEntry.queries("q45_approx_distinct")(spark, s"/root/testdata/$sf").collect()(0)
-      println(s"CHECKQ45 $sf: $r")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    time("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
+    def star() = SparkEntry.queries("dedup_clusters_star")(spark, "/root/testdata/sf0.1")
+    time("star 1")(star().write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
+    time("star 2")(star().write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -101,16 +101,21 @@ object Components {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val minsL = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // Lazily persisted, not checkpointed: the small-star phase reads
+      // this twice in the SAME round's plan, so one materialization at
+      // `next`'s checkpoint suffices — an eager mid-round checkpoint
+      // would double the per-round action count for nothing.
       val afterLarge = canon(
           sym.join(minsL, "u").filter(col("v") > col("u"))
             .select(col("v").as("u"), col("m").as("v")))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val minsS = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
       val next = canon(
           afterLarge.join(minsS, "u").select(col("v").as("u"), col("m").as("v"))
             .union(minsS.select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
       val nextCount = next.count()
+      afterLarge.unpersist(false)
       // Fixed point ⇔ identical edge set (counts equal + no new rows).
       converged = nextCount == eCount &&
         next.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0
