@@ -112,6 +112,50 @@ class PropertySpec extends SparkSuite {
     assert(auto === canon(NearDup.allPairsNearDups(docs, "doc_id", "text")))
   }
 
+  test("hygieneFunnel stages are monotone non-increasing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stages = graft.operators.CorpusHygiene.hygieneFunnel(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(stages.length === 5)
+    stages.sliding(2).foreach { case Array((_, prev), (_, next)) =>
+      assert(next <= prev, s"funnel stage grew: $prev -> $next")
+    }
+    assert(stages.head._2 === docs.count()) // s0 == corpus size
+  }
+
+  test("tokenBudgetSample: per-stratum sums within budget, prefix-closed in hash order") {
+    val r = new scala.util.Random(17)
+    val docs = (1 to 120).map { i =>
+      (i.toLong, s"src${i % 3}", Seq.fill(r.nextInt(20) + 1)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val budgets = Map("src0" -> 60L, "src1" -> 25L)
+    val out = graft.operators.Sampling
+      .tokenBudgetSample(docs, "source", "doc_id", "text", budgets)
+      .collect().map(x => (x.getString(1), x.getLong(0), x.getLong(2), x.getLong(3)))
+    // Every admitted stratum is budgeted and its token mass fits.
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      assert(budgets.contains(src)) // src2 (unbudgeted) never appears
+      assert(rows.map(_._3).sum <= budgets(src))
+    }
+    // Exact prefix semantics, replicated independently: sort each
+    // stratum by md5('graft' || id), run the cumulative sum, keep the
+    // maximal prefix within budget — must equal the admitted set.
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((src, budget) <- budgets) {
+      val expected = docs.collect()
+        .filter(_.getString(1) == src)
+        .map(d => (md5hex("graft" + d.getLong(0)), d.getLong(0),
+          d.getString(2).split(" ").length.toLong))
+        .sortBy(_._1)
+        .scanLeft(("", -1L, 0L)) { case ((_, _, cum), (h, id, t)) => (h, id, cum + t) }
+        .drop(1)
+        .takeWhile(_._3 <= budget)
+        .map(_._2).toSet
+      assert(out.filter(_._1 == src).map(_._2).toSet === expected)
+    }
+  }
+
   test("native graft_jaccard equals the composable intersect/union form") {
     graft.plans.NativeFunctions.ensureRegistered(spark)
     val r = new scala.util.Random(7)
