@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Components, CorpusHygiene, Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Sampling, Sessions, Skew, TimeAgg}
 import graft.functions.{QualitySignals, TextFunctions}
 import graft.pipelines.{BronzeSilverPipeline, JoinedSilverPipeline, MonthlyAggPipeline}
-import graft.sources.{ColumnarJson, TableManager}
+import graft.sources.{ColumnarJson, HttpJson, TableManager}
 import graft.streaming.StreamingJobs
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -488,6 +488,31 @@ object SparkEntry {
     // the fixture's o3 key appears as a column without being declared.
     "s_columnar_dynamic" -> ((s, _) =>
       ColumnarJson.readDynamic(s, ColumnarFixtureDir)),
+
+    // S1: the HTTP ingestion path end to end — URL list as a Dataset,
+    // executor-side fetch through the retry-wrapped transport (file://
+    // stand-in offline; identical Spark plumbing to javaHttp), from_json
+    // parse, shared Generate flatten. Oracle = the same payloads via
+    // read_json_auto.
+    "s_http_source" -> ((s, _) => {
+      val urls = new java.io.File(ColumnarFixtureDir).listFiles()
+        .map(_.getPath).sorted.toSeq
+      HttpJson.read(s, urls, Seq("pm10", "pm2_5"),
+        HttpJson.withRetry(HttpJson.fileTransport),
+        ColumnarJson.AlignToTime)
+    }),
+
+    // A13: the one-job quality report (total rows, per-metric null
+    // counts, duplicate keys) — the reference runs ~15 count() actions
+    // for the same numbers.
+    "s_quality_report" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Quality.report(ev, Seq("value", "props"), keys = Seq("event_id"))
+    }),
+
+    // P4: prefix-rename projection (merge-prep disambiguation).
+    "q46_prefixed" -> ((s, dir) =>
+      Joins.prefixed(t(s, dir, "region"), "dim", except = Seq("r_regionkey"))),
 
     // S6/S8/S9/S13: sink round-trip — append creates the table,
     // appendEvolving widens it (n_nationkey arrives; old rows null),
@@ -1457,6 +1482,26 @@ object SparkEntry {
     "s_compact" ->
       """SELECT source, count(*) AS n_docs, CAST(1 AS BIGINT) AS num_files
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "s_http_source" ->
+      """SELECT strptime(t, '%Y-%m-%dT%H:%M') AS time, pm10, pm2_5,
+        |       latitude, longitude, timezone
+        |FROM (SELECT latitude, longitude, timezone,
+        |        unnest(hourly.time) AS t,
+        |        unnest(hourly.pm10) AS pm10,
+        |        unnest(hourly.pm2_5) AS pm2_5
+        |      FROM read_json_auto('/root/repo/fixtures/columnar/*.json'))""".stripMargin,
+
+    "s_quality_report" ->
+      """SELECT count(*) AS total_rows,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props,
+        |  count(DISTINCT event_id) AS distinct_keys,
+        |  count(*) - count(DISTINCT event_id) AS duplicate_rows
+        |FROM events""".stripMargin,
+
+    "q46_prefixed" ->
+      "SELECT r_regionkey, r_name AS dim_r_name FROM region",
 
     "s_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
