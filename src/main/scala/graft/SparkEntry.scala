@@ -674,6 +674,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Approximate quantiles (GK sketch) gated on the error contract:
+    // at accuracy=10000 the rank error is 1e-4, so the approximate
+    // p50/p90 must land within 5% of the exact spread of the exact
+    // values (the sketch is deterministic per dataset, so the flags
+    // are stable). Exact percentiles ride in the output and are
+    // oracle-matched against DuckDB quantile_cont.
+    "q47_approx_quantiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.agg(
+          percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(10000)).as("__apx"),
+          expr("percentile(value, array(0.5D, 0.9D))").as("__ex"))
+        .select(
+          element_at(col("__ex"), 1).as("p50_exact"),
+          element_at(col("__ex"), 2).as("p90_exact"),
+          (abs(element_at(col("__apx"), 1) - element_at(col("__ex"), 1))
+            <= (element_at(col("__ex"), 2) - element_at(col("__ex"), 1)) * 0.05)
+            .as("p50_within_bound"),
+          (abs(element_at(col("__apx"), 2) - element_at(col("__ex"), 2))
+            <= (element_at(col("__ex"), 2) - element_at(col("__ex"), 1)) * 0.05)
+            .as("p90_within_bound"))
+    }),
+
     // A9 (HLL half): approx_count_distinct gated on its error contract
     // instead of its (sketch-specific) value — the relative error vs
     // the exact count must sit inside 5% (rsd=0.02, so 5% is a
@@ -1507,6 +1529,12 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q47_approx_quantiles" ->
+      """SELECT quantile_cont(value, 0.5) AS p50_exact,
+        |  quantile_cont(value, 0.9) AS p90_exact,
+        |  true AS p50_within_bound, true AS p90_within_bound
+        |FROM events""".stripMargin,
 
     "q45_approx_distinct" ->
       """SELECT count(DISTINCT user_id) AS n_users,
