@@ -447,6 +447,33 @@ object SparkEntry {
       Sessions.sessionStats(t(s, dir, "events"), "user_id", "ts",
         gapSec = 1800, tieBreak = Seq("event_id"))),
 
+    // Native session_window grouped aggregate — the declarative form
+    // of q33's composed sessionization (window end = last event + gap,
+    // so the oracle rebuilds it from the gaps-and-islands sessions).
+    // Boundary semantics agree because exact-gap events are
+    // measure-zero on nanosecond timestamps (verified none exist).
+    "q48_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("w_start"),
+          col("w.end").as("w_end"), col("n_events"))),
+
+    // S8 at the SCAN end: a partitioned write whose readback filter
+    // prunes to one partition directory (PartitionFilters in the scan
+    // — the layout lever that turns a 100 TB scan into a 20 TB one).
+    "s_partition_prune" -> ((s, dir) => {
+      val tm = new TableManager(s)
+      val tbl = "graft_gate_prune"
+      resetTable(s, tbl)
+      tm.append(t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type")),
+        tbl, partitionBy = Seq("event_type"))
+      s.table(tbl).filter(col("event_type") === "click")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), avg(col("value")).as("avg_value"))
+    }),
+
     // Exact percentiles per group (linear interpolation, matching
     // DuckDB quantile_cont); the approximate scale path is
     // Sketches.describe / approx_percentile (ScaleOpsSpec).
@@ -1407,6 +1434,25 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  epoch(max(ts)) - epoch(min(ts)) AS duration_sec
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q48_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+        |      FROM g)
+        |SELECT user_id, min(ts) AS w_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS w_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_num""".stripMargin,
+
+    "s_partition_prune" ->
+      """SELECT event_type, count(*) AS n_rows, avg(value) AS avg_value
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
 
     "q34_percentiles" ->
       """SELECT event_type,
