@@ -42,7 +42,7 @@ object Dedup {
     val payload = df.columns.filterNot(keys.contains)
     df.groupBy(keys.map(col): _*)
       .agg(
-        min_by(struct(payload.map(col): _*), col(orderCol)).as("__row")
+        min_by(struct(payload.toIndexedSeq.map(col): _*), col(orderCol)).as("__row")
       )
       .select(keys.map(col) ++ payload.map(p => col(s"__row.$p").as(p)): _*)
   }

@@ -86,7 +86,7 @@ object EmbeddingAnn {
   def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Int = 42): Column = {
     val planes = hyperplanes(nBits, dim, seed)
     val bits = planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       val d = aggregate(zip_with(vec, planeCol, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
       when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))

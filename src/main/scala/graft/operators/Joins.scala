@@ -139,7 +139,7 @@ object Joins {
     unioned
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(c =>
+      .select(left.columns.toIndexedSeq.map(c =>
           (if (keys.contains(c)) col(c) else col(s"__l_$c")).as(c)) ++
         rightCols.map(c => when(withinTol, col(s"__asof.$c")).as(s"asof_$c")): _*)
   }
