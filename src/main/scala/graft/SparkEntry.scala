@@ -1123,6 +1123,13 @@ object SparkEntry {
     "corpus_funnel" -> ((s, dir) =>
       CorpusHygiene.hygieneFunnel(t(s, dir, "documents"), "doc_id", "text")),
 
+    // The funnel's SURVIVING corpus — the DataFrame downstream stages
+    // consume (md5 of text keeps the compare tight while proving the
+    // text itself survived intact).
+    "corpus_funnel_keep" -> ((s, dir) =>
+      CorpusHygiene.hygieneSurvivors(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))),
+
     // Decontamination as the shipped compose: corpus minus every doc
     // sharing >= 2 five-gram shingles with the benchmark subset.
     "decon_filter" -> ((s, dir) => {
@@ -1758,6 +1765,39 @@ object SparkEntry {
        |      ['the','be','to','of','and','that','have','with'])) AS stop_hits
        |  FROM (SELECT doc_id, text, $duckTokens AS tok FROM $rel))""".stripMargin
 
+  // The hygiene-funnel stage chain (d0 raw → d1 exact-dedup → d2
+  // near-dedup → d3 length band → d4 language), shared by the
+  // retention report and the survivors gate.
+  private lazy val duckFunnelCte =
+    s"""WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents),
+       |k1 AS (SELECT min(doc_id) AS doc_id FROM d0
+       |       GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+       |d1 AS (SELECT d0.* FROM d0 JOIN k1 USING (doc_id)),
+       |sh AS (
+       |  SELECT doc_id, ${duckShingles("tok")} AS sh
+       |  FROM (SELECT doc_id, $duckTokens AS tok FROM d1)
+       |  WHERE len(tok) >= 3),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      len(list_intersect(a.sh, b.sh))::DOUBLE
+       |        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+       |comp AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
+       |d2 AS (SELECT * FROM d1
+       |       WHERE doc_id NOT IN (SELECT node FROM comp WHERE cid != node)),
+       |d3 AS (SELECT * FROM d2 WHERE len($duckTokens) BETWEEN 20 AND 100000),
+       |p AS (SELECT doc_id FROM (${duckLangIdFrom("d3")}) WHERE lang_pred = 'en'),
+       |d4 AS (SELECT d3.* FROM d3 JOIN p USING (doc_id))""".stripMargin
+
   // The PII regexes, verbatim from QualitySignals (single-quoted SQL
   // strings pass backslashes through to DuckDB's RE2 untouched).
   private val duckEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -1778,42 +1818,19 @@ object SparkEntry {
 
     // Every funnel stage replayed in SQL over the previous stage's
     // survivors: fingerprint-dedup, recursive-CTE near-dup clusters,
-    // Gopher rules, lang-ID — the stage SQL bodies are the same ones
+    // length band, lang-ID — the stage SQL bodies are the same ones
     // the standalone oracles use, re-pointed at the survivor CTEs.
     "corpus_funnel" ->
-      s"""WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents),
-         |k1 AS (SELECT min(doc_id) AS doc_id FROM d0
-         |       GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
-         |d1 AS (SELECT d0.* FROM d0 JOIN k1 USING (doc_id)),
-         |sh AS (
-         |  SELECT doc_id, ${duckShingles("tok")} AS sh
-         |  FROM (SELECT doc_id, $duckTokens AS tok FROM d1)
-         |  WHERE len(tok) >= 3),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |      len(list_intersect(a.sh, b.sh))::DOUBLE
-         |        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.5),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(node, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
-         |comp AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
-         |d2 AS (SELECT * FROM d1
-         |       WHERE doc_id NOT IN (SELECT node FROM comp WHERE cid != node)),
-         |d3 AS (SELECT * FROM d2 WHERE len($duckTokens) BETWEEN 20 AND 100000),
-         |p AS (SELECT doc_id FROM (${duckLangIdFrom("d3")}) WHERE lang_pred = 'en'),
-         |d4 AS (SELECT d3.* FROM d3 JOIN p USING (doc_id))
+      s"""$duckFunnelCte
          |SELECT 's0_total' AS stage, count(*) AS n_docs FROM d0
          |UNION ALL SELECT 's1_exact_dedup', count(*) FROM d1
          |UNION ALL SELECT 's2_near_dedup', count(*) FROM d2
          |UNION ALL SELECT 's3_length', count(*) FROM d3
          |UNION ALL SELECT 's4_lang_en', count(*) FROM d4""".stripMargin,
+
+    "corpus_funnel_keep" ->
+      s"""$duckFunnelCte
+         |SELECT doc_id, md5(text) AS text_md5 FROM d4""".stripMargin,
 
     "sample_token_budget" ->
       s"""SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens

@@ -78,9 +78,35 @@ object CorpusHygiene {
                     n: Int = 3, threshold: Double = 0.5,
                     minTokens: Int = 20, maxTokens: Int = 100000,
                     lang: String = "en"): DataFrame = {
+    val (d0, d1, d2, d3, d4) =
+      funnelStages(docs, idCol, textCol, n, threshold, minTokens, maxTokens, lang)
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    stage("s0_total", d0)
+      .unionAll(stage("s1_exact_dedup", d1))
+      .unionAll(stage("s2_near_dedup", d2))
+      .unionAll(stage("s3_length", d3))
+      .unionAll(stage(s"s4_lang_$lang", d4))
+  }
+
+  /** The corpus that SURVIVES [[hygieneFunnel]] — (id, text) after all
+    * four stages, i.e. the DataFrame the next pipeline stage
+    * (tokenization, mixing) actually consumes. The funnel report and
+    * the survivors share one stage pipeline, so they never disagree.
+    */
+  def hygieneSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5,
+                       minTokens: Int = 20, maxTokens: Int = 100000,
+                       lang: String = "en"): DataFrame =
+    funnelStages(docs, idCol, textCol, n, threshold, minTokens, maxTokens, lang)._5
+
+  private def funnelStages(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, threshold: Double, minTokens: Int,
+                           maxTokens: Int, lang: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.TextFunctions
     val d0 = docs.select(col(idCol), col(textCol))
-    // The keeper-ID SETS persist, never the text: five stage counts
+    // The keeper-ID SETS persist, never the text: the stage counts
     // re-traverse d1/d2, and without the cache each would re-run the
     // fingerprint aggregation; ids are tiny at any corpus size. (The
     // near-dup drop set needs no persist — connectedComponents returns
@@ -96,13 +122,7 @@ object CorpusHygiene {
     val d3 = d2.filter(
       TextFunctions.tokenCount(col(textCol)).between(minTokens, maxTokens))
     val d4 = d3.filter(TextFunctions.langId(col(textCol)) === lang)
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-    stage("s0_total", d0)
-      .unionAll(stage("s1_exact_dedup", d1))
-      .unionAll(stage("s2_near_dedup", d2))
-      .unionAll(stage("s3_length", d3))
-      .unionAll(stage(s"s4_lang_$lang", d4))
+    (d0, d1, d2, d3, d4)
   }
 
   /** Cross-document boilerplate: sentence-level segments appearing in
