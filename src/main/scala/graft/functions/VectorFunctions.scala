@@ -62,4 +62,17 @@ object VectorFunctions {
     when(mx === 0.0, transform(a, x => lit(0L)))
       .otherwise(transform(a, x => floor(x.cast("double") * lit(127.0) / mx).cast("long")))
   }
+
+  /** Round-to-nearest int8 quantization — the IN-ENGINE variant for
+    * quantized search (EmbeddingAnn.ivfTopKQuantized): rounding is
+    * zero-mean where floor carries a −½LSB signed bias that distorts
+    * candidate ordering when score gaps are small. Use [[quantizeFloor]]
+    * when codes must be bit-portable across engines (rounding tie rules
+    * differ); inside one engine, rounding strictly wins on recall.
+    */
+  def quantizeRound(a: Column): Column = {
+    val mx = maxAbs(a)
+    when(mx === 0.0, transform(a, x => lit(0L)))
+      .otherwise(transform(a, x => round(x.cast("double") * lit(127.0) / mx).cast("long")))
+  }
 }

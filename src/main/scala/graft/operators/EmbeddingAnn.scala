@@ -234,4 +234,67 @@ object EmbeddingAnn {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF-SQ8: IVF search over int8-QUANTIZED postings with float
+    * rescoring — the standard 4× memory lever for billion-vector
+    * posting lists. The postings carry ONLY (id, int8 codes, scale,
+    * cluster); candidate scoring is an integer dot de-quantized by the
+    * two scales, the approximate top `k·rescoreFactor` then join BACK
+    * to the float corpus for exact rescoring (at scale that is the
+    * point: floats live once in the base table, never in the
+    * postings). Approximate by construction — recall vs the exact
+    * baseline is what the gate pins.
+    */
+  def ivfTopKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, centroids: Array[Array[Double]],
+                       nprobe: Int, rescoreFactor: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions
+    val cn = normalized(corpus, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = cn
+      .withColumn("__scores", centroidScoresNative(cn, "vnorm", centroids))
+      .withColumn("cluster",
+        (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
+      .select(col(idCol).as("neighbor_id"),
+        VectorFunctions.quantizeRound(col("vnorm")).as("qc"),
+        (VectorFunctions.maxAbs(col("vnorm")) / 127.0).as("sc"),
+        col("cluster"))
+    val qn = normalized(queries, vecCol)
+    val probeList = {
+      val withIdx = transform(col("__scores"),
+        (s, i) => struct(s.as("score"), i.as("idx")))
+      slice(reverse(array_sort(withIdx)), 1, nprobe)
+    }
+    val q = qn
+      .withColumn("__scores", centroidScoresNative(qn, "vnorm", centroids))
+      .select(col(idCol).as("query_id"),
+        VectorFunctions.quantizeRound(col("vnorm")).as("qq"),
+        (VectorFunctions.maxAbs(col("vnorm")) / 127.0).as("sq"),
+        explode(probeList).as("probe"))
+      .select(col("query_id"), col("qq"), col("sq"),
+        col("probe.idx").cast("int").as("cluster"))
+    // Integer dot on the bounded candidate set, de-quantized by the
+    // two per-vector scales — approximates the cosine of the
+    // normalized vectors.
+    val approx = postings.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (aggregate(zip_with(col("qq"), col("qc"), (a, b) => a * b), lit(0L),
+          (acc, x) => acc + x).cast("double") * col("sq") * col("sc")).as("approx"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val shortlist = approx.withColumn("__r", row_number().over(wa))
+      .filter(col("__r") <= k * rescoreFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // Exact float rescore: join back to the base corpus (the floats'
+    // only home) for the shortlisted pairs.
+    val rescored = shortlist
+      .join(cn.select(col(idCol).as("neighbor_id"), col("vnorm").as("vc")), "neighbor_id")
+      .join(broadcast(qn.select(col(idCol).as("query_id"), col("vnorm").as("vq"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        nativeDot(cn, "vq", "vc").as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -33,6 +33,22 @@ class AnnIvfSpec extends SparkSuite {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("IVF-SQ8 matches the float-posting IVF after exact rescore") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val centroids = EmbeddingAnn.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = pairs(EmbeddingAnn.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, centroids, nprobe = 4))
+    val sq8 = pairs(EmbeddingAnn.ivfTopKQuantized(emb, queries, "vec_id", "embedding",
+      k = 5, centroids, nprobe = 4))
+    // The int8 shortlist + exact rescore recovers the float path's
+    // top-k exactly on this corpus: quantized postings cost zero
+    // recall; probe coverage is the only limiter.
+    assert(sq8 === ivf, s"SQ8 diverged: only-in-ivf=${(ivf -- sq8).size}, only-in-sq8=${(sq8 -- ivf).size}")
+  }
+
   test("multi-table LSH finds at least the single-table pairs") {
     val one = EmbeddingAnn.lshNearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.3, dim = 64, nBits = 6, nTables = 1)
