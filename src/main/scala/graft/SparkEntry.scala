@@ -1467,8 +1467,10 @@ object SparkEntry {
     "q48_session_window" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |g AS (SELECT user_id, event_id, ts,
+        |        -- >= matches session_window's half-open [start, end):
+        |        -- an event at exactly prev + gap starts a NEW session.
         |        CASE WHEN lag(ts) OVER w IS NULL
-        |              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+        |              OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS is_new
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts,
         |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -74,11 +74,16 @@ object QualitySignals {
     val par = df.sparkSession.sparkContext.defaultParallelism
     // Grams are hashed to longs IN the shingling expression (native
     // single pass, multiplicity kept): every metric below is a count,
-    // so hashed grams give identical results while the shuffle carries
-    // 8-byte longs instead of gram strings.
+    // so hashed grams give the same results as string grams while the
+    // shuffle carries 8-byte longs instead of gram strings. Full
+    // 64-bit hashes (mod32 = false): in the 32-bit space two distinct
+    // grams inside one document collide with probability ~g²/2³³ and
+    // would silently merge counts; at 64 bits the collision odds are
+    // ~g²/2⁶⁵ — below any realistic document size.
     val grams = df.repartition(par)
       .select(col(idCol),
-        explode(call_function("graft_shingle_hashes", col(textCol), lit(2), lit(false)))
+        explode(call_function("graft_shingle_hashes",
+          col(textCol), lit(2), lit(false), lit(false)))
           .as("gram"))
     grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol))

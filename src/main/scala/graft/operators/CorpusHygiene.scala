@@ -78,15 +78,19 @@ object CorpusHygiene {
                     n: Int = 3, threshold: Double = 0.5,
                     minTokens: Int = 20, maxTokens: Int = 100000,
                     lang: String = "en"): DataFrame = {
-    val (d0, d1, d2, d3, d4) =
-      funnelStages(docs, idCol, textCol, n, threshold, minTokens, maxTokens, lang)
+    val (keep1, d0, d1, d2, d3, d4) =
+      funnelStages(docs, idCol, textCol, n, threshold, minTokens, maxTokens, lang,
+        persistIds = true)
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-    stage("s0_total", d0)
+    val report = stage("s0_total", d0)
       .unionAll(stage("s1_exact_dedup", d1))
       .unionAll(stage("s2_near_dedup", d2))
       .unionAll(stage("s3_length", d3))
       .unionAll(stage(s"s4_lang_$lang", d4))
+    // Five rows out: materialize the report, release the keeper-id
+    // cache so it doesn't outlive the call.
+    Caching.materializeAndRelease(report, keep1.toSeq: _*)
   }
 
   /** The corpus that SURVIVES [[hygieneFunnel]] — (id, text) after all
@@ -98,22 +102,34 @@ object CorpusHygiene {
                        n: Int = 3, threshold: Double = 0.5,
                        minTokens: Int = 20, maxTokens: Int = 100000,
                        lang: String = "en"): DataFrame =
-    funnelStages(docs, idCol, textCol, n, threshold, minTokens, maxTokens, lang)._5
+    // Survivors are consumed once (no stage-count re-traversal), so the
+    // keeper-id set is NOT persisted here: recomputing the fingerprint
+    // aggregate a couple of times beats pinning cache the caller can't
+    // release (the result is corpus-sized — no cheap eager point).
+    funnelStages(docs, idCol, textCol, n, threshold, minTokens, maxTokens, lang,
+      persistIds = false)._6
 
+  /** Shared stage pipeline for [[hygieneFunnel]] / [[hygieneSurvivors]].
+    * Returns (keeper-id frame if persisted, d0..d4); the caller owns
+    * the keeper cache's release.
+    */
   private def funnelStages(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, threshold: Double, minTokens: Int,
-                           maxTokens: Int, lang: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+                           maxTokens: Int, lang: String, persistIds: Boolean)
+      : (Option[DataFrame], DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.TextFunctions
     val d0 = docs.select(col(idCol), col(textCol))
-    // The keeper-ID SETS persist, never the text: the stage counts
-    // re-traverse d1/d2, and without the cache each would re-run the
-    // fingerprint aggregation; ids are tiny at any corpus size. (The
-    // near-dup drop set needs no persist — connectedComponents returns
-    // localCheckpoint-flattened labels, already materialized.)
-    val keep1 = d0.groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    // The keeper-ID SETS may persist, never the text: the funnel's
+    // stage counts re-traverse d1/d2, and without the cache each would
+    // re-run the fingerprint aggregation; ids are tiny at any corpus
+    // size. (The near-dup drop set needs no persist —
+    // connectedComponents returns localCheckpoint-flattened labels,
+    // already materialized.)
+    val keep1Base = d0.groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
       .agg(min(col(idCol)).as(idCol)).select(col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep1 = if (persistIds)
+      keep1Base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else keep1Base
     val d1 = d0.join(keep1, Seq(idCol), "left_semi")
     val pairs = NearDup.minHashNearDups(d1, idCol, textCol, n, threshold)
     val drop2 = Components.keepDecision(Components.connectedComponents(pairs))
@@ -122,7 +138,7 @@ object CorpusHygiene {
     val d3 = d2.filter(
       TextFunctions.tokenCount(col(textCol)).between(minTokens, maxTokens))
     val d4 = d3.filter(TextFunctions.langId(col(textCol)) === lang)
-    (d0, d1, d2, d3, d4)
+    (if (persistIds) Some(keep1) else None, d0, d1, d2, d3, d4)
   }
 
   /** Cross-document boilerplate: sentence-level segments appearing in
@@ -170,10 +186,14 @@ object CorpusHygiene {
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             s => s.getField("line")),
           ". ").as("clean_text"))
-    lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val out = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+    // The cleaned corpus is materialized eagerly (checkpoint blocks are
+    // GC-managed) and the exploded-lines cache — larger than the corpus
+    // itself — is released rather than left pinned in the session.
+    Caching.materializeAndRelease(out, lines)
   }
 }

@@ -295,6 +295,10 @@ object EmbeddingAnn {
         nativeDot(cn, "vq", "vc").as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // The top-k result is tiny next to the cached normalized corpus:
+    // materialize it eagerly and release the cache, so repeated calls
+    // in a long-lived session don't accumulate pinned blocks.
+    Caching.materializeAndRelease(
+      rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k), cn)
   }
 }

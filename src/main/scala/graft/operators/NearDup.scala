@@ -191,7 +191,11 @@ object NearDup {
     val freq = shingleFreq(sh, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stat = freq.agg(max(col("f")).as("mx"), avg(col("f")).as("av")).head()
-    val skewed = stat.getLong(0).toDouble > skewFactor * stat.getDouble(1)
+    // Empty corpus → max(f) is NULL; treat as flat (hash order). When
+    // the flat branch discards the frequency frame, release its cache.
+    val skewed = !stat.isNullAt(0) &&
+      stat.getLong(0).toDouble > skewFactor * stat.getDouble(1)
+    if (!skewed) freq.unpersist(false)
     allPairsCore(sh, idCol, threshold, if (skewed) Some(freq) else None)
   }
 

@@ -338,8 +338,15 @@ case class BenchmarkOverlap(child: Expression, bench: Array[(Long, Array[Long])]
   *  - distinct keeps first-occurrence order (array_distinct).
   * Fewer than n tokens → empty array; null text → null (both match —
   * ShingleHashesSpec asserts full equality on the real corpus).
+  *
+  * `mod32 = false` skips the pmod and emits the raw 64-bit xxhash64 —
+  * for consumers whose DOWNSTREAM math treats grams as identities
+  * (repetition counts), where a same-document 32-bit collision
+  * (~g²/2³³ per doc) would silently merge counts. The 32-bit default
+  * exists only for bit-parity with the composable HOF chain above.
   */
-case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true,
+                         mod32: Boolean = true)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.types._
@@ -394,8 +401,7 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
       }
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
-      val r = h % Mod
-      val v = if (r < 0) (r + Mod) % Mod else r
+      val v = if (mod32) { val r = h % Mod; if (r < 0) (r + Mod) % Mod else r } else h
       if (distinct) seen.add(v) else all(s) = v
       s += 1
     }
@@ -435,15 +441,34 @@ object NativeFunctions {
               s"graft_shingle_hashes requires a literal $what, got non-foldable: ${e.sql}"))
           e.eval(null)
         }
-        if (exprs.length < 2 || exprs.length > 3)
+        if (exprs.length < 2 || exprs.length > 4)
           throw new org.apache.spark.sql.AnalysisException(
             errorClass = "INTERNAL_ERROR",
             messageParameters = Map("message" ->
-              s"graft_shingle_hashes expects (text, n[, distinct]), got ${exprs.length} args"))
-        val n = foldableOrFail(exprs(1), "shingle width n").asInstanceOf[Number].intValue()
-        val dist = if (exprs.length < 3) true
-          else foldableOrFail(exprs(2), "distinct flag").asInstanceOf[Boolean]
-        ShingleHashes(exprs(0), n, dist)
+              s"graft_shingle_hashes expects (text, n[, distinct[, mod32]]), got ${exprs.length} args"))
+        // A literal NULL would unbox to false silently and any other
+        // type would throw a raw ClassCastException — both fail here
+        // with the same analysis error as a non-foldable arg.
+        def boolFlag(e: Expression, what: String): Boolean =
+          foldableOrFail(e, what) match {
+            case b: java.lang.Boolean => b.booleanValue()
+            case other => throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "INTERNAL_ERROR",
+              messageParameters = Map("message" ->
+                (s"graft_shingle_hashes $what must be a boolean literal, got " +
+                  (if (other == null) "NULL" else s"${other.getClass.getSimpleName}($other)"))))
+          }
+        val n = foldableOrFail(exprs(1), "shingle width n") match {
+          case num: Number => num.intValue()
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              (s"graft_shingle_hashes shingle width n must be an integer literal, got " +
+                (if (other == null) "NULL" else s"${other.getClass.getSimpleName}($other)"))))
+        }
+        val dist = if (exprs.length < 3) true else boolFlag(exprs(2), "distinct flag")
+        val m32 = if (exprs.length < 4) true else boolFlag(exprs(3), "mod32 flag")
+        ShingleHashes(exprs(0), n, dist, m32)
       }, "built-in")
   }
 }

@@ -110,6 +110,10 @@ class PropertySpec extends SparkSuite {
     val auto = canon(NearDup.allPairsNearDupsAuto(docs, "doc_id", "text"))
     assert(auto.nonEmpty)
     assert(auto === canon(NearDup.allPairsNearDups(docs, "doc_id", "text")))
+    // Empty corpus: max(f) aggregates to NULL — the skew check must
+    // treat that as flat (hash order) rather than NPE on getLong.
+    assert(NearDup.allPairsNearDupsAuto(docs.filter(lit(false)), "doc_id", "text")
+      .count() === 0L)
   }
 
   test("hygieneFunnel stages are monotone non-increasing") {

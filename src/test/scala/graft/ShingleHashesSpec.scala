@@ -71,4 +71,38 @@ class ShingleHashesSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("literal"), s"unexpected error: ${e.getMessage}")
   }
+
+  test("null or non-boolean flag literals raise clean analysis errors") {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    // lit(null) would unbox to false silently; lit(1) would throw a raw
+    // ClassCastException — both must fail analysis with the same shape
+    // of error as a non-foldable arg.
+    for (bad <- Seq(lit(null), lit(1))) {
+      val e = intercept[Exception] {
+        Seq("a b c").toDF("text")
+          .select(call_function("graft_shingle_hashes", col("text"), lit(2), bad))
+          .collect()
+      }
+      assert(e.getMessage.contains("boolean literal"), s"unexpected error: ${e.getMessage}")
+    }
+    val eN = intercept[Exception] {
+      Seq("a b c").toDF("text")
+        .select(call_function("graft_shingle_hashes", col("text"), lit("x")))
+        .collect()
+    }
+    assert(eN.getMessage.contains("integer literal"), s"unexpected error: ${eN.getMessage}")
+  }
+
+  test("mod32=false emits the raw 64-bit xxhash64, multiplicity kept") {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    val diff = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        call_function("graft_shingle_hashes", col("text"), lit(2), lit(false), lit(false))
+          .as("nat"),
+        transform(graft.functions.TextFunctions.shingles(col("text"), 2),
+          s => xxhash64(s)).as("hof"))
+      .filter(not(col("nat") <=> col("hof")))
+      .count()
+    assert(diff === 0, "64-bit shingle hashes diverge from un-modded xxhash64")
+  }
 }
