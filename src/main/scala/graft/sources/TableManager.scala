@@ -18,9 +18,22 @@ class TableManager(spark: SparkSession) {
 
   def schemaOf(table: String): StructType = spark.table(table).schema
 
+  /** Align the write distribution with the table's partition layout:
+    * without this, EVERY write task holds rows of EVERY partition
+    * value, so a dynamic-partition write emits tasks × partitions
+    * files — the classic small-file blowup (and a metastore/commit
+    * storm to match). Shuffling on the partition columns first sends
+    * each value to one task → one file per partition, with AQE
+    * coalescing the tiny ones. A partition too large for one write
+    * task should be pre-salted by the CALLER (compose an extra bucket
+    * column); this layer keeps the common case right.
+    */
+  private def alignWrite(df: DataFrame, partitionBy: Seq[String]): DataFrame =
+    if (partitionBy.isEmpty) df else df.repartition(partitionBy.map(col): _*)
+
   /** S8: partitioned append (creates the table on first write). */
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.format("parquet").mode(SaveMode.Append)
+    val w = alignWrite(df, partitionBy).write.format("parquet").mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
   }
 
@@ -32,7 +45,7 @@ class TableManager(spark: SparkSession) {
     */
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
     val parts = effectivePartitions(table, partitionBy)
-    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+    val w = alignWrite(df, parts).write.format("parquet").mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(table)
   }
 
@@ -146,7 +159,9 @@ class TableManager(spark: SparkSession) {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
-      alignToSchema(df, schemaOf(table))
+      alignWrite(alignToSchema(df, schemaOf(table)),
+          spark.catalog.listColumns(table).filter(_.isPartition).collect()
+            .map(_.name).toSeq)
         .write.mode(SaveMode.Overwrite).insertInto(table)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
