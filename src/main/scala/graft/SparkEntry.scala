@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, CorpusHygiene, Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Quality, Sampling, Sessions, Skew, TimeAgg}
+import graft.operators.{Components, CorpusHygiene, Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Packing, Quality, Sampling, Sessions, Skew, TimeAgg}
 import graft.functions.{QualitySignals, TextFunctions}
 import graft.pipelines.{BronzeSilverPipeline, JoinedSilverPipeline, MonthlyAggPipeline}
 import graft.sources.{ColumnarJson, HttpJson, TableManager}
@@ -1138,6 +1138,27 @@ object SparkEntry {
       Sampling.tokenBudgetSample(t(s, dir, "documents"), "source", "doc_id", "text",
         budgets = Map("src0" -> 1500L, "src1" -> 800L, "src3" -> 300L))),
 
+    // Concat-and-chunk sequence packing: each document's token span in
+    // the deterministic global stream, chunked into 512-token training
+    // sequences — first/last sequence id + boundary-straddle flag. The
+    // oracle replays the prefix sum as one global window; the operator
+    // computes it as a 256-bucket two-level sum (no single-task sort).
+    "pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"), "doc_id", "text", seqLen = 512)),
+
+    // Corpus-wide paragraph-level EXACT dedup (Dolma-style): only the
+    // deterministic first occurrence of any paragraph survives,
+    // cleaned text rebuilt in document order. The planted shared
+    // header makes the contrast with dedup_lines observable: here ONE
+    // document keeps it; the boilerplate rule drops it everywhere.
+    "dedup_paragraphs" -> ((s, dir) => {
+      val d2 = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Corpus shared header. "), col("text")).as("text"))
+      CorpusHygiene.dedupParagraphs(d2, "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+    }),
+
     // The full hygiene FUNNEL as one retention report: exact dedup →
     // near-dup clusters → C4 length band → language filter, counts per
     // stage — the headline numbers of a corpus-curation run, in one
@@ -1867,6 +1888,41 @@ object SparkEntry {
          |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1500
          |                                WHEN 'src1' THEN 800
          |                                WHEN 'src3' THEN 300 END""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (
+         |          ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS end_off
+         |      FROM t)
+         |SELECT doc_id, n_tokens, end_off - n_tokens AS begin_off,
+         |  (end_off - n_tokens) // 512 AS seq_first,
+         |  CASE WHEN n_tokens > 0 THEN (end_off - 1) // 512
+         |       ELSE (end_off - n_tokens) // 512 END AS seq_last,
+         |  (CASE WHEN n_tokens > 0 THEN (end_off - 1) // 512
+         |        ELSE (end_off - n_tokens) // 512 END)
+         |    != ((end_off - n_tokens) // 512) AS spans_boundary
+         |FROM c""".stripMargin,
+
+    "dedup_paragraphs" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, 'Corpus shared header. ' || text AS text FROM documents),
+        |lines AS (
+        |  SELECT doc_id, pos, trim(line) AS line FROM (
+        |    SELECT doc_id, unnest(parts) AS line,
+        |      unnest(range(1, len(parts) + 1)) AS pos
+        |    FROM (SELECT doc_id, string_split_regex(text, '\. ') AS parts FROM d2))
+        |  WHERE length(trim(line)) > 0),
+        |r AS (SELECT doc_id, pos, line,
+        |        row_number() OVER (PARTITION BY line
+        |          ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), pos) AS rn
+        |      FROM lines)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(line, '. ' ORDER BY pos) FILTER (WHERE rn = 1), ''))
+        |    AS clean_md5
+        |FROM r GROUP BY doc_id""".stripMargin,
 
     "text_boilerplate" ->
       """SELECT line, count(*) AS n_docs FROM (

@@ -196,4 +196,62 @@ object CorpusHygiene {
     // itself — is released rather than left pinned in the session.
     Caching.materializeAndRelease(out, lines)
   }
+
+  /** Corpus-wide paragraph-level EXACT dedup (the Dolma recipe):
+    * every occurrence of a paragraph after its first is dropped,
+    * whatever its frequency — where [[removeBoilerplate]] only targets
+    * segments repeated across ≥ minDocs documents, this kills the
+    * second copy of anything. "First" is deterministic and
+    * layout-independent: occurrences are ordered by
+    * (md5(salt || doc id), position), the same engine-portable
+    * permutation the sampling operators use.
+    *
+    * Output per document: paragraph counts before/after and the
+    * cleaned text (kept paragraphs rejoined in original order), so the
+    * operator is a pipeline stage, not just a report. Documents whose
+    * every paragraph lost survive with n_kept = 0 and empty text.
+    *
+    * Scale shape: winner election groups on the paragraph's 64-bit
+    * xxhash64 — the shuffle carries (hash, order-key) pairs, never
+    * text (two distinct paragraphs colliding in 2⁶⁴ would merge; at
+    * ~2⁻⁶⁴·pairs that is below any realistic corpus). The keep-set
+    * then collapses to per-document kept-position arrays (ids +
+    * ints), and the single text shuffle is the per-document rebuild
+    * groupBy. The exploded frame is persisted for its two consumers
+    * and released on return.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\\. ", salt: String = "graft"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"), trim(col("line")).as("line"))
+      .filter(length(col("line")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Total order over occurrences: md5 hash of the doc id (unique per
+    // doc), then the 0-based position zero-padded so the string order
+    // is the numeric order.
+    val ordKey = concat(Sampling.hashBucket32(col(idCol), salt),
+      lpad(col("pos").cast("string"), 10, "0"))
+    val winners = lines
+      .select(col(idCol), col("pos"), xxhash64(col("line")).as("__h"), ordKey.as("__ord"))
+      .groupBy(col("__h"))
+      .agg(min_by(struct(col(idCol).as("id"), col("pos").as("pos")), col("__ord")).as("w"))
+      .select(col("w.id").as(idCol), col("w.pos").as("pos"))
+    val keepPos = winners.groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__keep"))
+    val out = lines
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        array_sort(collect_list(struct(col("pos"), col("line")))).as("__paras"))
+      .join(keepPos, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(size(col("__keep")), lit(0)).cast("long").as("n_kept"),
+        array_join(
+          transform(
+            filter(col("__paras"), p => array_contains(
+              coalesce(col("__keep"), array().cast("array<int>")), p.getField("pos"))),
+            p => p.getField("line")),
+          ". ").as("clean_text"))
+    Caching.materializeAndRelease(out, lines)
+  }
 }
