@@ -64,9 +64,19 @@ object Sampling {
     * fraction. Output keeps `n_tokens` and the running `cum_tokens`
     * so the mixture report is free.
     *
-    * Scale shape: ONE shuffle on the stratum key, then a per-stratum
-    * sort by 128-bit hash for the running sum — a range-partitioned
-    * sort Spark handles at any size; no driver state, no collect. The
+    * Scale shape: a training mixture has ~5–20 strata, so a window
+    * partitioned by the stratum alone would drag EVERY document of a
+    * source through one task for the running sum — a many-TB
+    * single-core sort at corpus scale. The prefix sum is therefore
+    * two-level (the same recipe as [[Packing.packSequences]]):
+    * documents are sub-bucketed by the first byte of their order hash
+    * (256 range buckets per stratum that agree with the per-stratum
+    * order, because the bucket is a prefix of the order key), the
+    * running sum is windowed WITHIN (stratum, bucket), and the
+    * strata×256 bucket totals — a driver-scale frame — are window-
+    * summed into bucket base offsets and broadcast-joined back. One
+    * shuffle of (key, stratum, n_tokens) triples; the text never
+    * moves and no task ever sees more than ~1/256 of a stratum. The
     * admission boundary cuts mid-document never: the last admitted doc
     * is the one that keeps cum ≤ budget.
     */
@@ -76,12 +86,26 @@ object Sampling {
     val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (stratum, b)) =>
       when(col(strataCol) === stratum, lit(b)).otherwise(acc)
     }
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(hashBucket32(col(keyCol), salt))
-    df.select(col(keyCol), col(strataCol),
-        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val ord = hashBucket32(col(keyCol), salt)
+    val base = df.select(col(keyCol), col(strataCol),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        ord.as("__ord"), substring(ord, 1, 2).as("__b"))
+    val wB = Window.partitionBy(col(strataCol), col("__b")).orderBy(col("__ord"))
+    val withCum = base.withColumn("__cum_b", sum(col("n_tokens")).over(wB))
+    // Bucket totals per (stratum, bucket); the exclusive running sum
+    // across each stratum's buckets is that bucket's base offset. The
+    // stratum-partitioned window here is over ≤256 AGGREGATED rows per
+    // stratum, not the corpus — driver-scale, then broadcast.
+    val wT = Window.partitionBy(col(strataCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withCum.groupBy(col(strataCol), col("__b"))
+      .agg(max(col("__cum_b")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wT), lit(0L)))
+      .select(col(strataCol), col("__b"), col("__off"))
+    withCum.join(broadcast(offsets), Seq(strataCol, "__b"))
+      .withColumn("cum_tokens", col("__off") + col("__cum_b"))
       .filter(col("cum_tokens") <= budget)
+      .select(col(keyCol), col(strataCol), col("n_tokens"), col("cum_tokens"))
   }
 
   /** Full md5 hex of (salt || key) — the deterministic per-stratum

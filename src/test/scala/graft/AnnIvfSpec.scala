@@ -49,6 +49,20 @@ class AnnIvfSpec extends SparkSuite {
     assert(sq8 === ivf, s"SQ8 diverged: only-in-ivf=${(ivf -- sq8).size}, only-in-sq8=${(sq8 -- ivf).size}")
   }
 
+  test("ANN gates release every pinned cache block before returning") {
+    // Each gate persists one shared normalized corpus; Caching
+    // .materializeAndRelease must drop it on return, so a long-lived
+    // session running all gates back-to-back holds zero CacheManager
+    // entries between them (no reliance on Bench's clearCache()).
+    spark.catalog.clearCache()
+    for (name <- Seq("ann_ivf", "ann_recall", "ann_ivf_sq8", "ann_lsh_recall")) {
+      val out = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      assert(out.collect().nonEmpty, name)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left pinned cache entries behind")
+    }
+  }
+
   test("multi-table LSH finds at least the single-table pairs") {
     val one = EmbeddingAnn.lshNearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.3, dim = 64, nBits = 6, nTables = 1)

@@ -119,6 +119,30 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("tokenBudgetSample never windows the corpus by the stratum alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = graft.operators.Sampling.tokenBudgetSample(
+      docs, "source", "doc_id", "text", budgets = Map("src0" -> 500L, "src1" -> 200L))
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }
+    assert(wins.nonEmpty)
+    // A window partitioned by the stratum column ALONE funnels every
+    // document of a source through one task — the scale-killer this
+    // operator exists to avoid. The corpus running sum must partition
+    // by (stratum, bucket); a stratum-only window is legal ONLY over
+    // the aggregated ≤256-rows-per-stratum bucket-totals frame.
+    wins.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).distinct.toSet
+      if (parts == Set("source")) {
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"stratum-only window must consume bucket totals, not the corpus:\n$w")
+      }
+    }
+    assert(wins.exists { w =>
+      w.partitionSpec.flatMap(_.references.map(_.name)).distinct.toSet == Set("source", "__b")
+    }, s"corpus running sum must partition by (stratum, bucket):\n${wins.mkString("\n")}")
+  }
+
   test("HLL approx distinct lands within rsd of exact") {
     val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     val exact = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
