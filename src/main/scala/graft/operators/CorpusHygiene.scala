@@ -159,14 +159,23 @@ object CorpusHygiene {
     * ≥ `minDocs` distinct docs (the [[boilerplateLines]] rule) and
     * emit, per document, the line counts before/after AND the cleaned
     * text — kept segments rejoined in original order, so the operator
-    * is a usable pipeline stage, not just a report. The corpus is
-    * split/exploded ONCE and persisted; the boilerplate set, the
-    * anti-join side, and the per-doc totals all read the cached frame.
-    * The boilerplate set is small by construction — lines repeated
-    * across MANY documents — so the anti-join broadcasts it and the
-    * corpus never shuffles; per-doc re-aggregation groups on the id
-    * the explode preserved. Documents whose every line was boilerplate
-    * survive with n_kept = 0 and empty clean_text.
+    * is a usable pipeline stage, not just a report. Documents whose
+    * every line was boilerplate survive with n_kept = 0 and empty
+    * clean_text.
+    *
+    * Scale shape: the result is corpus-sized, so it returns LAZY —
+    * there is no cheap eager point behind which a cache could be
+    * released, and localCheckpoint-ing the whole cleaned corpus would
+    * duplicate it into non-replicated executor storage and truncate
+    * its lineage (an executor loss would then fail downstream reads
+    * unrecoverably). For the same reason the exploded-lines frame is
+    * NOT persisted: re-running the linear split/explode scan for each
+    * of its three consumers is pure map-side work and beats pinning a
+    * frame larger than the corpus itself — the same reuse-vs-pin call
+    * [[hygieneSurvivors]] makes. The boilerplate anti-join carries no
+    * hint: "lines repeated in ≥ minDocs documents" is NOT bounded at
+    * corpus scale (a web crawl has billions of them), so AQE picks
+    * broadcast vs shuffle from the measured size.
     */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         minDocs: Long = 3, sep: String = "\\. "): DataFrame = {
@@ -174,27 +183,22 @@ object CorpusHygiene {
       .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
       .select(col(idCol), col("pos"), trim(col("line")).as("line"))
       .filter(length(col("line")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val boiler = lines.select(col(idCol), col("line")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("line"))
-    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             s => s.getField("line")),
           ". ").as("clean_text"))
-    val out = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-    // The cleaned corpus is materialized eagerly (checkpoint blocks are
-    // GC-managed) and the exploded-lines cache — larger than the corpus
-    // itself — is released rather than left pinned in the session.
-    Caching.materializeAndRelease(out, lines)
   }
 
   /** Corpus-wide paragraph-level EXACT dedup (the Dolma recipe):
@@ -217,16 +221,21 @@ object CorpusHygiene {
     * ~2⁻⁶⁴·pairs that is below any realistic corpus). The keep-set
     * then collapses to per-document kept-position arrays (ids +
     * ints), and the single text shuffle is the per-document rebuild
-    * groupBy. The exploded frame is persisted for its two consumers
-    * and released on return.
+    * groupBy, whose kept-position membership test is a native
+    * linear-probe set (plans.KeepPosFilter) — O(paras + kept) per
+    * document, where an `array_contains` filter would be quadratic.
+    * Corpus-sized result → returned LAZY, exploded frame NOT
+    * persisted: same rationale as [[removeBoilerplate]] (no cheap
+    * eager release point; a second linear explode scan beats pinning
+    * a corpus-sized cache).
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
                       sep: String = "\\. ", salt: String = "graft"): DataFrame = {
+    graft.plans.NativeFunctions.ensureRegistered(docs.sparkSession)
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
       .select(col(idCol), col("pos"), trim(col("line")).as("line"))
       .filter(length(col("line")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Total order over occurrences: md5 hash of the doc id (unique per
     // doc), then the 0-based position zero-padded so the string order
     // is the numeric order.
@@ -247,11 +256,9 @@ object CorpusHygiene {
       .select(col(idCol), col("n_paras"),
         coalesce(size(col("__keep")), lit(0)).cast("long").as("n_kept"),
         array_join(
-          transform(
-            filter(col("__paras"), p => array_contains(
-              coalesce(col("__keep"), array().cast("array<int>")), p.getField("pos"))),
-            p => p.getField("line")),
+          call_function("graft_keep_pos", col("__paras"),
+            coalesce(col("__keep"), array().cast("array<int>"))),
           ". ").as("clean_text"))
-    Caching.materializeAndRelease(out, lines)
+    out
   }
 }

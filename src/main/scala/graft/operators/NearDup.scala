@@ -236,9 +236,14 @@ object NearDup {
       .select("id_a", "id_b").distinct()
     val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
-    cands.join(shA, "id_a").join(shB, "id_b")
+    val pairs = cands.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"), nativeJaccard(sh.sparkSession, col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // The surviving pair frame is tiny next to the cached shingle /
+    // prefix frames: materialize it and release every pin this call
+    // made — sh (persisted by the public wrappers), prefixes, and the
+    // frequency frame when the skewed branch ordered prefixes by it.
+    Caching.materializeAndRelease(pairs, (Seq(sh, prefixes) ++ freq.toSeq): _*)
   }
 
   /** Brute-force n-gram Jaccard with a sampled query side — the
@@ -253,7 +258,7 @@ object NearDup {
     val q = sh.filter(querySide)
       .select(col(idCol).as("id_a"), col("shingles").as("sh_a"), size(col("shingles")).as("__na"))
     val c = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"), size(col("shingles")).as("__nb"))
-    q.crossJoin(c)
+    val pairs = q.crossJoin(c)
       .filter(col("id_a") < col("id_b"))
       // Size bound: j(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs with
       // incompatible set sizes can be dropped before the (expensive)
@@ -262,6 +267,9 @@ object NearDup {
         / greatest(col("__na"), col("__nb")).cast("double") >= threshold)
       .select(col("id_a"), col("id_b"), nativeJaccard(sh.sparkSession, col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Small pair frame out, shingle cache released — same lifecycle
+    // discipline as allPairsCore.
+    Caching.materializeAndRelease(pairs, sh)
   }
 
   /** SimHash fingerprint from a pre-materialized token-hash array: bit

@@ -417,6 +417,77 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Kept-line filter for the per-document rebuild in
+  * [[graft.operators.CorpusHygiene.dedupParagraphs]]: from an
+  * `array<struct<pos:int, line:string>>` and an `array<int>` of kept
+  * positions, returns the lines whose pos is kept, preserving the
+  * paragraph array's order. One linear-probe set build over the kept
+  * positions + one pass over the paragraphs — O(n_paras + n_kept) —
+  * where the composable `filter(paras, p -> array_contains(keep,
+  * p.pos))` form re-scans the keep array per paragraph:
+  * O(n_paras × n_kept), quadratic on paragraph-heavy documents (a
+  * 10k-paragraph doc would do ~10⁸ comparisons in one row's eval).
+  */
+case class KeepPosFilter(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_keep_pos"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(s: StructType, _), ArrayType(IntegerType, _))
+        if s.length == 2 && s(0).dataType == IntegerType && s(1).dataType == StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<struct<int,string>>, array<int>), " +
+        s"got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val paras = l.asInstanceOf[ArrayData]
+    val keep = r.asInstanceOf[ArrayData].toIntArray()
+    // Linear-probe set of kept positions; -1 marks an empty slot
+    // (positions from posexplode are always >= 0).
+    var cap = 4
+    while (cap < keep.length * 2) cap <<= 1
+    val table = new Array[Int](cap)
+    java.util.Arrays.fill(table, -1)
+    val mask = cap - 1
+    var i = 0
+    while (i < keep.length) {
+      val v = keep(i)
+      var idx = (Integer.hashCode(v) & Int.MaxValue) & mask
+      while (table(idx) != -1 && table(idx) != v) idx = (idx + 1) & mask
+      table(idx) = v
+      i += 1
+    }
+    def kept(v: Int): Boolean = {
+      var idx = (Integer.hashCode(v) & Int.MaxValue) & mask
+      while (table(idx) != -1 && table(idx) != v) idx = (idx + 1) & mask
+      table(idx) == v
+    }
+    val n = paras.numElements()
+    val buf = new Array[Any](math.min(keep.length, n))
+    var out = 0
+    i = 0
+    while (i < n) {
+      val s = paras.getStruct(i, 2)
+      if (s != null && kept(s.getInt(0))) {
+        buf(out) = if (s.isNullAt(1)) null else s.getUTF8String(1)
+        out += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (out == buf.length) buf else java.util.Arrays.copyOf(
+        buf.asInstanceOf[Array[AnyRef]], out))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object NativeFunctions {
   /** Idempotently register the native functions in a session so they
     * are callable via `expr("graft_dot(a, b)")` and plain SQL.
@@ -428,6 +499,8 @@ object NativeFunctions {
       "graft_jaccard", exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_keep_pos", exprs => KeepPosFilter(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       exprs => {

@@ -93,6 +93,34 @@ class ShingleHashesSpec extends SparkSuite {
     assert(eN.getMessage.contains("integer literal"), s"unexpected error: ${eN.getMessage}")
   }
 
+  test("graft_keep_pos equals the array_contains filter form") {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    // Real corpus: rebuild each doc's kept lines with the native
+    // linear-probe filter and the quadratic composable form — the
+    // results must be identical (order preserved, empty keep → empty).
+    val paras = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("pos", "line")))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("paras"),
+        // keep every other position, plus an always-absent one
+        array_append(collect_list(when(col("pos") % 2 === 0, col("pos"))), lit(1000000))
+          .as("keep"))
+    val diff = paras.select(
+        call_function("graft_keep_pos", col("paras"), col("keep")).as("nat"),
+        transform(
+          filter(col("paras"), p => array_contains(col("keep"), p.getField("pos"))),
+          p => p.getField("line")).as("hof"))
+      .filter(not(col("nat") <=> col("hof")))
+      .count()
+    assert(diff === 0, "native keep-pos filter diverges from array_contains form")
+    // Empty keep array → empty result, not null.
+    val e = Seq((Seq((0, "a"), (1, "b")), Seq.empty[Int])).toDF("paras", "keep")
+      .select(call_function("graft_keep_pos", col("paras"), col("keep")))
+      .collect()(0).getSeq[String](0)
+    assert(e.isEmpty)
+  }
+
   test("mod32=false emits the raw 64-bit xxhash64, multiplicity kept") {
     graft.plans.NativeFunctions.ensureRegistered(spark)
     val diff = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
