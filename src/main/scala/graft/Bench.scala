@@ -50,7 +50,17 @@ object Bench {
     }
     // Optional comma-separated name filter for single-query iteration;
     // the driver never sets it, so the full suite is the default.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Unknown names fail LOUDLY: a typo'd filter would otherwise run
+    // zero queries and complete looking like a successful (empty)
+    // bench.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -78,7 +88,19 @@ object Bench {
     val loadavg =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0)
       catch { case _: Throwable => "-1" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"baseline":$baselines,"loadavg":$loadavg,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"baseline":$baselines,"loadavg":$loadavg,"sf":"$sfDir"}"""
+    println(line)
+    // Terminal scrollback can truncate a 100+-query line (round 5's
+    // committed bench lost its first ~40 queries that way): persist
+    // the full JSON to a file as well, so round-over-round comparison
+    // never needs a re-run. Path overridable; write failures are
+    // non-fatal — stdout remains the contract.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -863,6 +863,27 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       NearDup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    // SimHash made behaviorally checkable: the raw pair list above is
+    // xxhash64-seed-specific (rows-only check), but a pipeline that
+    // plants k exact clones must recover ALL of them under ANY hash —
+    // identical text → identical fingerprint → Hamming 0, so a missed
+    // planted pair can only mean the banding join or the Hamming
+    // verify is broken. Real near-dup pairs the corpus happens to
+    // contain don't disturb the count (semi-join on the planted ids).
+    "dedup_simhash_planted" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val clones = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val pairs = NearDup.simHashNearDups(base.unionAll(clones), "doc_id", "text",
+        maxHamming = 3)
+      val planted = base.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+      val found = planted.join(pairs, Seq("id_a", "id_b"), "left_semi")
+      planted.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_planted"), (col("n_planted") === col("n_found")).as("all_found"))
+    }),
+
     // Embedding cosine near-dup, brute force (oracle-checkable).
     // Corpus capped at a fixed id range — same rationale as
     // dedup_ngram_sample: an O(n^2) crossJoin baseline must not grow
@@ -1158,8 +1179,7 @@ object SparkEntry {
     // every document (deterministically, mirrored in the oracle); the
     // boilerplate remover must drop exactly it, keep the unique body,
     // and reconstruct the cleaned text (md5-compared against the
-    // oracle's string_agg rebuild). Boilerplate set broadcast — the
-    // corpus never shuffles.
+    // oracle's string_agg rebuild).
     "dedup_lines" -> ((s, dir) => {
       val d2 = t(s, dir, "documents").select(col("doc_id"),
         concat(lit("Corpus shared header. "), col("text")).as("text"))
@@ -1736,8 +1756,11 @@ object SparkEntry {
 
   // DuckDB-dialect mirrors of the extension queries. Tokenization,
   // shingling, and set-Jaccard are reproduced with DuckDB list lambdas;
-  // md5/sha256 are engine-portable. dedup_simhash / ann_lsh are
-  // xxhash64- / seed-specific → intentionally no oracle (rows-only).
+  // md5/sha256 are engine-portable. dedup_simhash / ann_lsh raw pair
+  // lists are xxhash64- / seed-specific → intentionally no oracle
+  // (rows-only); their BEHAVIOR is oracle-gated instead by
+  // dedup_simhash_planted (clone recovery) and ann_lsh_recall
+  // (pinned recall floor).
   private val duckTokens =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
   private def duckShingles(tok: String) =
@@ -1949,6 +1972,12 @@ object SparkEntry {
          |        ELSE (end_off - n_tokens) // 512 END)
          |    != ((end_off - n_tokens) // 512) AS spans_boundary
          |FROM c""".stripMargin,
+
+    // The planted-clone SimHash gate: 100 clone pairs in, all must be
+    // recovered (identical text → Hamming 0 under any hash function).
+    "dedup_simhash_planted" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS all_found
+        |FROM documents WHERE doc_id < 100""".stripMargin,
 
     "dedup_paragraphs" ->
       """WITH d2 AS (
