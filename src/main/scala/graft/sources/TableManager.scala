@@ -126,24 +126,43 @@ class TableManager(spark: SparkSession) {
   }
 
   /** S9 (`mergeSchema`) emulation: append with schema evolution. New
-    * columns in `df` widen the table (rewrite with merged schema —
-    * the explicit cost Delta hides); missing columns become nulls.
+    * columns in `df` widen the table; missing columns become nulls.
+    *
+    * Widening is METADATA-ONLY by default: parquet is schema-on-read,
+    * so `ALTER TABLE ... ADD COLUMNS` updates the catalog and every
+    * pre-existing file scans as null for the added columns — the cost
+    * of evolving is the NEW files alone, exactly Delta's mergeSchema
+    * cost model. At corpus scale this is the difference between a
+    * one-column widening being free and being a full-table rewrite.
+    * Set `rewriteHistory = true` for the old physical path — every
+    * file rewritten to carry the merged schema — when the directory
+    * must be handed to a reader that can't pad missing parquet
+    * columns. (Both paths are non-atomic without a transaction log —
+    * the documented Delta gap.)
     */
-  def appendEvolving(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+  def appendEvolving(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
+                     rewriteHistory: Boolean = false): Unit = {
     if (!exists(table)) { append(df, table, partitionBy); return }
     val existing = schemaOf(table)
     val newCols = df.schema.fields.filterNot(f => existing.fieldNames.contains(f.name))
     if (newCols.isEmpty) {
       append(alignToSchema(df, existing), table, partitionBy)
-    } else {
+    } else if (rewriteHistory) {
       val merged = StructType(existing.fields ++ newCols)
       val old = alignToSchema(spark.table(table), merged)
       val incoming = alignToSchema(df, merged)
       // Two-phase rewrite: materialize the merged history (checkpoint
       // severs the plan's reference to the table being overwritten),
-      // then overwrite the target. Non-atomic (documented Delta gap).
+      // then overwrite the target.
       val staged = old.union(incoming).localCheckpoint(true)
       overwrite(staged, table, partitionBy)
+    } else {
+      val colsSql = newCols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE `$table` ADD COLUMNS ($colsSql)")
+      // Align to the POST-ALTER catalog schema (for a partitioned
+      // table the added data columns land before the partition
+      // columns, not at the very end).
+      append(alignToSchema(df, schemaOf(table)), table, partitionBy)
     }
   }
 

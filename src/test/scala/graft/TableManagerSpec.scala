@@ -62,6 +62,55 @@ class TableManagerSpec extends SparkSuite {
     assert(spark.table("tm_evolve").count() === 3)
   }
 
+  test("appendEvolving widens metadata-only: pre-existing files are never rewritten") {
+    def dataFiles(table: String): Map[String, (Long, Long)] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location.getPath
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(loc))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    tables.overwrite(Seq((1L, 2.0)).toDF("id", "v"), "tm_evolve_meta")
+    val before = dataFiles("tm_evolve_meta")
+    assert(before.nonEmpty)
+    tables.appendEvolving(Seq((2L, 3.0, "new")).toDF("id", "v", "extra"), "tm_evolve_meta")
+    val after = dataFiles("tm_evolve_meta")
+    // Every old file still there, same mtime and size — the widening
+    // only paid for the new files plus a catalog update.
+    before.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"pre-existing file was rewritten: $p")
+    }
+    assert(after.size > before.size)
+    // Old rows scan as null in the added column; new rows carry it.
+    val t = spark.table("tm_evolve_meta")
+    assert(t.filter(col("id") === 1L).collect()(0).isNullAt(t.columns.indexOf("extra")))
+    assert(t.filter(col("id") === 2L).collect()(0)
+      .getString(t.columns.indexOf("extra")) === "new")
+    // rewriteHistory = true still produces the same table content.
+    tables.overwrite(Seq((1L, 2.0)).toDF("id", "v"), "tm_evolve_rw")
+    tables.appendEvolving(Seq((2L, 3.0, "new")).toDF("id", "v", "extra"), "tm_evolve_rw",
+      rewriteHistory = true)
+    val a = spark.table("tm_evolve_meta").orderBy("id").collect().map(_.toSeq)
+    val b = spark.table("tm_evolve_rw").orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("appendEvolving widens a PARTITIONED table in place") {
+    tables.append(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), "tm_evolve_part",
+      partitionBy = Seq("p"))
+    tables.appendEvolving(Seq((3L, 9.5, "a")).toDF("id", "score", "p"), "tm_evolve_part",
+      partitionBy = Seq("p"))
+    val t = spark.table("tm_evolve_part")
+    // Added data column sits before the partition column in the schema
+    // and old rows read as null.
+    assert(t.columns.toSeq === Seq("id", "score", "p"))
+    assert(t.count() === 3)
+    assert(t.filter(col("id") === 3L).collect()(0).getDouble(1) === 9.5)
+    assert(t.filter(col("id") === 1L).collect()(0).isNullAt(1))
+  }
+
   test("alignToSchemaRenamed matches renamed columns by token multiset") {
     val target = StructType(Seq(
       StructField("avg_x", DoubleType), StructField("n", LongType),
