@@ -132,10 +132,20 @@ object EmbeddingAnn {
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      nlist: Int, iters: Int = 5,
-                     trainSample: Int = 100000): Array[Array[Double]] = {
+                     trainSample: Int = 25000): Array[Array[Double]] = {
     // Train on a bounded sample (standard IVF practice): the quantizer
     // needs representative geometry, not the whole corpus, and the
-    // driver must never hold more than trainSample × dim doubles.
+    // driver must never hold more than trainSample × dim doubles —
+    // trainSample × dim × 8 B on the heap (25k × 1024-dim ≈ 200 MB;
+    // size trainSample against driver memory before raising it). The
+    // default follows the usual k-means budget of tens-to-hundreds of
+    // points per centroid, not a fraction of the corpus. The Lloyd
+    // loop itself stays single-threaded ON PURPOSE: a parallel
+    // accumulation would sum in nondeterministic float order and break
+    // the bit-for-bit centroid determinism the gates rely on; its cost
+    // is iters × trainSample × nlist × dim flops (5 × 25k × 16 × 64
+    // ≈ 10⁸ here — sub-second), and it scales with the SAMPLE, not the
+    // corpus.
     // Plain limit, NOT orderBy().limit(): a global-sort TakeOrdered
     // ships partitions × trainSample rows to the merge at scale,
     // whereas limit stops the scan after trainSample rows. WHICH rows
