@@ -134,9 +134,12 @@ object NearDup {
     val cands = candidatePairs(signatures(sh, idCol), idCol)
     val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
-    cands.join(shA, "id_a").join(shB, "id_b")
+    val pairs = cands.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"), nativeJaccard(sh.sparkSession, col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Small pair frame out, shingle cache released — same lifecycle
+    // discipline as allPairsCore.
+    Caching.materializeAndRelease(pairs, sh)
   }
 
   /** EXACT near-dup pairs via prefix filtering (AllPairs/PPJoin

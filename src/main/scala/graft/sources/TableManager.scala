@@ -24,16 +24,30 @@ class TableManager(spark: SparkSession) {
     * files — the classic small-file blowup (and a metastore/commit
     * storm to match). Shuffling on the partition columns first sends
     * each value to one task → one file per partition, with AQE
-    * coalescing the tiny ones. A partition too large for one write
-    * task should be pre-salted by the CALLER (compose an extra bucket
-    * column); this layer keeps the common case right.
+    * coalescing the tiny ones.
+    *
+    * `filesPerPartition > 1` handles the OTHER failure mode — a
+    * partition value too large for one write task (a hot ingestion
+    * day at corpus scale): rows are additionally spread over that
+    * many salt buckets, derived deterministically from a hash of the
+    * whole row (layout-independent, no RNG), so each partition value
+    * is written by up to that many parallel tasks instead of one.
     */
-  private def alignWrite(df: DataFrame, partitionBy: Seq[String]): DataFrame =
-    if (partitionBy.isEmpty) df else df.repartition(partitionBy.map(col): _*)
+  private def alignWrite(df: DataFrame, partitionBy: Seq[String],
+                         filesPerPartition: Int = 1): DataFrame =
+    if (partitionBy.isEmpty) df
+    else if (filesPerPartition <= 1) df.repartition(partitionBy.map(col): _*)
+    else df.repartition(partitionBy.map(col) :+
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(filesPerPartition.toLong)): _*)
 
-  /** S8: partitioned append (creates the table on first write). */
-  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = alignWrite(df, partitionBy).write.format("parquet").mode(SaveMode.Append)
+  /** S8: partitioned append (creates the table on first write).
+    * `filesPerPartition` pre-salts oversized partition values — see
+    * [[alignWrite]].
+    */
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
+             filesPerPartition: Int = 1): Unit = {
+    val w = alignWrite(df, partitionBy, filesPerPartition)
+      .write.format("parquet").mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
   }
 

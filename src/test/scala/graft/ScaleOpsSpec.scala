@@ -143,6 +143,23 @@ class ScaleOpsSpec extends SparkSuite {
     }, s"corpus running sum must partition by (stratum, bucket):\n${wins.mkString("\n")}")
   }
 
+  test("dedup and hygiene operators leave no pinned cache behind") {
+    // Every operator that persists an intermediate must release it
+    // before returning (small results are materialized via
+    // Caching.materializeAndRelease; corpus-sized results never
+    // persist at all) — a long-lived session running the whole family
+    // back-to-back must end with an empty CacheManager.
+    spark.catalog.clearCache()
+    for (name <- Seq("dedup_minhash", "dedup_clusters", "dedup_allpairs",
+        "dedup_allpairs_auto", "dedup_ngram_sample", "dedup_lines",
+        "dedup_paragraphs", "corpus_funnel", "corpus_funnel_keep",
+        "sample_token_budget")) {
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").collect()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left pinned cache entries behind")
+    }
+  }
+
   test("HLL approx distinct lands within rsd of exact") {
     val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     val exact = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)

@@ -62,6 +62,38 @@ class TableManagerSpec extends SparkSuite {
     assert(spark.table("tm_evolve").count() === 3)
   }
 
+  test("filesPerPartition salts an oversized partition over parallel write tasks") {
+    def filesIn(table: String, sub: String): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location.getPath
+      Option(new java.io.File(loc, sub).listFiles()).toSeq.flatten
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    // 10k rows, ALL in one partition value — the hot-day shape.
+    val hot = spark.range(10000).select(col("id"), lit("d1").as("p"))
+    tables.append(hot, "tm_salt_default", Seq("p"))
+    assert(filesIn("tm_salt_default", "p=d1") === 1) // aligned write: one task, one file
+    // At test scale AQE would legitimately coalesce the four tiny salt
+    // buckets back into one task (they're all far below the advisory
+    // size — exactly the right call for genuinely-small partitions).
+    // Shrink the advisory size so the buckets count as full, the way a
+    // genuinely oversized partition's would.
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "1KB"))
+      tables.append(hot, "tm_salt_4", Seq("p"), filesPerPartition = 4)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    assert(filesIn("tm_salt_4", "p=d1") >= 2,
+      "salted write should spread the hot partition over multiple files")
+    assert(filesIn("tm_salt_4", "p=d1") <= 4)
+    assert(spark.table("tm_salt_4").count() === 10000)
+  }
+
   test("appendEvolving widens metadata-only: pre-existing files are never rewritten") {
     def dataFiles(table: String): Map[String, (Long, Long)] = {
       val loc = spark.sessionState.catalog.getTableMetadata(
