@@ -45,10 +45,15 @@ object Packing {
     val wB = Window.partitionBy(col("__b")).orderBy(col("__ord"))
     val withCum = base.withColumn("__cum_b", sum(col("n_tokens")).over(wB))
     // 256 bucket totals; the exclusive running sum over them is each
-    // bucket's base offset in the global stream. Tiny frame — the
-    // single-partition window here is over ≤256 rows, then broadcast.
+    // bucket's base offset in the global stream. Totals come from a
+    // map-side-combinable groupBy over the BASE projection, not
+    // max(running sum) over the windowed frame: identical long sums,
+    // but the aggregate shuffles ~256 partial rows per mapper where
+    // the window route would re-shuffle and re-sort the whole corpus
+    // a second time. Tiny frame — the single-partition window here is
+    // over ≤256 rows, then broadcast.
     val wT = Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withCum.groupBy(col("__b")).agg(max(col("__cum_b")).as("__t"))
+    val offsets = base.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__t"))
       .withColumn("__off", coalesce(sum(col("__t")).over(wT), lit(0L)))
       .select(col("__b"), col("__off"))
     // Integer `div` (not `/` + floor): `/` on longs is DOUBLE division,

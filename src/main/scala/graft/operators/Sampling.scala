@@ -93,13 +93,20 @@ object Sampling {
     val wB = Window.partitionBy(col(strataCol), col("__b")).orderBy(col("__ord"))
     val withCum = base.withColumn("__cum_b", sum(col("n_tokens")).over(wB))
     // Bucket totals per (stratum, bucket); the exclusive running sum
-    // across each stratum's buckets is that bucket's base offset. The
+    // across each stratum's buckets is that bucket's base offset.
+    // Totals come from a map-side-combinable groupBy over the BASE
+    // projection, not max(running sum) over the windowed frame: the
+    // sums are identical (long addition), but the aggregate's shuffle
+    // carries ~strata×256 partial rows per mapper where the window
+    // route would re-shuffle and re-sort the whole corpus a second
+    // time. (The scan+tokenize does run twice — pure parallel map
+    // work, the same reuse-vs-pin call made throughout.) The
     // stratum-partitioned window here is over ≤256 AGGREGATED rows per
-    // stratum, not the corpus — driver-scale, then broadcast.
+    // stratum — driver-scale, then broadcast.
     val wT = Window.partitionBy(col(strataCol)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withCum.groupBy(col(strataCol), col("__b"))
-      .agg(max(col("__cum_b")).as("__t"))
+    val offsets = base.groupBy(col(strataCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__t"))
       .withColumn("__off", coalesce(sum(col("__t")).over(wT), lit(0L)))
       .select(col(strataCol), col("__b"), col("__off"))
     withCum.join(broadcast(offsets), Seq(strataCol, "__b"))
