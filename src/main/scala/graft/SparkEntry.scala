@@ -1211,6 +1211,20 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       Packing.packSequences(t(s, dir, "documents"), "doc_id", "text", seqLen = 512)),
 
+    // The mixture-construction compose a training-data run actually
+    // ships: budget-sample the mixture, then pack the SURVIVORS into
+    // training sequences — packing order and offsets computed on the
+    // sampled corpus, not the raw one. Both stages are the two-level
+    // bucketed prefix sum; the oracle replays the whole compose with
+    // plain windows.
+    "sample_then_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sampled = Sampling.tokenBudgetSample(docs, "source", "doc_id", "text",
+        budgets = Map("src0" -> 1500L, "src1" -> 800L, "src3" -> 300L))
+      val kept = docs.join(sampled.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      Packing.packSequences(kept, "doc_id", "text", seqLen = 256)
+    }),
+
     // Corpus-wide paragraph-level EXACT dedup (Dolma-style): only the
     // deterministic first occurrence of any paragraph survives,
     // cleaned text rebuilt in document order. The planted shared
@@ -1971,6 +1985,33 @@ object SparkEntry {
          |  (CASE WHEN n_tokens > 0 THEN (end_off - 1) // 512
          |        ELSE (end_off - n_tokens) // 512 END)
          |    != ((end_off - n_tokens) // 512) AS spans_boundary
+         |FROM c""".stripMargin,
+
+    // The sample→pack compose, replayed with plain windows: the
+    // budget admission per source, then one global prefix sum over
+    // the survivors in the same md5 order.
+    "sample_then_pack" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |               CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |cum AS (SELECT doc_id, n_tokens,
+         |          sum(n_tokens) OVER (PARTITION BY source
+         |            ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS cum_tokens,
+         |          CASE source WHEN 'src0' THEN 1500
+         |                      WHEN 'src1' THEN 800
+         |                      WHEN 'src3' THEN 300 END AS budget
+         |        FROM tok),
+         |kept AS (SELECT doc_id, n_tokens FROM cum WHERE cum_tokens <= budget),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (
+         |          ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS end_off
+         |      FROM kept)
+         |SELECT doc_id, n_tokens, end_off - n_tokens AS begin_off,
+         |  (end_off - n_tokens) // 256 AS seq_first,
+         |  CASE WHEN n_tokens > 0 THEN (end_off - 1) // 256
+         |       ELSE (end_off - n_tokens) // 256 END AS seq_last,
+         |  (CASE WHEN n_tokens > 0 THEN (end_off - 1) // 256
+         |        ELSE (end_off - n_tokens) // 256 END)
+         |    != ((end_off - n_tokens) // 256) AS spans_boundary
          |FROM c""".stripMargin,
 
     // The planted-clone SimHash gate: 100 clone pairs in, all must be

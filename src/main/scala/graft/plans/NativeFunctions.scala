@@ -493,6 +493,13 @@ object NativeFunctions {
     * are callable via `expr("graft_dot(a, b)")` and plain SQL.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
+    // All of these builders are STATELESS (no captured data, unlike
+    // graft_bench_overlap / graft_centroid_scores, which are
+    // re-registered per call by their owners), so a second
+    // registration would be byte-identical: skip it instead of
+    // re-replacing, which logs a replacement WARN per operator call.
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_keep_pos"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
