@@ -1211,6 +1211,14 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       Packing.packSequences(t(s, dir, "documents"), "doc_id", "text", seqLen = 512)),
 
+    // Fixed-token chunking with overlap: the doc→sample step when a
+    // document exceeds the model sequence length (and the chunker of
+    // retrieval indexing). Pure map work — tokenize once, sequence +
+    // explode + slice; no shuffle at any corpus size.
+    "text_chunk" -> ((s, dir) =>
+      Packing.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, overlap = 16)),
+
     // The mixture-construction compose a training-data run actually
     // ships: budget-sample the mixture, then pack the SURVIVORS into
     // training sequences — packing order and offsets computed on the
@@ -1985,6 +1993,22 @@ object SparkEntry {
          |  (CASE WHEN n_tokens > 0 THEN (end_off - 1) // 512
          |        ELSE (end_off - n_tokens) // 512 END)
          |    != ((end_off - n_tokens) // 512) AS spans_boundary
+         |FROM c""".stripMargin,
+
+    // Chunking replayed with DuckDB list slicing: same lowercased
+    // whitespace tokens, same stride arithmetic (integer division),
+    // 1-based inclusive slices clamp at the document tail.
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |      FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, n,
+         |        unnest(range(0, (n - 1) // 48 + 1)) AS chunk_id FROM n)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(chunk_id * 48 AS BIGINT) AS chunk_start,
+         |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ')
+         |    AS chunk_text
          |FROM c""".stripMargin,
 
     // The sample→pack compose, replayed with plain windows: the

@@ -69,4 +69,43 @@ object Packing {
           s" ELSE begin_off div $seqLen END").as("seq_last"))
       .withColumn("spans_boundary", col("seq_last") =!= col("seq_first"))
   }
+
+  /** Split documents into fixed-token chunks with `overlap` carried
+    * tokens between consecutive chunks (stride = maxTokens − overlap)
+    * — the doc→sample step when documents exceed the model's sequence
+    * length, and the chunking step of retrieval indexing. Chunk k of a
+    * doc starts at token k·stride; starts run while they are inside
+    * the document, so the final chunk may be shorter than maxTokens
+    * (and, when a tail is shorter than the overlap, consists only of
+    * carried tokens — the standard overflowing-tokens convention).
+    * Empty documents yield no chunks.
+    *
+    * Scale shape: pure map work — tokenize once per document,
+    * `sequence` + `explode` for the chunk index, `slice` for the
+    * window; NO shuffle, no state, embarrassingly parallel at any
+    * corpus size. Output: (id, chunk_id, chunk_start, n_chunk_tokens,
+    * chunk_text).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    df.select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        // `div`, not `/`: same integer-division rationale as the
+        // sequence offsets above.
+        explode(sequence(lit(0L), expr(s"(__n - 1) div $stride"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("chunk_start"),
+        least(lit(maxTokens).cast("long"),
+          col("__n") - col("chunk_id") * stride).as("n_chunk_tokens"),
+        array_join(
+          slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(maxTokens)),
+          " ").as("chunk_text"))
+  }
 }

@@ -232,6 +232,25 @@ class OperatorsSpec extends SparkSuite {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("chunkDocuments: overlap carries tokens, tail shortens, empty docs drop") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val r = graft.operators.Packing.chunkDocuments(df, "doc_id", "text",
+      maxTokens = 4, overlap = 1).orderBy("doc_id", "chunk_id").collect()
+    // doc1: stride 3 → starts 0,3,6,9 → token counts 4,4,4,1
+    val d1 = r.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(3)).toSeq === Seq(4L, 4L, 4L, 1L))
+    assert(d1.map(_.getLong(2)).toSeq === Seq(0L, 3L, 6L, 9L))
+    assert(d1(0).getString(4) === "t1 t2 t3 t4")
+    assert(d1(1).getString(4) === "t4 t5 t6 t7") // t4 carried by the overlap
+    assert(d1(3).getString(4) === "t10")          // short tail
+    // doc2 fits in one chunk; doc3 (whitespace only) yields none
+    assert(r.filter(_.getLong(0) == 2L).map(_.getString(4)).toSeq === Seq("only three tokens"))
+    assert(!r.exists(_.getLong(0) == 3L))
+  }
+
   test("removeContaminated drops exactly the flagged docs, keeps the benchmark") {
     val corpus = Seq(
       (1L, "a b c d e f g"), (2L, "x y z w q r s"), (10L, "a b c d e f g"))
