@@ -1211,6 +1211,14 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       Packing.packSequences(t(s, dir, "documents"), "doc_id", "text", seqLen = 512)),
 
+    // Deterministic train/val/test assignment: hash-range split,
+    // layout-independent and stable under corpus growth (a doc keeps
+    // its split across re-crawls — the anti-leak property).
+    "sample_splits" -> ((s, dir) =>
+      Sampling.assignSplits(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))),
+
     // Fixed-token chunking with overlap: the doc→sample step when a
     // document exceeds the model sequence length (and the chunker of
     // retrieval indexing). Pure map work — tokenize once, sequence +
@@ -1994,6 +2002,17 @@ object SparkEntry {
          |        ELSE (end_off - n_tokens) // 512 END)
          |    != ((end_off - n_tokens) // 512) AS spans_boundary
          |FROM c""".stripMargin,
+
+    // Hash-range split mirrored in DuckDB: same md5 bucket, same
+    // floor(fraction·256) hex cuts (0.9→e6, 0.95→f3, 1.0 keeps all).
+    "sample_splits" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 'e6' THEN 'train'
+        |       WHEN b < 'f3' THEN 'val'
+        |       WHEN b < 'g'  THEN 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        |      FROM documents)""".stripMargin,
 
     // Chunking replayed with DuckDB list slicing: same lowercased
     // whitespace tokens, same stride arithmetic (integer division),

@@ -121,4 +121,32 @@ object Sampling {
     */
   def hashBucket32(key: Column, salt: String): Column =
     md5(concat(lit(salt), key.cast("string")).cast("binary"))
+
+  /** Deterministic train/val/test (or any named) split assignment:
+    * each row gets the label of the hash-range its 256-bucket hash
+    * falls into, with ranges stacked in the caller's declaration
+    * order. Fractions are rounded down to multiples of 1/256 (same
+    * granularity as [[hashSample]]); rows past the last range get
+    * NULL — declare fractions summing to 1.0 for a total split. Pure
+    * map work, layout-independent, re-drawable with a different salt,
+    * and stable under corpus growth: a key keeps its split when rows
+    * are added or removed, the property that keeps eval sets from
+    * leaking into training as a corpus is re-crawled.
+    */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Double)], salt: String = "graft",
+                   splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions exceed 1.0: $splits")
+    val bucket = hashBucket(col(keyCol), salt)
+    // Cumulative upper bounds in declaration order; each label claims
+    // [prevCut, cut) in the 256-bucket hex space.
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val label = splits.map(_._1).zip(cuts.map(cutHex))
+      .foldRight(lit(null).cast("string")) { case ((name, cut), acc) =>
+        when(bucket < lit(cut), lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, label)
+  }
 }

@@ -232,6 +232,29 @@ class OperatorsSpec extends SparkSuite {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("assignSplits: total split, sane proportions, stable under corpus growth") {
+    val df = spark.range(2000).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val s1 = Sampling.assignSplits(df, "id", splits)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fractions sum to 1.0 → every row labeled, proportions ~ fractions
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1600L && counts("val") > 40L && counts("test") > 40L)
+    // A row's split never depends on what else is in the corpus: the
+    // same keys re-labeled inside a halved corpus keep their splits.
+    val sub = Sampling.assignSplits(df.filter(col("id") < 1000), "id", splits)
+    val m1 = s1.filter(col("id") < 1000).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = sub.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 === m2)
+    // Partial fractions leave the remainder unlabeled (null), not
+    // silently swallowed by the last range.
+    val part = Sampling.assignSplits(df, "id", Seq("sample" -> 0.1))
+    assert(part.filter(col("split").isNull).count() > 1500L)
+  }
+
   test("chunkDocuments: overlap carries tokens, tail shortens, empty docs drop") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
