@@ -1211,6 +1211,18 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       Packing.packSequences(t(s, dir, "documents"), "doc_id", "text", seqLen = 512)),
 
+    // Ingestion-time text normalization: the corpus is ASCII-clean by
+    // construction, so the query plants a decomposed accent (e +
+    // U+0301), a BEL control char, and doubled spaces on every doc —
+    // the normalizer must NFC-compose, strip, and collapse exactly
+    // (md5-compared against DuckDB's nfc_normalize + regex mirror).
+    "text_normalize" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("  café end")).as("text"))
+      aug.select(col("doc_id"),
+        md5(TextFunctions.normalizeText(s, col("text")).cast("binary")).as("norm_md5"))
+    }),
+
     // Deterministic train/val/test assignment: hash-range split,
     // layout-independent and stable under corpus growth (a doc keeps
     // its split across re-crawls — the anti-leak property).
@@ -2002,6 +2014,17 @@ object SparkEntry {
          |        ELSE (end_off - n_tokens) // 512 END)
          |    != ((end_off - n_tokens) // 512) AS spans_boundary
          |FROM c""".stripMargin,
+
+    // Same planted codepoints via chr() (769 = combining acute, 7 =
+    // BEL), same NFC + strip + collapse pipeline.
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(
+        |        regexp_replace(
+        |          nfc_normalize(text || '  cafe' || chr(769) || chr(7) || ' end'),
+        |          '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |        '\s+', ' ', 'g'))) AS norm_md5
+        |FROM documents""".stripMargin,
 
     // Hash-range split mirrored in DuckDB: same md5 bucket, same
     // floor(fraction·256) hex cuts (0.9→e6, 0.95→f3, 1.0 keeps all).

@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Canonical ingestion-time cleanup (native expression
+    * plans.NfcClean): Unicode NFC normalization, C0/DEL control-char
+    * strip, whitespace-run collapse + trim. Run this BEFORE hashing /
+    * shingling / fingerprinting — without NFC the same word arrives
+    * as different codepoint sequences from different crawls and every
+    * exact-match operator silently misses the duplicate.
+    */
+  def normalizeText(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    call_function("graft_nfc_clean", text)
+  }
+
   /** Lowercased whitespace tokens, empties removed. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)

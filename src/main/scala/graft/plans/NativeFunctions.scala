@@ -417,6 +417,51 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Canonical text cleanup for corpus ingestion, one pass per value:
+  * Unicode NFC normalization (é == e+combining-acute — without it the
+  * same word hashes to different shingles/fingerprints depending on
+  * which encoder produced the crawl), then strip C0/DEL control
+  * characters (tab and newline excluded — they fall to the whitespace
+  * rule), then collapse every whitespace run to a single space and
+  * trim. The rule set is deliberately small and engine-portable:
+  * DuckDB mirrors it as
+  * `trim(regexp_replace(regexp_replace(nfc_normalize(x), ctrl, ''),
+  * '\s+', ' '))`, so normalized text md5-compares across engines.
+  */
+case class NfcClean(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc_clean"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  // \x09 (tab) and \x0A (newline) are NOT stripped here — they are
+  // whitespace and collapse with the \s+ rule, same as DuckDB's.
+  @transient private lazy val ctrl =
+    java.util.regex.Pattern.compile("[\\x00-\\x08\\x0B-\\x1F\\x7F]")
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val nfc =
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val stripped = ctrl.matcher(nfc).replaceAll("")
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      ws.matcher(stripped).replaceAll(" ").trim)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Kept-line filter for the per-document rebuild in
   * [[graft.operators.CorpusHygiene.dedupParagraphs]]: from an
   * `array<struct<pos:int, line:string>>` and an `array<int>` of kept
@@ -499,7 +544,7 @@ object NativeFunctions {
     // registration would be byte-identical: skip it instead of
     // re-replacing, which logs a replacement WARN per operator call.
     if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_keep_pos"))) return
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc_clean"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -508,6 +553,8 @@ object NativeFunctions {
       "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_keep_pos", exprs => KeepPosFilter(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc_clean", exprs => NfcClean(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       exprs => {

@@ -121,6 +121,24 @@ class ShingleHashesSpec extends SparkSuite {
     assert(e.isEmpty)
   }
 
+  test("graft_nfc_clean: NFC-composes, strips controls, collapses whitespace") {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      ("cafe\u0301", "caf\u00e9"),               // decomposed → composed
+      ("caf\u00e9", "caf\u00e9"),                // already NFC untouched
+      ("ab\u0007\u0000c", "abc"),                // C0 controls stripped
+      ("  a \t b\n\nc  ", "a b c"),             // runs collapse, ends trim
+      ("", "")
+    ).toDF("in", "want")
+    val bad = rows.select(call_function("graft_nfc_clean", col("in")).as("got"), col("want"))
+      .filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.mkString(","))
+    // null in → null out
+    val n = Seq[Option[String]](None).toDF("in")
+      .select(call_function("graft_nfc_clean", col("in"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("mod32=false emits the raw 64-bit xxhash64, multiplicity kept") {
     graft.plans.NativeFunctions.ensureRegistered(spark)
     val diff = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
