@@ -899,6 +899,18 @@ object SparkEntry {
       EmbeddingAnn.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
     }),
 
+    // Embedding-quality report: does the space cluster by label? Each
+    // query takes its 5 nearest neighbors' majority label and is
+    // scored against its own — per-label agreement counts. Exact
+    // top-k on a capped query side (the oracle-able form; the same
+    // voting compose runs off ivfTopK at scale).
+    "emb_knn_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val topk = EmbeddingAnn.bruteForceTopK(e, e.filter(col("vec_id") < 200),
+        "vec_id", "embedding", k = 5)
+      EmbeddingAnn.knnLabelEval(topk, e, "vec_id", "label")
+    }),
+
     // LSH-bucketed ANN (sign random projections, 2 OR-ed tables) — the
     // scale path; approximate by construction → rows-only check.
     "ann_lsh" -> ((s, dir) =>
@@ -2175,6 +2187,28 @@ object SparkEntry {
 
     "ann_ivf_sq8" ->
       "SELECT CAST(100 AS BIGINT) AS n_exact, true AS recall_ok",
+
+    // The kNN vote replayed end-to-end: same exact top-5 (cosine desc,
+    // id asc), same majority with smaller-label tie-break.
+    "emb_knn_eval" ->
+      """WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |topk AS (
+        |  SELECT query_id, n_label FROM (
+        |    SELECT q.vec_id AS query_id, c.label AS n_label,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+        |    FROM n q JOIN n c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 200)
+        |  WHERE rank <= 5),
+        |votes AS (SELECT query_id, n_label, count(*) AS votes FROM topk GROUP BY 1, 2),
+        |pred AS (SELECT query_id, n_label AS pred_label FROM (
+        |    SELECT query_id, n_label, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, n_label ASC) AS r FROM votes)
+        |  WHERE r = 1)
+        |SELECT q.label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(*) FILTER (WHERE p.pred_label = q.label) AS BIGINT) AS n_correct
+        |FROM pred p JOIN n q ON p.query_id = q.vec_id
+        |GROUP BY 1""".stripMargin,
 
     "ann_topk" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

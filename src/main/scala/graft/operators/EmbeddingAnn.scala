@@ -61,6 +61,35 @@ object EmbeddingAnn {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-quality report: k-NN majority-vote label agreement. Each
+    * query is assigned the majority label of its top-k cosine
+    * neighbors (ties broken toward the smaller label) and scored
+    * against its own label; output is per-label (label, n_queries,
+    * n_correct). High agreement means the embedding space clusters by
+    * label — the report a pipeline checks before trusting
+    * embedding-based dedup or retrieval. Runs on any top-k source:
+    * pass [[bruteForceTopK]] output for the oracle-exact form (as the
+    * gate does, query side capped) or [[ivfTopK]] output for the
+    * approximate scale path — the voting compose is identical.
+    */
+  def knnLabelEval(topk: DataFrame, corpus: DataFrame, idCol: String,
+                   labelCol: String): DataFrame = {
+    val lab = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"))
+    val qlab = corpus.select(col(idCol).as("query_id"), col(labelCol).as("q_label"))
+    val votes = topk.join(lab, "neighbor_id")
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    val pred = votes.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("query_id"), col("n_label").as("pred_label"))
+    pred.join(qlab, "query_id")
+      .groupBy(col("q_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        count(when(col("pred_label") === col("q_label"), 1)).as("n_correct"))
+      .select(col("q_label").as("label"), col("n_queries"), col("n_correct"))
+  }
+
   /** All pairs (idA < idB) with cosine ≥ threshold — embedding near-dup
     * detection, brute force. O(n²) dot products; the LSH variant below
     * is the scale path.
