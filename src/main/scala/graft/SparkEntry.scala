@@ -62,6 +62,29 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Shared epilogue of the three recall gates (ann_recall,
+    * ann_ivf_sq8, ann_lsh_recall): count the exact reference rows,
+    * count how many the approximate path recovered, pin
+    * recall ≥ `floor` as a boolean the oracle checks — then
+    * materialize the 1-row result and release `released`. An empty
+    * reference set passes explicitly (recall of nothing is vacuously
+    * met): without the guard, 0/0 division yields NULL under Spark's
+    * non-ANSI semantics and the gate would emit recall_ok = NULL
+    * instead of a verdict on a degenerate corpus.
+    */
+  private def recallGate(exact: DataFrame, approx: DataFrame, keys: Seq[String],
+                         floor: Double, released: DataFrame*): DataFrame = {
+    val hit = exact.join(approx, keys, "left_semi")
+    graft.operators.Caching.materializeAndRelease(
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_exact") === 0 ||
+            col("n_hit").cast("double") / col("n_exact").cast("double") >= floor)
+            .as("recall_ok")),
+      released: _*)
+  }
+
   /** Queries that are O(n^2) oracle baselines by construction (their
     * inputs are capped to a fixed id range so they stay flat as sf
     * grows); the scale paths they validate are dedup_minhash /
@@ -935,13 +958,7 @@ object SparkEntry {
       val lsh = EmbeddingAnn.lshNearDupPairs(cn, "vec_id", "embedding",
           threshold = 0.4, dim = 64, nBits = 4, nTables = 8)
         .select(col("id_a"), col("id_b"))
-      val hit = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
-      Caching.materializeAndRelease(
-        exact.agg(count(lit(1)).as("n_exact"))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .select(col("n_exact"),
-            (col("n_hit").cast("double") / col("n_exact").cast("double") >= 0.5).as("recall_ok")),
-        cn)
+      recallGate(exact, lsh, Seq("id_a", "id_b"), floor = 0.5, cn)
     }),
 
     // IVF ANN: deterministic k-means coarse quantizer, nprobe-cluster
@@ -982,13 +999,7 @@ object SparkEntry {
       val exact = EmbeddingAnn.bruteForceTopK(cn, cn.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val hit = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
-      Caching.materializeAndRelease(
-        exact.agg(count(lit(1)).as("n_exact"))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .select(col("n_exact"),
-            (col("n_hit").cast("double") / col("n_exact").cast("double") >= 0.5).as("recall_ok")),
-        cn)
+      recallGate(exact, ivf, Seq("query_id", "neighbor_id"), floor = 0.5, cn)
     }),
 
     // IVF-SQ8: int8-quantized postings + exact float rescore, gated on
@@ -1012,13 +1023,7 @@ object SparkEntry {
       val exact = EmbeddingAnn.bruteForceTopK(cn, cn.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val hit = exact.join(sq8, Seq("query_id", "neighbor_id"), "left_semi")
-      Caching.materializeAndRelease(
-        exact.agg(count(lit(1)).as("n_exact"))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .select(col("n_exact"),
-            (col("n_hit").cast("double") / col("n_exact").cast("double") >= 0.5).as("recall_ok")),
-        cn)
+      recallGate(exact, sq8, Seq("query_id", "neighbor_id"), floor = 0.5, cn)
     }),
 
     // REAL multimodal decode: binary-file scan of checked-in BMP/WAV
@@ -2034,7 +2039,7 @@ object SparkEntry {
         |  md5(trim(regexp_replace(
         |        regexp_replace(
         |          nfc_normalize(text || '  cafe' || chr(769) || chr(7) || ' end'),
-        |          '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |          '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'),
         |        '\s+', ' ', 'g'))) AS norm_md5
         |FROM documents""".stripMargin,
 

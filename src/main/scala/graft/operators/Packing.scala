@@ -41,33 +41,51 @@ object Packing {
     val ord = Sampling.hashBucket32(col(idCol), salt)
     val base = df.select(col(idCol),
       graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      ord.as("__ord"), substring(ord, 1, 2).as("__b"))
-    val wB = Window.partitionBy(col("__b")).orderBy(col("__ord"))
-    val withCum = base.withColumn("__cum_b", sum(col("n_tokens")).over(wB))
-    // 256 bucket totals; the exclusive running sum over them is each
-    // bucket's base offset in the global stream. Totals come from a
-    // map-side-combinable groupBy over the BASE projection, not
-    // max(running sum) over the windowed frame: identical long sums,
-    // but the aggregate shuffles ~256 partial rows per mapper where
-    // the window route would re-shuffle and re-sort the whole corpus
-    // a second time. Tiny frame — the single-partition window here is
-    // over ≤256 rows, then broadcast.
-    val wT = Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__t"))
-      .withColumn("__off", coalesce(sum(col("__t")).over(wT), lit(0L)))
-      .select(col("__b"), col("__off"))
+      ord.as("__ord"))
     // Integer `div` (not `/` + floor): `/` on longs is DOUBLE division,
     // and at 100 T-token offsets a correctly-rounded double quotient
     // can still land on the wrong side of an integer boundary.
-    withCum.join(broadcast(offsets), "__b")
+    bucketedRunningSum(base, Nil, "__ord", "n_tokens", "__end_off")
       .select(col(idCol), col("n_tokens"),
-        (col("__off") + col("__cum_b") - col("n_tokens")).as("begin_off"),
-        (col("__off") + col("__cum_b")).as("__end_off"))
+        (col("__end_off") - col("n_tokens")).as("begin_off"), col("__end_off"))
       .select(col(idCol), col("n_tokens"), col("begin_off"),
         expr(s"begin_off div $seqLen").as("seq_first"),
         expr(s"CASE WHEN n_tokens > 0 THEN (__end_off - 1) div $seqLen" +
           s" ELSE begin_off div $seqLen END").as("seq_last"))
       .withColumn("spans_boundary", col("seq_last") =!= col("seq_first"))
+  }
+
+  /** Two-level bucketed running sum — the shared scale recipe of
+    * [[packSequences]] and [[Sampling.tokenBudgetSample]]. Adds
+    * `cumCol` = running sum of `valueCol` in `ordCol` order within
+    * each `partitionCols` group (empty = one global order) WITHOUT a
+    * single-task global window: rows sub-bucket by the first byte of
+    * `ordCol` (the bucket is a PREFIX of the order key, so bucket
+    * ranges agree with the order), the running sum windows within
+    * (group, bucket), and bucket base offsets come from a map-side-
+    * combinable groupBy — identical long sums, a few hundred partial
+    * rows per mapper — plus a ≤256-rows-per-group window, broadcast
+    * back. `ordCol` must be a string whose lexicographic order is the
+    * intended order and whose first two chars distribute uniformly
+    * (an md5 hex string). The input projection is traversed twice
+    * (window + totals) — pure map work, deliberately not persisted.
+    */
+  private[operators] def bucketedRunningSum(df: DataFrame, partitionCols: Seq[String],
+                                            ordCol: String, valueCol: String,
+                                            cumCol: String): DataFrame = {
+    val base = df.withColumn("__b", substring(col(ordCol), 1, 2))
+    val groupB = (partitionCols :+ "__b").map(col)
+    val wB = Window.partitionBy(groupB: _*).orderBy(col(ordCol))
+    val withCum = base.withColumn("__cum_b", sum(col(valueCol)).over(wB))
+    val wT = (if (partitionCols.isEmpty) Window.orderBy(col("__b"))
+              else Window.partitionBy(partitionCols.map(col): _*).orderBy(col("__b")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(groupB: _*).agg(sum(col(valueCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wT), lit(0L)))
+      .select((partitionCols :+ "__b" :+ "__off").map(col): _*)
+    withCum.join(broadcast(offsets), partitionCols :+ "__b")
+      .withColumn(cumCol, col("__off") + col("__cum_b"))
+      .drop("__b", "__cum_b", "__off")
   }
 
   /** Split documents into fixed-token chunks with `overlap` carried

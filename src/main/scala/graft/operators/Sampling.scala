@@ -86,31 +86,10 @@ object Sampling {
     val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (stratum, b)) =>
       when(col(strataCol) === stratum, lit(b)).otherwise(acc)
     }
-    val ord = hashBucket32(col(keyCol), salt)
     val base = df.select(col(keyCol), col(strataCol),
-        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-        ord.as("__ord"), substring(ord, 1, 2).as("__b"))
-    val wB = Window.partitionBy(col(strataCol), col("__b")).orderBy(col("__ord"))
-    val withCum = base.withColumn("__cum_b", sum(col("n_tokens")).over(wB))
-    // Bucket totals per (stratum, bucket); the exclusive running sum
-    // across each stratum's buckets is that bucket's base offset.
-    // Totals come from a map-side-combinable groupBy over the BASE
-    // projection, not max(running sum) over the windowed frame: the
-    // sums are identical (long addition), but the aggregate's shuffle
-    // carries ~strata×256 partial rows per mapper where the window
-    // route would re-shuffle and re-sort the whole corpus a second
-    // time. (The scan+tokenize does run twice — pure parallel map
-    // work, the same reuse-vs-pin call made throughout.) The
-    // stratum-partitioned window here is over ≤256 AGGREGATED rows per
-    // stratum — driver-scale, then broadcast.
-    val wT = Window.partitionBy(col(strataCol)).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col(strataCol), col("__b"))
-      .agg(sum(col("n_tokens")).as("__t"))
-      .withColumn("__off", coalesce(sum(col("__t")).over(wT), lit(0L)))
-      .select(col(strataCol), col("__b"), col("__off"))
-    withCum.join(broadcast(offsets), Seq(strataCol, "__b"))
-      .withColumn("cum_tokens", col("__off") + col("__cum_b"))
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      hashBucket32(col(keyCol), salt).as("__ord"))
+    Packing.bucketedRunningSum(base, Seq(strataCol), "__ord", "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .select(col(keyCol), col(strataCol), col("n_tokens"), col("cum_tokens"))
   }
@@ -141,8 +120,12 @@ object Sampling {
       s"split fractions exceed 1.0: $splits")
     val bucket = hashBucket(col(keyCol), salt)
     // Cumulative upper bounds in declaration order; each label claims
-    // [prevCut, cut) in the 256-bucket hex space.
-    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // [prevCut, cut) in the 256-bucket hex space. Clamped at 1.0:
+    // fractions that sum to 1.0 in decimal can land a hair above it
+    // in binary (0.33+0.56+0.11 = 1.0000000000000002), and cutHex
+    // rejects rates above 1.
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(math.min(_, 1.0))
     val label = splits.map(_._1).zip(cuts.map(cutHex))
       .foldRight(lit(null).cast("string")) { case ((name, cut), acc) =>
         when(bucket < lit(cut), lit(name)).otherwise(acc)

@@ -421,9 +421,9 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true,
   * Unicode NFC normalization (é == e+combining-acute — without it the
   * same word hashes to different shingles/fingerprints depending on
   * which encoder produced the crawl), then strip C0/DEL control
-  * characters (tab and newline excluded — they fall to the whitespace
-  * rule), then collapse every whitespace run to a single space and
-  * trim. The rule set is deliberately small and engine-portable:
+  * characters (tab/LF/FF/CR excluded — they are whitespace in both
+  * engines and fall to the collapse rule), then collapse every
+  * whitespace run to a single space and trim. The rule set is deliberately small and engine-portable:
   * DuckDB mirrors it as
   * `trim(regexp_replace(regexp_replace(nfc_normalize(x), ctrl, ''),
   * '\s+', ' '))`, so normalized text md5-compares across engines.
@@ -443,10 +443,15 @@ case class NfcClean(child: Expression)
       s"$prettyName requires string, got ${other.simpleString}")
   }
 
-  // \x09 (tab) and \x0A (newline) are NOT stripped here — they are
-  // whitespace and collapse with the \s+ rule, same as DuckDB's.
+  // \x09 \x0A \x0C \x0D (tab, LF, FF, CR) are NOT stripped here —
+  // they are whitespace in BOTH Java's and RE2/DuckDB's \s, so they
+  // fall to the collapse rule; stripping CR would silently join words
+  // across classic-Mac line endings ("a\rb" must become "a b", not
+  // "ab"). \x0B (VT) IS stripped: Java counts it as \s but RE2 does
+  // not, so leaving it to the whitespace rule would diverge between
+  // the engine and the oracle.
   @transient private lazy val ctrl =
-    java.util.regex.Pattern.compile("[\\x00-\\x08\\x0B-\\x1F\\x7F]")
+    java.util.regex.Pattern.compile("[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]")
   @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
 
   override def nullSafeEval(input: Any): Any = {

@@ -14,6 +14,14 @@ import org.apache.spark.sql.types.StructType
   */
 class TableManager(spark: SparkSession) {
 
+  /** Backtick-quote a possibly-qualified name part by part:
+    * `db.tbl` → `` `db`.`tbl` `` — quoting the whole string would turn
+    * the dot into part of a single identifier and break every
+    * SQL-string path for qualified names.
+    */
+  private def quoted(table: String): String =
+    table.split('.').map(p => s"`$p`").mkString(".")
+
   def exists(table: String): Boolean = spark.catalog.tableExists(table)
 
   def schemaOf(table: String): StructType = spark.table(table).schema
@@ -30,15 +38,34 @@ class TableManager(spark: SparkSession) {
     * partition value too large for one write task (a hot ingestion
     * day at corpus scale): rows are additionally spread over that
     * many salt buckets, derived deterministically from a hash of the
-    * whole row (layout-independent, no RNG), so each partition value
-    * is written by up to that many parallel tasks instead of one.
+    * row's non-partition hashable columns (layout-independent, no
+    * RNG), so each partition value is written by up to that many
+    * parallel tasks instead of one.
     */
   private def alignWrite(df: DataFrame, partitionBy: Seq[String],
                          filesPerPartition: Int = 1): DataFrame =
     if (partitionBy.isEmpty) df
     else if (filesPerPartition <= 1) df.repartition(partitionBy.map(col): _*)
-    else df.repartition(partitionBy.map(col) :+
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(filesPerPartition.toLong)): _*)
+    else {
+      // Salt from the hashABLE columns only: Spark's hash expressions
+      // reject MapType (unordered — no canonical hash), so a row with
+      // a map column would fail analysis if hashed whole.
+      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+        case s: StructType => s.fields.forall(f => hashable(f.dataType))
+        case _ => true
+      }
+      val saltCols = df.schema.fields
+        .filter(f => !partitionBy.contains(f.name) && hashable(f.dataType))
+        .map(f => col(f.name))
+      // All-map payload: no deterministic salt available — fall back
+      // to the unsalted aligned write rather than a nondeterministic
+      // one.
+      if (saltCols.isEmpty) df.repartition(partitionBy.map(col): _*)
+      else df.repartition(partitionBy.map(col) :+
+        pmod(xxhash64(struct(saltCols.toIndexedSeq: _*)), lit(filesPerPartition.toLong)): _*)
+    }
 
   /** S8: partitioned append (creates the table on first write).
     * `filesPerPartition` pre-salts oversized partition values — see
@@ -73,7 +100,7 @@ class TableManager(spark: SparkSession) {
   def create(table: String, schema: StructType, partitionBy: Seq[String] = Nil): Unit = {
     val cols = schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     val part = if (partitionBy.nonEmpty) partitionBy.mkString(" PARTITIONED BY (", ", ", ")") else ""
-    spark.sql(s"CREATE TABLE IF NOT EXISTS `$table` ($cols) USING PARQUET$part")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoted(table)} ($cols) USING PARQUET$part")
   }
 
   /** Project/pad `df` to an exact target schema: missing columns become
@@ -132,7 +159,7 @@ class TableManager(spark: SparkSession) {
       schema.fields.forall(f => actual.find(_.name == f.name).exists(_.dataType == f.dataType))
     if (compatible) false
     else if (repair) {
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
       create(table, schema, partitionBy)
       true
     } else throw new IllegalStateException(
@@ -172,7 +199,7 @@ class TableManager(spark: SparkSession) {
       overwrite(staged, table, partitionBy)
     } else {
       val colsSql = newCols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      spark.sql(s"ALTER TABLE `$table` ADD COLUMNS ($colsSql)")
+      spark.sql(s"ALTER TABLE ${quoted(table)} ADD COLUMNS ($colsSql)")
       // Align to the POST-ALTER catalog schema (for a partitioned
       // table the added data columns land before the partition
       // columns, not at the very end).

@@ -127,6 +127,8 @@ class ShingleHashesSpec extends SparkSuite {
       ("cafe\u0301", "caf\u00e9"),               // decomposed → composed
       ("caf\u00e9", "caf\u00e9"),                // already NFC untouched
       ("ab\u0007\u0000c", "abc"),                // C0 controls stripped
+      ("a\rb\fc", "a b c"),                      // CR/FF are whitespace, never joiners
+      ("a\u000bb", "ab"),                         // VT stripped (RE2 \s excludes it)
       ("  a \t b\n\nc  ", "a b c"),             // runs collapse, ends trim
       ("", "")
     ).toDF("in", "want")

@@ -129,6 +129,16 @@ class TableManagerSpec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("appendEvolving widens a db-qualified table name") {
+    // The ALTER path must quote name parts separately — `db.tbl` as a
+    // single backticked identifier is "table not found".
+    tables.overwrite(Seq((1L, 2.0)).toDF("id", "v"), "default.tm_evolve_q")
+    tables.appendEvolving(Seq((2L, 3.0, "x")).toDF("id", "v", "extra"),
+      "default.tm_evolve_q")
+    assert(spark.table("default.tm_evolve_q").columns.contains("extra"))
+    assert(spark.table("default.tm_evolve_q").count() === 2)
+  }
+
   test("appendEvolving widens a PARTITIONED table in place") {
     tables.append(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), "tm_evolve_part",
       partitionBy = Seq("p"))
