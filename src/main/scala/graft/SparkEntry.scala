@@ -482,6 +482,14 @@ object SparkEntry {
         .select(col("user_id"), col("w.start").as("w_start"),
           col("w.end").as("w_end"), col("n_events"))),
 
+    // Conversion funnel view→click→purchase, first-touch attribution:
+    // step i counts users with a step-i event strictly after their
+    // EARLIEST step-(i−1) completion. One job, lazy stage counts —
+    // the events-side sibling of the corpus hygiene funnel.
+    "q49_funnel" -> ((s, dir) =>
+      Sessions.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
     // S8 at the SCAN end: a partitioned write whose readback filter
     // prunes to one partition directory (PartitionFilters in the scan
     // — the layout lever that turns a 100 TB scan into a 20 TB one).
@@ -1625,6 +1633,19 @@ object SparkEntry {
         |  max(ts) + INTERVAL 30 MINUTE AS w_end,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, session_num""".stripMargin,
+
+    // The funnel chained as dependent CTEs: each stage's earliest
+    // completion feeds the strict-after filter of the next.
+    "q49_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        |SELECT 's0_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0
+        |UNION ALL SELECT 's1_click', count(*) FROM s1
+        |UNION ALL SELECT 's2_purchase', count(*) FROM s2""".stripMargin,
 
     "s_partition_prune" ->
       """SELECT event_type, count(*) AS n_rows, avg(value) AS avg_value

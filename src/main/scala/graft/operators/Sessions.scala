@@ -49,4 +49,35 @@ object Sessions {
         max(col(tsCol)).as("session_end"),
         (max(col(tsCol).cast("double")) - min(col(tsCol).cast("double")))
           .as("duration_sec"))
+
+  /** Conversion funnel over ordered step types: a user completes step
+    * i when an event of `steps(i)` exists STRICTLY AFTER their
+    * earliest completion of step i−1 (first-touch attribution — the
+    * standard product-analytics funnel). Output: one row per step,
+    * (step, n_users), in funnel order via the step index prefix.
+    *
+    * Scale shape: each stage is a partial-aggregable groupBy on the
+    * user key filtered to ONE event type (the filter prunes before
+    * the shuffle), joined to the previous stage's per-user frame —
+    * user-keyed both sides, so AQE co-partitions; no windows, no
+    * per-user event lists. All stage counts are lazy single-row
+    * aggregates unioned into one DataFrame — the driver triggers ONE
+    * job, same as the hygiene funnel.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step required")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      df.filter(col(typeCol) === step)
+        .join(prev.select(col(userCol), col("__t").as("__prev_t")), userCol)
+        .filter(col(tsCol) > col("__prev_t"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    }
+    stages.zip(steps.zipWithIndex).map { case (stage, (step, i)) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"s${i}_$step").as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
 }

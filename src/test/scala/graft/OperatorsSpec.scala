@@ -232,6 +232,19 @@ class OperatorsSpec extends SparkSuite {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("funnel counts strict-after first-touch conversions per step") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full conversion
+      (2L, 10L, "click"), (2L, 20L, "view"),                        // click precedes view: stops at s0
+      (3L, 10L, "view"), (3L, 10L, "click"),                        // same ts: not strictly after
+      (4L, 5L, "purchase"), (4L, 10L, "view"), (4L, 20L, "click")   // stale purchase doesn't count
+    ).toDF("user_id", "ts", "event_type")
+    val r = graft.operators.Sessions.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("s0_view" -> 4L, "s1_click" -> 2L, "s2_purchase" -> 1L))
+  }
+
   test("assignSplits: total split, sane proportions, stable under corpus growth") {
     val df = spark.range(2000).toDF("id")
     val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
