@@ -490,6 +490,11 @@ object SparkEntry {
       Sessions.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))),
 
+    // Weekly retention cohorts: first-event week × weeks-since,
+    // active-user counts — the engagement-decay curve.
+    "q50_retention" -> ((s, dir) =>
+      Sessions.retention(t(s, dir, "events"), "user_id", "ts")),
+
     // S8 at the SCAN end: a partitioned write whose readback filter
     // prunes to one partition directory (PartitionFilters in the scan
     // — the layout lever that turns a 100 TB scan into a 20 TB one).
@@ -1646,6 +1651,18 @@ object SparkEntry {
         |SELECT 's0_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0
         |UNION ALL SELECT 's1_click', count(*) FROM s1
         |UNION ALL SELECT 's2_purchase', count(*) FROM s2""".stripMargin,
+
+    // Monday-start weeks in both engines; each (user, week) maps to
+    // one (cohort, period) cell so plain counts suffice.
+    "q50_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |cohorts AS (SELECT user_id, min(wk) AS cohort_week FROM active GROUP BY 1)
+        |SELECT cohort_week,
+        |  CAST(datediff('day', cohort_week, wk) // 7 AS INT) AS period_week,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM active JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "s_partition_prune" ->
       """SELECT event_type, count(*) AS n_rows, avg(value) AS avg_value

@@ -80,4 +80,29 @@ object Sessions {
         .select(lit(s"s${i}_$step").as("step"), col("n_users"))
     }.reduce(_ unionAll _)
   }
+
+  /** Weekly retention cohorts: users are cohorted by the Monday-start
+    * week of their FIRST event; `n_active` counts cohort members with
+    * any event in cohort week + `period_week` weeks. The
+    * engagement-decay curve every event pipeline reports.
+    *
+    * Scale shape: the (user, week) distinct is the only event-volume
+    * shuffle; the cohort min and the join both reuse the user-key
+    * partitioning, and each (user, week) pair maps to exactly one
+    * (cohort, period) cell, so the final rollup needs plain counts,
+    * not a COUNT DISTINCT expand.
+    */
+  def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    // Week starts are DATEs (so does DuckDB's date_trunc('week')) —
+    // a midnight timestamp would just be a date wearing a clock.
+    val active = df.select(col(userCol),
+        date_trunc("week", col(tsCol)).cast("date").as("__wk"))
+      .distinct()
+    val cohorts = active.groupBy(col(userCol)).agg(min(col("__wk")).as("cohort_week"))
+    active.join(cohorts, userCol)
+      .select(col("cohort_week"),
+        expr("datediff(__wk, cohort_week) div 7").cast("int").as("period_week"))
+      .groupBy(col("cohort_week"), col("period_week"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -245,6 +245,25 @@ class OperatorsSpec extends SparkSuite {
     assert(r === Map("s0_view" -> 4L, "s1_click" -> 2L, "s2_purchase" -> 1L))
   }
 
+  test("retention cohorts users by first-event week and counts active cells once") {
+    val ev = Seq(
+      // u1: cohort Mon 2024-01-01, active again in week of Jan 8
+      (1L, "2024-01-03 10:00:00"), (1L, "2024-01-04 11:00:00"), (1L, "2024-01-10 09:00:00"),
+      // u2: same cohort, active in cohort week only
+      (2L, "2024-01-01 00:00:00"),
+      // u3: cohort Mon 2024-01-08
+      (3L, "2024-01-08 23:59:59")
+    ).toDF("user_id", "ts_s").select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val r = graft.operators.Sessions.retention(ev, "user_id", "ts")
+      .collect()
+      .map(x => (x.getDate(0).toString, x.getInt(1)) -> x.getLong(2)).toMap
+    // Two events of u1 inside one week collapse to one active cell.
+    assert(r === Map(
+      ("2024-01-01", 0) -> 2L,   // u1 + u2
+      ("2024-01-01", 1) -> 1L,   // u1 returns
+      ("2024-01-08", 0) -> 1L))  // u3's own cohort
+  }
+
   test("assignSplits: total split, sane proportions, stable under corpus growth") {
     val df = spark.range(2000).toDF("id")
     val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
