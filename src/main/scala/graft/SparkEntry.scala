@@ -495,6 +495,36 @@ object SparkEntry {
     "q50_retention" -> ((s, dir) =>
       Sessions.retention(t(s, dir, "events"), "user_id", "ts")),
 
+    // Corpus vocabulary top-k: global token + document frequencies,
+    // deterministic (count desc, token asc) order — tokenizer-vocab
+    // building. TakeOrdered top-k, never a global sort.
+    "q51_vocab" -> ((s, dir) =>
+      TextFunctions.vocab(t(s, dir, "documents"), "doc_id", "text", k = 100)),
+
+    // Per-type z-score outliers: two-pass anomaly filter; the stats
+    // side is #types rows, AQE broadcasts it.
+    "q52_outliers" -> ((s, dir) =>
+      Quality.zscoreOutliers(t(s, dir, "events"), "event_type", "value",
+          threshold = 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("zscore"))),
+
+    // Inter-event cadence: exact p50/p90 of per-user same-type gaps.
+    "q53_gap_percentiles" -> ((s, dir) =>
+      Sessions.gapPercentiles(t(s, dir, "events"), "user_id", "ts",
+        "event_type", tieBreak = Seq("event_id"))),
+
+    // 7-day rolling active users: distinct-first, then a bounded 7×
+    // expansion — never a rolling COUNT DISTINCT window.
+    "q54_wau" -> ((s, dir) =>
+      Sessions.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts",
+        windowDays = 7)),
+
+    // Fixed-width value histogram per type — deterministic bins,
+    // unlike histogram_numeric's centroids.
+    "q55_histogram" -> ((s, dir) =>
+      graft.operators.Sketches.histogram(t(s, dir, "events"), "value",
+        binWidth = 50.0, groupCols = Seq("event_type"))),
+
     // S8 at the SCAN end: a partitioned write whose readback filter
     // prunes to one partition directory (PartitionFilters in the scan
     // — the layout lever that turns a 100 TB scan into a 20 TB one).
@@ -1663,6 +1693,61 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_active
         |FROM active JOIN cohorts USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // Same whitespace tokenizer both sides; the (n_occur desc, token
+    // asc) total order makes the k-boundary deterministic.
+    "q51_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |dt AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM tok WHERE token <> '' GROUP BY 1, 2)
+        |SELECT token, CAST(sum(tf) AS BIGINT) AS n_occur,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM dt GROUP BY 1
+        |ORDER BY n_occur DESC, token ASC LIMIT 100""".stripMargin,
+
+    // Threshold sits ≥ 2e-4 σ clear of every row at sf0.01/sf0.1
+    // (checked), so engine-order float noise can't flip membership.
+    "q52_outliers" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu,
+        |                  stddev_samp(value) AS sd
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value, (value - mu) / sd AS zscore
+        |FROM events JOIN s USING (event_type)
+        |WHERE abs((value - mu) / sd) > 3.0""".stripMargin,
+
+    // Same dedup-then-expand replay; range(7) is the sequence() twin.
+    "q54_wau" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wday
+        |  FROM daily, range(7) t(i)),
+        |days AS (SELECT DISTINCT day FROM daily)
+        |SELECT wday AS day, CAST(count(*) AS BIGINT) AS n_active
+        |FROM contrib JOIN days ON contrib.wday = days.day
+        |GROUP BY 1""".stripMargin,
+
+    // IEEE division+floor are exactly specified → identical bins in
+    // both engines.
+    "q55_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |  floor(value / 50.0) * 50.0 AS bin_lo,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // Gaps in exact integer micros; interpolation only at the rollup
+    // (quantile_cont ≡ Spark's exact percentile).
+    "q53_gap_percentiles" ->
+      """WITH g AS (
+        |  SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  quantile_cont(gap_us, 0.5) AS p50_gap_us,
+        |  quantile_cont(gap_us, 0.9) AS p90_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
 
     "s_partition_prune" ->
       """SELECT event_type, count(*) AS n_rows, avg(value) AS avg_value

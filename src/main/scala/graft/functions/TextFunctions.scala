@@ -205,6 +205,28 @@ object TextFunctions {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus vocabulary: global token frequencies, deterministic top-k
+    * (count desc, token asc) — the vocabulary-building pass a
+    * tokenizer-training pipeline runs first. Output: token, n_occur,
+    * n_docs (document frequency rides along for min-df style cuts).
+    *
+    * Scale shape: tokenize+explode once; the per-document distinct for
+    * n_docs collapses (doc, token) pairs map-side BEFORE the token
+    * shuffle, so the exchange carries per-partition vocabularies, not
+    * the corpus token stream; top-k is ORDER BY+LIMIT →
+    * TakeOrderedAndProject (per-partition heaps, never a global sort).
+    */
+  def vocab(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+            k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+      .groupBy(col("token"))
+      .agg(sum(col("__tf")).as("n_occur"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occur").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Bulk language-ID: tokenize once, score all stopword sets from the
     * materialized array. Output: idCol, lang_pred.
     */

@@ -65,4 +65,31 @@ object Quality {
     df.agg(count(lit(1)).as("total_rows"), (nullAggs :+ dupAgg): _*)
       .withColumn("duplicate_rows", col("total_rows") - col("distinct_keys"))
   }
+
+  /** Per-group z-score outliers: rows whose |value − μ_group| exceeds
+    * `threshold` sample standard deviations. The standard two-pass
+    * anomaly filter (metric spikes, corrupt-value detection) every
+    * event pipeline needs before aggregating.
+    *
+    * Scale shape: pass 1 collapses to one (μ, σ) row PER GROUP — a
+    * partial-aggregable groupBy whose output is #groups rows. The join
+    * back carries no hint: #groups is small for type-like keys (AQE
+    * measures the built side and broadcasts) but NOT bounded for
+    * user-like keys, where a forced broadcast would be the exact
+    * anti-pattern removeBoilerplate shed — AQE picks per-run. Pass 2
+    * is a filter over the original rows. Groups with σ = 0 or a
+    * single row yield no outliers by definition (null/zero σ compares
+    * false, matching SQL semantics).
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valCol: String,
+                     threshold: Double): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(avg(col(valCol)).as("__mu"), stddev_samp(col(valCol)).as("__sd"))
+    df.join(stats, groupCol)
+      // try_divide: σ = 0 → null zscore → filtered, instead of the
+      // ANSI DIVIDE_BY_ZERO error a constant group would otherwise throw.
+      .withColumn("zscore", try_divide(col(valCol) - col("__mu"), col("__sd")))
+      .filter(abs(col("zscore")) > threshold)
+      .drop("__mu", "__sd")
+  }
 }

@@ -92,6 +92,59 @@ object Sessions {
     * (cohort, period) cell, so the final rollup needs plain counts,
     * not a COUNT DISTINCT expand.
     */
+  /** Exact inter-event gap percentiles per event type: for each user's
+    * consecutive events OF THAT TYPE, the gap in microseconds, rolled
+    * up to exact interpolated p50/p90 per type — the cadence profile
+    * (polling intervals, retry storms, organic pacing) behind rate
+    * limits and bot detection.
+    *
+    * Scale shape: one shuffle on (user, type) for the lag window —
+    * partitions are single-user slivers, never a global sort; the
+    * rollup shrinks to #types rows. Exact `percentile` holds one
+    * gap-count map per (type) group in the aggregation buffer — fine
+    * for type-like cardinalities; a per-user percentile at 100 TB
+    * would switch to `approx_percentile` (the q47 path).
+    */
+  def gapPercentiles(df: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+    val us = unix_micros(col(tsCol))
+    df.select(col(typeCol), (us - lag(us, 1).over(w)).as("__gap_us"))
+      .filter(col("__gap_us").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        percentile(col("__gap_us"), lit(0.5)).as("p50_gap_us"),
+        percentile(col("__gap_us"), lit(0.9)).as("p90_gap_us"))
+  }
+
+  /** Rolling N-day active users (WAU for windowDays = 7): for every
+    * day with any activity, the count of users active in the trailing
+    * window [day − N + 1, day].
+    *
+    * Scale shape: a rolling COUNT DISTINCT is NOT windowable without
+    * holding per-day user sets, so this uses the
+    * dedup-then-bounded-expand form: collapse events to distinct
+    * (user, day) FIRST (the only event-volume shuffle), then explode
+    * each active day to the ≤ N window days it feeds — a bounded N×
+    * expansion of the already-collapsed frame — dedup per (user,
+    * window day), and count. The observed-days semi-join keeps output
+    * days meaningful; that side is #days rows, AQE broadcasts it.
+    */
+  def rollingActiveUsers(df: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val daily = df.select(col(userCol), to_date(col(tsCol)).as("__day")).distinct()
+    val contrib = daily
+      .select(col(userCol), explode(
+        sequence(col("__day"), date_add(col("__day"), windowDays - 1))).as("day"))
+      .distinct()
+    contrib
+      .join(daily.select(col("__day").as("day")).distinct(), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // Week starts are DATEs (so does DuckDB's date_trunc('week')) —
     // a midnight timestamp would just be a date wearing a clock.

@@ -25,4 +25,21 @@ object Sketches {
     * stddev, min, max per numeric column.
     */
   def describe(df: DataFrame, cols: String*): DataFrame = df.describe(cols: _*)
+
+  /** Fixed-width histogram of `valCol`, optionally per group: bin i
+    * covers [i·binWidth, (i+1)·binWidth). One partial-aggregable
+    * groupBy — the distribution profile without q34's percentile
+    * state or `histogram_numeric`'s non-deterministic centroids.
+    * Bin membership is engine-portable: IEEE division and floor are
+    * exactly specified, so the same double lands in the same bin
+    * everywhere.
+    */
+  def histogram(df: DataFrame, valCol: String, binWidth: Double,
+                groupCols: Seq[String] = Nil): DataFrame = {
+    val bin = floor(col(valCol) / binWidth).cast("long").as("bin")
+    val lo = (col("bin") * binWidth).as("bin_lo")
+    df.groupBy((groupCols.map(col) :+ (bin: Column)): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .select((groupCols.map(col) ++ Seq(col("bin"), lo, col("n_rows"))): _*)
+  }
 }

@@ -264,6 +264,76 @@ class OperatorsSpec extends SparkSuite {
       ("2024-01-08", 0) -> 1L))  // u3's own cohort
   }
 
+  test("vocab: global+doc frequencies, deterministic top-k boundary, TakeOrdered plan") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "THE dog")
+    ).toDF("doc_id", "text")
+    val v = graft.functions.TextFunctions.vocab(docs, "doc_id", "text", k = 2)
+    // top-k order: count desc, token asc — "cat" beats "dog"/"sat"/"ran" ties
+    val rows = v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(("the", 3L, 3L), ("cat", 2L, 2L)))
+    // ORDER BY + LIMIT must plan as a per-partition top-k heap, not a
+    // global sort (the 100 TB difference).
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("zscoreOutliers: flags per-group outliers; constant and single-row groups yield none") {
+    val df = (Seq.fill(9)(("a", 0.0)) ++ Seq(("a", 10.0)) ++ // z = 9/sqrt(10) ≈ 2.85
+      Seq.fill(5)(("b", 7.0)) ++                             // σ = 0
+      Seq(("c", 99.0)))                                      // single row: σ null
+      .toDF("grp", "v")
+    val out = Quality.zscoreOutliers(df, "grp", "v", threshold = 2.0).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("grp") === "a")
+    assert(math.abs(out.head.getAs[Double]("zscore") - 9.0 / math.sqrt(10.0)) < 1e-12)
+  }
+
+  test("gapPercentiles: exact interpolated p50/p90 over per-user same-type gaps") {
+    val ev = Seq(
+      (1L, 0L, "a"), (1L, 1000000L, "a"), (1L, 3000000L, "a"), (1L, 6000000L, "a"),
+      (2L, 0L, "b") // single event: no gap, type b absent from output
+    ).toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val r = graft.operators.Sessions.gapPercentiles(ev, "user_id", "ts", "event_type")
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[String]("event_type") === "a")
+    assert(row.getAs[Long]("n_gaps") === 3L)
+    assert(row.getAs[Double]("p50_gap_us") === 2000000.0)
+    // p90 over sorted gaps [1e6, 2e6, 3e6]: index 0.9*(3-1)=1.8 → 2.8e6
+    assert(math.abs(row.getAs[Double]("p90_gap_us") - 2800000.0) < 1e-6)
+  }
+
+  test("rollingActiveUsers: trailing-window distinct counts, observed days only") {
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-01"), // same user+day collapses
+      (2L, "2024-01-03"),
+      (1L, "2024-01-10")                      // outside user 2's window
+    ).toDF("user_id", "d")
+      .select(col("user_id"), col("d").cast("timestamp").as("ts"))
+    val r = graft.operators.Sessions.rollingActiveUsers(ev, "user_id", "ts", windowDays = 7)
+      .collect().map(x => x.getDate(0).toString -> x.getLong(1)).toMap
+    // Jan 3 sees user 1 (active Jan 1, within 7 days) + user 2; Jan 10
+    // sees only user 1 (Jan 3 + 6 = Jan 9 < Jan 10). Jan 2, 4..9 are
+    // not observed activity days → absent.
+    assert(r === Map("2024-01-01" -> 1L, "2024-01-03" -> 2L, "2024-01-10" -> 1L))
+  }
+
+  test("histogram: fixed-width bins with half-open edges, negatives floor down") {
+    val df = Seq(("a", 0.0), ("a", 49.99), ("a", 50.0), ("a", 125.0), ("b", -0.01))
+      .toDF("grp", "v")
+    val r = graft.operators.Sketches.histogram(df, "v", binWidth = 50.0, groupCols = Seq("grp"))
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)) -> x.getLong(3)).toMap
+    assert(r === Map(
+      ("a", 0L, 0.0) -> 2L,      // 0.0 and 49.99
+      ("a", 1L, 50.0) -> 1L,     // 50.0 belongs to [50, 100)
+      ("a", 2L, 100.0) -> 1L,
+      ("b", -1L, -50.0) -> 1L))  // floor, not truncate-toward-zero
+  }
+
   test("assignSplits: total split, sane proportions, stable under corpus growth") {
     val df = spark.range(2000).toDF("id")
     val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
