@@ -189,6 +189,51 @@ class PropertySpec extends SparkSuite {
     out.foreach(x => assert(x.getLong(0) === x.getLong(1)))
   }
 
+  test("histogram conserves mass: bin counts sum to row count, bins are disjoint") {
+    for (seed <- 1 to 4) {
+      val r = new scala.util.Random(seed)
+      val df = List.fill(200)((if (r.nextBoolean()) "a" else "b",
+        r.nextDouble() * 400 - 100)).toDF("grp", "v")
+      val h = graft.operators.Sketches.histogram(df, "v", binWidth = 25.0,
+        groupCols = Seq("grp")).collect()
+      assert(h.map(_.getAs[Long]("n_rows")).sum === 200L)
+      // (grp, bin) keys unique — bins can't overlap
+      assert(h.map(x => (x.getString(0), x.getLong(1))).distinct.length === h.length)
+    }
+  }
+
+  test("rollingActiveUsers(1) == daily distinct actives (DAU identity)") {
+    val r = new scala.util.Random(7)
+    val ev = List.fill(300)((r.nextInt(20).toLong,
+      s"2024-01-${"%02d".format(r.nextInt(20) + 1)}"))
+      .toDF("user_id", "d")
+      .select($"user_id", $"d".cast("timestamp").as("ts"))
+    val wau1 = graft.operators.Sessions.rollingActiveUsers(ev, "user_id", "ts", 1)
+      .collect().map(x => x.getDate(0).toString -> x.getLong(1)).toMap
+    val dau = ev.select($"user_id", to_date($"ts").as("day")).distinct()
+      .groupBy("day").count()
+      .collect().map(x => x.getDate(0).toString -> x.getLong(1)).toMap
+    assert(wau1 === dau)
+  }
+
+  test("vocab conserves mass: sum(n_occur) over full vocab == corpus token count") {
+    val r = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (1 to 30).map(i =>
+      (i.toLong, List.fill(r.nextInt(12) + 1)(words(r.nextInt(5))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val v = graft.functions.TextFunctions.vocab(docs, "doc_id", "text", k = 1000)
+      .collect()
+    val total = docs.select(sum(size(split($"text", "\\s+"))))
+      .collect()(0).getLong(0)
+    assert(v.map(_.getAs[Long]("n_occur")).sum === total)
+    // n_docs never exceeds n_occur, and never exceeds the doc count
+    v.foreach { row =>
+      assert(row.getAs[Long]("n_docs") <= row.getAs[Long]("n_occur"))
+      assert(row.getAs[Long]("n_docs") <= 30L)
+    }
+  }
+
   test("append-then-dedup == union-then-dedup (storage is the union operator)") {
     for (seed <- 1 to 8) {
       val d1 = randomRows(seed)
