@@ -1121,7 +1121,7 @@ object SparkEntry {
     // shingle hash (both engine-portable).
     "text_fingerprint" -> ((s, dir) => {
       // md5-per-shingle is compute-bound; spread the single-file scan.
-      val d = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      val d = Skew.spread(t(s, dir, "documents"))
       d.select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp_norm"),

@@ -25,8 +25,7 @@ object QualitySignals {
     * with the published thresholds (adapted: lower token bound 20).
     */
   def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.repartition(par)
+    val base = graft.operators.Skew.spread(df)
       .select(col(idCol), col(textCol).as("__text"),
         TextFunctions.tokens(col(textCol)).as("__tok"))
     val n = size(col("__tok"))
@@ -71,7 +70,6 @@ object QualitySignals {
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.plans.NativeFunctions.ensureRegistered(df.sparkSession)
-    val par = df.sparkSession.sparkContext.defaultParallelism
     // Grams are hashed to longs IN the shingling expression (native
     // single pass, multiplicity kept): every metric below is a count,
     // so hashed grams give the same results as string grams while the
@@ -80,7 +78,7 @@ object QualitySignals {
     // grams inside one document collide with probability ~g²/2³³ and
     // would silently merge counts; at 64 bits the collision odds are
     // ~g²/2⁶⁵ — below any realistic document size.
-    val grams = df.repartition(par)
+    val grams = graft.operators.Skew.spread(df)
       .select(col(idCol),
         explode(call_function("graft_shingle_hashes",
           col(textCol), lit(2), lit(false), lit(false)))

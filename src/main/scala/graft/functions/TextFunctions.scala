@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  // Under-split-source mitigation before tokenize-heavy passes; a
+  // no-op when the scan is already well-split (see Skew.spread).
+  private def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.Skew.spread(df)
+
   /** Canonical ingestion-time cleanup (native expression
     * plans.NfcClean): Unicode NFC normalization, C0/DEL control-char
     * strip, whitespace-run collapse + trim. Run this BEFORE hashing /
@@ -143,8 +148,7 @@ object TextFunctions {
     * stopword_ratio, punct_ratio, quality_score.
     */
   def profile(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.repartition(par).select(
+    val base = spread(df).select(
       col(idCol),
       col(textCol).as("__text"),
       tokens(col(textCol)).as("__tok"),
@@ -191,8 +195,7 @@ object TextFunctions {
   def topTerms(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val toks = df.repartition(par)
+    val toks = spread(df)
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
@@ -218,7 +221,7 @@ object TextFunctions {
     */
   def vocab(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
             k: Int): org.apache.spark.sql.DataFrame = {
-    val toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val toks = spread(df)
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
     toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
       .groupBy(col("token"))
@@ -231,7 +234,7 @@ object TextFunctions {
     * materialized array. Output: idCol, lang_pred.
     */
   def langIdBulk(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val base = spread(df)
       .select(col(idCol), tokens(col(textCol)).as("__tok"))
     val scored = base.select(col(idCol),
       hitCountIn(col("__tok"), EnStop).as("__en"),

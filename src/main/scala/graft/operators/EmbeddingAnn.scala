@@ -42,8 +42,7 @@ object EmbeddingAnn {
     */
   def normalized(df: DataFrame, vecCol: String): DataFrame =
     if (df.columns.contains("vnorm")) df
-    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("vnorm", l2Normalize(col(vecCol)))
+    else Skew.spread(df).withColumn("vnorm", l2Normalize(col(vecCol)))
 
   /** Exact top-k cosine neighbors of each query vector (brute force —
     * the correctness baseline). `queries` should be small; it is

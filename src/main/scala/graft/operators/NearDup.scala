@@ -51,15 +51,14 @@ object NearDup {
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     // Per-row shingling/hashing is compute-heavy; a small corpus read
     // from one parquet file would otherwise sit in a single partition
-    // and use one core. At scale the scan already has many splits and
-    // this shuffle is noise relative to the candidate join.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // and use one core. Skew.spread is a no-op when the scan is
+    // already well-split, so scale pays nothing.
     graft.plans.NativeFunctions.ensureRegistered(docs.sparkSession)
     // Native single-pass shingle+hash (plans.ShingleHashes) — bit-
     // identical to the four-layer HOF chain it replaces (kept below as
     // the reference form, equality-asserted in ShingleHashesSpec), and
     // the difference between a ~4s and a sub-second COLD corpus scan.
-    docs.repartition(par)
+    Skew.spread(docs)
       .select(col(idCol),
         call_function("graft_shingle_hashes", col(textCol), lit(n)).as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -310,8 +309,7 @@ object NearDup {
     // interpreted aggregate lambdas. coalesce keeps null-text rows at
     // fingerprint 0 exactly as the HOF form does.
     graft.plans.NativeFunctions.ensureRegistered(docs.sparkSession)
-    val fp = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val fp = Skew.spread(docs)
       .select(col(idCol),
         coalesce(transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)),
           array().cast("array<bigint>")).as("__th"))

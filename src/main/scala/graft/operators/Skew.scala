@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Spread an under-split source before a compute-heavy per-row pass
+    * (tokenize, shingle, normalize) — and ONLY then. A local
+    * single-file corpus arrives as one split, so an unconditional
+    * repartition looks free; at corpus scale the scan already has
+    * thousands of splits and the same repartition is a full-data
+    * shuffle bought for nothing. Gate on the actual scan split count
+    * (partition metadata only — no job runs).
+    */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= par) df else df.repartition(par)
+  }
+
   /** Salted inner equi-join on `key`: `left` (large, skewed) gets a
     * random-but-deterministic salt derived from stable row content;
     * `right` is exploded `saltBuckets`×. Result equals the plain join

@@ -168,6 +168,16 @@ class ScaleOpsSpec extends SparkSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
 
+  test("Skew.spread: no-op on a well-split frame, spreads a single-split one") {
+    val well = spark.range(1000).toDF("id").repartition(8)
+    assert(graft.operators.Skew.spread(well).rdd.getNumPartitions === 8,
+      "spread must not reshuffle an already well-split source")
+    val single = spark.range(1000).toDF("id").coalesce(1)
+    assert(graft.operators.Skew.spread(single).rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism,
+      "spread must fan a single-split source out to the cluster")
+  }
+
   test("approx quantiles bracket the median; describe emits stats rows") {
     val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     val Seq(q50) = Sketches.approxQuantiles(ev, "value", Seq(0.5))
