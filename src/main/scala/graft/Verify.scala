@@ -26,6 +26,9 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_ONLY is set but names no queries (empty value?) — " +
+          "unset it to dump the full suite")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +

@@ -118,6 +118,10 @@ object CorpusHygiene {
                            maxTokens: Int, lang: String, persistIds: Boolean)
       : (Option[DataFrame], DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.TextFunctions
+    // No spread here: the compute-heavy pass (shingling) spreads its
+    // OWN input inside NearDup.shingleSets; spreading d0 would also
+    // shuffle the survivors' text, which otherwise flows scan→filters
+    // without ever moving.
     val d0 = docs.select(col(idCol), col(textCol))
     // The keeper-ID SETS may persist, never the text: the funnel's
     // stage counts re-traverse d1/d2, and without the cache each would

@@ -81,22 +81,14 @@ object Sessions {
     }.reduce(_ unionAll _)
   }
 
-  /** Weekly retention cohorts: users are cohorted by the Monday-start
-    * week of their FIRST event; `n_active` counts cohort members with
-    * any event in cohort week + `period_week` weeks. The
-    * engagement-decay curve every event pipeline reports.
-    *
-    * Scale shape: the (user, week) distinct is the only event-volume
-    * shuffle; the cohort min and the join both reuse the user-key
-    * partitioning, and each (user, week) pair maps to exactly one
-    * (cohort, period) cell, so the final rollup needs plain counts,
-    * not a COUNT DISTINCT expand.
-    */
   /** Exact inter-event gap percentiles per event type: for each user's
     * consecutive events OF THAT TYPE, the gap in microseconds, rolled
     * up to exact interpolated p50/p90 per type — the cadence profile
     * (polling intervals, retry storms, organic pacing) behind rate
-    * limits and bot detection.
+    * limits and bot detection. Pass `tieBreak` (e.g. the event id)
+    * when (user, type, ts) can collide — like [[sessionize]], the
+    * window order must be total or the lag pairing (and thus the
+    * percentiles) varies run to run.
     *
     * Scale shape: one shuffle on (user, type) for the lag window —
     * partitions are single-user slivers, never a global sort; the
@@ -145,6 +137,17 @@ object Sessions {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Weekly retention cohorts: users are cohorted by the Monday-start
+    * week of their FIRST event; `n_active` counts cohort members with
+    * any event in cohort week + `period_week` weeks. The
+    * engagement-decay curve every event pipeline reports.
+    *
+    * Scale shape: the (user, week) distinct is the only event-volume
+    * shuffle; the cohort min and the join both reuse the user-key
+    * partitioning, and each (user, week) pair maps to exactly one
+    * (cohort, period) cell, so the final rollup needs plain counts,
+    * not a COUNT DISTINCT expand.
+    */
   def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // Week starts are DATEs (so does DuckDB's date_trunc('week')) —
     // a midnight timestamp would just be a date wearing a clock.

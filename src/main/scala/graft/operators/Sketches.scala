@@ -36,6 +36,7 @@ object Sketches {
     */
   def histogram(df: DataFrame, valCol: String, binWidth: Double,
                 groupCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val bin = floor(col(valCol) / binWidth).cast("long").as("bin")
     val lo = (col("bin") * binWidth).as("bin_lo")
     df.groupBy((groupCols.map(col) :+ (bin: Column)): _*)

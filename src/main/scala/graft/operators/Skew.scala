@@ -20,12 +20,28 @@ object Skew {
     * single-file corpus arrives as one split, so an unconditional
     * repartition looks free; at corpus scale the scan already has
     * thousands of splits and the same repartition is a full-data
-    * shuffle bought for nothing. Gate on the actual scan split count
-    * (partition metadata only — no job runs).
+    * shuffle bought for nothing.
+    *
+    * The decision must not execute the frame: under AQE, a `df.rdd`
+    * probe on a plan containing exchanges materializes every upstream
+    * shuffle as a real job whose work is then thrown away — and no
+    * static physical inspection can see those exchanges, because both
+    * `sparkPlan` and AQE's input plan predate `EnsureRequirements`.
+    * So the rule is SIZE-based, from optimizer statistics (driver-side
+    * plan metadata, runs nothing): a frame whose estimated bytes scan
+    * in fewer than par/4 splits is the under-split case AND is cheap
+    * to shuffle — spread it; a frame above that is either a well-split
+    * scan or a shuffle output, both already parallel, and shuffling it
+    * is exactly the corpus-scale cost this gate exists to avoid. The
+    * two errors the estimate can make are both benign: over-estimating
+    * skips a cheap redundant shuffle; under-estimating repartitions
+    * something small.
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= par) df else df.repartition(par)
+    val maxPB = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val estSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPB
+    if (estSplits * 4 < par) df.repartition(par) else df
   }
 
   /** Salted inner equi-join on `key`: `left` (large, skewed) gets a

@@ -168,14 +168,29 @@ class ScaleOpsSpec extends SparkSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
 
-  test("Skew.spread: no-op on a well-split frame, spreads a single-split one") {
-    val well = spark.range(1000).toDF("id").repartition(8)
-    assert(graft.operators.Skew.spread(well).rdd.getNumPartitions === 8,
-      "spread must not reshuffle an already well-split source")
+  test("Skew.spread: spreads small (under-split) frames, skips large ones untouched") {
+    val par = spark.sparkContext.defaultParallelism
+    // Small frames — whatever their shape — are cheap to shuffle and
+    // are exactly the single-split local case: spread.
     val single = spark.range(1000).toDF("id").coalesce(1)
-    assert(graft.operators.Skew.spread(single).rdd.getNumPartitions ===
-      spark.sparkContext.defaultParallelism,
+    assert(graft.operators.Skew.spread(single).rdd.getNumPartitions === par,
       "spread must fan a single-split source out to the cluster")
+    val limited = spark.range(1000).toDF("id").repartition(8).limit(100)
+    assert(graft.operators.Skew.spread(limited).rdd.getNumPartitions === par,
+      "spread must fan a limit-funnelled frame back out")
+    // Frames estimated to scan in >= par/4 splits must come back
+    // REFERENCE-identical: no repartition, and — critically — no .rdd
+    // probe, which under AQE would execute upstream stages as
+    // throwaway jobs (the d1 path of the hygiene funnel). Shrinking
+    // maxPartitionBytes makes the tiny test frame count as "large".
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+      val big = spark.range(1000).toDF("id")
+        .groupBy((col("id") % 10).as("k")).count()
+      assert(graft.operators.Skew.spread(big) eq big,
+        "spread must not touch (or probe) a frame it estimates as large")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
 
   test("approx quantiles bracket the median; describe emits stats rows") {
