@@ -525,6 +525,26 @@ object SparkEntry {
       graft.operators.Sketches.histogram(t(s, dir, "events"), "value",
         binWidth = 50.0, groupCols = Seq("event_type"))),
 
+    // First-order Markov transition counts over user timelines, with
+    // per-source outgoing shares.
+    "q56_transitions" -> ((s, dir) =>
+      Sessions.transitionMatrix(t(s, dir, "events"), "user_id", "ts",
+        "event_type", tieBreak = Seq("event_id"))),
+
+    // DAU/MAU stickiness: two rolling-active frames composed — both
+    // reuse the same (user, day) distinct, and the join keys are
+    // #days-scale.
+    "q57_stickiness" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dau = Sessions.rollingActiveUsers(ev, "user_id", "ts", 1)
+        .withColumnRenamed("n_active", "n_dau")
+      val mau = Sessions.rollingActiveUsers(ev, "user_id", "ts", 30)
+        .withColumnRenamed("n_active", "n_mau")
+      dau.join(mau, "day")
+        .select(col("day"), col("n_dau"), col("n_mau"),
+          (col("n_dau") / col("n_mau")).as("stickiness"))
+    }),
+
     // S8 at the SCAN end: a partitioned write whose readback filter
     // prunes to one partition directory (PartitionFilters in the scan
     // — the layout lever that turns a 100 TB scan into a 20 TB one).
@@ -1736,6 +1756,33 @@ object SparkEntry {
         |  floor(value / 50.0) * 50.0 AS bin_lo,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // DAU days are a subset of MAU days, so the inner join keeps
+    // exactly the observed-activity days.
+    "q57_stickiness" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS n_dau
+        |        FROM daily GROUP BY 1),
+        |c30 AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wday
+        |        FROM daily, range(30) t(i)),
+        |mau AS (SELECT wday AS day, CAST(count(*) AS BIGINT) AS n_mau
+        |        FROM c30 JOIN days ON c30.wday = days.day GROUP BY 1)
+        |SELECT day, n_dau, n_mau, n_dau / n_mau AS stickiness
+        |FROM dau JOIN mau USING (day)""".stripMargin,
+
+    // Long/long `/` is true division in both engines (double out).
+    "q56_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS to_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+        |      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  n_trans / (sum(n_trans) OVER (PARTITION BY from_type)) AS share
+        |FROM c""".stripMargin,
 
     // Gaps in exact integer micros; interpolation only at the rollup
     // (quantile_cont ≡ Spark's exact percentile).

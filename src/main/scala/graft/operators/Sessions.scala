@@ -110,6 +110,29 @@ object Sessions {
         percentile(col("__gap_us"), lit(0.9)).as("p90_gap_us"))
   }
 
+  /** Event-type transition matrix (first-order Markov counts): for
+    * each user's time-ordered events, count (previous type → type)
+    * transitions corpus-wide, with each source type's outgoing share —
+    * the navigation-flow / behavioral-model summary. `tieBreak` as in
+    * [[gapPercentiles]]: the per-user order must be total.
+    *
+    * Scale shape: one shuffle on the user key for the lag window; the
+    * rollup collapses to ≤ #types² rows, so the share window runs on
+    * a driver-scale frame.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+    val counts = df
+      .select(lag(col(typeCol), 1).over(w).as("from_type"), col(typeCol).as("to_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    counts.withColumn("share",
+      col("n_trans") / sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+  }
+
   /** Rolling N-day active users (WAU for windowDays = 7): for every
     * day with any activity, the count of users active in the trailing
     * window [day − N + 1, day].

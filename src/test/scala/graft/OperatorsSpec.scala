@@ -306,6 +306,23 @@ class OperatorsSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("p90_gap_us") - 2800000.0) < 1e-6)
   }
 
+  test("transitionMatrix: per-user ordered bigram counts with outgoing shares") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),  // a→b, b→a
+      (2L, 1L, "a"), (2L, 2L, "b"),                 // a→b
+      (3L, 1L, "c")                                 // single event: no transition
+    ).toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val r = graft.operators.Sessions.transitionMatrix(ev, "user_id", "ts", "event_type")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(r === Map(
+      ("a", "b") -> (2L, 1.0),  // a's only outgoing edge
+      ("b", "a") -> (1L, 1.0))) // b's only outgoing edge
+    // users never chain into each other: no b→a from user1→user2 seam
+    assert(!r.contains(("a", "a")) && !r.contains(("c", "a")))
+  }
+
   test("rollingActiveUsers: trailing-window distinct counts, observed days only") {
     val ev = Seq(
       (1L, "2024-01-01"), (1L, "2024-01-01"), // same user+day collapses
