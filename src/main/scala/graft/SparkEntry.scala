@@ -545,6 +545,14 @@ object SparkEntry {
           (col("n_dau") / col("n_mau")).as("stickiness"))
     }),
 
+    // JSONL corpus ingestion with corrupt-line quarantine: the good
+    // rows, oracle-compared against DuckDB's ignore_errors read of the
+    // same fixture (both engines skip exactly the 2 broken lines).
+    "s_jsonl_source" -> ((s, _) =>
+      graft.sources.Jsonl.good(s, "/root/repo/fixtures/jsonl/docs.jsonl",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING"))),
+
     // S8 at the SCAN end: a partitioned write whose readback filter
     // prunes to one partition directory (PartitionFilters in the scan
     // — the layout lever that turns a 100 TB scan into a 20 TB one).
@@ -1795,6 +1803,15 @@ object SparkEntry {
         |  quantile_cont(gap_us, 0.5) AS p50_gap_us,
         |  quantile_cont(gap_us, 0.9) AS p90_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // DuckDB's ignore_errors yields all-NULL rows for broken lines
+    // (Spark's PERMISSIVE marks them); both filters drop exactly those.
+    "s_jsonl_source" ->
+      """SELECT doc_id, text, lang
+        |FROM read_json('/root/repo/fixtures/jsonl/docs.jsonl',
+        |  format = 'newline_delimited', ignore_errors = true,
+        |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR'})
+        |WHERE doc_id IS NOT NULL OR text IS NOT NULL OR lang IS NOT NULL""".stripMargin,
 
     "s_partition_prune" ->
       """SELECT event_type, count(*) AS n_rows, avg(value) AS avg_value

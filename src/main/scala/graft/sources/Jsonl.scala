@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Line-delimited JSON ingestion with corrupt-record quarantine — the
+  * entry path of a real training corpus (web-crawl dumps ship as
+  * JSONL, and a multi-TB dump ALWAYS contains broken lines; an
+  * ingestion job that dies on line 4 billion, or silently drops bad
+  * lines with no accounting, fails the pipeline either way).
+  *
+  * PERMISSIVE parse: unparseable lines survive as rows whose
+  * `corruptCol` holds the raw line, everything else null; [[good]] and
+  * [[quarantine]] split the same scan. (The reference ingests columnar
+  * JSON API payloads — `First experiment/GPT 5.py:83-96` — and has no
+  * malformed-input story at all; this is the corpus-scale analogue.)
+  *
+  * Scale shape: JSONL splits on line boundaries, so the scan
+  * parallelizes by `maxPartitionBytes` like any text source; the parse
+  * is a single pass per line, and both consumers are filters of the
+  * same projection — no shuffle anywhere. The explicit schema is
+  * required: schema inference would scan the corpus twice and race
+  * against drifting payloads.
+  */
+object Jsonl {
+
+  val CorruptCol = "_corrupt"
+
+  /** The full PERMISSIVE frame: `schema`'s fields plus `CorruptCol`
+    * (null for clean rows, the raw line for broken ones).
+    *
+    * Parsed as a text scan + `from_json` rather than `spark.read.json`:
+    * the raw-file reader forbids plans whose pruned columns are only
+    * the corrupt record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so
+    * [[quarantine]] would need to cache the parsed corpus — the exact
+    * corpus-sized pin this module avoids. Same single Jackson pass,
+    * same line-splittable scan, no restriction.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.textFile(path).toDF("__line")
+      .filter(length(trim(col("__line"))) > 0)
+      .select(from_json(col("__line"), schema.add(CorruptCol, "string"),
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"))
+      .select(col("__j.*"))
+
+  /** Rows that parsed cleanly, corrupt column dropped. */
+  def good(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    read(spark, path, schema).filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** The quarantine: one row per broken line, carrying the raw text so
+    * the bad payloads can be re-parsed or audited later.
+    */
+  def quarantine(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    read(spark, path, schema).filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_line"))
+}

@@ -76,4 +76,22 @@ class ColumnarJsonSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("Generate"))
   }
+
+  test("Jsonl: good/quarantine split the corpus with full accounting") {
+    val path = "/root/repo/fixtures/jsonl/docs.jsonl"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    val good = graft.sources.Jsonl.good(spark, path, schema)
+    val bad = graft.sources.Jsonl.quarantine(spark, path, schema)
+    assert(good.count() === 10)
+    assert(good.columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(bad.count() === 2)
+    // The quarantine carries the raw lines, re-parseable later.
+    val lines = bad.collect().map(_.getString(0))
+    assert(lines.exists(_.contains("unterminated")))
+    assert(lines.exists(_.contains("not json at all")))
+    // Nothing lost: good + quarantined == physical lines.
+    assert(good.count() + bad.count() ===
+      spark.read.text(path).filter(length(trim(col("value"))) > 0).count())
+  }
 }

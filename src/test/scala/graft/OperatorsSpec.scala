@@ -306,6 +306,10 @@ class OperatorsSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("p90_gap_us") - 2800000.0) < 1e-6)
   }
 
+  test("SparkEntry.entry returns rows (the driver's smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("transitionMatrix: per-user ordered bigram counts with outgoing shares") {
     val ev = Seq(
       (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),  // a→b, b→a
