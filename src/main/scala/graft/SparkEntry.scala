@@ -553,6 +553,20 @@ object SparkEntry {
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING, lang STRING"))),
 
+    // The same ingest as a STREAM (files landing in a directory):
+    // parse + quarantine are the identical shared expression, and the
+    // gate holds the streamed good rows to the same DuckDB oracle as
+    // the batch path.
+    "streaming_jsonl" -> ((s, _) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING")
+      val parsed = StreamingJobs.jsonlStream(s, "/root/repo/fixtures/jsonl", schema)
+        .filter(col(graft.sources.Jsonl.CorruptCol).isNull)
+        .drop(graft.sources.Jsonl.CorruptCol)
+      StreamingJobs.runToMemory(s, parsed, "graft_stream_jsonl",
+        mode = "append", statePartitions = Some(2))
+    }),
+
     // S8 at the SCAN end: a partitioned write whose readback filter
     // prunes to one partition directory (PartitionFilters in the scan
     // — the layout lever that turns a 100 TB scan into a 20 TB one).
@@ -1803,6 +1817,14 @@ object SparkEntry {
         |  quantile_cont(gap_us, 0.5) AS p50_gap_us,
         |  quantile_cont(gap_us, 0.9) AS p90_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // Streamed ingest must equal the batch read — same oracle.
+    "streaming_jsonl" ->
+      """SELECT doc_id, text, lang
+        |FROM read_json('/root/repo/fixtures/jsonl/docs.jsonl',
+        |  format = 'newline_delimited', ignore_errors = true,
+        |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR'})
+        |WHERE doc_id IS NOT NULL OR text IS NOT NULL OR lang IS NOT NULL""".stripMargin,
 
     // DuckDB's ignore_errors yields all-NULL rows for broken lines
     // (Spark's PERMISSIVE marks them); both filters drop exactly those.

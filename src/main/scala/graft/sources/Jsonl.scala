@@ -38,9 +38,18 @@ object Jsonl {
     * same line-splittable scan, no restriction.
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.textFile(path).toDF("__line")
-      .filter(length(trim(col("__line"))) > 0)
-      .select(from_json(col("__line"), schema.add(CorruptCol, "string"),
+    parseLines(spark.read.text(path), schema)
+
+  /** Parse a frame of raw lines (a `value` string column — what both
+    * `spark.read.text` and `spark.readStream.text` produce) into
+    * `schema` + `CorruptCol`. Shared by the batch reader above and
+    * [[graft.streaming.StreamingJobs.jsonlStream]], so batch and
+    * streaming ingestion CANNOT disagree on quarantine semantics.
+    */
+  def parseLines(lines: DataFrame, schema: StructType): DataFrame =
+    lines
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), schema.add(CorruptCol, "string"),
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"))
       .select(col("__j.*"))

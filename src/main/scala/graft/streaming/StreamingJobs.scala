@@ -36,6 +36,18 @@ object StreamingJobs {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Streaming JSONL ingest — the shape a live crawl feed actually
+    * arrives in (files landing in a directory). Parsing and
+    * corrupt-line quarantine are [[graft.sources.Jsonl.parseLines]],
+    * the SAME expression the batch reader uses, so streaming and
+    * batch ingestion cannot disagree on which lines are broken. Good
+    * rows and quarantine are both filters of this one stream — fork
+    * them in a foreachBatch sink.
+    */
+  def jsonlStream(spark: SparkSession, dir: String,
+                  schema: StructType): DataFrame =
+    graft.sources.Jsonl.parseLines(spark.readStream.text(dir), schema)
+
   /** Tumbling-window aggregate: rows per window per event_type with
     * avg value. Watermark bounds state; partial aggregation happens
     * map-side exactly as in batch.
