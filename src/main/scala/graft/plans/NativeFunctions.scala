@@ -518,7 +518,11 @@ case class KeepPosFilter(left: Expression, right: Expression) extends BinaryExpr
       table(idx) == v
     }
     val n = paras.numElements()
-    val buf = new Array[Any](math.min(keep.length, n))
+    // Sized by n, not min(keep, n): the function is registered
+    // session-wide and callable from arbitrary SQL, where nothing
+    // enforces that paragraph positions are unique — duplicate kept
+    // positions may match more than keep.length paragraphs.
+    val buf = new Array[Any](n)
     var out = 0
     i = 0
     while (i < n) {
@@ -548,20 +552,21 @@ object NativeFunctions {
     // re-registered per call by their owners), so a second
     // registration would be byte-identical: skip it instead of
     // re-replacing, which logs a replacement WARN per operator call.
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc_clean"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jaccard", exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_keep_pos", exprs => KeepPosFilter(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_nfc_clean", exprs => NfcClean(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingle_hashes",
+    // The absent-check is PER FUNCTION, not a single sentinel — a
+    // sentinel guard would silently skip any function added to this
+    // list later in sessions that already registered the earlier set
+    // (long-lived sessions, suites sharing a SparkSession).
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "built-in")
+    reg("graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
+    reg("graft_jaccard", exprs => JaccardSim(exprs(0), exprs(1)))
+    reg("graft_simhash", exprs => SimHash64(exprs.head))
+    reg("graft_keep_pos", exprs => KeepPosFilter(exprs(0), exprs(1)))
+    reg("graft_nfc_clean", exprs => NfcClean(exprs.head))
+    reg("graft_shingle_hashes",
       exprs => {
         // The shingle width (and optional distinct flag) parameterize the
         // expression itself, so they must be literals — a clean analysis
@@ -601,6 +606,6 @@ object NativeFunctions {
         val dist = if (exprs.length < 3) true else boolFlag(exprs(2), "distinct flag")
         val m32 = if (exprs.length < 4) true else boolFlag(exprs(3), "mod32 flag")
         ShingleHashes(exprs(0), n, dist, m32)
-      }, "built-in")
+      })
   }
 }

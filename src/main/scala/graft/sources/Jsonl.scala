@@ -45,14 +45,25 @@ object Jsonl {
     * `schema` + `CorruptCol`. Shared by the batch reader above and
     * [[graft.streaming.StreamingJobs.jsonlStream]], so batch and
     * streaming ingestion CANNOT disagree on quarantine semantics.
+    *
+    * Accounting contract: every NON-BLANK line lands in exactly one of
+    * [[good]] / [[quarantine]]. Whitespace-only lines are dropped up
+    * front — they are line-terminator artifacts (trailing newline,
+    * CRLF dumps), not payloads, and JSONL has no meaning for them; a
+    * consumer that needs them counted should diff `count(text scan)`
+    * against `count(good) + count(quarantine)`.
     */
-  def parseLines(lines: DataFrame, schema: StructType): DataFrame =
+  def parseLines(lines: DataFrame, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"caller schema must not contain reserved column '$CorruptCol' " +
+        "(it is appended to carry the quarantined raw line)")
     lines
       .filter(length(trim(col("value"))) > 0)
       .select(from_json(col("value"), schema.add(CorruptCol, "string"),
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"))
       .select(col("__j.*"))
+  }
 
   /** Rows that parsed cleanly, corrupt column dropped. */
   def good(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -41,6 +41,17 @@ class TableManager(spark: SparkSession) {
     * row's non-partition hashable columns (layout-independent, no
     * RNG), so each partition value is written by up to that many
     * parallel tasks instead of one.
+    *
+    * Degenerate-salt caveat: rows that are FULLY identical outside the
+    * partition columns all hash to one salt bucket, so a hot partition
+    * made of exact duplicates still writes as one task. That is
+    * deliberate — the deterministic alternatives (monotonic ids,
+    * partition-local counters) change bucket assignment with the
+    * physical layout and make re-runs non-reproducible; exact-dup-heavy
+    * feeds should dedup upstream (the corpus funnel's first stage).
+    * The all-map-columns fallback below is the one case with NO salt
+    * available at all, and it logs loudly instead of degrading
+    * silently.
     */
   private def alignWrite(df: DataFrame, partitionBy: Seq[String],
                          filesPerPartition: Int = 1): DataFrame =
@@ -61,8 +72,14 @@ class TableManager(spark: SparkSession) {
         .map(f => col(f.name))
       // All-map payload: no deterministic salt available — fall back
       // to the unsalted aligned write rather than a nondeterministic
-      // one.
-      if (saltCols.isEmpty) df.repartition(partitionBy.map(col): _*)
+      // one, and say so (the caller asked for spreading it won't get).
+      if (saltCols.isEmpty) {
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"filesPerPartition=$filesPerPartition requested but no " +
+            "hashable non-partition columns exist to salt on; writing " +
+            "one task per partition value")
+        df.repartition(partitionBy.map(col): _*)
+      }
       else df.repartition(partitionBy.map(col) :+
         pmod(xxhash64(struct(saltCols.toIndexedSeq: _*)), lit(filesPerPartition.toLong)): _*)
     }
@@ -185,6 +202,7 @@ class TableManager(spark: SparkSession) {
                      rewriteHistory: Boolean = false): Unit = {
     if (!exists(table)) { append(df, table, partitionBy); return }
     val existing = schemaOf(table)
+    checkNoNarrowing(df.schema, existing, table)
     val newCols = df.schema.fields.filterNot(f => existing.fieldNames.contains(f.name))
     if (newCols.isEmpty) {
       append(alignToSchema(df, existing), table, partitionBy)
@@ -205,6 +223,53 @@ class TableManager(spark: SparkSession) {
       // columns, not at the very end).
       append(alignToSchema(df, schemaOf(table)), table, partitionBy)
     }
+  }
+
+  /** The accepted widening casts for the evolving-append path, listed
+    * explicitly rather than by a numeric rank — a rank order would
+    * silently admit the LOSSY promotions (int→float and long→float
+    * overflow a 24-bit mantissa). long→double is the one deliberate
+    * exception to strict losslessness (exact only below 2⁵³): count
+    * columns promote to averages throughout the reference's pipelines,
+    * and refusing it would make the common evolution impossible.
+    * Everything else (string↔numeric, nested changes…) is rejected.
+    */
+  private val wideningCasts: Set[(org.apache.spark.sql.types.DataType,
+                                  org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val integralChain = Seq(ByteType, ShortType, IntegerType, LongType)
+    val chain = for {
+      (from, i) <- integralChain.zipWithIndex
+      to <- integralChain.drop(i + 1)
+    } yield (from: DataType, to: DataType)
+    chain.toSet ++ Set[(DataType, DataType)](
+      (ByteType, FloatType), (ShortType, FloatType), (FloatType, DoubleType),
+      (ByteType, DoubleType), (ShortType, DoubleType), (IntegerType, DoubleType),
+      (LongType, DoubleType))
+  }
+
+  /** Loud guard for [[appendEvolving]]: incoming columns may be
+    * NARROWER than the table (int into long — `alignToSchema`'s cast
+    * widens losslessly) but never WIDER (long into int would truncate
+    * silently row by row). Also rejects cross-family / unranked type
+    * changes (string into int, array into scalar): schema drift that
+    * drastic is a pipeline bug, not evolution — use `ensureTable`'s
+    * repair path deliberately instead.
+    */
+  private def checkNoNarrowing(incoming: StructType, table: StructType,
+                               tableName: String): Unit = {
+    val bad = incoming.fields.flatMap { f =>
+      table.find(_.name == f.name).collect {
+        case t if t.dataType != f.dataType &&
+            !wideningCasts.contains((f.dataType, t.dataType)) =>
+          s"${f.name}: incoming ${f.dataType.simpleString} does not widen " +
+            s"to table ${t.dataType.simpleString}"
+      }
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"appendEvolving into $tableName would narrow/reinterpret columns " +
+        s"(${bad.mkString("; ")}); widen the table first or use " +
+        "ensureTable(repair = true) if the type change is intentional")
   }
 
   /** Dynamic partition overwrite: replace ONLY the partitions present

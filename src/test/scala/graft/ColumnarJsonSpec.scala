@@ -94,4 +94,13 @@ class ColumnarJsonSpec extends SparkSuite {
     assert(good.count() + bad.count() ===
       spark.read.text(path).filter(length(trim(col("value"))) > 0).count())
   }
+
+  test("Jsonl: a caller schema containing the reserved corrupt column fails fast") {
+    val clash = org.apache.spark.sql.types.StructType.fromDDL(
+      s"doc_id BIGINT, ${graft.sources.Jsonl.CorruptCol} STRING")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Jsonl.read(spark, "/root/repo/fixtures/jsonl/docs.jsonl", clash)
+    }
+    assert(e.getMessage.contains(graft.sources.Jsonl.CorruptCol))
+  }
 }

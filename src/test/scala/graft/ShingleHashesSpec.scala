@@ -119,6 +119,14 @@ class ShingleHashesSpec extends SparkSuite {
       .select(call_function("graft_keep_pos", col("paras"), col("keep")))
       .collect()(0).getSeq[String](0)
     assert(e.isEmpty)
+    // Duplicate positions in the paragraph array: the function is
+    // registered session-wide, so arbitrary SQL can feed it inputs
+    // where positions repeat — more matches than keep.length must not
+    // overflow the output buffer, and must equal the HOF form.
+    val dup = Seq((Seq((1, "a"), (1, "b"), (2, "c")), Seq(1))).toDF("paras", "keep")
+      .select(call_function("graft_keep_pos", col("paras"), col("keep")))
+      .collect()(0).getSeq[String](0)
+    assert(dup === Seq("a", "b"))
   }
 
   test("graft_nfc_clean: NFC-composes, strips controls, collapses whitespace") {

@@ -62,6 +62,33 @@ class TableManagerSpec extends SparkSuite {
     assert(spark.table("tm_evolve").count() === 3)
   }
 
+  test("appendEvolving widens incoming narrower numerics losslessly") {
+    tables.overwrite(Seq((1L, 2.0)).toDF("id", "v"), "tm_widen") // id: long, v: double
+    val narrow = Seq((2, 3.5f)).toDF("id", "v") // int arrives where long lives; float where double
+    tables.appendEvolving(narrow, "tm_widen")
+    val t = spark.table("tm_widen")
+    assert(t.schema("id").dataType === LongType && t.schema("v").dataType === DoubleType)
+    assert(t.filter(col("id") === 2L).collect()(0).getDouble(1) === 3.5)
+  }
+
+  test("appendEvolving refuses narrowing and reinterpreting casts loudly") {
+    tables.overwrite(Seq((1, 2.0f)).toDF("id", "v"), "tm_narrow") // id: int, v: float
+    // long into int would truncate row-by-row; double into float loses
+    // mantissa — both must fail BEFORE any file is written.
+    val wide = Seq((5000000000L, 3.0)).toDF("id", "v")
+    val e = intercept[IllegalStateException] {
+      tables.appendEvolving(wide, "tm_narrow")
+    }
+    assert(e.getMessage.contains("narrow") && e.getMessage.contains("id"))
+    assert(spark.table("tm_narrow").count() === 1, "failed append must not write")
+    // Cross-family reinterpretation (string where a numeric lives) is
+    // schema drift, not evolution — same loud failure.
+    val drift = Seq(("oops", 1.0f)).toDF("id", "v")
+    intercept[IllegalStateException] {
+      tables.appendEvolving(drift, "tm_narrow")
+    }
+  }
+
   test("filesPerPartition salts an oversized partition over parallel write tasks") {
     def filesIn(table: String, sub: String): Int = {
       val loc = spark.sessionState.catalog.getTableMetadata(
