@@ -130,14 +130,22 @@ object EmbeddingAnn {
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, dim: Int, nBits: Int = 8,
-                      nTables: Int = 1): DataFrame = {
+                      nTables: Int = 1,
+                      maxBucket: Int = BucketGuard.DefaultMaxBucket,
+                      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val n = normalized(corpus, vecCol)
     val buckets = array((0 until nTables).map { t =>
       lshBucket(col("vnorm"), dim, nBits, seed = 42 + t) + lit(t.toLong << 32)
     }: _*)
     val banded = n.select(col(idCol), col("vnorm"), explode(buckets).as("bucket"))
-    val a = banded.select(col(idCol).as("id_a"), col("vnorm").as("va"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("vnorm").as("vb"), col("bucket"))
+    // A dense embedding cluster landing in one sign-LSH bucket is the
+    // degenerate case; cap its population (see BucketGuard — result is
+    // lazy, so dropped-mass logging is the caller's counter to read).
+    val capped = BucketGuard.capBuckets(banded, Seq("bucket"), idCol,
+      maxBucket, dropCounter)
+    val a = capped.select(col(idCol).as("id_a"), col("vnorm").as("va"), col("bucket"))
+    val b = capped.select(col(idCol).as("id_b"), col("vnorm").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), nativeDot(n, "va", "vb").as("cosine"))

@@ -83,8 +83,15 @@ object NearDup {
     shingled.select(col(idCol), col("shingles"), expr("graft_minhash(shingles)").as("sig"))
   }
 
-  /** LSH candidate pairs (idA < idB), deduplicated across bands. */
-  def candidatePairs(signed: DataFrame, idCol: String): DataFrame = {
+  /** LSH candidate pairs (idA < idB), deduplicated across bands.
+    * Per-band bucket populations are capped at `maxBucket` (see
+    * [[BucketGuard]]) so one degenerate band value — the 100 TB
+    * failure mode — costs O(maxBucket²), not O(|bucket|²).
+    */
+  def candidatePairs(signed: DataFrame, idCol: String,
+                     maxBucket: Int = BucketGuard.DefaultMaxBucket,
+                     dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val bandStructs = array((0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
@@ -92,8 +99,10 @@ object NearDup {
     val banded = signed
       .select(col(idCol), explode(bandStructs).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
+    val capped = BucketGuard.capBuckets(banded, Seq("band", "bh"), idCol,
+      maxBucket, dropCounter)
+    val a = capped.select(col(idCol).as("id_a"), col("band"), col("bh"))
+    val b = capped.select(col(idCol).as("id_b"), col("band"), col("bh"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -123,14 +132,22 @@ object NearDup {
     * thresholds ≥ ~0.8 this equals the exact O(n²) answer w.h.p.
     */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                      n: Int = 3, threshold: Double = 0.5,
+                      maxBucket: Int = BucketGuard.DefaultMaxBucket,
+                      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     // The shingle sets feed three plan subtrees (signatures + both
     // sides of the verify join); without persistence the shingling and
     // hashing rerun three times. ~(id, array<long>) per doc — a few MB
     // per million docs per executor, spilled to disk if larger.
     val sh = shingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = candidatePairs(signatures(sh, idCol), idCol)
+    // This pipeline materializes eagerly below, so the guard's dropped
+    // mass is known on return — count it (caller's counter or our own)
+    // and say when the cap engaged instead of losing recall silently.
+    val drop = dropCounter.getOrElse(
+      docs.sparkSession.sparkContext.longAccumulator("graft.minhash.droppedBandedRows"))
+    val cands = candidatePairs(signatures(sh, idCol), idCol, maxBucket, Some(drop))
     val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
     val pairs = cands.join(shA, "id_a").join(shB, "id_b")
@@ -138,7 +155,12 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
     // Small pair frame out, shingle cache released — same lifecycle
     // discipline as allPairsCore.
-    Caching.materializeAndRelease(pairs, sh)
+    val out = Caching.materializeAndRelease(pairs, sh)
+    if (drop.value > 0)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"hot-bucket guard dropped ~${drop.value} banded rows " +
+          s"(cap=$maxBucket/bucket); recall is reduced on the degenerate buckets")
+    out
   }
 
   /** EXACT near-dup pairs via prefix filtering (AllPairs/PPJoin
@@ -302,7 +324,10 @@ object NearDup {
     * exact bit_count(xor) check.
     */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = BucketGuard.DefaultMaxBucket,
+                      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
     // Native single-pass fingerprint (plans.SimHash64) — bit-identical
     // to simHashFromHashes, which walks the hash array through 64
@@ -319,8 +344,14 @@ object NearDup {
     }: _*)
     val banded = fp.select(col(idCol), col("simhash"), explode(chunks).as("ch"))
       .select(col(idCol), col("simhash"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("cv"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("cv"))
+    // A 16-bit chunk value shared by millions of short docs is the
+    // degenerate bucket here; cap it (result is LAZY — callers that
+    // need the dropped mass logged pass their own counter and read it
+    // after their action).
+    val capped = BucketGuard.capBuckets(banded, Seq("chunk", "cv"), idCol,
+      maxBucket, dropCounter)
+    val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("cv"))
+    val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("cv"))
     a.join(b, Seq("chunk", "cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()

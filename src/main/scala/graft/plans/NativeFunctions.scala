@@ -542,6 +542,45 @@ case class KeepPosFilter(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** Pass-through boolean gate that counts FALSE evaluations into a
+  * Spark [[org.apache.spark.util.LongAccumulator]] — the observability
+  * hook of [[graft.operators.BucketGuard]]: a filter on this gate
+  * drops exactly the rows a plain filter on `child` would, but the
+  * dropped-row count surfaces on the driver (and in the UI) after the
+  * action completes, so a hot-bucket cap can report how much candidate
+  * mass it discarded instead of discarding silently.
+  *
+  * Marked nondeterministic so the optimizer never pushes, collapses,
+  * or re-evaluates the side effect. Counts are task-accurate, not
+  * exactly-once: a retried/speculated task or a self-joined subtree
+  * evaluating the gate twice double-counts — fine for a metric, which
+  * is all this is (the FILTERING itself stays exact either way).
+  */
+case class DropCounted(child: Expression, acc: org.apache.spark.util.LongAccumulator)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = BooleanType
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_bucket_gate"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case BooleanType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires boolean, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val keep = v.asInstanceOf[Boolean]
+    if (!keep) acc.add(1L)
+    keep
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeFunctions {
   /** Idempotently register the native functions in a session so they
     * are callable via `expr("graft_dot(a, b)")` and plain SQL.
