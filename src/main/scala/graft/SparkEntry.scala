@@ -1182,13 +1182,24 @@ object SparkEntry {
         sha2(col("text").cast("binary"), 256).as("sha256_hex"))
     }),
 
-    // Batched per-partition feature extraction over an opaque binary
-    // column (the multimodal inference shape; decode stubbed, plumbing
-    // real — see graft.operators.Multimodal).
-    "multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "text/plain")
-      Multimodal.extractFeatures(media, batchSize = 32)
-        .select(col("media_id"), col("n_bytes"), col("n_spaces"), col("first_byte"))
+    // REAL payload feature extraction through the batched inference
+    // plumbing: BMP pixel channel bytes and WAV PCM samples decoded on
+    // executors into per-channel means + global min/max/RMS. The
+    // oracle pins the hand-computed values of the checked-in fixtures
+    // (4-decimal rounding on both sides keeps the compare exact).
+    "multimodal_features" -> ((s, _) => {
+      import org.apache.spark.sql.Encoders
+      val files = s.read.format("binaryFile").load("/root/repo/fixtures/media/*")
+      implicit val enc = Encoders.product[Multimodal.MediaRow]
+      val media = files.select(
+        regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long").as("media_id"),
+        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("media_type"),
+        col("content")).as[Multimodal.MediaRow]
+      Multimodal.extractStats(media, batchSize = 2).toDF()
+        .select(col("media_id"), col("kind"), col("n_channels"), col("n_values"),
+          round(col("mean_c0"), 4).as("mean_c0"), round(col("mean_c1"), 4).as("mean_c1"),
+          round(col("mean_c2"), 4).as("mean_c2"), col("v_min"), col("v_max"),
+          round(col("rms"), 4).as("rms"))
     }),
 
     // Structured Streaming over the events table (file source +
@@ -2478,12 +2489,23 @@ object SparkEntry {
         |  sha256(text) AS sha256_hex
         |FROM documents""".stripMargin,
 
+    // Static fixtures → expected payload statistics are hand-computed
+    // constants (per-channel means, global min/max/RMS over the
+    // decoded pixel bytes / PCM samples).
     "multimodal_features" ->
-      """SELECT doc_id AS media_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  strlen(text) - strlen(replace(text, ' ', '')) AS n_spaces,
-        |  CASE WHEN strlen(text) = 0 THEN -1 ELSE ascii(text) END AS first_byte
-        |FROM documents""".stripMargin,
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(n_channels AS INTEGER) AS n_channels,
+        |  CAST(n_values AS INTEGER) AS n_values,
+        |  CAST(mean_c0 AS DOUBLE) AS mean_c0, CAST(mean_c1 AS DOUBLE) AS mean_c1,
+        |  CAST(mean_c2 AS DOUBLE) AS mean_c2, CAST(v_min AS DOUBLE) AS v_min,
+        |  CAST(v_max AS DOUBLE) AS v_max, CAST(rms AS DOUBLE) AS rms
+        |FROM (VALUES
+        |  (1, 'bmp', 3, 105, 117.4286, 122.6, 127.7714, 0.0, 251.0, 142.875),
+        |  (2, 'bmp', 4, 576, 126.2778, 129.5, 127.3889, 0.0, 255.0, 147.774),
+        |  (3, 'wav', 2, 200, 13.76, -49.37, NULL, -1000.0, 992.0, 577.2771),
+        |  (4, 'wav', 1, 64, 119.5, NULL, NULL, 2.0, 255.0, 138.9514)
+        |) AS t(media_id, kind, n_channels, n_values, mean_c0, mean_c1, mean_c2,
+        |       v_min, v_max, rms)""".stripMargin,
 
     // Static fixtures → expected header fields are known constants.
     "multimodal_decode" ->

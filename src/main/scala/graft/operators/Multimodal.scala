@@ -7,51 +7,151 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed by batched
   * per-partition inference.
   *
-  * Two decode layers:
-  *  - [[decodeMeta]] is REAL: pure-JVM container-header parsing for
-  *    BMP (width/height/bpp) and RIFF/WAVE (channels/rate/bits) —
-  *    no codec dependency needed.
-  *  - [[decodeStub]] stands in for the ML feature-extraction forward
-  *    pass (no model runtimes in this environment) with deterministic
-  *    byte-derived fakes. Everything around it — the schema, the
-  *    partition-level batching (models want fixed-size batches, not
-  *    row-at-a-time calls), the executor-side iterator pipeline, and
-  *    the repartition-before-inference pattern — is the real 100 TB
-  *    shape: swap `decodeStub` for a JNI/ONNX call and nothing else
-  *    changes.
+  * Both decode layers are REAL pure-JVM container parsing (no codec
+  * dependency): [[decodeMeta]] reads BMP/RIFF-WAVE headers, and
+  * [[decodeStats]] decodes the PAYLOAD — pixel channel bytes (BMP,
+  * padding excluded, 24/32 bpp) and PCM samples (WAV, 8-bit unsigned /
+  * 16-bit signed) — into per-channel means and global min/max/RMS.
+  * The one thing still standing in for an ML runtime is the feature
+  * SEMANTICS: a production pipeline would push the same decoded
+  * batches through a JNI/ONNX forward pass for embeddings; the
+  * batching (models want fixed-size batches, not row-at-a-time
+  * calls), the executor-side iterator pipeline, and the
+  * repartition-before-inference pattern are exactly what that swap
+  * keeps.
   */
 object Multimodal {
 
   /** A media row: opaque payload + typed metadata. */
   case class MediaRow(media_id: Long, media_type: String, content: Array[Byte])
 
-  /** Extracted features per media item. */
-  case class MediaFeatures(media_id: Long, n_bytes: Int, n_spaces: Int,
-                           first_byte: Int, batch_size: Int)
-
-  /** STUB decoder: a real implementation would decode the image/audio
-    * payload here (e.g. JPEG → pixels → embedding). The fake derives
-    * features purely from the bytes so results are deterministic and
-    * oracle-checkable. Takes a whole batch, like a model forward pass.
+  /** Decoded-payload statistics per media item: `n_values` scalar
+    * values (pixel channel bytes / PCM samples) with per-channel means
+    * (None where the container has fewer channels) and global
+    * min/max/RMS. Undecodable payloads keep `n_values = 0` and None
+    * stats. `batch_size` reports the inference-batch the row rode in —
+    * the plumbing diagnostic that proves batching happened
+    * executor-side.
     */
-  private def decodeStub(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+  case class MediaStats(media_id: Long, kind: String, n_channels: Int, n_values: Int,
+                        mean_c0: Option[Double], mean_c1: Option[Double],
+                        mean_c2: Option[Double], v_min: Option[Double],
+                        v_max: Option[Double], rms: Option[Double], batch_size: Int)
+
+  /** Decode one batch's payloads into [[MediaStats]] — the "forward
+    * pass" of the batched inference pipeline, on real decoded values:
+    * BMP pixels are walked row-by-row with the 4-byte row padding
+    * excluded (uncompressed BI_RGB only — a compressed or truncated
+    * payload degrades to empty stats, never throws); WAV walks to the
+    * `data` chunk and reads 8-bit unsigned or 16-bit signed PCM.
+    */
+  private def decodeStats(batch: Seq[MediaRow]): Seq[MediaStats] =
     batch.map { r =>
-      val nSpaces = r.content.count(_ == ' '.toByte)
-      val first = if (r.content.nonEmpty) java.lang.Byte.toUnsignedInt(r.content(0)) else -1
-      MediaFeatures(r.media_id, r.content.length, nSpaces, first, batch.size)
+      val meta = decodeMeta(r)
+      val values: (Int, Array[Double]) = meta.kind match {
+        case "bmp" => decodeBmpValues(r.content, meta)
+        case "wav" => decodeWavValues(r.content, meta)
+        case _ => (0, Array.empty[Double])
+      }
+      val (nCh, vals) = values
+      if (vals.isEmpty)
+        MediaStats(r.media_id, meta.kind, nCh, 0, None, None, None, None, None, None,
+          batch.size)
+      else {
+        val chSum = new Array[Double](nCh)
+        val chN = new Array[Long](nCh)
+        var mn = Double.MaxValue; var mx = Double.MinValue; var sq = 0.0
+        var i = 0
+        while (i < vals.length) {
+          val v = vals(i)
+          chSum(i % nCh) += v; chN(i % nCh) += 1
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sq += v * v
+          i += 1
+        }
+        def meanOf(c: Int): Option[Double] =
+          if (c < nCh && chN(c) > 0) Some(chSum(c) / chN(c)) else None
+        MediaStats(r.media_id, meta.kind, nCh, vals.length,
+          meanOf(0), meanOf(1), meanOf(2), Some(mn), Some(mx),
+          Some(math.sqrt(sq / vals.length)), batch.size)
+      }
     }
 
-  /** Batched per-partition feature extraction. `batchSize` controls the
-    * model-call granularity; `numPartitions` (if set) re-shards first so
-    * executors see balanced work — the knob that matters when payloads
-    * are MB-scale and skewed.
+  /** BMP pixel channel bytes in storage order (B,G,R[,A] per pixel),
+    * row padding excluded. Only uncompressed (BI_RGB) 24/32 bpp
+    * payloads decode; anything else — or a payload shorter than the
+    * geometry promises — returns empty.
     */
-  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 32,
-                      numPartitions: Option[Int] = None): Dataset[MediaFeatures] = {
-    implicit val enc = Encoders.product[MediaFeatures]
+  private def decodeBmpValues(b: Array[Byte], meta: MediaMeta): (Int, Array[Double]) = {
+    val bpp = meta.bits_per_sample
+    if (b.length < 54 || (bpp != 24 && bpp != 32)) return (0, Array.empty)
+    val off = le32(b, 10); val comp = le32(b, 30)
+    val w = meta.width; val h = math.abs(meta.height)
+    val ch = bpp / 8
+    val stride = ((w * ch + 3) / 4) * 4
+    if (comp != 0 || w <= 0 || h <= 0 || off < 0 ||
+        off.toLong + stride.toLong * h > b.length) return (ch, Array.empty)
+    val out = new Array[Double](w * h * ch)
+    var o = 0
+    var row = 0
+    while (row < h) {
+      val base = off + row * stride
+      var i = 0
+      while (i < w * ch) {
+        out(o) = java.lang.Byte.toUnsignedInt(b(base + i)).toDouble
+        o += 1; i += 1
+      }
+      row += 1
+    }
+    (ch, out)
+  }
+
+  /** WAV PCM samples, channel-interleaved as stored: 8-bit PCM is
+    * unsigned (0..255), 16-bit is signed little-endian — per the RIFF
+    * spec. The data chunk is clamped to the physical payload and
+    * truncated to a whole sample, so a lying chunk size cannot read
+    * out of bounds. Other bit depths return empty stats.
+    */
+  private def decodeWavValues(b: Array[Byte], meta: MediaMeta): (Int, Array[Double]) = {
+    val bits = meta.bits_per_sample
+    if (bits != 8 && bits != 16) return (math.max(meta.channels, 0), Array.empty)
+    // Chunk walk (same Long-offset discipline as decodeMeta) to `data`.
+    var o = 12L
+    var dataOff = -1L; var dataLen = 0L
+    while (dataOff < 0 && o + 8 <= b.length) {
+      val oi = o.toInt
+      val id = tag(b, oi); val size = le32(b, oi + 4)
+      if (size < 0) return (meta.channels, Array.empty)
+      if (id == "data") { dataOff = o + 8; dataLen = math.min(size.toLong, b.length - o - 8) }
+      o += 8L + size.toLong + (size & 1)
+    }
+    if (dataOff < 0) return (meta.channels, Array.empty)
+    val bytesPer = bits / 8
+    val n = (dataLen / bytesPer).toInt
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val p = (dataOff + i.toLong * bytesPer).toInt
+      out(i) =
+        if (bits == 8) java.lang.Byte.toUnsignedInt(b(p)).toDouble
+        else (le16(b, p).toShort).toDouble
+      i += 1
+    }
+    (meta.channels, out)
+  }
+
+  /** Batched per-partition payload-stats extraction. `batchSize`
+    * controls the model-call granularity; `numPartitions` (if set)
+    * re-shards first so executors see balanced work — the knob that
+    * matters when payloads are MB-scale and skewed.
+    */
+  def extractStats(media: Dataset[MediaRow], batchSize: Int = 32,
+                   numPartitions: Option[Int] = None): Dataset[MediaStats] = {
+    implicit val enc = Encoders.product[MediaStats]
     val sharded = numPartitions.map(media.repartition(_)).getOrElse(media)
     sharded.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(b => decodeStub(b))
+      it.grouped(batchSize).flatMap(b => decodeStats(b))
     }
   }
 
