@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Caching, Components, CorpusHygiene, Dedup, EmbeddingAnn, Joins, Multimodal, NearDup, Packing, Quality, Sampling, Sessions, Skew, TimeAgg}
+import graft.operators.{Caching, Components, CorpusHygiene, Dedup, EmbeddingAnn, IncrementalDedup, Joins, Multimodal, NearDup, Packing, Quality, Sampling, Sessions, Skew, TimeAgg}
 import graft.functions.{QualitySignals, TextFunctions}
 import graft.pipelines.{BronzeSilverPipeline, JoinedSilverPipeline, MonthlyAggPipeline}
 import graft.sources.{ColumnarJson, HttpJson, TableManager}
@@ -964,6 +964,27 @@ object SparkEntry {
       val pairs = NearDup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)
       Components.keepDecision(Components.connectedComponentsStar(pairs))
+    }),
+
+    // Incremental cross-run dedup: the corpus replayed as two appends
+    // (interleaved id split — exercises cross-batch candidate probes
+    // AND old-cluster remaps to a smaller later-arriving id), with the
+    // signature state persisted to a real warehouse table between
+    // appends like a production daily job. The final clusters must
+    // equal one full-corpus closure — same recursive-CTE oracle as
+    // dedup_clusters.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val s1 = IncrementalDedup.appendBatch(
+        IncrementalDedup.emptyState(s), d.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      val tbl = "dedup_incr_state"
+      resetTable(s, tbl)
+      new TableManager(s).overwrite(s1, tbl)
+      val s2 = IncrementalDedup.appendBatch(
+        s.table(tbl), d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      IncrementalDedup.keepDecision(s2)
     }),
 
     // SimHash near-dup: 64-bit fingerprint, 4-chunk pigeonhole banding,
@@ -2372,6 +2393,9 @@ object SparkEntry {
     // component id (matches min-label propagation on the Spark side).
     "dedup_clusters" -> duckClustersSql,
     "dedup_clusters_star" -> duckClustersSql,
+    // Incremental replay must land on the same closure as a single
+    // full-corpus run — literally the same oracle.
+    "dedup_incremental" -> duckClustersSql,
 
     "text_tfidf" ->
       s"""WITH toks AS (

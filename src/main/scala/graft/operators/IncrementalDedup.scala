@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental cross-run deduplication — the operator a daily-append
+  * corpus actually runs (reference analogue: the re-run → append →
+  * dedup-on-read loop, `First experiment/Qwen3-235B-A22B-2507.py:147-176`,
+  * which re-reads and re-dedups the WHOLE store every run).
+  *
+  * Instead of re-pairing the whole corpus per append, the engine keeps
+  * a persisted signature STATE table — one row per seen document:
+  *
+  *   doc_id long, fp string, sig array<long>?, shingles array<long>?,
+  *   cluster_id long
+  *
+  * where `fp` is a 128-bit fingerprint of the SORTED shingle-hash set
+  * (equal fp ⟺ equal shingle set ⟺ Jaccard exactly 1 — unlike a raw
+  * text hash, this makes the exact fast path agree with the Jaccard
+  * semantics the near-dup stage uses), `sig`/`shingles` are stored only
+  * for the first occurrence of each distinct set (an exact duplicate is
+  * probe-equivalent to its representative, so storing its features
+  * would only duplicate state), and `cluster_id` is the min doc id of
+  * the document's duplicate component so far.
+  *
+  * Per append, new docs pay:
+  *  1. an exact anti-join on `fp` (within-batch groups collapse first;
+  *     most recrawl duplicates die here without ever being shingled
+  *     into signatures);
+  *  2. an LSH band probe of the surviving FRESH content against the
+  *     state's band keys — band hashes are pure functions of each
+  *     side's signature ([[NearDup.bandKeys]]), so a cross-batch pair
+  *     collides on a band iff a full-corpus run would collide on it:
+  *     incremental discovery finds exactly the pairs full-corpus LSH
+  *     finds, just spread across appends;
+  *  3. exact-Jaccard verification of candidates only, then a connected-
+  *     components closure over the TOUCHED subgraph (new ids + the old
+  *     cluster ids they hit — old endpoints are contracted to their
+  *     cluster representative first, so closed old clusters never
+  *     re-enter the iteration) with cluster merges written back as a
+  *     tiny remap join.
+  *
+  * Scale notes (100 TB): each append shuffles (fp, id) and
+  * (band, bh, id) for the state — linear scans, never text; a
+  * production deployment buckets the state table by `fp` and keeps a
+  * banded companion table bucketed by `(band, bh)` so both probe joins
+  * are shuffle-free on the state side. The components iteration runs on
+  * the touched subgraph only — proportional to this append's duplicate
+  * density, not corpus size. Hot band buckets are capped by
+  * [[BucketGuard]] exactly as in the full-corpus path.
+  *
+  * Replaying a corpus through [[appendBatch]] in any batch order yields
+  * the same clusters as one full-corpus `dedup_clusters` run — the
+  * `dedup_incremental` CORRECTNESS row proves it against the same
+  * recursive-CTE oracle.
+  */
+object IncrementalDedup {
+
+  val StateSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("fp", StringType, nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("shingles", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("cluster_id", LongType, nullable = false)))
+
+  /** State for a corpus with nothing seen yet. */
+  def emptyState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StateSchema)
+
+  /** Fingerprint of a shingle-hash set column: md5 over the sorted
+    * array's JSON rendering — order-insensitive, 128-bit (no
+    * birthday-collision concern at corpus scale, unlike a 64-bit hash).
+    */
+  private def setFingerprint(shingles: org.apache.spark.sql.Column) =
+    md5(to_json(array_sort(shingles)))
+
+  /** Dedup `batch` (idCol, textCol, ...) against `state` and within
+    * itself; returns the updated state (old rows with merged clusters
+    * remapped + one row per batch doc that has ≥ 1 shingle). The result
+    * is LAZY — state is corpus-sized, so the caller materializes it by
+    * writing it to the next state-table version. Batch doc ids must be
+    * disjoint from ids already in the state.
+    */
+  def appendBatch(state: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, threshold: Double = 0.5,
+                  maxBucket: Int = BucketGuard.DefaultMaxBucket,
+                  dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    // Batch-sized frames read by several plan subtrees below (and
+    // eagerly, by the components rounds): localCheckpoint — lineage
+    // cut, blocks freed by the ContextCleaner, no CacheManager pin to
+    // leak through the lazily-returned state.
+    val bFeat = NearDup.shingleSets(batch, idCol, textCol, n)
+      .withColumn("fp", setFingerprint(col("shingles")))
+      .localCheckpoint(true)
+
+    // Within-batch exact groups: one representative (min id) per
+    // distinct shingle set; members edge to their representative.
+    val reps = bFeat.groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), min_by(col("shingles"), col(idCol)).as("shingles"))
+    val withinEdges = bFeat.select(col(idCol), col("fp"))
+      .join(reps.select(col(idCol).as("__rep"), col("fp")), "fp")
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol).as("id_a"), col("__rep").as("id_b"))
+
+    // Exact vs state: shuffle carries (fp, id) only.
+    val stateFp = state.groupBy(col("fp")).agg(min(col("doc_id")).as("__old"))
+    val repsTagged = reps.join(stateFp, Seq("fp"), "left")
+    val exactOldEdges = repsTagged.filter(col("__old").isNotNull)
+      .select(col(idCol).as("id_a"), col("__old").as("id_b"))
+
+    // FRESH content (never-seen sets) is all that needs signatures.
+    val freshSigs = NearDup.signatures(
+        repsTagged.filter(col("__old").isNull).select(col(idCol), col("shingles")), idCol)
+      .localCheckpoint(true)
+
+    // LSH probe: fresh new docs vs (state ∪ fresh) band keys in ONE
+    // join — new-old pairs oriented (new, old), new-new pairs id_a <
+    // id_b, so nothing is emitted twice.
+    val newBanded = NearDup.bandKeys(freshSigs, idCol).withColumn("__new", lit(true))
+    val oldBanded = NearDup.bandKeys(
+        state.filter(col("sig").isNotNull).select(col("doc_id").as(idCol), col("sig")), idCol)
+      .withColumn("__new", lit(false))
+    val capped = BucketGuard.capBuckets(newBanded.unionByName(oldBanded),
+      Seq("band", "bh"), idCol, maxBucket, dropCounter)
+    val aSide = capped.filter(col("__new"))
+      .select(col(idCol).as("id_a"), col("band"), col("bh"))
+    val bSide = capped
+      .select(col(idCol).as("id_b"), col("band"), col("bh"), col("__new").as("__new_b"))
+    val cands = aSide.join(bSide, Seq("band", "bh"))
+      .filter((!col("__new_b") && col("id_a") =!= col("id_b")) ||
+        (col("__new_b") && col("id_a") < col("id_b")))
+      .select("id_a", "id_b").distinct()
+
+    // Exact-Jaccard verify over candidates only (native single-pass
+    // expression; registered by shingleSets above).
+    val shA = freshSigs.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val shB = freshSigs.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+      .unionByName(state.filter(col("shingles").isNotNull)
+        .select(col("doc_id").as("id_b"), col("shingles").as("sh_b")))
+    val nearEdges = cands.join(shA, "id_a").join(shB, "id_b")
+      .filter(call_function("graft_jaccard", col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+
+    // Closure over the touched subgraph: contract old endpoints to
+    // their current cluster representative, then min-label components
+    // (edges only involve this batch's ids + touched old cluster ids).
+    val oldCluster = state.select(col("doc_id").as("id_b"), col("cluster_id").as("__bc"))
+    val contracted = withinEdges.unionByName(exactOldEdges).unionByName(nearEdges)
+      .join(oldCluster, Seq("id_b"), "left")
+      .select(col("id_a"), coalesce(col("__bc"), col("id_b")).as("id_b"))
+    val labels = Components.connectedComponents(contracted)
+
+    // New rows: every batch doc with ≥ 1 shingle; features only where
+    // the content is fresh (left join against freshSigs), cluster from
+    // the closure where the doc touched an edge, else itself.
+    val lbl = labels.select(col("node").as(idCol), col("cluster_id").as("__lbl"))
+    val newRows = bFeat.select(col(idCol), col("fp"))
+      .join(freshSigs.select(col(idCol), col("sig"), col("shingles")), Seq(idCol), "left")
+      .join(lbl, Seq(idCol), "left")
+      .select(col(idCol).cast("long").as("doc_id"), col("fp"), col("sig"), col("shingles"),
+        coalesce(col("__lbl"), col(idCol).cast("long")).as("cluster_id"))
+
+    // Cluster merges: an old cluster id relabeled below itself pulls
+    // its whole cluster along (tiny remap frame — broadcast join).
+    val remap = labels.filter(col("cluster_id") =!= col("node"))
+      .select(col("node").as("__oc"), col("cluster_id").as("__nc"))
+    val updatedOld = state.join(remap, state("cluster_id") === col("__oc"), "left")
+      .select(col("doc_id"), col("fp"), col("sig"), col("shingles"),
+        coalesce(col("__nc"), col("cluster_id")).as("cluster_id"))
+
+    updatedOld.unionByName(newRows)
+  }
+
+  /** Dedup decision over a state: one row per doc in a duplicate
+    * cluster (size ≥ 2), `keep` = it is the cluster's canonical (min
+    * id) member — the same output contract as
+    * [[Components.keepDecision]] on a full-corpus run.
+    */
+  def keepDecision(state: DataFrame): DataFrame = {
+    val sizes = state.groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+    state.join(sizes.filter(col("__sz") >= 2), Seq("cluster_id"))
+      .select(col("doc_id").as("node"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+}

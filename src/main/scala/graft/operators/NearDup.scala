@@ -83,6 +83,24 @@ object NearDup {
     shingled.select(col(idCol), col("shingles"), expr("graft_minhash(shingles)").as("sig"))
   }
 
+  /** (id, band, bh) band keys for a signed frame — one row per
+    * (document, band). The band hash is a pure function of the
+    * document's signature, so a pair collides on a band key
+    * independently of which frame (or batch) each side sits in —
+    * the property [[IncrementalDedup]] relies on to probe new docs
+    * against a persisted signature table and land on exactly the
+    * candidates a full-corpus run would generate.
+    */
+  def bandKeys(signed: DataFrame, idCol: String): DataFrame = {
+    val bandStructs = array((0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }: _*)
+    signed
+      .select(col(idCol), explode(bandStructs).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** LSH candidate pairs (idA < idB), deduplicated across bands.
     * Per-band bucket populations are capped at `maxBucket` (see
     * [[BucketGuard]]) so one degenerate band value — the 100 TB
@@ -92,13 +110,7 @@ object NearDup {
                      maxBucket: Int = BucketGuard.DefaultMaxBucket,
                      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
-    val bandStructs = array((0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }: _*)
-    val banded = signed
-      .select(col(idCol), explode(bandStructs).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = bandKeys(signed, idCol)
     val capped = BucketGuard.capBuckets(banded, Seq("band", "bh"), idCol,
       maxBucket, dropCounter)
     val a = capped.select(col(idCol).as("id_a"), col("band"), col("bh"))
