@@ -988,9 +988,15 @@ object SparkEntry {
     }),
 
     // SimHash near-dup: 64-bit fingerprint, 4-chunk pigeonhole banding,
-    // exact Hamming verify. xxhash64-specific → rows-only check.
+    // exact Hamming verify. Token hashes are the engine-portable
+    // md5-derived form so the ORACLE recomputes the entire pipeline
+    // (per-bit majority vote, chunk banding, Hamming verify) in DuckDB
+    // — a full content-derived check, not a rows-only count. The
+    // xxhash64 fast path stays the operator default (ScalaTest +
+    // dedup_simhash_planted cover it).
     "dedup_simhash" -> ((s, dir) =>
-      NearDup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+      NearDup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+        tokenHash = NearDup.portableTokenHash)),
 
     // SimHash made behaviorally checkable: the raw pair list above is
     // xxhash64-seed-specific (rows-only check), but a pipeline that
@@ -2056,11 +2062,15 @@ object SparkEntry {
 
   // DuckDB-dialect mirrors of the extension queries. Tokenization,
   // shingling, and set-Jaccard are reproduced with DuckDB list lambdas;
-  // md5/sha256 are engine-portable. dedup_simhash / ann_lsh raw pair
-  // lists are xxhash64- / seed-specific → intentionally no oracle
-  // (rows-only); their BEHAVIOR is oracle-gated instead by
-  // dedup_simhash_planted (clone recovery) and ann_lsh_recall
-  // (pinned recall floor).
+  // md5/sha256 are engine-portable. The three formerly rows-only
+  // queries are now fully oracled by eliminating engine-specific
+  // randomness rather than pinning constants: dedup_simhash hashes
+  // tokens with the portable md5 form (the oracle recomputes the
+  // 60-bit majority vote per doc), ann_lsh's hyperplanes are seeded
+  // CONSTANTS rendered into the SQL, and ann_ivf's k-means is
+  // deterministic with init order mirrorable in SQL — its five Lloyd
+  // iterations are unrolled as generated CTEs (valid while the corpus
+  // fits trainSample, which holds at every test sf).
   private val duckTokens =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
   private def duckShingles(tok: String) =
@@ -2151,6 +2161,122 @@ object SparkEntry {
        |  CAST(min(label) AS BIGINT) AS cluster_id,
        |  min(label) = node AS keep
        |FROM reach GROUP BY node""".stripMargin
+
+  // Full DuckDB recomputation of the portable-hash SimHash pipeline:
+  // per (doc, bit) majority vote over the md5-derived 60-bit token
+  // hashes, folded into a fingerprint; then the same 4×16-bit chunk
+  // banding and Hamming verify the Spark side runs. Generated SQL — one
+  // CASE term per fingerprint bit.
+  private lazy val duckSimhashSql = {
+    val bits = (0 until 60).map { j =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH th AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest($duckTokens) AS tok FROM documents)),
+       |fps AS (SELECT doc_id,
+       |      $bits AS sh
+       |  FROM th GROUP BY doc_id),
+       |fp AS (SELECT d.doc_id, coalesce(f.sh, 0) AS sh
+       |  FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id),
+       |banded AS (
+       |  SELECT doc_id, sh, c AS chunk, (sh >> (16 * c)) & 65535 AS cv
+       |  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) chunks)
+       |SELECT DISTINCT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |WHERE hamming <= 3""".stripMargin
+  }
+
+  // Sign-LSH buckets recomputed in DuckDB: the hyperplanes are seeded
+  // CONSTANTS (EmbeddingAnn.hyperplanes), rendered into the SQL; the
+  // sign of dot(v, plane) is normalization-invariant, so the oracle
+  // buckets raw vectors and scores candidates with
+  // list_cosine_similarity — exactly the Spark candidate set and
+  // scores.
+  private lazy val duckAnnLshSql = {
+    def bucketExpr(seed: Int, offset: Long) = {
+      val planes = EmbeddingAnn.hyperplanes(6, 64, seed)
+      planes.zipWithIndex.map { case (p, j) =>
+        val lst = p.mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_inner_product(v, $lst) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n      + ") + (if (offset != 0) s"\n      + $offset" else "")
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, v, ${bucketExpr(42, 0L)} AS bucket FROM e
+       |  UNION ALL
+       |  SELECT vec_id, v, ${bucketExpr(43, 1L << 32)} AS bucket FROM e)
+       |SELECT DISTINCT id_a, id_b, cosine FROM (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |    list_cosine_similarity(a.v, b2.v) AS cosine
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |WHERE cosine >= 0.3""".stripMargin
+  }
+
+  // IVF top-k recomputed end-to-end in DuckDB, INCLUDING the coarse
+  // quantizer: trainCentroids is deterministic (init = first nlist
+  // vectors in id-string order, fixed Lloyd iterations, keep-first
+  // ties) and at every test sf the corpus fits trainSample, so the
+  // whole training set is mirrorable — each Lloyd iteration unrolls to
+  // an assignment CTE (argmax dot, lowest index on ties) plus a
+  // centroid-update CTE (per-dimension mean, re-normalized, empty
+  // clusters keep their centroid). Probe tie-break is (score DESC,
+  // idx DESC) — the reverse(array_sort) order the Spark plan uses.
+  private lazy val duckAnnIvfSql = {
+    val nlist = 16; val iters = 5; val nprobe = 4; val k = 5
+    val steps = (1 to iters).map { it =>
+      s"""a$it AS (
+         |  SELECT vec_id, v, c FROM (
+         |    SELECT e.vec_id, e.v, p.c,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_inner_product(e.v, p.vec) DESC, p.c ASC) AS rk
+         |    FROM n e CROSS JOIN c${it - 1} p) WHERE rk = 1),
+         |u$it AS (
+         |  SELECT c, i, avg(x) AS m FROM (
+         |    SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a$it)
+         |  GROUP BY c, i),
+         |m$it AS (SELECT c, array_agg(m ORDER BY i) AS mv, sqrt(sum(m * m)) AS nrm
+         |  FROM u$it GROUP BY c),
+         |c$it AS (
+         |  SELECT p.c,
+         |    CASE WHEN m.nrm > 0 THEN list_transform(m.mv, x -> x / m.nrm)
+         |         ELSE p.vec END AS vec
+         |  FROM c${it - 1} p LEFT JOIN m$it m ON p.c = m.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (
+       |  SELECT vec_id, CASE WHEN nrm = 0 THEN v
+       |                      ELSE list_transform(v, x -> x / nrm) END AS v
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |        FROM embeddings)),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY CAST(vec_id AS VARCHAR)) - 1 AS c, v AS vec
+       |  FROM n ORDER BY CAST(vec_id AS VARCHAR) LIMIT $nlist),
+       |$steps,
+       |corpus AS (
+       |  SELECT vec_id, v, c AS cluster FROM (
+       |    SELECT e.vec_id, e.v, p.c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_inner_product(e.v, p.vec) DESC, p.c ASC) AS rk
+       |    FROM n e CROSS JOIN c$iters p) WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id, cluster, v FROM (
+       |    SELECT q.vec_id, q.v, p.c AS cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_inner_product(q.v, p.vec) DESC, p.c DESC) AS rk
+       |    FROM n q CROSS JOIN c$iters p WHERE q.vec_id < 20) WHERE rk <= $nprobe)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    list_inner_product(q.v, e.v) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_inner_product(q.v, e.v) DESC, e.vec_id ASC) AS INT) AS rank
+       |  FROM probes q JOIN corpus e ON q.cluster = e.cluster
+       |  WHERE e.vec_id != q.vec_id)
+       |WHERE rank <= $k""".stripMargin
+  }
 
   // Gopher-rule signals + composite pass flag — shared by text_gopher
   // and the hygiene funnel's quality stage.
@@ -2340,6 +2466,8 @@ object SparkEntry {
 
     // The planted-clone SimHash gate: 100 clone pairs in, all must be
     // recovered (identical text → Hamming 0 under any hash function).
+    "dedup_simhash" -> duckSimhashSql,
+
     "dedup_simhash_planted" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS all_found
         |FROM documents WHERE doc_id < 100""".stripMargin,
@@ -2421,6 +2549,10 @@ object SparkEntry {
 
     // Exact near-dup pair count over the same capped corpus the gate
     // uses; recall_ok pinned true at the 0.5 floor (the LSH seeds are
+    "ann_lsh" -> duckAnnLshSql,
+
+    "ann_ivf" -> duckAnnIvfSql,
+
     // fixed, so the gate is deterministic at a given sf).
     "ann_lsh_recall" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000)

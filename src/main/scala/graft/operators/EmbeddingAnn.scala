@@ -104,8 +104,12 @@ object EmbeddingAnn {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Deterministic random hyperplanes: `nBits` rows of `dim` gaussians. */
-  private def hyperplanes(nBits: Int, dim: Int, seed: Int): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes: `nBits` rows of `dim` gaussians.
+    * `private[graft]` so the `ann_lsh` oracle can render the same
+    * constants into its DuckDB SQL — the planes are seeded data, not a
+    * hash function, so the oracle reproduces the buckets exactly.
+    */
+  private[graft] def hyperplanes(nBits: Int, dim: Int, seed: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }

@@ -329,16 +329,34 @@ object NearDup {
   def simHash(text: Column): Column =
     simHashFromHashes(transform(TextFunctions.tokens(text), t => xxhash64(t)))
 
+  /** Engine-portable 60-bit token hash: the first 15 hex digits of
+    * md5, read as an integer — reproducible in any engine with md5
+    * (DuckDB: `('0x' || substr(md5(t),1,15))::BIGINT`). Bits 60–63 are
+    * always zero, so a SimHash over these hashes has its top 4
+    * fingerprint bits pinned to 0 — harmless (Hamming distances only
+    * lose 4 never-informative bits) and mirrored exactly by an oracle
+    * that computes bits 0–59.
+    */
+  def portableTokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
     * Pigeonhole banding: split the 64-bit fingerprint into 4 16-bit
     * chunks; a pair within Hamming ≤ 3 must agree on ≥ 1 chunk, so the
     * join key is (chunk_idx, chunk_value) and only candidates pay the
     * exact bit_count(xor) check.
+    *
+    * `tokenHash` maps a token Column to its 64-bit hash — default
+    * xxhash64 (fastest; engine-specific values). Pass
+    * [[portableTokenHash]] to get fingerprints an external engine can
+    * reproduce from md5 (the `dedup_simhash` oracle recomputes the
+    * whole pipeline in DuckDB that way).
     */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3,
                       maxBucket: Int = BucketGuard.DefaultMaxBucket,
-                      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+                      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+                      tokenHash: Column => Column = xxhash64(_))
       : DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
     // Native single-pass fingerprint (plans.SimHash64) — bit-identical
@@ -348,7 +366,7 @@ object NearDup {
     graft.plans.NativeFunctions.ensureRegistered(docs.sparkSession)
     val fp = Skew.spread(docs)
       .select(col(idCol),
-        coalesce(transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)),
+        coalesce(transform(TextFunctions.tokens(col(textCol)), t => tokenHash(t)),
           array().cast("array<bigint>")).as("__th"))
       .select(col(idCol), call_function("graft_simhash", col("__th")).as("simhash"))
     val chunks = array((0 until 4).map { c =>
