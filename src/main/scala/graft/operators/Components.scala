@@ -64,6 +64,51 @@ object Components {
   def keepDecision(components: DataFrame): DataFrame =
     components.withColumn("keep", col("node") === col("cluster_id"))
 
+  /** Size-adaptive closure: the edge list is materialized once
+    * (executing the caller's whole edge pipeline exactly once, same as
+    * the iterative form's symmetrize step) and counted; at or below
+    * `collectThreshold` edges the closure runs as a driver union-find
+    * — one collect, zero iterative rounds — else it falls back to
+    * [[connectedComponents]] on the already-materialized frame.
+    *
+    * Rationale: each propagation round is 2+ Spark jobs, pure fixed
+    * overhead when the duplicate graph is thousands of edges (the
+    * common case for an incremental append's TOUCHED subgraph). The
+    * default threshold (2²⁰ edges ≈ 16 MB of longs) is far below
+    * driver heap risk; a degenerate batch beyond it gets the
+    * distributed path automatically. Same output contract, proven
+    * equal on both sides of the threshold in ScalaTest.
+    */
+  def connectedComponentsAuto(edges: DataFrame, collectThreshold: Long = 1L << 20,
+                              maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .localCheckpoint(true)
+    if (e.count() > collectThreshold) connectedComponents(e, maxIter)
+    else {
+      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // Union toward the smaller root: the final root IS the
+        // component minimum, matching min-label propagation exactly.
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      parent.keysIterator.map(n => (n, find(n))).toSeq.sorted
+        .toDF("node", "cluster_id")
+    }
+  }
+
   /** Star-contraction connected components — the alternating
     * large-star/small-star algorithm of Kiveris et al. 2014 ("Connected
     * Components in MapReduce and Beyond"). Round count is

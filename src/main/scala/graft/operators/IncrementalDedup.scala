@@ -68,12 +68,18 @@ object IncrementalDedup {
   def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StateSchema)
 
-  /** Fingerprint of a shingle-hash set column: md5 over the sorted
-    * array's JSON rendering — order-insensitive, 128-bit (no
-    * birthday-collision concern at corpus scale, unlike a 64-bit hash).
+  /** Fingerprint of a shingle-hash set column: two independently-
+    * salted xxhash64 values over the sorted array, rendered as one
+    * string — order-insensitive and effectively 128-bit (collision
+    * needs both 64-bit hashes to collide, ~2⁻¹²⁸ — no birthday concern
+    * at corpus scale, unlike a single 64-bit hash). Codegen'd native
+    * hashing; the md5(to_json(...)) form this replaces materialized a
+    * JSON string per document and tripled the feature-pass cost. The
+    * fp never leaves the state table, so engine portability is not
+    * required of it.
     */
-  private def setFingerprint(shingles: org.apache.spark.sql.Column) =
-    md5(to_json(array_sort(shingles)))
+  private def setFingerprint(sorted: org.apache.spark.sql.Column) =
+    concat_ws("-", xxhash64(sorted), xxhash64(lit(0x9e3779b9L), sorted))
 
   /** Dedup `batch` (idCol, textCol, ...) against `state` and within
     * itself; returns the updated state (old rows with merged clusters
@@ -92,46 +98,65 @@ object IncrementalDedup {
     // cut, blocks freed by the ContextCleaner, no CacheManager pin to
     // leak through the lazily-returned state.
     val bFeat = NearDup.shingleSets(batch, idCol, textCol, n)
-      .withColumn("fp", setFingerprint(col("shingles")))
+      .withColumn("__sorted", array_sort(col("shingles")))
+      .withColumn("fp", setFingerprint(col("__sorted")))
+      .drop("__sorted")
       .localCheckpoint(true)
 
     // Within-batch exact groups: one representative (min id) per
-    // distinct shingle set; members edge to their representative.
-    val reps = bFeat.groupBy(col("fp"))
-      .agg(min(col(idCol)).as(idCol), min_by(col("shingles"), col(idCol)).as("shingles"))
+    // distinct shingle set; members edge to their representative. The
+    // group-by carries (fp, id) ONLY — representative shingles are
+    // fetched afterwards by an id semi-join against the checkpointed
+    // features (AQE broadcasts the id list when small; at scale both
+    // forms shuffle, but this one never shuffles arrays through an
+    // aggregate).
+    val repIds = bFeat.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
     val withinEdges = bFeat.select(col(idCol), col("fp"))
-      .join(reps.select(col(idCol).as("__rep"), col("fp")), "fp")
+      .join(repIds.select(col(idCol).as("__rep"), col("fp")), "fp")
       .filter(col(idCol) =!= col("__rep"))
       .select(col(idCol).as("id_a"), col("__rep").as("id_b"))
 
-    // Exact vs state: shuffle carries (fp, id) only.
-    val stateFp = state.groupBy(col("fp")).agg(min(col("doc_id")).as("__old"))
-    val repsTagged = reps.join(stateFp, Seq("fp"), "left")
+    // Exact vs state: shuffle carries (fp, id, cluster) only. The
+    // matched occurrence's CLUSTER id rides along, so the exact edge
+    // lands pre-contracted — same-fp docs always share a cluster (each
+    // arrived with an edge to the fp's representative).
+    val stateFp = state.groupBy(col("fp")).agg(min(col("doc_id")).as("__old"),
+      min_by(col("cluster_id"), col("doc_id")).as("__oldc"))
+    val repsTagged = repIds.join(stateFp, Seq("fp"), "left")
     val exactOldEdges = repsTagged.filter(col("__old").isNotNull)
-      .select(col(idCol).as("id_a"), col("__old").as("id_b"))
+      .select(col(idCol).as("id_a"), col("__oldc").as("id_b"))
 
     // FRESH content (never-seen sets) is all that needs signatures.
+    val freshIds = repsTagged.filter(col("__old").isNull).select(col(idCol))
     val freshSigs = NearDup.signatures(
-        repsTagged.filter(col("__old").isNull).select(col(idCol), col("shingles")), idCol)
+        bFeat.join(freshIds, Seq(idCol), "left_semi").select(col(idCol), col("shingles")),
+        idCol)
       .localCheckpoint(true)
 
     // LSH probe: fresh new docs vs (state ∪ fresh) band keys in ONE
     // join — new-old pairs oriented (new, old), new-new pairs id_a <
-    // id_b, so nothing is emitted twice.
-    val newBanded = NearDup.bandKeys(freshSigs, idCol).withColumn("__new", lit(true))
+    // id_b, so nothing is emitted twice. Old rows carry their cluster
+    // id through the band keys, so near-dup edges land PRE-CONTRACTED
+    // (old endpoint already replaced by its cluster representative) —
+    // no separate corpus-sized contraction join afterwards.
+    val newBanded = NearDup.bandKeys(freshSigs, idCol)
+      .withColumn("__bc", lit(null).cast("long")).withColumn("__new", lit(true))
     val oldBanded = NearDup.bandKeys(
-        state.filter(col("sig").isNotNull).select(col("doc_id").as(idCol), col("sig")), idCol)
+        state.filter(col("sig").isNotNull)
+          .select(col("doc_id").as(idCol), col("sig"), col("cluster_id").as("__bc")),
+        idCol, keep = Seq("__bc"))
       .withColumn("__new", lit(false))
     val capped = BucketGuard.capBuckets(newBanded.unionByName(oldBanded),
       Seq("band", "bh"), idCol, maxBucket, dropCounter)
     val aSide = capped.filter(col("__new"))
       .select(col(idCol).as("id_a"), col("band"), col("bh"))
     val bSide = capped
-      .select(col(idCol).as("id_b"), col("band"), col("bh"), col("__new").as("__new_b"))
+      .select(col(idCol).as("id_b"), col("band"), col("bh"),
+        col("__new").as("__new_b"), col("__bc"))
     val cands = aSide.join(bSide, Seq("band", "bh"))
       .filter((!col("__new_b") && col("id_a") =!= col("id_b")) ||
         (col("__new_b") && col("id_a") < col("id_b")))
-      .select("id_a", "id_b").distinct()
+      .select(col("id_a"), col("id_b"), col("__bc")).distinct()
 
     // Exact-Jaccard verify over candidates only (native single-pass
     // expression; registered by shingleSets above).
@@ -141,16 +166,13 @@ object IncrementalDedup {
         .select(col("doc_id").as("id_b"), col("shingles").as("sh_b")))
     val nearEdges = cands.join(shA, "id_a").join(shB, "id_b")
       .filter(call_function("graft_jaccard", col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("id_a"), col("id_b"))
-
-    // Closure over the touched subgraph: contract old endpoints to
-    // their current cluster representative, then min-label components
-    // (edges only involve this batch's ids + touched old cluster ids).
-    val oldCluster = state.select(col("doc_id").as("id_b"), col("cluster_id").as("__bc"))
-    val contracted = withinEdges.unionByName(exactOldEdges).unionByName(nearEdges)
-      .join(oldCluster, Seq("id_b"), "left")
       .select(col("id_a"), coalesce(col("__bc"), col("id_b")).as("id_b"))
-    val labels = Components.connectedComponents(contracted)
+
+    // Closure over the touched subgraph — all edges already carry
+    // cluster representatives on their old endpoints, so the graph
+    // only involves this batch's ids + touched old cluster ids.
+    val contracted = withinEdges.unionByName(exactOldEdges).unionByName(nearEdges)
+    val labels = Components.connectedComponentsAuto(contracted)
 
     // New rows: every batch doc with ≥ 1 shingle; features only where
     // the content is fresh (left join against freshSigs), cluster from

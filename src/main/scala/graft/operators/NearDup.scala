@@ -91,14 +91,14 @@ object NearDup {
     * against a persisted signature table and land on exactly the
     * candidates a full-corpus run would generate.
     */
-  def bandKeys(signed: DataFrame, idCol: String): DataFrame = {
+  def bandKeys(signed: DataFrame, idCol: String, keep: Seq[String] = Nil): DataFrame = {
     val bandStructs = array((0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }: _*)
     signed
-      .select(col(idCol), explode(bandStructs).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col(idCol) +: keep.map(col) :+ explode(bandStructs).as("bb"): _*)
+      .select(col(idCol) +: keep.map(col) :+ col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
   }
 
   /** LSH candidate pairs (idA < idB), deduplicated across bands.
