@@ -75,6 +75,22 @@ class PropertySpec extends SparkSuite {
     once.foreach { case (_, cl) => assert(labels(cl) === cl) }
   }
 
+  test("auto closure: driver union-find == distributed propagation on both sides of the gate") {
+    def canon(c: org.apache.spark.sql.DataFrame) =
+      c.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(seed)
+      val edges = List.fill(40)((r.nextInt(30).toLong, r.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      val want = canon(Components.connectedComponents(df))
+      // Default threshold ⇒ driver union-find; threshold 0 ⇒ forced
+      // distributed fallback. Both must equal plain propagation.
+      assert(canon(Components.connectedComponentsAuto(df)) === want)
+      assert(canon(Components.connectedComponentsAuto(df, collectThreshold = 0)) === want)
+    }
+  }
+
   test("star contraction == label propagation on random graphs") {
     def canon(c: org.apache.spark.sql.DataFrame) =
       c.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
