@@ -220,6 +220,23 @@ object StreamingJobs {
       }
   }
 
+  /** Checkpoint directory for an EPHEMERAL, synchronous run (the
+    * memory-sink verify harness, tests): RAM-backed when /dev/shm is
+    * available, else the JVM temp dir. A micro-batch commit fsyncs the
+    * offset log, the commit log, and one delta file per state store
+    * instance — pure fixed latency that dwarfs the actual work on a
+    * small stream, and durability of a throwaway checkpoint protects
+    * nothing. Production jobs pass their own durable location; this is
+    * only for run-to-completion-and-discard execution.
+    */
+  private def ephemeralCheckpointDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft-ckpt").toString
+  }
+
   /** foreachBatch sink: append each micro-batch to a managed table via
     * TableManager — the streaming→catalog bridge (batch-id available
     * for idempotent sinks that need it).
@@ -235,8 +252,7 @@ object StreamingJobs {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           tables.append(batch, table)
         }
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        .option("checkpointLocation", ephemeralCheckpointDir())
         .start()
       q.processAllAvailable()
       q.stop()
@@ -263,7 +279,9 @@ object StreamingJobs {
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     try {
       val q: StreamingQuery = df.writeStream
-        .outputMode(mode).format("memory").queryName(name).start()
+        .outputMode(mode).format("memory").queryName(name)
+        .option("checkpointLocation", ephemeralCheckpointDir())
+        .start()
       q.processAllAvailable()
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
