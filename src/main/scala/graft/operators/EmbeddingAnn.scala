@@ -42,7 +42,15 @@ object EmbeddingAnn {
     */
   def normalized(df: DataFrame, vecCol: String): DataFrame =
     if (df.columns.contains("vnorm")) df
-    else Skew.spread(df).withColumn("vnorm", l2Normalize(col(vecCol)))
+    else {
+      // Native single-pass normalization (plans.L2Normalize) —
+      // bit-identical to VectorFunctions.l2Normalize, which
+      // re-evaluates its norm sub-expression per element (O(dim²)
+      // per row; ~100× slower at 1024 dims). Equality is asserted in
+      // ScaleOpsSpec.
+      NativeFunctions.ensureRegistered(df.sparkSession)
+      Skew.spread(df).withColumn("vnorm", call_function("graft_l2norm", col(vecCol)))
+    }
 
   /** Exact top-k cosine neighbors of each query vector (brute force —
     * the correctness baseline). `queries` should be small; it is
@@ -180,12 +188,12 @@ object EmbeddingAnn {
     // size trainSample against driver memory before raising it). The
     // default follows the usual k-means budget of tens-to-hundreds of
     // points per centroid, not a fraction of the corpus. The Lloyd
-    // loop itself stays single-threaded ON PURPOSE: a parallel
-    // accumulation would sum in nondeterministic float order and break
-    // the bit-for-bit centroid determinism the gates rely on; its cost
-    // is iters × trainSample × nlist × dim flops (5 × 25k × 16 × 64
-    // ≈ 10⁸ here — sub-second), and it scales with the SAMPLE, not the
-    // corpus.
+    // accumulation is parallelized over FIXED-SIZE index chunks with
+    // partials combined in chunk order — deterministic regardless of
+    // thread count or scheduling (unlike a shared accumulator or a
+    // hardware-sized split), so the centroids are the same bits on
+    // every machine; cost is iters × trainSample × nlist × dim flops
+    // (5 × 25k × 16 × 64 ≈ 10⁸ here) spread over driver cores.
     // Plain limit, NOT orderBy().limit(): a global-sort TakeOrdered
     // ships partitions × trainSample rows to the merge at scale,
     // whereas limit stops the scan after trainSample rows. WHICH rows
@@ -202,20 +210,44 @@ object EmbeddingAnn {
       .sortBy(r => Option(r.getString(0)).getOrElse(""))
       .map(_.getSeq[Double](1).toArray)
     require(data.length >= nlist, s"corpus smaller than nlist=$nlist")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val ChunkRows = 1024
     var centroids: Array[Array[Double]] = data.take(nlist).map(_.clone())
     for (_ <- 0 until iters) {
+      val cs = centroids // stable reference for the concurrent readers
+      val partials = Await.result(
+        Future.sequence((0 until data.length by ChunkRows).map { s0 =>
+          Future {
+            val sums = Array.fill(cs.length)(new Array[Double](cs.head.length))
+            val counts = new Array[Long](cs.length)
+            var idx = s0
+            val end = math.min(s0 + ChunkRows, data.length)
+            while (idx < end) {
+              val v = data(idx)
+              var best = 0; var bestD = Double.NegativeInfinity
+              for (c <- cs.indices) {
+                var d = 0.0; var i = 0
+                while (i < v.length) { d += v(i) * cs(c)(i); i += 1 }
+                if (d > bestD) { bestD = d; best = c }
+              }
+              counts(best) += 1
+              var i = 0
+              while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+              idx += 1
+            }
+            (sums, counts)
+          }
+        }), Duration.Inf)
       val sums = Array.fill(centroids.length)(new Array[Double](centroids.head.length))
       val counts = new Array[Long](centroids.length)
-      data.foreach { v =>
-        var best = 0; var bestD = Double.NegativeInfinity
+      partials.foreach { case (ps, pc) =>
         for (c <- centroids.indices) {
-          var d = 0.0; var i = 0
-          while (i < v.length) { d += v(i) * centroids(c)(i); i += 1 }
-          if (d > bestD) { bestD = d; best = c }
+          counts(c) += pc(c)
+          var i = 0
+          while (i < sums(c).length) { sums(c)(i) += ps(c)(i); i += 1 }
         }
-        counts(best) += 1
-        var i = 0
-        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c)

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the pairwise similarity hot loops.
   *
@@ -45,6 +45,56 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Single-pass L2 normalization of a numeric vector:
+  * out(i) = v(i) / ‖v‖ as doubles, with a zero vector passing through
+  * unscaled (matching `when(norm === 0, cast).otherwise(cast / norm)`).
+  *
+  * Exists because the composable HOF form
+  * `transform(a, x -> x / sqrt(aggregate(zip_with(a, a, _*_), ...)))`
+  * re-evaluates the norm sub-expression for EVERY ELEMENT — O(dim²)
+  * interpreted work per row. Invisible at 64 dims; at 1024 dims it
+  * turned a sub-second 25k-vector scan into ~100 s. Values are
+  * bit-identical to the HOF form (same left-to-right summation, same
+  * cast-then-divide per element).
+  */
+case class L2Normalize(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_l2norm"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${t.simpleString}")
+  }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < n) { ss += out(i) * out(i); i += 1 }
+    val nrm = math.sqrt(ss)
+    if (nrm != 0.0) { i = 0; while (i < n) { out(i) /= nrm; i += 1 } }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** All-permutation MinHash signature in a single pass: for shingle
@@ -601,6 +651,7 @@ object NativeFunctions {
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name, builder, "built-in")
     reg("graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
+    reg("graft_l2norm", exprs => L2Normalize(exprs.head))
     reg("graft_jaccard", exprs => JaccardSim(exprs(0), exprs(1)))
     reg("graft_simhash", exprs => SimHash64(exprs.head))
     reg("graft_keep_pos", exprs => KeepPosFilter(exprs(0), exprs(1)))

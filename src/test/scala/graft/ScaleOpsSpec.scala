@@ -193,6 +193,23 @@ class ScaleOpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
 
+  test("native graft_l2norm is bit-identical to the HOF l2Normalize") {
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val rows = e.select(
+        call_function("graft_l2norm", col("embedding")).as("native"),
+        graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+    }
+    // Zero vector passes through unscaled in both forms.
+    val z = spark.sql("SELECT graft_l2norm(array(0.0D, 0.0D)) AS v").head().getSeq[Double](0)
+    assert(z === Seq(0.0, 0.0))
+  }
+
   test("approx quantiles bracket the median; describe emits stats rows") {
     val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     val Seq(q50) = Sketches.approxQuantiles(ev, "value", Seq(0.5))
