@@ -116,13 +116,26 @@ object IncrementalDedup {
       .filter(col(idCol) =!= col("__rep"))
       .select(col(idCol).as("id_a"), col("__rep").as("id_b"))
 
+    // Bootstrap probe: a limit-1 scan. The FIRST append of a corpus
+    // (and any replay from scratch) has an empty state — skipping the
+    // state-side subtrees below (fp lookup, band scan, shingle union,
+    // remap join) halves that append's stage count for the price of
+    // one trivial job.
+    val stateEmpty = state.isEmpty
+
     // Exact vs state: shuffle carries (fp, id, cluster) only. The
     // matched occurrence's CLUSTER id rides along, so the exact edge
     // lands pre-contracted — same-fp docs always share a cluster (each
     // arrived with an edge to the fp's representative).
-    val stateFp = state.groupBy(col("fp")).agg(min(col("doc_id")).as("__old"),
-      min_by(col("cluster_id"), col("doc_id")).as("__oldc"))
-    val repsTagged = repIds.join(stateFp, Seq("fp"), "left")
+    val repsTagged =
+      if (stateEmpty)
+        repIds.withColumn("__old", lit(null).cast("long"))
+          .withColumn("__oldc", lit(null).cast("long"))
+      else {
+        val stateFp = state.groupBy(col("fp")).agg(min(col("doc_id")).as("__old"),
+          min_by(col("cluster_id"), col("doc_id")).as("__oldc"))
+        repIds.join(stateFp, Seq("fp"), "left")
+      }
     val exactOldEdges = repsTagged.filter(col("__old").isNotNull)
       .select(col(idCol).as("id_a"), col("__oldc").as("id_b"))
 
@@ -141,12 +154,14 @@ object IncrementalDedup {
     // no separate corpus-sized contraction join afterwards.
     val newBanded = NearDup.bandKeys(freshSigs, idCol)
       .withColumn("__bc", lit(null).cast("long")).withColumn("__new", lit(true))
-    val oldBanded = NearDup.bandKeys(
-        state.filter(col("sig").isNotNull)
-          .select(col("doc_id").as(idCol), col("sig"), col("cluster_id").as("__bc")),
-        idCol, keep = Seq("__bc"))
-      .withColumn("__new", lit(false))
-    val capped = BucketGuard.capBuckets(newBanded.unionByName(oldBanded),
+    val allBanded =
+      if (stateEmpty) newBanded
+      else newBanded.unionByName(NearDup.bandKeys(
+          state.filter(col("sig").isNotNull)
+            .select(col("doc_id").as(idCol), col("sig"), col("cluster_id").as("__bc")),
+          idCol, keep = Seq("__bc"))
+        .withColumn("__new", lit(false)))
+    val capped = BucketGuard.capBuckets(allBanded,
       Seq("band", "bh"), idCol, maxBucket, dropCounter)
     val aSide = capped.filter(col("__new"))
       .select(col(idCol).as("id_a"), col("band"), col("bh"))
@@ -161,8 +176,10 @@ object IncrementalDedup {
     // Exact-Jaccard verify over candidates only (native single-pass
     // expression; registered by shingleSets above).
     val shA = freshSigs.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
-    val shB = freshSigs.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
-      .unionByName(state.filter(col("shingles").isNotNull)
+    val shBNew = freshSigs.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    val shB =
+      if (stateEmpty) shBNew
+      else shBNew.unionByName(state.filter(col("shingles").isNotNull)
         .select(col("doc_id").as("id_b"), col("shingles").as("sh_b")))
     val nearEdges = cands.join(shA, "id_a").join(shB, "id_b")
       .filter(call_function("graft_jaccard", col("sh_a"), col("sh_b")) >= threshold)
@@ -184,15 +201,17 @@ object IncrementalDedup {
       .select(col(idCol).cast("long").as("doc_id"), col("fp"), col("sig"), col("shingles"),
         coalesce(col("__lbl"), col(idCol).cast("long")).as("cluster_id"))
 
-    // Cluster merges: an old cluster id relabeled below itself pulls
-    // its whole cluster along (tiny remap frame — broadcast join).
-    val remap = labels.filter(col("cluster_id") =!= col("node"))
-      .select(col("node").as("__oc"), col("cluster_id").as("__nc"))
-    val updatedOld = state.join(remap, state("cluster_id") === col("__oc"), "left")
-      .select(col("doc_id"), col("fp"), col("sig"), col("shingles"),
-        coalesce(col("__nc"), col("cluster_id")).as("cluster_id"))
-
-    updatedOld.unionByName(newRows)
+    if (stateEmpty) newRows
+    else {
+      // Cluster merges: an old cluster id relabeled below itself pulls
+      // its whole cluster along (tiny remap frame — broadcast join).
+      val remap = labels.filter(col("cluster_id") =!= col("node"))
+        .select(col("node").as("__oc"), col("cluster_id").as("__nc"))
+      val updatedOld = state.join(remap, state("cluster_id") === col("__oc"), "left")
+        .select(col("doc_id"), col("fp"), col("sig"), col("shingles"),
+          coalesce(col("__nc"), col("cluster_id")).as("cluster_id"))
+      updatedOld.unionByName(newRows)
+    }
   }
 
   /** Dedup decision over a state: one row per doc in a duplicate
