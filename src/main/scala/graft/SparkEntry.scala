@@ -1289,6 +1289,16 @@ object SparkEntry {
     "text_gopher" -> ((s, dir) =>
       QualitySignals.gopherSignals(t(s, dir, "documents"), "doc_id", "text")),
 
+    // CCNet-style LM quality scoring: a Laplace-smoothed bigram LM
+    // trained on the even-id half as the in-domain reference, every
+    // doc scored by per-bigram log-prob / perplexity. The oracle
+    // replays training AND scoring from scratch in DuckDB.
+    "text_lm_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      QualitySignals.bigramLmScore(
+        d.filter(col("doc_id") % 2 === 0), d, "doc_id", "text")
+    }),
+
     // Word-2-gram repetition metrics (the Gopher duplicate-n-gram
     // family): explode → two map-side-combinable aggregates.
     "text_repetition" -> ((s, dir) =>
@@ -2703,6 +2713,31 @@ object SparkEntry {
         | AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 1 HOUR""".stripMargin,
 
     "text_gopher" -> duckGopherFrom("documents"),
+
+    // Bigram-LM training + scoring replayed end-to-end: same Laplace
+    // formula, same even-id reference split, bigrams with multiplicity.
+    "text_lm_score" -> {
+      val duckBigrams =
+        "list_transform(range(1, len(tok)), i -> array_to_string(tok[i:i+1], ' '))"
+      s"""WITH ref AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+         |rt AS (SELECT unnest($duckTokens) AS w FROM ref),
+         |uni AS (SELECT w, count(*) AS cu FROM rt GROUP BY w),
+         |v AS (SELECT count(*) AS vv FROM uni),
+         |bi AS (SELECT bg, count(*) AS cb FROM (
+         |  SELECT unnest($duckBigrams) AS bg
+         |  FROM (SELECT $duckTokens AS tok FROM ref)) GROUP BY bg),
+         |sc AS (
+         |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+         |  FROM (SELECT doc_id, unnest($duckBigrams) AS bg
+         |        FROM (SELECT doc_id, $duckTokens AS tok FROM documents))),
+         |lp AS (SELECT s.doc_id,
+         |    ln((coalesce(b.cb, 0) + 1)::DOUBLE / (coalesce(u.cu, 0) + v.vv)::DOUBLE) AS lp
+         |  FROM sc s LEFT JOIN bi b ON s.bg = b.bg
+         |    LEFT JOIN uni u ON s.w1 = u.w CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_logprob,
+         |  exp(-avg(lp)) AS ppl
+         |FROM lp GROUP BY doc_id""".stripMargin
+    },
 
     // Non-distinct word 2-grams (multiplicity IS the signal); the Spark
     // side hashes grams to longs before the shuffle, which leaves every

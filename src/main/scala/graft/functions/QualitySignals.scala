@@ -136,6 +136,58 @@ object QualitySignals {
     * Emits counts plus the redacted text — pure map work, the shape
     * that runs inline in a corpus ingestion scan.
     */
+  /** Bigram language-model quality scoring — the CCNet/Wenzek et al.
+    * 2020 recipe shape: train a smoothed n-gram LM on an IN-DOMAIN
+    * reference corpus, score every candidate document by per-token
+    * log-probability, and gate/bucket on the resulting perplexity
+    * (low = reference-like, high = noise). Here the LM is a bigram
+    * model with Laplace smoothing:
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V)
+    *
+    * where V = reference vocabulary size; unseen history rows fall
+    * back to the same formula with zero counts.
+    *
+    * Distribution: training is two partial-aggregable groupBys over
+    * the exploded reference (bigram strings and unigrams — shuffle
+    * carries (gram, partial count), never documents); scoring explodes
+    * candidate bigrams WITH multiplicity and left-joins the two count
+    * frames (AQE broadcasts a small LM; a corpus-scale LM shuffles on
+    * the gram key — and a production deployment hashes the gram to a
+    * 64-bit join key to keep those shuffle rows narrow), then one
+    * per-document aggregate. Every step is exact and deterministic, so
+    * the whole pipeline replays in DuckDB — the oracle recomputes
+    * training AND scoring from scratch.
+    *
+    * Output per document with ≥ 1 bigram: `n_bigrams`,
+    * `avg_logprob` (natural log), `ppl` = exp(−avg_logprob).
+    */
+  def bigramLmScore(reference: DataFrame, docs: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val refToks = graft.operators.Skew.spread(reference)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val uni = refToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    // One-row frame instead of a driver .count(): V joins into the
+    // probability expression without an action, and the broadcast is
+    // a single long.
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val bi = graft.operators.Skew.spread(reference)
+      .select(explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val scored = graft.operators.Skew.spread(docs)
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .withColumn("__w1", substring_index(col("bg"), " ", 1))
+      .join(bi, Seq("bg"), "left")
+      .join(uni.withColumnRenamed("w", "__w1"), Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((coalesce(col("cb"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("cu"), lit(0L)) + col("__v")).cast("double")).as("__lp"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("__lp")).as("avg_logprob"))
+      .withColumn("ppl", exp(-col("avg_logprob")))
+  }
+
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val emailScrubbed = regexp_replace(t, EmailRe, "<EMAIL>")

@@ -437,6 +437,26 @@ class OperatorsSpec extends SparkSuite {
     assert(r(1).getAs[Long]("n_emails") === 0L && r(1).getAs[Long]("n_ipv4") === 0L)
   }
 
+  test("bigramLmScore: hand-computed Laplace probabilities; in-domain beats noise") {
+    // Reference "a b a b": vocab {a, b} (V=2), unigrams a:2 b:2,
+    // bigrams "a b":2 "b a":1.
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),   // P(b|a) = (2+1)/(2+2) = 0.75
+      (2L, "c c"),   // unseen: (0+1)/(0+2) = 0.5
+      (3L, "a")      // no bigram → absent from the result
+    ).toDF("doc_id", "text")
+    val r = QualitySignals.bigramLmScore(ref, docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(math.abs(r(0).getAs[Double]("avg_logprob") - math.log(0.75)) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("ppl") - 1 / 0.75) < 1e-12)
+    assert(r(1).getAs[Long]("n_bigrams") === 1L)
+    assert(math.abs(r(1).getAs[Double]("avg_logprob") - math.log(0.5)) < 1e-12)
+    // The in-domain doc is more probable (lower perplexity) than noise.
+    assert(r(0).getAs[Double]("ppl") < r(1).getAs[Double]("ppl"))
+  }
+
   test("repetitionSignals: hashed-gram metrics equal the string-gram form") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),
