@@ -1299,6 +1299,18 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 0), d, "doc_id", "text")
     }),
 
+    // DSIR-shaped importance selection: per-doc log-ratio of the
+    // in-domain LM score over the general-pool LM score, top-100 by
+    // ratio (TakeOrderedAndProject — no global sort).
+    "sample_importance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      QualitySignals.importanceScore(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0),
+        d, "doc_id", "text")
+        .orderBy(col("log_ratio").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // Word-2-gram repetition metrics (the Gopher duplicate-n-gram
     // family): explode → two map-side-combinable aggregates.
     "text_repetition" -> ((s, dir) =>
@@ -2086,6 +2098,33 @@ object SparkEntry {
   private def duckShingles(tok: String) =
     s"list_distinct(list_transform(range(1, len($tok) - 1), i -> array_to_string($tok[i:i+2], ' ')))"
 
+  /** CTE block rebuilding a Laplace bigram LM (reference = documents
+    * rows matching `refPred`) and the per-document scores — shared by
+    * the `text_lm_score` and `sample_importance` (two LMs, prefixed)
+    * oracles. Final CTE: `<p>score(doc_id, n_bigrams, avg_logprob)`.
+    */
+  private def duckLmCtes(p: String, refPred: String): String = {
+    val duckBigrams =
+      "list_transform(range(1, len(tok)), i -> array_to_string(tok[i:i+1], ' '))"
+    s"""${p}ref AS (SELECT text FROM documents WHERE $refPred),
+       |${p}rt AS (SELECT unnest($duckTokens) AS w FROM ${p}ref),
+       |${p}uni AS (SELECT w, count(*) AS cu FROM ${p}rt GROUP BY w),
+       |${p}v AS (SELECT count(*) AS vv FROM ${p}uni),
+       |${p}bi AS (SELECT bg, count(*) AS cb FROM (
+       |  SELECT unnest($duckBigrams) AS bg
+       |  FROM (SELECT $duckTokens AS tok FROM ${p}ref)) GROUP BY bg),
+       |${p}sc AS (
+       |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+       |  FROM (SELECT doc_id, unnest($duckBigrams) AS bg
+       |        FROM (SELECT doc_id, $duckTokens AS tok FROM documents))),
+       |${p}lp AS (SELECT s.doc_id,
+       |    ln((coalesce(b.cb, 0) + 1)::DOUBLE / (coalesce(u.cu, 0) + v.vv)::DOUBLE) AS lp
+       |  FROM ${p}sc s LEFT JOIN ${p}bi b ON s.bg = b.bg
+       |    LEFT JOIN ${p}uni u ON s.w1 = u.w CROSS JOIN ${p}v v),
+       |${p}score AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_logprob
+       |  FROM ${p}lp GROUP BY doc_id)""".stripMargin
+  }
+
   // Lockstep-unnest rebuild of a columnar Open-Meteo payload — the
   // Bronze shape the E1/E2/E3 pipeline oracles start from.
   private def duckPayload(path: String, metrics: Seq[String]): String = {
@@ -2716,28 +2755,20 @@ object SparkEntry {
 
     // Bigram-LM training + scoring replayed end-to-end: same Laplace
     // formula, same even-id reference split, bigrams with multiplicity.
-    "text_lm_score" -> {
-      val duckBigrams =
-        "list_transform(range(1, len(tok)), i -> array_to_string(tok[i:i+1], ' '))"
-      s"""WITH ref AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
-         |rt AS (SELECT unnest($duckTokens) AS w FROM ref),
-         |uni AS (SELECT w, count(*) AS cu FROM rt GROUP BY w),
-         |v AS (SELECT count(*) AS vv FROM uni),
-         |bi AS (SELECT bg, count(*) AS cb FROM (
-         |  SELECT unnest($duckBigrams) AS bg
-         |  FROM (SELECT $duckTokens AS tok FROM ref)) GROUP BY bg),
-         |sc AS (
-         |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
-         |  FROM (SELECT doc_id, unnest($duckBigrams) AS bg
-         |        FROM (SELECT doc_id, $duckTokens AS tok FROM documents))),
-         |lp AS (SELECT s.doc_id,
-         |    ln((coalesce(b.cb, 0) + 1)::DOUBLE / (coalesce(u.cu, 0) + v.vv)::DOUBLE) AS lp
-         |  FROM sc s LEFT JOIN bi b ON s.bg = b.bg
-         |    LEFT JOIN uni u ON s.w1 = u.w CROSS JOIN v)
-         |SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_logprob,
-         |  exp(-avg(lp)) AS ppl
-         |FROM lp GROUP BY doc_id""".stripMargin
-    },
+    "text_lm_score" ->
+      s"""WITH ${duckLmCtes("", "doc_id % 2 = 0")}
+         |SELECT doc_id, n_bigrams, avg_logprob, exp(-avg_logprob) AS ppl
+         |FROM score""".stripMargin,
+
+    // Both LMs (in-domain even ids, general odd ids) retrained from
+    // scratch, log-ratio ranked, same top-100 with the id tie-break.
+    "sample_importance" ->
+      s"""WITH ${duckLmCtes("t_", "doc_id % 2 = 0")},
+         |${duckLmCtes("g_", "doc_id % 2 != 0")}
+         |SELECT t.doc_id, t.avg_logprob AS lp_target, g.avg_logprob AS lp_general,
+         |  t.avg_logprob - g.avg_logprob AS log_ratio
+         |FROM t_score t JOIN g_score g ON t.doc_id = g.doc_id
+         |ORDER BY log_ratio DESC, t.doc_id LIMIT 100""".stripMargin,
 
     // Non-distinct word 2-grams (multiplicity IS the signal); the Spark
     // side hashes grams to longs before the shuffle, which leaves every

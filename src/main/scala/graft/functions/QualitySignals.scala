@@ -188,6 +188,30 @@ object QualitySignals {
       .withColumn("ppl", exp(-col("avg_logprob")))
   }
 
+  /** DSIR-shaped importance scoring (Xie et al. 2023's recipe shape):
+    * score every candidate under an IN-DOMAIN LM and a GENERAL-corpus
+    * LM, and rank by the per-bigram log-ratio
+    *
+    *   log w(x) = avg_logprob_target(x) − avg_logprob_general(x)
+    *
+    * (per-bigram averaging length-normalizes the ratio). Documents
+    * most like the target distribution RELATIVE to the general pool
+    * rank highest — the importance-resampling criterion for selecting
+    * pretraining data toward a domain. Both scores come from
+    * [[bigramLmScore]]; the join is id-keyed. Selection is the
+    * caller's orderBy(log_ratio desc, id).limit(n) —
+    * TakeOrderedAndProject, no global sort.
+    */
+  def importanceScore(target: DataFrame, general: DataFrame, docs: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    val t = bigramLmScore(target, docs, idCol, textCol)
+      .select(col(idCol), col("avg_logprob").as("lp_target"))
+    val g = bigramLmScore(general, docs, idCol, textCol)
+      .select(col(idCol), col("avg_logprob").as("lp_general"))
+    t.join(g, Seq(idCol))
+      .withColumn("log_ratio", col("lp_target") - col("lp_general"))
+  }
+
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val emailScrubbed = regexp_replace(t, EmailRe, "<EMAIL>")

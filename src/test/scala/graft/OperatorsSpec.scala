@@ -457,6 +457,18 @@ class OperatorsSpec extends SparkSuite {
     assert(r(0).getAs[Double]("ppl") < r(1).getAs[Double]("ppl"))
   }
 
+  test("importanceScore: target-like docs rank above general-like docs") {
+    val target = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val general = Seq((100L, "c d c d")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "x y")).toDF("doc_id", "text")
+    val r = QualitySignals.importanceScore(target, general, docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val ratio = r.map(x => x.getLong(0) -> x.getAs[Double]("log_ratio")).toMap
+    assert(ratio(1L) > 0)          // in-domain bigram: more probable under target
+    assert(ratio(2L) < 0)          // general bigram: more probable under general
+    assert(math.abs(ratio(3L)) < 1e-12) // unseen everywhere: ratio exactly 0
+  }
+
   test("repetitionSignals: hashed-gram metrics equal the string-gram form") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),
