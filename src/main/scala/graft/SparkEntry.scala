@@ -1365,6 +1365,14 @@ object SparkEntry {
       Sampling.tokenBudgetSample(t(s, dir, "documents"), "source", "doc_id", "text",
         budgets = Map("src0" -> 1500L, "src1" -> 800L, "src3" -> 300L))),
 
+    // Temperature-scaled mixture: per-source budgets DERIVED from the
+    // corpus (n_s^0.5, UniMax-style flattening) instead of
+    // hand-specified, then the same deterministic token-budget
+    // admission. The oracle recomputes the budgets from scratch.
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixture(t(s, dir, "documents"), "source", "doc_id", "text",
+        totalBudget = 3000L, alpha = 0.5)),
+
     // Concat-and-chunk sequence packing: each document's token span in
     // the deterministic global stream, chunked into 512-token training
     // sequences — first/last sequence id + boundary-straddle flag. The
@@ -2431,6 +2439,23 @@ object SparkEntry {
          |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1500
          |                                WHEN 'src1' THEN 800
          |                                WHEN 'src3' THEN 300 END""".stripMargin,
+
+    "sample_temperature" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+         |    CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS nt
+         |        FROM toks GROUP BY source),
+         |b AS (SELECT source,
+         |    CAST(floor(3000 * pow(nt, 0.5)
+         |      / (SELECT sum(pow(nt, 0.5)) FROM tot)) AS BIGINT) AS budget
+         |  FROM tot),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS cum_tokens
+         |  FROM toks)
+         |SELECT c.doc_id, c.source, c.n_tokens, CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c JOIN b ON c.source = b.source
+         |WHERE c.cum_tokens <= b.budget""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens

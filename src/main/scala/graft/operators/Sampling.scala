@@ -80,6 +80,36 @@ object Sampling {
     * admission boundary cuts mid-document never: the last admitted doc
     * is the one that keeps cum ≤ budget.
     */
+  /** Temperature-scaled mixture (the UniMax/multilingual-sampling
+    * recipe shape): per-stratum budgets are DERIVED from the corpus
+    * instead of hand-specified — stratum s with nₛ total tokens gets
+    *
+    *   budgetₛ = ⌊ totalBudget · nₛ^α / Σₜ nₜ^α ⌋
+    *
+    * α = 1 reproduces the natural distribution; α → 0 flattens toward
+    * uniform (upweighting tail strata); the usual mixing range is
+    * 0.3–0.7. The per-stratum token totals are ONE partial-aggregable
+    * aggregate collected to the driver — a #strata-row frame (a
+    * training mixture has ~5–20 strata), the same bounded-scalar
+    * pattern as the IVF centroids. Admission then runs through
+    * [[tokenBudgetSample]] unchanged (deterministic md5 order,
+    * two-level prefix sum).
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String, keyCol: String,
+                         textCol: String, totalBudget: Long, alpha: Double,
+                         salt: String = "graft"): DataFrame = {
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")).as("nt"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .sortBy(_._1) // collect order is layout-dependent; the weight SUM must not be
+    val wsum = totals.map { case (_, n) => math.pow(n, alpha) }.sum
+    val budgets = totals.map { case (s, n) =>
+      s -> math.floor(totalBudget * math.pow(n, alpha) / wsum).toLong
+    }.toMap
+    tokenBudgetSample(df, strataCol, keyCol, textCol, budgets, salt)
+  }
+
   def tokenBudgetSample(df: DataFrame, strataCol: String, keyCol: String,
                         textCol: String, budgets: Map[String, Long],
                         salt: String = "graft"): DataFrame = {

@@ -457,6 +457,24 @@ class OperatorsSpec extends SparkSuite {
     assert(r(0).getAs[Double]("ppl") < r(1).getAs[Double]("ppl"))
   }
 
+  test("temperatureMixture: alpha=1 is the natural distribution; alpha=0 flattens") {
+    import graft.operators.Sampling
+    // sA: 4 docs x 25 tokens = 100; sB: 4 docs x 100 tokens = 400.
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = ((1L to 4L).map(i => (i, "sA", words(25))) ++
+      (11L to 14L).map(i => (i, "sB", words(100)))).toDF("doc_id", "source", "text")
+    // alpha=1, budget = total tokens: budgets equal the natural totals
+    // and every document is admitted.
+    assert(Sampling.temperatureMixture(docs, "source", "doc_id", "text",
+      totalBudget = 500L, alpha = 1.0).count() === 8)
+    // alpha=0: uniform budgets (250 each) — sA fully admitted, sB
+    // capped at 2 docs (200 of 250; a third would reach 300).
+    val flat = Sampling.temperatureMixture(docs, "source", "doc_id", "text",
+        totalBudget = 500L, alpha = 0.0)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat === Map("sA" -> 4L, "sB" -> 2L))
+  }
+
   test("importanceScore: target-like docs rank above general-like docs") {
     val target = Seq((0L, "a b a b")).toDF("doc_id", "text")
     val general = Seq((100L, "c d c d")).toDF("doc_id", "text")
