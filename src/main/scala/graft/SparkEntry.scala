@@ -1092,6 +1092,20 @@ object SparkEntry {
         cn)
     }),
 
+    // SemDeDup: cluster-then-pairwise semantic dedup — the published
+    // scale path for embedding near-dup (within-cluster pairs only,
+    // BucketGuard-capped clusters). Keeper election and closure are
+    // shared with every other dedup family; the oracle replays the
+    // full chain, k-means included.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cn = EmbeddingAnn.normalized(e, "embedding").persist()
+      val centroids = EmbeddingAnn.trainCentroids(cn, "vec_id", "embedding", nlist = 16)
+      Caching.materializeAndRelease(
+        EmbeddingAnn.semDedup(cn, "vec_id", "embedding", centroids, threshold = 0.4),
+        cn)
+    }),
+
     // IVF quality made driver-visible: recall of the IVF path against
     // the exact brute-force top-k over the same corpus, gated on a
     // pinned floor (0.5; measured 0.81 at sf0.01 — AnnIvfSpec asserts
@@ -2282,8 +2296,15 @@ object SparkEntry {
   // centroid-update CTE (per-dimension mean, re-normalized, empty
   // clusters keep their centroid). Probe tie-break is (score DESC,
   // idx DESC) — the reverse(array_sort) order the Spark plan uses.
-  private lazy val duckAnnIvfSql = {
-    val nlist = 16; val iters = 5; val nprobe = 4; val k = 5
+  /** The Lloyd-unroll CTE chain shared by the `ann_ivf` and
+    * `dedup_semantic` oracles: `n` (normalized corpus) → `c0` (init
+    * centroids) → a{it}/u{it}/m{it}/c{it} per iteration → `corpus`
+    * (vec_id, v, cluster) — the exact cluster assignment
+    * `EmbeddingAnn.trainCentroids` + `withCluster` produce. No WITH
+    * prefix so callers can prepend RECURSIVE when they extend it.
+    */
+  private lazy val duckIvfCorpusCtes: String = {
+    val nlist = 16; val iters = 5
     val steps = (1 to iters).map { it =>
       s"""a$it AS (
          |  SELECT vec_id, v, c FROM (
@@ -2303,7 +2324,7 @@ object SparkEntry {
          |         ELSE p.vec END AS vec
          |  FROM c${it - 1} p LEFT JOIN m$it m ON p.c = m.c)""".stripMargin
     }.mkString(",\n")
-    s"""WITH n AS (
+    s"""n AS (
        |  SELECT vec_id, CASE WHEN nrm = 0 THEN v
        |                      ELSE list_transform(v, x -> x / nrm) END AS v
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2318,7 +2339,12 @@ object SparkEntry {
        |    SELECT e.vec_id, e.v, p.c,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_inner_product(e.v, p.vec) DESC, p.c ASC) AS rk
-       |    FROM n e CROSS JOIN c$iters p) WHERE rk = 1),
+       |    FROM n e CROSS JOIN c$iters p) WHERE rk = 1)""".stripMargin
+  }
+
+  private lazy val duckAnnIvfSql = {
+    val iters = 5; val nprobe = 4; val k = 5
+    s"""WITH $duckIvfCorpusCtes,
        |probes AS (
        |  SELECT vec_id, cluster, v FROM (
        |    SELECT q.vec_id, q.v, p.c AS cluster,
@@ -2334,6 +2360,30 @@ object SparkEntry {
        |  WHERE e.vec_id != q.vec_id)
        |WHERE rank <= $k""".stripMargin
   }
+
+  // SemDeDup replayed end-to-end: the SAME Lloyd-unroll cluster
+  // assignment as ann_ivf, then within-cluster pairs at the 0.4
+  // cosine band and a recursive-CTE closure — min-id keeper election,
+  // exactly the Spark decision frame.
+  private lazy val duckSemDedupSql =
+    s"""WITH RECURSIVE $duckIvfCorpusCtes,
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM corpus a JOIN corpus b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_inner_product(a.v, b.v) >= 0.4),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+       |comp AS (SELECT node, min(label) AS cid FROM reach GROUP BY node)
+       |SELECT c.vec_id, CAST(c.cluster AS INT) AS cluster,
+       |  CAST(coalesce(p.cid, c.vec_id) AS BIGINT) AS sem_group,
+       |  coalesce(p.cid, c.vec_id) = c.vec_id AS keep
+       |FROM corpus c LEFT JOIN comp p ON c.vec_id = p.node""".stripMargin
 
   // Gopher-rule signals + composite pass flag — shared by text_gopher
   // and the hygiene funnel's quality stage.
@@ -2626,6 +2676,8 @@ object SparkEntry {
     "ann_lsh" -> duckAnnLshSql,
 
     "ann_ivf" -> duckAnnIvfSql,
+
+    "dedup_semantic" -> duckSemDedupSql,
 
     // fixed, so the gate is deterministic at a given sf).
     "ann_lsh_recall" ->

@@ -383,4 +383,57 @@ object EmbeddingAnn {
     Caching.materializeAndRelease(
       rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k), cn)
   }
+
+  // -------------------------------------------------------------------
+  // SemDeDup: semantic deduplication via cluster-then-pairwise.
+  // Reference behavior: embedding-cosine near-dup over a document
+  // corpus (the reference's embedding dedup is the brute-force pair
+  // scan); the clustered form is the published scale path
+  // (SemDeDup, Abbas et al. 2023, arXiv:2303.09540).
+  // -------------------------------------------------------------------
+
+  /** Semantic dedup decision per vector. The corpus is partitioned by
+    * its nearest k-means centroid (the same deterministic coarse
+    * quantizer IVF uses) and ONLY within-cluster pairs are scored —
+    * pairwise cost falls from O(n²) to Σ O(|cluster|²), and
+    * [[BucketGuard]] caps degenerate clusters so one dense region
+    * cannot re-create the all-pairs blowup. Pairs at/above `threshold`
+    * are closed into groups (connected components over the pair graph)
+    * and each group keeps its minimum id — the same keeper election
+    * every other dedup family here uses, instead of the paper's
+    * keep-farthest-from-centroid, so the decision is a deterministic
+    * pure function of the pair set. Cross-cluster near-dups are missed
+    * BY DESIGN (the paper's recall/cost trade); raise nlist for
+    * smaller, cheaper clusters or lower it for higher recall.
+    *
+    * Output: one row per corpus vector — (idCol, cluster, sem_group,
+    * keep); `sem_group` is the component's minimum id (the vector's
+    * own id when it has no near-dup), `keep` marks the group keeper.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Double]], threshold: Double,
+               maxBucket: Int = BucketGuard.DefaultMaxBucket,
+               dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val n = normalized(corpus, vecCol)
+    val clustered = withCluster(n, "vnorm", centroids)
+      .select(col(idCol), col("vnorm"), col("cluster"))
+    val capped = BucketGuard.capBuckets(clustered, Seq("cluster"), idCol,
+      maxBucket, dropCounter)
+    val a = capped.select(col("cluster"), col(idCol).as("id_a"), col("vnorm").as("va"))
+    val b = capped.select(col("cluster"), col(idCol).as("id_b"), col("vnorm").as("vb"))
+    // Same-cluster candidate self-join: shuffles (id, vnorm) on the
+    // cluster id once; the dot is the codegen'd native primitive loop.
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), nativeDot(n, "va", "vb").as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val comp = Components.connectedComponentsAuto(pairs)
+    clustered.select(col(idCol), col("cluster"))
+      .join(comp.select(col("node").as(idCol), col("cluster_id").as("sem_group")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("sem_group"), col(idCol).cast("long")).as("sem_group"))
+      .withColumn("keep", col("sem_group") === col(idCol).cast("long"))
+  }
 }

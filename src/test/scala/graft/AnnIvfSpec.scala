@@ -63,6 +63,48 @@ class AnnIvfSpec extends SparkSuite {
     }
   }
 
+  test("semDedup keeps exactly one of a planted identical group and all singletons") {
+    import spark.implicits._
+    // 3 orthogonal base directions, a planted group of 4 identical
+    // vectors on the first, and 2 lone vectors on the others: the
+    // identical group must collapse to its min id; vectors with no
+    // near-dup must keep themselves as their own group.
+    def unit(dim: Int, axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+    val rows = Seq(
+      (10L, unit(8, 0)), (11L, unit(8, 0)), (12L, unit(8, 0)), (13L, unit(8, 0)),
+      (20L, unit(8, 1)), (30L, unit(8, 2)))
+    val df = rows.toDF("vec_id", "embedding")
+    val centroids = EmbeddingAnn.trainCentroids(df, "vec_id", "embedding", nlist = 3, iters = 2)
+    val out = EmbeddingAnn.semDedup(df, "vec_id", "embedding", centroids, threshold = 0.9)
+      .select("vec_id", "sem_group", "keep").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(10L) === ((10L, true)))
+    assert(out(11L) === ((10L, false)))
+    assert(out(12L) === ((10L, false)))
+    assert(out(13L) === ((10L, false)))
+    assert(out(20L) === ((20L, true)))
+    assert(out(30L) === ((30L, true)))
+  }
+
+  test("semDedup scores no cross-cluster pair and caps hot clusters") {
+    import spark.implicits._
+    // A planted hot cluster (60 near-identical vectors) under a tiny
+    // cap: the decision frame still covers EVERY vector (capped rows
+    // only leave the pair stage), and the guard's drop counter engages.
+    val dim = 8
+    val rows = (0L until 60L).map { i =>
+      (i, Array.tabulate(dim)(d => if (d == 0) 1.0f else (i * (d + 1) % 7).toFloat * 1e-4f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val centroids = EmbeddingAnn.trainCentroids(df, "vec_id", "embedding", nlist = 2, iters = 2)
+    val acc = spark.sparkContext.longAccumulator("semdedup-drops")
+    val out = EmbeddingAnn.semDedup(df, "vec_id", "embedding", centroids,
+      threshold = 0.999, maxBucket = 10, dropCounter = Some(acc))
+    assert(out.count() === 60L)
+    assert(acc.value > 0, "hot-cluster cap never engaged")
+  }
+
   test("multi-table LSH finds at least the single-table pairs") {
     val one = EmbeddingAnn.lshNearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.3, dim = 64, nBits = 6, nTables = 1)
