@@ -1415,6 +1415,14 @@ object SparkEntry {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
 
+    // Per-source document CAP (RefinedWeb-style anti-head-domain
+    // rule): at most 10 docs per source, first-10 in deterministic
+    // md5-hash order; the surviving rank is in the output so the
+    // oracle checks the cut point, not just the survivor set.
+    "sample_source_cap" -> ((s, dir) =>
+      Sampling.capPerStratum(t(s, dir, "documents"), "source", "doc_id", cap = 10)
+        .select(col("doc_id"), col("source"), col("stratum_rank"))),
+
     // Fixed-token chunking with overlap: the doc→sample step when a
     // document exceeds the model sequence length (and the chunker of
     // retrieval indexing). Pure map work — tokenize once, sequence +
@@ -2544,6 +2552,17 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
         |      FROM documents)""".stripMargin,
+
+    // Per-source cap replayed as a plain stratum-partitioned
+    // row_number in the same md5 order (the operator computes the
+    // identical rank with the two-level bucketed prefix sum).
+    "sample_source_cap" ->
+      """SELECT doc_id, source, stratum_rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS stratum_rank
+        |  FROM documents)
+        |WHERE stratum_rank <= 10""".stripMargin,
 
     // Chunking replayed with DuckDB list slicing: same lowercased
     // whitespace tokens, same stride arithmetic (integer division),

@@ -142,6 +142,37 @@ object Sampling {
     * are added or removed, the property that keeps eval sets from
     * leaking into training as a corpus is re-crawled.
     */
+  /** Per-stratum document CAP (the RefinedWeb-style per-domain cap):
+    * keep at most `cap` documents per stratum, chosen as the first
+    * `cap` in deterministic md5-hash order — the anti-head-domain rule
+    * of web-corpus curation, where a handful of domains would
+    * otherwise dominate the mixture. Deterministic, layout-independent
+    * and stable under corpus growth in the keep-direction: a kept doc
+    * can only be displaced by new docs hashing earlier, never by
+    * re-partitioning. Output keeps every input column plus the
+    * 1-based `stratum_rank` the cap cut on.
+    *
+    * Scale shape: a stratum has unbounded population (the whole point
+    * — a head domain holds billions of pages), so `row_number` over a
+    * stratum-partitioned window would drag every doc of the biggest
+    * domain through ONE task. The rank is therefore the same
+    * two-level 256-bucket prefix sum as [[tokenBudgetSample]] (running
+    * sum of 1s in hash order); the ranked frame carries only
+    * (key, stratum) pairs, and survivors join back to the full row by
+    * key — text shuffles once, on the join, never through the window.
+    */
+  def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+                    cap: Long, salt: String = "graft"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val base = df.select(col(keyCol), col(strataCol))
+      .withColumn("__one", lit(1L))
+      .withColumn("__ord", hashBucket32(col(keyCol), salt))
+    val kept = Packing.bucketedRunningSum(base, Seq(strataCol), "__ord", "__one", "stratum_rank")
+      .filter(col("stratum_rank") <= cap)
+      .select(col(keyCol), col("stratum_rank"))
+    df.join(kept, Seq(keyCol))
+  }
+
   def assignSplits(df: DataFrame, keyCol: String,
                    splits: Seq[(String, Double)], salt: String = "graft",
                    splitCol: String = "split"): DataFrame = {

@@ -232,6 +232,31 @@ class OperatorsSpec extends SparkSuite {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("capPerStratum truncates oversized strata, keeps small ones whole") {
+    val rows = (1L to 40L).map(i => (i, "big", s"doc $i")) ++
+      (41L to 43L).map(i => (i, "small", s"doc $i"))
+    val df = rows.toDF("doc_id", "source", "text")
+    val r = Sampling.capPerStratum(df, "source", "doc_id", cap = 10)
+    val bySrc = r.groupBy("source").count().collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("count")).toMap
+    assert(bySrc === Map("big" -> 10L, "small" -> 3L))
+    // Rank is 1-based, dense, capped; every input column survives.
+    val big = r.filter(col("source") === "big")
+      .orderBy("stratum_rank").collect()
+    assert(big.map(_.getAs[Long]("stratum_rank")).toSeq === (1L to 10L))
+    assert(big.forall(_.getAs[String]("text").startsWith("doc ")))
+    // Keep-direction stability: capping a SUPERSET never reorders the
+    // survivors' relative hash order — docs kept from the subset that
+    // survive the superset cap keep their relative ranks.
+    val sup = Sampling.capPerStratum(
+      df.unionAll(Seq((100L, "big", "late")).toDF("doc_id", "source", "text")),
+      "source", "doc_id", cap = 10)
+    val supIds = sup.filter(col("source") === "big")
+      .orderBy("stratum_rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+    val subIds = big.map(_.getAs[Long]("doc_id")).toSeq
+    assert(supIds.filter(subIds.contains) === subIds.filter(supIds.contains))
+  }
+
   test("funnel counts strict-after first-touch conversions per step") {
     val ev = Seq(
       (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full conversion
