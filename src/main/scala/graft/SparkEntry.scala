@@ -1472,6 +1472,20 @@ object SparkEntry {
       CorpusHygiene.hygieneSurvivors(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))),
 
+    // Duplicate-passage detection (Lee et al. 2021 shape): stride-1
+    // 8-token window hashes, global >=2 occurrence rule, per-doc
+    // duplicate coverage. A 12-token passage planted on every 7th doc
+    // makes the cross-document signal observable; naturally identical
+    // docs light up through their whole window sets.
+    "text_dup_passages" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy dog again and again")))
+          .otherwise(col("text")).as("text"))
+      CorpusHygiene.duplicatePassages(aug, "doc_id", "text", window = 8)
+    }),
+
     // Decontamination as the shipped compose: corpus minus every doc
     // sharing >= 2 five-gram shingles with the benchmark subset.
     "decon_filter" -> ((s, dir) => {
@@ -2464,6 +2478,32 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     // 5-gram shingles: range/slice arithmetic mirrors duckShingles at n=5.
+    // Duplicate passages replayed on window TEXT (the operator uses
+    // 64-bit window hashes; equality-by-text and equality-by-hash
+    // agree below any realistic collision mass): same augmented
+    // corpus, same stride-1 8-token windows, same >=2 rule.
+    "text_dup_passages" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN text || ' the quick brown fox jumps over the lazy dog again and again'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |tok AS (SELECT doc_id, $duckTokens AS tok FROM aug),
+         |win AS (SELECT doc_id, unnest(list_transform(range(1, len(tok) - 6),
+         |          i -> array_to_string(tok[i:i+7], ' '))) AS w
+         |        FROM tok WHERE len(tok) >= 8),
+         |dupw AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+         |d AS (SELECT doc_id, count(*) AS n_dup FROM win
+         |      WHERE w IN (SELECT w FROM dupw) GROUP BY doc_id)
+         |SELECT tok.doc_id,
+         |  CAST(greatest(len(tok) - 7, 0) AS BIGINT) AS n_windows,
+         |  COALESCE(n_dup, 0) AS n_dup,
+         |  CASE WHEN len(tok) >= 8
+         |       THEN COALESCE(n_dup, 0)::DOUBLE / (len(tok) - 7)
+         |       ELSE 0.0 END AS dup_ratio
+         |FROM tok LEFT JOIN d USING (doc_id)""".stripMargin,
+
     "decon_overlap" -> duckDeconPairsSql,
 
     "decon_filter" ->

@@ -205,6 +205,70 @@ object CorpusHygiene {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Duplicate-PASSAGE detection (the Lee et al. 2021 "Deduplicating
+    * Training Data" target, re-expressed relationally): every W-token
+    * window (stride 1) of every document is hashed; a window whose
+    * 64-bit hash occurs at least twice ANYWHERE in the corpus —
+    * another document or a repeat inside the same one — marks a
+    * duplicated passage. Output per document: `n_windows` (total
+    * stride-1 windows), `n_dup` (windows that are duplicated
+    * somewhere), `dup_ratio` = n_dup/n_windows — the per-doc
+    * duplicate-coverage number the substring-dedup decision filters
+    * on. Documents shorter than W tokens survive with zeros.
+    *
+    * Scale shape: windows are hashed NATIVELY in one pass per
+    * document (plans.ShingleHashes, distinct=false, raw 64-bit — a
+    * 32-bit space would collide at ~corpus-token scale and inflate
+    * dup counts); the exploded stream is (id, hash) pairs — 16 bytes
+    * per corpus token, never text. Two shuffles of that stream: a
+    * map-side-combinable count per hash (duplicated hashes only
+    * survive the ≥2 filter), then a semi-join of the re-exploded
+    * stream against that set, with AQE picking broadcast when the
+    * duplicated-hash set is small. The explode scan runs twice — pure
+    * map work, deliberately NOT persisted: a corpus-token-sized cache
+    * would exceed the corpus itself (same call as
+    * [[removeBoilerplate]]). Window equality is hash equality: two
+    * distinct W-grams colliding in 2⁶⁴ would merge — below any
+    * realistic corpus' pair count (the [[dedupParagraphs]] argument).
+    */
+  def duplicatePassages(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int = 50): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    graft.plans.NativeFunctions.ensureRegistered(docs.sparkSession)
+    import graft.functions.TextFunctions
+    val whs = docs.select(col(idCol),
+      explode(call_function("graft_shingle_hashes",
+        col(textCol), lit(window), lit(false), lit(false))).as("__h"))
+    val dup = whs.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("__h"))
+    val perDoc = whs.join(dup, Seq("__h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    docs.select(col(idCol),
+        greatest(TextFunctions.tokenCount(col(textCol)) - (window - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_windows") > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
+  /** Substring-dedup as a FILTER: the corpus minus every document
+    * whose duplicate-passage coverage exceeds `maxDupRatio` — the
+    * document-level decision rule a pipeline actually ships when it
+    * cannot rewrite text (the passage-surgery variant of Lee et al.
+    * needs positions; the drop rule needs only [[duplicatePassages]]'
+    * counts). Same scale shape; the flagged-id set anti-joins back.
+    */
+  def removeDuplicatePassageDocs(docs: DataFrame, idCol: String, textCol: String,
+                                 window: Int = 50,
+                                 maxDupRatio: Double = 0.5): DataFrame = {
+    val bad = duplicatePassages(docs, idCol, textCol, window)
+      .filter(col("dup_ratio") > maxDupRatio).select(col(idCol))
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-wide paragraph-level EXACT dedup (the Dolma recipe):
     * every occurrence of a paragraph after its first is dropped,
     * whatever its frequency — where [[removeBoilerplate]] only targets

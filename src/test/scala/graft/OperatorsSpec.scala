@@ -449,6 +449,36 @@ class OperatorsSpec extends SparkSuite {
     assert(r(3).getAs[String]("clean_text") === "")
   }
 
+  test("duplicatePassages counts cross-doc and within-doc repeated windows") {
+    // W=3. Docs 1 and 2 share the 5-token passage "one two three four
+    // five" (3 windows each); doc 3 repeats its own 3-token window;
+    // doc 4 is unique; doc 5 is shorter than the window.
+    val docs = Seq(
+      (1L, "alpha beta one two three four five"),
+      (2L, "gamma delta one two three four five"),
+      (3L, "x y z x y z"),
+      (4L, "p q r s t u v"),
+      (5L, "a b")).toDF("doc_id", "text")
+    val r = CorpusHygiene.duplicatePassages(docs, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("n_windows")).toSeq === Seq(5L, 5L, 4L, 5L, 0L))
+    // Docs 1/2: the 3 windows inside the shared passage are duplicated;
+    // the 2 windows straddling the unique prefix are not.
+    assert(r(0).getAs[Long]("n_dup") === 3L)
+    assert(r(1).getAs[Long]("n_dup") === 3L)
+    // Doc 3: "x y z" occurs twice WITHIN the doc -> both occurrences
+    // count ("y z x" and "z x y" occur once each).
+    assert(r(2).getAs[Long]("n_dup") === 2L)
+    assert(r(3).getAs[Long]("n_dup") === 0L)
+    assert(r(4).getAs[Long]("n_dup") === 0L && r(4).getAs[Double]("dup_ratio") === 0.0)
+    assert(r(0).getAs[Double]("dup_ratio") === 0.6)
+    // The drop rule removes only coverage STRICTLY above the bound:
+    // docs 1/2 (0.6) drop; doc 3 sits exactly at 0.5 and survives.
+    val kept = CorpusHygiene.removeDuplicatePassageDocs(docs, "doc_id", "text",
+      window = 3, maxDupRatio = 0.5).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(3L, 4L, 5L))
+  }
+
   test("piiRedact: dotted quad inside an email is consumed by <EMAIL>, not counted as IPv4") {
     val df = Seq(
       (1L, "reach bob@10.2.3.4.example.com from 192.168.0.1 please"),
