@@ -1495,6 +1495,19 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Bloom-filter decontamination gate — the scale path for when the
+    // exact benchmark index outgrows memory (billion-shingle suites):
+    // disjoint corpus/benchmark halves, union-membership rule. The
+    // oracle replays the exact union count; n_missed is pinned 0 (a
+    // Bloom has no false negatives) and the extra-flag mass must stay
+    // under 1% of the corpus.
+    "decon_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusHygiene.bloomDeconStats(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, minShared = 5)
+    }),
+
     // Symmetric int8 floor-quantization of the embedding column:
     // range, codes' L1 mass, first code — the 4× memory lever for
     // billion-vector IVF postings, floor-based so codes are
@@ -2503,6 +2516,27 @@ object SparkEntry {
          |       THEN COALESCE(n_dup, 0)::DOUBLE / (len(tok) - 7)
          |       ELSE 0.0 END AS dup_ratio
          |FROM tok LEFT JOIN d USING (doc_id)""".stripMargin,
+
+    // Bloom decon gate: DuckDB replays the EXACT union-membership
+    // count on shingle text (engine-agnostic semantics; the 32-bit
+    // hash identity is the same accepted collision class as
+    // decon_overlap); n_missed/fp_ok are pinned — the Spark side must
+    // MEASURE 0 misses and <=1% extra flags to hash-match.
+    "decon_bloom" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${duckShingles("tok")} AS sh
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
+         |  WHERE len(tok) >= 3),
+         |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0),
+         |corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 != 0),
+         |hits AS (SELECT doc_id, count(*) AS exact_n
+         |         FROM (SELECT doc_id, unnest(sh) AS s FROM corp)
+         |         JOIN bench USING (s) GROUP BY doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+         |  CAST(count(*) FILTER (COALESCE(exact_n, 0) >= 5) AS BIGINT) AS n_exact,
+         |  CAST(0 AS BIGINT) AS n_missed,
+         |  true AS fp_ok
+         |FROM corp LEFT JOIN hits USING (doc_id)""".stripMargin,
 
     "decon_overlap" -> duckDeconPairsSql,
 

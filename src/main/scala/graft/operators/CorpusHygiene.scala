@@ -60,6 +60,79 @@ object CorpusHygiene {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination at the scale where the EXACT inverted
+    * index no longer fits: the benchmark's distinct shingle hashes
+    * collapse into a Bloom filter (~`bitsPerKey` bits per shingle —
+    * a billion-shingle eval suite at 20 bits/key is ~2.5 GB, still a
+    * task-local probe), and a corpus document is flagged when at
+    * least `minShared` of its shingles hit the filter. Membership is
+    * against the benchmark's shingle UNION (no per-benchmark-doc
+    * attribution — the filter decision doesn't need it), and the
+    * filter can only OVER-flag: no contaminated document ever
+    * survives that the exact rule would have caught
+    * ([[bloomDeconStats]] gates both directions). Same scale shape as
+    * [[removeContaminated]]: the corpus pass is one linear shingling
+    * scan, nothing explodes or shuffles but the flagged-id anti-join.
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5, minShared: Long = 2,
+                         bitsPerKey: Int = 20, numHashes: Int = 6): DataFrame = {
+    val bad = bloomScores(corpus, benchmark, idCol, textCol, n, bitsPerKey, numHashes)
+      .filter(col("bloom_n") >= minShared).select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** The honesty gate for [[bloomDecontaminate]], one row: corpus size
+    * (docs long enough to shingle), the exact union-rule flag count,
+    * `n_missed` = exact-flagged docs the Bloom path would MISS (zero
+    * by the no-false-negative construction — a nonzero value is a
+    * bug, not noise), and `fp_ok` = the Bloom's EXTRA flags stay
+    * within `maxExtraFraction` of the corpus. Exact and Bloom scores
+    * ride the SAME shingle scan — one linear pass, a driver-row out.
+    */
+  def bloomDeconStats(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String, textCol: String,
+                      n: Int = 5, minShared: Long = 2,
+                      bitsPerKey: Int = 20, numHashes: Int = 6,
+                      maxExtraFraction: Double = 0.01): DataFrame =
+    bloomScores(corpus, benchmark, idCol, textCol, n, bitsPerKey, numHashes)
+      .agg(
+        count(lit(1)).as("n_corpus"),
+        count(when(col("exact_n") >= minShared, 1)).as("n_exact"),
+        count(when(col("exact_n") >= minShared && col("bloom_n") < minShared, 1))
+          .as("n_missed"),
+        (count(when(col("bloom_n") >= minShared && col("exact_n") < minShared, 1)) <=
+          ceil(lit(maxExtraFraction) * count(lit(1)))).as("fp_ok"))
+
+  /** Shared scoring pass: per corpus doc, `bloom_n` (shingles hitting
+    * the Bloom filter) and `exact_n` (shingles exactly in the
+    * benchmark union, via the same inverted-index expression the
+    * exact path uses, with one pseudo-entry holding the union).
+    */
+  private def bloomScores(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int, bitsPerKey: Int, numHashes: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val keys: Array[Long] = NearDup.shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("shingles")).as("s")).distinct()
+      .collect().map(_.getLong(0))
+    val bits = graft.plans.BloomHitCount.build(keys, bitsPerKey, numHashes)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_hits",
+      exprs => graft.plans.BloomHitCount(exprs.head, bits, numHashes), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bench_overlap",
+      exprs => graft.plans.BenchmarkOverlap(exprs.head, Array((0L, keys)), 1L), "built-in")
+    NearDup.shingleSets(corpus, idCol, textCol, n)
+      .select(col(idCol),
+        call_function("graft_bloom_hits", col("shingles")).as("bloom_n"),
+        coalesce(
+          try_element_at(call_function("graft_bench_overlap", col("shingles")), lit(1))
+            .getField("n_shared"),
+          lit(0L)).as("exact_n"))
+  }
+
   /** The hygiene FUNNEL a pretraining corpus goes through before
     * tokenization, as one retention report: exact dedup → near-dup
     * cluster dedup → C4-style length filter → language filter, each

@@ -361,6 +361,104 @@ case class BenchmarkOverlap(child: Expression, bench: Array[(Long, Array[Long])]
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Number of a long-array column's elements present in a Bloom filter
+  * — the SCALE path of benchmark decontamination. The exact inverted
+  * index (BenchmarkOverlap) is right while the benchmark's shingle
+  * set is KB–MB; a Bloom filter at ~20 bits/key holds a BILLION
+  * benchmark shingles in ~2.5 GB — still a broadcastable task-local
+  * probe where the exact index no longer fits, at the price of a
+  * bounded false-hit rate and no per-benchmark-doc attribution
+  * (membership is against the benchmark's shingle UNION).
+  *
+  * Hashing is Kirsch–Mitzenmacher double hashing: two independent
+  * 64-bit mixes of the shingle hash (MurmurHash3's public fmix64
+  * finalizer) combine as h1 + i·h2 for the k probe positions. The bit
+  * array length is a power of two, so probe indexing is a mask, not a
+  * modulo. No false NEGATIVES by construction — the filter can only
+  * OVER-flag, the direction the decontamination gate bounds.
+  */
+case class BloomHitCount(child: Expression, bits: Array[Long], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bloom_hits"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    var cnt = 0L
+    var i = 0
+    while (i < hs.length) {
+      if (BloomHitCount.mightContain(bits, k, hs(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BloomHitCount {
+  /** MurmurHash3's 64-bit finalizer — full-avalanche mixing, needed
+    * because the input longs are themselves hashes confined to 2³²
+    * (mod32 shingles) whose raw bits would probe only half the space.
+    */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  def mightContain(bits: Array[Long], k: Int, key: Long): Boolean = {
+    val mask = (bits.length.toLong << 6) - 1
+    val h1 = fmix64(key)
+    val h2 = fmix64(key + 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val idx = ((h1 + i * h2) & mask).toInt
+      if ((bits(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Build the bit array for `keys` at `bitsPerKey` bits per key
+    * (rounded up to a power of two, floor 1024 bits). Insertion is
+    * order-independent — bit sets commute — so the caller needs no
+    * deterministic key order.
+    */
+  def build(keys: Array[Long], bitsPerKey: Int, k: Int): Array[Long] = {
+    require(bitsPerKey > 0 && k > 0, s"need positive sizing, got $bitsPerKey bits/key, k=$k")
+    val wanted = math.max(1024L, keys.length.toLong * bitsPerKey)
+    var m = 1024L
+    while (m < wanted) m <<= 1
+    val bits = new Array[Long]((m >>> 6).toInt)
+    val mask = m - 1
+    var j = 0
+    while (j < keys.length) {
+      val h1 = fmix64(keys(j))
+      val h2 = fmix64(keys(j) + 0x9e3779b97f4a7c15L) | 1L
+      var i = 0
+      while (i < k) {
+        val idx = ((h1 + i * h2) & mask).toInt
+        bits(idx >>> 6) |= 1L << (idx & 63)
+        i += 1
+      }
+      j += 1
+    }
+    bits
+  }
+}
+
 /** Hashed word-n-gram shingles of a text column in ONE pass — with
   * `distinct = true` (the default) the native form of
   * `array_distinct(transform(TextFunctions.shingles(text, n),

@@ -449,6 +449,43 @@ class OperatorsSpec extends SparkSuite {
     assert(r(3).getAs[String]("clean_text") === "")
   }
 
+  test("BloomHitCount: no false negatives, false-positive rate near theory") {
+    import graft.plans.BloomHitCount
+    val keys = Array.tabulate(5000)(i => (i.toLong * 2654435761L) % 4294967296L)
+    val bits = BloomHitCount.build(keys, bitsPerKey = 20, k = 6)
+    // Every inserted key MUST hit — a Bloom filter cannot miss.
+    assert(keys.forall(BloomHitCount.mightContain(bits, 6, _)))
+    // Non-keys: 20 bits/key with k=6 gives FPR ~ 5e-4; allow 10x slack
+    // on 20k probes (expected ~10 false hits, bound at 100).
+    val nonKeys = Array.tabulate(20000)(i => 4294967296L + i.toLong)
+    val falseHits = nonKeys.count(BloomHitCount.mightContain(bits, 6, _))
+    assert(falseHits < 100, s"FPR too high: $falseHits/20000")
+  }
+
+  test("bloomDecontaminate flags everything the exact rule flags") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains bench 4-gram run
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally unrelated words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five")).toDF("doc_id", "text")
+    val keptBloom = CorpusHygiene.bloomDecontaminate(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptExact = CorpusHygiene.removeContaminated(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    // Bloom can only over-flag: its survivor set is a subset of exact's.
+    assert(keptBloom.subsetOf(keptExact))
+    assert(keptExact === Set(3L))
+    val stats = CorpusHygiene.bloomDeconStats(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 2).collect().head
+    assert(stats.getAs[Long]("n_corpus") === 3L)
+    assert(stats.getAs[Long]("n_exact") === 2L)
+    assert(stats.getAs[Long]("n_missed") === 0L)
+    assert(stats.getAs[Boolean]("fp_ok"))
+  }
+
   test("duplicatePassages counts cross-doc and within-doc repeated windows") {
     // W=3. Docs 1 and 2 share the 5-token passage "one two three four
     // five" (3 windows each); doc 3 repeats its own 3-token window;
