@@ -154,6 +154,9 @@ object EmbeddingAnn {
     // A dense embedding cluster landing in one sign-LSH bucket is the
     // degenerate case; cap its population (see BucketGuard — result is
     // lazy, so dropped-mass logging is the caller's counter to read).
+    // The window's once-per-join-side evaluation is measured CHEAPER
+    // here than a persist barrier: the bucketed frame is nTables
+    // rows/doc (1–2), unlike the 16-band MinHash frame.
     val capped = BucketGuard.capBuckets(banded, Seq("bucket"), idCol,
       maxBucket, dropCounter)
     val a = capped.select(col(idCol).as("id_a"), col("vnorm").as("va"), col("bucket"))

@@ -161,8 +161,12 @@ object IncrementalDedup {
             .select(col("doc_id").as(idCol), col("sig"), col("cluster_id").as("__bc")),
           idCol, keep = Seq("__bc"))
         .withColumn("__new", lit(false)))
+    // Checkpointed like bFeat/freshSigs: the candidate join reads the
+    // capped frame on both sides, and without materialization the
+    // guard's window (and the whole state band scan under it) would
+    // evaluate once per side.
     val capped = BucketGuard.capBuckets(allBanded,
-      Seq("band", "bh"), idCol, maxBucket, dropCounter)
+      Seq("band", "bh"), idCol, maxBucket, dropCounter).localCheckpoint(true)
     val aSide = capped.filter(col("__new"))
       .select(col(idCol).as("id_a"), col("band"), col("bh"))
     val bSide = capped

@@ -111,13 +111,22 @@ object NearDup {
                      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     val banded = bandKeys(signed, idCol)
+    // Persisted: the guard's row_number window would otherwise run
+    // ONCE PER SELF-JOIN SIDE (only the exchange below it is reused —
+    // measured 2× on dedup_minhash at sf0.1). The capped frame is
+    // (id, band, bh) triples, 16 rows/doc; the candidate result is
+    // pair-density-bounded (see Caching's eligibility argument), so
+    // it materializes eagerly here and the cache releases before
+    // return — no CacheManager entry survives the call.
     val capped = BucketGuard.capBuckets(banded, Seq("band", "bh"), idCol,
-      maxBucket, dropCounter)
+        maxBucket, dropCounter)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col(idCol).as("id_a"), col("band"), col("bh"))
     val b = capped.select(col(idCol).as("id_b"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+    val cands = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    Caching.materializeAndRelease(cands, capped)
   }
 
   /** Exact Jaccard between two shingle-set columns (set semantics,
@@ -377,7 +386,11 @@ object NearDup {
     // A 16-bit chunk value shared by millions of short docs is the
     // degenerate bucket here; cap it (result is LAZY — callers that
     // need the dropped mass logged pass their own counter and read it
-    // after their action).
+    // after their action). The guard's window evaluates once per
+    // self-join side here — measured CHEAPER than persisting: the
+    // chunk-banded frame is only 4 rows/doc, so the duplicate
+    // in-partition sort costs less than a cache write+read barrier
+    // (contrast candidatePairs, whose 16-band frame is persisted).
     val capped = BucketGuard.capBuckets(banded, Seq("chunk", "cv"), idCol,
       maxBucket, dropCounter)
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("cv"))
