@@ -250,6 +250,65 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("capPerStratum: survivors per stratum == min(cap, population); ranks dense") {
+    val r = new scala.util.Random(23)
+    for (seed <- 1 to 4) {
+      val rr = new scala.util.Random(seed)
+      val docs = (1 to 150).map { i =>
+        (i.toLong + seed * 1000, s"src${rr.nextInt(5)}", s"doc $i")
+      }.toDF("doc_id", "source", "text")
+      val cap = 10L + r.nextInt(15)
+      val out = graft.operators.Sampling.capPerStratum(docs, "source", "doc_id", cap)
+        .collect().map(x => (x.getAs[String]("source"), x.getAs[Long]("doc_id"),
+          x.getAs[Long]("stratum_rank")))
+      val pop = docs.collect().groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+      out.groupBy(_._1).foreach { case (src, rows) =>
+        assert(rows.length.toLong === math.min(cap, pop(src)))
+        // Ranks are exactly 1..k — dense, no gaps, capped.
+        assert(rows.map(_._3).sorted.toSeq === (1L to rows.length))
+      }
+      // Every stratum with population > 0 appears.
+      assert(out.map(_._1).toSet === pop.keySet)
+    }
+  }
+
+  test("duplicatePassages: doubling any doc marks ALL its windows duplicated") {
+    val r = new scala.util.Random(31)
+    val base = (1 to 12).map { i =>
+      (i.toLong, Seq.fill(r.nextInt(10) + 5)(s"w${r.nextInt(50)}").mkString(" "))
+    }
+    val cloned = base ++ Seq((99L, base.head._2)) // exact clone of doc 1
+    val out = graft.operators.CorpusHygiene
+      .duplicatePassages(cloned.toDF("doc_id", "text"), "doc_id", "text", window = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_windows"), x.getAs[Long]("n_dup"))).toMap
+    // The cloned pair has every window duplicated (coverage 1.0)...
+    assert(out(1L)._1 === out(1L)._2 && out(1L)._2 > 0)
+    assert(out(99L)._1 === out(99L)._2)
+    // ...and n_dup never exceeds n_windows anywhere.
+    out.values.foreach { case (nw, nd) => assert(nd <= nw) }
+  }
+
+  test("bloom decon never misses: bloom survivor set ⊆ exact survivor set") {
+    val r = new scala.util.Random(41)
+    for (seed <- 1 to 3) {
+      val rr = new scala.util.Random(seed * 7)
+      val docs = (1 to 40).map { i =>
+        (i.toLong, Seq.fill(12)(s"t${rr.nextInt(30)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 8 === 0)
+      val corpus = docs.filter(col("doc_id") % 8 =!= 0)
+      val keptB = graft.operators.CorpusHygiene.bloomDecontaminate(
+        corpus, bench, "doc_id", "text", n = 3, minShared = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val keptE = graft.operators.CorpusHygiene.removeContaminated(
+        corpus, bench, "doc_id", "text", n = 3, minShared = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keptB.subsetOf(keptE),
+        s"bloom kept a doc the exact rule flags: ${keptB -- keptE}")
+    }
+  }
+
   test("append-then-dedup == union-then-dedup (storage is the union operator)") {
     for (seed <- 1 to 8) {
       val d1 = randomRows(seed)
