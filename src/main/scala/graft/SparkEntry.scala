@@ -1034,6 +1034,16 @@ object SparkEntry {
       EmbeddingAnn.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
     }),
 
+    // Hard-negative mining (contrastive-training sampling): per query,
+    // the 5 most-similar vectors with a DIFFERENT label — negatives at
+    // the decision boundary. Label filter before ranking, so all k
+    // slots are negatives.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      EmbeddingAnn.hardNegatives(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
     // Embedding-quality report: does the space cluster by label? Each
     // query takes its 5 nearest neighbors' majority label and is
     // scored against its own — per-label agreement counts. Exact
@@ -2818,6 +2828,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
         |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 20)
+        |WHERE rank <= 5""".stripMargin,
+
+    // Hard negatives: same replay as ann_topk with the label
+    // inequality in the join — the self-pair exclusion is implied
+    // (a vector shares its own label).
+    "emb_hard_negatives" ->
+      """WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+        |  FROM n q JOIN n c ON q.label != c.label
         |  WHERE q.vec_id < 20)
         |WHERE rank <= 5""".stripMargin,
 

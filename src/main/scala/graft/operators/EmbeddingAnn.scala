@@ -68,6 +68,30 @@ object EmbeddingAnn {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE mining for embedding-model training: for each query,
+    * the top-k most-similar corpus vectors whose label DIFFERS from
+    * the query's — the negatives closest to the decision boundary,
+    * the contrastive-training sampling recipe. The label filter runs
+    * BEFORE ranking so all k slots hold negatives (filtering after
+    * rank would under-fill queries whose neighborhoods are
+    * same-label). Exact form on a broadcast query batch — the
+    * oracle-able shape; at corpus scale the same compose runs the
+    * label anti-filter over [[ivfTopK]]'s probed candidates instead.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = normalized(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("__lc"), col("vnorm").as("vc"))
+    val q = normalized(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(labelCol).as("__lq"), col("vnorm").as("vq"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__lc") =!= col("__lq"))
+      .select(col("query_id"), col("neighbor_id"), nativeDot(c, "vq", "vc").as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-quality report: k-NN majority-vote label agreement. Each
     * query is assigned the majority label of its top-k cosine
     * neighbors (ties broken toward the smaller label) and scored

@@ -449,6 +449,26 @@ class OperatorsSpec extends SparkSuite {
     assert(r(3).getAs[String]("clean_text") === "")
   }
 
+  test("hardNegatives: k closest DIFFERENT-label vectors, never the query's own label") {
+    // Two labels, vectors on a line: label-0 at low coords, label-1 at
+    // high coords; every query must pull only cross-label neighbors.
+    val rows = (0 until 12).map { i =>
+      (i.toLong, Array.fill(4)(0.1f * (i + 1)), i % 2)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.EmbeddingAnn.hardNegatives(
+      df, df.filter(col("vec_id") < 3), "vec_id", "embedding", "label", k = 4)
+      .collect()
+    val lab = rows.map(r => r._1 -> r._3).toMap
+    assert(out.length === 3 * 4)
+    out.foreach { r =>
+      assert(lab(r.getAs[Long]("query_id")) !== lab(r.getAs[Long]("neighbor_id")))
+    }
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3, 4))
+    }
+  }
+
   test("BloomHitCount: no false negatives, false-positive rate near theory") {
     import graft.plans.BloomHitCount
     val keys = Array.tabulate(5000)(i => (i.toLong * 2654435761L) % 4294967296L)

@@ -143,6 +143,28 @@ class ScaleOpsSpec extends SparkSuite {
     }, s"corpus running sum must partition by (stratum, bucket):\n${wins.mkString("\n")}")
   }
 
+  test("capPerStratum never windows the corpus by the stratum alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = graft.operators.Sampling.capPerStratum(docs, "source", "doc_id", cap = 10)
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }
+    assert(wins.nonEmpty)
+    // Same contract as tokenBudgetSample: the per-stratum rank must
+    // come from the (stratum, bucket) two-level sum — a stratum-only
+    // window would drag a head domain's entire population through one
+    // task, the exact pathology the cap exists to bound.
+    wins.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).distinct.toSet
+      if (parts == Set("source")) {
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"stratum-only window must consume bucket totals, not the corpus:\n$w")
+      }
+    }
+    assert(wins.exists { w =>
+      w.partitionSpec.flatMap(_.references.map(_.name)).distinct.toSet == Set("source", "__b")
+    }, s"per-stratum rank must partition by (stratum, bucket):\n${wins.mkString("\n")}")
+  }
+
   test("dedup and hygiene operators leave no pinned cache behind") {
     // Every operator that persists an intermediate must release it
     // before returning (small results are materialized via
