@@ -1482,6 +1482,16 @@ object SparkEntry {
       CorpusHygiene.hygieneSurvivors(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))),
 
+    // BPE merge-pair statistics (the tokenizer-training inner loop):
+    // top-30 adjacent character pairs by corpus frequency, counted
+    // over the DISTINCT vocabulary weighted by word counts — the
+    // next-merge ranking a BPE trainer consumes. Deterministic cut:
+    // ties ordered by the pair itself.
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextFunctions.bpePairStats(t(s, dir, "documents"), "text")
+        .orderBy(col("freq").desc, col("pair_left"), col("pair_right"))
+        .limit(30)),
+
     // Duplicate-passage detection (Lee et al. 2021 shape): stride-1
     // 8-token window hashes, global >=2 occurrence rule, per-doc
     // duplicate coverage. A 12-token passage planted on every 7th doc
@@ -2501,6 +2511,21 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     // 5-gram shingles: range/slice arithmetic mirrors duckShingles at n=5.
+    // BPE pair stats replayed over the same weighted vocabulary.
+    "text_bpe_pairs" ->
+      s"""WITH v AS (
+         |  SELECT w, count(*) AS wf
+         |  FROM (SELECT unnest(tok) AS w
+         |        FROM (SELECT $duckTokens AS tok FROM documents))
+         |  GROUP BY w),
+         |p AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS pair_left,
+         |             substr(w, CAST(i AS INTEGER) + 1, 1) AS pair_right, wf
+         |      FROM (SELECT w, wf, unnest(range(1, strlen(w))) AS i
+         |            FROM v WHERE strlen(w) >= 2))
+         |SELECT pair_left, pair_right, CAST(sum(wf) AS BIGINT) AS freq
+         |FROM p GROUP BY pair_left, pair_right
+         |ORDER BY freq DESC, pair_left, pair_right LIMIT 30""".stripMargin,
+
     // Duplicate passages replayed on window TEXT (the operator uses
     // 64-bit window hashes; equality-by-text and equality-by-hash
     // agree below any realistic collision mass): same augmented

@@ -249,4 +249,35 @@ object TextFunctions {
         .when(col("__es") === best, lit("es"))
         .otherwise(lit("fr")).as("lang_pred"))
   }
+
+  /** BPE merge-pair statistics — the inner loop of byte-pair-encoding
+    * tokenizer training: the corpus-wide frequency of every adjacent
+    * character pair, weighted by word frequency. The highest-frequency
+    * pair is the next merge a BPE trainer would take; re-running after
+    * applying merges yields the full training loop (driver-iterated,
+    * one corpus-scale job per merge — in practice trainers batch this
+    * over a frequency-pruned vocabulary).
+    *
+    * Scale shape — the classic BPE trick, relationally: pairs are
+    * counted over the DISTINCT vocabulary weighted by word counts,
+    * never over the raw token stream. The token explode partial-
+    * aggregates to (word, freq) — sublinear in corpus size by Heaps'
+    * law — and the pair explode then runs on vocabulary rows only;
+    * the final (pair, freq) aggregate is map-side combinable. Words
+    * shorter than 2 chars contribute no pairs.
+    */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val vocab = spread(df)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__wf"))
+      .filter(length(col("__w")) >= 2)
+    vocab
+      .select(col("__wf"), explode(
+        transform(sequence(lit(1), length(col("__w")) - 1),
+          i => struct(col("__w").substr(i, lit(1)).as("l"),
+            col("__w").substr(i + lit(1), lit(1)).as("r")))).as("__p"))
+      .groupBy(col("__p.l").as("pair_left"), col("__p.r").as("pair_right"))
+      .agg(sum(col("__wf")).as("freq"))
+  }
 }

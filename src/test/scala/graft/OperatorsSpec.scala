@@ -449,6 +449,16 @@ class OperatorsSpec extends SparkSuite {
     assert(r(3).getAs[String]("clean_text") === "")
   }
 
+  test("bpePairStats: hand-computed weighted pair counts over the vocabulary") {
+    // Corpus: "ab ab ba c" — vocab {ab:2, ba:1, c:1}; 'c' too short.
+    // Pairs: (a,b) weight 2 from "ab", (b,a) weight 1 from "ba".
+    val df = Seq((1L, "ab ab ba"), (2L, "c")).toDF("doc_id", "text")
+    val r = TextFunctions.bpePairStats(df, "text")
+      .orderBy(desc("freq")).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq === Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
   test("hardNegatives: k closest DIFFERENT-label vectors, never the query's own label") {
     // Two labels, vectors on a line: label-0 at low coords, label-1 at
     // high coords; every query must pull only cross-label neighbors.
