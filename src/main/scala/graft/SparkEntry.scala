@@ -1482,6 +1482,12 @@ object SparkEntry {
       CorpusHygiene.hygieneSurvivors(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))),
 
+    // The dataset card: corpus size, token mass, vocabulary, exact-dup
+    // surplus, English share — the one-row summary a curation run
+    // publishes. One action, no driver arithmetic.
+    "corpus_card" -> ((s, dir) =>
+      CorpusHygiene.corpusCard(t(s, dir, "documents"), "doc_id", "text")),
+
     // BPE merge-pair statistics (the tokenizer-training inner loop):
     // top-30 adjacent character pairs by corpus frequency, counted
     // over the DISTINCT vocabulary weighted by word counts — the
@@ -2511,6 +2517,19 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     // 5-gram shingles: range/slice arithmetic mirrors duckShingles at n=5.
+    // Dataset card replayed as independent scalar subqueries.
+    "corpus_card" ->
+      s"""SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |  (SELECT CAST(sum(len($duckTokens)) AS BIGINT) FROM documents) AS n_tokens,
+         |  (SELECT CAST(count(DISTINCT w) AS BIGINT)
+         |   FROM (SELECT unnest($duckTokens) AS w FROM documents)) AS n_vocab,
+         |  (SELECT CAST(count(*) - count(DISTINCT
+         |      md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS BIGINT)
+         |   FROM documents) AS n_dup_docs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (${duckLangIdFrom("documents")})
+         |   WHERE lang_pred = 'en') AS n_en""".stripMargin,
+
     // BPE pair stats replayed over the same weighted vocabulary.
     "text_bpe_pairs" ->
       s"""WITH v AS (

@@ -278,6 +278,31 @@ object CorpusHygiene {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** The dataset-CARD numbers — the one-row summary a curation run
+    * publishes with a corpus: document count, total token mass,
+    * vocabulary size, exact-duplicate surplus (docs beyond their
+    * fingerprint's first occurrence), and the English share by the
+    * engine's own language router. Three partial-aggregable
+    * single-row aggregates cross-joined — one action, no driver
+    * arithmetic; the distinct counts live in SEPARATE aggregates
+    * because a mixed distinct/plain agg Expands every input row per
+    * distinct group (the q45 lesson).
+    */
+  def corpusCard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      count(when(TextFunctions.langId(col(textCol)) === "en", 1)).as("n_en"))
+    val fp = docs.agg(
+      countDistinct(TextFunctions.fingerprint(col(textCol))).as("__nfp"))
+    val vocab = docs.select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .agg(countDistinct(col("__w")).as("n_vocab"))
+    base.crossJoin(fp).crossJoin(vocab)
+      .select(col("n_docs"), col("n_tokens"), col("n_vocab"),
+        (col("n_docs") - col("__nfp")).as("n_dup_docs"), col("n_en"))
+  }
+
   /** Duplicate-PASSAGE detection (the Lee et al. 2021 "Deduplicating
     * Training Data" target, re-expressed relationally): every W-token
     * window (stride 1) of every document is hashed; a window whose

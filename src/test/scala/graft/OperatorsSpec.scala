@@ -449,6 +449,20 @@ class OperatorsSpec extends SparkSuite {
     assert(r(3).getAs[String]("clean_text") === "")
   }
 
+  test("corpusCard: hand-computed dataset-card numbers") {
+    val df = Seq(
+      (1L, "the cat and the dog"),     // en (stopwords the/and)
+      (2L, "the cat and the dog"),     // exact dup of 1
+      (3L, "la de que y en un")).toDF("doc_id", "text")
+    val r = CorpusHygiene.corpusCard(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 16L)
+    // Distinct words: the,cat,and,dog,la,de,que,y,en,un = 10.
+    assert(r.getAs[Long]("n_vocab") === 10L)
+    assert(r.getAs[Long]("n_dup_docs") === 1L)
+    assert(r.getAs[Long]("n_en") === 2L)
+  }
+
   test("bpePairStats: hand-computed weighted pair counts over the vocabulary") {
     // Corpus: "ab ab ba c" — vocab {ab:2, ba:1, c:1}; 'c' too short.
     // Pairs: (a,b) weight 2 from "ab", (b,a) weight 1 from "ba".
