@@ -1482,6 +1482,14 @@ object SparkEntry {
       CorpusHygiene.hygieneSurvivors(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))),
 
+    // Length-bucketed batch assignment (dynamic-batching prep):
+    // buckets at <40 / <60 / rest, batches of 8 in deterministic md5
+    // order within each bucket — padding waste bounded by bucket
+    // width, membership reproducible across engines.
+    "pack_length_batches" -> ((s, dir) =>
+      Packing.lengthBucketBatches(t(s, dir, "documents"), "doc_id", "text",
+        boundaries = Seq(40, 60), batchSize = 8)),
+
     // The dataset card: corpus size, token mass, vocabulary, exact-dup
     // surplus, English share — the one-row summary a curation run
     // publishes. One action, no driver arithmetic.
@@ -2517,6 +2525,22 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     // 5-gram shingles: range/slice arithmetic mirrors duckShingles at n=5.
+    // Length-bucketed batching replayed as a plain per-bucket
+    // row_number in the same md5 order.
+    "pack_length_batches" ->
+      s"""SELECT doc_id, n_tokens, len_bucket,
+         |  CAST((rn - 1) // 8 AS BIGINT) AS batch_id
+         |FROM (
+         |  SELECT doc_id, n_tokens, len_bucket,
+         |    row_number() OVER (PARTITION BY len_bucket
+         |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS rn
+         |  FROM (
+         |    SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens,
+         |      CASE WHEN len($duckTokens) < 40 THEN 0
+         |           WHEN len($duckTokens) < 60 THEN 1
+         |           ELSE 2 END AS len_bucket
+         |    FROM documents))""".stripMargin,
+
     // Dataset card replayed as independent scalar subqueries.
     "corpus_card" ->
       s"""SELECT

@@ -126,4 +126,40 @@ object Packing {
             lit(maxTokens)),
           " ").as("chunk_text"))
   }
+
+  /** Length-bucketed BATCH assignment — the dynamic-batching prep for
+    * variable-length training/inference: documents bucket by token
+    * count against `boundaries` (bucket i = count < boundaries(i),
+    * last bucket = the rest), and within each bucket batches of
+    * `batchSize` form in deterministic md5 order. Batching similar
+    * lengths together bounds padding waste to the bucket width; the
+    * md5 order keeps batch membership reproducible across engines and
+    * layouts (a seeded shuffle would not be).
+    *
+    * Scale shape: the within-bucket rank is the same two-level
+    * 256-sub-bucket prefix sum as [[packSequences]] — a handful of
+    * length buckets would otherwise each funnel through ONE window
+    * task. Output: (id, n_tokens, len_bucket, batch_id).
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+                          boundaries: Seq[Int], batchSize: Int,
+                          salt: String = "graft"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted.distinct,
+      s"boundaries must be strictly increasing, got $boundaries")
+    val nTok = graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+    val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.length)) {
+      case ((b, i), acc) => when(col("n_tokens") < b, lit(i)).otherwise(acc)
+    }
+    val base = df
+      .select(col(idCol), nTok.as("n_tokens"),
+        Sampling.hashBucket32(col(idCol), salt).as("__ord"))
+      .withColumn("len_bucket", bucket)
+      .withColumn("__one", lit(1L))
+    bucketedRunningSum(base, Seq("len_bucket"), "__ord", "__one", "__rank")
+      .select(col(idCol), col("n_tokens"), col("len_bucket"),
+        // `div`, not `/`: integer batch ids, same rationale as the
+        // sequence offsets above.
+        expr(s"(__rank - 1) div $batchSize").as("batch_id"))
+  }
 }

@@ -449,6 +449,25 @@ class OperatorsSpec extends SparkSuite {
     assert(r(3).getAs[String]("clean_text") === "")
   }
 
+  test("lengthBucketBatches: full batches of batchSize, buckets respect boundaries") {
+    val rows = (1L to 20L).map(i => (i, Seq.fill(if (i <= 12) 3 else 10)("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val r = Packing.lengthBucketBatches(df, "doc_id", "text",
+      boundaries = Seq(5), batchSize = 5).collect()
+    val byDoc = r.map(x => x.getAs[Long]("doc_id") ->
+      (x.getAs[Int]("len_bucket"), x.getAs[Long]("batch_id"))).toMap
+    // Short docs (3 tokens) in bucket 0, long (10 tokens) in bucket 1.
+    (1L to 12L).foreach(i => assert(byDoc(i)._1 === 0))
+    (13L to 20L).foreach(i => assert(byDoc(i)._1 === 1))
+    // Batches never mix buckets and never exceed batchSize; 12 docs at
+    // size 5 → batches of 5, 5, 2.
+    val sizes = r.groupBy(x => (x.getAs[Int]("len_bucket"), x.getAs[Long]("batch_id")))
+      .view.mapValues(_.length).toMap
+    assert(sizes.values.forall(_ <= 5))
+    assert(sizes.filter(_._1._1 == 0).values.toSeq.sorted === Seq(2, 5, 5))
+    assert(sizes.filter(_._1._1 == 1).values.toSeq.sorted === Seq(3, 5))
+  }
+
   test("corpusCard: hand-computed dataset-card numbers") {
     val df = Seq(
       (1L, "the cat and the dog"),     // en (stopwords the/and)
