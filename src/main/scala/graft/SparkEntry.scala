@@ -1265,6 +1265,21 @@ object SparkEntry {
 
     // Streaming dedup with watermark-evicted state
     // (dropDuplicatesWithinWatermark): emitted keys == batch DISTINCT.
+    // Streaming quality gate: the live-feed Gopher filter, running the
+    // SAME column expressions as the batch text_gopher operator —
+    // stream and batch cannot disagree on a doc's signals. Thresholds
+    // tuned to this corpus so the gate splits it (the composite
+    // gopher_pass is all-false here — stop_hits and word shape are
+    // synthetic); the oracle is the batch rule's survivors.
+    "streaming_quality" -> ((s, dir) => {
+      val stream = StreamingJobs.documentsStream(s, s"$dir/documents.parquet")
+      val sink = s"streaming_quality_${System.nanoTime}"
+      StreamingJobs.runToMemory(s,
+        StreamingJobs.qualityGateStream(stream,
+          keep = col("n_tokens") >= 20 && col("stop_hits") >= 1),
+        sink, mode = "append")
+    }),
+
     "streaming_dedup" -> ((s, dir) => {
       val stream = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
       val sink = s"streaming_dedup_${System.nanoTime}"
@@ -3014,6 +3029,12 @@ object SparkEntry {
         | AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 1 HOUR""".stripMargin,
 
     "text_gopher" -> duckGopherFrom("documents"),
+
+    // The streaming gate must equal the batch rule's survivors.
+    "streaming_quality" ->
+      s"""SELECT doc_id, n_tokens, stop_hits
+         |FROM (${duckGopherFrom("documents")})
+         |WHERE n_tokens >= 20 AND stop_hits >= 1""".stripMargin,
 
     // Bigram-LM training + scoring replayed end-to-end: same Laplace
     // formula, same even-id reference split, bigrams with multiplicity.

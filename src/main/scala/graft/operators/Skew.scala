@@ -38,6 +38,11 @@ object Skew {
     * something small.
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
+    // Streaming input: no-op. Accessing optimizedPlan.stats would
+    // build a BATCH QueryExecution over the streaming source (which
+    // throws), and the gate targets under-split single-file batch
+    // scans — a micro-batch's partitioning is the file feed's concern.
+    if (df.isStreaming) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     val maxPB = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
     val estSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPB

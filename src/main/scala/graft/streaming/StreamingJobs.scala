@@ -48,6 +48,44 @@ object StreamingJobs {
                   schema: StructType): DataFrame =
     graft.sources.Jsonl.parseLines(spark.readStream.text(dir), schema)
 
+  /** Streaming documents source — parquet files landing in a
+    * directory (a single file is symlinked into a temp dir, like
+    * [[eventsStream]]). The quality-gate stream below consumes it.
+    */
+  def documentsStream(spark: SparkSession, path: String): DataFrame = {
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p.toAbsolutePath)
+        d.toString
+      } else path
+    spark.readStream.schema(DocumentsRawSchema).parquet(dir)
+  }
+
+  private val DocumentsRawSchema = StructType(Seq(
+    StructField("doc_id", org.apache.spark.sql.types.LongType),
+    StructField("text", org.apache.spark.sql.types.StringType),
+    StructField("lang", org.apache.spark.sql.types.StringType),
+    StructField("source", org.apache.spark.sql.types.StringType),
+    StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** Streaming QUALITY gate — the filter a live ingestion feed runs
+    * before anything lands in the corpus: Gopher rule signals through
+    * the SAME column expressions the batch operator uses
+    * (QualitySignals.gopherSignals), so streaming and batch can never
+    * disagree on a document's signals. `keep` is the pass predicate
+    * over those signal columns — pipelines tune the thresholds per
+    * corpus (default: the composite `gopher_pass`). Pure map work —
+    * no state, no watermark, scales with the file feed.
+    */
+  def qualityGateStream(stream: DataFrame,
+                        keep: org.apache.spark.sql.Column = col("gopher_pass"))
+      : DataFrame =
+    graft.functions.QualitySignals.gopherSignals(stream, "doc_id", "text")
+      .filter(keep)
+      .select(col("doc_id"), col("n_tokens"), col("stop_hits"))
+
   /** Tumbling-window aggregate: rows per window per event_type with
     * avg value. Watermark bounds state; partial aggregation happens
     * map-side exactly as in batch.
