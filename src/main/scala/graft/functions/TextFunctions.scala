@@ -280,4 +280,70 @@ object TextFunctions {
       .groupBy(col("__p.l").as("pair_left"), col("__p.r").as("pair_right"))
       .agg(sum(col("__wf")).as("freq"))
   }
+
+  /** BM25 keyword search: top-k documents for a fixed term query under
+    * Okapi BM25 (the retrieval primitive of corpus curation — seed-set
+    * expansion, targeted subset pulls, dataset search). Per query term
+    *
+    *   idf(t)    = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *   w(d, t)   = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   score(d)  = Σ_t w(d, t)
+    *
+    * (the Robertson/Sparck-Jones idf in its always-positive form).
+    * Output: idCol, n_terms (distinct query terms present), score —
+    * top-k by (score desc, id asc).
+    *
+    * Scale shape: NO inverted index is materialized. Tokens are
+    * filtered to the |Q| query terms MAP-SIDE before the explode, so
+    * the only corpus-sized shuffle carries (id, term, tf) postings for
+    * query terms alone — at 100 TB that is |Q| posting lists, not the
+    * token stream. Corpus stats (N, avgdl) are a one-row aggregate and
+    * df(t) a |Q|-row aggregate, both broadcast into the scoring
+    * expression. The per-document score sums the |Q| per-term weights
+    * in FIXED query order (one conditional aggregate per term, added
+    * left-to-right) so the double addition is deterministic and
+    * engine-portable — a float sum over an unordered explode would
+    * hash-drift between engines. Top-k is ORDER BY+LIMIT →
+    * TakeOrderedAndProject, per-partition heaps, never a global sort.
+    */
+  def bm25Search(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
+    val qSet = array(queryTerms.map(lit): _*)
+    // One tokenize pass feeds BOTH the doc-length stats and the
+    // postings: dl rides the postings rows, the corpus aggregate runs
+    // over the same projection. Two scans of the text column (stats +
+    // postings), matching the reference-LM pattern in QualitySignals.
+    val perDoc = spread(df).select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("__dl"),
+      filter(tokens(col(textCol)), t => array_contains(qSet, t)).as("__hits"))
+    val stats = perDoc.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val tf = perDoc
+      .select(col(idCol), col("__dl"), explode(col("__hits")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val weighted = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__w",
+        col("__idf") * (col("__tf") * lit(k1 + 1.0))
+          / (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+    // Pivot the ≤|Q| weight rows per doc into fixed term order, then
+    // add left-to-right: deterministic float addition.
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("__w"))).as(s"__s$i")
+    }
+    val wide = weighted.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), perTerm.head, perTerm.tail: _*)
+    val score = queryTerms.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    wide.select(col(idCol), col("n_terms"), score.as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }
