@@ -338,7 +338,7 @@ object TextFunctions {
       sum(when(col("term") === t, col("__w"))).as(s"__s$i")
     }
     val wide = weighted.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_terms"), perTerm.head, perTerm.tail: _*)
+      .agg(count(lit(1)).as("n_terms"), perTerm: _*)
     val score = queryTerms.indices
       .map(i => coalesce(col(s"__s$i"), lit(0.0)))
       .reduceLeft(_ + _)
