@@ -48,13 +48,12 @@ object SparkEntry {
   }
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a
-    // nanosecond LongType under spark.sql.legacy.parquet.nanosAsLong
-    // (set in Verify/Bench/tests). Convert with integer division —
-    // double math at 1e18 ns would lose precision.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    // events.ts has arrived as TIMESTAMP(NANOS)→LongType (nanosAsLong),
+    // TIMESTAMP_MICROS NTZ (pandas/pyarrow default), and plain LTZ
+    // across fixture regenerations — normalize whatever this one is.
+    if (name == "events") graft.sources.Timestamps.normalized(df, "ts", path)
     else df
   }
 

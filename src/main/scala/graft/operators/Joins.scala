@@ -131,9 +131,13 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, 0)
     // On surviving (left) rows __ts IS leftTs; the raw left columns are
     // only reachable under their __l_ aliases at this point.
+    // The timestamp hop before the double cast keeps the tolerance test
+    // working on TIMESTAMP_NTZ inputs (NTZ has no direct double cast;
+    // session TZ is pinned UTC so the hop is value-exact).
     val withinTol = toleranceSec match {
       case Some(tol) =>
-        abs(col("__ts").cast("double") - col("__asof.__mts").cast("double")) <= tol
+        abs(col("__ts").cast("timestamp").cast("double") -
+          col("__asof.__mts").cast("timestamp").cast("double")) <= tol
       case None => col("__asof").isNotNull
     }
     unioned

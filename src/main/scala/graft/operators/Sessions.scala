@@ -30,8 +30,10 @@ object Sessions {
     val w = Window.partitionBy(col(userCol))
       .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
     // Epoch seconds as double (sub-second precision survives; integer
-    // unix_timestamp would truncate and move gap boundaries).
-    val ts = col(tsCol).cast("double")
+    // unix_timestamp would truncate and move gap boundaries). The
+    // timestamp hop first: TIMESTAMP_NTZ input has no direct double
+    // cast, and the session TZ is pinned UTC so the hop is value-exact.
+    val ts = col(tsCol).cast("timestamp").cast("double")
     val gap = ts - lag(ts, 1).over(w)
     val isNew = when(gap.isNull || gap > gapSec, 1).otherwise(0)
     df.withColumn("session_num",
@@ -47,7 +49,8 @@ object Sessions {
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
-        (max(col(tsCol).cast("double")) - min(col(tsCol).cast("double")))
+        (max(col(tsCol).cast("timestamp").cast("double")) -
+          min(col(tsCol).cast("timestamp").cast("double")))
           .as("duration_sec"))
 
   /** Conversion funnel over ordered step types: a user completes step
@@ -101,7 +104,9 @@ object Sessions {
                      typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(userCol), col(typeCol))
       .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
-    val us = unix_micros(col(tsCol))
+    // unix_micros is TIMESTAMP-only; the cast makes NTZ input work
+    // (no-op on LTZ, session pinned UTC).
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     df.select(col(typeCol), (us - lag(us, 1).over(w)).as("__gap_us"))
       .filter(col("__gap_us").isNotNull)
       .groupBy(col(typeCol))

@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Timestamp-encoding normalization for ingested event data.
+  *
+  * Parquet writers disagree on how an epoch instant is encoded:
+  * pandas/pyarrow default to TIMESTAMP_MICROS with isAdjustedToUTC=false
+  * (Spark reads TIMESTAMP_NTZ), Spark itself writes TIMESTAMP_MICROS
+  * adjusted-to-UTC (TIMESTAMP_LTZ), some pipelines emit TIMESTAMP(NANOS)
+  * (a LongType under spark.sql.legacy.parquet.nanosAsLong) or a bare
+  * INT64 epoch with no logical annotation at all. The reference ingests
+  * whatever the API hands it and normalizes (`First experiment/GPT 5.py:63`
+  * `to_timestamp`; `Third Experiment/GPT 5.py:151-171` cast-repair);
+  * this object is the engine's single equivalent — every batch reader
+  * and stream source funnels its ts column through here, so a fixture
+  * or upstream re-encode changes behavior in exactly one place.
+  *
+  * Sessions are pinned to UTC in every harness main and test suite, so
+  * the NTZ→LTZ cast is a pure type change, never a value shift.
+  */
+object Timestamps {
+
+  /** Logical encodings [[normalized]] can repair. `Ltz` is already the
+    * target type; `Ntz` needs only a cast; the long encodings carry the
+    * epoch unit decided by [[unitOf]].
+    */
+  sealed trait TsEncoding
+  case object Ltz extends TsEncoding
+  case object Ntz extends TsEncoding
+  final case class RawLong(unit: String) extends TsEncoding
+
+  /** Epoch unit of a raw INT64 timestamp, decided by magnitude: a
+    * present-day instant is ~1.7e9 in seconds, ~1.7e12 in millis,
+    * ~1.7e15 in micros, ~1.7e18 in nanos — four decades apart, so the
+    * geometric midpoints 5e10/5e13/5e16 separate them unambiguously
+    * for any date between 1972 and 3500. (Instants within ~30 minutes
+    * of the 1970 epoch are inherently ambiguous; no fixture or real
+    * event feed lives there.)
+    */
+  def unitOf(v: Long): String = {
+    val a = math.abs(v)
+    if (a >= 50000000000000000L) "nanos" // 5e16
+    else if (a >= 50000000000000L) "micros" // 5e13
+    else if (a >= 50000000000L) "millis" // 5e10
+    else "seconds"
+  }
+
+  /** One probe result per source path — the one-row job that decides a
+    * raw-long column's unit runs once per source, not once per query.
+    */
+  private val encodingCache = new ConcurrentHashMap[String, TsEncoding]()
+
+  /** The encoding of `name` in BATCH frame `df` (streaming frames can't
+    * run the one-row probe — probe the batch twin, then
+    * [[applyEncoding]] to the stream). `cacheKey` identifies the source
+    * (file path) so repeated reads skip the probe.
+    */
+  def encodingOf(df: DataFrame, name: String, cacheKey: String): TsEncoding =
+    df.schema(name).dataType match {
+      case TimestampType => Ltz
+      case TimestampNTZType => Ntz
+      case LongType =>
+        encodingCache.computeIfAbsent(s"$cacheKey#$name", _ =>
+          RawLong(df.select(col(name)).where(col(name).isNotNull).head(1)
+            .headOption.map(r => unitOf(r.getLong(0)))
+            // Empty source: any unit yields an empty result; micros is
+            // the parquet-ecosystem default.
+            .getOrElse("micros")))
+      case other =>
+        sys.error(s"unsupported timestamp encoding for `$name`: $other " +
+          "(expected TIMESTAMP, TIMESTAMP_NTZ, or INT64 epoch)")
+    }
+
+  /** Rewrite `name` in `df` to session-TZ TimestampType per `enc`.
+    * Works on batch and streaming frames alike (no probe here).
+    */
+  def applyEncoding(df: DataFrame, name: String, enc: TsEncoding): DataFrame =
+    enc match {
+      case Ltz => df
+      case Ntz => df.withColumn(name, col(name).cast(TimestampType))
+      case RawLong(unit) => df.withColumn(name, longEpochToTimestamp(name, unit))
+    }
+
+  /** Epoch long → TimestampType. Integer `div` for nanos — double math
+    * at 1e18 would lose precision.
+    */
+  def longEpochToTimestamp(name: String, unit: String): Column = unit match {
+    case "nanos" => expr(s"timestamp_micros(`$name` div 1000)")
+    case "micros" => expr(s"timestamp_micros(`$name`)")
+    case "millis" => expr(s"timestamp_millis(`$name`)")
+    case "seconds" => expr(s"timestamp_seconds(`$name`)")
+    case other => sys.error(s"unknown epoch unit: $other")
+  }
+
+  /** Batch entry point: `df(name)` normalized to TimestampType from any
+    * supported encoding, probing at most one row once per `cacheKey`.
+    */
+  def normalized(df: DataFrame, name: String, cacheKey: String): DataFrame =
+    applyEncoding(df, name, encodingOf(df, name, cacheKey))
+}

@@ -12,17 +12,15 @@ import org.apache.spark.sql.types._
   */
 object StreamingJobs {
 
-  /** Parquet schema of the events table as the stream source reads it
-    * (ts arrives as nanosecond LongType under nanosAsLong).
-    */
-  val EventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-source stream of the events table with ts normalized to a
-    * real timestamp. The file stream source requires a directory; a
-    * plain-file path is staged behind a symlink dir.
+    * real timestamp. The file stream source requires a directory (a
+    * plain-file path is staged behind a symlink dir) and an explicit
+    * schema — which is taken from a BATCH read of the same files, so
+    * the physical timestamp encoding on disk drives the stream schema
+    * instead of an assumption: forcing INT64 over a TIMESTAMP_MICROS
+    * column would silently reinterpret the unit (every instant shrinks
+    * 1000× toward 1970). The batch twin also runs the one-row unit
+    * probe that streaming frames can't ([[graft.sources.Timestamps]]).
     */
   def eventsStream(spark: SparkSession, path: String): DataFrame = {
     val p = java.nio.file.Paths.get(path)
@@ -32,8 +30,10 @@ object StreamingJobs {
         java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p.toAbsolutePath)
         d.toString
       } else path
-    spark.readStream.schema(EventsRawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = spark.read.parquet(dir)
+    val enc = graft.sources.Timestamps.encodingOf(batch, "ts", dir)
+    graft.sources.Timestamps.applyEncoding(
+      spark.readStream.schema(batch.schema).parquet(dir), "ts", enc)
   }
 
   /** Streaming JSONL ingest — the shape a live crawl feed actually

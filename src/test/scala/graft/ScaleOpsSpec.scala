@@ -75,8 +75,9 @@ class ScaleOpsSpec extends SparkSuite {
   }
 
   test("sessionize plans exactly one exchange, shared by windows and agg") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Timestamps.normalized(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts",
+      "/root/testdata/sf0.001/events.parquet")
     val q = graft.operators.Sessions.sessionStats(ev, "user_id", "ts", 1800, Seq("event_id"))
     q.count() // materialize so AQE finalizes the plan
     val plan = q.queryExecution.executedPlan.toString
