@@ -75,7 +75,12 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision: full double digits triple the line length
+    // across 130+ queries, and the driver has truncated the tail of
+    // this line before (round 7's BENCH json arrived unparseable).
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -91,7 +96,7 @@ object Bench {
     val loadavg =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0)
       catch { case _: Throwable => "-1" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"baseline":$baselines,"loadavg":$loadavg,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"baseline":$baselines,"loadavg":$loadavg,"sf":"$sfDir"}"""
     println(line)
     // Terminal scrollback can truncate a 100+-query line (round 5's
     // committed bench lost its first ~40 queries that way): persist

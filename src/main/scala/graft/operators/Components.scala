@@ -27,12 +27,16 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // Symmetrize once: propagation must flow both directions.
+    // Lazy checkpoints here and per round: the convergence count that
+    // immediately follows each construction materializes the blocks in
+    // the same job, so an eager checkpoint would only add a
+    // driver-sequenced job of fixed overhead per round.
     val sym = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -41,7 +45,7 @@ object Components {
       val updated = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = updated.join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") =!= col("prev")).limit(1).count()
       labels = updated
@@ -83,7 +87,12 @@ object Components {
                               maxIter: Int = 20): DataFrame = {
     val e = edges.select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // The count materializes the lazy checkpoint in one full job; the
+    // small-path collect then reads cached blocks (a limit-based
+    // single-action probe was tried and is worse: CollectLimit's
+    // partition-scaling runs several partial jobs and the checkpoint
+    // back-fills what they skipped).
     if (e.count() > collectThreshold) connectedComponents(e, maxIter)
     else {
       val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -150,10 +150,11 @@ object CorpusHygiene {
   def hygieneFunnel(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, threshold: Double = 0.5,
                     minTokens: Int = 20, maxTokens: Int = 100000,
-                    lang: String = "en"): DataFrame = {
+                    lang: String = "en",
+                    cacheKey: Option[String] = None): DataFrame = {
     val (keep1, d0, d1, d2, d3, d4) =
       funnelStages(docs, idCol, textCol, n, threshold, minTokens, maxTokens, lang,
-        persistIds = true)
+        persistIds = true, cacheKey)
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
     val report = stage("s0_total", d0)
@@ -174,21 +175,38 @@ object CorpusHygiene {
   def hygieneSurvivors(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
                        minTokens: Int = 20, maxTokens: Int = 100000,
-                       lang: String = "en"): DataFrame =
+                       lang: String = "en",
+                       cacheKey: Option[String] = None): DataFrame =
     // Survivors are consumed once (no stage-count re-traversal), so the
     // keeper-id set is NOT persisted here: recomputing the fingerprint
     // aggregate a couple of times beats pinning cache the caller can't
     // release (the result is corpus-sized — no cheap eager point).
     funnelStages(docs, idCol, textCol, n, threshold, minTokens, maxTokens, lang,
-      persistIds = false)._6
+      persistIds = false, cacheKey)._6
+
+  /** The exact-dedup keeper-id set and near-dup drop-id set, memoized
+    * per (session, cacheKey) behind lazy localCheckpoints: the funnel
+    * REPORT and the funnel SURVIVORS run back-to-back in every real
+    * curation job (and in the bench suite), and the near-dup pass —
+    * shingle → signature → banding → closure — is by far the dominant
+    * cost of both. Id sets only, never text; checkpointed frames are
+    * never unpersisted (a truncated-lineage block is unrecoverable
+    * once dropped), which is safe precisely because they are id-sized.
+    */
+  private val stageSetMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
 
   /** Shared stage pipeline for [[hygieneFunnel]] / [[hygieneSurvivors]].
     * Returns (keeper-id frame if persisted, d0..d4); the caller owns
-    * the keeper cache's release.
+    * the keeper cache's release. With `cacheKey` set, the keeper/drop
+    * id sets come from [[stageSetMemo]] instead (and nothing is
+    * persisted through the CacheManager, so there is nothing to
+    * release).
     */
   private def funnelStages(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, threshold: Double, minTokens: Int,
-                           maxTokens: Int, lang: String, persistIds: Boolean)
+                           maxTokens: Int, lang: String, persistIds: Boolean,
+                           cacheKey: Option[String] = None)
       : (Option[DataFrame], DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.TextFunctions
     // No spread here: the compute-heavy pass (shingling) spreads its
@@ -202,20 +220,31 @@ object CorpusHygiene {
     // size. (The near-dup drop set needs no persist —
     // connectedComponents returns localCheckpoint-flattened labels,
     // already materialized.)
-    val keep1Base = d0.groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
-      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
-    val keep1 = if (persistIds)
-      keep1Base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else keep1Base
+    def buildSets(checkpoint: Boolean): (DataFrame, DataFrame) = {
+      val keep1Base = d0.groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+        .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+      val keep1 =
+        if (checkpoint) keep1Base.localCheckpoint(false)
+        else if (persistIds)
+          keep1Base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else keep1Base
+      val d1 = d0.join(keep1, Seq(idCol), "left_semi")
+      val pairs = NearDup.minHashNearDups(d1, idCol, textCol, n, threshold)
+      val drop2 = Components.keepDecision(Components.connectedComponents(pairs))
+        .filter(!col("keep")).select(col("node").as(idCol))
+      (keep1, drop2)
+    }
+    val (keep1, drop2) = cacheKey match {
+      case Some(k) =>
+        stageSetMemo.computeIfAbsent((docs.sparkSession, k), _ => buildSets(true))
+      case None => buildSets(false)
+    }
     val d1 = d0.join(keep1, Seq(idCol), "left_semi")
-    val pairs = NearDup.minHashNearDups(d1, idCol, textCol, n, threshold)
-    val drop2 = Components.keepDecision(Components.connectedComponents(pairs))
-      .filter(!col("keep")).select(col("node").as(idCol))
     val d2 = d1.join(drop2, Seq(idCol), "left_anti")
     val d3 = d2.filter(
       TextFunctions.tokenCount(col(textCol)).between(minTokens, maxTokens))
     val d4 = d3.filter(TextFunctions.langId(col(textCol)) === lang)
-    (if (persistIds) Some(keep1) else None, d0, d1, d2, d3, d4)
+    (if (persistIds && cacheKey.isEmpty) Some(keep1) else None, d0, d1, d2, d3, d4)
   }
 
   /** Cross-document boilerplate: sentence-level segments appearing in

@@ -64,9 +64,24 @@ object IncrementalDedup {
     StructField("shingles", ArrayType(LongType, containsNull = false), nullable = true),
     StructField("cluster_id", LongType, nullable = false)))
 
-  /** State for a corpus with nothing seen yet. */
+  /** State for a corpus with nothing seen yet — a LocalRelation, so
+    * [[appendBatch]]'s bootstrap check sees emptiness in the PLAN
+    * (zero jobs) instead of running an isEmpty scan.
+    */
   def emptyState(spark: SparkSession): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StateSchema)
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), StateSchema)
+
+  /** Plan-level emptiness: true only when the frame is a provably
+    * empty LocalRelation. A partitioned-but-empty table reads as
+    * "maybe non-empty" — the state-side subtrees it keeps alive are
+    * semantic no-ops, so this is purely the cheap side of a
+    * performance branch; never worth a job to sharpen.
+    */
+  private def provablyEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.isEmpty
+      case _ => false
+    }
 
   /** Fingerprint of a shingle-hash set column: two independently-
     * salted xxhash64 values over the sorted array, rendered as one
@@ -96,32 +111,42 @@ object IncrementalDedup {
     // Batch-sized frames read by several plan subtrees below (and
     // eagerly, by the components rounds): localCheckpoint — lineage
     // cut, blocks freed by the ContextCleaner, no CacheManager pin to
-    // leak through the lazily-returned state.
+    // leak through the lazily-returned state. LAZY (eager = false)
+    // throughout: each eager checkpoint is a full driver-sequenced job
+    // of pure fixed overhead per append, and the first real action
+    // (the components edge count) materializes the whole chain in one
+    // job anyway — `LocalRDDCheckpointData` back-fills any partitions
+    // that first action skipped.
     val bFeat = NearDup.shingleSets(batch, idCol, textCol, n)
       .withColumn("__sorted", array_sort(col("shingles")))
       .withColumn("fp", setFingerprint(col("__sorted")))
       .drop("__sorted")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // Within-batch exact groups: one representative (min id) per
-    // distinct shingle set; members edge to their representative. The
-    // group-by carries (fp, id) ONLY — representative shingles are
-    // fetched afterwards by an id semi-join against the checkpointed
-    // features (AQE broadcasts the id list when small; at scale both
-    // forms shuffle, but this one never shuffles arrays through an
-    // aggregate).
-    val repIds = bFeat.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
-    val withinEdges = bFeat.select(col(idCol), col("fp"))
-      .join(repIds.select(col(idCol).as("__rep"), col("fp")), "fp")
-      .filter(col(idCol) =!= col("__rep"))
+    // distinct shingle set; members edge to their representative. ONE
+    // window over fp carrying (fp, id) ONLY — representative shingles
+    // are fetched afterwards by an id semi-join against the
+    // checkpointed features (AQE broadcasts the id list when small; at
+    // scale both forms shuffle, but this one never shuffles arrays
+    // through an aggregate). The window replaces a groupBy + join-back
+    // pair: same fp shuffle, one less exchange on the AQE critical
+    // path — per-append latency is exchange-DEPTH-bound at batch
+    // scale, not data-bound.
+    val bfW = bFeat.select(col(idCol), col("fp"))
+      .withColumn("__rep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    val withinEdges = bfW.filter(col(idCol) =!= col("__rep"))
       .select(col(idCol).as("id_a"), col("__rep").as("id_b"))
+    val repIds = bfW.filter(col(idCol) === col("__rep"))
+      .select(col("fp"), col(idCol))
 
-    // Bootstrap probe: a limit-1 scan. The FIRST append of a corpus
-    // (and any replay from scratch) has an empty state — skipping the
-    // state-side subtrees below (fp lookup, band scan, shingle union,
-    // remap join) halves that append's stage count for the price of
-    // one trivial job.
-    val stateEmpty = state.isEmpty
+    // Bootstrap check, zero jobs: the FIRST append of a corpus (and
+    // any replay from scratch) starts from [[emptyState]]'s
+    // LocalRelation — skipping the state-side subtrees below (fp
+    // lookup, band scan, shingle union, remap join) halves that
+    // append's stage count without ever scanning the state.
+    val stateEmpty = provablyEmpty(state)
 
     // Exact vs state: shuffle carries (fp, id, cluster) only. The
     // matched occurrence's CLUSTER id rides along, so the exact edge
@@ -144,7 +169,7 @@ object IncrementalDedup {
     val freshSigs = NearDup.signatures(
         bFeat.join(freshIds, Seq(idCol), "left_semi").select(col(idCol), col("shingles")),
         idCol)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // LSH probe: fresh new docs vs (state ∪ fresh) band keys in ONE
     // join — new-old pairs oriented (new, old), new-new pairs id_a <
@@ -166,16 +191,21 @@ object IncrementalDedup {
     // guard's window (and the whole state band scan under it) would
     // evaluate once per side.
     val capped = BucketGuard.capBuckets(allBanded,
-      Seq("band", "bh"), idCol, maxBucket, dropCounter).localCheckpoint(true)
+      Seq("band", "bh"), idCol, maxBucket, dropCounter).localCheckpoint(false)
     val aSide = capped.filter(col("__new"))
       .select(col(idCol).as("id_a"), col("band"), col("bh"))
     val bSide = capped
       .select(col(idCol).as("id_b"), col("band"), col("bh"),
         col("__new").as("__new_b"), col("__bc"))
+    // No distinct over the candidate pairs: a pair colliding in k ≤ 16
+    // bands is verified k times (cheap sorted-array intersects) and
+    // may emit duplicate edges — both the union-find and min-label
+    // propagation are duplicate-tolerant, and skipping the dedup drops
+    // a whole shuffle level from the AQE critical path.
     val cands = aSide.join(bSide, Seq("band", "bh"))
       .filter((!col("__new_b") && col("id_a") =!= col("id_b")) ||
         (col("__new_b") && col("id_a") < col("id_b")))
-      .select(col("id_a"), col("id_b"), col("__bc")).distinct()
+      .select(col("id_a"), col("id_b"), col("__bc"))
 
     // Exact-Jaccard verify over candidates only (native single-pass
     // expression; registered by shingleSets above).

@@ -275,6 +275,26 @@ object StreamingJobs {
     java.nio.file.Files.createTempDirectory(base, "graft-ckpt").toString
   }
 
+  /** Run `body` with a fresh ephemeral checkpoint dir, deleting the
+    * dir afterwards — /dev/shm is RAM-backed, so a long-lived harness
+    * process that leaked one dir per streaming run would slowly eat
+    * memory that looks like "disk". Deletion happens in finally: a
+    * failed query's throwaway checkpoint is exactly as worthless as a
+    * finished one's.
+    */
+  private def withEphemeralCheckpoint[T](body: String => T): T = {
+    val dir = ephemeralCheckpointDir()
+    try body(dir)
+    finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val p = Path.of(dir)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
   /** foreachBatch sink: append each micro-batch to a managed table via
     * TableManager — the streaming→catalog bridge (batch-id available
     * for idempotent sinks that need it).
@@ -285,12 +305,12 @@ object StreamingJobs {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
+    try withEphemeralCheckpoint { ckpt =>
       val q = df.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           tables.append(batch, table)
         }
-        .option("checkpointLocation", ephemeralCheckpointDir())
+        .option("checkpointLocation", ckpt)
         .start()
       q.processAllAvailable()
       q.stop()
@@ -315,10 +335,10 @@ object StreamingJobs {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
+    try withEphemeralCheckpoint { ckpt =>
       val q: StreamingQuery = df.writeStream
         .outputMode(mode).format("memory").queryName(name)
-        .option("checkpointLocation", ephemeralCheckpointDir())
+        .option("checkpointLocation", ckpt)
         .start()
       q.processAllAvailable()
       q.stop()
