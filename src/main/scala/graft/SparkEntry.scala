@@ -1052,6 +1052,44 @@ object SparkEntry {
         .select(col("n_planted"), (col("n_planted") === col("n_found")).as("all_found"))
     }),
 
+    // STREAMING near-dup behavioral gate, planted-clone form: base docs
+    // land in micro-batch 1, their exact clones in micro-batch 2 (two
+    // parquet files, mtime-ordered, maxFilesPerTrigger=1) — so every
+    // planted pair can ONLY be found via CROSS-BATCH state: the clone's
+    // signature must meet the base doc's signature in the (band, bh)
+    // state store a batch later. Identical text ⇒ identical signature ⇒
+    // agreement estimate exactly 1.0 in every band, so recovery is
+    // deterministic under any hash. Real near-dup pairs in the stream
+    // don't disturb the count (semi-join on the planted id pairs).
+    "streaming_neardup_planted" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val clones = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ndstream").toString
+      base.coalesce(1).write.mode("append").parquet(tmp)
+      // Distinct mtimes => deterministic file order (the file source
+      // sorts by modification time): stamp batch-1 files into the past
+      // instead of sleeping across a clock tick between the writes.
+      val past = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, past))
+      clones.coalesce(1).write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val sink = s"streaming_neardup_${System.nanoTime}"
+      val pairs = StreamingJobs.runToMemory(s,
+        StreamingJobs.nearDupStream(stream, "doc_id", "text", simFloor = 0.9),
+        sink, mode = "append", statePartitions = Some(8))
+      val planted = base.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+      val found = planted.join(
+        pairs.select(col("id_a"), col("id_b")).distinct(), Seq("id_a", "id_b"), "left_semi")
+      planted.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_planted"), (col("n_planted") === col("n_found")).as("all_found"))
+    }),
+
     // Embedding cosine near-dup, brute force (oracle-checkable).
     // Corpus capped at a fixed id range — same rationale as
     // dedup_ngram_sample: an O(n^2) crossJoin baseline must not grow
@@ -2822,6 +2860,12 @@ object SparkEntry {
     "dedup_simhash" -> duckSimhashSql,
 
     "dedup_simhash_planted" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS all_found
+        |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    // Cross-batch recovery is deterministic (exact clones agree on
+    // every signature component), so the oracle is the planted count.
+    "streaming_neardup_planted" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS all_found
         |FROM documents WHERE doc_id < 100""".stripMargin,
 

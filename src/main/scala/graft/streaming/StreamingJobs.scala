@@ -106,6 +106,71 @@ object StreamingJobs {
   def dedupStream(stream: DataFrame, keys: Seq[String]): DataFrame =
     stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming MinHash-LSH near-duplicate detector — the operator a
+    * live ingestion feed runs to catch re-crawls and mirror copies
+    * BEFORE they land in the corpus, where the batch pipeline
+    * ([[graft.operators.NearDup]] → [[graft.operators.IncrementalDedup]])
+    * only catches them per append. Shingling, signatures, and band
+    * keys are the SAME batch expressions (shingleSets → signatures →
+    * bandKeys), so a pair collides on a band in the stream iff the
+    * batch pipeline would generate it as a candidate; the state store
+    * shards by (band, bh) exactly as the batch self-join shuffles.
+    *
+    * Per bucket, state holds up to `maxBucket` (id, signature) pairs —
+    * 64 longs per doc, the same hot-bucket cap philosophy as
+    * [[graft.operators.BucketGuard]]: a degenerate band value costs
+    * O(maxBucket) comparisons per arrival and bounded state, never
+    * O(stream). Verification is SIGNATURE AGREEMENT (fraction of equal
+    * MinHash components, an unbiased Jaccard estimator) instead of the
+    * batch path's exact-Jaccard — storing shingle sets in stream state
+    * would make state text-sized; the estimator needs only what the
+    * bucket already holds. Exact duplicates agree on every component
+    * (estimate 1.0), so planted-clone recovery is exact, not
+    * probabilistic — the `streaming_neardup_planted` gate relies on
+    * this. Emitted pairs: (id_a < id_b, est_sim), possibly once per
+    * colliding band — consumers dedup, as the batch closure does.
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, simFloor: Double = 0.9,
+                    maxBucket: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = graft.operators.NearDup.bandKeys(
+        graft.operators.NearDup.signatures(
+          graft.operators.NearDup.shingleSets(docs, idCol, textCol, n), idCol), idCol,
+        keep = Seq("sig"))
+      .select(col("band"), col("bh"), col(idCol).cast("long").as("id"), col("sig"))
+      .as[(Int, Long, Long, Array[Long])]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Array[Long])], (Long, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Double)]
+          // Deterministic within-batch order (group iterators are not
+          // ordered): smaller ids probe first, so within-batch pairs
+          // always emit as (earlier id, later id) with the earlier doc
+          // already in state — mirroring arrival order across batches.
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, osig) =>
+                var m = 0
+                var i = 0
+                while (i < sig.length) { if (sig(i) == osig(i)) m += 1; i += 1 }
+                val est = m.toDouble / sig.length
+                if (est >= simFloor)
+                  out += ((math.min(id, oid), math.max(id, oid), est))
+              }
+              if (seen.size < maxBucket) seen = (id, sig) :: seen
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("id_a", "id_b", "est_sim")
+  }
+
   /** Per-user running aggregate state. */
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
