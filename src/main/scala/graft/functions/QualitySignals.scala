@@ -204,11 +204,41 @@ object QualitySignals {
     */
   def importanceScore(target: DataFrame, general: DataFrame, docs: DataFrame,
                       idCol: String, textCol: String): DataFrame = {
-    val t = bigramLmScore(target, docs, idCol, textCol)
-      .select(col(idCol), col("avg_logprob").as("lp_target"))
-    val g = bigramLmScore(general, docs, idCol, textCol)
-      .select(col(idCol), col("avg_logprob").as("lp_general"))
-    t.join(g, Seq(idCol))
+    // The candidate-side bigram explode is the expensive pass (full
+    // corpus, where each LM's reference is a slice) — run it ONCE and
+    // join BOTH LMs' count tables into it, folding the two per-bigram
+    // log-probs into a single groupBy. Two calls to [[bigramLmScore]]
+    // would explode the corpus twice and re-join on the id at the end;
+    // per-bigram arithmetic is identical (equality vs the two-call
+    // form asserted in OperatorsSpec).
+    def lmCounts(reference: DataFrame) = {
+      val uni = graft.operators.Skew.spread(reference)
+        .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val bi = graft.operators.Skew.spread(reference)
+        .select(explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      (uni, bi, uni.agg(count(lit(1)).as("__v")))
+    }
+    val (uniT, biT, vocabT) = lmCounts(target)
+    val (uniG, biG, vocabG) = lmCounts(general)
+    def lp(cb: Column, cu: Column, v: Column): Column =
+      log((coalesce(cb, lit(0L)) + 1).cast("double")
+        / (coalesce(cu, lit(0L)) + v).cast("double"))
+    graft.operators.Skew.spread(docs)
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .withColumn("__w1", substring_index(col("bg"), " ", 1))
+      .join(biT.withColumnRenamed("cb", "cb_t"), Seq("bg"), "left")
+      .join(biG.withColumnRenamed("cb", "cb_g"), Seq("bg"), "left")
+      .join(uniT.select(col("w").as("__w1"), col("cu").as("cu_t")), Seq("__w1"), "left")
+      .join(uniG.select(col("w").as("__w1"), col("cu").as("cu_g")), Seq("__w1"), "left")
+      .crossJoin(broadcast(vocabT.select(col("__v").as("__vt"))))
+      .crossJoin(broadcast(vocabG.select(col("__v").as("__vg"))))
+      .select(col(idCol),
+        lp(col("cb_t"), col("cu_t"), col("__vt")).as("__lpt"),
+        lp(col("cb_g"), col("cu_g"), col("__vg")).as("__lpg"))
+      .groupBy(col(idCol))
+      .agg(avg(col("__lpt")).as("lp_target"), avg(col("__lpg")).as("lp_general"))
       .withColumn("log_ratio", col("lp_target") - col("lp_general"))
   }
 

@@ -640,6 +640,15 @@ class OperatorsSpec extends SparkSuite {
     assert(ratio(1L) > 0)          // in-domain bigram: more probable under target
     assert(ratio(2L) < 0)          // general bigram: more probable under general
     assert(math.abs(ratio(3L)) < 1e-12) // unseen everywhere: ratio exactly 0
+    // The fused single-explode form must equal two independent
+    // bigramLmScore passes joined on the id — same rows, same ratios.
+    val twoCall = QualitySignals.bigramLmScore(target, docs, "doc_id", "text")
+      .select(col("doc_id"), col("avg_logprob").as("lp_t"))
+      .join(QualitySignals.bigramLmScore(general, docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_logprob").as("lp_g")), Seq("doc_id"))
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1) - x.getDouble(2))).toMap
+    ratio.foreach { case (id, lr) => assert(math.abs(lr - twoCall(id)) < 1e-12) }
   }
 
   test("repetitionSignals: hashed-gram metrics equal the string-gram form") {
