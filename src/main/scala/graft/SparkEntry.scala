@@ -113,6 +113,19 @@ object SparkEntry {
     centroidMemo.computeIfAbsent((s, dir), _ =>
       EmbeddingAnn.trainCentroids(cn, "vec_id", "embedding", nlist = 16))
 
+  /** Exact cosine near-dup pairs over the capped embedding slice —
+    * `dedup_embedding`'s oracle-checked result AND `ann_lsh_recall`'s
+    * exact denominator (same slice, same 0.4 threshold): one O(n²)
+    * baseline pass instead of two. Pair-density-sized, lazily
+    * checkpointed once per (session, sfDir).
+    */
+  private val exactEmbPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def exactEmbPairs2000(s: SparkSession, dir: String): DataFrame =
+    exactEmbPairsMemo.computeIfAbsent((s, dir), _ =>
+      EmbeddingAnn.nearDupPairs(t(s, dir, "embeddings").filter(col("vec_id") < 2000),
+        "vec_id", "embedding", threshold = 0.4).localCheckpoint(false))
+
   /** Shared epilogue of the three recall gates (ann_recall,
     * ann_ivf_sq8, ann_lsh_recall): count the exact reference rows,
     * count how many the approximate path recovered, pin
@@ -1122,9 +1135,7 @@ object SparkEntry {
     // Corpus capped at a fixed id range — same rationale as
     // dedup_ngram_sample: an O(n^2) crossJoin baseline must not grow
     // with sf.
-    "dedup_embedding" -> ((s, dir) =>
-      EmbeddingAnn.nearDupPairs(t(s, dir, "embeddings").filter(col("vec_id") < 2000),
-        "vec_id", "embedding", threshold = 0.4)),
+    "dedup_embedding" -> ((s, dir) => exactEmbPairs2000(s, dir)),
 
     // Exact top-k cosine ANN baseline: small query batch broadcast
     // against the corpus, per-query window for top-k.
@@ -1171,8 +1182,8 @@ object SparkEntry {
     "ann_lsh_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").filter(col("vec_id") < 2000)
       val cn = EmbeddingAnn.normalized(e, "embedding").persist()
-      val exact = EmbeddingAnn.nearDupPairs(cn, "vec_id", "embedding", threshold = 0.4)
-        .select(col("id_a"), col("id_b"))
+      // Exact denominator from the shared memo (see exactEmbPairs2000).
+      val exact = exactEmbPairs2000(s, dir).select(col("id_a"), col("id_b"))
       val lsh = EmbeddingAnn.lshNearDupPairs(cn, "vec_id", "embedding",
           threshold = 0.4, dim = 64, nBits = 4, nTables = 8)
         .select(col("id_a"), col("id_b"))
@@ -1206,7 +1217,7 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cn = EmbeddingAnn.normalized(e, "embedding").persist()
-      val centroids = EmbeddingAnn.trainCentroids(cn, "vec_id", "embedding", nlist = 16)
+      val centroids = centroids16(s, dir, cn)
       Caching.materializeAndRelease(
         EmbeddingAnn.semDedup(cn, "vec_id", "embedding", centroids, threshold = 0.4),
         cn)
