@@ -1131,6 +1131,29 @@ object SparkEntry {
         .select(col("n_planted"), (col("n_planted") === col("n_found")).as("all_found"))
     }),
 
+    // STREAMING token-budget admission across two micro-batches: the
+    // even-id half arrives first, the odd-id half a batch later, and
+    // the per-source running totals must carry across the boundary in
+    // keyed state. Admission is a per-stratum prefix of the stacked
+    // (batch, md5-of-id) order, so the oracle replays the WHOLE
+    // schedule as one SQL window ordered by (doc_id % 2, md5).
+    "streaming_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-budget").toString
+      d.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(tmp)
+      val past = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, past))
+      d.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      StreamingJobs.runToMemory(s,
+        StreamingJobs.tokenBudgetStream(stream, "source", "doc_id", "text",
+          budgets = Map("src0" -> 1500L, "src1" -> 800L, "src3" -> 300L)),
+        s"streaming_budget_${System.nanoTime}", mode = "append", statePartitions = Some(8))
+    }),
+
     // Embedding cosine near-dup, brute force (oracle-checkable).
     // Corpus capped at a fixed id range — same rationale as
     // dedup_ngram_sample: an O(n^2) crossJoin baseline must not grow
@@ -2897,6 +2920,20 @@ object SparkEntry {
     "streaming_neardup_planted" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS all_found
         |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    // The two-micro-batch schedule replayed as ONE stacked window:
+    // batch index (doc_id % 2) majors the order, the batch operator's
+    // md5 permutation minors it; admission is the budget prefix.
+    "streaming_token_budget" ->
+      s"""SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY (doc_id % 2), md5('graft' || CAST(doc_id AS VARCHAR))) AS cum
+         |  FROM (SELECT doc_id, source,
+         |          CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents))
+         |WHERE cum <= CASE source WHEN 'src0' THEN 1500
+         |                         WHEN 'src1' THEN 800
+         |                         WHEN 'src3' THEN 300 END""".stripMargin,
 
     "dedup_paragraphs" ->
       """WITH d2 AS (

@@ -171,6 +171,57 @@ object StreamingJobs {
       .toDF("id_a", "id_b", "est_sim")
   }
 
+  /** Streaming token-budget admission — the live-feed twin of
+    * [[graft.operators.Sampling.tokenBudgetSample]]: per-stratum token
+    * budgets consumed as documents ARRIVE, with the running total held
+    * in keyed state so the budget survives micro-batch boundaries (a
+    * mixture being filled from a crawl feed must stop at its cap no
+    * matter how the feed is chunked). Semantics match the batch
+    * operator exactly, generalized to streams: every document's tokens
+    * advance the stratum's running total in deterministic order
+    * (md5-of-key within each batch — the batch operator's permutation),
+    * and a document is admitted iff the total at its position is
+    * within budget. The total is monotone, so admission is a prefix
+    * per stratum — a one-batch stream reproduces the batch operator
+    * row-for-row, and any batch split is replayable as one stacked
+    * (batch, md5) window (the `streaming_token_budget` oracle does
+    * exactly that in SQL).
+    *
+    * Scale shape: state is ONE long per stratum; the shuffle carries
+    * (key, stratum, n_tokens, ord) — never text. Strata without a
+    * budget entry pass nothing and hold no state.
+    */
+  def tokenBudgetStream(docs: DataFrame, strataCol: String, keyCol: String,
+                        textCol: String, budgets: Map[String, Long],
+                        salt: String = "graft"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(keyCol).cast("long").as("k"),
+        col(strataCol).cast("string").as("s"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n"),
+        graft.operators.Sampling.hashBucket32(col(keyCol), salt).as("o"))
+      .as[(Long, String, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (stratum, rows, state) =>
+          budgets.get(stratum) match {
+            case None => Iterator.empty
+            case Some(b) =>
+              var total = state.getOption.getOrElse(0L)
+              val out = List.newBuilder[(Long, String, Long, Long)]
+              rows.toSeq.sortBy(_._4).foreach { case (k, _, n, _) =>
+                total += n
+                if (total <= b) out += ((k, stratum, n, total))
+              }
+              state.update(total)
+              out.result().iterator
+          }
+      }
+      .toDF(keyCol, strataCol, "n_tokens", "cum_tokens")
+  }
+
   /** Per-user running aggregate state. */
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
