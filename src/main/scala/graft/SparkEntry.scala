@@ -85,6 +85,19 @@ object SparkEntry {
   private val bucketedBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
+  /** Delete a staged temp input dir once its synchronous streaming run
+    * has materialized (memory-sink rows survive the input's deletion)
+    * — Bench runs every gate twice; staged corpus copies must not
+    * accumulate in /tmp across a long harness session.
+    */
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   /** Exact brute-force top-5 for the 20 benchmark queries — the
     * REFERENCE side shared by `ann_topk` (as its oracle-checked
     * result) and the `ann_recall` / `ann_ivf_sq8` gates (as the
@@ -1122,6 +1135,7 @@ object SparkEntry {
       val pairs = StreamingJobs.runToMemory(s,
         StreamingJobs.nearDupStream(stream, "doc_id", "text", simFloor = 0.9),
         sink, mode = "append", statePartitions = Some(8))
+      deleteRecursively(tmp) // memory sink materialized; staged copy done
       val planted = base.select(col("doc_id").as("id_a"),
         (col("doc_id") + 1000000L).as("id_b"))
       val found = planted.join(
@@ -1148,10 +1162,12 @@ object SparkEntry {
       d.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(tmp)
       val stream = s.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
-      StreamingJobs.runToMemory(s,
+      val admitted = StreamingJobs.runToMemory(s,
         StreamingJobs.tokenBudgetStream(stream, "source", "doc_id", "text",
           budgets = Map("src0" -> 1500L, "src1" -> 800L, "src3" -> 300L)),
         s"streaming_budget_${System.nanoTime}", mode = "append", statePartitions = Some(8))
+      deleteRecursively(tmp) // memory sink materialized; staged copy done
+      admitted
     }),
 
     // Embedding cosine near-dup, brute force (oracle-checkable).
