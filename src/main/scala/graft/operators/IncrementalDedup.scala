@@ -254,6 +254,10 @@ object IncrementalDedup {
     * [[Components.keepDecision]] on a full-corpus run.
     */
   def keepDecision(state: DataFrame): DataFrame = {
+    // groupBy + join-back beats a cluster_id window here (measured
+    // ~0.8 s at sf0.1): partial aggregation shrinks the sizes shuffle
+    // to #clusters rows and AQE broadcasts it back, so the state never
+    // shuffles — a window would shuffle AND sort the full state.
     val sizes = state.groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
     state.join(sizes.filter(col("__sz") >= 2), Seq("cluster_id"))
       .select(col("doc_id").as("node"), col("cluster_id"),
