@@ -20,7 +20,7 @@ class TimestampEncodingSpec extends SparkSuite {
   import spark.implicits._
 
   test("canary: every fixture SF's events.ts normalizes to a present-day timestamp") {
-    for (sf <- Seq("sf0.001", "sf0.01")) {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val path = s"/root/testdata/$sf/events.parquet"
       val raw = spark.read.parquet(path)
       // Supported encodings only — a new physical shape must fail HERE.
