@@ -1676,6 +1676,21 @@ object SparkEntry {
       CorpusHygiene.duplicatePassages(aug, "doc_id", "text", window = 8)
     }),
 
+    // STREAMING decontamination gate: the same benchmark index, the
+    // same overlap expression, applied to a live documents stream —
+    // stateless map, so one micro-batch is the full gate; survivors
+    // must equal the batch anti-join row-for-row (same oracle SQL).
+    "streaming_decon" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val stream = StreamingJobs.documentsStream(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      StreamingJobs.runToMemory(s,
+        StreamingJobs.deconStream(stream, d.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", n = 5, minShared = 2)
+          .select(col("doc_id")),
+        s"streaming_decon_${System.nanoTime}", mode = "append", statePartitions = Some(8))
+    }),
+
     // Decontamination as the shipped compose: corpus minus every doc
     // sharing >= 2 five-gram shingles with the benchmark subset.
     "decon_filter" -> ((s, dir) => {
@@ -2783,6 +2798,12 @@ object SparkEntry {
     "decon_overlap" -> duckDeconPairsSql,
 
     "decon_filter" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM ($duckDeconPairsSql))""".stripMargin,
+
+    // The streaming gate is stateless, so its survivors are exactly
+    // the batch anti-join's — same oracle.
+    "streaming_decon" ->
       s"""SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM ($duckDeconPairsSql))""".stripMargin,
 

@@ -171,6 +171,42 @@ object StreamingJobs {
       .toDF("id_a", "id_b", "est_sim")
   }
 
+  /** Streaming benchmark decontamination — the live-feed twin of
+    * [[graft.operators.CorpusHygiene.removeContaminated]]: every
+    * arriving document's `n`-gram shingles are tested against the
+    * STATIC benchmark's broadcast inverted index (the same
+    * `graft_bench_overlap` native expression the batch operator
+    * registers, over the same benchmark array — stream and batch
+    * cannot disagree on what is contaminated), and documents sharing
+    * ≥ `minShared` shingles with any benchmark doc other than
+    * themselves are dropped. Pure map work — no state, no watermark;
+    * the benchmark rides inside the expression exactly as in batch,
+    * so the stream never joins or shuffles. Documents too short to
+    * shingle pass (they cannot be contaminated), matching the batch
+    * anti-join's keep-behavior.
+    */
+  def deconStream(stream: DataFrame, benchmark: DataFrame,
+                  idCol: String, textCol: String,
+                  n: Int = 5, minShared: Long = 2): DataFrame = {
+    val spark = stream.sparkSession
+    graft.plans.NativeFunctions.ensureRegistered(spark)
+    val bench: Array[(Long, Array[Long])] =
+      graft.operators.NearDup.shingleSets(benchmark, idCol, textCol, n)
+        .select(col(idCol).cast("long"), col("shingles"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bench_overlap",
+      exprs => graft.plans.BenchmarkOverlap(exprs.head, bench, minShared), "built-in")
+    stream
+      .withColumn("__hits", call_function("graft_bench_overlap",
+        call_function("graft_shingle_hashes", col(textCol), lit(n))))
+      .filter(!exists(col("__hits"),
+        h => h.getField("bench_id") =!= col(idCol).cast("long")))
+      .drop("__hits")
+  }
+
   /** Streaming token-budget admission — the live-feed twin of
     * [[graft.operators.Sampling.tokenBudgetSample]]: per-stratum token
     * budgets consumed as documents ARRIVE, with the running total held
