@@ -80,10 +80,14 @@ object SparkEntry {
   /** One-shot guard for the bucketed-layout gate's table writes: the
     * bucketed fact tables are a LAYOUT, not a result — Bench's min-of-2
     * passes (and any same-session re-run) must re-time the no-shuffle
-    * JOIN, not the one-time table build.
+    * JOIN, not the one-time table build. Holds the ONE (session, dir)
+    * whose build last SUCCEEDED — not a grow-only seen-set: the catalog
+    * tables are shared across dirs, so a dir switch must rebuild (a
+    * seen-set would serve dir B's rows under dir A's gate), and a build
+    * that threw must not mark itself done (set after the writes).
     */
   private val bucketedBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)](null)
 
   /** Delete a staged temp input dir once its synchronous streaming run
     * has materialized (memory-sink rows survive the input's deletion)
@@ -865,6 +869,26 @@ object SparkEntry {
       s.table(tbl).crossJoin(detail)
     }),
 
+    // S15 (bytes-targeted form): OPTIMIZE's real contract is a target
+    // file SIZE — the count must be DERIVED from table bytes. Target =
+    // ceil(bytes/3) ⇒ derived count is exactly 3 for any byte total
+    // (ceil(b/ceil(b/3)) = 3 for b ≥ 3), so the gate pins the layout
+    // math without depending on parquet's encoded size.
+    "s_compact_bytes" -> ((s, dir) => {
+      val tm = new TableManager(s)
+      val tbl = "graft_gate_compact_bytes"
+      resetTable(s, tbl)
+      val agg = t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      tm.append(agg.repartition(8), tbl)
+      val bytes = tm.describeDetail(tbl).select(col("size_bytes")).head.getLong(0)
+      val derived = tm.compactToBytes(tbl, targetFileBytes = (bytes + 2) / 3,
+        clusterBy = Seq("source"))
+      val detail = tm.describeDetail(tbl)
+        .select(col("num_files"), lit(derived.toLong).as("derived_files"))
+      s.table(tbl).crossJoin(detail)
+    }),
+
     // S15 (bucketed layout): both fact tables written bucketed+sorted
     // on the join key, then joined through the catalog — result proven
     // identical to the plain join by the oracle; the NO-SHUFFLE plan
@@ -872,14 +896,17 @@ object SparkEntry {
     // SortMergeJoin with no Exchange).
     "s_bucketed_join" -> ((s, dir) => {
       val tm = new TableManager(s)
-      if (bucketedBuilt.add((s, dir))) {
-        resetTable(s, "graft_gate_bkt_orders"); resetTable(s, "graft_gate_bkt_lineitem")
-        tm.writeBucketed(t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderpriority")),
-          "graft_gate_bkt_orders", numBuckets = 8, bucketCols = Seq("o_orderkey"))
-        tm.writeBucketed(t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_quantity")),
-          "graft_gate_bkt_lineitem", numBuckets = 8, bucketCols = Seq("l_orderkey"))
+      bucketedBuilt.synchronized {
+        if (bucketedBuilt.get != ((s, dir))) {
+          resetTable(s, "graft_gate_bkt_orders"); resetTable(s, "graft_gate_bkt_lineitem")
+          tm.writeBucketed(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+            "graft_gate_bkt_orders", numBuckets = 8, bucketCols = Seq("o_orderkey"))
+          tm.writeBucketed(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity")),
+            "graft_gate_bkt_lineitem", numBuckets = 8, bucketCols = Seq("l_orderkey"))
+          bucketedBuilt.set((s, dir)) // only after both writes succeeded
+        }
       }
       s.table("graft_gate_bkt_orders")
         .join(s.table("graft_gate_bkt_lineitem"),
@@ -1074,6 +1101,31 @@ object SparkEntry {
       IncrementalDedup.keepDecision(s2)
     }),
 
+    // Incremental dedup replayed across FOUR appends — the claim under
+    // test is appendBatch's order-insensitivity at more than one
+    // boundary: any batch split must equal one full-corpus closure
+    // (IncrementalDedup.scala invariant), against the same
+    // recursive-CTE oracle as dedup_incremental. The state
+    // round-trips through the WAREHOUSE between appends (alternating
+    // table versions, exactly a daily job's state rotation — the
+    // returned state is lazy, so writing it onto the table it reads
+    // would be a self-overwrite). Per-append wall time is ~flat
+    // (PLANS.md r9 table) — the point of carrying state at all.
+    "dedup_incremental_multi" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tm = new TableManager(s)
+      val versions = Seq("dedup_incr_multi_v0", "dedup_incr_multi_v1")
+      versions.foreach(resetTable(s, _))
+      var cur = IncrementalDedup.emptyState(s)
+      (0 until 4).foreach { k =>
+        val next = IncrementalDedup.appendBatch(cur, d.filter(col("doc_id") % 4 === k),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        tm.overwrite(next, versions(k % 2))
+        cur = s.table(versions(k % 2))
+      }
+      IncrementalDedup.keepDecision(cur)
+    }),
+
     // SimHash near-dup: 64-bit fingerprint, 4-chunk pigeonhole banding,
     // exact Hamming verify. Token hashes are the engine-portable
     // md5-derived form so the ORACLE recomputes the entire pipeline
@@ -1116,9 +1168,13 @@ object SparkEntry {
     // deterministic under any hash. Real near-dup pairs in the stream
     // don't disturb the count (semi-join on the planted id pairs).
     "streaming_neardup_planted" -> ((s, dir) => {
+      val t0 = to_timestamp(lit("2026-01-01 00:00:00"))
       val base = t(s, dir, "documents").filter(col("doc_id") < 100)
-        .select(col("doc_id"), col("text"))
-      val clones = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), t0.as("ts"))
+      // Clones 10 min after their originals — far inside the 2 h dedup
+      // horizon, so TTL eviction must NOT disturb recovery.
+      val clones = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        (t0 + expr("INTERVAL 10 MINUTES")).as("ts"))
       val tmp = java.nio.file.Files.createTempDirectory("graft-ndstream").toString
       base.coalesce(1).write.mode("append").parquet(tmp)
       // Distinct mtimes => deterministic file order (the file source
@@ -1133,7 +1189,8 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1).parquet(tmp)
       val sink = s"streaming_neardup_${System.nanoTime}"
       val pairs = StreamingJobs.runToMemory(s,
-        StreamingJobs.nearDupStream(stream, "doc_id", "text", simFloor = 0.9),
+        StreamingJobs.nearDupStream(stream, "doc_id", "text", "ts",
+          horizonSec = 7200, simFloor = 0.9),
         sink, mode = "append", statePartitions = Some(8))
       deleteRecursively(tmp) // memory sink materialized; staged copy done
       val planted = base.select(col("doc_id").as("id_a"),
@@ -1143,6 +1200,70 @@ object SparkEntry {
       planted.agg(count(lit(1)).as("n_planted"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
         .select(col("n_planted"), (col("n_planted") === col("n_found")).as("all_found"))
+    }),
+
+    // STREAMING near-dup TTL gate — the bounded-state contract itself:
+    // state must EVICT entries once the watermark passes their ts plus
+    // the 1 h dedup horizon, and must KEEP in-horizon entries. Batch 1
+    // plants base docs at T0; batch 2 plants clones of the first half
+    // 20 min later (in-horizon ⇒ all recovered) plus one sentinel doc
+    // 4 h ahead that pushes the watermark to T0+3h; batch 3 plants
+    // clones of the second half at T0+4h05 — their originals are now
+    // 2 h past the horizon and MUST have been evicted, so none of
+    // those pairs may surface. A NoTimeout implementation (the
+    // scale-killer this guards against) finds all 80 pairs and fails
+    // the n_stale_found = 0 pin; a too-eager TTL fails all_found.
+    "streaming_neardup_ttl" -> ((s, dir) => {
+      val t0 = to_timestamp(lit("2026-01-01 00:00:00"))
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") < 80)
+        .select(col("doc_id"), col("text"), t0.as("ts"))
+      val fresh = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          (t0 + expr("INTERVAL 20 MINUTES")).as("ts"))
+      val pusher = s.range(1).select(lit(5000000L).as("doc_id"),
+        lit("graft watermark pusher sentinel advances event time four hours")
+          .as("text"),
+        (t0 + expr("INTERVAL 4 HOURS")).as("ts"))
+      val stale = docs.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          (t0 + expr("INTERVAL 245 MINUTES")).as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ndttl").toString
+      base.coalesce(1).write.mode("append").parquet(tmp)
+      val past2 = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, past2))
+      fresh.unionAll(pusher).coalesce(1).write.mode("append").parquet(tmp)
+      val past1 = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .forEach { p =>
+          if (java.nio.file.Files.getLastModifiedTime(p).toMillis > past2.toMillis)
+            java.nio.file.Files.setLastModifiedTime(p, past1)
+        }
+      stale.coalesce(1).write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val pairs = StreamingJobs.runToMemory(s,
+        StreamingJobs.nearDupStream(stream, "doc_id", "text", "ts",
+          horizonSec = 3600, simFloor = 0.9),
+        s"streaming_ndttl_${System.nanoTime}", mode = "append",
+        statePartitions = Some(8)).select(col("id_a"), col("id_b")).distinct()
+      deleteRecursively(tmp)
+      val plantedIn = docs.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      val plantedStale = docs.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      plantedIn.agg(count(lit(1)).as("n_in_horizon"))
+        .crossJoin(plantedIn.join(pairs, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("__found_in")))
+        .crossJoin(plantedStale.agg(count(lit(1)).as("n_stale")))
+        .crossJoin(plantedStale.join(pairs, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_stale_found")))
+        .select(col("n_in_horizon"),
+          (col("n_in_horizon") === col("__found_in")).as("in_horizon_all_found"),
+          col("n_stale"), col("n_stale_found"))
     }),
 
     // STREAMING token-budget admission across two micro-batches: the
@@ -1442,7 +1563,10 @@ object SparkEntry {
         StreamingJobs.dedupStream(stream, Seq("user_id", "event_type"))
           .select(col("user_id"), col("event_type")),
         tbl, statePartitions = Some(8))
-      s.table(tbl)
+      // Project the payload columns: the idempotent sink stamps a
+      // __graft_batch_id partition column (replayed batches overwrite
+      // their own partition) that is bookkeeping, not data.
+      s.table(tbl).select(col("user_id"), col("event_type"))
     }),
 
     // Stream-stream inner join with event-time range state eviction:
@@ -2258,6 +2382,14 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, CAST(1 AS BIGINT) AS num_files
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // ceil(b/ceil(b/3)) = 3 for any b ≥ 3 — both the derived count and
+    // the resulting file count are pinned (≥3 distinct sources ⇒
+    // repartition(3) leaves no empty shard).
+    "s_compact_bytes" ->
+      """SELECT source, count(*) AS n_docs, CAST(3 AS BIGINT) AS num_files,
+        |  CAST(3 AS BIGINT) AS derived_files
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "s_http_source" ->
       """SELECT strptime(t, '%Y-%m-%dT%H:%M') AS time, pm10, pm2_5,
         |       latitude, longitude, timezone
@@ -2958,6 +3090,21 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS all_found
         |FROM documents WHERE doc_id < 100""".stripMargin,
 
+    // TTL contract is deterministic on both sides: in-horizon clones
+    // MUST all be recovered (watermark at comparison time is 2 h 40 min
+    // short of their originals' expiry), beyond-horizon clones must
+    // find NOTHING (their originals' state expired 2 h before the
+    // stale batch's watermark).
+    "streaming_neardup_ttl" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN doc_id < 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_horizon,
+        |  true AS in_horizon_all_found,
+        |  CAST(sum(CASE WHEN doc_id >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stale,
+        |  CAST(0 AS BIGINT) AS n_stale_found
+        |FROM documents WHERE doc_id < 80""".stripMargin,
+
     // The two-micro-batch schedule replayed as ONE stacked window:
     // batch index (doc_id % 2) majors the order, the batch operator's
     // md5 permutation minors it; admission is the budget prefix.
@@ -3024,6 +3171,9 @@ object SparkEntry {
     // Incremental replay must land on the same closure as a single
     // full-corpus run — literally the same oracle.
     "dedup_incremental" -> duckClustersSql,
+
+    // Same closure oracle: four appends must equal one full run.
+    "dedup_incremental_multi" -> duckClustersSql,
 
     "text_tfidf" ->
       s"""WITH toks AS (

@@ -236,7 +236,11 @@ object CorpusHygiene {
     }
     val (keep1, drop2) = cacheKey match {
       case Some(k) =>
-        stageSetMemo.computeIfAbsent((docs.sparkSession, k), _ => buildSets(true))
+        // The sets depend on the dedup parameters too — fold them into
+        // the memo key so a caller reusing a cacheKey with different
+        // (n, threshold) is a different entry, not a silent hit.
+        stageSetMemo.computeIfAbsent(
+          (docs.sparkSession, s"$k#n=$n#t=$threshold"), _ => buildSets(true))
       case None => buildSets(false)
     }
     val d1 = d0.join(keep1, Seq(idCol), "left_semi")

@@ -48,7 +48,8 @@ object NearDup {
     * shingle doc is ~100²/2³² ≈ 2e-6 per pair — far below the float
     * tolerance of any downstream consumer.
     */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                  keep: Seq[String] = Nil): DataFrame = {
     // Per-row shingling/hashing is compute-heavy; a small corpus read
     // from one parquet file would otherwise sit in a single partition
     // and use one core. Skew.spread is a no-op when the scan is
@@ -59,8 +60,8 @@ object NearDup {
     // the reference form, equality-asserted in ShingleHashesSpec), and
     // the difference between a ~4s and a sub-second COLD corpus scan.
     Skew.spread(docs)
-      .select(col(idCol),
-        call_function("graft_shingle_hashes", col(textCol), lit(n)).as("shingles"))
+      .select(col(idCol) +: keep.map(col) :+
+        call_function("graft_shingle_hashes", col(textCol), lit(n)).as("shingles"): _*)
       .filter(size(col("shingles")) > 0)
   }
 
@@ -76,11 +77,12 @@ object NearDup {
     * arithmetic identical to the composable 64× array_min∘transform
     * form it replaces.
     */
-  def signatures(shingled: DataFrame, idCol: String): DataFrame = {
+  def signatures(shingled: DataFrame, idCol: String, keep: Seq[String] = Nil): DataFrame = {
     shingled.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
       exprs => graft.plans.MinHashSignature(exprs.head, coefA, coefB, P), "built-in")
-    shingled.select(col(idCol), col("shingles"), expr("graft_minhash(shingles)").as("sig"))
+    shingled.select(col(idCol) +: keep.map(col) :+ col("shingles") :+
+      expr("graft_minhash(shingles)").as("sig"): _*)
   }
 
   /** (id, band, bh) band keys for a signed frame — one row per

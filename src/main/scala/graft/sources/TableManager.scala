@@ -279,18 +279,25 @@ class TableManager(spark: SparkSession) {
     * `First experiment/GPT 5.py:114`). Uses Spark's dynamic
     * partitionOverwriteMode, scoped to this call.
     */
-  def overwritePartitions(df: DataFrame, table: String, partitionBy: Seq[String]): Unit = {
-    if (!exists(table)) { append(df, table, partitionBy); return }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def overwritePartitions(df: DataFrame, table: String, partitionBy: Seq[String],
+                          filesPerPartition: Int = 1): Unit = {
+    if (!exists(table)) { append(df, table, partitionBy, filesPerPartition); return }
+    // Scope the overwrite mode on the DATAFRAME's session, not this
+    // manager's: inside foreachBatch the batch frame is bound to the
+    // streaming engine's CLONED session, and a conf set on the outer
+    // session would leave the clone in STATIC mode — where an empty
+    // trailing micro-batch silently wipes the whole table.
+    val sess = df.sparkSession
+    val prev = sess.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
       alignWrite(alignToSchema(df, schemaOf(table)),
           spark.catalog.listColumns(table).filter(_.isPartition).collect()
-            .map(_.name).toSeq)
+            .map(_.name).toSeq, filesPerPartition)
         .write.mode(SaveMode.Overwrite).insertInto(table)
     finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      case Some(v) => sess.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => sess.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
 
@@ -382,5 +389,24 @@ class TableManager(spark: SparkSession) {
     // Materialize (and sever lineage from the table) before overwrite.
     val staged = clustered.localCheckpoint(true)
     overwrite(staged, table, partitionBy)
+  }
+
+  /** OPTIMIZE's REAL contract — a target file SIZE, not a file count
+    * (Delta's default ~1 GB): file count is derived from the table's
+    * current bytes via [[describeDetail]]'s filesystem walk, then
+    * compacted through [[compact]]. Returns the derived count. Sizing
+    * from pre-compaction bytes is the same approximation OPTIMIZE
+    * makes (re-encoded files shift a few percent); what matters at
+    * scale is the ORDER of the count — a 10 TB table at 1 GB targets
+    * ~10k files, not 8 shards-worth of giants or a million shards.
+    */
+  def compactToBytes(table: String, targetFileBytes: Long,
+                     clusterBy: Seq[String] = Nil,
+                     partitionBy: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val bytes = describeDetail(table).select(col("size_bytes")).head.getLong(0)
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    compact(table, n, clusterBy, partitionBy)
+    n
   }
 }

@@ -50,24 +50,51 @@ object Timestamps {
     else "seconds"
   }
 
-  /** One probe result per source path — the one-row job that decides a
+  /** One probe result per source path — the one-agg job that decides a
     * raw-long column's unit runs once per source, not once per query.
     */
   private val encodingCache = new ConcurrentHashMap[String, TsEncoding]()
 
+  /** Latest mtime under `path` (one listing level — parquet data files
+    * sit directly in the table dir), folded into the probe cache key so
+    * a fixture regenerated IN-SESSION re-probes instead of serving the
+    * stale unit. Non-local / vanished paths contribute a constant: the
+    * cache then degrades to plain per-path (the pre-mtime behavior),
+    * never to an error.
+    */
+  private def mtimeToken(path: String): String =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.mapToLong(f =>
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .max().orElse(0L).toString
+        finally s.close()
+      } else if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.getLastModifiedTime(p).toMillis.toString
+      else "0"
+    } catch { case _: Exception => "0" }
+
   /** The encoding of `name` in BATCH frame `df` (streaming frames can't
-    * run the one-row probe — probe the batch twin, then
-    * [[applyEncoding]] to the stream). `cacheKey` identifies the source
-    * (file path) so repeated reads skip the probe.
+    * run the probe — probe the batch twin, then [[applyEncoding]] to
+    * the stream). `cacheKey` identifies the source (file path) so
+    * repeated reads skip the probe; the file mtime rides in the key so
+    * an in-session regeneration invalidates it.
     */
   def encodingOf(df: DataFrame, name: String, cacheKey: String): TsEncoding =
     df.schema(name).dataType match {
       case TimestampType => Ltz
       case TimestampNTZType => Ntz
       case LongType =>
-        encodingCache.computeIfAbsent(s"$cacheKey#$name", _ =>
-          RawLong(df.select(col(name)).where(col(name).isNotNull).head(1)
-            .headOption.map(r => unitOf(r.getLong(0)))
+        encodingCache.computeIfAbsent(s"$cacheKey#$name@${mtimeToken(cacheKey)}", _ =>
+          // max(abs(ts)) — not the first row in file order: a leading
+          // zero/near-epoch sentinel would classify the whole column,
+          // while the column's LARGEST magnitude is the value the unit
+          // decades separate unambiguously. Same cost class (one agg
+          // job, parquet-stats prunable).
+          RawLong(df.agg(max(abs(col(name)))).head(1)
+            .headOption.filterNot(_.isNullAt(0)).map(r => unitOf(r.getLong(0)))
             // Empty source: any unit yields an empty result; micros is
             // the parquet-ecosystem default.
             .getOrElse("micros")))

@@ -129,44 +129,83 @@ object StreamingJobs {
     * probabilistic — the `streaming_neardup_planted` gate relies on
     * this. Emitted pairs: (id_a < id_b, est_sim), possibly once per
     * colliding band — consumers dedup, as the batch closure does.
+    *
+    * STATE IS BOUNDED IN BOTH DIMENSIONS. `maxBucket` caps entries per
+    * bucket; the dedup horizon `horizonSec` caps the bucket COUNT: an
+    * entry is evicted once the event-time watermark passes its
+    * timestamp plus the horizon (it can no longer partner any on-time
+    * arrival), and a bucket whose every entry is stale is REMOVED from
+    * the state store by an `EventTimeTimeout` — so an unbounded stream
+    * holds at most the buckets touched within one horizon of the
+    * watermark, not one bucket per distinct band value ever seen.
+    * Without this, bucket count grows linearly with distinct content —
+    * the classic streaming scale-killer. Detection contract: a pair of
+    * copies whose event times differ by at most `horizonSec` is found
+    * (given an on-time arrival under the same-length watermark delay);
+    * copies farther apart than the horizon are the
+    * [[graft.operators.IncrementalDedup]] batch state table's job.
+    * Eviction is belt-and-braces: arrivals prune stale partners
+    * in-place before comparing (correctness never waits on a timeout
+    * firing), and the timeout reclaims buckets no arrival revisits.
     */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    tsCol: String, horizonSec: Long,
                     n: Int = 3, simFloor: Double = 0.9,
                     maxBucket: Int = 256): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val horizonMs = horizonSec * 1000L
     val banded = graft.operators.NearDup.bandKeys(
         graft.operators.NearDup.signatures(
-          graft.operators.NearDup.shingleSets(docs, idCol, textCol, n), idCol), idCol,
-        keep = Seq("sig"))
-      .select(col("band"), col("bh"), col(idCol).cast("long").as("id"), col("sig"))
-      .as[(Int, Long, Long, Array[Long])]
+          graft.operators.NearDup.shingleSets(
+            docs.withWatermark(tsCol, s"$horizonSec seconds"),
+            idCol, textCol, n, keep = Seq(tsCol)),
+          idCol, keep = Seq(tsCol)),
+        idCol, keep = Seq("sig", tsCol))
+      .select(col("band"), col("bh"), col(idCol).cast("long").as("id"), col("sig"),
+        col(tsCol).as("__ts"))
+      .as[(Int, Long, Long, Array[Long], java.sql.Timestamp)]
     banded.groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[List[(Long, Array[Long])], (Long, Long, Double)](
+      .flatMapGroupsWithState[List[(Long, Array[Long], Long)], (Long, Long, Double)](
         org.apache.spark.sql.streaming.OutputMode.Append,
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
         case (_, rows, state) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[(Long, Long, Double)]
-          // Deterministic within-batch order (group iterators are not
-          // ordered): smaller ids probe first, so within-batch pairs
-          // always emit as (earlier id, later id) with the earlier doc
-          // already in state — mirroring arrival order across batches.
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
-            if (!seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, osig) =>
-                var m = 0
-                var i = 0
-                while (i < sig.length) { if (sig(i) == osig(i)) m += 1; i += 1 }
-                val est = m.toDouble / sig.length
-                if (est >= simFloor)
-                  out += ((math.min(id, oid), math.max(id, oid), est))
+          if (state.hasTimedOut) {
+            // Timeout fires only after the watermark passes
+            // max(entry ts) + horizon — every entry is stale.
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // Stale partners (watermark past ts+horizon) can no longer
+            // match an on-time arrival — drop before comparing.
+            var seen = state.getOption.getOrElse(Nil)
+              .filter(_._3 + horizonMs > wm)
+            val out = List.newBuilder[(Long, Long, Double)]
+            // Deterministic within-batch order (group iterators are not
+            // ordered): smaller ids probe first, so within-batch pairs
+            // always emit as (earlier id, later id) with the earlier doc
+            // already in state — mirroring arrival order across batches.
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig, ts) =>
+              if (!seen.exists(_._1 == id)) {
+                seen.foreach { case (oid, osig, _) =>
+                  var m = 0
+                  var i = 0
+                  while (i < sig.length) { if (sig(i) == osig(i)) m += 1; i += 1 }
+                  val est = m.toDouble / sig.length
+                  if (est >= simFloor)
+                    out += ((math.min(id, oid), math.max(id, oid), est))
+                }
+                if (seen.size < maxBucket) seen = (id, sig, ts.getTime) :: seen
               }
-              if (seen.size < maxBucket) seen = (id, sig) :: seen
             }
+            state.update(seen)
+            // Re-arm to the freshest entry's expiry (must sit beyond the
+            // current watermark — stale keys would otherwise throw).
+            state.setTimeoutTimestamp(
+              math.max(seen.iterator.map(_._3).max + horizonMs, wm + 1))
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
       .toDF("id_a", "id_b", "est_sim")
   }
@@ -279,6 +318,43 @@ object StreamingJobs {
           rows.foreach { r => n += 1; s += r._2 }
           state.update((n, s))
           UserAgg(uid, n, s)
+      }
+  }
+
+  /** [[statefulUserTotals]] with an idle-eviction bound: a user whose
+    * event-time watermark passes their last event plus `idleSec` has
+    * their state REMOVED (their final totals were already emitted on
+    * every update — nothing is lost, and a returning user simply
+    * starts a fresh running total). The plain variant's state is
+    * user-cardinality-bounded — fine when the key space is finite like
+    * any keyed aggregation — but an open-ended key domain (session
+    * ids, request ids) needs this TTL form. Input must carry a
+    * watermarked `ts` TIMESTAMP column.
+    */
+  def statefulUserTotalsTTL(stream: DataFrame, idleSec: Long)
+      : org.apache.spark.sql.Dataset[UserAgg] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("user_id"), col("value"), col("ts"))
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), UserAgg](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (n, s) = state.getOption.getOrElse((0L, 0.0))
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              n += 1; s += r._2
+              if (r._3.getTime > maxTs) maxTs = r._3.getTime
+            }
+            state.update((n, s))
+            state.setTimeoutTimestamp(math.max(
+              maxTs + idleSec * 1000, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(UserAgg(uid, n, s))
+          }
       }
   }
 
@@ -447,25 +523,61 @@ object StreamingJobs {
     }
   }
 
-  /** foreachBatch sink: append each micro-batch to a managed table via
-    * TableManager — the streaming→catalog bridge (batch-id available
-    * for idempotent sinks that need it).
+  /** The per-micro-batch commit [[runToTable]] applies — exposed so a
+    * replay (same batch id fired twice, which Structured Streaming DOES
+    * do when a crash lands between the sink write and the commit-log
+    * write) is directly testable without engineering a mid-query crash.
+    *
+    * Idempotent mode stamps the batch id into a `__graft_batch_id`
+    * partition and DYNAMICALLY OVERWRITES exactly that partition
+    * ([[graft.sources.TableManager.overwritePartitions]]): a replayed
+    * batch replaces its own earlier (possibly partial) output instead
+    * of appending a duplicate — true exactly-once table contents, not
+    * a marker-file race. Downstream readers drop/ignore the stamp
+    * column; `compact` can fold the per-batch layout later. Non-
+    * idempotent mode is the raw append (at-least-once) for consumers
+    * that dedup downstream and want the table unstamped.
+    */
+  def commitBatch(tables: graft.sources.TableManager, batch: DataFrame,
+                  table: String, batchId: Long, idempotent: Boolean,
+                  filesPerBatch: Int = 1): Unit =
+    if (idempotent)
+      // filesPerBatch salts the batch-id partition so a LARGE
+      // micro-batch writes with that many parallel tasks instead of
+      // funneling through one (the batch id is a single partition
+      // value — see TableManager.alignWrite).
+      tables.overwritePartitions(
+        batch.withColumn("__graft_batch_id", lit(batchId)),
+        table, Seq("__graft_batch_id"), filesPerBatch)
+    else tables.append(batch, table)
+
+  /** foreachBatch sink: write each micro-batch to a managed table via
+    * TableManager — the streaming→catalog bridge. Batch writes go
+    * through [[commitBatch]]; `idempotent = true` (default) makes a
+    * batch replay after a crash overwrite its own partition instead of
+    * double-appending.
     */
   def runToTable(spark: SparkSession, df: DataFrame, table: String,
-                 statePartitions: Option[Int] = None): Unit = {
+                 statePartitions: Option[Int] = None,
+                 idempotent: Boolean = true): Unit = {
     val tables = new graft.sources.TableManager(spark)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     try withEphemeralCheckpoint { ckpt =>
       val q = df.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          tables.append(batch, table)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          commitBatch(tables, batch, table, batchId, idempotent)
         }
         .option("checkpointLocation", ckpt)
         .start()
-      q.processAllAvailable()
-      q.stop()
+      // Stop in finally: if processAllAvailable throws, the query must
+      // be terminated BEFORE withEphemeralCheckpoint's finally deletes
+      // the checkpoint dir out from under it (a still-registered query
+      // against a vanished checkpoint leaks in spark.streams and spews
+      // secondary errors).
+      try q.processAllAvailable()
+      finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -492,8 +604,10 @@ object StreamingJobs {
         .outputMode(mode).format("memory").queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      q.processAllAvailable()
-      q.stop()
+      // Stop in finally — see runToTable: the query must terminate
+      // before the ephemeral checkpoint dir is deleted.
+      try q.processAllAvailable()
+      finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }

@@ -1,0 +1,142 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.StreamingJobs
+
+/** State-bound contracts for the streaming operators: the near-dup band
+  * state and the TTL'd per-user totals must EVICT once the event-time
+  * watermark passes an entry's horizon — asserted directly on the state
+  * store row counts reported in query progress, plus the behavioral
+  * consequences (in-horizon pair found, beyond-horizon pair not, evicted
+  * user restarts at zero). Idempotent table commits are replay-tested
+  * at the commitBatch layer — the exact call a checkpoint-recovered
+  * foreachBatch re-fires.
+  */
+class StreamingTTLSpec extends SparkSuite {
+  import spark.implicits._
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** Latest reported state-store row count of `q` (sum over operators). */
+  private def stateRows(q: StreamingQuery): Long =
+    q.recentProgress.reverseIterator
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(0L)
+
+  private def doc(i: Long): String =
+    s"unique streaming document number $i carrying enough distinct tokens " +
+      s"to shingle cleanly marker ${i * 7} tail ${i * 13}"
+
+  test("nearDupStream evicts band state past the horizon; in-horizon pairs still found") {
+    val t0 = 1_700_000_000_000L // fixed epoch ms; only relative time matters
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ndttl-spec").toString
+    val q = StreamingJobs.nearDupStream(
+        in.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+        horizonSec = 120, simFloor = 0.9)
+      .writeStream.outputMode("append").format("memory").queryName("t_ndttl")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 1: eight base docs at T0
+      in.addData((1L to 8L).map(i => (i, doc(i), ts(0))))
+      q.processAllAvailable()
+      val afterBase = stateRows(q)
+      assert(afterBase > 0, "base docs must populate band state")
+
+      // batch 2: clone of doc 1 thirty seconds later — inside the
+      // 120 s horizon, must pair with its original via state
+      in.addData(Seq((101L, doc(1), ts(30))))
+      q.processAllAvailable()
+      val pairs1 = spark.table("t_ndttl").select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs1.contains((1L, 101L)), s"in-horizon pair missing: $pairs1")
+
+      // batch 3: a watermark pusher 600 s ahead — watermark advances to
+      // T0+480 s, stranding every T0-era entry 6 horizons stale
+      in.addData(Seq((900L, doc(900), ts(600))))
+      q.processAllAvailable()
+
+      // batch 4: clone of doc 2, on time for the new watermark — its
+      // original was evicted, so NO pair may surface; the batch also
+      // fires the pending timeouts, shrinking the store
+      in.addData(Seq((102L, doc(2), ts(610))))
+      q.processAllAvailable()
+      val pairs2 = spark.table("t_ndttl").select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+      assert(!pairs2.contains((2L, 102L)),
+        s"beyond-horizon pair must not be found: $pairs2")
+      val afterEvict = stateRows(q)
+      assert(afterEvict < afterBase,
+        s"state must shrink after eviction: $afterEvict >= $afterBase")
+    } finally q.stop()
+  }
+
+  test("statefulUserTotalsTTL evicts idle users; a returning user restarts") {
+    val t0 = 1_700_000_000_000L
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+    val in = MemoryStream[(Long, Double, Timestamp)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-uttl-spec").toString
+    val q = StreamingJobs.statefulUserTotalsTTL(
+        in.toDF.toDF("user_id", "value", "ts").withWatermark("ts", "10 seconds"),
+        idleSec = 60)
+      .writeStream.outputMode("append").format("memory").queryName("t_uttl")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((1L to 5L).map(u => (u, 2.0, ts(0))))
+      q.processAllAvailable()
+      assert(stateRows(q) === 5L)
+
+      // push the watermark far past everyone's idle horizon
+      in.addData(Seq((9L, 1.0, ts(300))))
+      q.processAllAvailable()
+      // next batch fires the timeouts for users 1..5
+      in.addData(Seq((1L, 7.0, ts(310))))
+      q.processAllAvailable()
+      val rows = spark.table("t_uttl")
+        .as[StreamingJobs.UserAgg].collect()
+      // user 1 was evicted, so the return starts a FRESH total
+      val user1 = rows.filter(_.user_id == 1L)
+      assert(user1.map(_.n_events).toSet === Set(1L),
+        s"returning user must restart at n=1: ${user1.toSeq}")
+      assert(user1.map(_.total_value).contains(7.0))
+      val afterEvict = stateRows(q)
+      assert(afterEvict <= 2L, // user 9 + returned user 1
+        s"idle users must be evicted: $afterEvict state rows")
+    } finally q.stop()
+  }
+
+  test("commitBatch replay of the same batch id does not duplicate rows") {
+    val tm = new graft.sources.TableManager(spark)
+    val tbl = "t_idem_sink"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    StreamingJobs.commitBatch(tm, b0, tbl, batchId = 0L, idempotent = true)
+    assert(spark.table(tbl).count() === 2)
+    // crash-replay: same batch id fired again must overwrite, not append
+    StreamingJobs.commitBatch(tm, b0, tbl, batchId = 0L, idempotent = true)
+    assert(spark.table(tbl).count() === 2)
+    // a replay that previously wrote PARTIAL output is also healed:
+    // the partition is replaced wholesale
+    StreamingJobs.commitBatch(tm, b0.limit(1), tbl, batchId = 0L, idempotent = true)
+    StreamingJobs.commitBatch(tm, b0, tbl, batchId = 0L, idempotent = true)
+    assert(spark.table(tbl).count() === 2)
+    // a NEW batch id appends alongside
+    StreamingJobs.commitBatch(tm, Seq((3L, "c")).toDF("k", "v"), tbl,
+      batchId = 1L, idempotent = true)
+    assert(spark.table(tbl).count() === 3)
+    assert(spark.table(tbl).select("k").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+    // contrast: the non-idempotent mode is plain at-least-once append
+    val tbl2 = "t_idem_sink_raw"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl2")
+    StreamingJobs.commitBatch(tm, b0, tbl2, batchId = 0L, idempotent = false)
+    StreamingJobs.commitBatch(tm, b0, tbl2, batchId = 0L, idempotent = false)
+    assert(spark.table(tbl2).count() === 4)
+  }
+}
