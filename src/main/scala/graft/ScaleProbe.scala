@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measurement harness for the scale claims PLANS.md records — the
+  * numbers Bench can't see because they need instrumentation INSIDE an
+  * operator's loop. Modes (argv(0)):
+  *
+  *  - `incr`: per-append wall time of [[graft.operators.IncrementalDedup]]
+  *    across K appends with a warehouse state round-trip per append —
+  *    the claim is that append cost is ~flat (state probes are keyed
+  *    joins; the closure touches only this append's subgraph), i.e.
+  *    carrying state beats the reference's re-dedup-everything loop by
+  *    a factor that GROWS with corpus age.
+  *  - `skew`: a deliberately skewed fact (half the rows on ONE hot key)
+  *    joined to a dim, plain AQE skew-join vs [[graft.operators.Skew]]'s
+  *    salted join — records whether Spark 4.1's AQE alone matches the
+  *    salted plan, so the "when to salt" guidance is measured.
+  *
+  * Prints one line per measurement; not part of the driver contract.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("incr")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+
+    def timed(label: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $label%-28s $s%8.3f s")
+      s
+    }
+
+    mode match {
+      case "incr" =>
+        val k = args.lift(1).map(_.toInt).getOrElse(4)
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val tm = new graft.sources.TableManager(spark)
+        val versions = Seq("probe_incr_v0", "probe_incr_v1")
+        versions.foreach { t =>
+          // Fresh metastore + leftover warehouse dir from a prior run:
+          // DROP alone is a no-op, the dir must go too (resetTable's
+          // pattern in SparkEntry).
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          val wh = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), t)
+          wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+        }
+        var cur = graft.operators.IncrementalDedup.emptyState(spark)
+        (0 until k).foreach { i =>
+          timed(s"append $i (1/$k of corpus)") {
+            val next = graft.operators.IncrementalDedup.appendBatch(
+              cur, d.filter(col("doc_id") % k === i), "doc_id", "text",
+              n = 3, threshold = 0.5)
+            tm.overwrite(next, versions(i % 2))
+            cur = spark.table(versions(i % 2))
+          }
+        }
+        timed("keepDecision") {
+          graft.operators.IncrementalDedup.keepDecision(cur)
+            .write.format("noop").mode("overwrite").save()
+        }
+
+      case "skew" =>
+        // Fact: orders replicated 8x with HALF of all rows remapped to
+        // one hot custkey — the shape AQE's skew split targets. Dim:
+        // customer as-is. Both sides written to parquet first so scan
+        // and shuffle costs are real, not in-memory ranges.
+        val tmp = java.nio.file.Files.createTempDirectory("probe-skew").toString
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        val fact = (0 until 8).map(i => o.withColumn("o_orderkey",
+            col("o_orderkey") * 8 + i)).reduce(_ unionAll _)
+          .withColumn("o_custkey",
+            when(pmod(col("o_orderkey"), lit(2)) === 0, lit(1L))
+              .otherwise(col("o_custkey")))
+        fact.write.parquet(s"$tmp/fact")
+        val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        dim.write.parquet(s"$tmp/dim")
+        val f = spark.read.parquet(s"$tmp/fact")
+        val dm = spark.read.parquet(s"$tmp/dim")
+        def agg(j: DataFrame) = j.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("tp"))
+          .write.format("noop").mode("overwrite").save()
+        // Disable broadcast so the skewed SHUFFLE join is actually
+        // exercised (the dim is broadcast-sized here, but at 100 TB the
+        // interesting case is when it is not).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        (1 to 2).foreach { pass =>
+          timed(s"plain AQE skew-join p$pass")(agg(f.join(dm, Seq("o_custkey"))))
+          timed(s"salted join p$pass")(agg(graft.operators.Skew.saltedJoin(
+            f, dm, "o_custkey", saltOn = Seq("o_orderkey"), saltBuckets = 8)))
+        }
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+      case other => sys.error(s"unknown probe mode: $other")
+    }
+    spark.stop()
+  }
+}
