@@ -273,4 +273,38 @@ class TableManagerSpec extends SparkSuite {
     val files = spark.table("tm_compact").inputFiles
     assert(files.length === 1)
   }
+
+  test("compactToBytes derives the file count from table bytes") {
+    val df = spark.range(3000).withColumn("v", rand(11)).repartition(8)
+    tables.overwrite(df, "tm_compact_bytes")
+    val bytes = tables.describeDetail("tm_compact_bytes")
+      .select("size_bytes").head.getLong(0)
+    // ceil(b / ceil(b/3)) = 3 for any b >= 3
+    val derived = tables.compactToBytes("tm_compact_bytes", (bytes + 2) / 3)
+    assert(derived === 3)
+    assert(spark.table("tm_compact_bytes").inputFiles.length === 3)
+    assert(spark.table("tm_compact_bytes").count() === 3000)
+    // a target larger than the table compacts to one file
+    assert(tables.compactToBytes("tm_compact_bytes", bytes * 10) === 1)
+    assert(spark.table("tm_compact_bytes").inputFiles.length === 1)
+  }
+
+  test("overwritePartitions is dynamic even when the frame belongs to another session") {
+    // foreachBatch hands TableManager a frame bound to the streaming
+    // engine's CLONED session; the dynamic-overwrite conf must follow
+    // the FRAME's session or the write silently runs static and an
+    // empty/partial batch wipes unrelated partitions. newSession()
+    // shares the catalog but isolates conf — the same shape.
+    tables.overwrite(
+      Seq((1L, "p0"), (2L, "p1")).toDF("k", "p"), "tm_xsession", partitionBy = Seq("p"))
+    val other = spark.newSession()
+    import other.implicits._
+    val foreign = Seq((9L, "p1")).toDF("k", "p")
+    assert(foreign.sparkSession ne spark)
+    tables.overwritePartitions(foreign, "tm_xsession", Seq("p"))
+    // p0 must survive; p1 is replaced
+    val rows = spark.table("tm_xsession").select("k", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((1L, "p0"), (9L, "p1")))
+  }
 }
