@@ -1126,6 +1126,40 @@ object SparkEntry {
       IncrementalDedup.keepDecision(cur)
     }),
 
+    // STREAMING incremental dedup: a three-micro-batch feed deduped
+    // against ALL history through the warehouse-backed IncrementalDedup
+    // state (version-rotated per batch inside foreachBatch). The oracle
+    // is the SAME full-corpus recursive-CTE closure as dedup_incremental
+    // — a crawl replayed through any micro-batch schedule must equal
+    // one batch run. Complements streaming_neardup_ttl: the TTL band
+    // state catches in-horizon re-crawls per-arrival; this catches them
+    // across any gap, per-micro-batch.
+    "streaming_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sincr").toString
+      d.filter(col("doc_id") % 3 === 0).coalesce(1).write.mode("append").parquet(tmp)
+      val past2 = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, past2))
+      d.filter(col("doc_id") % 3 === 1).coalesce(1).write.mode("append").parquet(tmp)
+      val past1 = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .forEach { p =>
+          if (java.nio.file.Files.getLastModifiedTime(p).toMillis > past2.toMillis)
+            java.nio.file.Files.setLastModifiedTime(p, past1)
+        }
+      d.filter(col("doc_id") % 3 === 2).coalesce(1).write.mode("append").parquet(tmp)
+      resetTable(s, "graft_gate_sincr_v0"); resetTable(s, "graft_gate_sincr_v1")
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val stateTbl = StreamingJobs.incrementalDedupStream(stream, "doc_id", "text",
+        "graft_gate_sincr", statePartitions = Some(8))
+      deleteRecursively(tmp)
+      IncrementalDedup.keepDecision(s.table(stateTbl))
+    }),
+
     // SimHash near-dup: 64-bit fingerprint, 4-chunk pigeonhole banding,
     // exact Hamming verify. Token hashes are the engine-portable
     // md5-derived form so the ORACLE recomputes the entire pipeline
@@ -3174,6 +3208,9 @@ object SparkEntry {
 
     // Same closure oracle: four appends must equal one full run.
     "dedup_incremental_multi" -> duckClustersSql,
+
+    // Same again: any micro-batch schedule must equal one batch run.
+    "streaming_dedup_incremental" -> duckClustersSql,
 
     "text_tfidf" ->
       s"""WITH toks AS (

@@ -210,6 +210,82 @@ object StreamingJobs {
       .toDF("id_a", "id_b", "est_sim")
   }
 
+  /** Streaming INCREMENTAL dedup — each micro-batch of documents is
+    * deduplicated against ALL history through the persistent
+    * [[graft.operators.IncrementalDedup]] state table (warehouse-backed,
+    * version-rotated per batch exactly like the daily batch job). This
+    * is the complement of [[nearDupStream]]: the TTL'd band state
+    * catches re-crawls *within* the dedup horizon with per-arrival
+    * latency; this operator catches them across ANY gap — a mirror
+    * copy arriving months after the original still collides with the
+    * original's fingerprint/band rows in the state table — at
+    * per-micro-batch latency. Together they are the production shape:
+    * fast in-horizon suppression + durable full-history closure.
+    *
+    * Crash/replay safe: ids already present in the state are filtered
+    * from the incoming batch first (one keyed anti-join), so a
+    * replayed micro-batch (Structured Streaming re-fires the last
+    * batch after recovery) is a no-op instead of violating
+    * appendBatch's disjoint-ids contract.
+    *
+    * All reads/writes run on the BATCH frame's session (foreachBatch
+    * hands a frame bound to the streaming engine's cloned session —
+    * mixing it with outer-session frames is undefined). Returns the
+    * name of the state version table holding the final state; read
+    * dedup decisions via `IncrementalDedup.keepDecision(table)`.
+    */
+  def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                             stateBase: String, n: Int = 3,
+                             threshold: Double = 0.5,
+                             statePartitions: Option[Int] = None): String = {
+    val outer = docs.sparkSession
+    val versions = Seq(s"${stateBase}_v0", s"${stateBase}_v1")
+    // Rotation cursor lives in the driver: which version table holds
+    // the CURRENT state (-1 = nothing written yet).
+    val current = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val prev = outer.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p =>
+      outer.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try withEphemeralCheckpoint { ckpt =>
+      val q = docs.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          incrementalDedupCommit(batch, idCol, textCol, versions, current,
+            n, threshold)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally outer.conf.set("spark.sql.shuffle.partitions", prev)
+    require(current.get >= 0, "stream produced no micro-batches — no state written")
+    versions(current.get)
+  }
+
+  /** The per-micro-batch commit of [[incrementalDedupStream]] — exposed
+    * so a crash replay (same batch re-fired) is directly testable. The
+    * anti-join replay guard makes a re-fired batch a state no-op.
+    */
+  def incrementalDedupCommit(batch: DataFrame, idCol: String, textCol: String,
+                             versions: Seq[String],
+                             current: java.util.concurrent.atomic.AtomicInteger,
+                             n: Int = 3, threshold: Double = 0.5): Unit = {
+    val s = batch.sparkSession
+    val tables = new graft.sources.TableManager(s)
+    val cur =
+      if (current.get < 0) graft.operators.IncrementalDedup.emptyState(s)
+      else s.table(versions(current.get))
+    // Replay guard: drop ids the state has already absorbed.
+    val fresh =
+      if (current.get < 0) batch
+      else batch.join(cur.select(col("doc_id").cast("long").as(idCol)),
+        Seq(idCol), "left_anti")
+    val next = graft.operators.IncrementalDedup.appendBatch(
+      cur, fresh, idCol, textCol, n, threshold)
+    val target = (current.get + 1).max(0) % 2
+    tables.overwrite(next, versions(target))
+    current.set(target) // only after the write succeeded
+  }
+
   /** Streaming benchmark decontamination — the live-feed twin of
     * [[graft.operators.CorpusHygiene.removeContaminated]]: every
     * arriving document's `n`-gram shingles are tested against the

@@ -111,6 +111,36 @@ class StreamingTTLSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("incrementalDedupCommit replay of the same micro-batch is a state no-op") {
+    def resetT(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
+    val versions = Seq("t_sincr_v0", "t_sincr_v1")
+    versions.foreach(resetT)
+    val current = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val b1 = Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(1))) // 3 clones 1
+      .toDF("doc_id", "text")
+    val b2 = Seq((4L, doc(2)), (5L, doc(5))).toDF("doc_id", "text") // 4 clones 2
+    StreamingJobs.incrementalDedupCommit(b1, "doc_id", "text", versions, current)
+    StreamingJobs.incrementalDedupCommit(b2, "doc_id", "text", versions, current)
+    def state = spark.table(versions(current.get))
+    val rowsAfter = state.count()
+    val decisions = graft.operators.IncrementalDedup.keepDecision(state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(decisions === Set((1L, 1L, true), (3L, 1L, false),
+      (2L, 2L, true), (4L, 2L, false)))
+    // crash replay: batch 2 re-fired — the anti-join guard must make it
+    // a no-op (same rows, same decisions), not a duplicate-id blowup
+    StreamingJobs.incrementalDedupCommit(b2, "doc_id", "text", versions, current)
+    assert(state.count() === rowsAfter)
+    val decisions2 = graft.operators.IncrementalDedup.keepDecision(state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(decisions2 === decisions)
+  }
+
   test("commitBatch replay of the same batch id does not duplicate rows") {
     val tm = new graft.sources.TableManager(spark)
     val tbl = "t_idem_sink"
