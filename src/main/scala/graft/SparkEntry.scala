@@ -1737,6 +1737,18 @@ object SparkEntry {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
 
+    // Deterministic epoch shuffle: every doc gets a reproducible
+    // (shard, pos) — shard from the 256-bucket hash (4 shards align
+    // exactly with hex-pair boundaries), position within shard by
+    // full-md5 order via the bucketed prefix sum (no one-task-per-
+    // shard window). Same corpus + salt ⇒ identical order on any
+    // layout; the oracle replays it as a partitioned row_number.
+    "sample_shuffle" -> ((s, dir) =>
+      Sampling.shuffleDeterministic(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", shards = 4)
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))),
+
     // Per-source document CAP (RefinedWeb-style anti-head-domain
     // rule): at most 10 docs per source, first-10 in deterministic
     // md5-hash order; the surviving rank is in the output so the
@@ -3054,6 +3066,21 @@ object SparkEntry {
         |       WHEN b < 'g'  THEN 'test' END AS split
         |FROM (SELECT doc_id,
         |        substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        |      FROM documents)""".stripMargin,
+
+    // Shard = hash-bucket range (4 shards ⇔ hex-pair quartiles),
+    // pos = row_number within shard in full-md5 order.
+    "sample_shuffle" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN b < '40' THEN 0 WHEN b < '80' THEN 1
+        |       WHEN b < 'c0' THEN 2 ELSE 3 END AS shard,
+        |  row_number() OVER (
+        |    PARTITION BY (CASE WHEN b < '40' THEN 0 WHEN b < '80' THEN 1
+        |                       WHEN b < 'c0' THEN 2 ELSE 3 END)
+        |    ORDER BY h) AS pos
+        |FROM (SELECT doc_id, source,
+        |        substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+        |        md5('graft' || CAST(doc_id AS VARCHAR)) AS h
         |      FROM documents)""".stripMargin,
 
     // Per-source cap replayed as a plain stratum-partitioned

@@ -173,6 +173,34 @@ object Sampling {
     df.join(kept, Seq(keyCol))
   }
 
+  /** Deterministic global shuffle for training output — the last step
+    * of every pretraining data pipeline: each row gets a reproducible
+    * pseudo-random position (shard from its 256-bucket hash, position
+    * within shard by full-md5 order), so the same corpus + salt yields
+    * an identical epoch order on ANY cluster size or layout, and a new
+    * salt is a fresh epoch permutation. Writers emit one file group
+    * per shard ordered by pos.
+    *
+    * Scale shape: positions come from the two-level bucketed prefix
+    * sum ([[Packing.bucketedRunningSum]]) — per-(shard, hash-bucket)
+    * windows, never one task per shard — and the ranked frame carries
+    * only (key, shard, pos); full rows join back by key, so text
+    * shuffles once. `shards` bounds output layout, not parallelism.
+    */
+  def shuffleDeterministic(df: DataFrame, keyCol: String, shards: Int = 8,
+                           salt: String = "graft"): DataFrame = {
+    require(shards >= 1 && shards <= 256, s"shards must be in [1,256]: $shards")
+    val base = df.select(col(keyCol))
+      .withColumn("__ord", hashBucket32(col(keyCol), salt))
+      .withColumn("shard",
+        (conv(substring(col("__ord"), 1, 2), 16, 10).cast("long") * shards / 256)
+          .cast("int"))
+      .withColumn("__one", lit(1L))
+    val ranked = Packing.bucketedRunningSum(base, Seq("shard"), "__ord", "__one", "pos")
+      .select(col(keyCol), col("shard"), col("pos"))
+    df.join(ranked, Seq(keyCol))
+  }
+
   def assignSplits(df: DataFrame, keyCol: String,
                    splits: Seq[(String, Double)], salt: String = "graft",
                    splitCol: String = "split"): DataFrame = {
