@@ -320,4 +320,24 @@ class PropertySpec extends SparkSuite {
       assert(viaUnion === expectedKeys)
     }
   }
+
+  test("shuffleDeterministic is layout-independent; a new salt permutes") {
+    import graft.operators.Sampling
+    val docs = (1L to 300L).map(i => (i, s"doc $i")).toDF("id", "payload")
+    def run(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.shuffleDeterministic(df, "id", shards = 4, salt = salt)
+        .select("id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val one = run(docs.coalesce(1), "graft")
+    val seven = run(docs.repartition(7), "graft")
+    assert(one === seven, "same (shard, pos) on any physical layout")
+    // every shard's positions are a contiguous 1..n ranking
+    one.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toList.sorted === (1L to rows.size).toList)
+    }
+    // a different salt is a genuinely different permutation
+    val resalted = run(docs, "epoch2")
+    assert(resalted !== one)
+    assert(resalted.map(_._1) === one.map(_._1), "same rows, new order")
+  }
 }
