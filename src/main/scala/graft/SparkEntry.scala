@@ -634,6 +634,26 @@ object SparkEntry {
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING, lang STRING"))),
 
+    // The EXPORT end of the ingest path: the corpus leaves as a
+    // 4-shard JSONL export (shard membership a pure function of
+    // doc_id — layout-independent), then reads back through the SAME
+    // quarantine parser with the shard id ex partition discovery. The
+    // oracle recomputes the shard hex ranges and text md5 from the
+    // source table — equality proves the roundtrip lossless. The
+    // export dir is overwritten per run (it must outlive the lambda:
+    // the read-back evaluates lazily, driver-side).
+    "s_jsonl_sink" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_sink_" +
+        Integer.toHexString(dir.hashCode)
+      graft.sources.Jsonl.writeSharded(t(s, dir, "documents"), out, "doc_id", shards = 4)
+      graft.sources.Jsonl.readSharded(s, out,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+        .filter(col(graft.sources.Jsonl.CorruptCol).isNull)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("shard"), md5(col("text").cast("binary")).as("text_md5"))
+    }),
+
     // The same ingest as a STREAM (files landing in a directory):
     // parse + quarantine are the identical shared expression, and the
     // gate holds the streamed good rows to the same DuckDB oracle as
@@ -1080,6 +1100,17 @@ object SparkEntry {
     "dedup_clusters_star" -> ((s, dir) =>
       Components.keepDecision(Components.connectedComponentsStar(docPairsShared(s, dir)))),
 
+    // Quality-aware keeper election over the SAME near-dup clusters:
+    // each cluster keeps its LONGEST document (smallest id on ties) —
+    // the keep-the-best-copy policy production curation ships, where
+    // min-id keep is only the deterministic default. Election is a
+    // partial-aggregable max_by, not a cluster window; oracle replays
+    // it as a window over the recursive closure.
+    "dedup_keep_best" -> ((s, dir) =>
+      Components.keepBest(
+        Components.connectedComponents(docPairsShared(s, dir)),
+        t(s, dir, "documents"), "doc_id", col("n_chars"))),
+
     // Incremental cross-run dedup: the corpus replayed as two appends
     // (interleaved id split — exercises cross-batch candidate probes
     // AND old-cluster remaps to a smaller later-arriving id), with the
@@ -1403,6 +1434,30 @@ object SparkEntry {
         cn)
     }),
 
+    // The IVF index AS A WAREHOUSE TABLE, built across two ingest
+    // appends (cluster-partitioned postings — a probe touches
+    // nprobe/nlist of the files) and probed FROM the catalog. Must
+    // equal the single-pass in-memory index: assignment is a pure
+    // per-vector function of the fixed centroids — the same
+    // duckAnnIvfSql oracle adjudicates both.
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cn = EmbeddingAnn.normalized(e, "embedding").persist()
+      val centroids = centroids16(s, dir, cn)
+      val tm = new TableManager(s)
+      val tbl = "graft_gate_ann_postings"
+      resetTable(s, tbl)
+      tm.append(EmbeddingAnn.ivfPostings(cn.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", centroids), tbl, partitionBy = Seq("cluster"))
+      tm.append(EmbeddingAnn.ivfPostings(cn.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", centroids), tbl, partitionBy = Seq("cluster"))
+      Caching.materializeAndRelease(
+        EmbeddingAnn.ivfTopKFromPostings(s.table(tbl),
+          cn.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, centroids, nprobe = 4),
+        cn)
+    }),
+
     // SemDeDup: cluster-then-pairwise semantic dedup — the published
     // scale path for embedding near-dup (within-cluster pairs only,
     // BucketGuard-capped clusters). Keeper election and closure are
@@ -1708,6 +1763,17 @@ object SparkEntry {
     "sample_temperature" -> ((s, dir) =>
       Sampling.temperatureMixture(t(s, dir, "documents"), "source", "doc_id", "text",
         totalBudget = 3000L, alpha = 0.5)),
+
+    // Recipe mixing WITH upsampling: src0's token target exceeds its
+    // corpus total, so every src0 doc repeats across full epochs plus
+    // a deterministic fractional prefix (Llama-style small-source
+    // repetition); src1/src2 sit at or below one epoch (plain
+    // downsample); every other source is out of the recipe. The
+    // oracle rederives totals, epoch counts, and the fractional
+    // prefix from scratch.
+    "sample_epochs" -> ((s, dir) =>
+      Sampling.epochMixture(t(s, dir, "documents"), "source", "doc_id", "text",
+        targets = Map("src0" -> 30000L, "src1" -> 5000L, "src2" -> 700L))),
 
     // Concat-and-chunk sequence packing: each document's token span in
     // the deterministic global stream, chunked into 512-token training
@@ -2327,6 +2393,17 @@ object SparkEntry {
         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR'})
         |WHERE doc_id IS NOT NULL OR text IS NOT NULL OR lang IS NOT NULL""".stripMargin,
 
+    // The export roundtrip must hand back exactly the source table,
+    // with each doc in the shard its hash range dictates (4 shards =
+    // the hex-pair quartiles, as in sample_shuffle).
+    "s_jsonl_sink" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  CASE WHEN b < '40' THEN 0 WHEN b < '80' THEN 1
+        |       WHEN b < 'c0' THEN 2 ELSE 3 END AS shard,
+        |  md5(text) AS text_md5
+        |FROM (SELECT *, substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        |      FROM documents)""".stripMargin,
+
     "s_partition_prune" ->
       """SELECT event_type, count(*) AS n_rows, avg(value) AS avg_value
         |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
@@ -2635,7 +2712,9 @@ object SparkEntry {
   // label) accumulates every reachable node id; min per node is the
   // component id. Oracles BOTH closure algorithms (label propagation
   // and star contraction) — they must agree exactly.
-  private lazy val duckClustersSql =
+  // The recursive reachability closure over the exact-Jaccard pair
+  // set — shared prefix of every clusters-family oracle.
+  private lazy val duckReachCte =
     s"""WITH RECURSIVE sh AS (
        |  SELECT doc_id, ${duckShingles("tok")} AS sh
        |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)
@@ -2653,11 +2732,27 @@ object SparkEntry {
        |reach(node, label) AS (
        |  SELECT src, src FROM edges
        |  UNION
-       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)""".stripMargin
+
+  private lazy val duckClustersSql =
+    s"""$duckReachCte
        |SELECT CAST(node AS BIGINT) AS node,
        |  CAST(min(label) AS BIGINT) AS cluster_id,
        |  min(label) = node AS keep
        |FROM reach GROUP BY node""".stripMargin
+
+  // Same closure, keeper elected by (n_chars DESC, node ASC) instead
+  // of min id — replayed as a cluster-partitioned window (the Spark
+  // side computes the identical winner with a partial-aggregable
+  // max_by, no window).
+  private lazy val duckKeepBestSql =
+    s"""$duckReachCte,
+       |comps AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+       |SELECT CAST(c.node AS BIGINT) AS node,
+       |  CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       |  row_number() OVER (PARTITION BY c.cluster_id
+       |    ORDER BY d.n_chars DESC, c.node ASC) = 1 AS keep
+       |FROM comps c JOIN documents d ON d.doc_id = c.node""".stripMargin
 
   // Full DuckDB recomputation of the portable-hash SimHash pipeline:
   // per (doc, bit) majority vote over the md5-derived 60-bit token
@@ -3030,6 +3125,27 @@ object SparkEntry {
          |FROM c JOIN b ON c.source = b.source
          |WHERE c.cum_tokens <= b.budget""".stripMargin,
 
+    // Rederives per-source totals, splits each target into full-epoch
+    // count + fractional remainder, unrolls full epochs with range(),
+    // and replays the fractional md5-order prefix as a window.
+    "sample_epochs" ->
+      s"""WITH base AS (SELECT doc_id, source,
+         |    CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |tgt(source, target) AS (
+         |  VALUES ('src0', 30000), ('src1', 5000), ('src2', 700)),
+         |tot AS (SELECT source, sum(n_tokens) AS total FROM base GROUP BY source),
+         |par AS (SELECT b.doc_id, b.source, b.n_tokens,
+         |    CAST(g.target // t.total AS BIGINT) AS n_full,
+         |    CAST(g.target % t.total AS BIGINT) AS frac
+         |  FROM base b JOIN tot t USING (source) JOIN tgt g USING (source)),
+         |ranked AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS cum FROM par)
+         |SELECT doc_id, source, n_tokens, CAST(unnest(range(n_full)) AS BIGINT) AS epoch
+         |FROM par WHERE n_full > 0
+         |UNION ALL
+         |SELECT doc_id, source, n_tokens, n_full AS epoch
+         |FROM ranked WHERE frac > 0 AND cum <= frac""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
          |           FROM documents),
@@ -3229,6 +3345,7 @@ object SparkEntry {
     // component id (matches min-label propagation on the Spark side).
     "dedup_clusters" -> duckClustersSql,
     "dedup_clusters_star" -> duckClustersSql,
+    "dedup_keep_best" -> duckKeepBestSql,
     // Incremental replay must land on the same closure as a single
     // full-corpus run — literally the same oracle.
     "dedup_incremental" -> duckClustersSql,
@@ -3266,6 +3383,8 @@ object SparkEntry {
     "ann_lsh" -> duckAnnLshSql,
 
     "ann_ivf" -> duckAnnIvfSql,
+    // Index assembled across appends == single-pass index: same oracle.
+    "ann_ivf_incremental" -> duckAnnIvfSql,
 
     "dedup_semantic" -> duckSemDedupSql,
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a pair list — the step that turns
@@ -67,6 +67,40 @@ object Components {
     */
   def keepDecision(components: DataFrame): DataFrame =
     components.withColumn("keep", col("node") === col("cluster_id"))
+
+  /** Quality-aware keeper election: instead of the minimum id, each
+    * cluster keeps the node MAXIMIZING `score` (smallest id on ties) —
+    * the policy real corpus curation ships (keep the longest /
+    * highest-quality copy of a near-dup group, per Dolma/RefinedWeb
+    * practice), where min-id keep is only the deterministic default.
+    *
+    * `attrs` supplies the score inputs, one row per node id in `idCol`
+    * (nodes absent from `attrs` are dropped — the caller's contract is
+    * that attrs covers the corpus). `score` may be any orderable
+    * Column over `attrs`' columns, e.g. `col("n_chars")` or a computed
+    * quality signal; composite policies pass a `struct(...)`.
+    *
+    * Scale shape: the election is a `max_by` over (score, -node) —
+    * a declarative aggregate with map-side partial combine, NOT a
+    * cluster-partitioned window (no sort, no single-task giant
+    * cluster); winners (one row per cluster) join back on cluster_id.
+    * Output: (node, cluster_id, keep) — same contract as
+    * [[keepDecision]] so downstream anti-joins are policy-agnostic.
+    */
+  def keepBest(components: DataFrame, attrs: DataFrame, idCol: String,
+               score: Column): DataFrame = {
+    val scored = components.join(
+      attrs.select(col(idCol).cast("long").as("node"), score.as("__score")),
+      Seq("node"))
+    // (-node) tiebreak: larger is the SMALLER id, so equal scores
+    // elect the minimum id — a total order because node is unique.
+    val winners = scored.groupBy(col("cluster_id"))
+      .agg(max_by(col("node"), struct(col("__score"), (-col("node")).as("__tie")))
+        .as("__winner"))
+    scored.join(winners, Seq("cluster_id"))
+      .select(col("node"), col("cluster_id"),
+        (col("node") === col("__winner")).as("keep"))
+  }
 
   /** Size-adaptive closure: the edge list is materialized once
     * (executing the caller's whole edge pipeline exactly once, same as

@@ -310,21 +310,35 @@ object EmbeddingAnn {
         (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
       .drop("__scores")
 
-  /** IVF top-k: corpus partitioned by nearest centroid; each query
-    * probes its `nprobe` closest clusters and scores only those
-    * postings. Wall-clock scales with nprobe/nlist of the corpus
-    * instead of all of it.
+  /** The IVF INDEX rows for a corpus batch — (neighbor_id, vc, cluster),
+    * i.e. each vector normalized and assigned to its nearest centroid.
+    * This is the warehouse-table form of the index: build once, append
+    * per ingest batch (assignment is a pure per-vector function of the
+    * FIXED centroids, so an index assembled across appends is
+    * row-identical to one built in a single pass), probe with
+    * [[ivfTopKFromPostings]]. Partition the table by `cluster` so a
+    * probe touches nprobe/nlist of the files. Centroid drift under a
+    * shifting corpus is the caller's retrain policy — the standard
+    * IVF operational trade, not something an append can fix.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+  def ivfPostings(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
     // Two-layer projection: the native 16-score array is materialized
     // once per row, then argmax / probe-sort read the attribute.
     val cn = normalized(corpus, vecCol)
-    val c = cn
-      .withColumn("__scores", centroidScoresNative(cn, "vnorm", centroids))
+    cn.withColumn("__scores", centroidScoresNative(cn, "vnorm", centroids))
       .withColumn("cluster",
         (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast("int"))
       .select(col(idCol).as("neighbor_id"), col("vnorm").as("vc"), col("cluster"))
+  }
+
+  /** Probe an IVF postings frame (typically the warehouse index table
+    * [[ivfPostings]] maintains): each query scores only the postings
+    * of its `nprobe` closest clusters.
+    */
+  def ivfTopKFromPostings(postings: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, k: Int, centroids: Array[Array[Double]],
+                          nprobe: Int): DataFrame = {
     val qn = normalized(queries, vecCol)
     val probeList = {
       val withIdx = transform(col("__scores"),
@@ -336,13 +350,24 @@ object EmbeddingAnn {
       .select(col(idCol).as("query_id"), col("vnorm").as("vq"),
         explode(probeList).as("probe"))
       .select(col("query_id"), col("vq"), col("probe.idx").cast("int").as("cluster"))
-    val scored = c.join(broadcast(q), Seq("cluster"))
+    val scored = postings.join(broadcast(q), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), nativeDot(c, "vq", "vc").as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        nativeDot(postings, "vq", "vc").as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF top-k: corpus partitioned by nearest centroid; each query
+    * probes its `nprobe` closest clusters and scores only those
+    * postings. Wall-clock scales with nprobe/nlist of the corpus
+    * instead of all of it.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    ivfTopKFromPostings(ivfPostings(corpus, idCol, vecCol, centroids),
+      queries, idCol, vecCol, k, centroids, nprobe)
 
   /** IVF-SQ8: IVF search over int8-QUANTIZED postings with float
     * rescoring — the standard 4× memory lever for billion-vector

@@ -124,6 +124,68 @@ object Sampling {
       .select(col(keyCol), col(strataCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Recipe mixing WITH document-level upsampling — the mixture
+    * construction when a target token share EXCEEDS what a stratum
+    * holds (the Llama-style recipe, where a small high-quality source
+    * is repeated across epochs while web crawl is downsampled).
+    *
+    * Per stratum s with total tokens T_s and target `targets(s)`:
+    * every document is emitted once per FULL epoch (epoch ids
+    * 0 .. targets(s)/T_s − 1), and the remaining targets(s) mod T_s
+    * tokens come from the deterministic md5-order prefix (the same
+    * admission rule as [[tokenBudgetSample]]) at epoch = #full-epochs.
+    * A stratum at or below its target therefore degenerates to plain
+    * token-budget downsampling (zero full epochs); strata absent from
+    * `targets` are excluded. Output: (key, stratum, n_tokens, epoch) —
+    * one row per (document, epoch) of the mixed corpus.
+    *
+    * Scale shape: the per-stratum totals are ONE partial-aggregable
+    * aggregate collected as a #strata-row frame (a recipe has ~5–20
+    * strata — the bounded-scalar pattern of [[temperatureMixture]]);
+    * full epochs are pure map work (`explode(sequence)` — the output
+    * multiplicity IS the semantic); the fractional prefix is the
+    * two-level 256-bucket prefix sum. No stratum-wide window, no
+    * corpus-sized driver state, text never shuffles (callers join the
+    * emitted keys back to the corpus by key).
+    */
+  def epochMixture(df: DataFrame, strataCol: String, keyCol: String,
+                   textCol: String, targets: Map[String, Long],
+                   salt: String = "graft"): DataFrame = {
+    require(targets.nonEmpty, "at least one stratum target required")
+    require(targets.values.forall(_ >= 0), s"targets must be >= 0: $targets")
+    val base = df.select(col(keyCol), col(strataCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      hashBucket32(col(keyCol), salt).as("__ord"))
+    val totals = base.groupBy(col(strataCol))
+      .agg(sum(col("n_tokens")).as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // Driver arithmetic on #strata scalars; a target over an empty or
+    // zero-token stratum is meaningless — fail loudly, not div-zero.
+    targets.keys.foreach { s =>
+      require(totals.getOrElse(s, 0L) > 0L,
+        s"stratum '$s' has no tokens in the corpus but has a target")
+    }
+    val plan = targets.toSeq.sortBy(_._1).map { case (s, tgt) =>
+      (s, tgt / totals(s), tgt % totals(s))
+    }
+    def lookup(f: ((String, Long, Long)) => Long): Column =
+      plan.foldLeft(lit(null).cast("long")) { case (acc, p) =>
+        when(col(strataCol) === p._1, lit(f(p))).otherwise(acc)
+      }
+    val nFull = lookup(_._2)
+    val frac = lookup(_._3)
+    val inRecipe = base.filter(nFull.isNotNull)
+    val fullEpochs = inRecipe.filter(nFull > 0)
+      .select(col(keyCol), col(strataCol), col("n_tokens"),
+        explode(sequence(lit(0L), nFull - 1)).as("epoch"))
+    val fractional = Packing.bucketedRunningSum(
+        inRecipe.filter(frac > 0), Seq(strataCol), "__ord", "n_tokens", "__cum")
+      .filter(col("__cum") <= frac)
+      .select(col(keyCol), col(strataCol), col("n_tokens"), nFull.as("epoch"))
+    fullEpochs.unionByName(fractional)
+  }
+
   /** Full md5 hex of (salt || key) — the deterministic per-stratum
     * permutation order for [[tokenBudgetSample]]; unique per key, so
     * the window order is total and engine-portable.
@@ -187,14 +249,23 @@ object Sampling {
     * only (key, shard, pos); full rows join back by key, so text
     * shuffles once. `shards` bounds output layout, not parallelism.
     */
+  /** Deterministic shard id in [0, shards): the key's 256-bucket hash
+    * scaled onto `shards` equal hex ranges — pure map work, layout-
+    * independent, engine-portable (shared by [[shuffleDeterministic]]
+    * and the sharded JSONL export sink).
+    */
+  def shardOf(key: Column, shards: Int, salt: String = "graft"): Column = {
+    require(shards >= 1 && shards <= 256, s"shards must be in [1,256]: $shards")
+    (conv(substring(hashBucket32(key, salt), 1, 2), 16, 10).cast("long")
+      * shards / 256).cast("int")
+  }
+
   def shuffleDeterministic(df: DataFrame, keyCol: String, shards: Int = 8,
                            salt: String = "graft"): DataFrame = {
     require(shards >= 1 && shards <= 256, s"shards must be in [1,256]: $shards")
     val base = df.select(col(keyCol))
       .withColumn("__ord", hashBucket32(col(keyCol), salt))
-      .withColumn("shard",
-        (conv(substring(col("__ord"), 1, 2), 16, 10).cast("long") * shards / 256)
-          .cast("int"))
+      .withColumn("shard", shardOf(col(keyCol), shards, salt))
       .withColumn("__one", lit(1L))
     val ranked = Packing.bucketedRunningSum(base, Seq("shard"), "__ord", "__one", "pos")
       .select(col(keyCol), col("shard"), col("pos"))

@@ -57,12 +57,16 @@ object Jsonl {
     require(!schema.fieldNames.contains(CorruptCol),
       s"caller schema must not contain reserved column '$CorruptCol' " +
         "(it is appended to carry the quarantined raw line)")
+    // Any column beside `value` rides through unparsed — that is how a
+    // partition-discovered column (the shard id of [[readSharded]])
+    // survives the parse.
+    val passthrough = lines.columns.filterNot(_ == "value").toSeq.map(col)
     lines
       .filter(length(trim(col("value"))) > 0)
-      .select(from_json(col("value"), schema.add(CorruptCol, "string"),
+      .select(passthrough :+ from_json(col("value"), schema.add(CorruptCol, "string"),
         Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"))
-      .select(col("__j.*"))
+            "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"): _*)
+      .select(passthrough :+ col("__j.*"): _*)
   }
 
   /** Rows that parsed cleanly, corrupt column dropped. */
@@ -75,4 +79,42 @@ object Jsonl {
   def quarantine(spark: SparkSession, path: String, schema: StructType): DataFrame =
     read(spark, path, schema).filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
+
+  /** Sharded JSONL training EXPORT — the other end of the ingest path:
+    * a curated corpus leaves the engine as `shard=K/` directories of
+    * line-delimited JSON, the layout every training loader consumes.
+    * The shard id is [[graft.operators.Sampling.shardOf]] of `keyCol`
+    * — a pure function of the row's KEY, so shard MEMBERSHIP is
+    * deterministic and layout-independent (re-running the export on a
+    * repartitioned corpus produces the same shard sets; row order
+    * within a file is not part of the contract, exactly like any
+    * distributed sink). Line order therefore never carries meaning —
+    * a loader wanting a reproducible read order applies
+    * [[graft.operators.Sampling.shuffleDeterministic]]'s (shard, pos).
+    *
+    * Scale shape: one hash-repartition by shard id, then a streaming
+    * JSON serialize per task — no sort, no driver materialization;
+    * `maxRecordsPerFile` bounds individual file size so a 100 TB
+    * export emits many bounded files per shard directory rather than
+    * one unbounded file.
+    */
+  def writeSharded(df: DataFrame, path: String, keyCol: String, shards: Int,
+                   salt: String = "graft", maxRecordsPerFile: Long = 0L): Unit =
+    df.withColumn("shard", graft.operators.Sampling.shardOf(col(keyCol), shards, salt))
+      .repartition(shards, col("shard"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .json(path)
+
+  /** Read a [[writeSharded]] export back with the same PERMISSIVE
+    * quarantine contract as [[read]]: the text scan discovers the
+    * `shard=K` partition directories, and the shard id rides through
+    * the parse as a passthrough column next to `schema`'s fields.
+    */
+  def readSharded(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    parseLines(
+      spark.read.option("basePath", path).text(path)
+        .withColumn("shard", col("shard").cast("int")),
+      schema)
 }

@@ -33,6 +33,25 @@ class AnnIvfSpec extends SparkSuite {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("postings assembled across appends probe identically to the single-pass index") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val centroids = EmbeddingAnn.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = rows(EmbeddingAnn.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, centroids, nprobe = 4))
+    // Index assembled from two disjoint batches (union order reversed
+    // relative to id order — append order must not matter).
+    val batched = EmbeddingAnn.ivfPostings(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", centroids)
+      .unionByName(EmbeddingAnn.ivfPostings(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", centroids))
+    val incremental = rows(EmbeddingAnn.ivfTopKFromPostings(batched, queries,
+      "vec_id", "embedding", k = 5, centroids, nprobe = 4))
+    assert(incremental === single)
+  }
+
   test("IVF-SQ8 matches the float-posting IVF after exact rescore") {
     val queries = emb.filter(col("vec_id") < 20)
     val centroids = EmbeddingAnn.trainCentroids(emb, "vec_id", "embedding", nlist = 16)

@@ -103,4 +103,38 @@ class ColumnarJsonSpec extends SparkSuite {
     }
     assert(e.getMessage.contains(graft.sources.Jsonl.CorruptCol))
   }
+
+  test("Jsonl: sharded export roundtrips losslessly with hash-determined shards") {
+    import spark.implicits._
+    // Quotes, backslashes, and an embedded newline: the JSON escape
+    // path must keep every byte (an embedded \n becomes \\n inside the
+    // line, so the export stays one line per record).
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      (2L, "with \"quotes\" and \\backslash\\", "en"),
+      (3L, "line one\nline two", "de"),
+      (4L, "", "fr")).toDF("doc_id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-sink").toString
+    graft.sources.Jsonl.writeSharded(docs, out, "doc_id", shards = 4)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    val back = graft.sources.Jsonl.readSharded(spark, out, schema)
+    assert(back.filter(col(graft.sources.Jsonl.CorruptCol).isNotNull).count() === 0)
+    val rows = back.select("doc_id", "text", "lang", "shard").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).sorted
+    val expectedShards = docs.select(col("doc_id"),
+        graft.operators.Sampling.shardOf(col("doc_id"), 4).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.map(x => (x._1, x._2, x._3)).toSeq ===
+      Seq((1L, "plain text", "en"), (2L, "with \"quotes\" and \\backslash\\", "en"),
+        (3L, "line one\nline two", "de"), (4L, "", "fr")))
+    rows.foreach { case (id, _, _, shard) => assert(shard === expectedShards(id)) }
+    // Re-export after a repartition lands every doc in the SAME shard
+    // (membership is a pure function of the key, not the layout).
+    graft.sources.Jsonl.writeSharded(docs.repartition(5), out, "doc_id", shards = 4)
+    val again = graft.sources.Jsonl.readSharded(spark, out, schema)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === expectedShards)
+  }
 }

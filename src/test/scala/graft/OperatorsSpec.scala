@@ -164,6 +164,66 @@ class OperatorsSpec extends SparkSuite {
         (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("keepBest elects the highest score, min id on ties, and min id under constant score") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val attrs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "n_chars")
+    val comps = Components.connectedComponents(edges)
+    val r = Components.keepBest(comps, attrs, "doc_id", col("n_chars"))
+      .orderBy("node").collect()
+    // Cluster {1,2,3}: 2 and 3 tie at 9 → 2 keeps (min id among max
+    // score), the cluster-min 1 does NOT. Cluster {10,11}: tie → 10.
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq ===
+      Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+        (10L, 10L, true), (11L, 10L, false)))
+    // Constant score degenerates to keepDecision's min-id election.
+    val const = Components.keepBest(comps, attrs, "doc_id", lit(0))
+      .orderBy("node").collect().map(x => (x.getLong(0), x.getBoolean(2)))
+    val minId = Components.keepDecision(comps)
+      .orderBy("node").collect().map(x => (x.getLong(0), x.getBoolean(2)))
+    assert(const.toSeq === minId.toSeq)
+  }
+
+  test("epochMixture unrolls full epochs and admits a deterministic fractional prefix") {
+    val docs = Seq(
+      (1L, "a", "w x"), (2L, "a", "p q r"),        // stratum a: 5 tokens
+      (3L, "b", "h i j k"), (4L, "b", "m n"),      // stratum b: 6 tokens
+      (5L, "c", "z z z")).toDF("doc_id", "source", "text") // not in recipe
+    // a: target 12 = 2 full epochs + frac 2; b: target 4 < 6 = downsample.
+    val r = Sampling.epochMixture(docs, "source", "doc_id", "text",
+      targets = Map("a" -> 12L, "b" -> 4L))
+    val rows = r.collect().map(x =>
+      (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(!rows.exists(_._2 == "c"), "stratum outside the recipe must be excluded")
+    // Full epochs: every 'a' doc appears at epochs 0 and 1.
+    for (e <- 0L to 1L)
+      assert(rows.filter(x => x._2 == "a" && x._4 == e).map(_._1).sorted.toSeq ===
+        Seq(1L, 2L))
+    // Fractional epoch 2 carries at most frac=2 tokens: exactly one of
+    // the docs (2 or 3 tokens each; the 3-token doc only if it hashes
+    // first AND fits — it doesn't, so whichever doc is admitted the
+    // token sum is <= 2, i.e. only doc 1 can be admitted).
+    val fracA = rows.filter(x => x._2 == "a" && x._4 == 2L)
+    assert(fracA.map(_._3).sum <= 2L)
+    // 'b' never reaches a full epoch; its prefix carries <= 4 tokens.
+    assert(rows.filter(_._2 == "b").forall(_._4 == 0L))
+    assert(rows.filter(_._2 == "b").map(_._3).sum <= 4L)
+    // Layout independence: same rows on a repartitioned input.
+    val r2 = Sampling.epochMixture(docs.repartition(7), "source", "doc_id", "text",
+      targets = Map("a" -> 12L, "b" -> 4L))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(rows.sorted.toSeq === r2.sorted.toSeq)
+  }
+
+  test("epochMixture rejects a target over a stratum with no tokens") {
+    val docs = Seq((1L, "a", "w x")).toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochMixture(docs, "source", "doc_id", "text",
+        targets = Map("ghost" -> 10L))
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
   test("topTerms: corpus-wide terms score zero, rare frequent terms rank first") {
     val d = Seq((1L, "apple apple banana the"), (2L, "the banana cherry"), (3L, "the dog"))
       .toDF("doc_id", "text")
