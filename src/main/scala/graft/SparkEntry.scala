@@ -1845,6 +1845,22 @@ object SparkEntry {
       Packing.packSequences(kept, "doc_id", "text", seqLen = 256)
     }),
 
+    // The UPSAMPLED training stream, packed: epoch mixture (src0
+    // repeats across full epochs) → every (doc, epoch) repeat is its
+    // own packing unit in the deterministic global token stream — the
+    // compose that actually builds an LLM's input when a small source
+    // is multiplied. Both stages are the bucketed prefix sum; the
+    // oracle replays mixture + pack as stacked windows.
+    "sample_epochs_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mixed = Sampling.epochMixture(docs, "source", "doc_id", "text",
+        targets = Map("src0" -> 30000L, "src1" -> 5000L, "src2" -> 700L))
+      val units = mixed.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(concat(col("doc_id").cast("string"), lit("@"),
+          col("epoch").cast("string")).as("unit"), col("text"))
+      Packing.packSequences(units, "unit", "text", seqLen = 256)
+    }),
+
     // Corpus-wide paragraph-level EXACT dedup (Dolma-style): only the
     // deterministic first occurrence of any paragraph survives,
     // cleaned text rebuilt in document order. The planted shared
@@ -3145,6 +3161,40 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id, source, n_tokens, n_full AS epoch
          |FROM ranked WHERE frac > 0 AND cum <= frac""".stripMargin,
+
+    // The mixture CTEs again, then every (doc, epoch) repeat packed as
+    // its own unit in the md5-order global token stream.
+    "sample_epochs_pack" ->
+      s"""WITH base AS (SELECT doc_id, source,
+         |    CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |tgt(source, target) AS (
+         |  VALUES ('src0', 30000), ('src1', 5000), ('src2', 700)),
+         |tot AS (SELECT source, sum(n_tokens) AS total FROM base GROUP BY source),
+         |par AS (SELECT b.doc_id, b.source, b.n_tokens,
+         |    CAST(g.target // t.total AS BIGINT) AS n_full,
+         |    CAST(g.target % t.total AS BIGINT) AS frac
+         |  FROM base b JOIN tot t USING (source) JOIN tgt g USING (source)),
+         |ranked AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS cum FROM par),
+         |mixed AS (
+         |  SELECT doc_id, n_tokens, CAST(unnest(range(n_full)) AS BIGINT) AS epoch
+         |  FROM par WHERE n_full > 0
+         |  UNION ALL
+         |  SELECT doc_id, n_tokens, n_full AS epoch
+         |  FROM ranked WHERE frac > 0 AND cum <= frac),
+         |units AS (SELECT CAST(doc_id AS VARCHAR) || '@' || CAST(epoch AS VARCHAR)
+         |    AS unit, n_tokens FROM mixed),
+         |c AS (SELECT unit, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY md5('graft' || unit)) AS BIGINT) AS end_off
+         |  FROM units)
+         |SELECT unit, n_tokens, end_off - n_tokens AS begin_off,
+         |  (end_off - n_tokens) // 256 AS seq_first,
+         |  CASE WHEN n_tokens > 0 THEN (end_off - 1) // 256
+         |       ELSE (end_off - n_tokens) // 256 END AS seq_last,
+         |  (CASE WHEN n_tokens > 0 THEN (end_off - 1) // 256
+         |        ELSE (end_off - n_tokens) // 256 END)
+         |    != ((end_off - n_tokens) // 256) AS spans_boundary
+         |FROM c""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens

@@ -75,6 +75,62 @@ class PropertySpec extends SparkSuite {
     once.foreach { case (_, cl) => assert(labels(cl) === cl) }
   }
 
+  test("keepBest elects exactly one keeper per cluster, maximizing (score, -id), on random graphs") {
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(seed)
+      val edges = List.fill(40)((r.nextInt(30).toLong, r.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      // Coarse scores force ties so the min-id tiebreak is exercised.
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val scores = nodes.map(n => (n, r.nextInt(3).toLong))
+      val attrs = scores.toDF("doc_id", "score")
+      val out = Components.keepBest(
+          Components.connectedComponents(df), attrs, "doc_id", col("score"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+      val scoreMap = scores.toMap
+      out.groupBy(_._2).foreach { case (_, members) =>
+        val keepers = members.filter(_._3).map(_._1)
+        assert(keepers.length === 1, "exactly one keeper per cluster")
+        // The keeper beats every member on (score, then smaller id).
+        val best = members.map(_._1).minBy(n => (-scoreMap(n), n))
+        assert(keepers.head === best)
+      }
+    }
+  }
+
+  test("epochMixture conserves the recipe arithmetic on a random corpus") {
+    val r = new scala.util.Random(7)
+    val docs = (1L to 60L).map { i =>
+      val words = List.fill(1 + r.nextInt(9))("w" + r.nextInt(50)).mkString(" ")
+      (i, "s" + (i % 3), words)
+    }.toDF("doc_id", "source", "text")
+    val targets = Map("s0" -> 900L, "s1" -> 40L)
+    val out = graft.operators.Sampling.epochMixture(docs, "source", "doc_id", "text", targets)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    val totals = out.filter(_._4 == 0L) // epoch 0 exists for any admitted stratum
+    assert(totals.nonEmpty)
+    for ((stratum, target) <- targets) {
+      val rows = out.filter(_._2 == stratum)
+      if (rows.nonEmpty) {
+        val total = docs.filter(col("source") === stratum)
+          .select(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .collect().map(_.getLong(0)).sum
+        val nFull = target / total
+        val frac = target % total
+        // Every full epoch carries the whole stratum, once per epoch.
+        val perEpoch = rows.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+        for (e <- 0L until nFull) assert(perEpoch(e) === total)
+        // The fractional epoch carries at most frac tokens (and at
+        // most one doc short of frac from below, by prefix admission).
+        assert(perEpoch.getOrElse(nFull, 0L) <= frac)
+        // Total emitted token mass never exceeds the target.
+        assert(rows.map(_._3).sum <= target)
+      }
+    }
+    assert(!out.exists(_._2 == "s2"), "stratum outside the recipe excluded")
+  }
+
   test("auto closure: driver union-find == distributed propagation on both sides of the gate") {
     def canon(c: org.apache.spark.sql.DataFrame) =
       c.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
