@@ -1537,6 +1537,26 @@ object SparkEntry {
         "doc_id", "text", n = 5, minShared = 2)
     }),
 
+    // FUZZY decon: Jaccard-thresholded overlap against the benchmark
+    // slice — catches lightly-edited eval copies that a raw shared
+    // count misclassifies by length. The gate PLANTS one edited copy
+    // of every benchmark doc in the corpus (suffix append — high but
+    // sub-1.0 Jaccard, the exact band the operator exists for; offset
+    // +1000001 keeps planted ids out of the % 50 benchmark set) and
+    // every plant must be flagged against its original. Sizes ride in
+    // the same shingling pass; corpus never shuffles. The oracle
+    // computes the exact Jaccard from the string shingle sets over
+    // the same augmented corpus.
+    "decon_fuzzy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val planted = bench.select((col("doc_id") + 1000001L).as("doc_id"),
+        concat(col("text"), lit(" zq17 edited crawl drift tail")).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
+      CorpusHygiene.fuzzyContaminationPairs(corpus, bench,
+        "doc_id", "text", n = 3, threshold = 0.5)
+    }),
+
     // Cross-document boilerplate: sentence segments in >= 3 docs.
     // The synthetic corpus has no exact repeated sentences (0 rows —
     // parity of the split/trim/count pipeline is still gated);
@@ -3085,6 +3105,24 @@ object SparkEntry {
          |FROM corp LEFT JOIN hits USING (doc_id)""".stripMargin,
 
     "decon_overlap" -> duckDeconPairsSql,
+
+    "decon_fuzzy" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000001, text || ' zq17 edited crawl drift tail'
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |sh AS (
+         |  SELECT doc_id, ${duckShingles("tok")} AS sh
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM aug)
+         |  WHERE len(tok) >= 3)
+         |SELECT doc_id, bench_id, jaccard FROM (
+         |  SELECT c.doc_id, b.doc_id AS bench_id,
+         |    len(list_intersect(c.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(c.sh, b.sh)))::DOUBLE AS jaccard
+         |  FROM sh c JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b
+         |    ON c.doc_id != b.doc_id)
+         |WHERE jaccard >= 0.5""".stripMargin,
 
     "decon_filter" ->
       s"""SELECT doc_id FROM documents

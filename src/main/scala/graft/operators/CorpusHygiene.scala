@@ -46,6 +46,56 @@ object CorpusHygiene {
       .filter(col("doc_id") =!= col("bench_id"))
   }
 
+  /** FUZZY decontamination (Jaccard-thresholded) — the Llama/GPT-style
+    * complement to [[contaminationPairs]]' raw shared-count rule: a
+    * corpus document is contaminated when its n-gram Jaccard with any
+    * benchmark document reaches `threshold`, so a near-verbatim eval
+    * copy with light edits is caught without hand-tuning an absolute
+    * overlap count against document length.
+    *
+    * Same 100 TB shape as the exact path, because the ONLY extra
+    * inputs Jaccard needs are the two set sizes: the benchmark rides
+    * inside the native inverted-index expression (bounded by
+    * definition), the corpus-side size comes from the SAME shingling
+    * pass (`size(shingles)`), and the benchmark sizes broadcast as a
+    * #benchmark-row frame. The corpus never shuffles; `minShared`
+    * pre-filters inside the expression before any row is emitted.
+    * Output: (doc_id, bench_id, jaccard) at/above threshold.
+    */
+  def fuzzyContaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, threshold: Double = 0.5,
+                              minShared: Long = 1L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = corpus.sparkSession
+    val bench: Array[(Long, Array[Long])] =
+      NearDup.shingleSets(benchmark, idCol, textCol, n)
+        .select(col(idCol).cast("long"), col("shingles"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bench_overlap",
+      exprs => graft.plans.BenchmarkOverlap(exprs.head, bench, minShared), "built-in")
+    import spark.implicits._
+    val benchSizes = bench.toSeq.map { case (id, sh) => (id, sh.length.toLong) }
+      .toDF("bench_id", "n_bench")
+    NearDup.shingleSets(corpus, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol).as("doc_id"),
+        size(col("shingles")).cast("long").as("n_corpus"),
+        explode(call_function("graft_bench_overlap", col("shingles"))).as("m"))
+      .select(col("doc_id"), col("m.bench_id").as("bench_id"),
+        col("m.n_shared").as("n_shared"), col("n_corpus"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .join(broadcast(benchSizes), Seq("bench_id"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_corpus") + col("n_bench") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
+  }
+
   /** Decontamination as a FILTER: the corpus minus every document
     * [[contaminationPairs]] flags — the compose a pipeline actually
     * ships (detect feeds remove). Same scale shape: the benchmark

@@ -257,6 +257,30 @@ class OperatorsSpec extends SparkSuite {
       Seq((1L, 10L, 5L))) // 5 shared trigram shingles; doc 2 and self excluded
   }
 
+  test("fuzzyContaminationPairs thresholds on Jaccard, not raw count") {
+    // Doc 1 = exact copy of bench 10 (j = 1.0); doc 2 = edited copy
+    // (4 of its 6 trigrams shared, j = 4/7 ≈ 0.57); doc 3 = long doc
+    // with the SAME 4 shared shingles diluted by a disjoint tail
+    // (j = 4/19 ≈ 0.21) — the raw count can't tell 2 from 3, Jaccard
+    // can.
+    val corpus = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f x y"),
+      (3L, "a b c d e f p q r s t u v w m n o j k l"),
+      (10L, "a b c d e f g")).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 10L)
+    val r = CorpusHygiene.fuzzyContaminationPairs(corpus, bench, "doc_id", "text",
+      n = 3, threshold = 0.5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    assert(r.map(x => (x._1, x._2)).toSeq === Seq((1L, 10L), (2L, 10L)))
+    assert(r(0)._3 === 1.0)
+    assert(math.abs(r(1)._3 - 4.0 / 7.0) < 1e-12)
+    // Doc 3 clears a dropped bar only: flagged at 0.2, not at 0.5.
+    val loose = CorpusHygiene.fuzzyContaminationPairs(corpus, bench, "doc_id", "text",
+      n = 3, threshold = 0.2).collect().map(_.getLong(0)).sorted
+    assert(loose.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("exactByHash groups identical content under one hash") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = Dedup.exactByHash(df, "text", "doc_id").orderBy("doc_id").collect()
