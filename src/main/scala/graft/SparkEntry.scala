@@ -1191,6 +1191,41 @@ object SparkEntry {
       IncrementalDedup.keepDecision(s.table(stateTbl))
     }),
 
+    // STREAMING ANN probe — the online-retrieval shape (a RAG/eval
+    // service): query vectors arrive as micro-batches, the IVF index
+    // is the STATIC cluster-partitioned postings frame, and each batch
+    // probes through the SAME ivfTopKFromPostings compose as batch
+    // retrieval inside foreachBatch (its top-k window and broadcast
+    // are batch operators — stream and batch retrieval cannot
+    // disagree). Retrieval is a pure function of (query, index), so
+    // two micro-batches' results union to exactly the batch answer —
+    // the same unrolled-Lloyd oracle as ann_ivf adjudicates.
+    "streaming_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cn = EmbeddingAnn.normalized(e, "embedding").persist()
+      val centroids = centroids16(s, dir, cn)
+      val postings = EmbeddingAnn.ivfPostings(cn, "vec_id", "embedding", centroids)
+        .localCheckpoint(false)
+      val queries = e.filter(col("vec_id") < 20)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sann").toString
+      queries.filter(col("vec_id") < 10).coalesce(1).write.mode("append").parquet(tmp)
+      val past = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, past))
+      queries.filter(col("vec_id") >= 10).coalesce(1).write.mode("append").parquet(tmp)
+      val tbl = "graft_gate_streaming_ann"
+      resetTable(s, tbl)
+      val stream = s.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      StreamingJobs.runToTable(s, stream, tbl, statePartitions = Some(8),
+        transform = batch => EmbeddingAnn.ivfTopKFromPostings(
+          postings, batch, "vec_id", "embedding", k = 5, centroids, nprobe = 4))
+      deleteRecursively(tmp)
+      cn.unpersist(false)
+      s.table(tbl).select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }),
+
     // SimHash near-dup: 64-bit fingerprint, 4-chunk pigeonhole banding,
     // exact Hamming verify. Token hashes are the engine-portable
     // md5-derived form so the ORACLE recomputes the entire pipeline
@@ -3473,6 +3508,9 @@ object SparkEntry {
     "ann_ivf" -> duckAnnIvfSql,
     // Index assembled across appends == single-pass index: same oracle.
     "ann_ivf_incremental" -> duckAnnIvfSql,
+    // Stateless per-batch retrieval: micro-batched queries union to
+    // exactly the batch probe — same oracle again.
+    "streaming_ann" -> duckAnnIvfSql,
 
     "dedup_semantic" -> duckSemDedupSql,
 

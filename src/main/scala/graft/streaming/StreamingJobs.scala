@@ -635,7 +635,8 @@ object StreamingJobs {
     */
   def runToTable(spark: SparkSession, df: DataFrame, table: String,
                  statePartitions: Option[Int] = None,
-                 idempotent: Boolean = true): Unit = {
+                 idempotent: Boolean = true,
+                 transform: DataFrame => DataFrame = identity): Unit = {
     val tables = new graft.sources.TableManager(spark)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
@@ -643,7 +644,11 @@ object StreamingJobs {
     try withEphemeralCheckpoint { ckpt =>
       val q = df.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          commitBatch(tables, batch, table, batchId, idempotent)
+          // `transform` runs as BATCH code inside foreachBatch — the
+          // hook for composes streaming queries can't express natively
+          // (per-group top-k windows, broadcast probes); the idempotent
+          // batch-partition commit below is unchanged.
+          commitBatch(tables, transform(batch), table, batchId, idempotent)
         }
         .option("checkpointLocation", ckpt)
         .start()

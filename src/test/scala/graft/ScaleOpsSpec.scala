@@ -144,6 +144,53 @@ class ScaleOpsSpec extends SparkSuite {
     }, s"corpus running sum must partition by (stratum, bucket):\n${wins.mkString("\n")}")
   }
 
+  test("keepBest elects keepers with an aggregate, never a cluster-partitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L))
+      .toDF("node", "cluster_id")
+    val attrs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L)).toDF("doc_id", "n_chars")
+    val q = graft.operators.Components.keepBest(comps, attrs, "doc_id", col("n_chars"))
+    // A million-doc near-dup cluster must cost a bigger partial
+    // aggregate, not a single-task sort: the plan may contain NO
+    // window at all — the election is max_by + a winners join.
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }
+    assert(wins.isEmpty, s"keepBest must not window:\n${q.queryExecution.optimizedPlan}")
+    assert(q.queryExecution.optimizedPlan.toString.contains("max_by"))
+  }
+
+  test("epochMixture's fractional prefix never windows the corpus by the stratum alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = graft.operators.Sampling.epochMixture(
+      docs, "source", "doc_id", "text", targets = Map("src0" -> 5000L, "src1" -> 200L))
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).distinct.toSet
+      if (parts == Set("source")) {
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"stratum-only window must consume bucket totals, not the corpus:\n$w")
+      }
+    }
+  }
+
+  test("IVF postings probe broadcasts the query side; the index table never shuffles") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = graft.operators.EmbeddingAnn.trainCentroids(
+      emb, "vec_id", "embedding", nlist = 8)
+    val postings = graft.operators.EmbeddingAnn.ivfPostings(
+      emb, "vec_id", "embedding", centroids)
+    val q = graft.operators.EmbeddingAnn.ivfTopKFromPostings(
+      postings, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, centroids, nprobe = 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the query side:\n$plan")
+  }
+
   test("capPerStratum never windows the corpus by the stratum alone") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
