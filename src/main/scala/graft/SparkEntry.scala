@@ -1745,6 +1745,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 0), d, "doc_id", "text")
     }),
 
+    // CCNet perplexity buckets: tercile cuts over the LM perplexity,
+    // head/middle/tail labels — the published stratification for
+    // dropping or reweighting web text by LM fit. The oracle retrains
+    // the LM and recomputes the quantile cuts from scratch.
+    "text_ppl_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      QualitySignals.perplexityBuckets(
+        d.filter(col("doc_id") % 2 === 0), d, "doc_id", "text")
+    }),
+
     // DSIR-shaped importance selection: per-doc log-ratio of the
     // in-domain LM score over the general-pool LM score, top-100 by
     // ratio (TakeOrderedAndProject — no global sort).
@@ -3691,6 +3701,19 @@ object SparkEntry {
       s"""WITH ${duckLmCtes("", "doc_id % 2 = 0")}
          |SELECT doc_id, n_bigrams, avg_logprob, exp(-avg_logprob) AS ppl
          |FROM score""".stripMargin,
+
+    // Same LM, tercile cuts recomputed with quantile_cont (the exact
+    // interpolating percentile Spark's `percentile` matches).
+    "text_ppl_buckets" ->
+      s"""WITH ${duckLmCtes("", "doc_id % 2 = 0")},
+         |ppls AS (SELECT doc_id, n_bigrams, avg_logprob,
+         |           exp(-avg_logprob) AS ppl FROM score),
+         |cuts AS (SELECT quantile_cont(ppl, 0.3333333333333333) AS c1,
+         |                quantile_cont(ppl, 0.6666666666666666) AS c2 FROM ppls)
+         |SELECT doc_id, n_bigrams, avg_logprob, ppl,
+         |  CASE WHEN ppl <= c1 THEN 'head'
+         |       WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM ppls, cuts""".stripMargin,
 
     // Both LMs (in-domain even ids, general odd ids) retrained from
     // scratch, log-ratio ranked, same top-100 with the id tie-break.

@@ -188,6 +188,41 @@ object QualitySignals {
       .withColumn("ppl", exp(-col("avg_logprob")))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document under the reference bigram LM, cut the perplexity
+    * distribution at its terciles, and label docs head / middle / tail
+    * — the bucket assignment CCNet publishes (head ≈ most fluent
+    * third), used to stratify or drop web text by LM fit.
+    *
+    * The cuts are ONE exact-percentile aggregate over the scored frame
+    * (doc-count rows of four scalars, persisted once and released on
+    * return) broadcast back as a 1-row frame — no driver action, no
+    * second LM pass. Exact `percentile` holds a distinct-value map per
+    * group; at full corpus scale switch `exact = false` for the
+    * `approx_percentile` sketch (bounded memory, rank error ≤ 1e-4) —
+    * the cut values shift within sketch tolerance, the semantics
+    * don't. Label comparisons are hash-stable against a SQL replay:
+    * a tercile cut either falls strictly between two adjacent order
+    * statistics (no doc sits on it) or collapses onto a tied value
+    * (interpolation returns that value exactly in any engine).
+    */
+  def perplexityBuckets(reference: DataFrame, docs: DataFrame,
+                        idCol: String, textCol: String,
+                        exact: Boolean = true): DataFrame = {
+    val scored = bigramLmScore(reference, docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pct = if (exact) "percentile" else "approx_percentile"
+    val cuts = scored.agg(
+      expr(s"$pct(ppl, 0.3333333333333333)").as("__c1"),
+      expr(s"$pct(ppl, 0.6666666666666666)").as("__c2"))
+    val out = scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_bigrams"), col("avg_logprob"), col("ppl"),
+        when(col("ppl") <= col("__c1"), lit("head"))
+          .when(col("ppl") <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    graft.operators.Caching.materializeAndRelease(out, scored)
+  }
+
   /** DSIR-shaped importance scoring (Xie et al. 2023's recipe shape):
     * score every candidate under an IN-DOMAIN LM and a GENERAL-corpus
     * LM, and rank by the per-bigram log-ratio

@@ -714,6 +714,30 @@ class OperatorsSpec extends SparkSuite {
     assert(flat === Map("sA" -> 4L, "sB" -> 2L))
   }
 
+  test("perplexityBuckets cuts the distribution into ordered thirds; approx path agrees") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val r = QualitySignals.perplexityBuckets(ref, docs, "doc_id", "text")
+    val rows = r.collect().map(x =>
+      (x.getLong(0), x.getAs[Double]("ppl"), x.getString(4)))
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // Buckets are ordered by perplexity and near-equal in size.
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    val n = rows.length
+    byBucket.values.foreach(b =>
+      assert(math.abs(b.size - n / 3.0) <= 2, s"tercile sizes skewed: ${b.size} of $n"))
+    // The sketch path (the 100 TB form) assigns the same label off the
+    // cut boundaries; disagreement is confined to sketch tolerance.
+    val approx = QualitySignals.perplexityBuckets(ref, docs, "doc_id", "text",
+        exact = false)
+      .collect().map(x => x.getLong(0) -> x.getString(4)).toMap
+    val exact = rows.map(x => x._1 -> x._3).toMap
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree >= n - 2, s"approx path diverged on ${n - agree} docs")
+  }
+
   test("importanceScore: target-like docs rank above general-like docs") {
     val target = Seq((0L, "a b a b")).toDF("doc_id", "text")
     val general = Seq((100L, "c d c d")).toDF("doc_id", "text")
