@@ -1629,6 +1629,21 @@ object SparkEntry {
     // Multimodal plumbing: treat content as opaque bytes + typed
     // metadata (size, digest). The decode/feature-extract stage lives
     // in graft.operators.Multimodal (stubbed decode, real plumbing).
+    // Exact media dedup: identical binary payloads collapse by content
+    // hash — the first dedup pass of any multimodal corpus (cheap and
+    // exact, before any perceptual/embedding near-dup; same groupBy
+    // shape as text exactByHash, so a billion images shuffle 32-byte
+    // hashes, never pixels). The gate plants a copy of every fixture
+    // under a shifted id: each group must keep the original (min id)
+    // at group_size 2 — pinned against the checked-in files' sha256.
+    "multimodal_dedup" -> ((s, _) => {
+      val files = s.read.format("binaryFile").load("/root/repo/fixtures/media/*")
+        .select(regexp_extract(col("path"), "([0-9]+)\\.(bmp|wav)$", 1)
+          .cast("long").as("media_id"), col("content"))
+      val copies = files.select((col("media_id") + 100L).as("media_id"), col("content"))
+      Dedup.exactByHash(files.unionByName(copies), "content", "media_id")
+    }),
+
     "multimodal_meta" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(
@@ -3629,6 +3644,18 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS sha256_hex
         |FROM documents""".stripMargin,
+
+    // Static fixtures + planted copies → pinned sha256 groups, the
+    // original id kept per group.
+    "multimodal_dedup" ->
+      """SELECT content_hash, CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(group_size AS BIGINT) AS group_size
+        |FROM (VALUES
+        |  ('f0418cce3ede8090d295f87c3f2afe56f2d2cb5c5e425a0e0cdfcbff480d77a7', 1, 2),
+        |  ('22f71bdceadf1603b03f27ce2acee4354754ded83bbeb831f3c43f855158dfb7', 2, 2),
+        |  ('b4f018ac4a01a137a5cca8a5736c368014f92b47819229aa484b4f9f51b886bc', 3, 2),
+        |  ('948e25a73795142babe3d593065aa9ec5149a4cf3c34d41a67826c35272541aa', 4, 2)
+        |) AS t(content_hash, media_id, group_size)""".stripMargin,
 
     // Static fixtures → expected payload statistics are hand-computed
     // constants (per-channel means, global min/max/RMS over the
