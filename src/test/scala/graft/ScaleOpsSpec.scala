@@ -189,6 +189,14 @@ class ScaleOpsSpec extends SparkSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"probe join must broadcast the query side:\n$plan")
+    // The rank <= k filter shape must keep triggering Spark's partial
+    // top-k (WindowGroupLimit Partial before the shuffle, Final after):
+    // candidates are pruned to k per query MAP-SIDE, so the window
+    // sort never sees the full candidate set. A refactor that hides
+    // the filter from the optimizer silently reverts to sorting every
+    // candidate — this assertion is the tripwire.
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank<=k must plan a partial WindowGroupLimit:\n$plan")
   }
 
   test("capPerStratum never windows the corpus by the stratum alone") {
