@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Caching, Components, CorpusHygiene, Dedup, EmbeddingAnn, IncrementalDedup, Joins, Multimodal, NearDup, Packing, Quality, Sampling, Sessions, Skew, TimeAgg}
+import graft.operators.{Caching, Components, CorpusHygiene, Dedup, EmbeddingAnn, HeavyHitters, IncrementalDedup, Joins, Multimodal, NearDup, Packing, Quality, Sampling, Sessions, Skew, TimeAgg}
 import graft.functions.{QualitySignals, TextFunctions}
 import graft.pipelines.{BronzeSilverPipeline, JoinedSilverPipeline, MonthlyAggPipeline}
 import graft.sources.{ColumnarJson, HttpJson, TableManager}
@@ -1759,6 +1759,17 @@ object SparkEntry {
       QualitySignals.bigramLmScore(
         d.filter(col("doc_id") % 2 === 0), d, "doc_id", "text")
     }),
+
+    // Exact heavy hitters with bounded memory: per-partition
+    // SpaceSaving candidates (deterministic superset of every token
+    // above a 1/64 share) + exact verify over the candidate set only —
+    // the full-vocabulary groupBy never runs. The oracle IS that full
+    // groupBy: the bounded-memory path must reproduce it exactly.
+    "text_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.exactHeavyHitters(
+        t(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok")),
+        "tok", k = 64)),
 
     // CCNet perplexity buckets: tercile cuts over the LM perplexity,
     // head/middle/tail labels — the published stratification for
@@ -3728,6 +3739,15 @@ object SparkEntry {
       s"""WITH ${duckLmCtes("", "doc_id % 2 = 0")}
          |SELECT doc_id, n_bigrams, avg_logprob, exp(-avg_logprob) AS ppl
          |FROM score""".stripMargin,
+
+    // The full-vocabulary groupBy the operator avoids — its exact
+    // ground truth.
+    "text_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($duckTokens) AS tok FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk)
+         |SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occ, n.n_total
+         |FROM tk, n GROUP BY tok, n.n_total
+         |HAVING count(*) * 64 > n.n_total""".stripMargin,
 
     // Same LM, tercile cuts recomputed with quantile_cont (the exact
     // interpolating percentile Spark's `percentile` matches).

@@ -99,6 +99,27 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("exactHeavyHitters equals the full groupBy under any partitioning") {
+    val r = new scala.util.Random(13)
+    // Zipf-ish stream: a few hot tokens, a long random tail that
+    // forces constant SpaceSaving eviction churn.
+    val toks = (1 to 4000).map { _ =>
+      val x = r.nextInt(100)
+      if (x < 30) "hot" + r.nextInt(3)
+      else if (x < 45) "warm" + r.nextInt(10)
+      else "tail" + r.nextInt(1500)
+    }
+    val k = 16
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case (_, c) => c * k > toks.size }
+    for (parts <- Seq(1, 3, 17)) {
+      val df = toks.toDF("tok").repartition(parts)
+      val got = graft.operators.HeavyHitters.exactHeavyHitters(df, "tok", k)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(got === exact, s"parts=$parts")
+    }
+  }
+
   test("epochMixture conserves the recipe arithmetic on a random corpus") {
     val r = new scala.util.Random(7)
     val docs = (1L to 60L).map { i =>
