@@ -1894,6 +1894,15 @@ object SparkEntry {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
 
+    // Dedup-SAFE splits: every near-dup cluster member is hashed by
+    // its cluster's canonical id, so near-duplicates can never
+    // straddle the train/eval boundary — the leakage a per-doc hash
+    // split cannot prevent. Singletons keep their own id (split
+    // stability under corpus growth preserved).
+    "sample_splits_safe" -> ((s, dir) =>
+      Sampling.assignSplitsDedupSafe(t(s, dir, "documents"), "doc_id", "text",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
+
     // Deterministic epoch shuffle: every doc gets a reproducible
     // (shard, pos) — shard from the 256-bucket hash (4 shards align
     // exactly with hex-pair boundaries), position within shard by
@@ -3505,6 +3514,20 @@ object SparkEntry {
     "dedup_clusters" -> duckClustersSql,
     "dedup_clusters_star" -> duckClustersSql,
     "dedup_keep_best" -> duckKeepBestSql,
+
+    // Same closure; split hashed on the cluster-canonical group key.
+    "sample_splits_safe" ->
+      s"""$duckReachCte,
+         |comps AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+         |SELECT doc_id, group_key,
+         |  CASE WHEN b < 'e6' THEN 'train'
+         |       WHEN b < 'f3' THEN 'val'
+         |       WHEN b < 'g'  THEN 'test' END AS split
+         |FROM (SELECT d.doc_id,
+         |        CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS group_key,
+         |        substring(md5('graft' ||
+         |          CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) AS b
+         |      FROM documents d LEFT JOIN comps c ON c.node = d.doc_id)""".stripMargin,
     // Incremental replay must land on the same closure as a single
     // full-corpus run — literally the same oracle.
     "dedup_incremental" -> duckClustersSql,

@@ -272,6 +272,37 @@ object Sampling {
     df.join(ranked, Seq(keyCol))
   }
 
+  /** Dedup-SAFE split assignment: every member of a near-dup cluster
+    * is hashed by its cluster's canonical id instead of its own, so
+    * near-duplicates can never straddle the train/eval boundary — the
+    * leakage a per-document hash split cannot prevent (a re-crawled
+    * near-copy of an eval doc hashing into train IS the contamination
+    * decon exists to catch; splitting by cluster closes the hole at
+    * assignment time). Singletons keep their own id, preserving
+    * [[assignSplits]]' growth-stability: adding documents never moves
+    * an existing singleton's split, and joining a cluster moves a doc
+    * only onto its duplicates' side.
+    *
+    * Scale shape: the pair list is the guarded MinHash banding, the
+    * closure is the size-adaptive auto path, and the final assignment
+    * is pure map work over (id, group_key) — the corpus text rides
+    * only the shingling pass.
+    */
+  def assignSplitsDedupSafe(df: DataFrame, idCol: String, textCol: String,
+                            splits: Seq[(String, Double)],
+                            n: Int = 3, threshold: Double = 0.5,
+                            salt: String = "graft",
+                            splitCol: String = "split"): DataFrame = {
+    val comps = Components.connectedComponentsAuto(
+      NearDup.minHashNearDups(df, idCol, textCol, n, threshold))
+    val keyed = df.select(col(idCol))
+      .join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol).cast("long")).as("group_key"))
+    assignSplits(keyed, "group_key", splits, salt, splitCol)
+      .select(col(idCol), col("group_key"), col(splitCol))
+  }
+
   def assignSplits(df: DataFrame, keyCol: String,
                    splits: Seq[(String, Double)], salt: String = "graft",
                    splitCol: String = "split"): DataFrame = {

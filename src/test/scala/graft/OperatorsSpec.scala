@@ -257,6 +257,34 @@ class OperatorsSpec extends SparkSuite {
       Seq((1L, 10L, 5L))) // 5 shared trigram shingles; doc 2 and self excluded
   }
 
+  test("assignSplitsDedupSafe keeps near-dup clusters on one split side") {
+    // Two exact near-dup pairs + singletons; pair members MUST agree
+    // on split, singletons must keep their plain assignSplits label.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),
+      (5L, "totally unrelated content lives here"),
+      (6L, "another singleton document text body")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.5, "val" -> 0.5)
+    val r = Sampling.assignSplitsDedupSafe(docs, "doc_id", "text", splits)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val byId = r.map(x => x._1 -> x._3).toMap
+    assert(byId(1L) === byId(2L))
+    assert(byId(3L) === byId(4L))
+    // Cluster members hash by the cluster minimum: doc 2 carries doc
+    // 1's group key, so its split equals what doc 1 gets alone.
+    val plain = Sampling.assignSplits(docs, "doc_id", splits)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(byId(1L) === plain(1L))
+    assert(byId(5L) === plain(5L))
+    assert(byId(6L) === plain(6L))
+    // group_key is the cluster min for members, own id for singletons.
+    val keys = r.map(x => x._1 -> x._2).toMap
+    assert(keys(1L) === 1L && keys(2L) === 1L && keys(4L) === 3L && keys(5L) === 5L)
+  }
+
   test("fuzzyContaminationPairs thresholds on Jaccard, not raw count") {
     // Doc 1 = exact copy of bench 10 (j = 1.0); doc 2 = edited copy
     // (4 of its 6 trigrams shared, j = 4/7 ≈ 0.57); doc 3 = long doc
