@@ -643,8 +643,12 @@ object SparkEntry {
     // export dir is overwritten per run (it must outlive the lambda:
     // the read-back evaluates lazily, driver-side).
     "s_jsonl_sink" -> ((s, dir) => {
+      // Path embeds the SANITIZED dir, not its hashCode: distinct
+      // fixture dirs must never collide onto one export (the read-back
+      // is lazy — a colliding overwrite would yank files out from
+      // under a not-yet-evaluated frame).
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_sink_" +
-        Integer.toHexString(dir.hashCode)
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
       graft.sources.Jsonl.writeSharded(t(s, dir, "documents"), out, "doc_id", shards = 4)
       graft.sources.Jsonl.readSharded(s, out,
           org.apache.spark.sql.types.StructType.fromDDL(

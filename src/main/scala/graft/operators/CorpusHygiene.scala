@@ -22,9 +22,17 @@ object CorpusHygiene {
     * its own row. The corpus never explodes, never shuffles: the only
     * distributed work is the linear shingling scan.
     */
-  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
-                         idCol: String, textCol: String,
-                         n: Int = 3, minShared: Long = 5): DataFrame = {
+  /** Shared candidate machinery of the exact and fuzzy decon rules:
+    * collect the benchmark's shingle sets, register the in-expression
+    * inverted index, run ONE persisted corpus shingling pass, explode
+    * the matches (self-pairs removed). Returns the candidate frame —
+    * (doc_id, bench_id, n_shared, n_corpus) — and the per-benchmark
+    * shingle-set sizes (a #benchmark-row scalar array).
+    */
+  private def benchOverlapCandidates(corpus: DataFrame, benchmark: DataFrame,
+                                     idCol: String, textCol: String,
+                                     n: Int, minShared: Long)
+      : (DataFrame, Array[(Long, Long)]) = {
     val spark = corpus.sparkSession
     val bench: Array[(Long, Array[Long])] =
       NearDup.shingleSets(benchmark, idCol, textCol, n)
@@ -38,13 +46,22 @@ object CorpusHygiene {
     // Persisted like every other shingle consumer (NearDup.*): the
     // linear shingling scan dominates and repeated hygiene passes over
     // the same corpus reuse it.
-    NearDup.shingleSets(corpus, idCol, textCol, n)
+    val cands = NearDup.shingleSets(corpus, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col(idCol).as("doc_id"),
+        size(col("shingles")).cast("long").as("n_corpus"),
         explode(call_function("graft_bench_overlap", col("shingles"))).as("m"))
-      .select(col("doc_id"), col("m.bench_id").as("bench_id"), col("m.n_shared").as("n_shared"))
+      .select(col("doc_id"), col("m.bench_id").as("bench_id"),
+        col("m.n_shared").as("n_shared"), col("n_corpus"))
       .filter(col("doc_id") =!= col("bench_id"))
+    (cands, bench.map { case (id, sh) => (id, sh.length.toLong) })
   }
+
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, minShared: Long = 5): DataFrame =
+    benchOverlapCandidates(corpus, benchmark, idCol, textCol, n, minShared)._1
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
 
   /** FUZZY decontamination (Jaccard-thresholded) — the Llama/GPT-style
     * complement to [[contaminationPairs]]' raw shared-count rule: a
@@ -68,28 +85,11 @@ object CorpusHygiene {
                               minShared: Long = 1L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    val (cands, sizes) =
+      benchOverlapCandidates(corpus, benchmark, idCol, textCol, n, minShared)
     val spark = corpus.sparkSession
-    val bench: Array[(Long, Array[Long])] =
-      NearDup.shingleSets(benchmark, idCol, textCol, n)
-        .select(col(idCol).cast("long"), col("shingles"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bench_overlap",
-      exprs => graft.plans.BenchmarkOverlap(exprs.head, bench, minShared), "built-in")
     import spark.implicits._
-    val benchSizes = bench.toSeq.map { case (id, sh) => (id, sh.length.toLong) }
-      .toDF("bench_id", "n_bench")
-    NearDup.shingleSets(corpus, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .select(col(idCol).as("doc_id"),
-        size(col("shingles")).cast("long").as("n_corpus"),
-        explode(call_function("graft_bench_overlap", col("shingles"))).as("m"))
-      .select(col("doc_id"), col("m.bench_id").as("bench_id"),
-        col("m.n_shared").as("n_shared"), col("n_corpus"))
-      .filter(col("doc_id") =!= col("bench_id"))
-      .join(broadcast(benchSizes), Seq("bench_id"))
+    cands.join(broadcast(sizes.toSeq.toDF("bench_id", "n_bench")), Seq("bench_id"))
       .withColumn("jaccard", col("n_shared").cast("double") /
         (col("n_corpus") + col("n_bench") - col("n_shared")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -31,8 +31,10 @@ import org.apache.spark.sql.functions._
   *
   * The result is EXACTLY the true heavy-hitter set with exact counts
   * — no approximation survives the verify pass — while the
-  * full-vocabulary shuffle never runs. Three linear map passes total
-  * (candidates, counts, total), all whole-stage-codegen except the
+  * full-vocabulary shuffle never runs. TWO linear passes total: the
+  * summary pass emits each partition's token count alongside its
+  * survivors (so the grand total rides for free), the verify pass
+  * counts candidates; all whole-stage-codegen except the
   * per-partition summary itself (partition-local mutable state has no
   * Expression form — the same justification as the multimodal
   * decoders).
@@ -74,9 +76,21 @@ object HeavyHitters {
     require(k >= 1, s"k must be positive, got $k")
     val toks = df.select(col(tokenCol).cast("string").as("t"))
       .as[String](Encoders.STRING)
-    val cands = toks.mapPartitions(it => spaceSaving(it, k))(Encoders.STRING)
-      .toDF("t").distinct()
-    val nFrame = toks.groupBy().agg(count(lit(1)).as("__n"))
+    // One pass emits survivors AND the partition's token count (the
+    // grand total rides for free — no separate counting scan). The
+    // tiny summary (≤ (k+1)·#partitions rows) is lazily checkpointed
+    // so its two consumers don't each re-scan the token stream.
+    val summary = toks.mapPartitions { it =>
+        var n = 0L
+        val counted = it.map { t => n += 1; t }
+        val keys = spaceSaving(counted, k).toArray // drains `counted`; n is final
+        keys.iterator.map(t => (0, t, 0L)) ++ Iterator((1, "", n))
+      }(Encoders.product[(Int, String, Long)])
+      .toDF("kind", "t", "cnt")
+      .localCheckpoint(false)
+    val cands = summary.filter(col("kind") === 0).select(col("t")).distinct()
+    val nFrame = summary.filter(col("kind") === 1)
+      .groupBy().agg(sum(col("cnt")).as("__n"))
     toks.toDF("t")
       .join(broadcast(cands), Seq("t"), "left_semi")
       .groupBy(col("t")).agg(count(lit(1)).as("n_occ"))

@@ -153,9 +153,15 @@ object Sampling {
                    salt: String = "graft"): DataFrame = {
     require(targets.nonEmpty, "at least one stratum target required")
     require(targets.values.forall(_ >= 0), s"targets must be >= 0: $targets")
+    // Lazy checkpoint: the totals action below materializes these
+    // small rows (key, stratum, count, hash — never text) ONCE; the
+    // three lazy consumers (full epochs + the running sum's window and
+    // offsets branches) then read the cached blocks instead of each
+    // re-tokenizing the corpus. Reference-tracked, no CacheManager pin.
     val base = df.select(col(keyCol), col(strataCol),
       graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       hashBucket32(col(keyCol), salt).as("__ord"))
+      .localCheckpoint(false)
     val totals = base.groupBy(col(strataCol))
       .agg(sum(col("n_tokens")).as("tot")).collect()
       .map(r => r.getString(0) -> r.getLong(1))

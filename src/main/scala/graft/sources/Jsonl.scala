@@ -60,7 +60,13 @@ object Jsonl {
     // Any column beside `value` rides through unparsed — that is how a
     // partition-discovered column (the shard id of [[readSharded]])
     // survives the parse.
-    val passthrough = lines.columns.filterNot(_ == "value").toSeq.map(col)
+    val passthroughNames = lines.columns.filterNot(_ == "value").toSeq
+    val clash = passthroughNames.toSet.intersect(schema.fieldNames.toSet)
+    require(clash.isEmpty,
+      s"schema fields collide with passthrough columns ${clash.mkString(", ")} — " +
+        "the parse would emit duplicate column names and every downstream " +
+        "reference would be ambiguous; rename one side")
+    val passthrough = passthroughNames.map(col)
     lines
       .filter(length(trim(col("value"))) > 0)
       .select(passthrough :+ from_json(col("value"), schema.add(CorruptCol, "string"),
@@ -99,13 +105,23 @@ object Jsonl {
     * one unbounded file.
     */
   def writeSharded(df: DataFrame, path: String, keyCol: String, shards: Int,
-                   salt: String = "graft", maxRecordsPerFile: Long = 0L): Unit =
+                   salt: String = "graft", maxRecordsPerFile: Long = 0L): Unit = {
+    // The shard id is DERIVED here; a frame already carrying one (e.g.
+    // Sampling.shuffleDeterministic output) would be silently
+    // re-sharded and the column dropped from the JSON payload
+    // (partition columns never land in data files) — fail loudly, the
+    // caller drops or renames theirs first.
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — writeSharded derives its own " +
+        "shard id and partitionBy would drop the column from the payload; " +
+        "drop or rename it before exporting")
     df.withColumn("shard", graft.operators.Sampling.shardOf(col(keyCol), shards, salt))
       .repartition(shards, col("shard"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard")
       .json(path)
+  }
 
   /** Read a [[writeSharded]] export back with the same PERMISSIVE
     * quarantine contract as [[read]]: the text scan discovers the
