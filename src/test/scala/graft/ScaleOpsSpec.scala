@@ -231,7 +231,8 @@ class ScaleOpsSpec extends SparkSuite {
     for (name <- Seq("dedup_minhash", "dedup_clusters", "dedup_allpairs",
         "dedup_allpairs_auto", "dedup_ngram_sample", "dedup_lines",
         "dedup_paragraphs", "corpus_funnel", "corpus_funnel_keep",
-        "sample_token_budget")) {
+        "sample_token_budget", "dedup_keep_best", "sample_epochs",
+        "text_heavy_hitters", "text_ppl_buckets")) {
       SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").collect()
       assert(spark.sharedState.cacheManager.isEmpty,
         s"$name left pinned cache entries behind")
