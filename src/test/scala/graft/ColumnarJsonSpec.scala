@@ -104,6 +104,26 @@ class ColumnarJsonSpec extends SparkSuite {
     assert(e.getMessage.contains(graft.sources.Jsonl.CorruptCol))
   }
 
+  test("Jsonl: sharded export rejects an input already carrying a shard column") {
+    import spark.implicits._
+    val withShard = Seq((1L, "x", 0)).toDF("doc_id", "text", "shard")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Jsonl.writeSharded(withShard, "/tmp/never-written", "doc_id", 4)
+    }
+    assert(e.getMessage.contains("shard"))
+  }
+
+  test("Jsonl: parse rejects schema fields colliding with passthrough columns") {
+    import spark.implicits._
+    val lines = Seq(("{}", 3)).toDF("value", "shard")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, shard INT")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Jsonl.parseLines(lines, schema)
+    }
+    assert(e.getMessage.contains("shard"))
+  }
+
   test("Jsonl: sharded export roundtrips losslessly with hash-determined shards") {
     import spark.implicits._
     // Quotes, backslashes, and an embedded newline: the JSON escape
