@@ -89,6 +89,29 @@ object SparkEntry {
   private val bucketedBuilt =
     new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)](null)
 
+  /** The BMP fixtures plus a one-byte pixel edit of each under
+    * id+100: the "lightly edited re-encode" shape the perceptual-hash
+    * gates exist for (byte 0 of the pixel array bumped by 200,
+    * clamped — chosen with the independent Python dHash replica to
+    * land at Hamming 2 and 1 from the originals).
+    */
+  private def mediaWithEditedCopies(s: SparkSession)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[Multimodal.MediaRow]
+    s.read.format("binaryFile").load("/root/repo/fixtures/media/*.bmp")
+      .select(regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long").as("media_id"),
+        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("media_type"),
+        col("content")).as[Multimodal.MediaRow]
+      .flatMap { r =>
+        val b = r.content.clone()
+        val off = java.nio.ByteBuffer.wrap(b, 10, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        b(off) = math.min(255, java.lang.Byte.toUnsignedInt(b(off)) + 200).toByte
+        Seq(r, Multimodal.MediaRow(r.media_id + 100L, r.media_type, b))
+      }
+  }
+
   /** Delete a staged temp input dir once its synchronous streaming run
     * has materialized (memory-sink rows survive the input's deletion)
     * — Bench runs every gate twice; staged corpus copies must not
@@ -1633,6 +1656,24 @@ object SparkEntry {
     // Multimodal plumbing: treat content as opaque bytes + typed
     // metadata (size, digest). The decode/feature-extract stage lives
     // in graft.operators.Multimodal (stubbed decode, real plumbing).
+    // Perceptual image fingerprints: dHash over the decoded pixels —
+    // the 8-bytes-per-image index a billion-image near-dup store
+    // keeps. The gate hashes the BMP fixtures PLUS a one-byte pixel
+    // edit of each (the "lightly edited re-encode" exact sha256 dedup
+    // cannot see); values pinned from an INDEPENDENT Python replica of
+    // the decode + grid + bit layout.
+    "multimodal_phash" -> ((s, _) =>
+      Multimodal.perceptualHashes(mediaWithEditedCopies(s)).toDF()),
+
+    // Perceptual near-dup pairs over those hashes: the SAME 4×16-bit
+    // pigeonhole banding + Hamming verify as text SimHash
+    // (NearDup.fingerprintNearDups) — each edited copy must pair with
+    // its original (Hamming 2 and 1), and no cross pair (Hamming
+    // ~29) survives the threshold.
+    "multimodal_neardup" -> ((s, _) =>
+      Multimodal.imageNearDups(
+        Multimodal.perceptualHashes(mediaWithEditedCopies(s)).toDF(), maxHamming = 3)),
+
     // Exact media dedup: identical binary payloads collapse by content
     // hash — the first dedup pass of any multimodal corpus (cheap and
     // exact, before any perceptual/embedding near-dup; same groupBy
@@ -3682,6 +3723,25 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS sha256_hex
         |FROM documents""".stripMargin,
+
+    // dHash values pinned from the independent Python replica of the
+    // BMP decode + 9×8 point-sampled grid + bit layout.
+    "multimodal_phash" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(dhash AS BIGINT) AS dhash
+        |FROM (VALUES
+        |  (1,   'bmp', -7957533809827277419),
+        |  (2,   'bmp', 8860227203321257661),
+        |  (101, 'bmp', -7957533809827277676),
+        |  (102, 'bmp', 8860227203321257660)
+        |) AS t(media_id, kind, dhash)""".stripMargin,
+
+    // Each edited copy pairs with its original at the replica-computed
+    // Hamming distance; the cross distances (~29) are over threshold.
+    "multimodal_neardup" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(hamming AS INTEGER) AS hamming
+        |FROM (VALUES (1, 101, 2), (2, 102, 1)) AS t(id_a, id_b, hamming)""".stripMargin,
 
     // Static fixtures + planted copies → pinned sha256 groups, the
     // original id kept per group.

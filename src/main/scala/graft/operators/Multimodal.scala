@@ -231,6 +231,72 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  /** Per-image perceptual hash row. */
+  case class MediaHash(media_id: Long, kind: String, dhash: Long)
+
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * cheap perceptual fingerprint: a 9×8 grayscale grid (channel
+    * average, point-sampled at cell centers — valid at ANY image size,
+    * where block averaging leaves empty cells below 9×8), bit(i,j) set
+    * iff grid(i,j) < grid(i,j+1). Identical images hash identically;
+    * small pixel edits flip only the comparisons they cross, so
+    * near-copies land within a small Hamming distance — the property
+    * [[imageNearDups]] banding exploits. None for non-images or
+    * undecodable payloads. (A production variant samples from a
+    * smoothed downscale for stronger re-encode robustness; the grid
+    * shape and bit layout are the standard ones.)
+    */
+  def dHash(r: MediaRow): Option[Long] = {
+    val meta = decodeMeta(r)
+    if (meta.kind != "bmp") None
+    else {
+      val (ch, vals) = decodeBmpValues(r.content, meta)
+      val w = meta.width; val h = math.abs(meta.height)
+      if (ch <= 0 || vals.isEmpty || w <= 0 || h <= 0) None
+      else {
+        def gray(x: Int, y: Int): Double = {
+          var s = 0.0; var c = 0
+          while (c < ch) { s += vals(((y * w) + x) * ch + c); c += 1 }
+          s / ch
+        }
+        def g2(i: Int, j: Int): Double =
+          gray(((2 * j + 1) * w) / 18, ((2 * i + 1) * h) / 16)
+        var bits = 0L
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            if (g2(i, j) < g2(i, j + 1)) bits |= 1L << (i * 8 + j)
+            j += 1
+          }
+          i += 1
+        }
+        Some(bits)
+      }
+    }
+  }
+
+  /** Perceptual hashes for every decodable image in `media` (batched
+    * per-partition like the other decode passes; non-images yield no
+    * row). Output feeds [[imageNearDups]] — or a warehouse table, the
+    * 8-bytes-per-image index a billion-image dedup actually stores.
+    */
+  def perceptualHashes(media: Dataset[MediaRow], batchSize: Int = 32): Dataset[MediaHash] = {
+    implicit val enc = Encoders.product[MediaHash]
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      dHash(r).map(hh => MediaHash(r.media_id, "bmp", hh))
+    }))
+  }
+
+  /** Perceptual image near-dup pairs: the SAME 4×16-bit pigeonhole
+    * banding + exact Hamming verify as the text SimHash path
+    * ([[NearDup.fingerprintNearDups]]) over the dHash column — one
+    * candidate machinery for every 64-bit fingerprint family. The join
+    * carries (chunk, 16 bits, id); pixels never shuffle.
+    */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    NearDup.fingerprintNearDups(hashes, "media_id", "dhash", maxHamming)
+
   /** Lift a text table into the media shape (test/demo helper: content
     * bytes play the role of an undecodable payload).
     */

@@ -380,11 +380,28 @@ object NearDup {
         coalesce(transform(TextFunctions.tokens(col(textCol)), t => tokenHash(t)),
           array().cast("array<bigint>")).as("__th"))
       .select(col(idCol), call_function("graft_simhash", col("__th")).as("simhash"))
+    fingerprintNearDups(fp, idCol, "simhash", maxHamming, maxBucket, dropCounter)
+  }
+
+  /** Pigeonhole near-dup pairs over ANY 64-bit fingerprint frame —
+    * the banding + verify half of the SimHash path, fingerprint
+    * computation left to the caller (text SimHash above; image dHash
+    * in [[Multimodal.imageNearDups]]). 4×16-bit chunks: any pair
+    * within Hamming 3 agrees on at least one chunk, so recall is
+    * guaranteed, and the verify is an exact `bit_count` on the two
+    * 8-byte fingerprints — the join never carries payloads.
+    */
+  def fingerprintNearDups(fps: DataFrame, idCol: String, fpCol: String,
+                          maxHamming: Int = 3,
+                          maxBucket: Int = BucketGuard.DefaultMaxBucket,
+                          dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
     val chunks = array((0 until 4).map { c =>
-      struct(lit(c).as("chunk"), shiftright(col("simhash"), 16 * c).bitwiseAND(0xFFFFL).as("cv"))
+      struct(lit(c).as("chunk"), shiftright(col(fpCol), 16 * c).bitwiseAND(0xFFFFL).as("cv"))
     }: _*)
-    val banded = fp.select(col(idCol), col("simhash"), explode(chunks).as("ch"))
-      .select(col(idCol), col("simhash"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    val banded = fps.select(col(idCol), col(fpCol), explode(chunks).as("ch"))
+      .select(col(idCol), col(fpCol), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
     // A 16-bit chunk value shared by millions of short docs is the
     // degenerate bucket here; cap it (result is LAZY — callers that
     // need the dropped mass logged pass their own counter and read it
@@ -395,8 +412,8 @@ object NearDup {
     // (contrast candidatePairs, whose 16-band frame is persisted).
     val capped = BucketGuard.capBuckets(banded, Seq("chunk", "cv"), idCol,
       maxBucket, dropCounter)
-    val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("cv"))
-    val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("cv"))
+    val a = capped.select(col(idCol).as("id_a"), col(fpCol).as("sh_a"), col("chunk"), col("cv"))
+    val b = capped.select(col(idCol).as("id_b"), col(fpCol).as("sh_b"), col("chunk"), col("cv"))
     a.join(b, Seq("chunk", "cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()

@@ -79,6 +79,29 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(Multimodal.decodeMeta(Multimodal.MediaRow(11L, "x", corrupt)).kind === "unknown")
   }
 
+  test("dHash: stable on identical pixels, near on small edits, absent for audio") {
+    val bmpBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media/1.bmp"))
+    val wavBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media/3.wav"))
+    val h1 = Multimodal.dHash(Multimodal.MediaRow(1L, "bmp", bmpBytes))
+    assert(h1.isDefined)
+    // Same bytes, different id/type: identical hash.
+    assert(Multimodal.dHash(Multimodal.MediaRow(99L, "x", bmpBytes)) === h1)
+    // One-byte pixel edit: small nonzero Hamming distance (value
+    // cross-checked against the independent Python replica: 2).
+    val edited = bmpBytes.clone()
+    val off = java.nio.ByteBuffer.wrap(edited, 10, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    edited(off) = math.min(255, java.lang.Byte.toUnsignedInt(edited(off)) + 200).toByte
+    val h2 = Multimodal.dHash(Multimodal.MediaRow(1L, "bmp", edited))
+    assert(h2.isDefined && h2 != h1)
+    assert(java.lang.Long.bitCount(h1.get ^ h2.get) === 2)
+    // Audio and garbage have no perceptual hash.
+    assert(Multimodal.dHash(Multimodal.MediaRow(3L, "wav", wavBytes)).isEmpty)
+    assert(Multimodal.dHash(Multimodal.MediaRow(9L, "x", Array[Byte](1, 2, 3))).isEmpty)
+  }
+
   test("frame sampling keeps every stride-th fixed-size frame") {
     val media = Multimodal.fromText(
       Seq((1L, "0123456789abcdef")).toDF("doc_id", "text"), "doc_id", "text", "video/fake")
