@@ -112,6 +112,29 @@ object SparkEntry {
       }
   }
 
+  /** The WAV fixtures plus a one-byte PCM edit of each under id+100
+    * (byte 1 of the data payload bumped by 60 — Hamming 1 from the
+    * original per the independent Python replica; 4.wav stays below
+    * the fingerprint's 65-frame floor either way).
+    */
+  private def mediaWithEditedAudio(s: SparkSession)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[Multimodal.MediaRow]
+    s.read.format("binaryFile").load("/root/repo/fixtures/media/*.wav")
+      .select(regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long").as("media_id"),
+        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("media_type"),
+        col("content")).as[Multimodal.MediaRow]
+      .flatMap { r =>
+        val b = r.content.clone()
+        val idx = (12 until b.length - 8).find(i =>
+          b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a').get
+        val off = idx + 8 + 1
+        b(off) = math.min(255, java.lang.Byte.toUnsignedInt(b(off)) + 60).toByte
+        Seq(r, Multimodal.MediaRow(r.media_id + 100L, r.media_type, b))
+      }
+  }
+
   /** Delete a staged temp input dir once its synchronous streaming run
     * has materialized (memory-sink rows survive the input's deletion)
     * — Bench runs every gate twice; staged corpus copies must not
@@ -1673,6 +1696,15 @@ object SparkEntry {
     "multimodal_neardup" -> ((s, _) =>
       Multimodal.imageNearDups(
         Multimodal.perceptualHashes(mediaWithEditedCopies(s)).toDF(), maxHamming = 3)),
+
+    // Audio perceptual fingerprints (energy-delta over decoded PCM) on
+    // the WAV fixtures + a two-sample edit of each under id+100:
+    // 3.wav's edit lands at Hamming 1 (pair recovery asserted in
+    // spec); 4.wav is SHORTER than the 65-window grid and correctly
+    // yields no fingerprint, edited or not. Values pinned from the
+    // independent Python replica of decode + windows + bits.
+    "multimodal_audio_fp" -> ((s, _) =>
+      Multimodal.audioFingerprints(mediaWithEditedAudio(s)).toDF()),
 
     // Exact media dedup: identical binary payloads collapse by content
     // hash — the first dedup pass of any multimodal corpus (cheap and
@@ -3742,6 +3774,16 @@ object SparkEntry {
       """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
         |  CAST(hamming AS INTEGER) AS hamming
         |FROM (VALUES (1, 101, 2), (2, 102, 1)) AS t(id_a, id_b, hamming)""".stripMargin,
+
+    // Replica-pinned energy-delta fingerprints; the sub-65-frame clip
+    // (and its edit) contribute no rows.
+    "multimodal_audio_fp" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(dhash AS BIGINT) AS dhash
+        |FROM (VALUES
+        |  (3,   'wav', 7879376137014322468),
+        |  (103, 'wav', 7879376137014322469)
+        |) AS t(media_id, kind, dhash)""".stripMargin,
 
     // Static fixtures + planted copies → pinned sha256 groups, the
     // original id kept per group.

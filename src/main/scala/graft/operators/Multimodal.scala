@@ -297,6 +297,62 @@ object Multimodal {
   def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
     NearDup.fingerprintNearDups(hashes, "media_id", "dhash", maxHamming)
 
+  /** 64-bit audio energy-delta fingerprint over the decoded PCM — the
+    * audio analogue of [[dHash]] (chromaprint-lite): channels mixed to
+    * mono, the frame stream split into 65 equal windows, window energy
+    * = sum of squares, bit t set iff e(t) < e(t+1). Identical audio
+    * fingerprints identically; a localized sample edit perturbs only
+    * the windows it touches. None for non-audio, undecodable payloads,
+    * or clips shorter than 65 frames (too short for the window grid).
+    * Window bounds use Long arithmetic — t·n_frames overflows Int on
+    * hour-scale 44.1 kHz audio.
+    */
+  def audioFingerprint(r: MediaRow): Option[Long] = {
+    val meta = decodeMeta(r)
+    if (meta.kind != "wav") None
+    else {
+      val (ch, vals) = decodeWavValues(r.content, meta)
+      val nf = if (ch > 0) vals.length / ch else 0
+      if (ch <= 0 || nf < 65) None
+      else {
+        val mono = new Array[Double](nf)
+        var f = 0
+        while (f < nf) {
+          var s = 0.0; var c = 0
+          while (c < ch) { s += vals(f * ch + c); c += 1 }
+          mono(f) = s / ch
+          f += 1
+        }
+        def energy(t: Int): Double = {
+          val lo = ((t.toLong * nf) / 65).toInt
+          val hi = (((t + 1).toLong * nf) / 65).toInt
+          var s = 0.0; var i = lo
+          while (i < hi) { s += mono(i) * mono(i); i += 1 }
+          s
+        }
+        val e = Array.tabulate(65)(energy)
+        var bits = 0L
+        var t = 0
+        while (t < 64) { if (e(t) < e(t + 1)) bits |= 1L << t; t += 1 }
+        Some(bits)
+      }
+    }
+  }
+
+  /** Audio fingerprints for every decodable clip (batched like the
+    * other decode passes); pairs via [[NearDup.fingerprintNearDups]]
+    * — same banding, PCM never shuffles.
+    */
+  def audioFingerprints(media: Dataset[MediaRow], batchSize: Int = 32): Dataset[MediaHash] = {
+    implicit val enc = Encoders.product[MediaHash]
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      audioFingerprint(r).map(hh => MediaHash(r.media_id, "wav", hh))
+    }))
+  }
+
+  def audioNearDups(fps: DataFrame, maxHamming: Int = 3): DataFrame =
+    NearDup.fingerprintNearDups(fps, "media_id", "dhash", maxHamming)
+
   /** Lift a text table into the media shape (test/demo helper: content
     * bytes play the role of an undecodable payload).
     */

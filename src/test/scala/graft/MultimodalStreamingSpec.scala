@@ -102,6 +102,35 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(Multimodal.dHash(Multimodal.MediaRow(9L, "x", Array[Byte](1, 2, 3))).isEmpty)
   }
 
+  test("audioFingerprint: edit pairs with original; short clips have no fingerprint") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[Multimodal.MediaRow]
+    val wav = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media/3.wav"))
+    val short = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media/4.wav"))
+    val h3 = Multimodal.audioFingerprint(Multimodal.MediaRow(3L, "wav", wav))
+    assert(h3.isDefined)
+    // 64 frames < the 65-window grid: no fingerprint.
+    assert(Multimodal.audioFingerprint(Multimodal.MediaRow(4L, "wav", short)).isEmpty)
+    // Edit two PCM bytes; the pair must be recovered through the
+    // banded join at its small Hamming distance.
+    val edited = wav.clone()
+    val idx = (12 until edited.length - 8).find(i =>
+      edited(i) == 'd' && edited(i + 1) == 'a' &&
+        edited(i + 2) == 't' && edited(i + 3) == 'a').get
+    edited(idx + 9) =
+      math.min(255, java.lang.Byte.toUnsignedInt(edited(idx + 9)) + 60).toByte
+    val media = Seq(
+      Multimodal.MediaRow(3L, "wav", wav),
+      Multimodal.MediaRow(103L, "wav", edited),
+      Multimodal.MediaRow(4L, "wav", short)).toDS()
+    val pairs = Multimodal.audioNearDups(
+        Multimodal.audioFingerprints(media).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((3L, 103L, 1)))
+  }
+
   test("frame sampling keeps every stride-th fixed-size frame") {
     val media = Multimodal.fromText(
       Seq((1L, "0123456789abcdef")).toDF("doc_id", "text"), "doc_id", "text", "video/fake")
