@@ -1980,6 +1980,20 @@ object SparkEntry {
       Sampling.assignSplitsDedupSafe(t(s, dir, "documents"), "doc_id", "text",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
 
+    // E4: the full training-data pipeline as ONE compose — exact
+    // dedup → computed-langid gate → per-source token budgets →
+    // sequence packing → sharded JSONL export, manifest = read-back ⨝
+    // packing offsets. Stages are each separately gated; this row pins
+    // their COMPOSITION and the export roundtrip.
+    "s_e4_pipeline" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_e4_export_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      new graft.pipelines.TrainingDataPipeline(s).run(
+        t(s, dir, "documents"), keepLang = "en",
+        budgets = Map("src0" -> 1200L, "src1" -> 700L, "src2" -> 400L),
+        seqLen = 256, exportPath = out, shards = 4)
+    }),
+
     // Deterministic epoch shuffle: every doc gets a reproducible
     // (shard, pos) — shard from the 256-bucket hash (4 shards align
     // exactly with hex-pair boundaries), position within shard by
@@ -3591,6 +3605,40 @@ object SparkEntry {
     "dedup_clusters" -> duckClustersSql,
     "dedup_clusters_star" -> duckClustersSql,
     "dedup_keep_best" -> duckKeepBestSql,
+
+    // E4 replayed stage by stage: keep-first dedup winners → langid
+    // gate over the survivors → per-source budget window → global pack
+    // window over the admitted set → shard hex ranges + text md5 from
+    // the source rows (roundtrip equality).
+    "s_e4_pipeline" ->
+      s"""WITH keep1 AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+         |d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+         |lang AS (${duckLangIdFrom("d1")}),
+         |d2 AS (SELECT d1.* FROM d1 JOIN lang USING (doc_id)
+         |       WHERE lang.lang_pred = 'en'),
+         |tok AS (SELECT doc_id, source,
+         |    CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM d2),
+         |adm AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS cum FROM tok),
+         |d3 AS (SELECT doc_id, source, n_tokens FROM adm
+         |  WHERE cum <= CASE source WHEN 'src0' THEN 1200
+         |                           WHEN 'src1' THEN 700
+         |                           WHEN 'src2' THEN 400 END),
+         |pck AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (
+         |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS end_off
+         |  FROM d3)
+         |SELECT p.doc_id, p.source,
+         |  CASE WHEN b < '40' THEN 0 WHEN b < '80' THEN 1
+         |       WHEN b < 'c0' THEN 2 ELSE 3 END AS shard,
+         |  md5(d.text) AS text_md5,
+         |  p.n_tokens, p.end_off - p.n_tokens AS begin_off,
+         |  (p.end_off - p.n_tokens) // 256 AS seq_first
+         |FROM (SELECT *, substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+         |      FROM pck) p
+         |JOIN documents d ON d.doc_id = p.doc_id""".stripMargin,
 
     // Same closure; split hashed on the cluster-canonical group key.
     "sample_splits_safe" ->

@@ -110,3 +110,52 @@ class JoinedSilverPipeline(spark: SparkSession, tables: TableManager) {
     PipelineResult(spark.table(aqBronze).count(), spark.table(silverTable).count(), report)
   }
 }
+
+/** E4 — the training-data pipeline this engine ADDS on top of the
+  * reference's E1–E3: the compose a pretraining-data run actually
+  * ships. corpus → exact dedup (deterministic keep-first) →
+  * language gate on the COMPUTED lang id (metadata lies; the router
+  * decides) → per-source token-budget mixture (deterministic md5
+  * admission) → sequence packing over the SURVIVORS → sharded JSONL
+  * export — and the returned manifest is the EXPORT read back through
+  * the quarantine parser joined to the packing offsets, so the gate
+  * pins the full stage composition AND the roundtrip, not the stages
+  * in isolation (each is separately oracle-gated already).
+  *
+  * Scale shape: every stage is the already-audited operator — keeper
+  * sets and admission ranks flow as id-frames (text shuffles only
+  * into the export write), no driver materialization anywhere.
+  */
+class TrainingDataPipeline(spark: SparkSession) {
+  import graft.functions.TextFunctions
+  import graft.operators.{Packing, Sampling}
+  import graft.sources.Jsonl
+
+  def run(docs: DataFrame, keepLang: String, budgets: Map[String, Long],
+          seqLen: Long, exportPath: String, shards: Int): DataFrame = {
+    // 1. Exact dedup, keep-first: min id per identical normalized text.
+    val keepers = docs
+      .groupBy(TextFunctions.fingerprint(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d1 = docs.join(keepers, Seq("doc_id"), "left_semi")
+    // 2. Language gate (computed, not metadata).
+    val d2 = d1.filter(TextFunctions.langId(col("text")) === keepLang)
+    // 3. Per-source token budgets, deterministic admission.
+    val sampled = Sampling.tokenBudgetSample(d2, "source", "doc_id", "text", budgets)
+    val d3 = d2.join(sampled.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // 4. Pack the survivors into training sequences.
+    val packed = Packing.packSequences(d3, "doc_id", "text", seqLen)
+    // 5. Export as sharded JSONL; the manifest is the READ-BACK.
+    Jsonl.writeSharded(d3.select(col("doc_id"), col("text"), col("source")),
+      exportPath, "doc_id", shards)
+    val back = Jsonl.readSharded(spark, exportPath,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, source STRING"))
+      .filter(col(Jsonl.CorruptCol).isNull)
+      .select(col("doc_id"), col("source"), col("shard"),
+        md5(col("text").cast("binary")).as("text_md5"))
+    back.join(packed.select(col("doc_id"), col("n_tokens"),
+      col("begin_off"), col("seq_first")), Seq("doc_id"))
+  }
+}

@@ -94,4 +94,37 @@ class PipelinesSpec extends SparkSuite {
       aqBronze = "e3m_aq", wxBronze = "e3m_wx", silverTable = "e3m_silver")
     assert(r2.silverRows === 38)
   }
+
+  test("E4 training pipeline: every stage filters and the export roundtrips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val en = "the cat sat on the mat and that is fine for a test with words"
+    val docs = Seq(
+      (1L, "s0", en + " one"),
+      (2L, "s0", en + " one"),                      // exact dup of 1 → dropped
+      (3L, "s0", "der hund ist nicht mit von zu"),  // non-en → dropped
+      (4L, "s0", en + " two two two"),
+      (5L, "s1", en + " three")).toDF("doc_id", "source", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-e4-test").toString
+    val r = new graft.pipelines.TrainingDataPipeline(spark)
+      .run(docs, keepLang = "en",
+        budgets = Map("s0" -> 1000L, "s1" -> 1000L),
+        seqLen = 8, exportPath = out, shards = 2)
+      .collect()
+    val ids = r.map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 4L, 5L))           // 2 deduped, 3 lang-gated
+    // Roundtripped text hashes equal the source rows'.
+    val wantMd5 = docs.filter(col("doc_id").isin(1L, 4L, 5L))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    r.foreach(x => assert(x.getAs[String]("text_md5") === wantMd5(x.getLong(0))))
+    // Offsets tile the packed stream: sorted begin_off + n_tokens chain.
+    val spans = r.map(x =>
+      (x.getAs[Long]("begin_off"), x.getAs[Long]("n_tokens"))).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((b1, n1), (b2, _)) => assert(b1 + n1 === b2)
+      case _ =>
+    }
+    assert(spans.head._1 === 0L)
+  }
 }
