@@ -89,51 +89,72 @@ object SparkEntry {
   private val bucketedBuilt =
     new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)](null)
 
-  /** The BMP fixtures plus a one-byte pixel edit of each under
-    * id+100: the "lightly edited re-encode" shape the perceptual-hash
-    * gates exist for (byte 0 of the pixel array bumped by 200,
-    * clamped — chosen with the independent Python dHash replica to
-    * land at Hamming 2 and 1 from the originals).
+  /** Gate-scoped export directory under the system tmpdir: the
+    * sanitized dir keeps paths readable, the md5 prefix keeps the
+    * mapping injective (plain sanitization is not — `sf0.01` and a
+    * hypothetical `sf0_01` would collide, and the gates' read-backs
+    * are LAZY, so a colliding overwrite yanks files out from under a
+    * not-yet-evaluated frame).
     */
-  private def mediaWithEditedCopies(s: SparkSession)
-      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
-    import org.apache.spark.sql.Encoders
-    implicit val enc = Encoders.product[Multimodal.MediaRow]
-    s.read.format("binaryFile").load("/root/repo/fixtures/media/*.bmp")
-      .select(regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long").as("media_id"),
-        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("media_type"),
-        col("content")).as[Multimodal.MediaRow]
-      .flatMap { r =>
-        val b = r.content.clone()
-        val off = java.nio.ByteBuffer.wrap(b, 10, 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-        b(off) = math.min(255, java.lang.Byte.toUnsignedInt(b(off)) + 200).toByte
-        Seq(r, Multimodal.MediaRow(r.media_id + 100L, r.media_type, b))
-      }
+  private def exportDirFor(prefix: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest
   }
 
-  /** The WAV fixtures plus a one-byte PCM edit of each under id+100
-    * (byte 1 of the data payload bumped by 60 — Hamming 1 from the
-    * original per the independent Python replica; 4.wav stays below
-    * the fingerprint's 65-frame floor either way).
+  /** The media fixtures matching `glob` as MediaRows (one projection,
+    * shared by every multimodal gate).
     */
-  private def mediaWithEditedAudio(s: SparkSession)
+  private def mediaFixtures(s: SparkSession, glob: String)
       : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.product[Multimodal.MediaRow]
-    s.read.format("binaryFile").load("/root/repo/fixtures/media/*.wav")
+    s.read.format("binaryFile").load(s"/root/repo/fixtures/media/$glob")
       .select(regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long").as("media_id"),
         regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("media_type"),
         col("content")).as[Multimodal.MediaRow]
-      .flatMap { r =>
-        val b = r.content.clone()
-        val idx = (12 until b.length - 8).find(i =>
-          b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a').get
-        val off = idx + 8 + 1
-        b(off) = math.min(255, java.lang.Byte.toUnsignedInt(b(off)) + 60).toByte
-        Seq(r, Multimodal.MediaRow(r.media_id + 100L, r.media_type, b))
-      }
   }
+
+  /** Fixtures + an edited copy of each under id+100 (the "lightly
+    * edited re-encode" shape the perceptual-hash gates exist for).
+    */
+  private def mediaWithEdits(s: SparkSession, glob: String)
+      (edit: Array[Byte] => Unit): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[Multimodal.MediaRow]
+    mediaFixtures(s, glob).flatMap { r =>
+      val b = r.content.clone()
+      edit(b)
+      Seq(r, Multimodal.MediaRow(r.media_id + 100L, r.media_type, b))
+    }
+  }
+
+  /** BMP fixtures + a one-byte pixel edit (byte 0 of the pixel array
+    * bumped by 200, clamped — chosen with the independent Python dHash
+    * replica to land at Hamming 2 and 1 from the originals).
+    */
+  private def mediaWithEditedCopies(s: SparkSession)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
+    mediaWithEdits(s, "*.bmp") { b =>
+      val off = java.nio.ByteBuffer.wrap(b, 10, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      b(off) = math.min(255, java.lang.Byte.toUnsignedInt(b(off)) + 200).toByte
+    }
+
+  /** WAV fixtures + a one-byte PCM edit (byte 1 of the data payload
+    * bumped by 60 — Hamming 1 from the original per the independent
+    * Python replica; 4.wav stays below the fingerprint's 65-frame
+    * floor either way).
+    */
+  private def mediaWithEditedAudio(s: SparkSession)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
+    mediaWithEdits(s, "*.wav") { b =>
+      val idx = (12 until b.length - 8).find(i =>
+        b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a').get
+      val off = idx + 8 + 1
+      b(off) = math.min(255, java.lang.Byte.toUnsignedInt(b(off)) + 60).toByte
+    }
 
   /** Delete a staged temp input dir once its synchronous streaming run
     * has materialized (memory-sink rows survive the input's deletion)
@@ -689,12 +710,7 @@ object SparkEntry {
     // export dir is overwritten per run (it must outlive the lambda:
     // the read-back evaluates lazily, driver-side).
     "s_jsonl_sink" -> ((s, dir) => {
-      // Path embeds the SANITIZED dir, not its hashCode: distinct
-      // fixture dirs must never collide onto one export (the read-back
-      // is lazy — a colliding overwrite would yank files out from
-      // under a not-yet-evaluated frame).
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_sink_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val out = exportDirFor("graft_jsonl_sink", dir)
       graft.sources.Jsonl.writeSharded(t(s, dir, "documents"), out, "doc_id", shards = 4)
       graft.sources.Jsonl.readSharded(s, out,
           org.apache.spark.sql.types.StructType.fromDDL(
@@ -1714,9 +1730,8 @@ object SparkEntry {
     // under a shifted id: each group must keep the original (min id)
     // at group_size 2 — pinned against the checked-in files' sha256.
     "multimodal_dedup" -> ((s, _) => {
-      val files = s.read.format("binaryFile").load("/root/repo/fixtures/media/*")
-        .select(regexp_extract(col("path"), "([0-9]+)\\.(bmp|wav)$", 1)
-          .cast("long").as("media_id"), col("content"))
+      val files = mediaFixtures(s, "*").toDF()
+        .select(col("media_id"), col("content"))
       val copies = files.select((col("media_id") + 100L).as("media_id"), col("content"))
       Dedup.exactByHash(files.unionByName(copies), "content", "media_id")
     }),
@@ -1986,8 +2001,7 @@ object SparkEntry {
     // packing offsets. Stages are each separately gated; this row pins
     // their COMPOSITION and the export roundtrip.
     "s_e4_pipeline" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_e4_export_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val out = exportDirFor("graft_e4_export", dir)
       new graft.pipelines.TrainingDataPipeline(s).run(
         t(s, dir, "documents"), keepLang = "en",
         budgets = Map("src0" -> 1200L, "src1" -> 700L, "src2" -> 400L),

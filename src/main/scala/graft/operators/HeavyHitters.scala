@@ -74,7 +74,12 @@ object HeavyHitters {
     */
   def exactHeavyHitters(df: DataFrame, tokenCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    // NULL is not a token: excluded from candidates AND from N (an
+    // equi-join key cannot be null, so a null "heavy hitter" could
+    // never be verified — half-counting it would silently skew every
+    // real token's threshold instead).
     val toks = df.select(col(tokenCol).cast("string").as("t"))
+      .filter(col("t").isNotNull)
       .as[String](Encoders.STRING)
     // One pass emits survivors AND the partition's token count (the
     // grand total rides for free — no separate counting scan). The

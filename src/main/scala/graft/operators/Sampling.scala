@@ -299,6 +299,13 @@ object Sampling {
                             n: Int = 3, threshold: Double = 0.5,
                             salt: String = "graft",
                             splitCol: String = "split"): DataFrame = {
+    // The cluster closure runs on long node ids; a string id would
+    // cast to NULL and silently produce an all-NULL split column —
+    // fail loudly instead (plain assignSplits keeps string support).
+    val idType = df.schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType,
+      s"$idCol must be an integral id column for the cluster closure, got $idType")
     val comps = Components.connectedComponentsAuto(
       NearDup.minHashNearDups(df, idCol, textCol, n, threshold))
     val keyed = df.select(col(idCol))

@@ -144,18 +144,24 @@ class TrainingDataPipeline(spark: SparkSession) {
     // 3. Per-source token budgets, deterministic admission.
     val sampled = Sampling.tokenBudgetSample(d2, "source", "doc_id", "text", budgets)
     val d3 = d2.join(sampled.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    // 4. Pack the survivors into training sequences.
-    val packed = Packing.packSequences(d3, "doc_id", "text", seqLen)
-    // 5. Export as sharded JSONL; the manifest is the READ-BACK.
+    // 4. Export the survivors as sharded JSONL — the ONE action that
+    //    executes the dedup→langid→budget chain.
     Jsonl.writeSharded(d3.select(col("doc_id"), col("text"), col("source")),
       exportPath, "doc_id", shards)
+    // 5. Pack and build the manifest FROM THE EXPORT: the read-back is
+    //    the durable copy of the survivors, so the packing offsets and
+    //    the manifest derive from cheap file reads — evaluating the
+    //    returned (lazy) frame re-reads the export, never re-runs the
+    //    hygiene chain. (Same offsets by construction: identical docs,
+    //    identical md5-of-id packing order.)
     val back = Jsonl.readSharded(spark, exportPath,
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING, source STRING"))
       .filter(col(Jsonl.CorruptCol).isNull)
-      .select(col("doc_id"), col("source"), col("shard"),
+    val packed = Packing.packSequences(back, "doc_id", "text", seqLen)
+    back.select(col("doc_id"), col("source"), col("shard"),
         md5(col("text").cast("binary")).as("text_md5"))
-    back.join(packed.select(col("doc_id"), col("n_tokens"),
-      col("begin_off"), col("seq_first")), Seq("doc_id"))
+      .join(packed.select(col("doc_id"), col("n_tokens"),
+        col("begin_off"), col("seq_first")), Seq("doc_id"))
   }
 }

@@ -105,7 +105,12 @@ object Jsonl {
     * one unbounded file.
     */
   def writeSharded(df: DataFrame, path: String, keyCol: String, shards: Int,
-                   salt: String = "graft", maxRecordsPerFile: Long = 0L): Unit = {
+                   salt: String = "graft", maxRecordsPerFile: Long = 0L,
+                   mode: String = "overwrite"): Unit = {
+    // "overwrite" is the right default for a re-runnable export job,
+    // but it IS destructive — a caller protecting an existing corpus
+    // passes mode = "errorifexists" and gets a loud failure instead of
+    // a silent erase.
     // The shard id is DERIVED here; a frame already carrying one (e.g.
     // Sampling.shuffleDeterministic output) would be silently
     // re-sharded and the column dropped from the JSON payload
@@ -117,7 +122,7 @@ object Jsonl {
         "drop or rename it before exporting")
     df.withColumn("shard", graft.operators.Sampling.shardOf(col(keyCol), shards, salt))
       .repartition(shards, col("shard"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard")
       .json(path)
