@@ -99,6 +99,27 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("fingerprintNearDups finds every pair within Hamming 3 and nothing beyond it") {
+    val r = new scala.util.Random(41)
+    // Well-separated random fingerprints + planted low-Hamming copies.
+    val base = (0 until 30).map(i => (i.toLong, r.nextLong()))
+    val planted = base.take(10).zipWithIndex.map { case ((id, fp), k) =>
+      val flips = k % 4 // 0..3 bit flips — all must be recovered
+      var fp2 = fp
+      (0 until flips).foreach(b => fp2 ^= 1L << ((k * 7 + b * 11) % 64))
+      (id + 1000L, fp2, id, flips)
+    }
+    val fps = (base ++ planted.map(p => (p._1, p._2))).toDF("media_id", "dhash")
+    val got = graft.operators.NearDup.fingerprintNearDups(fps, "media_id", "dhash")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    // Every planted pair surfaces at its exact flip count...
+    planted.foreach { case (cid, _, oid, flips) =>
+      assert(got.contains((oid, cid, flips)), s"missed planted pair $oid-$cid@$flips")
+    }
+    // ...and nothing reported exceeds the threshold (verify is exact).
+    got.foreach { case (_, _, h) => assert(h <= 3) }
+  }
+
   test("exactHeavyHitters equals the full groupBy under any partitioning") {
     val r = new scala.util.Random(13)
     // Zipf-ish stream: a few hot tokens, a long random tail that
