@@ -1966,6 +1966,14 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       Packing.packSequences(t(s, dir, "documents"), "doc_id", "text", seqLen = 512)),
 
+    // Packing WITH the per-document separator budget a real packer
+    // spends (one EOS per doc): every offset downstream shifts by the
+    // document's ordinal in the stream — the oracle recomputes the
+    // whole map at n_tokens+1.
+    "pack_sequences_eos" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"), "doc_id", "text", seqLen = 512,
+        perDocOverhead = 1L)),
+
     // Ingestion-time text normalization: the corpus is ASCII-clean by
     // construction, so the query plants a decomposed accent (e +
     // U+0301), a BEL control char, and doubled spaces on every doc —
@@ -3433,6 +3441,21 @@ object SparkEntry {
          |  (CASE WHEN n_tokens > 0 THEN (end_off - 1) // 512
          |        ELSE (end_off - n_tokens) // 512 END)
          |    != ((end_off - n_tokens) // 512) AS spans_boundary
+         |FROM c""".stripMargin,
+
+    // The same packing map with the one-EOS-per-document budget in
+    // every span.
+    "pack_sequences_eos" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($duckTokens) + 1 AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (
+         |          ORDER BY md5('graft' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS end_off
+         |      FROM t)
+         |SELECT doc_id, n_tokens, end_off - n_tokens AS begin_off,
+         |  (end_off - n_tokens) // 512 AS seq_first,
+         |  (end_off - 1) // 512 AS seq_last,
+         |  ((end_off - 1) // 512) != ((end_off - n_tokens) // 512) AS spans_boundary
          |FROM c""".stripMargin,
 
     // Same planted codepoints via chr() (769 = combining acute, 7 =

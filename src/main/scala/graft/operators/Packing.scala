@@ -34,13 +34,22 @@ object Packing {
     * the concatenated stream; sequence k covers [k·seqLen, (k+1)·seqLen).
     * Empty documents (0 tokens) occupy no span: seq_first = seq_last =
     * the sequence their offset falls in, spans_boundary = false.
+    *
+    * `perDocOverhead` is the separator budget a real packer spends per
+    * document (an EOS token, a BOS/EOS pair): it joins the document's
+    * span, so `n_tokens` is the PACKED length — content plus
+    * separators — and every offset downstream accounts for them.
+    * Default 0 keeps the raw-concatenation contract.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    seqLen: Long, salt: String = "graft"): DataFrame = {
+                    seqLen: Long, salt: String = "graft",
+                    perDocOverhead: Long = 0L): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(perDocOverhead >= 0, s"perDocOverhead must be >= 0, got $perDocOverhead")
     val ord = Sampling.hashBucket32(col(idCol), salt)
     val base = df.select(col(idCol),
-      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      (graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+        + perDocOverhead).as("n_tokens"),
       ord.as("__ord"))
     // Integer `div` (not `/` + floor): `/` on longs is DOUBLE division,
     // and at 100 T-token offsets a correctly-rounded double quotient

@@ -104,6 +104,18 @@ class ColumnarJsonSpec extends SparkSuite {
     assert(e.getMessage.contains(graft.sources.Jsonl.CorruptCol))
   }
 
+  test("Jsonl: errorifexists mode refuses to clobber an existing export") {
+    import spark.implicits._
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-mode").toString
+    graft.sources.Jsonl.writeSharded(docs, out, "doc_id", 2)
+    intercept[Exception] {
+      graft.sources.Jsonl.writeSharded(docs, out, "doc_id", 2, mode = "errorifexists")
+    }
+    // The default stays re-runnable.
+    graft.sources.Jsonl.writeSharded(docs, out, "doc_id", 2)
+  }
+
   test("Jsonl: sharded export rejects an input already carrying a shard column") {
     import spark.implicits._
     val withShard = Seq((1L, "x", 0)).toDF("doc_id", "text", "shard")
