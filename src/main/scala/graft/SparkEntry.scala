@@ -958,7 +958,8 @@ object SparkEntry {
     // S15 (bytes-targeted form): OPTIMIZE's real contract is a target
     // file SIZE — the count must be DERIVED from table bytes. Target =
     // ceil(bytes/3) ⇒ derived count is exactly 3 for any byte total
-    // (ceil(b/ceil(b/3)) = 3 for b ≥ 3), so the gate pins the layout
+    // (ceil(b/ceil(b/3)) = 3 for b = 3 and every b ≥ 5; b = 4 gives 2,
+    // but a parquet table is never 4 bytes), so the gate pins the layout
     // math without depending on parquet's encoded size.
     "s_compact_bytes" -> ((s, dir) => {
       val tm = new TableManager(s)
@@ -1249,6 +1250,7 @@ object SparkEntry {
         }
       d.filter(col("doc_id") % 3 === 2).coalesce(1).write.mode("append").parquet(tmp)
       resetTable(s, "graft_gate_sincr_v0"); resetTable(s, "graft_gate_sincr_v1")
+      resetTable(s, "graft_gate_sincr_cursor") // stale marker would resume old state
       val stream = s.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
       val stateTbl = StreamingJobs.incrementalDedupStream(stream, "doc_id", "text",
@@ -2734,7 +2736,8 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, CAST(1 AS BIGINT) AS num_files
         |FROM documents GROUP BY 1""".stripMargin,
 
-    // ceil(b/ceil(b/3)) = 3 for any b ≥ 3 — both the derived count and
+    // ceil(b/ceil(b/3)) = 3 for b = 3 and every b ≥ 5 (b = 4 gives 2 —
+    // unreachable for a parquet table) — both the derived count and
     // the resulting file count are pinned (≥3 distinct sources ⇒
     // repartition(3) leaves no empty shard).
     "s_compact_bytes" ->

@@ -282,6 +282,20 @@ class TableManager(spark: SparkSession) {
   def overwritePartitions(df: DataFrame, table: String, partitionBy: Seq[String],
                           filesPerPartition: Int = 1): Unit = {
     if (!exists(table)) { append(df, table, partitionBy, filesPerPartition); return }
+    // The "replace only df's partitions" contract holds ONLY when the
+    // table is physically partitioned by the requested columns: on an
+    // unpartitioned table the dynamic overwrite degrades to a silent
+    // FULL-TABLE replace (every idempotent micro-batch commit would
+    // erase all earlier batches), and on a differently-partitioned
+    // table it replaces the wrong slices. Fail loudly instead.
+    val actual = spark.catalog.listColumns(table).filter(_.isPartition).collect()
+      .map(_.name).toSeq
+    require(partitionBy.forall(actual.contains),
+      s"overwritePartitions($table) requires the table to be partitioned by " +
+        s"${partitionBy.mkString(", ")} but it is partitioned by " +
+        s"[${actual.mkString(", ")}] — a dynamic overwrite here would replace " +
+        "the whole table (or the wrong slices), not the intended partitions; " +
+        "recreate the sink table with the right layout")
     // Scope the overwrite mode on the DATAFRAME's session, not this
     // manager's: inside foreachBatch the batch frame is bound to the
     // streaming engine's CLONED session, and a conf set on the outer

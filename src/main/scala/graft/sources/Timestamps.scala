@@ -52,8 +52,11 @@ object Timestamps {
 
   /** One probe result per source path — the one-agg job that decides a
     * raw-long column's unit runs once per source, not once per query.
+    * Value carries the mtime token observed at probe time: a stale
+    * entry is REPLACED (bounded size — one entry per (path, column)),
+    * not accumulated under an mtime-suffixed key.
     */
-  private val encodingCache = new ConcurrentHashMap[String, TsEncoding]()
+  private val encodingCache = new ConcurrentHashMap[String, (String, TsEncoding)]()
 
   /** Latest mtime under `path` (one listing level — parquet data files
     * sit directly in the table dir), folded into the probe cache key so
@@ -87,17 +90,23 @@ object Timestamps {
       case TimestampType => Ltz
       case TimestampNTZType => Ntz
       case LongType =>
-        encodingCache.computeIfAbsent(s"$cacheKey#$name@${mtimeToken(cacheKey)}", _ =>
-          // max(abs(ts)) — not the first row in file order: a leading
-          // zero/near-epoch sentinel would classify the whole column,
-          // while the column's LARGEST magnitude is the value the unit
-          // decades separate unambiguously. Same cost class (one agg
-          // job, parquet-stats prunable).
-          RawLong(df.agg(max(abs(col(name)))).head(1)
-            .headOption.filterNot(_.isNullAt(0)).map(r => unitOf(r.getLong(0)))
-            // Empty source: any unit yields an empty result; micros is
-            // the parquet-ecosystem default.
-            .getOrElse("micros")))
+        // The mtime listing is one level of driver I/O per call; it
+        // stays outside the map key so the cache is bounded at one
+        // entry per (path, column) — a stale mtime replaces in place.
+        val token = mtimeToken(cacheKey)
+        encodingCache.compute(s"$cacheKey#$name", (_, cached) =>
+          if (cached != null && cached._1 == token) cached
+          else (token,
+            // max(abs(ts)) — not the first row in file order: a leading
+            // zero/near-epoch sentinel would classify the whole column,
+            // while the column's LARGEST magnitude is the value the unit
+            // decades separate unambiguously. Same cost class (one agg
+            // job, parquet-stats prunable).
+            RawLong(df.agg(max(abs(col(name)))).head(1)
+              .headOption.filterNot(_.isNullAt(0)).map(r => unitOf(r.getLong(0)))
+              // Empty source: any unit yields an empty result; micros is
+              // the parquet-ecosystem default.
+              .getOrElse("micros"))))._2
       case other =>
         sys.error(s"unsupported timestamp encoding for `$name`: $other " +
           "(expected TIMESTAMP, TIMESTAMP_NTZ, or INT64 epoch)")

@@ -158,7 +158,14 @@ object StreamingJobs {
     val banded = graft.operators.NearDup.bandKeys(
         graft.operators.NearDup.signatures(
           graft.operators.NearDup.shingleSets(
-            docs.withWatermark(tsCol, s"$horizonSec seconds"),
+            // A null event time is undateable: the watermark does NOT
+            // drop such rows, they reach the stateful operator and the
+            // .getTime below would NPE the whole query off one dirty
+            // row. Dropping is the dedup-horizon contract (an undated
+            // doc can't be placed inside or outside the horizon);
+            // ingest-side quarantine accounts for them.
+            docs.filter(col(tsCol).isNotNull)
+              .withWatermark(tsCol, s"$horizonSec seconds"),
             idCol, textCol, n, keep = Seq(tsCol)),
           idCol, keep = Seq(tsCol)),
         idCol, keep = Seq("sig", tsCol))
@@ -226,7 +233,12 @@ object StreamingJobs {
     * from the incoming batch first (one keyed anti-join), so a
     * replayed micro-batch (Structured Streaming re-fires the last
     * batch after recovery) is a no-op instead of violating
-    * appendBatch's disjoint-ids contract.
+    * appendBatch's disjoint-ids contract. The rotation cursor is
+    * DURABLE (`<stateBase>_cursor`, one row, written after each state
+    * commit): a fresh invocation with the same `stateBase` — a new
+    * process, a daily restart, the "months later" re-crawl — RESUMES
+    * against the existing state instead of silently discarding the
+    * whole dedup history under an empty in-memory cursor.
     *
     * All reads/writes run on the BATCH frame's session (foreachBatch
     * hands a frame bound to the streaming engine's cloned session —
@@ -240,9 +252,12 @@ object StreamingJobs {
                              statePartitions: Option[Int] = None): String = {
     val outer = docs.sparkSession
     val versions = Seq(s"${stateBase}_v0", s"${stateBase}_v1")
-    // Rotation cursor lives in the driver: which version table holds
-    // the CURRENT state (-1 = nothing written yet).
-    val current = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val cursorTbl = s"${stateBase}_cursor"
+    // Rotation cursor: which version table holds the CURRENT state
+    // (-1 = nothing written yet), bootstrapped from the durable marker
+    // so prior invocations' state is resumed, never discarded.
+    val current = new java.util.concurrent.atomic.AtomicInteger(
+      bootstrapCursor(outer, versions, cursorTbl))
     val prev = outer.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(p =>
       outer.conf.set("spark.sql.shuffle.partitions", p.toString))
@@ -250,7 +265,7 @@ object StreamingJobs {
       val q = docs.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           incrementalDedupCommit(batch, idCol, textCol, versions, current,
-            n, threshold)
+            n, threshold, cursorTable = Some(cursorTbl))
         }
         .option("checkpointLocation", ckpt)
         .start()
@@ -261,14 +276,38 @@ object StreamingJobs {
     versions(current.get)
   }
 
+  /** Durable cursor bootstrap for [[incrementalDedupStream]]: the
+    * version the marker table names (when it and the state table it
+    * points at both exist), else −1. A marker pointing at a missing
+    * state table — a half-finished manual cleanup — fails loudly
+    * rather than resuming against nothing.
+    */
+  def bootstrapCursor(spark: SparkSession, versions: Seq[String],
+                      cursorTable: String): Int = {
+    val tables = new graft.sources.TableManager(spark)
+    if (!tables.exists(cursorTable)) -1
+    else {
+      val v = spark.table(cursorTable).head().getInt(0)
+      require(v >= 0 && v < versions.length && tables.exists(versions(v)),
+        s"$cursorTable names state version $v but ${versions.lift(v)} is " +
+          "missing — drop the cursor table too if the state was cleaned up")
+      v
+    }
+  }
+
   /** The per-micro-batch commit of [[incrementalDedupStream]] — exposed
     * so a crash replay (same batch re-fired) is directly testable. The
     * anti-join replay guard makes a re-fired batch a state no-op.
+    * `cursorTable` (when set) records the committed version AFTER the
+    * state write: a crash between the two writes leaves the cursor on
+    * the previous version, and the re-fired batch re-absorbs through
+    * the replay guard — resume is always against a fully-written state.
     */
   def incrementalDedupCommit(batch: DataFrame, idCol: String, textCol: String,
                              versions: Seq[String],
                              current: java.util.concurrent.atomic.AtomicInteger,
-                             n: Int = 3, threshold: Double = 0.5): Unit = {
+                             n: Int = 3, threshold: Double = 0.5,
+                             cursorTable: Option[String] = None): Unit = {
     val s = batch.sparkSession
     val tables = new graft.sources.TableManager(s)
     val cur =
@@ -284,6 +323,10 @@ object StreamingJobs {
     val target = (current.get + 1).max(0) % 2
     tables.overwrite(next, versions(target))
     current.set(target) // only after the write succeeded
+    cursorTable.foreach { ct =>
+      import s.implicits._
+      tables.overwrite(Seq(target).toDF("version"), ct)
+    }
   }
 
   /** Streaming benchmark decontamination — the live-feed twin of
@@ -411,7 +454,10 @@ object StreamingJobs {
       : org.apache.spark.sql.Dataset[UserAgg] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    // Same null-event-time guard as nearDupStream: the TTL arithmetic
+    // calls .getTime and a null ts would crash the query.
     stream.select(col("user_id"), col("value"), col("ts"))
+      .filter(col("ts").isNotNull)
       .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), UserAgg](

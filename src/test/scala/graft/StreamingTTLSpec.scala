@@ -141,6 +141,45 @@ class StreamingTTLSpec extends SparkSuite {
     assert(decisions2 === decisions)
   }
 
+  test("incremental dedup resumes across invocations through the durable cursor") {
+    def resetT(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
+    val versions = Seq("t_resume_v0", "t_resume_v1")
+    val cursor = "t_resume_cursor"
+    (versions :+ cursor).foreach(resetT)
+    // Invocation 1: absorb docs 1-2, cursor written durably.
+    val c1 = new java.util.concurrent.atomic.AtomicInteger(
+      StreamingJobs.bootstrapCursor(spark, versions, cursor))
+    assert(c1.get === -1) // clean start
+    StreamingJobs.incrementalDedupCommit(
+      Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"),
+      "doc_id", "text", versions, c1, cursorTable = Some(cursor))
+    // Invocation 2 (new process: FRESH cursor object): a clone of doc 1
+    // arriving "months later" must still collide with invocation 1's
+    // state — the exact history a non-durable cursor silently discards.
+    val c2 = new java.util.concurrent.atomic.AtomicInteger(
+      StreamingJobs.bootstrapCursor(spark, versions, cursor))
+    assert(c2.get === c1.get)
+    StreamingJobs.incrementalDedupCommit(
+      Seq((9L, doc(1))).toDF("doc_id", "text"),
+      "doc_id", "text", versions, c2, cursorTable = Some(cursor))
+    val decisions = graft.operators.IncrementalDedup
+      .keepDecision(spark.table(versions(c2.get)))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(decisions(1L) === true && decisions(9L) === false,
+      s"cross-invocation clone must be dropped: $decisions")
+    // A cursor pointing at a dropped state table fails loudly.
+    resetT(versions(c2.get))
+    val e = intercept[IllegalArgumentException] {
+      StreamingJobs.bootstrapCursor(spark, versions, cursor)
+    }
+    assert(e.getMessage.contains("cursor"))
+  }
+
   test("commitBatch replay of the same batch id does not duplicate rows") {
     val tm = new graft.sources.TableManager(spark)
     val tbl = "t_idem_sink"
