@@ -51,15 +51,9 @@ object ScaleProbe {
           .select(col("doc_id"), col("text"))
         val tm = new graft.sources.TableManager(spark)
         val versions = Seq("probe_incr_v0", "probe_incr_v1")
-        versions.foreach { t =>
-          // Fresh metastore + leftover warehouse dir from a prior run:
-          // DROP alone is a no-op, the dir must go too (resetTable's
-          // pattern in SparkEntry).
-          spark.sql(s"DROP TABLE IF EXISTS $t")
-          val wh = new org.apache.hadoop.fs.Path(
-            spark.conf.get("spark.sql.warehouse.dir"), t)
-          wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
-        }
+        // Fresh metastore + leftover warehouse dir from a prior run:
+        // DROP alone is a no-op, the dir must go too.
+        versions.foreach(tm.reset)
         var cur = graft.operators.IncrementalDedup.emptyState(spark)
         (0 until k).foreach { i =>
           timed(s"append $i (1/$k of corpus)") {

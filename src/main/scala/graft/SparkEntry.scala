@@ -35,17 +35,9 @@ object SparkEntry {
     */
   private val PipelineFixtureDir = "/root/repo/src/test/resources/fixtures"
 
-  /** Drop `tbl` from the catalog AND delete its warehouse directory —
-    * the sink-layer gate queries must be re-runnable: with the default
-    * in-memory catalog the table entry dies with the session but the
-    * warehouse files survive, so a bare re-append would accumulate.
-    */
-  private def resetTable(s: SparkSession, tbl: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
-    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
-    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(wh, true)
-  }
+  /** Re-runnable sink gates: see [[graft.sources.TableManager.reset]]. */
+  private def resetTable(s: SparkSession, tbl: String): Unit =
+    new TableManager(s).reset(tbl)
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -155,6 +147,33 @@ object SparkEntry {
       val off = idx + 8 + 1
       b(off) = math.min(255, java.lang.Byte.toUnsignedInt(b(off)) + 60).toByte
     }
+
+  /** Stage `batches` as parquet files in ONE temp dir with strictly
+    * increasing modification times — batch i's files all older than
+    * batch i+1's (60 s per slot, stamped instead of sleeping across
+    * clock ticks). The file streaming source orders files by mtime, so
+    * with `maxFilesPerTrigger = 1` each frame arrives as its own
+    * micro-batch, in declaration order. One helper for every
+    * multi-batch streaming gate: the ordering trick lives in exactly
+    * one place.
+    */
+  private def stageMicroBatches(batches: Seq[DataFrame]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(tmp)
+      // This batch's fresh files carry wall-clock mtimes — pull
+      // everything NEWER than this batch's slot down onto it; earlier
+      // batches sit on older slots and are untouched.
+      val slot = java.nio.file.attribute.FileTime.fromMillis(
+        now - 60000L * (batches.length - i))
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).forEach { p =>
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis > slot.toMillis)
+          java.nio.file.Files.setLastModifiedTime(p, slot)
+      }
+    }
+    tmp
+  }
 
   /** Delete a staged temp input dir once its synchronous streaming run
     * has materialized (memory-sink rows survive the input's deletion)
@@ -1234,21 +1253,10 @@ object SparkEntry {
     // across any gap, per-micro-batch.
     "streaming_dedup_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sincr").toString
-      d.filter(col("doc_id") % 3 === 0).coalesce(1).write.mode("append").parquet(tmp)
-      val past2 = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 120000)
-      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, past2))
-      d.filter(col("doc_id") % 3 === 1).coalesce(1).write.mode("append").parquet(tmp)
-      val past1 = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 60000)
-      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .forEach { p =>
-          if (java.nio.file.Files.getLastModifiedTime(p).toMillis > past2.toMillis)
-            java.nio.file.Files.setLastModifiedTime(p, past1)
-        }
-      d.filter(col("doc_id") % 3 === 2).coalesce(1).write.mode("append").parquet(tmp)
+      val tmp = stageMicroBatches(Seq(
+        d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 3 === 1),
+        d.filter(col("doc_id") % 3 === 2)))
       resetTable(s, "graft_gate_sincr_v0"); resetTable(s, "graft_gate_sincr_v1")
       resetTable(s, "graft_gate_sincr_cursor") // stale marker would resume old state
       val stream = s.readStream.schema(d.schema)
@@ -1275,13 +1283,8 @@ object SparkEntry {
       val postings = EmbeddingAnn.ivfPostings(cn, "vec_id", "embedding", centroids)
         .localCheckpoint(false)
       val queries = e.filter(col("vec_id") < 20)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sann").toString
-      queries.filter(col("vec_id") < 10).coalesce(1).write.mode("append").parquet(tmp)
-      val past = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 120000)
-      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, past))
-      queries.filter(col("vec_id") >= 10).coalesce(1).write.mode("append").parquet(tmp)
+      val tmp = stageMicroBatches(Seq(
+        queries.filter(col("vec_id") < 10), queries.filter(col("vec_id") >= 10)))
       val tbl = "graft_gate_streaming_ann"
       resetTable(s, tbl)
       val stream = s.readStream.schema(queries.schema)
@@ -1343,16 +1346,7 @@ object SparkEntry {
       // horizon, so TTL eviction must NOT disturb recovery.
       val clones = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
         (t0 + expr("INTERVAL 10 MINUTES")).as("ts"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ndstream").toString
-      base.coalesce(1).write.mode("append").parquet(tmp)
-      // Distinct mtimes => deterministic file order (the file source
-      // sorts by modification time): stamp batch-1 files into the past
-      // instead of sleeping across a clock tick between the writes.
-      val past = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 60000)
-      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, past))
-      clones.coalesce(1).write.mode("append").parquet(tmp)
+      val tmp = stageMicroBatches(Seq(base, clones))
       val stream = s.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
       val sink = s"streaming_neardup_${System.nanoTime}"
@@ -1396,21 +1390,7 @@ object SparkEntry {
       val stale = docs.filter(col("doc_id") >= 40 && col("doc_id") < 80)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
           (t0 + expr("INTERVAL 245 MINUTES")).as("ts"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ndttl").toString
-      base.coalesce(1).write.mode("append").parquet(tmp)
-      val past2 = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 120000)
-      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, past2))
-      fresh.unionAll(pusher).coalesce(1).write.mode("append").parquet(tmp)
-      val past1 = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 60000)
-      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .forEach { p =>
-          if (java.nio.file.Files.getLastModifiedTime(p).toMillis > past2.toMillis)
-            java.nio.file.Files.setLastModifiedTime(p, past1)
-        }
-      stale.coalesce(1).write.mode("append").parquet(tmp)
+      val tmp = stageMicroBatches(Seq(base, fresh.unionAll(pusher), stale))
       val stream = s.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
       val pairs = StreamingJobs.runToMemory(s,
@@ -1442,13 +1422,8 @@ object SparkEntry {
     // schedule as one SQL window ordered by (doc_id % 2, md5).
     "streaming_token_budget" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-budget").toString
-      d.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(tmp)
-      val past = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 60000)
-      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, past))
-      d.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(tmp)
+      val tmp = stageMicroBatches(Seq(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0)))
       val stream = s.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
       val admitted = StreamingJobs.runToMemory(s,

@@ -26,6 +26,19 @@ class TableManager(spark: SparkSession) {
 
   def schemaOf(table: String): StructType = spark.table(table).schema
 
+  /** Drop `table` from the catalog AND delete its warehouse directory.
+    * With the default in-memory catalog the table ENTRY dies with the
+    * session but the warehouse FILES survive — a bare re-create over
+    * the leftovers would accumulate or conflict. One implementation
+    * for every harness/probe/spec that needs a re-runnable sink.
+    */
+  def reset(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+  }
+
   /** Align the write distribution with the table's partition layout:
     * without this, EVERY write task holds rows of EVERY partition
     * value, so a dynamic-partition write emits tasks × partitions

@@ -112,12 +112,7 @@ class StreamingTTLSpec extends SparkSuite {
   }
 
   test("incrementalDedupCommit replay of the same micro-batch is a state no-op") {
-    def resetT(t: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
-      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
-    }
+    def resetT(t: String): Unit = new graft.sources.TableManager(spark).reset(t)
     val versions = Seq("t_sincr_v0", "t_sincr_v1")
     versions.foreach(resetT)
     val current = new java.util.concurrent.atomic.AtomicInteger(-1)
@@ -142,12 +137,7 @@ class StreamingTTLSpec extends SparkSuite {
   }
 
   test("incremental dedup resumes across invocations through the durable cursor") {
-    def resetT(t: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
-      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
-    }
+    def resetT(t: String): Unit = new graft.sources.TableManager(spark).reset(t)
     val versions = Seq("t_resume_v0", "t_resume_v1")
     val cursor = "t_resume_cursor"
     (versions :+ cursor).foreach(resetT)

@@ -39,9 +39,12 @@ con.execute(
     "(FORMAT PARQUET)")
 
 emb_parts = []
+DIM = 64  # fixture embedding length; rotation must stay inside it or
+          # a replica degenerates to the identity (exact-dup vectors)
 for k in range(REPLICAS):
-    vec = ("embedding" if k == 0 else
-           f"embedding[{7 * k + 4}:] || embedding[:{7 * k + 3}]")
+    rot = (7 * k + 3) % DIM
+    vec = ("embedding" if k == 0 or rot == 0 else
+           f"embedding[{rot + 1}:] || embedding[:{rot}]")
     emb_parts.append(
         f"SELECT vec_id + {k * VEC_OFF} AS vec_id, ({vec})::FLOAT[] AS embedding "
         f"FROM read_parquet('{SRC}/embeddings.parquet')")
