@@ -167,10 +167,13 @@ object SparkEntry {
       // batches sit on older slots and are untouched.
       val slot = java.nio.file.attribute.FileTime.fromMillis(
         now - 60000L * (batches.length - i))
-      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).forEach { p =>
+      // Files.list returns an open directory stream — close it, or the
+      // long-lived bench/gate process leaks one fd per staged batch.
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      try listing.forEach { p =>
         if (java.nio.file.Files.getLastModifiedTime(p).toMillis > slot.toMillis)
           java.nio.file.Files.setLastModifiedTime(p, slot)
-      }
+      } finally listing.close()
     }
     tmp
   }
@@ -182,10 +185,12 @@ object SparkEntry {
     */
   private def deleteRecursively(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   /** Exact brute-force top-5 for the 20 benchmark queries — the

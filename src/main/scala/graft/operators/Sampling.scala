@@ -166,13 +166,17 @@ object Sampling {
       .agg(sum(col("n_tokens")).as("tot")).collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
-    // Driver arithmetic on #strata scalars; a target over an empty or
-    // zero-token stratum is meaningless — fail loudly, not div-zero.
-    targets.keys.foreach { s =>
+    // Driver arithmetic on #strata scalars; a POSITIVE target over an
+    // empty or zero-token stratum is meaningless — fail loudly, not
+    // div-zero. A target of 0 is the recipe's way of saying "exclude":
+    // it emits nothing regardless of corpus content, so a zero-target
+    // stratum absent from this corpus slice must pass, not throw.
+    val active = targets.filter(_._2 > 0)
+    active.keys.foreach { s =>
       require(totals.getOrElse(s, 0L) > 0L,
-        s"stratum '$s' has no tokens in the corpus but has a target")
+        s"stratum '$s' has no tokens in the corpus but has a positive target")
     }
-    val plan = targets.toSeq.sortBy(_._1).map { case (s, tgt) =>
+    val plan = active.toSeq.sortBy(_._1).map { case (s, tgt) =>
       (s, tgt / totals(s), tgt % totals(s))
     }
     def lookup(f: ((String, Long, Long)) => Long): Column =

@@ -303,12 +303,17 @@ class TableManager(spark: SparkSession) {
     // table it replaces the wrong slices. Fail loudly instead.
     val actual = spark.catalog.listColumns(table).filter(_.isPartition).collect()
       .map(_.name).toSeq
-    require(partitionBy.forall(actual.contains),
+    // EXACT set equality, not subset: passing Seq("day") against a
+    // (day, hour) table would pass a subset check, but the dynamic
+    // overwrite then replaces at (day, hour) granularity — a different
+    // contract than the caller asked for (a re-run of one day would
+    // keep the hours it didn't touch instead of replacing the day).
+    require(partitionBy.toSet == actual.toSet,
       s"overwritePartitions($table) requires the table to be partitioned by " +
-        s"${partitionBy.mkString(", ")} but it is partitioned by " +
+        s"exactly [${partitionBy.mkString(", ")}] but it is partitioned by " +
         s"[${actual.mkString(", ")}] — a dynamic overwrite here would replace " +
-        "the whole table (or the wrong slices), not the intended partitions; " +
-        "recreate the sink table with the right layout")
+        "at a different granularity (or the whole table), not the intended " +
+        "partitions; recreate the sink table with the right layout")
     // Scope the overwrite mode on the DATAFRAME's session, not this
     // manager's: inside foreachBatch the batch frame is bound to the
     // streaming engine's CLONED session, and a conf set on the outer

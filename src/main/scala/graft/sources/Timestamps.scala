@@ -94,19 +94,32 @@ object Timestamps {
         // stays outside the map key so the cache is bounded at one
         // entry per (path, column) — a stale mtime replaces in place.
         val token = mtimeToken(cacheKey)
-        encodingCache.compute(s"$cacheKey#$name", (_, cached) =>
-          if (cached != null && cached._1 == token) cached
-          else (token,
-            // max(abs(ts)) — not the first row in file order: a leading
-            // zero/near-epoch sentinel would classify the whole column,
-            // while the column's LARGEST magnitude is the value the unit
-            // decades separate unambiguously. Same cost class (one agg
-            // job, parquet-stats prunable).
+        val key = s"$cacheKey#$name"
+        val cached = encodingCache.get(key)
+        if (cached != null && cached._1 == token) cached._2
+        else {
+          // The probe is a Spark aggregation job — it must run OUTSIDE
+          // any map lock (a compute() remapping function would hold the
+          // bin lock for the job's duration, stalling concurrent probes
+          // of other columns hashing to the same bin; JDK docs forbid
+          // long computations there). Plain get → probe → merge: the
+          // merge remapper is trivial and token-checked, so if another
+          // thread won the race with a same-token probe we keep its
+          // (identical) result instead of overwriting.
+          // max(abs(ts)) — not the first row in file order: a leading
+          // zero/near-epoch sentinel would classify the whole column,
+          // while the column's LARGEST magnitude is the value the unit
+          // decades separate unambiguously. Same cost class (one agg
+          // job, parquet-stats prunable).
+          val probed: (String, TsEncoding) = (token,
             RawLong(df.agg(max(abs(col(name)))).head(1)
               .headOption.filterNot(_.isNullAt(0)).map(r => unitOf(r.getLong(0)))
               // Empty source: any unit yields an empty result; micros is
               // the parquet-ecosystem default.
-              .getOrElse("micros"))))._2
+              .getOrElse("micros")))
+          encodingCache.merge(key, probed,
+            (old, neu) => if (old._1 == token) old else neu)._2
+        }
       case other =>
         sys.error(s"unsupported timestamp encoding for `$name`: $other " +
           "(expected TIMESTAMP, TIMESTAMP_NTZ, or INT64 epoch)")

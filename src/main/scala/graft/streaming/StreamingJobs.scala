@@ -287,11 +287,16 @@ object StreamingJobs {
     val tables = new graft.sources.TableManager(spark)
     if (!tables.exists(cursorTable)) -1
     else {
-      val v = spark.table(cursorTable).head().getInt(0)
-      require(v >= 0 && v < versions.length && tables.exists(versions(v)),
-        s"$cursorTable names state version $v but ${versions.lift(v)} is " +
+      // head(1).headOption, not head(): the cursor overwrite is
+      // delete+write (non-atomic), so a crash inside it can leave the
+      // table EMPTY — that case must land in the same loud require
+      // below, not surface as an opaque NoSuchElementException.
+      val v = spark.table(cursorTable).head(1).headOption.map(_.getInt(0))
+      require(v.exists(i => i >= 0 && i < versions.length && tables.exists(versions(i))),
+        s"$cursorTable names state version ${v.getOrElse("<empty>")} but " +
+          s"${v.flatMap(versions.lift).getOrElse("no state table")} is " +
           "missing — drop the cursor table too if the state was cleaned up")
-      v
+      v.get
     }
   }
 
@@ -639,9 +644,12 @@ object StreamingJobs {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
       val p = Path.of(dir)
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
           .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
     }
   }
 

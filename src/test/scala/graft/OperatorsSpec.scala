@@ -224,6 +224,17 @@ class OperatorsSpec extends SparkSuite {
     assert(e.getMessage.contains("ghost"))
   }
 
+  test("epochMixture treats a zero target as exclusion, even over an absent stratum") {
+    val docs = Seq((1L, "a", "w x"), (2L, "b", "p q")).toDF("doc_id", "source", "text")
+    // 'ghost' has no corpus rows but its target is 0 ("exclude") — the
+    // recipe must apply, not throw; 'b' target 0 emits nothing.
+    val r = Sampling.epochMixture(docs, "source", "doc_id", "text",
+      targets = Map("a" -> 2L, "b" -> 0L, "ghost" -> 0L))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.forall(_._2 == "a"), s"only stratum a may emit: ${r.toSeq}")
+    assert(r.nonEmpty)
+  }
+
   test("topTerms: corpus-wide terms score zero, rare frequent terms rank first") {
     val d = Seq((1L, "apple apple banana the"), (2L, "the banana cherry"), (3L, "the dog"))
       .toDF("doc_id", "text")

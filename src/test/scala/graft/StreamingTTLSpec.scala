@@ -168,6 +168,16 @@ class StreamingTTLSpec extends SparkSuite {
       StreamingJobs.bootstrapCursor(spark, versions, cursor)
     }
     assert(e.getMessage.contains("cursor"))
+    // An EMPTY cursor table (crash inside the non-atomic delete+write
+    // overwrite) routes into the same loud message, not an opaque
+    // NoSuchElementException from head().
+    val tm = new graft.sources.TableManager(spark)
+    tm.overwrite(Seq(0).toDF("v").filter($"v" < 0), cursor)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingJobs.bootstrapCursor(spark, versions, cursor)
+    }
+    assert(e2.getMessage.contains("drop the cursor table"),
+      s"empty cursor must fail loudly: ${e2.getMessage}")
   }
 
   test("commitBatch replay of the same batch id does not duplicate rows") {
