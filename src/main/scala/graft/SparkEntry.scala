@@ -979,6 +979,33 @@ object SparkEntry {
       s.table(tbl).crossJoin(detail)
     }),
 
+    // S15 (history / time travel): versioned-snapshot table — append,
+    // append, overwrite as three commits through the manifest log, then
+    // every version read back AS OF its number plus the history
+    // listing. Appends reference the prior version's files (no
+    // copy/rewrite — the Delta cost model); the overwrite starts a
+    // fresh file set while v0/v1 stay readable. region is 5 rows at
+    // every sf, so the pinned oracle holds at sf0.01 and sf0.1 alike.
+    "s_table_history" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt").toString
+      try {
+        val vt = new TableManager(s).versioned(base)
+        val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        vt.append(r.filter(col("r_regionkey") < 3))    // v0: 3 rows
+        vt.append(r.filter(col("r_regionkey") >= 3))   // v1: +2 rows
+        vt.overwrite(r.filter(col("r_regionkey") === 0)) // v2: 1 row
+        val hist = vt.history()
+          .select(col("version"), col("op"), col("num_rows"), col("num_active_dirs"))
+          .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getInt(3)))
+        // Time travel: the row count each version serves.
+        val visible = (0 to 2).map(v => v -> vt.readAt(v).count()).toMap
+        hist.toSeq.map { case (v, op, added, dirs) =>
+          (v, op, added, dirs, visible(v))
+        }.toDF("version", "op", "rows_added", "active_dirs", "rows_visible")
+      } finally deleteRecursively(base)
+    }),
+
     // S15 (bytes-targeted form): OPTIMIZE's real contract is a target
     // file SIZE — the count must be DERIVED from table bytes. Target =
     // ceil(bytes/3) ⇒ derived count is exactly 3 for any byte total
@@ -2724,6 +2751,22 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, CAST(3 AS BIGINT) AS num_files,
         |  CAST(3 AS BIGINT) AS derived_files
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Three-commit history: v0 append 3 region rows, v1 append the
+    // other 2 (active set grows to 2 dirs, 5 rows visible), v2
+    // overwrite down to 1 row in a fresh single-dir active set. region
+    // is 5 rows at every TPC-H sf, so these constants hold at any
+    // scale the driver sweeps.
+    "s_table_history" ->
+      """SELECT CAST(version AS INTEGER) AS version, op,
+        |  CAST(rows_added AS BIGINT) AS rows_added,
+        |  CAST(active_dirs AS INTEGER) AS active_dirs,
+        |  CAST(rows_visible AS BIGINT) AS rows_visible
+        |FROM (VALUES
+        |  (0, 'append', 3, 1, 3),
+        |  (1, 'append', 2, 2, 5),
+        |  (2, 'overwrite', 1, 1, 1)
+        |) AS t(version, op, rows_added, active_dirs, rows_visible)""".stripMargin,
 
     "s_http_source" ->
       """SELECT strptime(t, '%Y-%m-%dT%H:%M') AS time, pm10, pm2_5,

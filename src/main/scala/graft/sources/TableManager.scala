@@ -378,6 +378,14 @@ class TableManager(spark: SparkSession) {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** S15 (the history / time-travel half): a versioned-snapshot table
+    * rooted at `dir` — `DESCRIBE HISTORY` / `VERSION AS OF` semantics
+    * through a manifest log instead of a Delta transaction log; see
+    * [[VersionedTable]]. Appends cost only their new files; old
+    * versions stay readable until `vacuum`.
+    */
+  def versioned(dir: String): VersionedTable = new VersionedTable(spark, dir)
+
   /** S15/S13 (DESCRIBE DETAIL stand-in): one-row table report —
     * format, location, schema string, file count, total bytes,
     * partition columns — assembled from the catalog plus a filesystem

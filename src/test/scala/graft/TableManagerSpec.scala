@@ -307,4 +307,94 @@ class TableManagerSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rows === Set((1L, "p0"), (9L, "p1")))
   }
+
+  private def tmpVt(): String =
+    java.nio.file.Files.createTempDirectory("vt_spec").toString
+
+  test("versioned table: append extends history, overwrite resets, readAt time-travels") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    assert(vt.latestVersion === -1)
+    assert(vt.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s")) === 0)
+    assert(vt.append(Seq((3L, "c")).toDF("k", "s")) === 1)
+    assert(vt.overwrite(Seq((9L, "z")).toDF("k", "s")) === 2)
+    assert(vt.readAt(0).count() === 2)
+    assert(vt.readAt(1).count() === 3)
+    assert(vt.readAt(2).collect().map(_.getLong(0)).toSeq === Seq(9L))
+    assert(vt.read().count() === 1) // latest
+    val hist = vt.history().orderBy("version")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(hist.toSeq === Seq((0, "append", 2L, 1), (1, "append", 1L, 2),
+      (2, "overwrite", 1L, 1)))
+    // An append is metadata + its own files only: v1's payload dir
+    // holds just the 1 new row (no snapshot copy of v0).
+    val v1Dir = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("v00001-")).get
+    assert(spark.read.parquet(v1Dir.toString).count() === 1)
+  }
+
+  test("versioned table: old versions keep their schema; evolution widens later reads") {
+    val vt = tables.versioned(tmpVt())
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    vt.append(Seq((2L, "b", 0.5)).toDF("k", "s", "score"))
+    assert(vt.readAt(0).columns.toSeq === Seq("k", "s"))
+    val now = vt.read()
+    assert(now.columns.toSet === Set("k", "s", "score"))
+    // the pre-evolution row pads null
+    assert(now.filter(col("k") === 1L).select("score").head.isNullAt(0))
+  }
+
+  test("versioned table: crash leftovers are invisible; racing commits get one winner") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    // Crash artifacts: an orphan data dir (payload written, manifest
+    // never published) and a .tmp manifest — neither may change what
+    // readers see; vacuum reclaims the orphan.
+    val orphan = java.nio.file.Paths.get(dir, "v00001-deadbeef")
+    java.nio.file.Files.createDirectory(orphan)
+    java.nio.file.Files.write(orphan.resolve("garbage"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_log", "00000001.json.tmp"),
+      "{not json".getBytes)
+    assert(vt.latestVersion === 0)
+    assert(vt.append(Seq((2L, "b")).toDF("k", "s")) === 1)
+    assert(vt.read().count() === 2)
+    assert(vt.vacuum(keepLast = 10) === 1) // exactly the orphan
+    assert(vt.read().count() === 2)
+    // TWO writers race the same next version: exactly one publishes,
+    // the loser fails loudly (its unique payload dir means neither can
+    // clobber the other's data — only the manifest rename arbitrates).
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        val d = Seq((10L + i, s"race$i")).toDF("k", "s")
+        barrier.await()
+        try vt.append(d)
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.size === 1, s"exactly one racer must lose: $errors")
+    assert(errors.peek().isInstanceOf[IllegalStateException])
+    assert(errors.peek().getMessage.contains("concurrent commit"))
+    assert(vt.latestVersion === 2)
+    assert(vt.read().count() === 3) // prior 2 + the single winner
+  }
+
+  test("versioned table: vacuum drops old manifests and unreferenced data") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))   // v0
+    vt.overwrite(Seq((2L, "b")).toDF("k", "s")) // v1 — v0's dir now unreferenced by latest
+    vt.append(Seq((3L, "c")).toDF("k", "s"))   // v2
+    val removed = vt.vacuum(keepLast = 2) // keep v1, v2 → v00000 reclaimed
+    assert(removed === 1)
+    assert(vt.read().count() === 2)
+    assert(vt.readAt(1).count() === 1)
+    intercept[IllegalArgumentException] { vt.readAt(0) }
+    // history lists only the surviving versions
+    assert(vt.history().select("version").collect().map(_.getInt(0)).toSeq === Seq(1, 2))
+  }
 }
