@@ -2131,6 +2131,21 @@ object SparkEntry {
     // over the DISTINCT vocabulary weighted by word counts — the
     // next-merge ranking a BPE trainer consumes. Deterministic cut:
     // ties ordered by the pair itself.
+    // FULL BPE end-to-end: train BpeGateMerges merges over the corpus
+    // vocabulary (driver loop over the bounded (word, freq) frame),
+    // then encode every document through the native graft_bpe_encode
+    // expression. Output = whitespace count vs REAL trained-token
+    // count per doc; the oracle replays BOTH training and encoding as
+    // an unrolled CTE chain (see duckBpeOracle).
+    "text_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = TextFunctions.trainBpe(d, "text", numMerges = BpeGateMerges)
+      val enc = TextFunctions.bpeEncode(s, col("text"), merges)
+      Skew.spread(d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
+        size(enc).as("n_bpe"))
+    }),
+
     "text_bpe_pairs" -> ((s, dir) =>
       TextFunctions.bpePairStats(t(s, dir, "documents"), "text")
         .orderBy(col("freq").desc, col("pair_left"), col("pair_right"))
@@ -2875,6 +2890,78 @@ object SparkEntry {
   // fits trainSample, which holds at every test sf).
   private val duckTokens =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+  /** Unrolled DuckDB replay of the FULL BPE training loop + encode —
+    * the same technique as the k-means Lloyd unroll: `k` generated CTE
+    * blocks, each computing one training iteration from scratch
+    * (weighted adjacent-pair count over the current segmentation,
+    * argmax with the trainer's exact tie-break, merge application).
+    * Merge application is non-recursive: matching positions are
+    * grouped into islands of consecutive matches (overlaps exist only
+    * for self-pairs like (a,a)) and merged at even island offsets —
+    * exactly the left-to-right greedy scan. seg_k IS the encode of
+    * every vocabulary word; the final select sums per-word subtoken
+    * counts over each document's token multiset. CTEs are MATERIALIZED
+    * — each seg is referenced three times per iteration and DuckDB
+    * would otherwise inline them exponentially.
+    */
+  private def duckBpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH seg_0 AS MATERIALIZED (
+      |  SELECT w AS word, wf, i AS pos, substr(w, CAST(i AS INTEGER), 1) AS sym
+      |  FROM (SELECT w, count(*) AS wf FROM (
+      |          SELECT unnest($duckTokens) AS w FROM documents) GROUP BY w),
+      |       unnest(range(1, strlen(w) + 1)) AS t(i)
+      |)""".stripMargin)
+    for (m <- 0 until k) {
+      sb.append(s""",
+        |pick_$m AS MATERIALIZED (
+        |  SELECT l, r FROM (
+        |    SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, wf
+        |    FROM seg_$m)
+        |  WHERE r IS NOT NULL GROUP BY l, r ORDER BY sum(wf) DESC, l, r LIMIT 1
+        |),
+        |mg_$m AS (
+        |  SELECT word, wf, pos, sym,
+        |    mt AND (row_number() OVER (PARTITION BY word, isl ORDER BY pos) % 2 = 1) AS mg
+        |  FROM (
+        |    SELECT *, CASE WHEN mt
+        |      THEN pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos) END AS isl
+        |    FROM (
+        |      SELECT word, wf, pos, sym,
+        |        coalesce(sym = (SELECT l FROM pick_$m)
+        |          AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+        |              = (SELECT r FROM pick_$m), false) AS mt
+        |      FROM seg_$m))
+        |),
+        |seg_${m + 1} AS MATERIALIZED (
+        |  SELECT word, wf, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN mg THEN sym || lead_sym ELSE sym END AS sym
+        |  FROM (SELECT word, wf, pos, sym, mg,
+        |          lag(mg) OVER (PARTITION BY word ORDER BY pos) AS prev_mg,
+        |          lead(sym) OVER (PARTITION BY word ORDER BY pos) AS lead_sym
+        |        FROM mg_$m)
+        |  WHERE NOT coalesce(prev_mg, false)
+        |)""".stripMargin)
+    }
+    sb.append(s""",
+      |wlen AS (SELECT word, count(*) AS n_sub FROM seg_$k GROUP BY word)
+      |SELECT d.doc_id, CAST(len(d.tok) AS INTEGER) AS n_words,
+      |  CAST(coalesce(s.n_bpe, 0) AS INTEGER) AS n_bpe
+      |FROM (SELECT doc_id, $duckTokens AS tok FROM documents) d
+      |LEFT JOIN (
+      |  SELECT doc_id, sum(n_sub) AS n_bpe
+      |  FROM (SELECT doc_id, unnest(tok) AS w
+      |        FROM (SELECT doc_id, $duckTokens AS tok FROM documents)) t
+      |  JOIN wlen ON t.w = wlen.word GROUP BY doc_id) s USING (doc_id)""".stripMargin)
+    sb.toString
+  }
+
+  /** Merge-list length shared by the `text_bpe_encode` gate and its
+    * unrolled oracle — the two sides must train the same number of
+    * iterations.
+    */
+  private val BpeGateMerges = 20
   private def duckShingles(tok: String) =
     s"list_distinct(list_transform(range(1, len($tok) - 1), i -> array_to_string($tok[i:i+2], ' ')))"
 
@@ -3260,6 +3347,9 @@ object SparkEntry {
          |   FROM documents) AS n_dup_docs,
          |  (SELECT CAST(count(*) AS BIGINT) FROM (${duckLangIdFrom("documents")})
          |   WHERE lang_pred = 'en') AS n_en""".stripMargin,
+
+    // Full training + encode replay — generated, K iterations unrolled.
+    "text_bpe_encode" -> duckBpeOracle(BpeGateMerges),
 
     // BPE pair stats replayed over the same weighted vocabulary.
     "text_bpe_pairs" ->

@@ -281,6 +281,98 @@ object TextFunctions {
       .agg(sum(col("__wf")).as("freq"))
   }
 
+  /** Full BPE merge training: iterate [[bpePairStats]]'s argmax
+    * `numMerges` times over the weighted vocabulary, re-segmenting
+    * after each pick. Each step counts every adjacent symbol position
+    * (overlaps included), picks the heaviest pair with the
+    * deterministic tie-break (frequency desc, then left asc, right asc
+    * — engine-portable on the byte-comparable symbols this corpus
+    * produces), and merges its occurrences left-to-right greedily in
+    * every vocabulary word. Stops early when no pair remains.
+    *
+    * Scale shape — the bounded-driver pattern (same as the IVF
+    * centroid train sample): the DISTRIBUTED part is the one
+    * vocabulary aggregation (sublinear in corpus size by Heaps' law);
+    * the driver then loops over at most `maxVocab` (word, freq) rows —
+    * the top slice by frequency, which is also what production BPE
+    * trainers prune to, since tail hapaxes contribute ~nothing to pair
+    * mass. One corpus-scale job total, not one per merge;
+    * [[bpePairStats]] remains the fully-distributed single-iteration
+    * form for vocabularies that outgrow the driver.
+    */
+  def trainBpe(df: org.apache.spark.sql.DataFrame, textCol: String,
+               numMerges: Int, maxVocab: Int = 1 << 16): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    val vocab = spread(df)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__wf"))
+      .orderBy(col("__wf").desc, col("__w").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words: Array[(Array[String], Long)] = vocab.map { case (w, f) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // Explicit comparator, not map iteration order: (freq desc,
+        // left asc, right asc) is total, so a HashMap's ordering can
+        // never leak into the result.
+        val best = counts.minBy { case ((l, r), f) => (-f, l, r) }._1
+        merges += best
+        val (l, r) = best
+        var wi = 0
+        while (wi < words.length) {
+          val (syms, f) = words(wi)
+          var hit = false
+          var k = 0
+          while (!hit && k < syms.length - 1) {
+            hit = syms(k) == l && syms(k + 1) == r; k += 1
+          }
+          if (hit) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var p = 0
+            while (p < syms.length) {
+              if (p + 1 < syms.length && syms(p) == l && syms(p + 1) == r) {
+                out += l + r; p += 2
+              } else { out += syms(p); p += 1 }
+            }
+            words(wi) = (out.toArray, f)
+          }
+          wi += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Column form of BPE encoding with a trained merge list: the native
+    * [[graft.plans.BpeEncode]] expression (registered per call — it
+    * captures the merges) over `text`, yielding the document's ordered
+    * subtoken array. `size(bpeEncode(...))` is the REAL token count
+    * the whitespace [[tokenCount]] approximates — the drop-in for
+    * token-budget sampling and sequence packing.
+    */
+  def bpeEncode(spark: org.apache.spark.sql.SparkSession, text: Column,
+                merges: Seq[(String, String)]): Column = {
+    val l = merges.map(_._1).toArray
+    val r = merges.map(_._2).toArray
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_encode",
+      exprs => graft.plans.BpeEncode(exprs.head, l, r), "built-in")
+    call_function("graft_bpe_encode", text)
+  }
+
   /** BM25 keyword search: top-k documents for a fixed term query under
     * Okapi BM25 (the retrieval primitive of corpus curation — seed-set
     * expansion, targeted subset pulls, dataset search). Per query term

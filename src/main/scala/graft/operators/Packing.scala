@@ -40,16 +40,24 @@ object Packing {
     * span, so `n_tokens` is the PACKED length — content plus
     * separators — and every offset downstream accounts for them.
     * Default 0 keeps the raw-concatenation contract.
+    *
+    * `tokenCounter` swaps the whitespace token count for a real
+    * tokenizer's — pass
+    * `size(TextFunctions.bpeEncode(spark, col(textCol), merges))` to
+    * pack on trained-BPE lengths; the packing math is independent of
+    * where the counts come from.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Long, salt: String = "graft",
-                    perDocOverhead: Long = 0L): DataFrame = {
+                    perDocOverhead: Long = 0L,
+                    tokenCounter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(perDocOverhead >= 0, s"perDocOverhead must be >= 0, got $perDocOverhead")
     val ord = Sampling.hashBucket32(col(idCol), salt)
+    val counted = tokenCounter.getOrElse(
+      graft.functions.TextFunctions.tokenCount(col(textCol)))
     val base = df.select(col(idCol),
-      (graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
-        + perDocOverhead).as("n_tokens"),
+      (counted.cast("long") + perDocOverhead).as("n_tokens"),
       ord.as("__ord"))
     // Integer `div` (not `/` + floor): `/` on longs is DOUBLE division,
     // and at 100 T-token offsets a correctly-rounded double quotient

@@ -729,6 +729,99 @@ case class DropCounted(child: Expression, acc: org.apache.spark.util.LongAccumul
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** BPE encoding of a text column in one native pass: tokenize exactly
+  * like `TextFunctions.tokens` (UTF8String lowercase, `\s+` split,
+  * empties dropped), split each word into code points, then apply the
+  * trained merge list IN RANK ORDER — each merge replaces adjacent
+  * (left, right) symbol pairs left-to-right greedily (a run of
+  * overlapping occurrences merges at even offsets). Rank-order
+  * application is equivalent to the textbook lowest-rank-first loop:
+  * a merge's output symbol can only appear in HIGHER-rank merges
+  * (training learns a symbol before any merge that uses it), so
+  * earlier merges never become applicable again. Output is the
+  * document's full subtoken stream in order.
+  *
+  * Words repeat heavily across a corpus (Heaps' law), so encodings are
+  * memoized per executor up to a fixed cap — beyond it the encode
+  * still runs, it just stops caching (bounded memory, no eviction
+  * churn on adversarial vocabularies).
+  */
+case class BpeEncode(child: Expression, mergeL: Array[String], mergeR: Array[String])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  require(mergeL.length == mergeR.length,
+    s"merge halves disagree: ${mergeL.length} vs ${mergeR.length}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val cache =
+    new java.util.HashMap[String, Array[org.apache.spark.unsafe.types.UTF8String]]()
+  private val CacheCap = 1 << 16
+
+  private def encodeWord(w: String): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    // Code-point split (not UTF-16 chars): a supplementary-plane
+    // character must be one symbol, matching character-based engines.
+    var syms = new Array[String](w.codePointCount(0, w.length))
+    var i = 0; var j = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms(j) = new String(Character.toChars(cp)); j += 1
+      i += Character.charCount(cp)
+    }
+    var m = 0
+    while (m < mergeL.length && syms.length > 1) {
+      val l = mergeL(m); val r = mergeR(m)
+      var changed = false
+      var k = 0
+      while (!changed && k < syms.length - 1) {
+        changed = syms(k) == l && syms(k + 1) == r; k += 1
+      }
+      if (changed) {
+        val out = new Array[String](syms.length)
+        var o = 0; var p = 0
+        while (p < syms.length) {
+          if (p + 1 < syms.length && syms(p) == l && syms(p + 1) == r) {
+            out(o) = l + r; o += 1; p += 2
+          } else { out(o) = syms(p); o += 1; p += 1 }
+        }
+        syms = java.util.Arrays.copyOf(out, o)
+      }
+      m += 1
+    }
+    val enc = syms.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+    if (cache.size < CacheCap) cache.put(w, enc)
+    enc
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val raw = ws.split(lowered, -1)
+    val out = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) out ++= encodeWord(raw(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeFunctions {
   /** Idempotently register the native functions in a session so they
     * are callable via `expr("graft_dot(a, b)")` and plain SQL.

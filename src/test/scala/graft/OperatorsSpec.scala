@@ -235,6 +235,63 @@ class OperatorsSpec extends SparkSuite {
     assert(r.nonEmpty)
   }
 
+  test("trainBpe learns the hand-computed merge sequence with deterministic tie-breaks") {
+    // Corpus: "low" x3, "lower" x2, "lowest" x1 (as one doc each to
+    // weight by occurrence). Pair counts round 1: (l,o)=6, (o,w)=6,
+    // (w,e)=3, (e,r)=2, (e,s)=1, (s,t)=1 → tie 6/6 breaks to (l,o).
+    // Round 2: (lo,w)=6 wins. Round 3: (low,e)=3. Round 4: (e,r)=2
+    // vs (lowe,r)... after merge 3 'lower'=[lowe,r], 'lowest'=
+    // [lowe,s,t] → (lowe,r)=2, (lowe,s)=1, (s,t)=1 → (lowe,r).
+    val docs = (Seq.fill(3)("low") ++ Seq.fill(2)("lower") ++ Seq("lowest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = TextFunctions.trainBpe(docs, "text", numMerges = 4)
+    assert(merges === Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")))
+    // Early stop: more merges than pairs exist terminates cleanly.
+    val all = TextFunctions.trainBpe(docs, "text", numMerges = 100)
+    assert(all.length < 100)
+    // After exhausting merges every word is one symbol.
+    val enc = docs.select(
+      TextFunctions.bpeEncode(spark, col("text"), all).as("e")).collect()
+    assert(enc.forall(_.getSeq[String](0).length === 1))
+  }
+
+  test("bpeEncode applies merges greedily left-to-right; overlaps merge at even offsets") {
+    val d = Seq((1L, "aaaa"), (2L, "aaa"), (3L, "Abab zz"), (4L, "")).toDF("id", "text")
+    val enc = TextFunctions.bpeEncode(spark, col("text"),
+      Seq(("a", "a"), ("a", "b")))
+    val r = d.select(col("id"), enc.as("e")).collect()
+      .map(x => x.getLong(0) -> x.getSeq[String](1).toList).toMap
+    assert(r(1L) === List("aa", "aa"))
+    assert(r(2L) === List("aa", "a")) // leftmost wins the overlap
+    assert(r(3L) === List("ab", "ab", "z", "z")) // lowercased; (a,b) applies
+    assert(r(4L) === Nil)
+    // Concatenation invariant: subtokens rebuild the tokenized text.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = TextFunctions.trainBpe(docs, "text", numMerges = 10)
+    val bad = docs.select(
+        concat_ws("", TextFunctions.bpeEncode(spark, col("text"), merges)).as("re"),
+        concat_ws("", TextFunctions.tokens(col("text"))).as("orig"))
+      .filter(col("re") =!= col("orig")).count()
+    assert(bad === 0L)
+  }
+
+  test("packSequences packs identically on any token counter with equal counts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = TextFunctions.trainBpe(docs, "text", numMerges = 5)
+    val bpeLen = size(TextFunctions.bpeEncode(spark, col("text"), merges))
+    val packed = Packing.packSequences(docs, "doc_id", "text", seqLen = 128,
+      tokenCounter = Some(bpeLen))
+    // Offsets are contiguous under the BPE lengths: total span == sum.
+    val tot = packed.agg(sum(col("n_tokens")), max(col("n_tokens") + col("begin_off")))
+      .head
+    assert(tot.getLong(0) === tot.getLong(1))
+    // And the per-doc length really is the BPE length, not whitespace.
+    val both = docs.select(col("doc_id"), bpeLen.cast("long").as("bl"))
+      .join(packed.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .filter(col("bl") =!= col("n_tokens")).count()
+    assert(both === 0L)
+  }
+
   test("topTerms: corpus-wide terms score zero, rare frequent terms rank first") {
     val d = Seq((1L, "apple apple banana the"), (2L, "the banana cherry"), (3L, "the dog"))
       .toDF("doc_id", "text")
