@@ -1647,6 +1647,18 @@ object SparkEntry {
         "doc_id", "text", n = 5, minShared = 2)
     }),
 
+    // Decon with the benchmark FORCED past the driver budget
+    // (maxDriverShingles = 0): the distributed (shingle -> bench_id)
+    // posting join replaces the in-expression inverted index — the
+    // fallback for an eval suite too big for task memory. Same inputs,
+    // same exact oracle as decon_overlap: the two strategies may not
+    // disagree on a single pair.
+    "decon_large" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusHygiene.contaminationPairs(d, d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5, minShared = 2, maxDriverShingles = 0L)
+    }),
+
     // FUZZY decon: Jaccard-thresholded overlap against the benchmark
     // slice — catches lightly-edited eval copies that a raw shared
     // count misclassifies by length. The gate PLANTS one edited copy
@@ -3414,6 +3426,11 @@ object SparkEntry {
          |FROM corp LEFT JOIN hits USING (doc_id)""".stripMargin,
 
     "decon_overlap" -> duckDeconPairsSql,
+
+    // Same contract, FORCED onto the distributed posting-join path
+    // (maxDriverShingles = 0) — the two physical strategies must agree
+    // with the same exact oracle.
+    "decon_large" -> duckDeconPairsSql,
 
     "decon_fuzzy" ->
       s"""WITH aug AS (

@@ -22,45 +22,101 @@ object CorpusHygiene {
     * its own row. The corpus never explodes, never shuffles: the only
     * distributed work is the linear shingling scan.
     */
-  /** Shared candidate machinery of the exact and fuzzy decon rules:
-    * collect the benchmark's shingle sets, register the in-expression
-    * inverted index, run ONE persisted corpus shingling pass, explode
-    * the matches (self-pairs removed). Returns the candidate frame —
-    * (doc_id, bench_id, n_shared, n_corpus) — and the per-benchmark
-    * shingle-set sizes (a #benchmark-row scalar array).
+  /** Benchmark shingle budget for the in-expression inverted index:
+    * beyond this many total benchmark shingles the exact/fuzzy decon
+    * paths switch from collect-to-driver to the distributed posting
+    * join. ~4M longs ≈ 32 MB of raw keys (index overhead a small
+    * multiple of that) — comfortably inside a task, far below any
+    * driver limit.
+    */
+  val DefaultMaxDriverShingles: Long = 4L << 20
+
+  /** Shared candidate machinery of the exact and fuzzy decon rules,
+    * with TWO physical strategies behind one output contract —
+    * (doc_id, bench_id, n_shared, n_corpus), self-pairs removed, only
+    * pairs with n_shared >= minShared:
+    *
+    *  - benchmark total shingles <= `maxDriverShingles`: collect the
+    *    benchmark's shingle sets and ride them inside the native
+    *    inverted-index expression (plans.BenchmarkOverlap) — each
+    *    corpus document scored in ONE pass of its own row, the corpus
+    *    never explodes or shuffles;
+    *  - larger benchmarks: a distributed (shingle → bench_id) posting
+    *    join — both sides explode to postings, join on the shingle
+    *    hash, count distinct shared shingles per (doc, bench) pair.
+    *    Both sides' shingle arrays are distinct per document, so the
+    *    join emits exactly one row per shared shingle and a plain
+    *    count IS the distinct-intersection size. This path shuffles
+    *    the corpus' postings (16 bytes/shingle) — the price of a
+    *    benchmark beyond task memory, and the scale ceiling is then
+    *    the cluster, not the driver.
+    *
+    * Returns the candidate frame and the per-benchmark shingle-set
+    * sizes as a (bench_id, n_bench) frame (tiny: one row per
+    * benchmark document).
     */
   private def benchOverlapCandidates(corpus: DataFrame, benchmark: DataFrame,
                                      idCol: String, textCol: String,
-                                     n: Int, minShared: Long)
-      : (DataFrame, Array[(Long, Long)]) = {
+                                     n: Int, minShared: Long,
+                                     maxDriverShingles: Long = DefaultMaxDriverShingles)
+      : (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    val bench: Array[(Long, Array[Long])] =
-      NearDup.shingleSets(benchmark, idCol, textCol, n)
-        .select(col(idCol).cast("long"), col("shingles"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bench_overlap",
-      exprs => graft.plans.BenchmarkOverlap(exprs.head, bench, minShared), "built-in")
+    import spark.implicits._
     // Persisted like every other shingle consumer (NearDup.*): the
     // linear shingling scan dominates and repeated hygiene passes over
     // the same corpus reuse it.
-    val cands = NearDup.shingleSets(corpus, idCol, textCol, n)
+    val corpusShingled = NearDup.shingleSets(corpus, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .select(col(idCol).as("doc_id"),
-        size(col("shingles")).cast("long").as("n_corpus"),
-        explode(call_function("graft_bench_overlap", col("shingles"))).as("m"))
-      .select(col("doc_id"), col("m.bench_id").as("bench_id"),
-        col("m.n_shared").as("n_shared"), col("n_corpus"))
-      .filter(col("doc_id") =!= col("bench_id"))
-    (cands, bench.map { case (id, sh) => (id, sh.length.toLong) })
+    val benchShingled = NearDup.shingleSets(benchmark, idCol, textCol, n)
+      .select(col(idCol).cast("long").as("bench_id"), col("shingles"))
+    val totalShingles = benchShingled
+      .agg(sum(size(col("shingles")).cast("long"))).head(1)
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(0L)
+    if (totalShingles <= maxDriverShingles) {
+      val bench: Array[(Long, Array[Long])] = benchShingled
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bench_overlap",
+        exprs => graft.plans.BenchmarkOverlap(exprs.head, bench, minShared), "built-in")
+      val cands = corpusShingled
+        .select(col(idCol).as("doc_id"),
+          size(col("shingles")).cast("long").as("n_corpus"),
+          explode(call_function("graft_bench_overlap", col("shingles"))).as("m"))
+        .select(col("doc_id"), col("m.bench_id").as("bench_id"),
+          col("m.n_shared").as("n_shared"), col("n_corpus"))
+        .filter(col("doc_id") =!= col("bench_id"))
+      (cands, bench.map { case (id, sh) => (id, sh.length.toLong) }
+        .toSeq.toDF("bench_id", "n_bench"))
+    } else {
+      val benchPersisted = benchShingled
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val benchPost = benchPersisted
+        .select(col("bench_id"), explode(col("shingles")).as("__s"))
+      val corpusPost = corpusShingled
+        .select(col(idCol).as("doc_id"),
+          size(col("shingles")).cast("long").as("n_corpus"),
+          explode(col("shingles")).as("__s"))
+      // No broadcast hint: the benchmark chose this path by being too
+      // big for a task — AQE decides from measured sizes.
+      val cands = corpusPost.join(benchPost, Seq("__s"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"), max(col("n_corpus")).as("n_corpus"))
+        .filter(col("n_shared") >= minShared)
+        .filter(col("doc_id") =!= col("bench_id"))
+      (cands, benchPersisted
+        .select(col("bench_id"), size(col("shingles")).cast("long").as("n_bench")))
+    }
   }
 
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
-                         n: Int = 3, minShared: Long = 5): DataFrame =
-    benchOverlapCandidates(corpus, benchmark, idCol, textCol, n, minShared)._1
+                         n: Int = 3, minShared: Long = 5,
+                         maxDriverShingles: Long = DefaultMaxDriverShingles): DataFrame =
+    benchOverlapCandidates(corpus, benchmark, idCol, textCol, n, minShared,
+      maxDriverShingles)._1
       .select(col("doc_id"), col("bench_id"), col("n_shared"))
 
   /** FUZZY decontamination (Jaccard-thresholded) — the Llama/GPT-style
@@ -82,14 +138,17 @@ object CorpusHygiene {
   def fuzzyContaminationPairs(corpus: DataFrame, benchmark: DataFrame,
                               idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.5,
-                              minShared: Long = 1L): DataFrame = {
+                              minShared: Long = 1L,
+                              maxDriverShingles: Long = DefaultMaxDriverShingles)
+      : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val (cands, sizes) =
-      benchOverlapCandidates(corpus, benchmark, idCol, textCol, n, minShared)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    cands.join(broadcast(sizes.toSeq.toDF("bench_id", "n_bench")), Seq("bench_id"))
+      benchOverlapCandidates(corpus, benchmark, idCol, textCol, n, minShared,
+        maxDriverShingles)
+    // One row per benchmark DOCUMENT (not per shingle) — small on
+    // either physical path, so the size join broadcasts.
+    cands.join(broadcast(sizes), Seq("bench_id"))
       .withColumn("jaccard", col("n_shared").cast("double") /
         (col("n_corpus") + col("n_bench") - col("n_shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -104,8 +163,10 @@ object CorpusHygiene {
     */
   def removeContaminated(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
-                         n: Int = 5, minShared: Long = 2): DataFrame = {
-    val bad = contaminationPairs(corpus, benchmark, idCol, textCol, n, minShared)
+                         n: Int = 5, minShared: Long = 2,
+                         maxDriverShingles: Long = DefaultMaxDriverShingles): DataFrame = {
+    val bad = contaminationPairs(corpus, benchmark, idCol, textCol, n, minShared,
+        maxDriverShingles)
       .select(col("doc_id").as(idCol)).distinct()
     corpus.join(bad, Seq(idCol), "left_anti")
   }

@@ -325,6 +325,33 @@ class OperatorsSpec extends SparkSuite {
       Seq((1L, 10L, 5L))) // 5 shared trigram shingles; doc 2 and self excluded
   }
 
+  test("decon posting-join fallback agrees with the expression path and switches at the budget") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = corpus.filter(col("doc_id") % 10 === 0)
+    def run(budget: Long) = CorpusHygiene.fuzzyContaminationPairs(
+      corpus, bench, "doc_id", "text", n = 3, threshold = 0.3,
+      maxDriverShingles = budget)
+    val viaExpr = run(Long.MaxValue)
+    val viaJoin = run(0L)
+    // The physical strategy really differs: only the driver path plans
+    // the inverted-index expression.
+    assert(viaExpr.queryExecution.analyzed.toString.contains("graft_bench_overlap"))
+    assert(!viaJoin.queryExecution.analyzed.toString.contains("graft_bench_overlap"))
+    // Identical output, bitwise: both paths compute jaccard from the
+    // same three integers.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val a = rows(viaExpr); val b = rows(viaJoin)
+    assert(a === b)
+    assert(a.nonEmpty, "fixture must produce at least one fuzzy pair")
+    // The switch sits exactly at the benchmark's total shingle count:
+    // budget == total stays on the expression path, one less crosses.
+    val total = NearDup.shingleSets(bench, "doc_id", "text", 3)
+      .agg(sum(size(col("shingles")))).head.getLong(0)
+    assert(run(total).queryExecution.analyzed.toString.contains("graft_bench_overlap"))
+    assert(!run(total - 1).queryExecution.analyzed.toString.contains("graft_bench_overlap"))
+  }
+
   test("assignSplitsDedupSafe keeps near-dup clusters on one split side") {
     // Two exact near-dup pairs + singletons; pair members MUST agree
     // on split, singletons must keep their plain assignSplits label.
