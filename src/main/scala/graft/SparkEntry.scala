@@ -1713,9 +1713,6 @@ object SparkEntry {
           .as("fp_winnow"))
     }),
 
-    // Multimodal plumbing: treat content as opaque bytes + typed
-    // metadata (size, digest). The decode/feature-extract stage lives
-    // in graft.operators.Multimodal (stubbed decode, real plumbing).
     // Perceptual image fingerprints: dHash over the decoded pixels —
     // the 8-bytes-per-image index a billion-image near-dup store
     // keeps. The gate hashes the BMP fixtures PLUS a one-byte pixel
@@ -1724,6 +1721,29 @@ object SparkEntry {
     // the decode + grid + bit layout.
     "multimodal_phash" -> ((s, _) =>
       Multimodal.perceptualHashes(mediaWithEditedCopies(s)).toDF()),
+
+    // Cross-format perceptual hashing over the BMP *and* PNG fixtures:
+    // 5.png re-encodes 1.bmp's pixels through a real compressed codec
+    // (DEFLATE + scanline filters), and canonical decode makes its
+    // dHash IDENTICAL — exact-hash dedup of recompressed copies, the
+    // case sha256 dedup can never see. Values from
+    // tools/media_replica.py.
+    "multimodal_phash_png" -> ((s, _) =>
+      Multimodal.perceptualHashes(mediaFixtures(s, "*.{bmp,png}")).toDF()),
+
+    // REAL feature extraction: fixed-seed Rademacher random-projection
+    // embeddings of the decoded canonical sample stream (pixels and
+    // PCM alike) through the batched inference plumbing — replacing
+    // the former payload-stats stand-in as the feature path. Pinned
+    // dimension-by-dimension vs the independent replica; the PNG
+    // re-encode matches its BMP original on every dimension.
+    "multimodal_features_v2" -> ((s, _) => {
+      val emb = Multimodal.extractEmbeddings(mediaFixtures(s, "*"), dim = 8,
+        batchSize = 2)
+      val es = (0 until 8).map(j =>
+        round(element_at(col("embedding"), j + 1), 4).as(s"e$j"))
+      emb.toDF().select(Seq(col("media_id"), col("kind"), col("n_values")) ++ es: _*)
+    }),
 
     // Perceptual near-dup pairs over those hashes: the SAME 4×16-bit
     // pigeonhole banding + Hamming verify as text SimHash
@@ -3974,17 +3994,53 @@ object SparkEntry {
         |  sha256(text) AS sha256_hex
         |FROM documents""".stripMargin,
 
-    // dHash values pinned from the independent Python replica of the
-    // BMP decode + 9×8 point-sampled grid + bit layout.
+    // dHash values pinned from the independent replica
+    // (tools/media_replica.py) of the canonical decode + 9×8
+    // point-sampled grid + bit layout.
     "multimodal_phash" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
         |  CAST(dhash AS BIGINT) AS dhash
         |FROM (VALUES
-        |  (1,   'bmp', -7957533809827277419),
-        |  (2,   'bmp', 8860227203321257661),
-        |  (101, 'bmp', -7957533809827277676),
-        |  (102, 'bmp', 8860227203321257660)
+        |  (1,   'bmp', -7668199523999968879),
+        |  (2,   'bmp', -4801338942150806150),
+        |  (101, 'bmp', -7740538593014607471),
+        |  (102, 'bmp', -4873396536188734086)
         |) AS t(media_id, kind, dhash)""".stripMargin,
+
+    // Cross-format perceptual hashing: 5.png is a true PNG re-encode
+    // of 1.bmp's pixels (different bytes, different codec), so its
+    // dHash is IDENTICAL — the recompression-invariance pin. All
+    // values from tools/media_replica.py.
+    "multimodal_phash_png" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(dhash AS BIGINT) AS dhash
+        |FROM (VALUES
+        |  (1, 'bmp', -7668199523999968879),
+        |  (2, 'bmp', -4801338942150806150),
+        |  (5, 'png', -7668199523999968879),
+        |  (6, 'png', -1747546206248239106)
+        |) AS t(media_id, kind, dhash)""".stripMargin,
+
+    // Random-projection embeddings of every decodable fixture (image
+    // pixels and PCM alike), pinned from tools/media_replica.py. The
+    // PNG re-encode (5) matches its BMP original (1) on EVERY
+    // dimension — canonical decode makes the embedding
+    // format-invariant.
+    "multimodal_features_v2" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(n_values AS INTEGER) AS n_values,
+        |  CAST(e0 AS DOUBLE) AS e0, CAST(e1 AS DOUBLE) AS e1,
+        |  CAST(e2 AS DOUBLE) AS e2, CAST(e3 AS DOUBLE) AS e3,
+        |  CAST(e4 AS DOUBLE) AS e4, CAST(e5 AS DOUBLE) AS e5,
+        |  CAST(e6 AS DOUBLE) AS e6, CAST(e7 AS DOUBLE) AS e7
+        |FROM (VALUES
+        |  (1, 'bmp', 105, 2.9048, -8.2, 13.2667, 13.381, 1.8762, -3.2286, -0.0286, -13.8),
+        |  (2, 'bmp', 576, -0.9167, 2.0868, 3.9375, 6.6389, 5.8438, -5.625, -0.5035, -10.5868),
+        |  (3, 'wav', 200, 32.575, 25.885, -6.245, -11.935, 21.845, 23.005, -24.555, -46.205),
+        |  (4, 'wav', 64, 12.0313, -19.5938, 20.5313, -3.5625, -12.6875, -15.2813, 3.4688, -1.9063),
+        |  (5, 'png', 105, 2.9048, -8.2, 13.2667, 13.381, 1.8762, -3.2286, -0.0286, -13.8),
+        |  (6, 'png', 84, 10.5952, -0.3095, 29.9524, 8.3571, 21.4762, -13.0476, 2.6429, -6.0476)
+        |) AS t(media_id, kind, n_values, e0, e1, e2, e3, e4, e5, e6, e7)""".stripMargin,
 
     // Each edited copy pairs with its original at the replica-computed
     // Hamming distance; the cross distances (~29) are over threshold.
@@ -4012,7 +4068,9 @@ object SparkEntry {
         |  ('f0418cce3ede8090d295f87c3f2afe56f2d2cb5c5e425a0e0cdfcbff480d77a7', 1, 2),
         |  ('22f71bdceadf1603b03f27ce2acee4354754ded83bbeb831f3c43f855158dfb7', 2, 2),
         |  ('b4f018ac4a01a137a5cca8a5736c368014f92b47819229aa484b4f9f51b886bc', 3, 2),
-        |  ('948e25a73795142babe3d593065aa9ec5149a4cf3c34d41a67826c35272541aa', 4, 2)
+        |  ('948e25a73795142babe3d593065aa9ec5149a4cf3c34d41a67826c35272541aa', 4, 2),
+        |  ('c9e1e25833a26d5656b8d94e1c7801e536035cbfabce91255088bde79dcaf6b4', 5, 2),
+        |  ('437f17ec62fce68f175534fabbe61fec351552d98b1e9ba097fd8764a08d49b4', 6, 2)
         |) AS t(content_hash, media_id, group_size)""".stripMargin,
 
     // Static fixtures → expected payload statistics are hand-computed
@@ -4026,10 +4084,12 @@ object SparkEntry {
         |  CAST(mean_c2 AS DOUBLE) AS mean_c2, CAST(v_min AS DOUBLE) AS v_min,
         |  CAST(v_max AS DOUBLE) AS v_max, CAST(rms AS DOUBLE) AS rms
         |FROM (VALUES
-        |  (1, 'bmp', 3, 105, 117.4286, 122.6, 127.7714, 0.0, 251.0, 142.875),
-        |  (2, 'bmp', 4, 576, 126.2778, 129.5, 127.3889, 0.0, 255.0, 147.774),
+        |  (1, 'bmp', 3, 105, 127.7714, 122.6, 117.4286, 0.0, 251.0, 142.875),
+        |  (2, 'bmp', 4, 576, 127.3889, 129.5, 126.2778, 0.0, 255.0, 147.774),
         |  (3, 'wav', 2, 200, 13.76, -49.37, NULL, -1000.0, 992.0, 577.2771),
-        |  (4, 'wav', 1, 64, 119.5, NULL, NULL, 2.0, 255.0, 138.9514)
+        |  (4, 'wav', 1, 64, 119.5, NULL, NULL, 2.0, 255.0, 138.9514),
+        |  (5, 'png', 3, 105, 127.7714, 122.6, 117.4286, 0.0, 251.0, 142.875),
+        |  (6, 'png', 1, 84, 131.3571, NULL, NULL, 3.0, 250.0, 148.3907)
         |) AS t(media_id, kind, n_channels, n_values, mean_c0, mean_c1, mean_c2,
         |       v_min, v_max, rms)""".stripMargin,
 
@@ -4045,7 +4105,9 @@ object SparkEntry {
         |  (1, 'bmp', 7, 5, -1, -1, 24, 174),
         |  (2, 'bmp', 16, 9, -1, -1, 32, 630),
         |  (3, 'wav', -1, -1, 2, 44100, 16, 444),
-        |  (4, 'wav', -1, -1, 1, 8000, 8, 108)
+        |  (4, 'wav', -1, -1, 1, 8000, 8, 108),
+        |  (5, 'png', 7, 5, 3, -1, 8, 178),
+        |  (6, 'png', 12, 7, 1, -1, 8, 159)
         |) AS t(media_id, kind, width, height, channels, sample_rate, bits_per_sample, n_bytes)""".stripMargin,
 
     "streaming_hourly" ->

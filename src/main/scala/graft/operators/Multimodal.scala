@@ -7,18 +7,25 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed by batched
   * per-partition inference.
   *
-  * Both decode layers are REAL pure-JVM container parsing (no codec
-  * dependency): [[decodeMeta]] reads BMP/RIFF-WAVE headers, and
-  * [[decodeStats]] decodes the PAYLOAD — pixel channel bytes (BMP,
-  * padding excluded, 24/32 bpp) and PCM samples (WAV, 8-bit unsigned /
-  * 16-bit signed) — into per-channel means and global min/max/RMS.
-  * The one thing still standing in for an ML runtime is the feature
-  * SEMANTICS: a production pipeline would push the same decoded
-  * batches through a JNI/ONNX forward pass for embeddings; the
-  * batching (models want fixed-size batches, not row-at-a-time
-  * calls), the executor-side iterator pipeline, and the
-  * repartition-before-inference pattern are exactly what that swap
-  * keeps.
+  * All decode layers are REAL pure-JVM parsing: [[decodeMeta]] reads
+  * BMP/PNG/RIFF-WAVE headers, and the payload decoders produce a
+  * CANONICAL sample stream — images as top-down rows with (R,G,B[,A])
+  * per pixel (BMP's bottom-up B,G,R storage is flipped and swapped;
+  * PNG decodes through `javax.imageio`, covering a real compressed
+  * codec), audio as interleaved PCM. Canonical order is what makes
+  * recompression invariance REAL: a pixel-identical PNG re-encode of
+  * a BMP yields byte-identical samples, hence identical statistics,
+  * identical [[dHash]], and an identical [[extractEmbeddings]]
+  * embedding — the property the cross-format near-dup gates pin.
+  *
+  * Feature extraction ([[extractEmbeddings]]) is a fixed-seed
+  * Rademacher random projection of the decoded sample stream — a
+  * real, deterministic, oracle-able featurizer (the JL-sketch family
+  * production systems use for cheap similarity structure). A heavier
+  * model runtime (ONNX/JNI forward pass) would slot into the same
+  * batched `mapPartitions` pipeline: models want fixed-size batches,
+  * not row-at-a-time calls, and the repartition-before-inference
+  * knob is exactly what that swap keeps.
   */
 object Multimodal {
 
@@ -38,21 +45,17 @@ object Multimodal {
                         mean_c2: Option[Double], v_min: Option[Double],
                         v_max: Option[Double], rms: Option[Double], batch_size: Int)
 
-  /** Decode one batch's payloads into [[MediaStats]] — the "forward
-    * pass" of the batched inference pipeline, on real decoded values:
-    * BMP pixels are walked row-by-row with the 4-byte row padding
-    * excluded (uncompressed BI_RGB only — a compressed or truncated
-    * payload degrades to empty stats, never throws); WAV walks to the
-    * `data` chunk and reads 8-bit unsigned or 16-bit signed PCM.
+  /** Decode one batch's payloads into [[MediaStats]] on real decoded
+    * values: BMP pixels walked into canonical order with the 4-byte
+    * row padding excluded (uncompressed BI_RGB only — a compressed or
+    * truncated payload degrades to empty stats, never throws); PNG
+    * through `javax.imageio`; WAV walks to the `data` chunk and reads
+    * 8-bit unsigned or 16-bit signed PCM.
     */
   private def decodeStats(batch: Seq[MediaRow]): Seq[MediaStats] =
     batch.map { r =>
       val meta = decodeMeta(r)
-      val values: (Int, Array[Double]) = meta.kind match {
-        case "bmp" => decodeBmpValues(r.content, meta)
-        case "wav" => decodeWavValues(r.content, meta)
-        case _ => (0, Array.empty[Double])
-      }
+      val values: (Int, Array[Double]) = decodeValues(r.content, meta)
       val (nCh, vals) = values
       if (vals.isEmpty)
         MediaStats(r.media_id, meta.kind, nCh, 0, None, None, None, None, None, None,
@@ -78,34 +81,82 @@ object Multimodal {
       }
     }
 
-  /** BMP pixel channel bytes in storage order (B,G,R[,A] per pixel),
-    * row padding excluded. Only uncompressed (BI_RGB) 24/32 bpp
-    * payloads decode; anything else — or a payload shorter than the
-    * geometry promises — returns empty.
+  /** Dispatch to the payload decoder for `meta.kind`; unknown kinds
+    * yield empty values (never throw).
+    */
+  private def decodeValues(b: Array[Byte], meta: MediaMeta): (Int, Array[Double]) =
+    meta.kind match {
+      case "bmp" => decodeBmpValues(b, meta)
+      case "png" => decodePngValues(b, meta)
+      case "wav" => decodeWavValues(b, meta)
+      case _ => (0, Array.empty[Double])
+    }
+
+  /** BMP pixel samples in CANONICAL image order — top-down rows,
+    * (R,G,B[,A]) per pixel (the file stores bottom-up B,G,R[,A]; a
+    * negative header height means rows are already top-down), row
+    * padding excluded. Only uncompressed (BI_RGB) 24/32 bpp payloads
+    * decode; anything else — or a payload shorter than the geometry
+    * promises — returns empty.
     */
   private def decodeBmpValues(b: Array[Byte], meta: MediaMeta): (Int, Array[Double]) = {
     val bpp = meta.bits_per_sample
     if (b.length < 54 || (bpp != 24 && bpp != 32)) return (0, Array.empty)
     val off = le32(b, 10); val comp = le32(b, 30)
-    val w = meta.width; val h = math.abs(meta.height)
+    val w = meta.width; val hRaw = meta.height; val h = math.abs(hRaw)
     val ch = bpp / 8
     val stride = ((w * ch + 3) / 4) * 4
     if (comp != 0 || w <= 0 || h <= 0 || off < 0 ||
         off.toLong + stride.toLong * h > b.length) return (ch, Array.empty)
     val out = new Array[Double](w * h * ch)
     var o = 0
-    var row = 0
-    while (row < h) {
+    var y = 0
+    while (y < h) {
+      val row = if (hRaw > 0) h - 1 - y else y
       val base = off + row * stride
-      var i = 0
-      while (i < w * ch) {
-        out(o) = java.lang.Byte.toUnsignedInt(b(base + i)).toDouble
-        o += 1; i += 1
+      var x = 0
+      while (x < w) {
+        val p = base + x * ch
+        out(o) = java.lang.Byte.toUnsignedInt(b(p + 2)).toDouble // R
+        out(o + 1) = java.lang.Byte.toUnsignedInt(b(p + 1)).toDouble // G
+        out(o + 2) = java.lang.Byte.toUnsignedInt(b(p)).toDouble // B
+        if (ch == 4) out(o + 3) = java.lang.Byte.toUnsignedInt(b(p + 3)).toDouble
+        o += ch; x += 1
       }
-      row += 1
+      y += 1
     }
     (ch, out)
   }
+
+  /** PNG pixel samples via `javax.imageio` — the one decode path that
+    * exercises a REAL compressed codec (DEFLATE + scanline filters).
+    * Samples are read from the decoded Raster band by band per pixel:
+    * band order follows the color model's component order (R,G,B[,A];
+    * gray/gray+alpha for 1–2 bands), which for PNG equals the file's
+    * sample order — already canonical. Undecodable payloads return
+    * empty, never throw.
+    */
+  private def decodePngValues(b: Array[Byte], meta: MediaMeta): (Int, Array[Double]) =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return (math.max(meta.channels, 0), Array.empty)
+      val raster = img.getRaster
+      val w = img.getWidth; val h = img.getHeight
+      val ch = raster.getNumBands
+      val out = new Array[Double](w * h * ch)
+      var o = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < ch) { out(o) = raster.getSample(x, y, c).toDouble; o += 1; c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      (ch, out)
+    } catch { case _: Exception => (math.max(meta.channels, 0), Array.empty) }
 
   /** WAV PCM samples, channel-interleaved as stored: 8-bit PCM is
     * unsigned (0..255), 16-bit is signed little-endian — per the RIFF
@@ -169,18 +220,32 @@ object Multimodal {
   private def tag(b: Array[Byte], o: Int): String =
     new String(b.slice(o, o + 4), java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** REAL (non-stub) decoder for the two container formats parseable
-    * with zero codec dependencies: BMP (BITMAPINFOHEADER — width/height
-    * le32 at 18/22, bpp le16 at 28) and RIFF/WAVE (chunk walk to
-    * `fmt `: channels le16 +2, sample rate le32 +4, bits le16 +14).
-    * Anything else → kind "unknown" with only n_bytes populated. Pure
-    * JVM byte parsing; runs inside the same batched mapPartitions
-    * plumbing as the model-inference stub.
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) | ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+
+  /** Container-header decoder for the three supported formats: BMP
+    * (BITMAPINFOHEADER — width/height le32 at 18/22, bpp le16 at 28),
+    * PNG (IHDR — width/height be32 at 16/20, bit depth at 24, color
+    * type at 25), and RIFF/WAVE (chunk walk to `fmt `: channels le16
+    * +2, sample rate le32 +4, bits le16 +14). Anything else → kind
+    * "unknown" with only n_bytes populated. Pure JVM byte parsing;
+    * runs inside the same batched mapPartitions plumbing as the
+    * payload decoders.
     */
   def decodeMeta(r: MediaRow): MediaMeta = {
     val b = r.content
     if (b.length >= 30 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
       MediaMeta(r.media_id, "bmp", le32(b, 18), le32(b, 22), -1, -1, le16(b, 28), b.length)
+    } else if (b.length >= 26 && (b(0) & 0xFF) == 0x89 && b(1) == 'P'.toByte &&
+        b(2) == 'N'.toByte && b(3) == 'G'.toByte) {
+      // IHDR is mandatory-first: width/height BE32 at 16/20, bit depth
+      // at 24, color type at 25 → channel count.
+      val channels = b(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => -1
+      }
+      MediaMeta(r.media_id, "png", be32(b, 16), be32(b, 20), channels, -1,
+        b(24).toInt, b.length)
     } else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
       // Walk chunks from offset 12: [4-byte id][le32 size][payload].
       // Offsets tracked in Long: a crafted chunk size near Int.MaxValue
@@ -205,7 +270,7 @@ object Multimodal {
   }
 
   /** Batched metadata decode over a media Dataset — identical
-    * partition/batch shape to [[extractFeatures]], real decode.
+    * partition/batch shape to [[extractStats]], real decode.
     */
   def extractMeta(media: Dataset[MediaRow], batchSize: Int = 32,
                   numPartitions: Option[Int] = None): Dataset[MediaMeta] = {
@@ -248,9 +313,9 @@ object Multimodal {
     */
   def dHash(r: MediaRow): Option[Long] = {
     val meta = decodeMeta(r)
-    if (meta.kind != "bmp") None
+    if (meta.kind != "bmp" && meta.kind != "png") None
     else {
-      val (ch, vals) = decodeBmpValues(r.content, meta)
+      val (ch, vals) = decodeValues(r.content, meta)
       val w = meta.width; val h = math.abs(meta.height)
       if (ch <= 0 || vals.isEmpty || w <= 0 || h <= 0) None
       else {
@@ -284,7 +349,7 @@ object Multimodal {
   def perceptualHashes(media: Dataset[MediaRow], batchSize: Int = 32): Dataset[MediaHash] = {
     implicit val enc = Encoders.product[MediaHash]
     media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
-      dHash(r).map(hh => MediaHash(r.media_id, "bmp", hh))
+      dHash(r).map(hh => MediaHash(r.media_id, decodeMeta(r).kind, hh))
     }))
   }
 
@@ -352,6 +417,72 @@ object Multimodal {
 
   def audioNearDups(fps: DataFrame, maxHamming: Int = 3): DataFrame =
     NearDup.fingerprintNearDups(fps, "media_id", "dhash", maxHamming)
+
+  /** One media item's feature vector: the fixed-seed random-projection
+    * embedding of its decoded canonical sample stream.
+    */
+  case class MediaEmbedding(media_id: Long, kind: String, n_values: Int,
+                            embedding: Array[Double])
+
+  /** splitmix64 — the standard 64-bit finalizer, the deterministic
+    * source of the projection signs (identical integer arithmetic in
+    * any language, which is what lets an independent replica pin the
+    * embeddings bit-for-bit).
+    */
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Fixed-seed Rademacher random projection of a decoded sample
+    * stream: e(j) = Σᵢ v(i)·s(i,j) / n with s(i,j) = ±1 from the sign
+    * bit of splitmix64(i·dim + j). This is a REAL featurizer (the
+    * Johnson–Lindenstrauss sketch family): inner products between
+    * embeddings concentrate around scaled sample-stream inner
+    * products, so downstream ANN / SemDeDup machinery can consume
+    * these exactly like model embeddings — while staying
+    * deterministic, dependency-free, and replica-pinnable. Summation
+    * is sequential in i: the double-rounding order is part of the
+    * contract.
+    */
+  def projectionEmbedding(vals: Array[Double], dim: Int): Array[Double] = {
+    val e = new Array[Double](dim)
+    var i = 0
+    while (i < vals.length) {
+      val base = i.toLong * dim
+      var j = 0
+      while (j < dim) {
+        val s = if (splitmix64(base + j) >= 0) 1.0 else -1.0
+        e(j) += vals(i) * s
+        j += 1
+      }
+      i += 1
+    }
+    if (vals.nonEmpty) { var j = 0; while (j < dim) { e(j) /= vals.length; j += 1 } }
+    e
+  }
+
+  /** Batched per-partition feature extraction over a media Dataset —
+    * the "forward pass" of the inference pipeline on real decoded
+    * values. Undecodable payloads yield no row (a null embedding is
+    * poison downstream; absence is filterable). Same batch/partition
+    * knobs as the other decode passes.
+    */
+  def extractEmbeddings(media: Dataset[MediaRow], dim: Int = 8,
+                        batchSize: Int = 32,
+                        numPartitions: Option[Int] = None): Dataset[MediaEmbedding] = {
+    implicit val enc = Encoders.product[MediaEmbedding]
+    val sharded = numPartitions.map(media.repartition(_)).getOrElse(media)
+    sharded.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      val meta = decodeMeta(r)
+      val (_, vals) = decodeValues(r.content, meta)
+      if (vals.isEmpty) None
+      else Some(MediaEmbedding(r.media_id, meta.kind, vals.length,
+        projectionEmbedding(vals, dim)))
+    }))
+  }
 
   /** Lift a text table into the media shape (test/demo helper: content
     * bytes play the role of an undecodable payload).

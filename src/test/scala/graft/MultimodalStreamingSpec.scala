@@ -33,10 +33,12 @@ class MultimodalStreamingSpec extends SparkSuite {
     def close(a: Double, b: Double) = math.abs(a - b) < 1e-3
     // 7x5 24bpp BMP: 105 channel bytes, padding excluded (stride 24,
     // row 21) — the padding would drag every stat toward 0 if counted.
+    // Canonical decode: channel means are (R, G, B), not BMP's stored
+    // B,G,R.
     val bmp1 = stats(1L)
     assert(bmp1.kind === "bmp" && bmp1.n_channels === 3 && bmp1.n_values === 105)
-    assert(close(bmp1.mean_c0.get, 117.4286) && close(bmp1.mean_c1.get, 122.6) &&
-      close(bmp1.mean_c2.get, 127.7714))
+    assert(close(bmp1.mean_c0.get, 127.7714) && close(bmp1.mean_c1.get, 122.6) &&
+      close(bmp1.mean_c2.get, 117.4286))
     assert(bmp1.v_min.get === 0.0 && bmp1.v_max.get === 251.0 &&
       close(bmp1.rms.get, 142.875))
     // 16x9 32bpp: alpha channel participates in the global stats
@@ -100,6 +102,33 @@ class MultimodalStreamingSpec extends SparkSuite {
     // Audio and garbage have no perceptual hash.
     assert(Multimodal.dHash(Multimodal.MediaRow(3L, "wav", wavBytes)).isEmpty)
     assert(Multimodal.dHash(Multimodal.MediaRow(9L, "x", Array[Byte](1, 2, 3))).isEmpty)
+  }
+
+  test("recompressed copies: PNG re-encode recovers as a perceptual near-dup of its BMP") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[Multimodal.MediaRow]
+    def load(name: String, id: Long): Multimodal.MediaRow =
+      Multimodal.MediaRow(id, name.split('.').last, java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/repo/fixtures/media/$name")))
+    val media = Seq(load("1.bmp", 1), load("2.bmp", 2),
+      load("5.png", 5), load("6.png", 6)).toDS()
+    // 5.png carries 1.bmp's pixels through a REAL compressed codec
+    // (different bytes, different container): canonical decode makes
+    // the hashes identical, so the banded join recovers exactly the
+    // cross-format pair at Hamming 0 — the duplicate sha256 dedup can
+    // never see. The unrelated images pair with nothing.
+    val pairs = Multimodal.imageNearDups(
+        Multimodal.perceptualHashes(media).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 5L, 0)))
+    // Full feature invariance too: identical embedding, every
+    // dimension, exact doubles — decode order is part of the contract.
+    val emb = Multimodal.extractEmbeddings(media).collect()
+      .map(e => e.media_id -> e.embedding).toMap
+    assert(emb(1L).toSeq === emb(5L).toSeq)
+    assert(emb(1L).toSeq !== emb(2L).toSeq)
+    // dHash covers PNG now; a grayscale PNG hashes too.
+    assert(Multimodal.dHash(load("6.png", 6)).isDefined)
   }
 
   test("audioFingerprint: edit pairs with original; short clips have no fingerprint") {
