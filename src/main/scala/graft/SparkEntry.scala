@@ -1385,7 +1385,7 @@ object SparkEntry {
       val pairs = StreamingJobs.runToMemory(s,
         StreamingJobs.nearDupStream(stream, "doc_id", "text", "ts",
           horizonSec = 7200, simFloor = 0.9),
-        sink, mode = "append", statePartitions = Some(8))
+        sink, mode = "append", statePartitions = Some(8), rocksdb = true)
       deleteRecursively(tmp) // memory sink materialized; staged copy done
       val planted = base.select(col("doc_id").as("id_a"),
         (col("doc_id") + 1000000L).as("id_b"))
@@ -1429,7 +1429,8 @@ object SparkEntry {
         StreamingJobs.nearDupStream(stream, "doc_id", "text", "ts",
           horizonSec = 3600, simFloor = 0.9),
         s"streaming_ndttl_${System.nanoTime}", mode = "append",
-        statePartitions = Some(8)).select(col("id_a"), col("id_b")).distinct()
+        statePartitions = Some(8), rocksdb = true)
+        .select(col("id_a"), col("id_b")).distinct()
       deleteRecursively(tmp)
       val plantedIn = docs.filter(col("doc_id") < 40)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
@@ -1461,7 +1462,8 @@ object SparkEntry {
       val admitted = StreamingJobs.runToMemory(s,
         StreamingJobs.tokenBudgetStream(stream, "source", "doc_id", "text",
           budgets = Map("src0" -> 1500L, "src1" -> 800L, "src3" -> 300L)),
-        s"streaming_budget_${System.nanoTime}", mode = "append", statePartitions = Some(8))
+        s"streaming_budget_${System.nanoTime}", mode = "append",
+        statePartitions = Some(8), rocksdb = true)
       deleteRecursively(tmp) // memory sink materialized; staged copy done
       admitted
     }),
@@ -1838,7 +1840,7 @@ object SparkEntry {
       StreamingJobs.runToMemory(s,
         StreamingJobs.dedupStream(stream, Seq("user_id", "event_type"))
           .select(col("user_id"), col("event_type")),
-        sink, mode = "append", statePartitions = Some(8))
+        sink, mode = "append", statePartitions = Some(8), rocksdb = true)
     }),
 
     // Streaming → catalog bridge: the deduped stream written through
@@ -1861,6 +1863,44 @@ object SparkEntry {
       s.table(tbl).select(col("user_id"), col("event_type"))
     }),
 
+    // RESTART/RESUME across a process boundary: run 1 dedups the
+    // even-id half of events into a table through a DURABLE checkpoint
+    // (RocksDB state store), the query STOPS, more files land, and a
+    // brand-new query object resumes from the same checkpoint over the
+    // odd-id half. Keys already emitted in run 1 must NOT re-emit —
+    // i.e. the dedup state (and RocksDB's snapshot/changelog) survived
+    // the restart — so the table equals one global DISTINCT, the same
+    // oracle an uninterrupted run has.
+    "streaming_restart" -> ((s, dir) => {
+      val tbl = "graft_gate_restart"
+      resetTable(s, tbl)
+      val ev = t(s, dir, "events")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
+      val stage = java.nio.file.Files.createTempDirectory("graft_restart_in").toString
+      try {
+        def runOnce(): Unit = {
+          val stream = s.readStream.schema(ev.schema).parquet(stage)
+          // Unwatermarked dropDuplicates: eviction must not race the
+          // split (the halves interleave in event time), and the
+          // restart contract is about state DURABILITY, not TTL.
+          StreamingJobs.runToTable(s,
+            stream.dropDuplicates(Seq("user_id", "event_type"))
+              .select(col("user_id"), col("event_type")),
+            tbl, statePartitions = Some(8), checkpoint = Some(ckpt),
+            rocksdb = true)
+        }
+        ev.filter(col("event_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(stage)
+        runOnce() // run 1: even half, then the query stops
+        ev.filter(col("event_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(stage)
+        runOnce() // run 2: NEW query, same checkpoint, odd half only
+        // The sink is a managed table — safe to read after the staged
+        // inputs and checkpoint are cleaned up.
+        s.table(tbl).select(col("user_id"), col("event_type"))
+      } finally { deleteRecursively(ckpt); deleteRecursively(stage) }
+    }),
+
     // Stream-stream inner join with event-time range state eviction:
     // clicks paired with same-user purchases within the next hour.
     // One micro-batch over the file ⇒ emitted pairs == the batch join.
@@ -1875,7 +1915,7 @@ object SparkEntry {
       // ~250 join keys, not the batch scan default.
       StreamingJobs.runToMemory(s,
         StreamingJobs.streamStreamJoin(clicks, buys, withinSec = 3600),
-        sink, mode = "append", statePartitions = Some(8))
+        sink, mode = "append", statePartitions = Some(8), rocksdb = true)
     }),
 
     // Gopher-style rule signals per document (length / word shape /
@@ -4121,6 +4161,11 @@ object SparkEntry {
       "SELECT DISTINCT user_id, event_type FROM events",
 
     "streaming_to_table" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // Two runs against one durable checkpoint == one uninterrupted
+    // run: a key emitted before the restart must not re-emit after it.
+    "streaming_restart" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
     // Timestamps compared AFTER the cast to microsecond precision on

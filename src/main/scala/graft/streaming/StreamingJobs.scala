@@ -687,15 +687,42 @@ object StreamingJobs {
     * batch replay after a crash overwrite its own partition instead of
     * double-appending.
     */
+  /** Scope the RocksDB state-store provider (and conf restore) around
+    * `body`. RocksDB keeps streaming state OFF-HEAP on local disk with
+    * changelog/snapshot files in the checkpoint — the provider any
+    * large-state production job runs, where the default HDFS-backed
+    * store holds every key in executor heap. Provider choice is
+    * per-QUERY-START and persisted in the checkpoint's operator
+    * metadata; restarts keep whatever the checkpoint was built with.
+    */
+  def withStateStore[T](spark: SparkSession, rocksdb: Boolean)(body: => T): T =
+    if (!rocksdb) body
+    else {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
   def runToTable(spark: SparkSession, df: DataFrame, table: String,
                  statePartitions: Option[Int] = None,
                  idempotent: Boolean = true,
-                 transform: DataFrame => DataFrame = identity): Unit = {
+                 transform: DataFrame => DataFrame = identity,
+                 checkpoint: Option[String] = None,
+                 rocksdb: Boolean = false): Unit = {
     val tables = new graft.sources.TableManager(spark)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try withEphemeralCheckpoint { ckpt =>
+    // A caller-provided DURABLE checkpoint (restart/resume semantics)
+    // bypasses the ephemeral-dir lifecycle; ephemeral stays the
+    // default for run-to-completion-and-discard gates.
+    def run(ckpt: String): Unit = withStateStore(spark, rocksdb) {
       val q = df.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // `transform` runs as BATCH code inside foreachBatch — the
@@ -713,6 +740,10 @@ object StreamingJobs {
       // secondary errors).
       try q.processAllAvailable()
       finally q.stop()
+    }
+    try checkpoint match {
+      case Some(ckpt) => run(ckpt)
+      case None => withEphemeralCheckpoint(run)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -730,19 +761,22 @@ object StreamingJobs {
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                   mode: String = "complete",
-                  statePartitions: Option[Int] = None): DataFrame = {
+                  statePartitions: Option[Int] = None,
+                  rocksdb: Boolean = false): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     try withEphemeralCheckpoint { ckpt =>
-      val q: StreamingQuery = df.writeStream
-        .outputMode(mode).format("memory").queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-      // Stop in finally — see runToTable: the query must terminate
-      // before the ephemeral checkpoint dir is deleted.
-      try q.processAllAvailable()
-      finally q.stop()
+      withStateStore(spark, rocksdb) {
+        val q: StreamingQuery = df.writeStream
+          .outputMode(mode).format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
+        // Stop in finally — see runToTable: the query must terminate
+        // before the ephemeral checkpoint dir is deleted.
+        try q.processAllAvailable()
+        finally q.stop()
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }

@@ -32,6 +32,44 @@ class StreamingTTLSpec extends SparkSuite {
     s"unique streaming document number $i carrying enough distinct tokens " +
       s"to shingle cleanly marker ${i * 7} tail ${i * 13}"
 
+  test("withStateStore(rocksdb) really swaps the provider, and state survives it") {
+    def run(rocksdb: Boolean, sink: String): Set[String] = {
+      val in = MemoryStream[String]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rocks-spec").toString
+      var metricKeys = Set.empty[String]
+      StreamingJobs.withStateStore(spark, rocksdb) {
+        val q = in.toDF.toDF("k").dropDuplicates("k")
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt).start()
+        try {
+          in.addData("a", "b", "a")
+          q.processAllAvailable()
+          in.addData("b", "c") // 'b' must hit run-1 state
+          q.processAllAvailable()
+          import scala.jdk.CollectionConverters._
+          metricKeys = q.recentProgress.reverseIterator
+            .find(_.stateOperators.nonEmpty)
+            .map(_.stateOperators.head.customMetrics.keySet.asScala.toSet)
+            .getOrElse(Set.empty)
+        } finally q.stop()
+      }
+      val rows = spark.table(sink).collect().map(_.getString(0)).toSet
+      assert(rows === Set("a", "b", "c"), s"dedup wrong under rocksdb=$rocksdb: $rows")
+      metricKeys
+    }
+    // RocksDB run: the state operator reports rocksdb* custom metrics
+    // — proof the provider is actually in the loop, not just a conf.
+    val rocks = run(rocksdb = true, "t_rocks_on")
+    assert(rocks.exists(_.startsWith("rocksdb")), s"no rocksdb metrics: $rocks")
+    // Default run: no rocksdb metrics; the conf scoping restored.
+    val default = run(rocksdb = false, "t_rocks_off")
+    assert(!default.exists(_.startsWith("rocksdb")), s"conf leaked: $default")
+    // getOption surfaces the conf's DEFAULT (HDFSBacked...) when unset
+    // — "restored" means not-RocksDB, not absent.
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("nearDupStream evicts band state past the horizon; in-horizon pairs still found") {
     val t0 = 1_700_000_000_000L // fixed epoch ms; only relative time matters
     def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
