@@ -1,0 +1,93 @@
+package graft
+
+/** Plan-shape regression pins for the heaviest lazily-planned gates:
+  * shuffle-exchange count, broadcast count, join strategy, and filter
+  * pushdown are snapshotted from the reviewed plans, so a planner or
+  * operator regression (a broadcast degrading to sort-merge, a new
+  * shuffle sneaking into a one-pass pipeline, a filter lifting off the
+  * scan) fails `sbt test` BEFORE it shows up as a bench delta.
+  *
+  * Counts are from the ADAPTIVE INITIAL plan (AQE's runtime re-plan
+  * can only improve on it); they are intentionally exact — a pin that
+  * only bounds from above would let a second redundant shuffle in
+  * silently. When an intentional plan change moves a number, the
+  * failure message prints the full formatted plan to re-review and
+  * re-pin.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def shape(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def c(plan: String, pat: String): Int = pat.r.findAllIn(plan).length
+
+  /** Assert the five load-bearing operator counts of one query's plan:
+    * shuffle exchanges, broadcast exchanges, sort-merge joins,
+    * broadcast hash joins, broadcast nested-loop joins (the one-row
+    * crossJoin composition pattern — anything unexpected here is a
+    * real cartesian risk).
+    */
+  private def pin(name: String, exch: Int, bcast: Int, smj: Int, bhj: Int,
+                  bnl: Int, pushedFilters: Int = 0): Unit = {
+    val p = shape(name)
+    def chk(what: String, pat: String, want: Int): Unit =
+      assert(c(p, pat) === want, s"$name: $what expected $want\n$p")
+    chk("shuffle exchanges", """[)] Exchange""", exch)
+    chk("broadcast exchanges", """[)] BroadcastExchange""", bcast)
+    chk("sort-merge joins", """[)] SortMergeJoin""", smj)
+    chk("broadcast hash joins", """[)] BroadcastHashJoin""", bhj)
+    chk("nested-loop joins", """[)] BroadcastNestedLoopJoin""", bnl)
+    assert(c(p, """CartesianProduct""") === 0, s"$name: cartesian!\n$p")
+    chk("non-empty PushedFilters", """PushedFilters: \[[^\]]""", pushedFilters)
+    spark.catalog.clearCache()
+  }
+
+  test("q3_join_revenue: one broadcast dim join, two agg exchanges, filters pushed") {
+    pin("q3_join_revenue", exch = 2, bcast = 1, smj = 0, bhj = 1, bnl = 0,
+      pushedFilters = 2)
+  }
+
+  test("q2_monthly_avg: one exchange total — partial aggregation, no join") {
+    pin("q2_monthly_avg", exch = 1, bcast = 0, smj = 0, bhj = 0, bnl = 0)
+  }
+
+  test("dedup_exact_text: digest groupBy is the only shuffle; text never joins") {
+    pin("dedup_exact_text", exch = 1, bcast = 0, smj = 0, bhj = 0, bnl = 0)
+  }
+
+  test("decon_overlap: corpus is scanned once, never joined or re-shuffled") {
+    // The one exchange is Skew.spread's round-robin of the under-split
+    // scan; the benchmark rides INSIDE the expression, so there is no
+    // join operator of any kind in the plan.
+    pin("decon_overlap", exch = 1, bcast = 0, smj = 0, bhj = 0, bnl = 0)
+  }
+
+  test("text_tfidf: every join side broadcasts; no sort-merge joins") {
+    pin("text_tfidf", exch = 5, bcast = 2, smj = 0, bhj = 1, bnl = 1)
+  }
+
+  test("text_lm_score: LM stats broadcast into scoring; nothing sort-merges") {
+    pin("text_lm_score", exch = 9, bcast = 3, smj = 0, bhj = 2, bnl = 1,
+      pushedFilters = 3)
+  }
+
+  test("text_ppl_buckets: final frame reads the materialized stage, zero exchanges") {
+    pin("text_ppl_buckets", exch = 0, bcast = 0, smj = 0, bhj = 0, bnl = 0)
+  }
+
+  test("sample_importance: two LMs broadcast, both top-k are TakeOrdered, no SMJ") {
+    val p = shape("sample_importance")
+    assert(c(p, """[)] Exchange""") === 16, s"sample_importance exchanges\n$p")
+    assert(c(p, """[)] BroadcastExchange""") === 6, p)
+    assert(c(p, """[)] SortMergeJoin""") === 0, p)
+    assert(c(p, """[)] BroadcastHashJoin""") === 4, p)
+    assert(c(p, """[)] BroadcastNestedLoopJoin""") === 2, p)
+    assert(c(p, """TakeOrderedAndProject""") === 2,
+      s"top-k must stay TakeOrderedAndProject (no global sort)\n$p")
+    assert(c(p, """CartesianProduct""") === 0, p)
+    spark.catalog.clearCache()
+  }
+}
