@@ -46,8 +46,8 @@ for k in range(REPLICAS):
     vec = ("embedding" if k == 0 or rot == 0 else
            f"embedding[{rot + 1}:] || embedding[:{rot}]")
     emb_parts.append(
-        f"SELECT vec_id + {k * VEC_OFF} AS vec_id, ({vec})::FLOAT[] AS embedding "
-        f"FROM read_parquet('{SRC}/embeddings.parquet')")
+        f"SELECT vec_id + {k * VEC_OFF} AS vec_id, ({vec})::FLOAT[] AS embedding, "
+        f"label FROM read_parquet('{SRC}/embeddings.parquet')")
 con.execute(
     f"COPY ({' UNION ALL '.join(emb_parts)}) TO '{DST}/embeddings.parquet' "
     "(FORMAT PARQUET)")
