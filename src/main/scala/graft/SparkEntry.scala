@@ -510,6 +510,25 @@ object SparkEntry {
           leftTs = "ts", rightTs = "signup_ts", rightCols = Seq("signup_id"))
     }),
 
+    // The SAME as-of join through the custom planner tier: an AsOfJoin
+    // logical node + planner strategy (SparkSessionExtensions /
+    // extraStrategies) + AsOfJoinExec physical merge join — each side
+    // hash-partitioned by its OWN keys and sorted by (key, time), then
+    // merged with O(1) state, where the composed q29 form shuffles and
+    // window-sorts the UNION of both sides. Same DuckDB ASOF oracle:
+    // the two implementations may not disagree on a row.
+    "q58_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_id"))
+      graft.plans.AsOfJoinPlan.asOfNative(clicks, signups, Seq("user_id"),
+          "ts", "signup_ts")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("asof_signup_id"))
+    }),
+
     // As-of forward: each click joined to the user's EARLIEST signup
     // at-or-after it (direction="forward"); oracle flips the ASOF
     // inequality.
@@ -2449,6 +2468,17 @@ object SparkEntry {
         |       - CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT)) <= 7200""".stripMargin,
 
     "q29_asof_join" ->
+      """SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id, c.value,
+        |  s.signup_id AS asof_signup_id
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS signup_ts, event_id AS signup_id
+        |      FROM events WHERE event_type = 'signup') s
+        |ON c.user_id = s.user_id AND c.ts >= s.signup_ts""".stripMargin,
+
+    // Identical to q29's oracle — the custom-planner implementation
+    // must reproduce the composed one's rows exactly.
+    "q58_asof_native" ->
       """SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id, c.value,
         |  s.signup_id AS asof_signup_id
         |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c

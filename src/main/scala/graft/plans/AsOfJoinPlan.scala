@@ -1,0 +1,256 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** AS-OF JOIN as a first-class planner operator — the escalation tier
+  * for semantics the built-in operators can't express EFFICIENTLY:
+  * the composed form ([[graft.operators.Joins.asOf]]) unions both
+  * sides into one stream and runs an unbounded-preceding window over
+  * it, which shuffles left+right TOGETHER and sorts the union; this
+  * operator instead asks the planner for the join's natural physical
+  * form — each side hash-partitioned by its OWN keys and sorted by
+  * (keys, time) — and merges the two sorted streams with O(1) state
+  * per partition (the single best-so-far right row). At 100 TB the
+  * difference is one union-sized shuffle+sort versus two
+  * independently-sized exchanges that AQE can also reuse, plus a
+  * merge pass that never materializes per-key windows.
+  *
+  * Semantics: for every left row, the LAST right row with the same
+  * keys and `rightTime <= leftTime` (direction "backward") or the
+  * FIRST with `rightTime >= leftTime` ("forward"), optionally within
+  * `toleranceSec`; unmatched left rows null-extend (left-outer, like
+  * DuckDB/pandas ASOF). Null join keys and null times never match.
+  * Ties on equal (keys, rightTime) are resolved by sort order — use
+  * the composed form's tie-break columns when the right side is
+  * ambiguous there.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+                    leftTime: Attribute, rightTime: Attribute,
+                    direction: String, toleranceSec: Option[Long])
+    extends BinaryNode {
+  require(direction == "backward" || direction == "forward",
+    s"asOf direction must be backward|forward, got $direction")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"asOf key types disagree: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  Seq(leftTime, rightTime).foreach(t =>
+    require(t.dataType == TimestampType || t.dataType == TimestampNTZType ||
+      t.dataType == LongType,
+      s"asOf time column must be timestamp-like, got ${t.dataType} for ${t.name}"))
+
+  // Right side null-extends on unmatched left rows; exprIds are kept so
+  // the physical projection binds against the raw child outputs.
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: [[AsOfJoin]] → [[AsOfJoinExec]]. Registered either at
+  * runtime ([[AsOfJoinPlan.register]]) or at session build via the
+  * `spark.sql.extensions` conf ([[GraftExtensions]]).
+  */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoin =>
+      AsOfJoinExec(planLater(j.left), planLater(j.right),
+        j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+        j.direction, j.toleranceSec, j.output) :: Nil
+    case _ => Nil
+  }
+}
+
+/** `spark.sql.extensions`-loadable entry point:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy((_: SparkSession) => AsOfJoinStrategy)
+}
+
+/** Physical as-of merge join. EnsureRequirements satisfies the
+  * declared needs exactly as for a sort-merge join: one hash exchange
+  * per side (clustered on that side's keys — co-partitioning checked
+  * the same way SMJ's is) and a (keys, time) sort within partitions.
+  * The merge then consumes both sorted iterators in lockstep holding
+  * at most ONE buffered right row and one best-match copy — state is
+  * O(1) regardless of key cardinality or time density.
+  */
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression,
+                        direction: String, toleranceSec: Option[Long],
+                        output: Seq[Attribute])
+    extends BinaryExecNode {
+
+  override def nodeName: String = "AsOfJoinExec"
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val forward = direction == "forward"
+    val tolMicros = toleranceSec.map(_ * 1000000L)
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    val lOut = left.output; val rOut = right.output
+    val outAttrs = output
+    val keyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      new Iterator[InternalRow] {
+        // One buffered (unconsumed) right row + its key/time.
+        private var rRow: UnsafeRow = _
+        private var rKey: UnsafeRow = _
+        private var rTimeVal: Long = 0L
+        private var rExhausted = false
+        // Backward only: the best match so far for its key.
+        private var best: UnsafeRow = _
+        private var bestKey: UnsafeRow = _
+        private var bestTime: Long = 0L
+
+        /** Pull the next usable right row into the buffer (skipping
+          * null-key/null-time rows, which can never match).
+          */
+        private def fillRight(): Unit = {
+          while (rRow == null && !rExhausted) {
+            if (!rIter.hasNext) { rExhausted = true; return }
+            val r = rIter.next()
+            val k = rKeyProj(r)
+            val t = rTimeProj(r)
+            if (!k.anyNull && !t.isNullAt(0)) {
+              // Copies: unsafe rows are reused by the upstream iterator.
+              rRow = r.asInstanceOf[UnsafeRow].copy()
+              rKey = k.copy()
+              rTimeVal = t.getLong(0)
+            }
+          }
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lt = lTimeProj(l)
+          if (lk.anyNull || lt.isNullAt(0))
+            return resultProj(joined(l, nullRight))
+          val ltv = lt.getLong(0)
+          // Advance the right side past everything that can no longer
+          // match any future left row (left is sorted, so a right row
+          // behind the current position is behind every later one too).
+          var advancing = true
+          while (advancing) {
+            fillRight()
+            if (rRow == null) advancing = false
+            else {
+              val cmp = keyOrd.compare(rKey, lk)
+              if (cmp < 0) rRow = null // dead key, discard
+              else if (cmp == 0 && !forward && rTimeVal <= ltv) {
+                best = rRow; bestKey = rKey; bestTime = rTimeVal // consume
+                rRow = null
+              } else if (cmp == 0 && forward && rTimeVal < ltv) {
+                rRow = null // forward: strictly-earlier rows are dead
+              } else advancing = false // right is ahead of this left row
+            }
+          }
+          val m: UnsafeRow =
+            if (forward) {
+              // First right at-or-after: it is exactly the buffered row
+              // (NOT consumed — it may serve later left rows too).
+              if (rRow != null && keyOrd.compare(rKey, lk) == 0 &&
+                  tolMicros.forall(tol => rTimeVal - ltv <= tol)) rRow else null
+            } else {
+              if (best != null && keyOrd.compare(bestKey, lk) == 0 &&
+                  tolMicros.forall(tol => ltv - bestTime <= tol)) best else null
+            }
+          resultProj(joined(l, if (m == null) nullRight else m))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API + strategy registration for the native as-of
+  * join.
+  */
+object AsOfJoinPlan {
+
+  /** Idempotently add [[AsOfJoinStrategy]] to an EXISTING session
+    * (sessions built with `spark.sql.extensions=graft.plans.GraftExtensions`
+    * don't need this).
+    */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ (AsOfJoinStrategy: org.apache.spark.sql.execution.SparkStrategy)
+  }
+
+  /** Native as-of join of two DataFrames. Output = every left column
+    * (original names) followed by every right column prefixed with
+    * `rightPrefix` (the key/time columns included — drop what you
+    * don't need; the prefix exists because the right side usually
+    * repeats the key names).
+    */
+  def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String,
+                 direction: String = "backward",
+                 toleranceSec: Option[Long] = None,
+                 rightPrefix: String = "asof_"): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = GraftSqlBridge.analyzed(left)
+    // Re-alias the right side with FRESH exprIds unconditionally: a
+    // self-as-of-join (both sides derived from one source — the events
+    // fixture shape) carries the SAME attribute ids on both sides, and
+    // the analyzer's DeduplicateRelations only rewrites ids under
+    // nodes it knows. Duplicate ids under a custom node make column
+    // pruning drop the right key as "already provided by the left".
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val rAliases = GraftSqlBridge.analyzed(right).output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, GraftSqlBridge.analyzed(right))
+    val rAttrs = rAliases.map(_.toAttribute)
+    def attr(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOfNative: no column `$n` on the $side side " +
+            s"(has: ${out.map(_.name).mkString(", ")})"))
+    val node = AsOfJoin(lPlan, rPlan,
+      keys.map(attr(lPlan.output, _, "left")), keys.map(attr(rAttrs, _, "right")),
+      attr(lPlan.output, leftTs, "left"), attr(rAttrs, rightTs, "right"),
+      direction, toleranceSec)
+    GraftSqlBridge.ofRows(spark, node)
+      .toDF(lPlan.output.map(_.name) ++
+        rPlan.output.map(a => s"$rightPrefix${a.name}"): _*)
+  }
+}
