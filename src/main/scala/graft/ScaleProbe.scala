@@ -104,6 +104,37 @@ object ScaleProbe {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+      case "asof" =>
+        // Composed (union + window) vs native (co-partitioned merge)
+        // as-of at a size where the physical difference matters:
+        // N left rows, N/4 right rows, K keys, written to parquet so
+        // scans and shuffles are real. The composed form shuffles and
+        // sorts left+right TOGETHER and materializes the window; the
+        // native exec shuffles each side alone and streams the merge.
+        val n = args.lift(1).map(_.toLong).getOrElse(4000000L)
+        val keys = args.lift(2).map(_.toLong).getOrElse(50000L)
+        val tmp = java.nio.file.Files.createTempDirectory("probe-asof").toString
+        spark.range(n).select(
+            col("id").as("event_id"), pmod(col("id") * 2654435761L, lit(keys)).as("k"),
+            timestamp_micros(col("id") * 1000L + 17L).as("t"),
+            (col("id") % 97).cast("double").as("v"))
+          .write.parquet(s"$tmp/left")
+        spark.range(n / 4).select(
+            pmod(col("id") * 40503L, lit(keys)).as("k"),
+            timestamp_micros(col("id") * 4000L).as("rt"),
+            col("id").as("rid"))
+          .write.parquet(s"$tmp/right")
+        val l = spark.read.parquet(s"$tmp/left")
+        val r = spark.read.parquet(s"$tmp/right")
+        def sink(df: DataFrame) =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { pass =>
+          timed(s"composed union+window p$pass")(sink(
+            graft.operators.Joins.asOf(l, r, Seq("k"), "t", "rt", Seq("rid"))))
+          timed(s"native merge exec    p$pass")(sink(
+            graft.plans.AsOfJoinPlan.asOfNative(l, r, Seq("k"), "t", "rt")))
+        }
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()

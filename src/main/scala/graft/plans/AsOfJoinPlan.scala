@@ -69,12 +69,45 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
+/** Column pruning THROUGH the custom node — the `Rule[LogicalPlan]`
+  * half of the extension tier. The built-in ColumnPruning rule doesn't
+  * know [[AsOfJoin]]'s internals, so without this a right-side payload
+  * column nobody selects still rides the right exchange and sort. The
+  * rule narrows each child to (columns the parent projection uses) ∪
+  * (the node's own keys and time); the inserted Project reaches the
+  * scan through PhysicalOperation collapsing at planning time, so
+  * parquet ReadSchema shrinks too. Idempotent: a second pass finds
+  * nothing left to drop.
+  */
+object AsOfJoinPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(_, j: AsOfJoin) =>
+      val neededL = AttributeSet(j.leftKeys :+ j.leftTime) ++ p.references
+      val neededR = AttributeSet(j.rightKeys :+ j.rightTime) ++ p.references
+      val keepL = j.left.output.filter(neededL.contains)
+      val keepR = j.right.output.filter(neededR.contains)
+      if (keepL.length == j.left.output.length &&
+          keepR.length == j.right.output.length) p
+      else p.copy(child = j.copy(
+        left = if (keepL.length == j.left.output.length) j.left
+               else Project(keepL, j.left),
+        right = if (keepR.length == j.right.output.length) j.right
+                else Project(keepR, j.right)))
+  }
+}
+
 /** `spark.sql.extensions`-loadable entry point:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy((_: SparkSession) => AsOfJoinStrategy)
+    e.injectOptimizerRule((_: SparkSession) => AsOfJoinPruning)
+  }
 }
 
 /** Physical as-of merge join. EnsureRequirements satisfies the
@@ -213,6 +246,9 @@ object AsOfJoinPlan {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ (AsOfJoinStrategy: org.apache.spark.sql.execution.SparkStrategy)
+    val curOpt = spark.experimental.extraOptimizations
+    if (!curOpt.contains(AsOfJoinPruning))
+      spark.experimental.extraOptimizations = curOpt :+ AsOfJoinPruning
   }
 
   /** Native as-of join of two DataFrames. Output = every left column

@@ -138,6 +138,36 @@ class VersionedTable(spark: SparkSession, dir: String) {
     v
   }
 
+  /** [[append]] with the optimistic-concurrency loser's retry — the
+    * full Delta commit protocol: the payload is written ONCE (its
+    * uniquely-named directory is version-agnostic; the `v%05d-` prefix
+    * is advisory), then the manifest publish is retried against fresh
+    * log state until it wins or `maxRetries` conflicts pass. Retrying
+    * an append is always safe — each attempt re-reads the latest
+    * active set, so the winner's files are incorporated, never
+    * clobbered. Concurrent OVERWRITES deliberately have no retry
+    * wrapper: replaying "replace the table" after someone else's
+    * commit changes meaning, and that decision belongs to the caller.
+    */
+  def appendWithRetry(df: DataFrame, maxRetries: Int = 5): Int = {
+    val (name, rows) = writePayload(df, latestVersion + 1)
+    var attempt = 0
+    while (true) {
+      val v = latestVersion + 1
+      val prevActive = if (v == 0) Seq.empty else commitAt(v - 1).active
+      try {
+        publish(Commit(v, "append", prevActive :+ name, rows,
+          System.currentTimeMillis()))
+        return v
+      } catch {
+        case e: IllegalStateException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Commit `df` as a new version REPLACING the active set. Old
     * versions stay readable until [[vacuum]].
     */

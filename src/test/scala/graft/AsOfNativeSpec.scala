@@ -106,6 +106,27 @@ class AsOfNativeSpec extends SparkSuite {
     assert(strategies.contains(AsOfJoinStrategy), strategies.toString)
   }
 
+  test("AsOfJoinPruning drops unselected right payload before the exchange") {
+    // The right side carries a junk payload column nobody selects; the
+    // optimizer rule must prune it below the node so it never rides
+    // the right-side shuffle (and would shrink a parquet ReadSchema
+    // the same way, through PhysicalOperation collapsing).
+    val fat = rightDf.withColumn("zz_payload", concat(lit("x"), col("rv")))
+    val q = graft.plans.AsOfJoinPlan.asOfNative(leftDf, fat, Seq("k"), "t", "rt")
+      .select(col("k"), col("lv"), col("asof_rv"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("zz_payload"), plan)
+    // And the result is unchanged by the pruning.
+    val out = q.collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(out === Set((1L, "L10", Some("a")), (1L, "L20", Some("c")), (2L, "L5", None)))
+    // Keys/time survive pruning even when unselected: selecting ONLY a
+    // left column still works (the node needs its keys internally).
+    val only = graft.plans.AsOfJoinPlan.asOfNative(leftDf, fat, Seq("k"), "t", "rt")
+      .select(col("lv"))
+    assert(only.collect().length === 3)
+    assert(!only.queryExecution.optimizedPlan.toString.contains("zz_payload"))
+  }
+
   test("native as-of survives AQE and repartitioned ragged inputs") {
     // Many partitions, deliberately mismatched pre-shuffle layouts —
     // EnsureRequirements must co-partition both sides.

@@ -383,6 +383,34 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.read().count() === 3) // prior 2 + the single winner
   }
 
+  test("versioned table: appendWithRetry gives every concurrent writer a commit") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    vt.append(Seq((0L, "base")).toDF("k", "s"))
+    val writers = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val threads = (0 until writers).map { i =>
+      new Thread(() => {
+        val d = Seq((100L + i, s"w$i")).toDF("k", "s")
+        barrier.await()
+        try versions.add(vt.appendWithRetry(d))
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"all writers must eventually commit: $errors")
+    // Four distinct versions, 1..4 in some order; every row present —
+    // each retry re-read the winner's active set, so nothing clobbered.
+    import scala.jdk.CollectionConverters._
+    assert(versions.asScala.map(_.toInt).toSet === Set(1, 2, 3, 4))
+    assert(vt.latestVersion === 4)
+    assert(vt.read().count() === 5)
+    assert(vt.read().select("s").collect().map(_.getString(0)).toSet ===
+      Set("base", "w0", "w1", "w2", "w3"))
+  }
+
   test("versioned table: vacuum drops old manifests and unreferenced data") {
     val dir = tmpVt()
     val vt = tables.versioned(dir)
