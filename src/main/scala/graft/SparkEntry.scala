@@ -543,6 +543,20 @@ object SparkEntry {
         direction = "forward")
     }),
 
+    // Forward direction through the custom planner (q58's backward
+    // counterpart) — same DuckDB forward-ASOF oracle as q31.
+    "q59_asof_native_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_id"))
+      graft.plans.AsOfJoinPlan.asOfNative(clicks, signups, Seq("user_id"),
+          "ts", "signup_ts", direction = "forward")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("asof_signup_id"))
+    }),
+
     // As-of backward with a 1-day tolerance: matches farther than 24h
     // null out (left rows kept — as-of is a left join); oracle applies
     // the same bound as a CASE over DuckDB's native ASOF.
@@ -2488,6 +2502,16 @@ object SparkEntry {
         |ON c.user_id = s.user_id AND c.ts >= s.signup_ts""".stripMargin,
 
     "q31_asof_forward" ->
+      """SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id, c.value,
+        |  s.signup_id AS asof_signup_id
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS signup_ts, event_id AS signup_id
+        |      FROM events WHERE event_type = 'signup') s
+        |ON c.user_id = s.user_id AND c.ts <= s.signup_ts""".stripMargin,
+
+    // q31's oracle, against the custom-planner forward implementation.
+    "q59_asof_native_fwd" ->
       """SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id, c.value,
         |  s.signup_id AS asof_signup_id
         |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c

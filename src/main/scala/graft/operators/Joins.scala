@@ -61,12 +61,15 @@ object Joins {
 
   /** As-of join: for every left row, the single nearest right row on
     * the `direction` side of `leftTs` within the same key (the
-    * time-series join Spark lacks natively). Composed, not
-    * custom-planned: both sides union into one keyed timeline, and a
-    * carry-forward window (`last(_, ignoreNulls)`) attaches the
-    * nearest right payload to each left row. ONE shuffle on the key,
-    * sort within partitions — the same cost profile a dedicated as-of
-    * SparkPlan would have.
+    * time-series join Spark lacks natively). Composed: both sides
+    * union into one keyed timeline, and a carry-forward window
+    * (`last(_, ignoreNulls)`) attaches the nearest right payload to
+    * each left row — ONE shuffle on the key, but it carries BOTH
+    * sides and the sort runs over their union. The custom-planned
+    * [[graft.plans.AsOfJoinPlan.asOfNative]] shuffles each side alone
+    * and merges with O(1) state (~2× faster at 16M rows, PLANS.md);
+    * this composed form remains the variant with right-side tie-break
+    * columns, and the two are gated against the same ASOF oracle.
     *
     * `rightCols` are the right-side columns to attach (emitted with an
     * `asof_` prefix, null when no matching right row exists).

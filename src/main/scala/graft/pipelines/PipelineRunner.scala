@@ -14,6 +14,7 @@ object PipelineRunner {
   def main(args: Array[String]): Unit = {
     val Array(aqPath, wxPath, warehouse) = args
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-pipelines")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))

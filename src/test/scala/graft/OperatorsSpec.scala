@@ -255,6 +255,26 @@ class OperatorsSpec extends SparkSuite {
     assert(enc.forall(_.getSeq[String](0).length === 1))
   }
 
+  test("trainBpe's maxVocab cap binds deterministically on the frequency-top slice") {
+    // 3 distinct words; cap 2 keeps the two most frequent (ties by
+    // word asc). "zz" (freq 1) is cut, so no merge can involve 'z'.
+    val docs = (Seq.fill(5)("abab") ++ Seq.fill(3)("cdcd") ++ Seq("zz"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = TextFunctions.trainBpe(docs, "text", numMerges = 10, maxVocab = 2)
+    assert(merges.nonEmpty)
+    assert(!merges.exists { case (l, r) => l.contains("z") || r.contains("z") },
+      s"capped-out word leaked into training: $merges")
+    // Encoding still handles the capped-out word (char-split + any
+    // applicable merges): the cap bounds TRAINING memory, not encode.
+    val enc = docs.filter(col("text") === "zz")
+      .select(TextFunctions.bpeEncode(spark, col("text"), merges)).head.getSeq[String](0)
+    assert(enc === Seq("z", "z"))
+    // Same corpus, cap large enough: identical result to uncapped.
+    val a = TextFunctions.trainBpe(docs, "text", numMerges = 10, maxVocab = 3)
+    val b = TextFunctions.trainBpe(docs, "text", numMerges = 10)
+    assert(a === b)
+  }
+
   test("bpeEncode applies merges greedily left-to-right; overlaps merge at even offsets") {
     val d = Seq((1L, "aaaa"), (2L, "aaa"), (3L, "Abab zz"), (4L, "")).toDF("id", "text")
     val enc = TextFunctions.bpeEncode(spark, col("text"),

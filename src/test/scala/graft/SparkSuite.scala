@@ -11,6 +11,7 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   private val tmp = java.nio.file.Files.createTempDirectory("graft-test").toString
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .master("local[4]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
