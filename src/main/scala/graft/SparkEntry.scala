@@ -1977,6 +1977,15 @@ object SparkEntry {
           .select(explode(TextFunctions.tokens(col("text"))).as("tok")),
         "tok", k = 64)),
 
+    // BM25 keyword search: top-50 docs for a fixed 3-term query. No
+    // inverted index — tokens filter to the query terms map-side, so
+    // the only corpus shuffle is |Q| posting lists; per-term weights
+    // add in fixed query order (each term's sum has <=1 row per doc,
+    // so the float result is order-free and engine-portable).
+    "text_bm25" -> ((s, dir) =>
+      TextFunctions.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "merge", "vector"), k = 50)),
+
     // CCNet perplexity buckets: tercile cuts over the LM perplexity,
     // head/middle/tail labels — the published stratification for
     // dropping or reweighting web text by LM fit. The oracle retrains
@@ -4256,6 +4265,34 @@ object SparkEntry {
          |SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occ, n.n_total
          |FROM tk, n GROUP BY tok, n.n_total
          |HAVING count(*) * 64 > n.n_total""".stripMargin,
+
+    // Okapi BM25 replayed from scratch: same tokenization, same
+    // always-positive idf, same (k1, b) rendered as the SAME float
+    // expressions ((1.2 + 1.0), (1.0 - 0.75)) so constant folding
+    // lands on identical doubles; per-term sums have <=1 row each.
+    "text_bm25" ->
+      s"""WITH perdoc AS (
+         |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl,
+         |         list_filter(tok, x -> x IN ('hash','merge','vector')) AS hits
+         |  FROM (SELECT doc_id, $duckTokens AS tok FROM documents)),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM perdoc),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+         |       FROM (SELECT doc_id, dl, unnest(hits) AS term FROM perdoc)
+         |       GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |w AS (SELECT t.doc_id, t.term,
+         |        ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         |          * (t.tf * (1.2 + 1.0))
+         |          / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * t.dl / s.avgdl)) AS w
+         |      FROM tf t JOIN dfreq d USING (term), stats s),
+         |wide AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |           sum(CASE WHEN term = 'hash' THEN w END) AS s0,
+         |           sum(CASE WHEN term = 'merge' THEN w END) AS s1,
+         |           sum(CASE WHEN term = 'vector' THEN w END) AS s2
+         |         FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_terms,
+         |  coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score
+         |FROM wide ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
 
     // Same LM, tercile cuts recomputed with quantile_cont (the exact
     // interpolating percentile Spark's `percentile` matches).

@@ -234,6 +234,17 @@ class VersionedTable(spark: SparkSession, dir: String) {
     // to-be-deleted directory (delete data first and a concurrent
     // readAt of an old version would resolve, then scan nothing).
     (0 until cutoff).foreach(v => fs.delete(manifestPath(v), false))
+    // Crashed-commit leftovers: a `.tmp` manifest whose writer died
+    // before the rename is invisible to readers but lives in the log
+    // dir forever without this sweep. An IN-FLIGHT commit's tmp is
+    // named `<version>.json.<uuid>.tmp` for a version >= the current
+    // latest; only tmps targeting already-decided versions (<= latest)
+    // are provably dead — the slot they were racing for has a winner.
+    if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".tmp") && n.takeWhile(_.isDigit).length == 8 &&
+          n.take(8).toInt <= latest) fs.delete(st.getPath, false)
+    }
     var removed = 0
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName

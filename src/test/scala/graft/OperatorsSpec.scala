@@ -918,4 +918,55 @@ class OperatorsSpec extends SparkSuite {
     assert(r(1).getAs[Long]("n_2grams") === 5L)
     assert(r(1).getAs[Double]("dup_2gram_frac") === 0.0)
   }
+
+  test("bm25Search matches an independent scorer; ranks and ties deterministic") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry cherry"),
+      (4L, "durian"),
+      (5L, "apple cherry")).toDF("doc_id", "text")
+    val terms = Seq("apple", "cherry")
+    val got = TextFunctions.bm25Search(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getAs[Long]("n_terms"), r.getAs[Double]("score")))
+
+    // Independent plain-loop BM25 over the same corpus.
+    val corpus = Map(1L -> "apple banana apple", 2L -> "banana cherry",
+      3L -> "cherry cherry cherry cherry", 4L -> "durian", 5L -> "apple cherry")
+      .map { case (id, s) => id -> s.split("\\s+").toSeq }
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.length).sum.toDouble / n
+    val dfq = terms.map(t => t -> corpus.values.count(_.contains(t))).toMap
+    def weight(toks: Seq[String], t: String): Option[Double] = {
+      val tf = toks.count(_ == t)
+      if (tf == 0) None
+      else {
+        val idf = math.log(1.0 + (n - dfq(t) + 0.5) / (dfq(t) + 0.5))
+        Some(idf * (tf * (1.2 + 1.0)) /
+          (tf + 1.2 * ((1.0 - 0.75) + 0.75 * toks.length / avgdl)))
+      }
+    }
+    val expected = corpus.toSeq.flatMap { case (id, toks) =>
+      val ws = terms.flatMap(weight(toks, _))
+      if (ws.isEmpty) None
+      else Some((id, ws.length.toLong, ws.foldLeft(0.0)(_ + _)))
+    }.sortBy { case (id, _, s) => (-s, id) }
+
+    assert(got.map(_._1).toSeq === expected.map(_._1)) // exact ranking
+    got.zip(expected).foreach { case ((_, nt, s), (_, ent, es)) =>
+      assert(nt === ent)
+      assert(math.abs(s - es) < 1e-12, s"score $s != $es")
+    }
+    // doc 4 matches nothing and must be absent; doc 5 matched both terms
+    assert(!got.exists(_._1 == 4L))
+    assert(got.find(_._1 == 5L).get._2 === 2L)
+    // k truncates after the deterministic (score desc, id asc) order
+    val top2 = TextFunctions.bm25Search(docs, "doc_id", "text", terms, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 === expected.take(2).map(_._1))
+    intercept[IllegalArgumentException] {
+      TextFunctions.bm25Search(docs, "doc_id", "text", Seq("a", "a"), k = 1)
+    }
+  }
 }

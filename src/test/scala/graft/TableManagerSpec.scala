@@ -361,6 +361,10 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.append(Seq((2L, "b")).toDF("k", "s")) === 1)
     assert(vt.read().count() === 2)
     assert(vt.vacuum(keepLast = 10) === 1) // exactly the orphan
+    // the crashed commit's .tmp manifest is swept too (its target slot
+    // 00000001 was decided by the successful append above)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_log", "00000001.json.tmp")))
     assert(vt.read().count() === 2)
     // TWO writers race the same next version: exactly one publishes,
     // the loser fails loudly (its unique payload dir means neither can
