@@ -403,6 +403,11 @@ object TextFunctions {
                  k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(queryTerms.nonEmpty, "query must have at least one term")
     require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
+    // Tokenization lowercases, so a miscased query term would silently
+    // match nothing — make it a loud error instead of a zero-hit.
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      s"query terms must be lowercase (tokens are lowercased): " +
+        queryTerms.filterNot(t => t == t.toLowerCase).mkString(", "))
     val qSet = array(queryTerms.map(lit): _*)
     // One tokenize pass feeds BOTH the doc-length stats and the
     // postings: dl rides the postings rows, the corpus aggregate runs

@@ -127,6 +127,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def nodeName: String = "AsOfJoinExec"
 
+  // Observable in the Spark UI / SQLAppStatusStore like every built-in
+  // join: total rows out (= left rows — as-of is left-preserving) and
+  // how many of them actually matched a right row. The match rate is
+  // the number an operator owner watches at scale: a collapsing rate
+  // after a deploy means the right feed is late/empty, long before
+  // anyone reads result data.
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -141,6 +153,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   protected override def doExecute(): RDD[InternalRow] = {
     val forward = direction == "forward"
     val tolMicros = toleranceSec.map(_ * 1000000L)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
     val lOut = left.output; val rOut = right.output
@@ -191,8 +205,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val l = lIter.next()
           val lk = lKeyProj(l)
           val lt = lTimeProj(l)
-          if (lk.anyNull || lt.isNullAt(0))
+          if (lk.anyNull || lt.isNullAt(0)) {
+            numOutputRows += 1
             return resultProj(joined(l, nullRight))
+          }
           val ltv = lt.getLong(0)
           // Advance the right side past everything that can no longer
           // match any future left row (left is sorted, so a right row
@@ -222,6 +238,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               if (best != null && keyOrd.compare(bestKey, lk) == 0 &&
                   tolMicros.forall(tol => ltv - bestTime <= tol)) best else null
             }
+          numOutputRows += 1
+          if (m != null) numMatchedRows += 1
           resultProj(joined(l, if (m == null) nullRight else m))
         }
       }

@@ -240,9 +240,12 @@ class VersionedTable(spark: SparkSession, dir: String) {
     // named `<version>.json.<uuid>.tmp` for a version >= the current
     // latest; only tmps targeting already-decided versions (<= latest)
     // are provably dead — the slot they were racing for has a winner.
+    // Only names the commit protocol itself writes
+    // (`%08d.json.<8-hex-uuid>.tmp`) are swept — an unrelated file that
+    // merely starts with digits and ends in `.tmp` is left alone.
     if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
       val n = st.getPath.getName
-      if (n.endsWith(".tmp") && n.takeWhile(_.isDigit).length == 8 &&
+      if (n.matches("\\d{8}\\.json\\.[0-9a-f]{8}\\.tmp") &&
           n.take(8).toInt <= latest) fs.delete(st.getPath, false)
     }
     var removed = 0

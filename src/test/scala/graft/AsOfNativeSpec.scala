@@ -127,6 +127,30 @@ class AsOfNativeSpec extends SparkSuite {
     assert(!only.queryExecution.optimizedPlan.toString.contains("zz_payload"))
   }
 
+  test("AsOfJoinExec exposes SQLMetrics: output rows and matched rows") {
+    // The custom exec must be as observable as a built-in join: after a
+    // run, the UI-visible metrics carry (rows out = left rows) and the
+    // match count — the operational signal (a collapsing match rate
+    // means the right feed is late) a 100 TB operator owner watches.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Option[AsOfJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec => find(q.plan) // stages hide their plan from children
+      case e: AsOfJoinExec => Some(e)
+      case other => other.children.flatMap(find(_)).headOption
+    }
+    val q = AsOfJoinPlan.asOfNative(leftDf, rightDf, Seq("k"), "t", "rt")
+    // collect() drives THIS frame's QueryExecution (count() would plan
+    // and execute a separate one, leaving these metrics untouched).
+    assert(q.collect().length === 3)
+    val exec = find(q.queryExecution.executedPlan)
+      .getOrElse(fail(s"no AsOfJoinExec in\n${q.queryExecution.executedPlan}"))
+    // Backward over the hand data: L10→a, L20→c match; (2, L5) doesn't.
+    assert(exec.metrics("numOutputRows").value === 3)
+    assert(exec.metrics("numMatchedRows").value === 2)
+  }
+
   test("native as-of survives AQE and repartitioned ragged inputs") {
     // Many partitions, deliberately mismatched pre-shuffle layouts —
     // EnsureRequirements must co-partition both sides.

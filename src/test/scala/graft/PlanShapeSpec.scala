@@ -78,6 +78,29 @@ class PlanShapeSpec extends SparkSuite {
     pin("text_ppl_buckets", exch = 0, bcast = 0, smj = 0, bhj = 0, bnl = 0)
   }
 
+  test("q58_asof_native: custom exec, two exchanges, pruned scans, no built-in join") {
+    // The native as-of's contract plan: exactly one exchange per side
+    // (each hash-partitioned on its OWN keys — the zipPartitions merge
+    // silently assumes this co-partitioning, which is exactly what the
+    // pin is for), no union, no window, no join of any built-in kind,
+    // and the event_type filters pushed to both scans. ReadSchema must
+    // exclude `props` on both sides — the unselected payload column —
+    // proving AsOfJoinPruning reached the parquet scans.
+    val p = shape("q58_asof_native")
+    assert(p.contains("AsOfJoinExec"), p)
+    assert(c(p, """[)] Exchange""") === 2, s"q58 exchanges\n$p")
+    assert(c(p, """[)] BroadcastExchange""") === 0, p)
+    assert(c(p, """SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct""") === 0,
+      s"no built-in join may appear\n$p")
+    assert(!p.contains("Union") && !p.contains("Window"), p)
+    assert(c(p, """PushedFilters: \[[^\]]""") === 2, s"event_type must push\n$p")
+    val readSchemas = """ReadSchema: [^\n]+""".r.findAllIn(p).toList
+    assert(readSchemas.length === 2, p)
+    assert(readSchemas.forall(!_.contains("props")),
+      s"unselected payload must not reach a scan\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("sample_importance: two LMs broadcast, both top-k are TakeOrdered, no SMJ") {
     val p = shape("sample_importance")
     assert(c(p, """[)] Exchange""") === 16, s"sample_importance exchanges\n$p")
