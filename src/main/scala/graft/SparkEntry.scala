@@ -557,6 +557,26 @@ object SparkEntry {
           col("asof_signup_id"))
     }),
 
+    // The SAME as-of join a THIRD way: pure SQL text through the
+    // injected parser (GraftSqlParser rewrites `ASOF LEFT JOIN`,
+    // ResolveAsOfJoin builds the AsOfJoin node, AsOfJoinExec runs it).
+    // The SQL here is DuckDB's own ASOF dialect — the oracle replays a
+    // textually-equivalent statement natively.
+    "q60_asof_sql" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("q60_clicks")
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_id"))
+        .createOrReplaceTempView("q60_signups")
+      s.sql(
+        """SELECT c.event_id, c.ts, c.user_id, c.value, s.signup_id AS asof_signup_id
+          |FROM q60_clicks c
+          |ASOF LEFT JOIN q60_signups s
+          |ON c.user_id = s.user_id AND c.ts >= s.signup_ts""".stripMargin)
+    }),
+
     // As-of backward with a 1-day tolerance: matches farther than 24h
     // null out (left rows kept — as-of is a left join); oracle applies
     // the same bound as a CASE over DuckDB's native ASOF.
@@ -2528,6 +2548,18 @@ object SparkEntry {
         |     (SELECT user_id, ts AS signup_ts, event_id AS signup_id
         |      FROM events WHERE event_type = 'signup') s
         |ON c.user_id = s.user_id AND c.ts <= s.signup_ts""".stripMargin,
+
+    // q29's oracle again — the SQL-frontend implementation must agree
+    // with the Scala-API ones row for row (and with DuckDB, which
+    // parses the SAME ASOF LEFT JOIN dialect natively).
+    "q60_asof_sql" ->
+      """SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id, c.value,
+        |  s.signup_id AS asof_signup_id
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS signup_ts, event_id AS signup_id
+        |      FROM events WHERE event_type = 'signup') s
+        |ON c.user_id = s.user_id AND c.ts >= s.signup_ts""".stripMargin,
 
     "q32_asof_tolerance" ->
       """SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id, c.value,

@@ -107,6 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy((_: SparkSession) => AsOfJoinStrategy)
     e.injectOptimizerRule((_: SparkSession) => AsOfJoinPruning)
+    // SQL frontend: `... ASOF [LEFT] JOIN ... ON k-eq AND time-ineq`
+    // parses into the same custom operator (see AsOfSql.scala).
+    e.injectParser((_: SparkSession, delegate) => new GraftSqlParser(delegate))
+    e.injectResolutionRule((_: SparkSession) => ResolveAsOfJoin)
   }
 }
 
@@ -166,7 +170,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // Bind the output against a RIGHT-side-nullable input schema: the
+      // join null-extends unmatched left rows, so even a non-nullable
+      // right column (typed Datasets from Seq; NOT NULL parquet) must
+      // be read with a null check — binding it non-nullable would read
+      // the null-extension's storage as zeros.
+      val resultProj =
+        UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
 

@@ -1,0 +1,216 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StructType
+
+/** SQL frontend for the native as-of join — the `injectParser` half of
+  * the extension tier, so a pure-SQL user reaches [[AsOfJoinExec]] with
+  * DuckDB's syntax (the dialect the oracle speaks, so one SQL string
+  * drives both engines):
+  *
+  * {{{
+  *   SELECT ... FROM clicks c
+  *   ASOF [LEFT] JOIN signups s
+  *   ON c.user_id = s.user_id AND c.ts >= s.signup_ts
+  * }}}
+  *
+  * `>=` on (left, right) times is the backward join (latest right
+  * at-or-before), `<=` the forward one; plain `ASOF JOIN` drops
+  * unmatched left rows (DuckDB's inner default), `ASOF LEFT JOIN`
+  * null-extends. The reference's own SQL entry point
+  * (`First experiment/Claude Sonnet 4.py:229-233`) treats SQL text as
+  * a first-class frontend; this closes the same surface for the
+  * custom operator.
+  *
+  * Mechanics: the parser rewrites the single `ASOF [LEFT] JOIN` token
+  * to a plain join, delegates to Spark's parser, then swaps the parsed
+  * [[Join]] for an [[UnresolvedAsOfJoin]] marker; an analyzer rule
+  * ([[ResolveAsOfJoin]]) resolves the condition against the children,
+  * splits it into equi-keys plus exactly one inclusive time inequality,
+  * and emits the same re-aliased [[AsOfJoin]] composition the Scala API
+  * builds. Anything outside the supported shape fails loudly at parse
+  * or resolution — never a silently-different join.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val AsOfRe = "(?i)\\bASOF\\s+(LEFT\\s+)?JOIN\\b".r
+
+  private def rewrite(sqlText: String,
+                      parse: String => LogicalPlan): LogicalPlan = {
+    val ms = AsOfRe.findAllMatchIn(sqlText).toList
+    if (ms.isEmpty) return parse(sqlText)
+    if (ms.length > 1) throw new IllegalArgumentException(
+      "only one ASOF JOIN per statement is supported; split the query")
+    val m = ms.head
+    val leftOuter = m.group(1) != null
+    val plain = if (leftOuter) "LEFT JOIN" else "JOIN"
+    val plan = parse(
+      sqlText.substring(0, m.start) + plain + sqlText.substring(m.end))
+    // Relocate the asof site in the parsed tree: the join of the
+    // rewritten type whose condition carries an inclusive inequality.
+    // Ambiguity (another such join in the same statement) fails loudly
+    // rather than guessing.
+    val wantType = if (leftOuter) LeftOuter else Inner
+    def hasIneq(e: Expression): Boolean = e.exists {
+      case _: GreaterThanOrEqual | _: LessThanOrEqual => true
+      case _ => false
+    }
+    var replaced = 0
+    val out = plan.transformUp {
+      case Join(l, r, t, Some(cond), _) if t == wantType && hasIneq(cond) =>
+        replaced += 1
+        UnresolvedAsOfJoin(l, r, cond, leftOuter)
+    }
+    if (replaced != 1) throw new IllegalArgumentException(
+      s"could not uniquely locate the ASOF JOIN (found $replaced candidate " +
+        "joins with an inclusive time inequality); keep the ASOF JOIN the " +
+        "only non-equi join in the statement")
+    out
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(sqlText, delegate.parsePlan)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    rewrite(sqlText, delegate.parseQuery)
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** Parser-produced marker: an as-of join whose condition is still
+  * unresolved SQL. Permanently `resolved = false` — either
+  * [[ResolveAsOfJoin]] converts it once the children resolve, or
+  * analysis fails loudly; parents cannot resolve against it early
+  * (ResolveReferences skips operators with unresolved children), which
+  * is exactly what makes the late right-side re-aliasing safe.
+  */
+case class UnresolvedAsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                              condition: Expression, leftOuter: Boolean)
+    extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Analyzer rule converting [[UnresolvedAsOfJoin]] into the resolved
+  * [[AsOfJoin]] composition (fresh-aliased right side + an
+  * exprId-restoring projection — the same hygiene
+  * [[AsOfJoinPlan.asOfNative]] applies), plus an `IS NOT NULL` filter
+  * on the matched right time for the inner (non-LEFT) form.
+  */
+object ResolveAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"ASOF JOIN: $msg")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case u @ UnresolvedAsOfJoin(l, r0, cond, leftOuter) if u.childrenResolved =>
+      // Self-join hygiene: if the two sides still share attribute ids
+      // (DeduplicateRelations rewrites nodes it knows, not this one),
+      // re-alias the right side with fresh ids, KEEPING qualifiers so
+      // `s.ts`-style references still resolve against it.
+      val r =
+        if (l.outputSet.intersect(r0.outputSet).isEmpty) r0
+        else Project(r0.output.map(a =>
+          Alias(a, a.name)(qualifier = a.qualifier)), r0)
+      val resolver = conf.resolver
+      val resolvedCond = cond.transformUp {
+        case ua: UnresolvedAttribute =>
+          (l.resolve(ua.nameParts, resolver), r.resolve(ua.nameParts, resolver)) match {
+            case (Some(a: Attribute), None) => a
+            case (None, Some(a: Attribute)) => a
+            case (Some(_), Some(_)) => fail(
+              s"column `${ua.name}` is ambiguous — qualify it with a side alias")
+            case (None, None) => fail(s"cannot resolve column `${ua.name}`")
+            case _ => fail(s"`${ua.name}` must be a plain column reference")
+          }
+      }
+      val lSet = l.outputSet
+      val rSet = AttributeSet(r.output)
+      def sideOf(a: Attribute): Char =
+        if (lSet.contains(a)) 'l'
+        else if (rSet.contains(a)) 'r'
+        else fail(s"column `${a.name}` belongs to neither join side")
+      var keys = Vector.empty[(Attribute, Attribute)]
+      var time: Option[(Attribute, Attribute, String)] = None
+      splitConjunctivePredicates(resolvedCond).foreach {
+        case EqualTo(a: Attribute, b: Attribute) =>
+          (sideOf(a), sideOf(b)) match {
+            case ('l', 'r') => keys :+= ((a, b))
+            case ('r', 'l') => keys :+= ((b, a))
+            case _ => fail(s"equality `${a.name} = ${b.name}` must compare " +
+              "a left column to a right column")
+          }
+        case cmp @ (_: GreaterThanOrEqual | _: LessThanOrEqual) =>
+          if (time.nonEmpty) fail("exactly one time inequality is allowed")
+          val (a, b, geq) = cmp match {
+            case GreaterThanOrEqual(x: Attribute, y: Attribute) => (x, y, true)
+            case LessThanOrEqual(x: Attribute, y: Attribute) => (x, y, false)
+            case _ => fail("the time inequality must compare two plain columns")
+          }
+          time = Some((sideOf(a), sideOf(b)) match {
+            // l >= r → latest right at-or-before (backward);
+            // l <= r → earliest right at-or-after (forward).
+            case ('l', 'r') => (a, b, if (geq) "backward" else "forward")
+            case ('r', 'l') => (b, a, if (geq) "forward" else "backward")
+            case _ => fail("the time inequality must compare left vs right")
+          })
+        case (_: GreaterThan | _: LessThan) =>
+          fail("strict bounds are unsupported — as-of bounds are " +
+            "inclusive (>= / <=) only")
+        case other: BinaryComparison =>
+          fail(s"unsupported comparison `${other.sql}` — only plain-column " +
+            "equality keys and one inclusive time inequality are supported")
+        case other => fail(s"unsupported condition term `${other.sql}`")
+      }
+      val (lTime, rTime, direction) =
+        time.getOrElse(fail("condition needs a time inequality " +
+          "(l.ts >= r.ts for backward, l.ts <= r.ts for forward)"))
+      if (keys.isEmpty) fail("at least one equality key is required " +
+        "(keyless global as-of is not supported)")
+      // Same composition as asOfNative: fresh right ids under the node,
+      // an exprId-restoring projection above it, so parent operators
+      // keep resolving against the ORIGINAL right attributes.
+      val rAliases = r.output.map(a => Alias(a, a.name)())
+      val rProj = Project(rAliases, r)
+      val fresh = AttributeMap(r.output.zip(rAliases.map(_.toAttribute)))
+      val node = AsOfJoin(l, rProj,
+        keys.map(_._1), keys.map(k => fresh(k._2)),
+        lTime, fresh(rTime), direction, None)
+      // Reference the node's OUTPUT attributes (right side marked
+      // nullable), not the pre-join aliases: a non-nullable reference
+      // over the null-extended side would read stored nulls as zeros.
+      val freshNullable = node.output.drop(l.output.length)
+      val restore: Seq[NamedExpression] = l.output ++
+        r.output.zip(freshNullable).map { case (orig, f) =>
+          Alias(f, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+        }
+      val restored = Project(restore, node)
+      // DuckDB's plain ASOF JOIN is inner: left rows without a match
+      // drop. Matched ⇔ the joined right time is non-null (null right
+      // times never match by the operator's contract).
+      if (leftOuter) restored else Filter(IsNotNull(rTime), restored)
+  }
+}
