@@ -99,10 +99,18 @@ object SparkEntry {
     * shared by every multimodal gate).
     */
   private def mediaFixtures(s: SparkSession, glob: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
+    mediaFixturesAt(s, "fixtures/media", glob)
+
+  /** Like [[mediaFixtures]] but with the fixture directory explicit —
+    * `fixtures/media2` holds the JPEG family (generated and pinned by
+    * tools/media_replica.py like the rest).
+    */
+  private def mediaFixturesAt(s: SparkSession, dir: String, glob: String)
       : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.product[Multimodal.MediaRow]
-    s.read.format("binaryFile").load(s"/root/repo/fixtures/media/$glob")
+    s.read.format("binaryFile").load(s"/root/repo/$dir/$glob")
       .select(regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long").as("media_id"),
         regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("media_type"),
         col("content")).as[Multimodal.MediaRow]
@@ -1830,6 +1838,39 @@ object SparkEntry {
         .select(col("media_id"), col("content"))
       val copies = files.select((col("media_id") + 100L).as("media_id"), col("content"))
       Dedup.exactByHash(files.unionByName(copies), "content", "media_id")
+    }),
+
+    // JPEG header decode (pure byte parsing: SOF marker walk) over the
+    // media2 fixtures — the dominant real-crawl image format joining
+    // the container-meta path. Pinned against known SOF fields.
+    "multimodal_decode_jpeg" -> ((s, _) =>
+      Multimodal.extractMeta(mediaFixturesAt(s, "fixtures/media2", "*.jpg"),
+        batchSize = 2).toDF()),
+
+    // JPEG perceptual hashing ACROSS formats: 7.jpg is a LOSSY
+    // baseline-JPEG re-encode of 6.png's pixels — different codec,
+    // different bytes, quantized DCT loss — yet its dHash is IDENTICAL
+    // (the gradient survives quality-88 quantization), so exact-hash
+    // dedup collapses the recompressed crawl copy. 8.jpg is unrelated
+    // content at Hamming 13. Values pinned from the independent
+    // pure-stdlib replica, whose jidctint IDCT matches the JDK decoder
+    // bit for bit.
+    "multimodal_phash_jpeg" -> ((s, _) =>
+      Multimodal.perceptualHashes(
+        mediaFixtures(s, "6.png")
+          .unionByName(mediaFixturesAt(s, "fixtures/media2", "*.jpg"))).toDF()),
+
+    // JPEG payload feature extraction end-to-end: huffman + dequant +
+    // islow IDCT on executors, then the same fixed-seed
+    // random-projection embedding as every other medium — compressed
+    // real-crawl images flow into the ANN/SemDeDup stack. Pinned
+    // dimension-by-dimension from the replica.
+    "multimodal_features_jpeg" -> ((s, _) => {
+      val emb = Multimodal.extractEmbeddings(
+        mediaFixturesAt(s, "fixtures/media2", "*.jpg"), dim = 8, batchSize = 2)
+      val es = (0 until 8).map(j =>
+        round(element_at(col("embedding"), j + 1), 4).as(s"e$j"))
+      emb.toDF().select(Seq(col("media_id"), col("kind"), col("n_values")) ++ es: _*)
     }),
 
     "multimodal_meta" -> ((s, dir) => {
@@ -4123,6 +4164,47 @@ object SparkEntry {
          |       ELSE list_sort(list_transform(sh, s -> md5(s)))[1] END AS fp_winnow
          |FROM (SELECT doc_id, text, CASE WHEN len(tok) < 3 THEN [] ELSE ${duckShingles("tok")} END AS sh
          |      FROM (SELECT doc_id, text, $duckTokens AS tok FROM documents))""".stripMargin,
+
+    // SOF header fields of the checked-in JPEG fixtures (replica: meta
+    // lines of tools/media_replica.py).
+    "multimodal_decode_jpeg" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
+        |  CAST(n_bytes AS INTEGER) AS n_bytes
+        |FROM (VALUES
+        |  (7, 'jpeg', 12, 7, 1, -1, 8, 417),
+        |  (8, 'jpeg', 24, 16, 1, -1, 8, 407)
+        |) AS t(media_id, kind, width, height, channels, sample_rate, bits_per_sample, n_bytes)""".stripMargin,
+
+    // 7.jpg (lossy re-encode of 6.png) hashes IDENTICALLY to 6.png —
+    // the cross-codec recompression recovery; 8.jpg is distinct.
+    // Values from tools/media_replica.py (jidctint decode, bit-exact
+    // vs the JDK).
+    "multimodal_phash_jpeg" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(dhash AS BIGINT) AS dhash
+        |FROM (VALUES
+        |  (6, 'png',  -1747546206248239106),
+        |  (7, 'jpeg', -1747546206248239106),
+        |  (8, 'jpeg', -35322350010369)
+        |) AS t(media_id, kind, dhash)""".stripMargin,
+
+    // Replica-pinned random-projection embeddings of the decoded JPEG
+    // sample streams.
+    "multimodal_features_jpeg" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(n_values AS INTEGER) AS n_values,
+        |  CAST(e0 AS DOUBLE) AS e0, CAST(e1 AS DOUBLE) AS e1,
+        |  CAST(e2 AS DOUBLE) AS e2, CAST(e3 AS DOUBLE) AS e3,
+        |  CAST(e4 AS DOUBLE) AS e4, CAST(e5 AS DOUBLE) AS e5,
+        |  CAST(e6 AS DOUBLE) AS e6, CAST(e7 AS DOUBLE) AS e7
+        |FROM (VALUES
+        |  (7, 'jpeg', 84, 9.9167, -0.869, 30.4405, 9.2738, 21.8929, -13.3929, 3.631, -6.8452),
+        |  (8, 'jpeg', 384, -3.0651, -2.6641, 6.0495, 6.5703, 6.7682, 1.2109, 1.4089, -7.6693)
+        |) AS t(media_id, kind, n_values, e0, e1, e2, e3, e4, e5, e6, e7)""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -87,7 +87,7 @@ object Multimodal {
   private def decodeValues(b: Array[Byte], meta: MediaMeta): (Int, Array[Double]) =
     meta.kind match {
       case "bmp" => decodeBmpValues(b, meta)
-      case "png" => decodePngValues(b, meta)
+      case "png" | "jpeg" => decodeImageIoValues(b, meta)
       case "wav" => decodeWavValues(b, meta)
       case _ => (0, Array.empty[Double])
     }
@@ -128,15 +128,20 @@ object Multimodal {
     (ch, out)
   }
 
-  /** PNG pixel samples via `javax.imageio` — the one decode path that
-    * exercises a REAL compressed codec (DEFLATE + scanline filters).
-    * Samples are read from the decoded Raster band by band per pixel:
-    * band order follows the color model's component order (R,G,B[,A];
-    * gray/gray+alpha for 1–2 bands), which for PNG equals the file's
-    * sample order — already canonical. Undecodable payloads return
-    * empty, never throw.
+  /** PNG and JPEG pixel samples via `javax.imageio` — the decode paths
+    * that exercise REAL compressed codecs (PNG: DEFLATE + scanline
+    * filters; JPEG: huffman entropy coding + quantized DCT, the
+    * dominant real-crawl image format). Samples are read from the
+    * decoded Raster band by band per pixel: band order follows the
+    * color model's component order (R,G,B[,A]; gray/gray+alpha for 1–2
+    * bands) — already canonical. JPEG decode is pinnable because
+    * entropy decode + dequantization are exactly specified and the
+    * JDK's IDCT is jpeg-6b's public integer "islow" algorithm — the
+    * independent replica (tools/media_replica.py jpeg_pixels)
+    * reproduces it integer for integer, verified bit-exact on the
+    * fixtures. Undecodable payloads return empty, never throw.
     */
-  private def decodePngValues(b: Array[Byte], meta: MediaMeta): (Int, Array[Double]) =
+  private def decodeImageIoValues(b: Array[Byte], meta: MediaMeta): (Int, Array[Double]) =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       if (img == null) return (math.max(meta.channels, 0), Array.empty)
@@ -246,6 +251,37 @@ object Multimodal {
       }
       MediaMeta(r.media_id, "png", be32(b, 16), be32(b, 20), channels, -1,
         b(24).toInt, b.length)
+    } else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+        (b(2) & 0xFF) == 0xFF) {
+      // JPEG: walk [FF marker][be16 len] segments to the frame header
+      // (SOF0–SOF15, excluding DHT C4 / DAC CC / JPG C8). SOF body:
+      // precision(1) height(2) width(2) ncomponents(1). Offsets in
+      // Long for the same crafted-length safety as the RIFF walk; a
+      // malformed stream terminates as "unknown", never throws.
+      var o = 2L
+      var meta: Option[MediaMeta] = None
+      var corrupt = false
+      while (meta.isEmpty && !corrupt && o + 4 <= b.length) {
+        if ((b(o.toInt) & 0xFF) != 0xFF) corrupt = true
+        else {
+          val m = b(o.toInt + 1) & 0xFF
+          val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (m == 0xD9 || m == 0xDA) corrupt = true // EOI/SOS before any SOF
+          else {
+            val len = ((b(o.toInt + 2) & 0xFF) << 8) | (b(o.toInt + 3) & 0xFF)
+            if (len < 2) corrupt = true
+            else if (isSof && o + 4 + 6 <= b.length) {
+              val oi = o.toInt + 4
+              val prec = b(oi) & 0xFF
+              val hh = ((b(oi + 1) & 0xFF) << 8) | (b(oi + 2) & 0xFF)
+              val ww = ((b(oi + 3) & 0xFF) << 8) | (b(oi + 4) & 0xFF)
+              val ncomp = b(oi + 5) & 0xFF
+              meta = Some(MediaMeta(r.media_id, "jpeg", ww, hh, ncomp, -1, prec, b.length))
+            } else o += 2L + len
+          }
+        }
+      }
+      meta.getOrElse(MediaMeta(r.media_id, "unknown", -1, -1, -1, -1, -1, b.length))
     } else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
       // Walk chunks from offset 12: [4-byte id][le32 size][payload].
       // Offsets tracked in Long: a crafted chunk size near Int.MaxValue
@@ -313,7 +349,7 @@ object Multimodal {
     */
   def dHash(r: MediaRow): Option[Long] = {
     val meta = decodeMeta(r)
-    if (meta.kind != "bmp" && meta.kind != "png") None
+    if (meta.kind != "bmp" && meta.kind != "png" && meta.kind != "jpeg") None
     else {
       val (ch, vals) = decodeValues(r.content, meta)
       val w = meta.width; val h = math.abs(meta.height)

@@ -22,6 +22,7 @@ import sys
 import zlib
 
 DIR = os.path.join(os.path.dirname(__file__), "..", "fixtures", "media")
+DIR2 = os.path.join(os.path.dirname(__file__), "..", "fixtures", "media2")
 
 
 # ---------- decoders (independent of the Scala implementations) ----------
@@ -129,6 +130,401 @@ def png_pixels(b):
     return ch, out, w, h, depth
 
 
+# ---------- baseline JPEG codec (grayscale, independent of Scala) ----------
+#
+# The decoder reproduces libjpeg's default integer IDCT (jidctint.c's
+# "islow" Loeffler algorithm, public jpeg-6b source shipped in every
+# JDK) bit for bit — that is what makes JPEG pinnable at all: entropy
+# decode + dequantization are exactly specified, and matching the
+# JDK's IDCT arithmetic integer-for-integer removes the one
+# implementation-defined step. The encoder (fixture generation only)
+# uses a float FDCT + Annex K tables; its output bytes are the fixture,
+# so encoder roundtrip accuracy is irrelevant to the pins.
+
+ZIGZAG = [  # jpeg_natural_order: zigzag index -> natural (row-major) index
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63]
+
+QTBL_LUMA = [  # Annex K luminance base table, natural order
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99]
+
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def quant_table(quality):
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in QTBL_LUMA]
+
+
+def _huff_codes(bits, vals):
+    """Canonical (code, length) per symbol, per spec Annex C."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _fdct_quant(block, qt):
+    """Float DCT-II on the level-shifted 8x8 block, quantized
+    half-away-from-zero. Natural-order output."""
+    out = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += ((block[y * 8 + x] - 128)
+                          * math.cos((2 * x + 1) * v * math.pi / 16)
+                          * math.cos((2 * y + 1) * u * math.pi / 16))
+            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+            f = 0.25 * cu * cv * s
+            q = qt[u * 8 + v]
+            out[u * 8 + v] = int(f / q + 0.5) if f >= 0 else -int(-f / q + 0.5)
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def write_jpeg_gray(path, w, h, rows, quality=88):
+    """Baseline sequential grayscale JFIF with Annex K huffman tables."""
+    qt = quant_table(quality)
+    dc_codes = _huff_codes(DC_BITS, DC_VALS)
+    ac_codes = _huff_codes(AC_BITS, AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(0, (h + 7) // 8 * 8, 8):
+        for bx in range(0, (w + 7) // 8 * 8, 8):
+            block = [rows[min(by + y, h - 1)][min(bx + x, w - 1)]
+                     for y in range(8) for x in range(8)]
+            coef = _fdct_quant(block, qt)
+            zz = [coef[ZIGZAG[i]] for i in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            mag, t = abs(diff), 0
+            while mag:
+                mag >>= 1
+                t += 1
+            bw.put(*dc_codes[t])
+            if t:
+                bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                v, t = zz[i], 0
+                mag = abs(v)
+                while mag:
+                    mag >>= 1
+                    t += 1
+                bw.put(*ac_codes[(run << 4) | t])
+                bw.put(v if v > 0 else v + (1 << t) - 1, t)
+                run = 0
+            if last_nz < 63:
+                bw.put(*ac_codes[0x00])  # EOB
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_qt = bytes(qt[ZIGZAG[i]] for i in range(64))
+    out = (bytes([0xFF, 0xD8])
+           + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+           + seg(0xDB, b"\x00" + zz_qt)
+           + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+           + seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+           + seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+           + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+           + bytes(bw.buf) + bytes([0xFF, 0xD9]))
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+# --- jidctint (jpeg-6b islow) constants ---
+_CB, _P1 = 13, 2
+_F0_298631336, _F0_390180644 = 2446, 3196
+_F0_541196100, _F0_765366865 = 4433, 6270
+_F0_899976223, _F1_175875602 = 7373, 9633
+_F1_501321110, _F1_847759065 = 12299, 15137
+_F1_961570560, _F2_053119869 = 16069, 16819
+_F2_562915447, _F3_072711026 = 20995, 25172
+
+
+def _descale(x, n):
+    return (x + (1 << (n - 1))) >> n  # arithmetic shift, like RIGHT_SHIFT
+
+
+def _idct_islow(coef, qt):
+    """jpeg-6b jidctint.c, integer for integer: column pass into a
+    workspace at PASS1_BITS precision, row pass to clamped samples
+    (+128 level shift folded in, as the range_limit table does)."""
+    ws = [0] * 64
+    for c in range(8):
+        col = [coef[r * 8 + c] * qt[r * 8 + c] for r in range(8)]
+        if not any(col[1:]):
+            dc = col[0] << _P1
+            for r in range(8):
+                ws[r * 8 + c] = dc
+            continue
+        z2, z3 = col[2], col[6]
+        z1 = (z2 + z3) * _F0_541196100
+        t2 = z1 + z3 * -_F1_847759065
+        t3 = z1 + z2 * _F0_765366865
+        z2, z3 = col[0], col[4]
+        t0 = (z2 + z3) << _CB
+        t1 = (z2 - z3) << _CB
+        t10, t13, t11, t12 = t0 + t3, t0 - t3, t1 + t2, t1 - t2
+        t0, t1, t2, t3 = col[7], col[5], col[3], col[1]
+        z1, z2, z3, z4 = t0 + t3, t1 + t2, t0 + t2, t1 + t3
+        z5 = (z3 + z4) * _F1_175875602
+        t0 *= _F0_298631336
+        t1 *= _F2_053119869
+        t2 *= _F3_072711026
+        t3 *= _F1_501321110
+        z1 *= -_F0_899976223
+        z2 *= -_F2_562915447
+        z3 = z3 * -_F1_961570560 + z5
+        z4 = z4 * -_F0_390180644 + z5
+        t0 += z1 + z3
+        t1 += z2 + z4
+        t2 += z2 + z3
+        t3 += z1 + z4
+        for r, v in ((0, t10 + t3), (7, t10 - t3), (1, t11 + t2), (6, t11 - t2),
+                     (2, t12 + t1), (5, t12 - t1), (3, t13 + t0), (4, t13 - t0)):
+            ws[r * 8 + c] = _descale(v, _CB - _P1)
+    out = [0] * 64
+    for r in range(8):
+        row = ws[r * 8:r * 8 + 8]
+        if not any(row[1:]):
+            dc = max(0, min(255, _descale(row[0], _P1 + 3) + 128))
+            for c in range(8):
+                out[r * 8 + c] = dc
+            continue
+        z2, z3 = row[2], row[6]
+        z1 = (z2 + z3) * _F0_541196100
+        t2 = z1 + z3 * -_F1_847759065
+        t3 = z1 + z2 * _F0_765366865
+        t0 = (row[0] + row[4]) << _CB
+        t1 = (row[0] - row[4]) << _CB
+        t10, t13, t11, t12 = t0 + t3, t0 - t3, t1 + t2, t1 - t2
+        t0, t1, t2, t3 = row[7], row[5], row[3], row[1]
+        z1, z2, z3, z4 = t0 + t3, t1 + t2, t0 + t2, t1 + t3
+        z5 = (z3 + z4) * _F1_175875602
+        t0 *= _F0_298631336
+        t1 *= _F2_053119869
+        t2 *= _F3_072711026
+        t3 *= _F1_501321110
+        z1 *= -_F0_899976223
+        z2 *= -_F2_562915447
+        z3 = z3 * -_F1_961570560 + z5
+        z4 = z4 * -_F0_390180644 + z5
+        t0 += z1 + z3
+        t1 += z2 + z4
+        t2 += z2 + z3
+        t3 += z1 + z4
+        for c, v in ((0, t10 + t3), (7, t10 - t3), (1, t11 + t2), (6, t11 - t2),
+                     (2, t12 + t1), (5, t12 - t1), (3, t13 + t0), (4, t13 - t0)):
+            out[r * 8 + c] = max(0, min(255,
+                _descale(v, _CB + _P1 + 3) + 128))
+    return out
+
+
+class _BitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self):
+        if self.n == 0:
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                assert self.data[self.pos] == 0x00, "marker inside scan"
+                self.pos += 1
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def jpeg_pixels(b):
+    """(1, samples row-major, width, height) for a baseline grayscale
+    JPEG — full huffman + dequant + islow-IDCT decode."""
+    assert b[0] == 0xFF and b[1] == 0xD8, "not a JPEG"
+    o = 2
+    qts, dcs, acs = {}, {}, {}
+    w = h = None
+    scan_dc = scan_ac = scan_q = None
+    while o < len(b):
+        assert b[o] == 0xFF
+        m = b[o + 1]
+        if m == 0xD9:
+            break
+        ln = struct.unpack_from(">H", b, o + 2)[0]
+        body = b[o + 4:o + 2 + ln]
+        if m == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                assert pq == 0, "8-bit tables only"
+                t = [0] * 64
+                for i in range(64):
+                    t[ZIGZAG[i]] = body[p + 1 + i]
+                qts[tq] = t
+                p += 65
+        elif m == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17:p + 17 + nv])
+                (dcs if tc == 0 else acs)[th] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif m in (0xC0, 0xC1):
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            assert prec == 8 and ncomp == 1, "grayscale baseline only"
+            scan_q = body[8]  # body: prec h h w w ncomp | id sampling tq
+        elif m == 0xDA:
+            ns = body[0]
+            assert ns == 1
+            scan_dc, scan_ac = body[2] >> 4, body[2] & 15
+            o = o + 2 + ln
+            break
+        elif m == 0xC2:
+            raise AssertionError("progressive JPEG not supported by replica")
+        o += 2 + ln
+    br = _BitReader(b[o:])
+    qt = qts[scan_q]
+    dct, act = dcs[scan_dc], acs[scan_ac]
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    img = [[0] * (bw_ * 8) for _ in range(bh_ * 8)]
+    pred = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            zz = [0] * 64
+            t = _huff_read(br, dct)
+            diff = _extend(br.bits(t), t) if t else 0
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_read(br, act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                zz[k] = _extend(br.bits(s), s)
+                k += 1
+            coef = [0] * 64
+            for i in range(64):
+                coef[ZIGZAG[i]] = zz[i]
+            block = _idct_islow(coef, qt)
+            for y in range(8):
+                for x in range(8):
+                    img[by * 8 + y][bx * 8 + x] = block[y * 8 + x]
+    vals = [img[y][x] for y in range(h) for x in range(w)]
+    return 1, vals, w, h
+
+
+def _decode_table(bits, vals):
+    """length -> {code: symbol} lookup, canonical order."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br, table):
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise AssertionError("bad huffman code")
+
+
+def _extend(v, t):
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
 # ---------- derived values ----------
 
 def stats(ch, vals):
@@ -233,22 +629,30 @@ def generate():
     # byte copy, yet the decoded image is identical so dHash must match.
     with open(os.path.join(DIR, "1.bmp"), "rb") as f:
         b = f.read()
+    # bmp_pixels already returns CANONICAL top-down R,G,B samples —
+    # PNG file order equals canonical order, so rows copy straight out
+    # (no second flip/swap: that would mirror the image and break the
+    # pixel-identity the 5.png pins rely on).
     ch, vals, w, h = bmp_pixels(b)
-    height_raw = struct.unpack_from("<i", b, 22)[0]
-    rows = []
-    for y in range(h):
-        src_row = (h - 1 - y) if height_raw > 0 else y  # bottom-up -> top-down
-        r = []
-        for x in range(w):
-            base = (src_row * w + x) * ch
-            bb, gg, rr = vals[base], vals[base + 1], vals[base + 2]
-            r.extend([rr, gg, bb])
-        rows.append(r)
+    rows = [[vals[(y * w + x) * ch + c] for x in range(w) for c in range(3)]
+            for y in range(h)]
     write_png(os.path.join(DIR, "5.png"), w, h, 2, rows)
     # 6.png: 12x7 grayscale gradient with a diagonal perturbation.
-    rows = [[(13 * x + 29 * y + (40 if x == y else 0)) % 256 for x in range(12)]
-            for y in range(7)]
-    write_png(os.path.join(DIR, "6.png"), 12, 7, 0, rows)
+    rows6 = [[(13 * x + 29 * y + (40 if x == y else 0)) % 256 for x in range(12)]
+             for y in range(7)]
+    write_png(os.path.join(DIR, "6.png"), 12, 7, 0, rows6)
+    # 7.jpg: LOSSY baseline-JPEG re-encode of 6.png's pixels — the
+    # recompressed-crawl-copy shape: decoded samples differ slightly
+    # from the PNG original, but the dHash must land within near-dup
+    # Hamming range of 6.png's (pinned in MultimodalJpegSpec).
+    os.makedirs(DIR2, exist_ok=True)
+    write_jpeg_gray(os.path.join(DIR2, "7.jpg"), 12, 7, rows6, quality=88)
+    # 8.jpg: 24x16 grayscale, smooth two-axis gradient with a soft
+    # bump — distinct content at a multi-block size with real AC
+    # coefficients in every block.
+    rows8 = [[min(255, 8 * x + 5 * y + (60 if (x - 12) ** 2 + (y - 8) ** 2 < 20 else 0))
+              for x in range(24)] for y in range(16)]
+    write_jpeg_gray(os.path.join(DIR2, "8.jpg"), 24, 16, rows8, quality=75)
 
 
 # ---------- report ----------
@@ -259,8 +663,11 @@ def main():
         print("fixtures written")
         return
     import hashlib
-    for name in sorted(os.listdir(DIR)):
-        path = os.path.join(DIR, name)
+    entries = [(DIR, n) for n in sorted(os.listdir(DIR))]
+    if os.path.isdir(DIR2):
+        entries += [(DIR2, n) for n in sorted(os.listdir(DIR2))]
+    for d, name in entries:
+        path = os.path.join(d, name)
         with open(path, "rb") as f:
             b = f.read()
         mid = int(name.split(".")[0])
@@ -280,6 +687,16 @@ def main():
             ch, vals, w, h, depth = png_pixels(b)
             print(f"  meta: png w={w} h={h} ch={ch} depth={depth}")
             print(f"  dhash: {dhash(ch, vals, w, h)}")
+        elif kind == "jpg":
+            ch, vals, w, h = jpeg_pixels(b)
+            print(f"  meta: jpeg w={w} h={h} ch={ch}")
+            print(f"  dhash: {dhash(ch, vals, w, h)}")
+            # near-dup recovery pin: Hamming distance to 6.png (7.jpg
+            # is its lossy re-encode; 8.jpg is unrelated content)
+            with open(os.path.join(DIR, "6.png"), "rb") as f6:
+                c6, v6, w6, h6, _ = png_pixels(f6.read())
+            hd = bin((dhash(c6, v6, w6, h6) ^ dhash(ch, vals, w, h)) & MASK).count("1")
+            print(f"  hamming vs 6.png: {hd}")
         n, means, mn, mx, rms = stats(ch, vals)
         m = [f"{r4(x)}" for x in means] + ["NULL"] * (3 - len(means[:3]))
         print(f"  stats: ch={ch} n={n} means={m[:3]} min={float(mn)} "
