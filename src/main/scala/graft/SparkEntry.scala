@@ -1067,6 +1067,39 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // The managed-path ↔ VersionedTable bridge under a REAL race: two
+    // concurrent appenders commit through the optimistic-concurrency
+    // protocol (appendVersioned = payload once, manifest publish
+    // retried), so BOTH land — the row-count oracle is the sum of both
+    // slices, and the version count is exactly 2 regardless of which
+    // writer wins the first slot. A plain saveAsTable(Append) race has
+    // no such guarantee (the documented reference gap this closes).
+    "s_versioned_append" -> ((s, dir) => {
+      val tm = new TableManager(s)
+      val tbl = "graft_gate_versioned"
+      // idempotent re-runs: drop the snapshot view + transaction log
+      try s.catalog.dropTempView(tbl) catch { case _: Exception => () }
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl + "__versioned")
+      base.getFileSystem(s.sparkContext.hadoopConfiguration).delete(base, true)
+      val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val slices = Seq(r.filter(col("r_regionkey") < 3),
+        r.filter(col("r_regionkey") >= 3))
+      val barrier = new java.util.concurrent.CyclicBarrier(slices.length)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = slices.map(sl => new Thread(() => {
+        barrier.await()
+        try tm.appendVersioned(sl, tbl)
+        catch { case e: Throwable => errs.add(e) }
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      if (!errs.isEmpty) throw new IllegalStateException(
+        s"concurrent versioned appends must all commit", errs.peek())
+      tm.refreshVersioned(tbl)
+      s.table(tbl).withColumn("n_versions",
+        lit(tm.versionedFor(tbl).latestVersion + 1))
+    }),
+
     // S15 (bytes-targeted form): OPTIMIZE's real contract is a target
     // file SIZE — the count must be DERIVED from table bytes. Target =
     // ceil(bytes/3) ⇒ derived count is exactly 3 for any byte total
@@ -2990,6 +3023,13 @@ object SparkEntry {
         |  (1, 'append', 2, 2, 5),
         |  (2, 'overwrite', 1, 1, 1)
         |) AS t(version, op, rows_added, active_dirs, rows_visible)""".stripMargin,
+
+    // Both racing appenders commit ⇒ the snapshot is the full region
+    // table in exactly two versions, whichever writer won the first
+    // manifest slot.
+    "s_versioned_append" ->
+      """SELECT r_regionkey, r_name, CAST(2 AS INTEGER) AS n_versions
+        |FROM region""".stripMargin,
 
     "s_http_source" ->
       """SELECT strptime(t, '%Y-%m-%dT%H:%M') AS time, pm10, pm2_5,

@@ -386,6 +386,47 @@ class TableManager(spark: SparkSession) {
     */
   def versioned(dir: String): VersionedTable = new VersionedTable(spark, dir)
 
+  /** The [[VersionedTable]] backing `table`'s versioned mode: rooted in
+    * the session warehouse under `<table>__versioned`, so the managed
+    * name and the transaction log live side by side.
+    */
+  def versionedFor(table: String): VersionedTable =
+    versioned(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table + "__versioned").toString)
+
+  /** OPT-IN versioned mode for the managed warehouse path — the bridge
+    * between the [[append]]-style catalog surface E1/E3 use and the
+    * [[VersionedTable]] commit protocol. A plain parquet
+    * `saveAsTable(Append)` has no atomicity story: two concurrent
+    * appenders can interleave half-written file sets, and a reader mid-
+    * append sees a torn table (the reference's own blind append —
+    * `First experiment/GPT 5.py:114` — shares the gap). Here every
+    * append is an atomic manifest commit with the optimistic-
+    * concurrency loser retry, so N racing writers all land and every
+    * reader sees some complete committed version; the catalog name is
+    * refreshed to the LATEST snapshot after each commit (temp view —
+    * with a shared metastore this would instead re-point an external
+    * table's location at the new manifest, same one-pointer-swap
+    * idea). Time travel / history / vacuum come free via
+    * [[versionedFor]]. Returns the committed version.
+    */
+  def appendVersioned(df: DataFrame, table: String, maxRetries: Int = 5): Int = {
+    val vt = versionedFor(table)
+    val v = vt.appendWithRetry(df, maxRetries)
+    refreshVersioned(table)
+    v
+  }
+
+  /** (Re)expose `table`'s versioned snapshot under its catalog name —
+    * also the recovery path when a reader session starts fresh.
+    * Synchronized per-session: two racing appenders both re-register
+    * the view after committing; the view is a plain "latest snapshot"
+    * pointer, so last-writer-wins is correct AS LONG AS each register
+    * reads the log after its own commit — which both do.
+    */
+  def refreshVersioned(table: String): Unit =
+    versionedFor(table).read().createOrReplaceTempView(table)
+
   /** S15/S13 (DESCRIBE DETAIL stand-in): one-row table report —
     * format, location, schema string, file count, total bytes,
     * partition columns — assembled from the catalog plus a filesystem

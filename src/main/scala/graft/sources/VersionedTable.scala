@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Versioned-snapshot table: the offline stand-in for Delta's
   * `DESCRIBE HISTORY` / `VERSION AS OF` surface
@@ -11,27 +10,39 @@ import org.apache.spark.sql.functions._
   * transaction log actually works rather than by copying snapshots:
   *
   *  - each commit writes its NEW rows into a fresh data directory
-  *    `v%05d/` and records a manifest `_graft_log/%08d.json` listing
-  *    the FULL set of data directories visible at that version;
-  *  - `append` extends the previous version's active set (history cost
-  *    = the new files alone — at 100 TB a version must never rewrite
-  *    or copy the table); `overwrite` starts a fresh active set while
-  *    the old directories stay readable through old manifests;
+  *    `v%05d-<uuid>/` and records a DELTA manifest
+  *    `_graft_log/%08d.json` listing only the directories it ADDED and
+  *    REMOVED — so N appends write O(N) total log entries, not the
+  *    O(N²) a full-active-set-per-commit log accrues;
+  *  - every `checkpointInterval` commits the winner also writes a full
+  *    checkpoint `%08d.checkpoint.json` (the complete active set at
+  *    that version — Delta's checkpoint parquet, in JSON). Resolving a
+  *    version replays only the deltas SINCE the nearest checkpoint:
+  *    reads stay O(interval) regardless of table age;
+  *  - `append` adds one directory (history cost = the new files alone
+  *    — at 100 TB a version must never rewrite or copy the table);
+  *    `overwrite` removes the previous active set and adds one, while
+  *    the old directories stay readable through old versions;
   *  - `readAt(v)` unions exactly version v's active directories
   *    (mergeSchema — an evolving append widens later reads, old
-  *    versions keep their shape); `history()` lists the manifests;
+  *    versions keep their shape); `history()` folds the manifests once
+  *    (O(total deltas), not O(versions × active));
   *  - commits are ATOMIC via write-tmp + rename onto the next log slot:
   *    a crash mid-commit leaves an orphan data dir and/or a `.tmp`
   *    manifest, both ignored by readers and reclaimed by [[vacuum]];
   *    two racing writers contend on the same rename and the loser
   *    fails loudly (optimistic concurrency, single winner — the same
-  *    protocol as Delta, minus the loser's automatic retry).
+  *    protocol as Delta, minus the loser's automatic retry, which
+  *    [[appendWithRetry]] adds for the always-safe append case).
   *
-  * [[vacuum]] is the retention pass: drop manifests older than the
-  * last `keepLast` and delete data directories no kept version
-  * references.
+  * [[vacuum]] is the retention pass: checkpoint the oldest kept
+  * version (so it stays resolvable), drop older manifests/checkpoints,
+  * and delete data directories no kept version references.
   */
-class VersionedTable(spark: SparkSession, dir: String) {
+class VersionedTable(spark: SparkSession, dir: String,
+                     checkpointInterval: Int = 10) {
+  require(checkpointInterval >= 1,
+    s"checkpointInterval must be >= 1: $checkpointInterval")
 
   private val root = new Path(dir)
   private val logDir = new Path(root, "_graft_log")
@@ -40,20 +51,28 @@ class VersionedTable(spark: SparkSession, dir: String) {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** One committed manifest. `active` holds data-directory names in
-    * commit order; `numRows` is the rows ADDED by this commit.
+  /** One committed manifest — a DELTA against the previous version.
+    * `numRows` is the rows ADDED by this commit.
     */
-  case class Commit(version: Int, op: String, active: Seq[String],
-                    numRows: Long, tsMs: Long)
+  case class Commit(version: Int, op: String, added: Seq[String],
+                    removed: Seq[String], numRows: Long, tsMs: Long)
 
   private def manifestPath(v: Int): Path = new Path(logDir, f"$v%08d.json")
+  private def checkpointPath(v: Int): Path =
+    new Path(logDir, f"$v%08d.checkpoint.json")
+
+  private def readArray(node: com.fasterxml.jackson.databind.JsonNode,
+                        field: String): Seq[String] = {
+    val arr = node.get(field)
+    if (arr == null) Seq.empty
+    else (0 until arr.size()).map(arr.get(_).asText())
+  }
 
   private def parseManifest(p: Path): Commit = {
     val in = fs.open(p)
     val node = try mapper.readTree(in) finally in.close()
-    val act = (0 until node.get("active").size())
-      .map(i => node.get("active").get(i).asText())
-    Commit(node.get("version").asInt(), node.get("op").asText(), act,
+    Commit(node.get("version").asInt(), node.get("op").asText(),
+      readArray(node, "added"), readArray(node, "removed"),
       node.get("num_rows").asLong(), node.get("ts_ms").asLong())
   }
 
@@ -76,6 +95,33 @@ class VersionedTable(spark: SparkSession, dir: String) {
     parseManifest(p)
   }
 
+  /** The newest checkpoint at or below `v`, if any. */
+  private def checkpointAtOrBelow(v: Int): Option[(Int, Seq[String])] = {
+    if (!fs.exists(logDir)) return None
+    val best = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.checkpoint\\.json"))
+      .map(_.take(8).toInt).filter(_ <= v)
+      .foldLeft(-1)(math.max)
+    if (best < 0) None
+    else {
+      val in = fs.open(checkpointPath(best))
+      val node = try mapper.readTree(in) finally in.close()
+      Some((best, readArray(node, "active")))
+    }
+  }
+
+  /** The active directory set of version `v`: nearest checkpoint plus
+    * the delta manifests since it. O(checkpointInterval) manifest
+    * reads on a checkpointed log, never O(v).
+    */
+  private def activeAt(v: Int): Seq[String] = {
+    val (start, base) = checkpointAtOrBelow(v).getOrElse((-1, Seq.empty[String]))
+    (start + 1 to v).foldLeft(base) { (active, i) =>
+      val c = commitAt(i)
+      active.filterNot(c.removed.toSet) ++ c.added
+    }
+  }
+
   /** Atomically publish manifest `c` as version `c.version`: write to a
     * `.tmp` sibling, then rename onto the final slot. Rename-onto-
     * existing fails on every sane filesystem, so of two racing writers
@@ -96,8 +142,10 @@ class VersionedTable(spark: SparkSession, dir: String) {
       val node = mapper.createObjectNode()
       node.put("version", c.version); node.put("op", c.op)
       node.put("num_rows", c.numRows); node.put("ts_ms", c.tsMs)
-      val arr = node.putArray("active")
-      c.active.foreach(arr.add)
+      val aArr = node.putArray("added")
+      c.added.foreach(aArr.add)
+      val rArr = node.putArray("removed")
+      c.removed.foreach(rArr.add)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
     val target = manifestPath(c.version)
@@ -107,6 +155,33 @@ class VersionedTable(spark: SparkSession, dir: String) {
         s"concurrent commit: version ${c.version} of $dir was published by " +
           "another writer; re-read the table and retry the commit")
     }
+    maybeCheckpoint(c.version)
+  }
+
+  /** Write the full-active-set checkpoint for `v` if it is on the
+    * interval. Only the commit WINNER of `v` calls this, so there is
+    * no checkpoint race; a crash before the rename just leaves the
+    * interval uncheckpointed — readers fall back to the previous
+    * checkpoint and replay a longer delta tail, correctness unchanged.
+    */
+  private def maybeCheckpoint(v: Int): Unit = {
+    if (v <= 0 || v % checkpointInterval != 0 || fs.exists(checkpointPath(v)))
+      return
+    writeCheckpoint(v, activeAt(v))
+  }
+
+  private def writeCheckpoint(v: Int, active: Seq[String]): Unit = {
+    val tmp = new Path(logDir,
+      f"$v%08d.checkpoint.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val node = mapper.createObjectNode()
+      node.put("version", v)
+      val arr = node.putArray("active")
+      active.foreach(arr.add)
+      out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    } finally out.close()
+    if (!fs.rename(tmp, checkpointPath(v))) fs.delete(tmp, false)
   }
 
   /** Write `df`'s rows as the data payload of version `v` and return
@@ -126,14 +201,13 @@ class VersionedTable(spark: SparkSession, dir: String) {
   }
 
   /** Commit `df` as a new version extending the current active set.
-    * Returns the committed version number.
+    * Returns the committed version number. Delta-encoded: the manifest
+    * records only the one added directory, whatever the table size.
     */
   def append(df: DataFrame): Int = {
-    val prev = latestVersion
-    val v = prev + 1
+    val v = latestVersion + 1
     val (name, rows) = writePayload(df, v)
-    val prevActive = if (prev < 0) Seq.empty else commitAt(prev).active
-    publish(Commit(v, "append", prevActive :+ name, rows,
+    publish(Commit(v, "append", Seq(name), Seq.empty, rows,
       System.currentTimeMillis()))
     v
   }
@@ -143,8 +217,8 @@ class VersionedTable(spark: SparkSession, dir: String) {
     * uniquely-named directory is version-agnostic; the `v%05d-` prefix
     * is advisory), then the manifest publish is retried against fresh
     * log state until it wins or `maxRetries` conflicts pass. Retrying
-    * an append is always safe — each attempt re-reads the latest
-    * active set, so the winner's files are incorporated, never
+    * an append is always safe — a delta manifest adds this writer's
+    * directory regardless of what the winner committed, so nothing is
     * clobbered. Concurrent OVERWRITES deliberately have no retry
     * wrapper: replaying "replace the table" after someone else's
     * commit changes meaning, and that decision belongs to the caller.
@@ -154,9 +228,8 @@ class VersionedTable(spark: SparkSession, dir: String) {
     var attempt = 0
     while (true) {
       val v = latestVersion + 1
-      val prevActive = if (v == 0) Seq.empty else commitAt(v - 1).active
       try {
-        publish(Commit(v, "append", prevActive :+ name, rows,
+        publish(Commit(v, "append", Seq(name), Seq.empty, rows,
           System.currentTimeMillis()))
         return v
       } catch {
@@ -174,7 +247,9 @@ class VersionedTable(spark: SparkSession, dir: String) {
   def overwrite(df: DataFrame): Int = {
     val v = latestVersion + 1
     val (name, rows) = writePayload(df, v)
-    publish(Commit(v, "overwrite", Seq(name), rows, System.currentTimeMillis()))
+    val prevActive = if (v == 0) Seq.empty else activeAt(v - 1)
+    publish(Commit(v, "overwrite", Seq(name), prevActive, rows,
+      System.currentTimeMillis()))
     v
   }
 
@@ -184,9 +259,10 @@ class VersionedTable(spark: SparkSession, dir: String) {
     * nothing — each version unions only its own directories.
     */
   def readAt(v: Int): DataFrame = {
-    val c = commitAt(v)
-    require(c.active.nonEmpty, s"version $v of $dir has no data directories")
-    val dirs = c.active.map(n => new Path(root, n)) // fail fast on vacuumed data
+    commitAt(v) // fail fast on a vacuumed/unknown version
+    val active = activeAt(v)
+    require(active.nonEmpty, s"version $v of $dir has no data directories")
+    val dirs = active.map(n => new Path(root, n)) // fail fast on vacuumed data
     dirs.foreach(p => require(fs.exists(p),
       s"data directory $p of version $v was vacuumed; only versions >= " +
         "the retention window are readable"))
@@ -202,50 +278,77 @@ class VersionedTable(spark: SparkSession, dir: String) {
 
   /** DESCRIBE HISTORY stand-in: one row per committed version —
     * version, operation, rows added by the commit, directories active
-    * at the version, commit wall-clock. Driver-side over #versions
-    * manifests (a log is small by construction; Delta reads it on the
-    * driver too).
+    * at the version, commit wall-clock. ONE incremental fold over the
+    * surviving manifests (seeded from the checkpoint below the oldest
+    * one), so the cost is O(total delta entries) — a million-commit
+    * log parses each manifest once, not once per version. Driver-side:
+    * a log is small by construction; Delta reads its log on the driver
+    * too.
     */
   def history(): DataFrame = {
     import spark.implicits._
-    val rows = (0 to latestVersion).flatMap { v =>
-      val p = manifestPath(v)
-      if (fs.exists(p)) {
-        val c = parseManifest(p)
-        Some((c.version, c.op, c.numRows, c.active.length, c.tsMs))
-      } else None // vacuumed prefix
+    val latest = latestVersion
+    val first = (0 to latest).find(v => fs.exists(manifestPath(v)))
+    val rows = first match {
+      case None => Seq.empty[(Int, String, Long, Int, Long)]
+      case Some(f) =>
+        // Seed: a vacuumed log always has a checkpoint AT its oldest
+        // surviving version (vacuum writes it) — that checkpoint
+        // already includes version f's own delta, so skip re-applying
+        // it. An unvacuumed log starts from the empty set at f = 0.
+        val ckptAtF = checkpointAtOrBelow(f).filter(_._1 == f)
+        var active: Set[String] = ckptAtF.map(_._2.toSet).getOrElse(Set.empty)
+        (f to latest).flatMap { v =>
+          if (fs.exists(manifestPath(v))) {
+            val c = parseManifest(manifestPath(v))
+            if (!(v == f && ckptAtF.isDefined))
+              active = active -- c.removed ++ c.added
+            Some((c.version, c.op, c.numRows, active.size, c.tsMs))
+          } else None
+        }
     }
     rows.toDF("version", "op", "num_rows", "num_active_dirs", "ts_ms")
   }
 
-  /** Retention: keep the last `keepLast` versions' manifests, delete
-    * older manifests and every data directory no kept manifest
-    * references (plus orphan directories a crashed commit left).
-    * Returns the number of data directories deleted.
+  /** Retention: keep the last `keepLast` versions, delete older
+    * manifests/checkpoints and every data directory no kept version
+    * references (plus orphan directories a crashed commit left). The
+    * oldest kept version is checkpointed first so it stays resolvable
+    * once the delta chain before it is gone. Returns the number of
+    * data directories deleted.
     */
   def vacuum(keepLast: Int): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val latest = latestVersion
-    val cutoff = latest - keepLast + 1
-    val kept = (math.max(0, cutoff) to latest)
-      .filter(v => fs.exists(manifestPath(v))).map(commitAt)
-    val referenced = kept.flatMap(_.active).toSet
+    val cutoff = math.max(0, latest - keepLast + 1)
+    if (cutoff > 0 && fs.exists(manifestPath(cutoff)) &&
+        !fs.exists(checkpointPath(cutoff)))
+      writeCheckpoint(cutoff, activeAt(cutoff))
+    // Everything a kept version can reference: the oldest kept
+    // version's active set plus every directory added after it.
+    val referenced: Set[String] =
+      if (latest < 0) Set.empty
+      else activeAt(cutoff).toSet ++
+        (cutoff + 1 to latest).flatMap(v =>
+          if (fs.exists(manifestPath(v))) commitAt(v).added else Seq.empty)
     // Old manifests first: once they are gone no reader can resolve a
     // to-be-deleted directory (delete data first and a concurrent
     // readAt of an old version would resolve, then scan nothing).
-    (0 until cutoff).foreach(v => fs.delete(manifestPath(v), false))
+    (0 until cutoff).foreach { v =>
+      fs.delete(manifestPath(v), false)
+      fs.delete(checkpointPath(v), false)
+    }
     // Crashed-commit leftovers: a `.tmp` manifest whose writer died
     // before the rename is invisible to readers but lives in the log
     // dir forever without this sweep. An IN-FLIGHT commit's tmp is
-    // named `<version>.json.<uuid>.tmp` for a version >= the current
+    // named `<version>.json[.<uuid>].tmp` for a version >= the current
     // latest; only tmps targeting already-decided versions (<= latest)
     // are provably dead — the slot they were racing for has a winner.
-    // Only names the commit protocol itself writes
-    // (`%08d.json.<8-hex-uuid>.tmp`) are swept — an unrelated file that
-    // merely starts with digits and ends in `.tmp` is left alone.
+    // Only names the commit protocol itself writes are swept — an
+    // unrelated digit-prefixed `.tmp` file is left alone.
     if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
       val n = st.getPath.getName
-      if (n.matches("\\d{8}\\.json\\.[0-9a-f]{8}\\.tmp") &&
+      if (n.matches("\\d{8}\\.(checkpoint\\.)?json(\\.[0-9a-f]{8})?\\.tmp") &&
           n.take(8).toInt <= latest) fs.delete(st.getPath, false)
     }
     var removed = 0

@@ -429,4 +429,86 @@ class TableManagerSpec extends SparkSuite {
     // history lists only the surviving versions
     assert(vt.history().select("version").collect().map(_.getInt(0)).toSeq === Seq(1, 2))
   }
+
+  test("appendVersioned bridges the managed path: racing appenders both commit, name reads latest") {
+    val tbl = "tm_spec_versioned"
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl + "__versioned")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    val writers = 3
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { i =>
+      new Thread(() => {
+        val d = Seq((i.toLong, s"writer$i")).toDF("k", "s")
+        barrier.await()
+        try tables.appendVersioned(d, tbl)
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"every racing appender must commit: $errors")
+    tables.refreshVersioned(tbl)
+    // The catalog name serves the union of all three commits.
+    assert(spark.table(tbl).select("s").collect().map(_.getString(0)).toSet ===
+      Set("writer0", "writer1", "writer2"))
+    val vt = tables.versionedFor(tbl)
+    assert(vt.latestVersion === 2)
+    // A fourth, sequential append lands as v3 and the refreshed name
+    // sees all four rows; earlier versions time-travel unchanged.
+    tables.appendVersioned(Seq((9L, "late")).toDF("k", "s"), tbl)
+    assert(spark.table(tbl).count() === 4)
+    assert(vt.readAt(2).count() === 3)
+    assert(vt.history().count() === 4)
+  }
+
+  test("versioned table: 100 appends — delta manifests stay O(1), checkpoints bound replay") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir, checkpointInterval = 10)
+    (0 until 100).foreach(i => vt.append(Seq((i.toLong, s"r$i")).toDF("k", "s")))
+    assert(vt.latestVersion === 99)
+    val log = java.nio.file.Paths.get(dir, "_graft_log")
+    def size(name: String): Long = java.nio.file.Files.size(log.resolve(name))
+    // DELTA manifests: the 100th commit's manifest is the same size as
+    // the 2nd's (each lists exactly one added dir) — the former
+    // full-active-set log grew every manifest linearly, O(N²) total.
+    val m1 = size("00000001.json"); val m99 = size("00000099.json")
+    assert(m99 <= m1 + 8, s"manifest 99 ($m99 B) must not outgrow manifest 1 ($m1 B)")
+    // Interval checkpoints exist (written by the commit winner) and
+    // carry the full active set of their version.
+    (10 to 90 by 10).foreach(v =>
+      assert(java.nio.file.Files.exists(log.resolve(f"$v%08d.checkpoint.json")),
+        s"missing checkpoint at $v"))
+    // readAt equality around a checkpoint boundary: the version before,
+    // at, and after checkpoint 90 each serve exactly their snapshot.
+    assert(vt.readAt(89).count() === 90)
+    assert(vt.readAt(90).count() === 91)
+    assert(vt.readAt(91).count() === 92)
+    assert(vt.read().count() === 100)
+    // history: one row per version, active-dir count climbing 1..100.
+    val hist = vt.history().orderBy("version")
+      .select("version", "num_active_dirs").collect()
+    assert(hist.length === 100)
+    assert(hist.map(_.getInt(1)).toSeq === (1 to 100))
+    // Vacuum to the last 5: the cutoff version gets checkpointed so it
+    // stays resolvable once the delta chain before it is gone.
+    val removed = vt.vacuum(keepLast = 5)
+    assert(removed === 0) // appends never unreference a directory
+    assert(java.nio.file.Files.exists(log.resolve(f"${95}%08d.checkpoint.json")))
+    assert(!java.nio.file.Files.exists(log.resolve("00000094.json")))
+    assert(vt.readAt(95).count() === 96)
+    assert(vt.readAt(99).count() === 100)
+    intercept[IllegalArgumentException] { vt.readAt(94) }
+    assert(vt.history().orderBy("version")
+      .select("version", "num_active_dirs").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      (95 to 99).map(v => (v, v + 1)))
+    // Overwrite after vacuum: the delta removes all 100 dirs; the data
+    // stays readable for time travel until the next vacuum reclaims it.
+    vt.overwrite(Seq((0L, "fresh")).toDF("k", "s"))
+    assert(vt.read().count() === 1)
+    assert(vt.readAt(99).count() === 100)
+    assert(vt.vacuum(keepLast = 1) === 100)
+    assert(vt.read().count() === 1)
+  }
 }
