@@ -246,21 +246,35 @@ object QualitySignals {
     // would explode the corpus twice and re-join on the id at the end;
     // per-bigram arithmetic is identical (equality vs the two-call
     // form asserted in OperatorsSpec).
+    // ONE tokenization pass per reference slice: unigrams and bigrams
+    // ride a single tagged explode into one partial-aggregable groupBy
+    // (two separate explodes would parse/tokenize each reference
+    // twice — measured as the dominant cost of this operator). The
+    // count table is vocabulary-sized, so it persists cheaply and both
+    // LM joins read the cache; the persists are released after the
+    // scored frame materializes (see materializeAndRelease below).
     def lmCounts(reference: DataFrame) = {
-      val uni = graft.operators.Skew.spread(reference)
-        .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val bi = graft.operators.Skew.spread(reference)
-        .select(explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-      (uni, bi, uni.agg(count(lit(1)).as("__v")))
+      val toks = TextFunctions.tokens(col(textCol))
+      val grams = graft.operators.Skew.spread(reference)
+        .select(explode(concat(
+          transform(toks, t => struct(lit("u").as("kind"), t.as("gram"))),
+          transform(TextFunctions.shingles(col(textCol), 2),
+            g => struct(lit("b").as("kind"), g.as("gram"))))).as("kg"))
+        .groupBy(col("kg.kind").as("kind"), col("kg.gram").as("gram"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uni = grams.filter(col("kind") === "u")
+        .select(col("gram").as("w"), col("c").as("cu"))
+      val bi = grams.filter(col("kind") === "b")
+        .select(col("gram").as("bg"), col("c").as("cb"))
+      (uni, bi, uni.agg(count(lit(1)).as("__v")), grams)
     }
-    val (uniT, biT, vocabT) = lmCounts(target)
-    val (uniG, biG, vocabG) = lmCounts(general)
+    val (uniT, biT, vocabT, gramsT) = lmCounts(target)
+    val (uniG, biG, vocabG, gramsG) = lmCounts(general)
     def lp(cb: Column, cu: Column, v: Column): Column =
       log((coalesce(cb, lit(0L)) + 1).cast("double")
         / (coalesce(cu, lit(0L)) + v).cast("double"))
-    graft.operators.Skew.spread(docs)
+    val out = graft.operators.Skew.spread(docs)
       .select(col(idCol), explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
       .withColumn("__w1", substring_index(col("bg"), " ", 1))
       .join(biT.withColumnRenamed("cb", "cb_t"), Seq("bg"), "left")
@@ -275,6 +289,10 @@ object QualitySignals {
       .groupBy(col(idCol))
       .agg(avg(col("__lpt")).as("lp_target"), avg(col("__lpg")).as("lp_general"))
       .withColumn("log_ratio", col("lp_target") - col("lp_general"))
+    // Doc-count rows of four scalars — small relative to the corpus,
+    // so eager materialization (which frees the two pinned LM count
+    // caches) is the right trade, same as perplexityBuckets.
+    graft.operators.Caching.materializeAndRelease(out, gramsT, gramsG)
   }
 
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
