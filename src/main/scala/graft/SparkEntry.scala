@@ -1990,6 +1990,38 @@ object SparkEntry {
       s.table(tbl).select(col("user_id"), col("event_type"))
     }),
 
+    // Streaming into the ACID versioned table: every micro-batch
+    // commits through the transaction log tagged (app, batchId) —
+    // exactly-once via the Delta txn protocol, proven in-gate by
+    // REPLAYING batch 0 after the run (the skip must add nothing) and
+    // by an interleaved out-of-band batch append through the same log
+    // (optimistic concurrency admits both writers). Output = per-type
+    // event counts of stream ∪ sideload, exactly once each.
+    "streaming_to_versioned" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_stream").toString
+      try {
+        val ev = t(s, dir, "events")
+        val stream = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
+          .select(col("event_id"), col("event_type"))
+        StreamingJobs.runToVersionedTable(s, stream, base,
+          app = "gate", statePartitions = Some(8))
+        val vt = new graft.sources.VersionedTable(s, base)
+        // out-of-band writer through the same log: a sentinel slice
+        val sentinel = ev.select(col("event_id") + 10000000L, lit("sideload"))
+          .toDF("event_id", "event_type").limit(7)
+        vt.appendWithRetry(sentinel)
+        // replay batch 0: MUST skip (exactly-once), not double-append
+        val replayed = vt.appendStreamBatch(
+          ev.select(col("event_id"), col("event_type")), "gate", 0L)
+        require(replayed.isEmpty, s"batch-0 replay must be skipped: $replayed")
+        vt.read().groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          .toDF("event_type", "n")
+      } finally deleteRecursively(base)
+    }),
+
     // RESTART/RESUME across a process boundary: run 1 dedups the
     // even-id half of events into a table through a DURABLE checkpoint
     // (RocksDB state store), the query STOPS, more files land, and a
@@ -4379,6 +4411,13 @@ object SparkEntry {
 
     "streaming_to_table" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // Exactly-once versioned sink: the streamed events land once each
+    // (batch-0 replay skipped via the txn tag) plus the 7-row
+    // out-of-band sideload admitted by the same transaction log.
+    "streaming_to_versioned" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        |UNION ALL SELECT 'sideload' AS event_type, 7 AS n""".stripMargin,
 
     // Two runs against one durable checkpoint == one uninterrupted
     // run: a key emitted before the restart must not re-emit after it.

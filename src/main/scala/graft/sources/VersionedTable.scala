@@ -52,10 +52,13 @@ class VersionedTable(spark: SparkSession, dir: String,
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** One committed manifest — a DELTA against the previous version.
-    * `numRows` is the rows ADDED by this commit.
+    * `numRows` is the rows ADDED by this commit. `txn` optionally tags
+    * the commit with a (writer-app, batch-id) pair — the idempotence
+    * token streaming sinks use (Delta's `txnAppId`/`txnVersion`).
     */
   case class Commit(version: Int, op: String, added: Seq[String],
-                    removed: Seq[String], numRows: Long, tsMs: Long)
+                    removed: Seq[String], numRows: Long, tsMs: Long,
+                    txn: Option[(String, Long)] = None)
 
   private def manifestPath(v: Int): Path = new Path(logDir, f"$v%08d.json")
   private def checkpointPath(v: Int): Path =
@@ -71,21 +74,65 @@ class VersionedTable(spark: SparkSession, dir: String,
   private def parseManifest(p: Path): Commit = {
     val in = fs.open(p)
     val node = try mapper.readTree(in) finally in.close()
+    val txn =
+      if (node.has("txn_app")) Some((node.get("txn_app").asText(),
+        node.get("txn_batch").asLong()))
+      else None
     Commit(node.get("version").asInt(), node.get("op").asText(),
       readArray(node, "added"), readArray(node, "removed"),
-      node.get("num_rows").asLong(), node.get("ts_ms").asLong())
+      node.get("num_rows").asLong(), node.get("ts_ms").asLong(), txn)
   }
+
+  private val lastCheckpointPath = new Path(logDir, "_last_checkpoint")
+
+  /** The `_last_checkpoint` HINT (Delta's trick to avoid a full log
+    * listing per read): the version of the newest known checkpoint,
+    * written best-effort after each checkpoint. It is advisory only —
+    * torn/stale/missing hints fall back to listing, and the hinted
+    * checkpoint's existence is verified before use, so correctness
+    * never depends on it.
+    */
+  private def lastCheckpointHint: Option[Int] =
+    try {
+      if (!fs.exists(lastCheckpointPath)) None
+      else {
+        val in = fs.open(lastCheckpointPath)
+        val node = try mapper.readTree(in) finally in.close()
+        val v = node.get("version").asInt()
+        if (fs.exists(checkpointPath(v))) Some(v) else None
+      }
+    } catch { case _: Exception => None }
+
+  private def writeLastCheckpointHint(v: Int): Unit =
+    try {
+      val out = fs.create(lastCheckpointPath, true)
+      try {
+        val node = mapper.createObjectNode()
+        node.put("version", v)
+        out.write(mapper.writeValueAsBytes(node))
+      } finally out.close()
+    } catch { case _: Exception => () } // a failed hint write costs a listing
 
   /** Latest committed version, or -1 for an empty/new table. Only
     * fully-committed manifests (`%08d.json`) count — `.tmp` leftovers
-    * of a crashed commit are invisible.
+    * of a crashed commit are invisible. With a `_last_checkpoint`
+    * hint the cost is O(versions since the last checkpoint) existence
+    * probes (manifests are dense above any surviving checkpoint);
+    * without one it is a full log listing — so a million-commit table
+    * answers in ≤ checkpointInterval probes, not a million-entry list.
     */
-  def latestVersion: Int =
-    if (!fs.exists(logDir)) -1
-    else fs.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.matches("\\d{8}\\.json"))
-      .map(_.stripSuffix(".json").toInt)
-      .foldLeft(-1)(math.max)
+  def latestVersion: Int = lastCheckpointHint match {
+    case Some(hint) if fs.exists(manifestPath(hint)) =>
+      var v = hint
+      while (fs.exists(manifestPath(v + 1))) v += 1
+      v
+    case _ =>
+      if (!fs.exists(logDir)) -1
+      else fs.listStatus(logDir).map(_.getPath.getName)
+        .filter(_.matches("\\d{8}\\.json"))
+        .map(_.stripSuffix(".json").toInt)
+        .foldLeft(-1)(math.max)
+  }
 
   private def commitAt(v: Int): Commit = {
     val p = manifestPath(v)
@@ -95,13 +142,19 @@ class VersionedTable(spark: SparkSession, dir: String,
     parseManifest(p)
   }
 
-  /** The newest checkpoint at or below `v`, if any. */
+  /** The newest checkpoint at or below `v`, if any. The common case —
+    * resolving a recent version — is served by the `_last_checkpoint`
+    * hint without listing; time travel below the hinted checkpoint
+    * falls back to the listing.
+    */
   private def checkpointAtOrBelow(v: Int): Option[(Int, Seq[String])] = {
     if (!fs.exists(logDir)) return None
-    val best = fs.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.matches("\\d{8}\\.checkpoint\\.json"))
-      .map(_.take(8).toInt).filter(_ <= v)
-      .foldLeft(-1)(math.max)
+    val best = lastCheckpointHint.filter(_ <= v).getOrElse {
+      fs.listStatus(logDir).map(_.getPath.getName)
+        .filter(_.matches("\\d{8}\\.checkpoint\\.json"))
+        .map(_.take(8).toInt).filter(_ <= v)
+        .foldLeft(-1)(math.max)
+    }
     if (best < 0) None
     else {
       val in = fs.open(checkpointPath(best))
@@ -146,6 +199,9 @@ class VersionedTable(spark: SparkSession, dir: String,
       c.added.foreach(aArr.add)
       val rArr = node.putArray("removed")
       c.removed.foreach(rArr.add)
+      c.txn.foreach { case (app, batch) =>
+        node.put("txn_app", app); node.put("txn_batch", batch)
+      }
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
     val target = manifestPath(c.version)
@@ -181,7 +237,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       active.foreach(arr.add)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
-    if (!fs.rename(tmp, checkpointPath(v))) fs.delete(tmp, false)
+    if (fs.rename(tmp, checkpointPath(v))) writeLastCheckpointHint(v)
+    else fs.delete(tmp, false)
   }
 
   /** Write `df`'s rows as the data payload of version `v` and return
@@ -239,6 +296,64 @@ class VersionedTable(spark: SparkSession, dir: String,
       }
     }
     -1 // unreachable
+  }
+
+  /** EXACTLY-ONCE streaming append — the Delta `txnAppId`/`txnVersion`
+    * idempotence protocol: commit `df` tagged (`app`, `batchId`) and
+    * SKIP the write (returning None) when a commit with the same app
+    * and a batch id at or above `batchId` already exists. Structured
+    * Streaming's foreachBatch replays only the last uncommitted batch
+    * with monotonically increasing ids, so "newest committed batch id
+    * for this app >= mine" exactly identifies a replay — a crash
+    * between the table commit and the checkpoint commit heals as a
+    * skip instead of a double-append. Interleaved commits by OTHER
+    * writers (plain appends, other apps) are walked past when looking
+    * up this app's newest batch id; the walk is bounded in practice by
+    * the interleave distance between this app's commits.
+    */
+  def appendStreamBatch(df: DataFrame, app: String, batchId: Long,
+                        maxRetries: Int = 5): Option[Int] = {
+    require(app.nonEmpty, "app id must be non-empty")
+    if (lastCommittedBatch(app).exists(_ >= batchId)) return None
+    val (name, rows) = writePayload(df, latestVersion + 1)
+    var attempt = 0
+    while (true) {
+      val v = latestVersion + 1
+      try {
+        publish(Commit(v, "append", Seq(name), Seq.empty, rows,
+          System.currentTimeMillis(), Some((app, batchId))))
+        return Some(v)
+      } catch {
+        case e: IllegalStateException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          // The winner might have been a replay racer of the SAME
+          // batch: re-check before re-publishing, dropping our orphan
+          // payload if the batch landed.
+          if (lastCommittedBatch(app).exists(_ >= batchId)) {
+            fs.delete(new Path(root, name), true)
+            return None
+          }
+      }
+    }
+    None // unreachable
+  }
+
+  /** The newest committed batch id for `app`, walking manifests from
+    * the latest backward until one carries this app's txn tag.
+    */
+  private def lastCommittedBatch(app: String): Option[Long] = {
+    var v = latestVersion
+    while (v >= 0) {
+      if (fs.exists(manifestPath(v))) {
+        commitAt(v).txn match {
+          case Some((a, b)) if a == app => return Some(b)
+          case _ => ()
+        }
+      }
+      v -= 1
+    }
+    None
   }
 
   /** Commit `df` as a new version REPLACING the active set. Old
@@ -357,6 +472,15 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (st.isDirectory && n.matches("v\\d{5}-.*") && !referenced.contains(n)) {
         fs.delete(st.getPath, true); removed += 1
       }
+    }
+    // Re-point the `_last_checkpoint` hint at the newest SURVIVING
+    // checkpoint — the old hint may reference one just deleted (the
+    // verified read would fall back to a listing forever otherwise).
+    if (fs.exists(logDir)) {
+      val best = fs.listStatus(logDir).map(_.getPath.getName)
+        .filter(_.matches("\\d{8}\\.checkpoint\\.json"))
+        .map(_.take(8).toInt).foldLeft(-1)(math.max)
+      if (best >= 0) writeLastCheckpointHint(best)
     }
     removed
   }

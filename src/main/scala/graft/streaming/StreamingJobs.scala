@@ -747,6 +747,43 @@ object StreamingJobs {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** foreachBatch sink into a [[graft.sources.VersionedTable]] — the
+    * streaming→ACID-table bridge: every micro-batch commits through
+    * the transaction log tagged (app, batchId), so a crash between the
+    * table write and the checkpoint commit heals as an idempotent SKIP
+    * on replay (Delta's txnAppId/txnVersion protocol) instead of the
+    * partition-overwrite dance [[runToTable]] needs on a plain parquet
+    * table — and concurrent batch writers can append to the same table
+    * through the same optimistic-concurrency log while the stream
+    * runs.
+    */
+  def runToVersionedTable(spark: SparkSession, df: DataFrame, dir: String,
+                          app: String = "stream",
+                          statePartitions: Option[Int] = None,
+                          checkpoint: Option[String] = None): Unit = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    def run(ckpt: String): Unit = {
+      val q = df.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // the batch frame is bound to the streaming engine's cloned
+          // session — commit through THAT session's VersionedTable
+          new graft.sources.VersionedTable(batch.sparkSession, dir)
+            .appendStreamBatch(batch, app, batchId)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    try checkpoint match {
+      case Some(ckpt) => run(ckpt)
+      case None => withEphemeralCheckpoint(run)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous test/verify harness).
     *

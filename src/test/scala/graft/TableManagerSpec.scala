@@ -462,6 +462,27 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.history().count() === 4)
   }
 
+  test("appendStreamBatch: exactly-once per (app, batch), interleaving writers unaffected") {
+    val vt = tables.versioned(tmpVt())
+    def df(tag: String) = Seq((1L, tag)).toDF("k", "s")
+    assert(vt.appendStreamBatch(df("b0"), "appA", 0L) === Some(0))
+    // replay of batch 0: skipped, no version, no rows
+    assert(vt.appendStreamBatch(df("b0-replay"), "appA", 0L) === None)
+    assert(vt.read().count() === 1)
+    // next batch commits; an out-of-band plain append interleaves
+    assert(vt.appendStreamBatch(df("b1"), "appA", 1L) === Some(1))
+    vt.append(df("plain"))
+    // replay of batch 1 AFTER the interleaved commit: the walk skips
+    // the untagged manifest and still finds appA's newest batch id
+    assert(vt.appendStreamBatch(df("b1-replay"), "appA", 1L) === None)
+    // a DIFFERENT app's batch 0 is its own stream — commits fine
+    assert(vt.appendStreamBatch(df("appB-b0"), "appB", 0L) === Some(3))
+    assert(vt.read().select("s").collect().map(_.getString(0)).toSet ===
+      Set("b0", "b1", "plain", "appB-b0"))
+    // stale-batch replay (id below the newest committed) also skips
+    assert(vt.appendStreamBatch(df("b0-late"), "appA", 0L) === None)
+  }
+
   test("versioned table: 100 appends — delta manifests stay O(1), checkpoints bound replay") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir, checkpointInterval = 10)
@@ -479,6 +500,16 @@ class TableManagerSpec extends SparkSuite {
     (10 to 90 by 10).foreach(v =>
       assert(java.nio.file.Files.exists(log.resolve(f"$v%08d.checkpoint.json")),
         s"missing checkpoint at $v"))
+    // The _last_checkpoint hint points at the newest one — the Delta
+    // trick that makes latestVersion O(interval) existence probes
+    // instead of a full log listing per read.
+    assert(new String(java.nio.file.Files.readAllBytes(
+      log.resolve("_last_checkpoint"))).contains("90"))
+    // A torn/garbage hint must not break reads (verified + fallback).
+    java.nio.file.Files.write(log.resolve("_last_checkpoint"), "{gar".getBytes)
+    assert(vt.latestVersion === 99)
+    java.nio.file.Files.write(log.resolve("_last_checkpoint"),
+      """{"version":90}""".getBytes)
     // readAt equality around a checkpoint boundary: the version before,
     // at, and after checkpoint 90 each serve exactly their snapshot.
     assert(vt.readAt(89).count() === 90)
@@ -495,6 +526,9 @@ class TableManagerSpec extends SparkSuite {
     val removed = vt.vacuum(keepLast = 5)
     assert(removed === 0) // appends never unreference a directory
     assert(java.nio.file.Files.exists(log.resolve(f"${95}%08d.checkpoint.json")))
+    // vacuum re-points the hint at the newest surviving checkpoint.
+    assert(new String(java.nio.file.Files.readAllBytes(
+      log.resolve("_last_checkpoint"))).contains("95"))
     assert(!java.nio.file.Files.exists(log.resolve("00000094.json")))
     assert(vt.readAt(95).count() === 96)
     assert(vt.readAt(99).count() === 100)
