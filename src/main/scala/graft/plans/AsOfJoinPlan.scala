@@ -121,6 +121,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * The merge then consumes both sorted iterators in lockstep holding
   * at most ONE buffered right row and one best-match copy — state is
   * O(1) regardless of key cardinality or time density.
+  *
+  * Skew: like every keys-clustered join, a single pathologically hot
+  * key serializes into one task (AQE skew-join splitting does not
+  * apply — it requires a join the planner knows how to split, and the
+  * O(1)-state merge cannot process a key's time range out of order
+  * without replaying the right side per split). The mitigation at
+  * 100 TB is upstream: time-bucket the hot key into (key, epoch-day)
+  * composite keys and as-of join within buckets, carrying the previous
+  * bucket's last right row as a seed — the composed-operator form of
+  * that rewrite works today via [[graft.operators.Joins.asOf]] on the
+  * widened key.
   */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],

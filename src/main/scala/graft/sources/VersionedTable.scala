@@ -384,6 +384,25 @@ class VersionedTable(spark: SparkSession, dir: String,
     spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
   }
 
+  /** `TIMESTAMP AS OF`: the newest version committed at or before
+    * `tsMs` (epoch millis) — Delta's second time-travel axis. Commit
+    * timestamps are the writers' wall clocks, monotone in version
+    * order for a single writer but only approximately so across
+    * racing writers (same caveat Delta documents); the scan walks
+    * back from latest, so recent-timestamp queries cost O(versions
+    * since tsMs).
+    */
+  def readAtTimestamp(tsMs: Long): DataFrame = {
+    var v = latestVersion
+    require(v >= 0, s"$dir has no committed versions")
+    while (v >= 0 && (!fs.exists(manifestPath(v)) || commitAt(v).tsMs > tsMs))
+      v -= 1
+    require(v >= 0,
+      s"no version of $dir existed at or before timestamp $tsMs " +
+        s"(earliest surviving commit is later, or was vacuumed)")
+    readAt(v)
+  }
+
   /** The current snapshot (latest version). */
   def read(): DataFrame = {
     val v = latestVersion

@@ -438,4 +438,41 @@ class PropertySpec extends SparkSuite {
     assert(resalted !== one)
     assert(resalted.map(_._1) === one.map(_._1), "same rows, new order")
   }
+
+  test("as-of tri-implementation agreement: composed == native == SQL on random series") {
+    // Three independent code paths answer the same join — the composed
+    // union+window operator, the custom planner exec, and the parsed
+    // ASOF SQL — on seeded random keyed time series with duplicate
+    // timestamps, sparse keys, and keys present on only one side.
+    import java.sql.Timestamp
+    for (seed <- 1 to 4) {
+      val r = new scala.util.Random(seed)
+      def series(n: Int, keyMod: Int) = List.fill(n)(
+        (r.nextInt(keyMod).toLong, new Timestamp(r.nextInt(1000) * 1000L), r.nextInt(10000).toLong))
+      val left = series(80, 7).zipWithIndex
+        .map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+        .toDF("lid", "k", "t", "lv")
+      // Tie-free right side: with duplicate (k, rt) rows the matched
+      // VALUE is legitimately implementation-defined (sort-order tie);
+      // deduplicating pins all three paths to one exact answer. Left
+      // duplicates stay — every left row must answer independently.
+      val right = series(40, 9).toDF("k", "rt", "rv").dropDuplicates("k", "rt")
+      def canon(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+        df.collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      val composed = canon(graft.operators.Joins.asOf(
+        left, right, Seq("k"), "t", "rt", Seq("rv")).select(col("lid"), col("asof_rv")))
+      val native = canon(graft.plans.AsOfJoinPlan.asOfNative(
+        left, right, Seq("k"), "t", "rt").select(col("lid"), col("asof_rv")))
+      left.createOrReplaceTempView("prop_asof_l")
+      right.createOrReplaceTempView("prop_asof_r")
+      val sql = canon(spark.sql(
+        """SELECT l.lid, r.rv FROM prop_asof_l l
+          |ASOF LEFT JOIN prop_asof_r r ON l.k = r.k AND l.t >= r.rt""".stripMargin))
+      assert(native === composed, s"seed $seed: native vs composed")
+      assert(sql === native, s"seed $seed: SQL vs native")
+      assert(composed.values.exists(_.isDefined) &&
+        composed.values.exists(_.isEmpty), s"seed $seed covers both outcomes")
+    }
+  }
 }

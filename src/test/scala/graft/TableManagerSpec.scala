@@ -462,6 +462,21 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.history().count() === 4)
   }
 
+  test("readAtTimestamp: newest version at-or-before the clock, loud outside the window") {
+    val vt = tables.versioned(tmpVt())
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    vt.append(Seq((2L, "b")).toDF("k", "s"))
+    Thread.sleep(5)
+    val t1 = System.currentTimeMillis()
+    vt.overwrite(Seq((9L, "z")).toDF("k", "s"))
+    assert(vt.readAtTimestamp(t0).count() === 1)       // only v0 existed
+    assert(vt.readAtTimestamp(t1).count() === 2)       // v1's append visible
+    assert(vt.readAtTimestamp(System.currentTimeMillis()).count() === 1) // v2 overwrite
+    intercept[IllegalArgumentException] { vt.readAtTimestamp(t0 - 60000) }
+  }
+
   test("appendStreamBatch: exactly-once per (app, batch), interleaving writers unaffected") {
     val vt = tables.versioned(tmpVt())
     def df(tag: String) = Seq((1L, tag)).toDF("k", "s")
