@@ -110,9 +110,10 @@ object SparkEntry {
       : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.product[Multimodal.MediaRow]
+    // extension class includes digits: "mp3" is [a-z0-9]+, not [a-z]+
     s.read.format("binaryFile").load(s"/root/repo/$dir/$glob")
-      .select(regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long").as("media_id"),
-        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("media_type"),
+      .select(regexp_extract(col("path"), "(\\d+)\\.[a-z0-9]+$", 1).cast("long").as("media_id"),
+        regexp_extract(col("path"), "\\.([a-z0-9]+)$", 1).as("media_type"),
         col("content")).as[Multimodal.MediaRow]
   }
 
@@ -1878,6 +1879,14 @@ object SparkEntry {
     // the container-meta path. Pinned against known SOF fields.
     "multimodal_decode_jpeg" -> ((s, _) =>
       Multimodal.extractMeta(mediaFixturesAt(s, "fixtures/media2", "*.jpg"),
+        batchSize = 2).toDF()),
+
+    // MP3 header metadata (MPEG-1 Layer III frame-header walk — the
+    // rate/channel fields a crawl pipeline routes on; payload decode
+    // needs an MDCT codec no JVM ships, so it degrades to empty like
+    // any unknown codec — documented, not hidden).
+    "multimodal_decode_mp3" -> ((s, _) =>
+      Multimodal.extractMeta(mediaFixturesAt(s, "fixtures/media2", "*.mp3"),
         batchSize = 2).toDF()),
 
     // JPEG perceptual hashing ACROSS formats: 7.jpg is a LOSSY
@@ -4249,6 +4258,20 @@ object SparkEntry {
         |FROM (VALUES
         |  (7, 'jpeg', 12, 7, 1, -1, 8, 417),
         |  (8, 'jpeg', 24, 16, 1, -1, 8, 407)
+        |) AS t(media_id, kind, width, height, channels, sample_rate, bits_per_sample, n_bytes)""".stripMargin,
+
+    // Frame-header fields of the structurally-valid MP3 fixture
+    // (44.1 kHz mono 128 kbps, 5 frames; replica: tools/media_replica
+    // mp3_meta).
+    "multimodal_decode_mp3" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
+        |  CAST(n_bytes AS INTEGER) AS n_bytes
+        |FROM (VALUES
+        |  (9, 'mp3', -1, -1, 1, 44100, -1, 2085)
         |) AS t(media_id, kind, width, height, channels, sample_rate, bits_per_sample, n_bytes)""".stripMargin,
 
     // 7.jpg (lossy re-encode of 6.png) hashes IDENTICALLY to 6.png —

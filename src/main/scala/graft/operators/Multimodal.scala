@@ -282,6 +282,47 @@ object Multimodal {
         }
       }
       meta.getOrElse(MediaMeta(r.media_id, "unknown", -1, -1, -1, -1, -1, b.length))
+    } else if (b.length >= 4 && ((b(0) == 'I'.toByte && b(1) == 'D'.toByte &&
+        b(2) == '3'.toByte) ||
+        ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0))) {
+      // MP3 (MPEG-1 Layer III): header-metadata ONLY — the fields a
+      // crawl pipeline routes/filters on (rate, channels) read from
+      // the pure byte structure of the frame headers; payload decode
+      // needs a real MDCT codec (none ships in the JVM) and degrades
+      // to zero values like any unknown codec. An optional ID3v2 tag
+      // (syncsafe size) is skipped; ≥ 2 consecutive structurally
+      // valid frames are required before classifying, so a random
+      // 0xFF-leading blob stays "unknown".
+      val bitratesV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320)
+      val ratesV1 = Array(44100, 48000, 32000)
+      var o: Long =
+        if (b(0) == 'I'.toByte && b.length >= 10)
+          10L + (((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+            ((b(8) & 0x7F) << 7) | (b(9) & 0x7F))
+        else 0L
+      var ch = -1; var rate = -1; var frames = 0; var bad = false
+      while (!bad && o + 4 <= b.length) {
+        val oi = o.toInt
+        val ok = (b(oi) & 0xFF) == 0xFF && (b(oi + 1) & 0xE0) == 0xE0 &&
+          ((b(oi + 1) >> 3) & 3) == 3 && ((b(oi + 1) >> 1) & 3) == 1
+        if (!ok) bad = true
+        else {
+          val bi = (b(oi + 2) & 0xFF) >> 4
+          val ri = (b(oi + 2) >> 2) & 3
+          val pad = (b(oi + 2) >> 1) & 1
+          if (bi == 0 || bi == 15 || ri == 3) bad = true
+          else {
+            ch = if (((b(oi + 3) & 0xFF) >> 6) == 3) 1 else 2
+            rate = ratesV1(ri)
+            frames += 1
+            o += (144L * bitratesV1L3(bi) * 1000L) / rate + pad
+          }
+        }
+      }
+      if (frames >= 2)
+        MediaMeta(r.media_id, "mp3", -1, -1, ch, rate, -1, b.length)
+      else MediaMeta(r.media_id, "unknown", -1, -1, -1, -1, -1, b.length)
     } else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
       // Walk chunks from offset 12: [4-byte id][le32 size][payload].
       // Offsets tracked in Long: a crafted chunk size near Int.MaxValue

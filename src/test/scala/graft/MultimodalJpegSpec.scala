@@ -129,6 +129,58 @@ class MultimodalJpegSpec extends SparkSuite {
     bos.toByteArray
   }
 
+  test("PROGRESSIVE JPEG decodes through the same path (the other real-crawl variant)") {
+    // Re-encode 8.jpg's pixels progressively with the JDK writer:
+    // the container meta walk must land on SOF2 and the payload must
+    // decode to the SAME samples (progressive vs sequential is an
+    // entropy-layout choice, not a pixel one — same coefficients,
+    // same IDCT).
+    val seq = jpg8
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(seq.content))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    val prog = Multimodal.MediaRow(108L, "jpg", bos.toByteArray)
+    val m = Multimodal.decodeMeta(prog)
+    assert((m.kind, m.width, m.height, m.channels) === (("jpeg", 24, 16, 1)))
+    // progressive re-encode at the writer's default quality is lossy
+    // on top of lossy — compare perceptually, not byte-wise
+    val h1 = Multimodal.dHash(seq).get
+    val h2 = Multimodal.dHash(prog).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 3,
+      s"progressive re-encode drifted: ${java.lang.Long.bitCount(h1 ^ h2)}")
+    val st = Multimodal.extractStats(ds(prog)).collect().head
+    assert(st.n_channels === 1 && st.n_values === 384)
+  }
+
+  test("MP3 header walk: meta parses, ID3 prefix skips, near-miss blobs stay unknown") {
+    val mp3 = mediaRow("/root/repo/fixtures/media2/9.mp3", 9L)
+    val m = Multimodal.decodeMeta(mp3)
+    assert((m.kind, m.channels, m.sample_rate, m.bits_per_sample) ===
+      (("mp3", 1, 44100, -1)))
+    // ID3v2-prefixed copy (10-byte header + 20-byte syncsafe body)
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++
+      Array.fill[Byte](20)(0x55) ++ mp3.content
+    val m2 = Multimodal.decodeMeta(Multimodal.MediaRow(91L, "mp3", tag))
+    assert((m2.kind, m2.channels, m2.sample_rate) === (("mp3", 1, 44100)))
+    // One valid frame header followed by garbage: < 2 frames → unknown
+    val short = mp3.content.take(417)
+    assert(Multimodal.decodeMeta(
+      Multimodal.MediaRow(92L, "mp3", short)).kind === "unknown")
+    // 0xFF-leading non-frame blob: unknown, never a crash
+    assert(Multimodal.decodeMeta(Multimodal.MediaRow(93L, "mp3",
+      Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 0, 1, 2))).kind === "unknown")
+    // payload decode degrades to zero values (no MDCT codec) — stats
+    // row present, honest n_values = 0
+    val st = Multimodal.extractStats(ds(mp3)).collect().head
+    assert(st.kind === "mp3" && st.n_values === 0)
+  }
+
   test("corrupt JPEG payloads degrade to empty values, never throw") {
     // Truncated before any SOF: unknown container.
     val trunc = Multimodal.MediaRow(90L, "jpg", jpg7.content.take(10))

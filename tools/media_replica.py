@@ -301,6 +301,66 @@ def write_jpeg_gray(path, w, h, rows, quality=88):
         f.write(out)
 
 
+# ---------- MP3 frame headers (metadata-only; no codec) ----------
+#
+# MPEG-1 Layer III frame headers are pure byte structure: 11-bit sync,
+# version/layer bits, bitrate/samplerate indices, channel mode. A
+# crawl pipeline reads these to route/filter audio (duration, rate,
+# channels) long before any expensive decode; payload decode needs a
+# real MDCT codec and stays out of scope on both sides (the JDK has
+# no MP3 decoder either), so the pins here are header-only.
+
+MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                     160, 192, 224, 256, 320]  # kbps, index 1..14
+MP3_RATES_V1 = [44100, 48000, 32000]
+
+
+def write_mp3(path, n_frames=5, bitrate_idx=9, rate_idx=0, mono=True):
+    """Structurally-valid MPEG-1 Layer III frame sequence with a
+    deterministic filler payload (no audio content — header fixture)."""
+    rate = MP3_RATES_V1[rate_idx]
+    kbps = MP3_BITRATES_V1L3[bitrate_idx]
+    frame_len = (144 * kbps * 1000) // rate  # padding bit 0
+    out = bytearray()
+    for f in range(n_frames):
+        hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (rate_idx << 2),
+                     0xC0 if mono else 0x00])
+        out += hdr
+        out += bytes(((f * 131 + i * 7 + 13) & 0xFF)
+                     for i in range(frame_len - 4))
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def mp3_meta(b):
+    """(channels, sample_rate, n_frames) from the frame-header walk —
+    mirrors the Scala parser: >= 2 consecutive valid headers required."""
+    o = 0
+    if b[:3] == b"ID3":  # skip ID3v2: syncsafe size at 6..9 + 10 hdr
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        o = 10 + size
+    ch = rate = None
+    frames = 0
+    while o + 4 <= len(b):
+        if b[o] != 0xFF or (b[o + 1] & 0xE0) != 0xE0:
+            break
+        version = (b[o + 1] >> 3) & 3
+        layer = (b[o + 1] >> 1) & 3
+        if version != 3 or layer != 1:  # MPEG-1 Layer III only
+            break
+        bi = b[o + 2] >> 4
+        ri = (b[o + 2] >> 2) & 3
+        pad = (b[o + 2] >> 1) & 1
+        if bi in (0, 15) or ri == 3:
+            break
+        mode = b[o + 3] >> 6
+        ch = 1 if mode == 3 else 2
+        rate = MP3_RATES_V1[ri]
+        frames += 1
+        o += (144 * MP3_BITRATES_V1L3[bi] * 1000) // rate + pad
+    return (ch, rate, frames) if frames >= 2 else (None, None, 0)
+
+
 # --- jidctint (jpeg-6b islow) constants ---
 _CB, _P1 = 13, 2
 _F0_298631336, _F0_390180644 = 2446, 3196
@@ -653,6 +713,9 @@ def generate():
     rows8 = [[min(255, 8 * x + 5 * y + (60 if (x - 12) ** 2 + (y - 8) ** 2 < 20 else 0))
               for x in range(24)] for y in range(16)]
     write_jpeg_gray(os.path.join(DIR2, "8.jpg"), 24, 16, rows8, quality=75)
+    # 9.mp3: structurally-valid MPEG-1 Layer III frames (44.1 kHz mono
+    # 128 kbps) — the header-metadata fixture; no audio payload.
+    write_mp3(os.path.join(DIR2, "9.mp3"))
 
 
 # ---------- report ----------
@@ -687,6 +750,10 @@ def main():
             ch, vals, w, h, depth = png_pixels(b)
             print(f"  meta: png w={w} h={h} ch={ch} depth={depth}")
             print(f"  dhash: {dhash(ch, vals, w, h)}")
+        elif kind == "mp3":
+            ch, rate, frames = mp3_meta(b)
+            print(f"  meta: mp3 ch={ch} rate={rate} frames={frames} bytes={len(b)}")
+            continue
         elif kind == "jpg":
             ch, vals, w, h = jpeg_pixels(b)
             print(f"  meta: jpeg w={w} h={h} ch={ch}")
