@@ -1101,6 +1101,43 @@ object SparkEntry {
         lit(tm.versionedFor(tbl).latestVersion + 1))
     }),
 
+    // Data skipping over the versioned table: orders appended in three
+    // disjoint o_orderdate slices; a mid-1997..mid-1998 range read must
+    // PRUNE the other two directories from manifest stats alone (the
+    // kept/skipped counts are part of the oracle) and still return
+    // exactly the full-scan answer. Timestamp bounds travel as epoch
+    // micros — the exact-stat domain (a seconds-truncated max could
+    // wrongly prune the row holding it).
+    "s_versioned_prune" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_prune").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        // the synthetic orders span 1995-01-01..2001-07-31: slice on
+        // 1997/1999 so every directory is non-empty (an empty slice
+        // has no stats and is conservatively kept — a different test)
+        val y97 = to_timestamp(lit("1997-01-01"))
+        val y99 = to_timestamp(lit("1999-01-01"))
+        vt.append(o.filter(col("o_orderdate") < y97))
+        vt.append(o.filter(col("o_orderdate") >= y97 && col("o_orderdate") < y99))
+        vt.append(o.filter(col("o_orderdate") >= y99))
+        val qLo = to_timestamp(lit("1997-07-01"))
+        val qHi = to_timestamp(lit("1998-07-01"))
+        val lo = 867715200000000L       // 1997-07-01T00:00:00Z in micros
+        val hi = 899251200000000L - 1L  // last micro before 1998-07-01Z
+        val (kept, skipped) = vt.pruneActive("o_orderdate", Some(lo), Some(hi))
+        vt.readPruned("o_orderdate", Some(lo), Some(hi))
+          .filter(col("o_orderdate") >= qLo && col("o_orderdate") < qHi)
+          .agg(count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("total"))
+          .select(col("n_rows"), round(col("total"), 2).as("total"),
+            lit(kept.length).as("kept_dirs"), lit(skipped.length).as("skipped_dirs"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+          .toSeq.toDF("n_rows", "total", "kept_dirs", "skipped_dirs")
+      } finally deleteRecursively(base)
+    }),
+
     // S15 (bytes-targeted form): OPTIMIZE's real contract is a target
     // file SIZE — the count must be DERIVED from table bytes. Target =
     // ceil(bytes/3) ⇒ derived count is exactly 3 for any byte total
@@ -3071,6 +3108,16 @@ object SparkEntry {
     "s_versioned_append" ->
       """SELECT r_regionkey, r_name, CAST(2 AS INTEGER) AS n_versions
         |FROM region""".stripMargin,
+
+    // The pruned 1995 slice answers exactly like a full-table scan,
+    // with exactly one directory kept of three.
+    "s_versioned_prune" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS INTEGER) AS kept_dirs, CAST(2 AS INTEGER) AS skipped_dirs
+        |FROM orders
+        |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-07-01'
+        |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-07-01'""".stripMargin,
 
     "s_http_source" ->
       """SELECT strptime(t, '%Y-%m-%dT%H:%M') AS time, pm10, pm2_5,

@@ -51,14 +51,25 @@ class VersionedTable(spark: SparkSession, dir: String,
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Per-directory, per-column min/max — the data-skipping index
+    * (Delta's file statistics): `kind` is "l" (integral/timestamp/date
+    * normalized to Long), "d" (fractional), or "s" (string); bounds
+    * are inclusive over the directory's rows.
+    */
+  case class ColStat(kind: String, min: Any, max: Any)
+
   /** One committed manifest — a DELTA against the previous version.
     * `numRows` is the rows ADDED by this commit. `txn` optionally tags
     * the commit with a (writer-app, batch-id) pair — the idempotence
     * token streaming sinks use (Delta's `txnAppId`/`txnVersion`).
+    * `addedStats` carries the data-skipping bounds of each added
+    * directory (empty for pre-stats manifests — readers keep such
+    * directories conservatively).
     */
   case class Commit(version: Int, op: String, added: Seq[String],
                     removed: Seq[String], numRows: Long, tsMs: Long,
-                    txn: Option[(String, Long)] = None)
+                    txn: Option[(String, Long)] = None,
+                    addedStats: Map[String, Map[String, ColStat]] = Map.empty)
 
   private def manifestPath(v: Int): Path = new Path(logDir, f"$v%08d.json")
   private def checkpointPath(v: Int): Path =
@@ -71,6 +82,45 @@ class VersionedTable(spark: SparkSession, dir: String,
     else (0 until arr.size()).map(arr.get(_).asText())
   }
 
+  private def parseStats(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Map[String, ColStat]] = {
+    if (node == null) return Map.empty
+    import scala.jdk.CollectionConverters._
+    node.properties().asScala.map { dirEnt =>
+      dirEnt.getKey -> dirEnt.getValue.properties().asScala.map { colEnt =>
+        val c = colEnt.getValue
+        def v(f: String): Any = c.get("k").asText() match {
+          case "l" => c.get(f).asLong()
+          case "d" => c.get(f).asDouble()
+          case _ => c.get(f).asText()
+        }
+        colEnt.getKey -> ColStat(c.get("k").asText(), v("lo"), v("hi"))
+      }.toMap
+    }.toMap
+  }
+
+  private def writeStats(node: com.fasterxml.jackson.databind.node.ObjectNode,
+                         field: String,
+                         stats: Map[String, Map[String, ColStat]]): Unit = {
+    if (stats.isEmpty) return
+    val dirsNode = node.putObject(field)
+    stats.foreach { case (dir, cols) =>
+      val dirNode = dirsNode.putObject(dir)
+      cols.foreach { case (col, st) =>
+        val cn = dirNode.putObject(col)
+        cn.put("k", st.kind)
+        st.kind match {
+          case "l" =>
+            cn.put("lo", st.min.asInstanceOf[Long]); cn.put("hi", st.max.asInstanceOf[Long])
+          case "d" =>
+            cn.put("lo", st.min.asInstanceOf[Double]); cn.put("hi", st.max.asInstanceOf[Double])
+          case _ =>
+            cn.put("lo", st.min.asInstanceOf[String]); cn.put("hi", st.max.asInstanceOf[String])
+        }
+      }
+    }
+  }
+
   private def parseManifest(p: Path): Commit = {
     val in = fs.open(p)
     val node = try mapper.readTree(in) finally in.close()
@@ -80,7 +130,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       else None
     Commit(node.get("version").asInt(), node.get("op").asText(),
       readArray(node, "added"), readArray(node, "removed"),
-      node.get("num_rows").asLong(), node.get("ts_ms").asLong(), txn)
+      node.get("num_rows").asLong(), node.get("ts_ms").asLong(), txn,
+      parseStats(node.get("added_stats")))
   }
 
   private val lastCheckpointPath = new Path(logDir, "_last_checkpoint")
@@ -147,7 +198,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     * hint without listing; time travel below the hinted checkpoint
     * falls back to the listing.
     */
-  private def checkpointAtOrBelow(v: Int): Option[(Int, Seq[String])] = {
+  private def checkpointAtOrBelow(v: Int)
+      : Option[(Int, Seq[String], Map[String, Map[String, ColStat]])] = {
     if (!fs.exists(logDir)) return None
     val best = lastCheckpointHint.filter(_ <= v).getOrElse {
       fs.listStatus(logDir).map(_.getPath.getName)
@@ -159,21 +211,30 @@ class VersionedTable(spark: SparkSession, dir: String,
     else {
       val in = fs.open(checkpointPath(best))
       val node = try mapper.readTree(in) finally in.close()
-      Some((best, readArray(node, "active")))
+      Some((best, readArray(node, "active"), parseStats(node.get("stats"))))
     }
   }
 
-  /** The active directory set of version `v`: nearest checkpoint plus
-    * the delta manifests since it. O(checkpointInterval) manifest
-    * reads on a checkpointed log, never O(v).
+  /** The (active directories, per-directory data-skipping stats) of
+    * version `v`: nearest checkpoint plus the delta manifests since
+    * it. O(checkpointInterval) manifest reads on a checkpointed log,
+    * never O(v). Directories without recorded stats map to an empty
+    * stat set (readers keep them conservatively).
     */
-  private def activeAt(v: Int): Seq[String] = {
-    val (start, base) = checkpointAtOrBelow(v).getOrElse((-1, Seq.empty[String]))
-    (start + 1 to v).foldLeft(base) { (active, i) =>
-      val c = commitAt(i)
-      active.filterNot(c.removed.toSet) ++ c.added
+  private def snapshotAt(v: Int)
+      : (Seq[String], Map[String, Map[String, ColStat]]) = {
+    val (start, baseActive, baseStats) =
+      checkpointAtOrBelow(v).getOrElse(
+        (-1, Seq.empty[String], Map.empty[String, Map[String, ColStat]]))
+    (start + 1 to v).foldLeft((baseActive, baseStats)) {
+      case ((active, stats), i) =>
+        val c = commitAt(i)
+        (active.filterNot(c.removed.toSet) ++ c.added,
+          stats -- c.removed ++ c.addedStats)
     }
   }
+
+  private def activeAt(v: Int): Seq[String] = snapshotAt(v)._1
 
   /** Atomically publish manifest `c` as version `c.version`: write to a
     * `.tmp` sibling, then rename onto the final slot. Rename-onto-
@@ -202,6 +263,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       c.txn.foreach { case (app, batch) =>
         node.put("txn_app", app); node.put("txn_batch", batch)
       }
+      writeStats(node, "added_stats", c.addedStats)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
     val target = manifestPath(c.version)
@@ -223,10 +285,12 @@ class VersionedTable(spark: SparkSession, dir: String,
   private def maybeCheckpoint(v: Int): Unit = {
     if (v <= 0 || v % checkpointInterval != 0 || fs.exists(checkpointPath(v)))
       return
-    writeCheckpoint(v, activeAt(v))
+    val (active, stats) = snapshotAt(v)
+    writeCheckpoint(v, active, stats)
   }
 
-  private def writeCheckpoint(v: Int, active: Seq[String]): Unit = {
+  private def writeCheckpoint(v: Int, active: Seq[String],
+                              stats: Map[String, Map[String, ColStat]]): Unit = {
     val tmp = new Path(logDir,
       f"$v%08d.checkpoint.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -235,6 +299,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       node.put("version", v)
       val arr = node.putArray("active")
       active.foreach(arr.add)
+      writeStats(node, "stats", stats)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
     if (fs.rename(tmp, checkpointPath(v))) writeLastCheckpointHint(v)
@@ -250,11 +315,46 @@ class VersionedTable(spark: SparkSession, dir: String,
     * The row count comes from the written files' parquet footers
     * (metadata-only), not a second data scan.
     */
-  private def writePayload(df: DataFrame, v: Int): (String, Long) = {
+  private def writePayload(df: DataFrame, v: Int): (String, Long, Map[String, ColStat]) = {
     val name = f"v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(root, name)
     df.write.parquet(dataDir.toString)
-    (name, spark.read.parquet(dataDir.toString).count())
+    val (rows, stats) = statsOf(dataDir.toString)
+    (name, rows, stats)
+  }
+
+  /** Row count + per-column min/max of one data directory — ONE job
+    * over the new files only (the former count read widened to carry
+    * the data-skipping bounds; metadata-cheap relative to the write).
+    * Supported kinds: integral → Long, timestamp → epoch micros
+    * (exact — a seconds-truncated max could wrongly prune the row
+    * holding it), fractional → Double, string as-is; other types are
+    * simply not indexed (readers keep the directory conservatively).
+    */
+  private def statsOf(dataDir: String): (Long, Map[String, ColStat]) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val d = spark.read.parquet(dataDir)
+    val cols = d.schema.fields.flatMap { f =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some((f.name, "l", col(f.name).cast("long")))
+        case TimestampType | TimestampNTZType =>
+          Some((f.name, "l", unix_micros(col(f.name).cast("timestamp"))))
+        case FloatType | DoubleType =>
+          Some((f.name, "d", col(f.name).cast("double")))
+        case StringType => Some((f.name, "s", col(f.name)))
+        case _ => None
+      }
+    }
+    val aggs = count(lit(1)) +: cols.flatMap { case (_, _, c) => Seq(min(c), max(c)) }
+    val row = d.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    val stats = cols.zipWithIndex.flatMap { case ((n, kind, _), i) =>
+      val lo = row.get(1 + 2 * i); val hi = row.get(2 + 2 * i)
+      if (lo == null || hi == null) None // all-null column: unindexed
+      else Some(n -> ColStat(kind, lo, hi))
+    }.toMap
+    (row.getLong(0), stats)
   }
 
   /** Commit `df` as a new version extending the current active set.
@@ -263,9 +363,9 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   def append(df: DataFrame): Int = {
     val v = latestVersion + 1
-    val (name, rows) = writePayload(df, v)
+    val (name, rows, stats) = writePayload(df, v)
     publish(Commit(v, "append", Seq(name), Seq.empty, rows,
-      System.currentTimeMillis()))
+      System.currentTimeMillis(), addedStats = Map(name -> stats)))
     v
   }
 
@@ -281,13 +381,13 @@ class VersionedTable(spark: SparkSession, dir: String,
     * commit changes meaning, and that decision belongs to the caller.
     */
   def appendWithRetry(df: DataFrame, maxRetries: Int = 5): Int = {
-    val (name, rows) = writePayload(df, latestVersion + 1)
+    val (name, rows, stats) = writePayload(df, latestVersion + 1)
     var attempt = 0
     while (true) {
       val v = latestVersion + 1
       try {
         publish(Commit(v, "append", Seq(name), Seq.empty, rows,
-          System.currentTimeMillis()))
+          System.currentTimeMillis(), addedStats = Map(name -> stats)))
         return v
       } catch {
         case e: IllegalStateException =>
@@ -315,13 +415,14 @@ class VersionedTable(spark: SparkSession, dir: String,
                         maxRetries: Int = 5): Option[Int] = {
     require(app.nonEmpty, "app id must be non-empty")
     if (lastCommittedBatch(app).exists(_ >= batchId)) return None
-    val (name, rows) = writePayload(df, latestVersion + 1)
+    val (name, rows, stats) = writePayload(df, latestVersion + 1)
     var attempt = 0
     while (true) {
       val v = latestVersion + 1
       try {
         publish(Commit(v, "append", Seq(name), Seq.empty, rows,
-          System.currentTimeMillis(), Some((app, batchId))))
+          System.currentTimeMillis(), Some((app, batchId)),
+          addedStats = Map(name -> stats)))
         return Some(v)
       } catch {
         case e: IllegalStateException =>
@@ -361,10 +462,10 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   def overwrite(df: DataFrame): Int = {
     val v = latestVersion + 1
-    val (name, rows) = writePayload(df, v)
+    val (name, rows, stats) = writePayload(df, v)
     val prevActive = if (v == 0) Seq.empty else activeAt(v - 1)
     publish(Commit(v, "overwrite", Seq(name), prevActive, rows,
-      System.currentTimeMillis()))
+      System.currentTimeMillis(), addedStats = Map(name -> stats)))
     v
   }
 
@@ -382,6 +483,82 @@ class VersionedTable(spark: SparkSession, dir: String,
       s"data directory $p of version $v was vacuumed; only versions >= " +
         "the retention window are readable"))
     spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
+  }
+
+  /** Normalize a caller-supplied bound to the stat domain: integrals
+    * and timestamps → Long (micros), fractionals → Double, strings
+    * as-is.
+    */
+  private def normBound(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case l: Long => l
+    case f: Float => f.toDouble
+    case d: Double => d
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    case s: String => s
+    case other => throw new IllegalArgumentException(
+      s"unsupported pruning bound type: ${other.getClass.getName}")
+  }
+
+  /** stat-domain comparison; numeric kinds coerce to Double when mixed. */
+  private def cmpBound(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (_: String, _) | (_, _: String) => throw new IllegalArgumentException(
+      s"cannot compare string and numeric pruning bounds ($a vs $b)")
+    case _ =>
+      val d = (v: Any) => v match { case l: Long => l.toDouble; case d: Double => d }
+      java.lang.Double.compare(d(a), d(b))
+  }
+
+  /** Data skipping (Delta file statistics): split version `v`'s
+    * (default: latest) active directories into (kept, skipped) for a
+    * range predicate `lower <= colName <= upper` — a directory is
+    * skipped only when its recorded [min, max] provably cannot
+    * intersect the range; directories without stats for the column
+    * (unsupported type, all-null, pre-stats commits) are kept
+    * conservatively. Pruning happens on MANIFEST metadata before any
+    * parquet footer is opened — at 100 TB this is the difference
+    * between touching one ingestion-day's directories and listing
+    * them all; parquet row-group skipping then prunes WITHIN the kept
+    * directories when the caller applies the same predicate.
+    */
+  def pruneActive(colName: String, lower: Option[Any] = None,
+                  upper: Option[Any] = None,
+                  version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    val (active, stats) = snapshotAt(v)
+    val lo = lower.map(normBound)
+    val hi = upper.map(normBound)
+    active.partition { d =>
+      stats.get(d).flatMap(_.get(colName)) match {
+        case None => true // no stats -> keep
+        case Some(st) =>
+          !(lo.exists(l => cmpBound(st.max, l) < 0) ||
+            hi.exists(h => cmpBound(st.min, h) > 0))
+      }
+    }
+  }
+
+  /** [[readAt]] with [[pruneActive]] data skipping applied: the
+    * returned frame unions only directories that can hold rows with
+    * `colName` in [lower, upper]. The caller still applies the actual
+    * row filter — pruning is a superset guarantee, not a filter.
+    */
+  def readPruned(colName: String, lower: Option[Any] = None,
+                 upper: Option[Any] = None,
+                 version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion)
+    commitAt(v)
+    val (kept, _) = pruneActive(colName, lower, upper, Some(v))
+    // every directory pruned is a legitimate answer (the range holds
+    // no rows): an empty frame with the snapshot's schema
+    if (kept.isEmpty) readAt(v).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(n => new Path(root, n).toString): _*)
   }
 
   /** `TIMESTAMP AS OF`: the newest version committed at or before
@@ -457,7 +634,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     val cutoff = math.max(0, latest - keepLast + 1)
     if (cutoff > 0 && fs.exists(manifestPath(cutoff)) &&
         !fs.exists(checkpointPath(cutoff)))
-      writeCheckpoint(cutoff, activeAt(cutoff))
+      { val (a, st) = snapshotAt(cutoff); writeCheckpoint(cutoff, a, st) }
     // Everything a kept version can reference: the oldest kept
     // version's active set plus every directory added after it.
     val referenced: Set[String] =

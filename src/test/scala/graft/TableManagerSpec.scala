@@ -462,6 +462,50 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.history().count() === 4)
   }
 
+  test("data skipping: manifest stats prune directories a range predicate cannot touch") {
+    val vt = tables.versioned(tmpVt())
+    // three appends with disjoint key ranges + a string label
+    vt.append((0L until 100L).map(i => (i, i / 10.0, s"a$i")).toDF("k", "x", "s"))
+    vt.append((100L until 200L).map(i => (i, i / 10.0, s"b$i")).toDF("k", "x", "s"))
+    vt.append((200L until 300L).map(i => (i, i / 10.0, s"c$i")).toDF("k", "x", "s"))
+    // numeric range hitting only the middle directory
+    val (kept, skipped) = vt.pruneActive("k", Some(120L), Some(180L))
+    assert(kept.size === 1 && skipped.size === 2, s"$kept / $skipped")
+    // pruned read + filter == full read + filter (superset guarantee)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("k").between(120, 180)).select("k").collect()
+        .map(_.getLong(0)).toSet
+    assert(rows(vt.readPruned("k", Some(120L), Some(180L))) === rows(vt.read()))
+    // boundary inclusivity: a range touching a directory's max keeps it
+    assert(vt.pruneActive("k", Some(99L), Some(99L))._1.size === 1)
+    // fractional and string kinds prune too
+    assert(vt.pruneActive("x", Some(25.0), None)._2.size === 2)
+    assert(vt.pruneActive("s", Some("b"), Some("bzzz"))._1.size === 1)
+    // string-vs-numeric bound mismatch fails loudly
+    intercept[IllegalArgumentException] { vt.pruneActive("s", Some(5L), None) }
+    // unknown column: everything kept (conservative)
+    assert(vt.pruneActive("nope", Some(0L), None)._1.size === 3)
+    // empty intersection: zero kept, readPruned returns an empty frame
+    assert(vt.readPruned("k", Some(1000L), None).count() === 0)
+    // overwrite drops removed directories' stats from the snapshot
+    vt.overwrite((500L until 510L).map(i => (i, 0.0, "z")).toDF("k", "x", "s"))
+    assert(vt.pruneActive("k", Some(0L), Some(300L))._1.isEmpty)
+    assert(vt.pruneActive("k", Some(505L), None)._1.size === 1)
+  }
+
+  test("data skipping survives the checkpoint: stats ride the full-active-set snapshot") {
+    val vt = new graft.sources.VersionedTable(spark, tmpVt(), checkpointInterval = 4)
+    (0 until 9).foreach(i =>
+      vt.append(Seq((i * 100L, (i * 100 + 99).toLong)).toDF("lo", "hi")
+        .selectExpr("explode(sequence(lo, hi)) AS k")))
+    // v8 resolves via the v8 checkpoint (interval 4) + 0 deltas; the
+    // pruning index must still know every directory's bounds.
+    val (kept, skipped) = vt.pruneActive("k", Some(250L), Some(260L))
+    assert(kept.size === 1 && skipped.size === 8)
+    assert(vt.readPruned("k", Some(250L), Some(260L))
+      .filter(col("k").between(250, 260)).count() === 11)
+  }
+
   test("readAtTimestamp: newest version at-or-before the clock, loud outside the window") {
     val vt = tables.versioned(tmpVt())
     vt.append(Seq((1L, "a")).toDF("k", "s"))
