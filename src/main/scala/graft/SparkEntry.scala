@@ -1138,6 +1138,32 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // Transactional OPTIMIZE then pruned read: orders appended in 3
+    // INTERLEAVED slices (every directory straddles the whole key
+    // range — pruning can skip nothing), then optimize() rewrites the
+    // table into 3 range-disjoint chunks in ONE commit. The same
+    // narrow key range afterwards keeps exactly one chunk; rows must
+    // equal the plain full-scan answer, and the pre-optimize version
+    // still time-travels (its count rides the oracle too).
+    "s_versioned_optimize" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_opt").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        (0 until 3).foreach(i => vt.append(o.filter(col("o_orderkey") % 3 === i)))
+        val preSkipped = vt.pruneActive("o_orderkey", Some(1000L), Some(1400L))._2.length
+        val vOpt = vt.optimize("o_orderkey", targetChunks = 3)
+        val (kept, skipped) = vt.pruneActive("o_orderkey", Some(1000L), Some(1400L))
+        val rows = vt.readPruned("o_orderkey", Some(1000L), Some(1400L))
+          .filter(col("o_orderkey").between(1000L, 1400L))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total")).head
+        Seq((rows.getLong(0), math.round(rows.getDouble(1) * 100) / 100.0,
+          preSkipped, kept.length, skipped.length, vt.readAt(vOpt - 1).count()))
+          .toDF("n_rows", "total", "pre_skipped", "kept_dirs", "skipped_dirs", "rows_pre_opt")
+      } finally deleteRecursively(base)
+    }),
+
     // S15 (bytes-targeted form): OPTIMIZE's real contract is a target
     // file SIZE — the count must be DERIVED from table bytes. Target =
     // ceil(bytes/3) ⇒ derived count is exactly 3 for any byte total
@@ -3118,6 +3144,17 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-07-01'
         |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-07-01'""".stripMargin,
+
+    // Interleaved appends prune nothing (pre_skipped = 0); after the
+    // 3-chunk optimize the narrow range keeps exactly one directory,
+    // the answer equals the full scan, and the pre-optimize snapshot
+    // still serves every order row.
+    "s_versioned_optimize" ->
+      """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
+        |  CAST(0 AS INTEGER) AS pre_skipped,
+        |  CAST(1 AS INTEGER) AS kept_dirs, CAST(2 AS INTEGER) AS skipped_dirs,
+        |  (SELECT count(*) FROM orders) AS rows_pre_opt
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1400""".stripMargin,
 
     "s_http_source" ->
       """SELECT strptime(t, '%Y-%m-%dT%H:%M') AS time, pm10, pm2_5,

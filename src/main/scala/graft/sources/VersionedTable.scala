@@ -469,6 +469,67 @@ class VersionedTable(spark: SparkSession, dir: String,
     v
   }
 
+  /** Transactional OPTIMIZE [ZORDER] — Delta's compaction as ONE
+    * commit: rewrite the current active set into `targetChunks`
+    * RANGE-DISJOINT directories clustered on `clusterBy` (chunk
+    * boundaries from approximate quantiles), then publish a single
+    * "optimize" manifest removing the old directories and adding the
+    * chunks. Readers never see a half-compacted table (old versions
+    * stay readable until vacuum), and because data-skipping stats are
+    * per-directory, range-disjoint chunks make [[pruneActive]] TIGHT
+    * after compaction — a range predicate keeps ~1/targetChunks of the
+    * table instead of every append-order directory it used to
+    * straddle. Rows with a NULL cluster key ride the last chunk.
+    * Returns the committed version.
+    */
+  def optimize(clusterBy: String, targetChunks: Int): Int = {
+    require(targetChunks >= 1, s"targetChunks must be >= 1: $targetChunks")
+    import org.apache.spark.sql.functions.col
+    val snap = read()
+    // approxQuantile wants a numeric column: timestamps/integrals
+    // shadow-cast to double for the BOUNDARIES only — rows are
+    // filtered on the shadow, written with their original columns.
+    val ck = "__graft_ck"
+    snap.schema(clusterBy).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"optimize clusterBy must be numeric or timestamp, got " +
+          s"${other.simpleString} (a string cast would null every key)")
+    }
+    val keyed = snap.withColumn(ck, col(clusterBy).cast("double"))
+    val v = latestVersion + 1
+    val cuts =
+      if (targetChunks == 1) Array.empty[Double]
+      else keyed.stat.approxQuantile(ck,
+        (1 until targetChunks).map(_.toDouble / targetChunks).toArray, 0.01)
+        .distinct // duplicate cuts would emit empty chunks
+    val chunks = (0 to cuts.length).map { i =>
+      val lo = if (i == 0) None else Some(cuts(i - 1))
+      val hi = if (i == cuts.length) None else Some(cuts(i))
+      var c = keyed
+      lo.foreach(l => c = c.filter(col(ck) > l))
+      hi.foreach(h => c = c.filter(col(ck) <= h))
+      if (i == cuts.length) // last chunk also carries null keys
+        c = keyed.filter(col(ck).isNull).unionByName(c)
+      c.sortWithinPartitions(col(ck)).drop(ck)
+    }
+    val written = chunks.zipWithIndex.flatMap { case (c, i) =>
+      val name = f"v$v%05d-opt$i%03d-${java.util.UUID.randomUUID().toString.take(8)}"
+      val path = new Path(root, name)
+      c.write.parquet(path.toString)
+      val (rows, stats) = statsOf(path.toString)
+      if (rows == 0L) { fs.delete(path, true); None } // stat-less empty dir would defeat pruning
+      else Some((name, rows, stats))
+    }
+    val prevActive = activeAt(v - 1)
+    publish(Commit(v, "optimize", written.map(_._1), prevActive,
+      written.map(_._2).sum, System.currentTimeMillis(),
+      addedStats = written.map(w => w._1 -> w._3).toMap))
+    v
+  }
+
   /** `VERSION AS OF v`: the table exactly as version `v` committed it.
     * mergeSchema: a later evolving append must not change what an OLD
     * version reads, and an old version read after evolution pads

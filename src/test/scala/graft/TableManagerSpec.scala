@@ -506,6 +506,37 @@ class TableManagerSpec extends SparkSuite {
       .filter(col("k").between(250, 260)).count() === 11)
   }
 
+  test("optimize: one-commit range-chunked rewrite; pruning becomes tight afterwards") {
+    val vt = tables.versioned(tmpVt())
+    // interleaved appends: every directory straddles the full key
+    // range, so pre-optimize pruning can skip NOTHING
+    (0 until 4).foreach(i =>
+      vt.append((0L until 400L).filter(_ % 4 == i).map(k => (k, s"r$k"))
+        .toDF("k", "s")))
+    assert(vt.pruneActive("k", Some(100L), Some(120L))._2.isEmpty)
+    val before = vt.read().select("k").collect().map(_.getLong(0)).sorted
+    val v = vt.optimize("k", targetChunks = 4)
+    // same rows, one commit, history records the op
+    val after = vt.read().select("k").collect().map(_.getLong(0)).sorted
+    assert(after.toSeq === before.toSeq)
+    assert(vt.history().filter(col("version") === v)
+      .select("op").head.getString(0) === "optimize")
+    // pre-optimize versions still time-travel
+    assert(vt.readAt(v - 1).count() === 400)
+    // range-disjoint chunks: a narrow range now keeps ~1 of 4 dirs
+    val (kept, skipped) = vt.pruneActive("k", Some(100L), Some(120L))
+    assert(kept.size <= 2 && skipped.nonEmpty, s"$kept / $skipped")
+    assert(vt.readPruned("k", Some(100L), Some(120L))
+      .filter(col("k").between(100, 120)).count() === 21)
+    // vacuum reclaims the pre-optimize directories
+    assert(vt.vacuum(keepLast = 1) === 4)
+    assert(vt.read().count() === 400)
+    // degenerate inputs fail loudly / behave
+    intercept[IllegalArgumentException] { vt.optimize("s", 2) }
+    assert(vt.optimize("k", 1) > v) // single-chunk compaction commits fine
+    assert(vt.read().count() === 400)
+  }
+
   test("readAtTimestamp: newest version at-or-before the clock, loud outside the window") {
     val vt = tables.versioned(tmpVt())
     vt.append(Seq((1L, "a")).toDF("k", "s"))
