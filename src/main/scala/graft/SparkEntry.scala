@@ -2094,6 +2094,32 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // Streaming ENRICHMENT via the native as-of join: each click
+    // micro-batch joins to the STATIC signups dimension through
+    // AsOfJoinExec inside foreachBatch (the enrich-with-latest-state
+    // pattern). As-of answers per left row against a static right
+    // side, so any micro-batching of the clicks reproduces the global
+    // batch join — the oracle is DuckDB's native ASOF over the full
+    // tables, the same as q29/q58/q60.
+    "streaming_asof" -> ((s, dir) => {
+      val tbl = "graft_gate_stream_asof"
+      resetTable(s, tbl)
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_id"))
+      val clicks = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      StreamingJobs.runToTable(s, clicks, tbl, statePartitions = Some(8),
+        transform = batch =>
+          graft.plans.AsOfJoinPlan.asOfNative(batch, signups, Seq("user_id"),
+              "ts", "signup_ts")
+            .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+              col("asof_signup_id")))
+      s.table(tbl).select(col("event_id"), col("ts"), col("user_id"),
+        col("value"), col("asof_signup_id"))
+    }),
+
     // RESTART/RESUME across a process boundary: run 1 dedups the
     // even-id half of events into a table through a DURABLE checkpoint
     // (RocksDB state store), the query STOPS, more files land, and a
@@ -4518,6 +4544,18 @@ object SparkEntry {
 
     "streaming_to_table" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // Per-micro-batch as-of enrichment of a click stream against the
+    // static signup dimension == the global batch ASOF (as-of is
+    // per-left-row against a static right side).
+    "streaming_asof" ->
+      """SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id, c.value,
+        |  s.signup_id AS asof_signup_id
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS signup_ts, event_id AS signup_id
+        |      FROM events WHERE event_type = 'signup') s
+        |ON c.user_id = s.user_id AND c.ts >= s.signup_ts""".stripMargin,
 
     // Exactly-once versioned sink: the streamed events land once each
     // (batch-0 replay skipped via the txn tag) plus the 7-row
