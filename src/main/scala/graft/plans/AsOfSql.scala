@@ -42,9 +42,47 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val AsOfRe = "(?i)\\bASOF\\s+(LEFT\\s+)?JOIN\\b".r
 
+  /** `sqlText` with string literals ('…', "…", including '' escapes)
+    * and comments (-- to EOL, bracketed) blanked out, same length —
+    * so the ASOF regex can only match live syntax, never the words
+    * "ASOF JOIN" inside a literal or a comment.
+    */
+  private def maskLiteralsAndComments(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    def blankUntil(stop: Int): Unit = {
+      while (i < stop) { out(i) = ' '; i += 1 }
+    }
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case q @ ('\'' | '"') =>
+          var j = i + 1
+          var open = true
+          while (open && j < sql.length) {
+            if (sql.charAt(j) == q) {
+              if (j + 1 < sql.length && sql.charAt(j + 1) == q) j += 2 // '' escape
+              else { open = false; j += 1 }
+            } else j += 1
+          }
+          blankUntil(j)
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          var j = i
+          while (j < sql.length && sql.charAt(j) != '\n') j += 1
+          blankUntil(j)
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          var j = sql.indexOf("*/", i + 2)
+          j = if (j < 0) sql.length else j + 2
+          blankUntil(j)
+        case _ => i += 1
+      }
+    }
+    new String(out)
+  }
+
   private def rewrite(sqlText: String,
                       parse: String => LogicalPlan): LogicalPlan = {
-    val ms = AsOfRe.findAllMatchIn(sqlText).toList
+    // match offsets against the MASKED text; splice on the original
+    val ms = AsOfRe.findAllMatchIn(maskLiteralsAndComments(sqlText)).toList
     if (ms.isEmpty) return parse(sqlText)
     if (ms.length > 1) throw new IllegalArgumentException(
       "only one ASOF JOIN per statement is supported; split the query")

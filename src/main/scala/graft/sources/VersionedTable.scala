@@ -199,7 +199,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     * falls back to the listing.
     */
   private def checkpointAtOrBelow(v: Int)
-      : Option[(Int, Seq[String], Map[String, Map[String, ColStat]])] = {
+      : Option[(Int, Seq[String], Map[String, Map[String, ColStat]], Map[String, Long])] = {
     if (!fs.exists(logDir)) return None
     val best = lastCheckpointHint.filter(_ <= v).getOrElse {
       fs.listStatus(logDir).map(_.getPath.getName)
@@ -211,7 +211,15 @@ class VersionedTable(spark: SparkSession, dir: String,
     else {
       val in = fs.open(checkpointPath(best))
       val node = try mapper.readTree(in) finally in.close()
-      Some((best, readArray(node, "active"), parseStats(node.get("stats"))))
+      val txns: Map[String, Long] = {
+        val t = node.get("txns")
+        if (t == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        }
+      }
+      Some((best, readArray(node, "active"), parseStats(node.get("stats")), txns))
     }
   }
 
@@ -222,15 +230,18 @@ class VersionedTable(spark: SparkSession, dir: String,
     * stat set (readers keep them conservatively).
     */
   private def snapshotAt(v: Int)
-      : (Seq[String], Map[String, Map[String, ColStat]]) = {
-    val (start, baseActive, baseStats) =
+      : (Seq[String], Map[String, Map[String, ColStat]], Map[String, Long]) = {
+    val (start, baseActive, baseStats, baseTxns) =
       checkpointAtOrBelow(v).getOrElse(
-        (-1, Seq.empty[String], Map.empty[String, Map[String, ColStat]]))
-    (start + 1 to v).foldLeft((baseActive, baseStats)) {
-      case ((active, stats), i) =>
+        (-1, Seq.empty[String], Map.empty[String, Map[String, ColStat]],
+          Map.empty[String, Long]))
+    (start + 1 to v).foldLeft((baseActive, baseStats, baseTxns)) {
+      case ((active, stats, txns), i) =>
         val c = commitAt(i)
         (active.filterNot(c.removed.toSet) ++ c.added,
-          stats -- c.removed ++ c.addedStats)
+          stats -- c.removed ++ c.addedStats,
+          c.txn.fold(txns) { case (app, b) =>
+            txns + (app -> math.max(b, txns.getOrElse(app, Long.MinValue))) })
     }
   }
 
@@ -285,12 +296,13 @@ class VersionedTable(spark: SparkSession, dir: String,
   private def maybeCheckpoint(v: Int): Unit = {
     if (v <= 0 || v % checkpointInterval != 0 || fs.exists(checkpointPath(v)))
       return
-    val (active, stats) = snapshotAt(v)
-    writeCheckpoint(v, active, stats)
+    val (active, stats, txns) = snapshotAt(v)
+    writeCheckpoint(v, active, stats, txns)
   }
 
   private def writeCheckpoint(v: Int, active: Seq[String],
-                              stats: Map[String, Map[String, ColStat]]): Unit = {
+                              stats: Map[String, Map[String, ColStat]],
+                              txns: Map[String, Long]): Unit = {
     val tmp = new Path(logDir,
       f"$v%08d.checkpoint.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -300,6 +312,10 @@ class VersionedTable(spark: SparkSession, dir: String,
       val arr = node.putArray("active")
       active.foreach(arr.add)
       writeStats(node, "stats", stats)
+      if (txns.nonEmpty) {
+        val tn = node.putObject("txns")
+        txns.foreach { case (app, b) => tn.put(app, b) }
+      }
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
     if (fs.rename(tmp, checkpointPath(v))) writeLastCheckpointHint(v)
@@ -440,21 +456,15 @@ class VersionedTable(spark: SparkSession, dir: String,
     None // unreachable
   }
 
-  /** The newest committed batch id for `app`, walking manifests from
-    * the latest backward until one carries this app's txn tag.
+  /** The newest committed batch id for `app`: checkpoints fold every
+    * app's newest txn tag into a `txns` map (exactly Delta's
+    * checkpointed SetTransaction actions), so the lookup replays only
+    * the delta tail since the nearest checkpoint — O(interval), never
+    * a full-log walk, even for an app that has never committed.
     */
   private def lastCommittedBatch(app: String): Option[Long] = {
-    var v = latestVersion
-    while (v >= 0) {
-      if (fs.exists(manifestPath(v))) {
-        commitAt(v).txn match {
-          case Some((a, b)) if a == app => return Some(b)
-          case _ => ()
-        }
-      }
-      v -= 1
-    }
-    None
+    val latest = latestVersion
+    if (latest < 0) None else snapshotAt(latest)._3.get(app)
   }
 
   /** Commit `df` as a new version REPLACING the active set. Old
@@ -563,10 +573,25 @@ class VersionedTable(spark: SparkSession, dir: String,
       s"unsupported pruning bound type: ${other.getClass.getName}")
   }
 
-  /** stat-domain comparison; numeric kinds coerce to Double when mixed. */
+  /** stat-domain comparison; numeric kinds coerce to Double when
+    * mixed. Strings compare in UNSIGNED UTF-8 BYTE order — the order
+    * Spark's min/max (UTF8String) computed the stats in; Java's
+    * `compareTo` (UTF-16 code units) disagrees with it for
+    * supplementary-plane characters, and a mismatched order could
+    * prune a directory that actually holds matching rows.
+    */
   private def cmpBound(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < xb.length && i < yb.length) {
+        val c = (xb(i) & 0xFF) - (yb(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      xb.length - yb.length
     case (_: String, _) | (_, _: String) => throw new IllegalArgumentException(
       s"cannot compare string and numeric pruning bounds ($a vs $b)")
     case _ =>
@@ -591,7 +616,7 @@ class VersionedTable(spark: SparkSession, dir: String,
                   version: Option[Int] = None): (Seq[String], Seq[String]) = {
     val v = version.getOrElse(latestVersion)
     require(v >= 0, s"$dir has no committed versions")
-    val (active, stats) = snapshotAt(v)
+    val (active, stats, _) = snapshotAt(v)
     val lo = lower.map(normBound)
     val hi = upper.map(normBound)
     active.partition { d =>
@@ -695,7 +720,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     val cutoff = math.max(0, latest - keepLast + 1)
     if (cutoff > 0 && fs.exists(manifestPath(cutoff)) &&
         !fs.exists(checkpointPath(cutoff)))
-      { val (a, st) = snapshotAt(cutoff); writeCheckpoint(cutoff, a, st) }
+      { val (a, st, tx) = snapshotAt(cutoff); writeCheckpoint(cutoff, a, st, tx) }
     // Everything a kept version can reference: the oldest kept
     // version's active set plus every directory added after it.
     val referenced: Set[String] =

@@ -120,6 +120,27 @@ class AsOfSqlSpec extends SparkSuite {
       .contains("left vs right"))
   }
 
+  test("'ASOF JOIN' inside literals and comments is not syntax") {
+    // a string literal mentioning ASOF JOIN must run as plain SQL
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM asof_l WHERE lv != 'the ASOF JOIN keyword'")
+      .head.getLong(0)
+    assert(n === 3)
+    // a comment mentioning it alongside a REAL asof join parses once
+    val real = spark.sql(
+      """-- this statement uses ASOF JOIN below
+        |SELECT l.k, l.lv, r.rv /* ASOF JOIN in a comment too */
+        |FROM asof_l l ASOF LEFT JOIN asof_r r
+        |ON l.k = r.k AND l.t >= r.rt""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(real === Set((1L, "L10", Some("a")), (1L, "L20", Some("c")), (2L, "L5", None)))
+    // doubled-quote escape inside a literal does not unbalance masking
+    val n2 = spark.sql(
+      "SELECT count(*) AS n FROM asof_l WHERE lv != 'it''s an ASOF JOIN'")
+      .head.getLong(0)
+    assert(n2 === 3)
+  }
+
   test("ordinary SQL still parses and runs through the delegating parser") {
     val n = spark.sql(
       "SELECT count(*) AS n FROM asof_l JOIN asof_r USING (k)").head.getLong(0)

@@ -573,6 +573,24 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.appendStreamBatch(df("b0-late"), "appA", 0L) === None)
   }
 
+  test("appendStreamBatch txn tags survive checkpoints and vacuum (no full-log walk)") {
+    val vt = new graft.sources.VersionedTable(spark, tmpVt(), checkpointInterval = 3)
+    def df(tag: String) = Seq((1L, tag)).toDF("k", "s")
+    (0 to 6).foreach(b => vt.appendStreamBatch(df(s"b$b"), "appA", b.toLong))
+    // the checkpoint at v6 folded appA's newest batch id; replays of
+    // any stale batch skip without walking manifests below it
+    assert(vt.appendStreamBatch(df("replay"), "appA", 6L) === None)
+    assert(vt.appendStreamBatch(df("replay"), "appA", 2L) === None)
+    // vacuum away the early manifests: the cutoff checkpoint still
+    // carries the txn map, so replay protection survives retention
+    vt.vacuum(keepLast = 2)
+    assert(vt.appendStreamBatch(df("replay"), "appA", 6L) === None)
+    assert(vt.read().count() === 7)
+    // a genuinely new batch still commits
+    assert(vt.appendStreamBatch(df("b7"), "appA", 7L).isDefined)
+    assert(vt.read().count() === 8)
+  }
+
   test("versioned table: 100 appends — delta manifests stay O(1), checkpoints bound replay") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir, checkpointInterval = 10)
