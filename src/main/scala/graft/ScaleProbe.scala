@@ -136,6 +136,37 @@ object ScaleProbe {
             graft.plans.AsOfJoinPlan.asOfNative(l, r, Seq("k"), "t", "rt")))
         }
 
+      case "prune" =>
+        // Data-skipping payoff: K time-sliced appends of a widened
+        // documents corpus into a VersionedTable, then a one-slice
+        // range query as (a) full snapshot scan + filter vs (b)
+        // readPruned + the same filter. The pruned plan opens 1/K of
+        // the directories BEFORE any parquet footer is read — the
+        // manifest-level half of the two-level (dir prune + row-group
+        // skip) story.
+        val k = args.lift(1).map(_.toInt).getOrElse(20)
+        val reps = args.lift(2).map(_.toInt).getOrElse(10)
+        val tmp = java.nio.file.Files.createTempDirectory("probe-prune").toString
+        val vt = new graft.sources.VersionedTable(spark, tmp)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val wide = (0 until reps).map(i =>
+            docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              col("text"))).reduce(_ unionByName _)
+        (0 until k).foreach(slice =>
+          vt.append(wide.filter(pmod(col("doc_id"), lit(k.toLong)) === slice)
+            .withColumn("ingest_slice", lit(slice.toLong))))
+        val (kept, skipped) = vt.pruneActive("ingest_slice", Some(7L), Some(7L))
+        println(s"[probe] dirs kept=${kept.size} skipped=${skipped.size}")
+        def sink(df: DataFrame) =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { pass =>
+          timed(s"full scan + filter   p$pass")(sink(
+            vt.read().filter(col("ingest_slice") === 7L)))
+          timed(s"pruned read + filter p$pass")(sink(
+            vt.readPruned("ingest_slice", Some(7L), Some(7L))
+              .filter(col("ingest_slice") === 7L)))
+        }
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
