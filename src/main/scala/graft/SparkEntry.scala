@@ -533,7 +533,24 @@ object SparkEntry {
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_id"))
       graft.plans.AsOfJoinPlan.asOfNative(clicks, signups, Seq("user_id"),
-          "ts", "signup_ts")
+          "ts", "signup_ts", hint = Some("merge"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("asof_signup_id"))
+    }),
+
+    // The broadcast physical form of the same join (hint="broadcast",
+    // BroadcastAsOfJoinExec): the fact side is never exchanged or
+    // sorted — one BroadcastExchange on the dimension-sized signups,
+    // zero shuffles total (PlanShapeSpec pins it). Same DuckDB ASOF
+    // oracle as q29/q58/q60: all four physical forms must agree.
+    "q61_asof_broadcast" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_id"))
+      graft.plans.AsOfJoinPlan.asOfNative(clicks, signups, Seq("user_id"),
+          "ts", "signup_ts", hint = Some("broadcast"))
         .select(col("event_id"), col("ts"), col("user_id"), col("value"),
           col("asof_signup_id"))
     }),
@@ -561,7 +578,7 @@ object SparkEntry {
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_id"))
       graft.plans.AsOfJoinPlan.asOfNative(clicks, signups, Seq("user_id"),
-          "ts", "signup_ts", direction = "forward")
+          "ts", "signup_ts", direction = "forward", hint = Some("merge"))
         .select(col("event_id"), col("ts"), col("user_id"), col("value"),
           col("asof_signup_id"))
     }),
@@ -1161,6 +1178,73 @@ object SparkEntry {
         Seq((rows.getLong(0), math.round(rows.getDouble(1) * 100) / 100.0,
           preSkipped, kept.length, skipped.length, vt.readAt(vOpt - 1).count()))
           .toDF("n_rows", "total", "pre_skipped", "kept_dirs", "skipped_dirs", "rows_pre_opt")
+      } finally deleteRecursively(base)
+    }),
+
+    // Delta-style MERGE as ONE atomic copy-on-write commit: the table
+    // holds orders in two modular slices, the source updates every
+    // %7==0 row (status 'U', price +1000) and inserts fresh keys
+    // (+100000000 — beyond any real orderkey); the merged snapshot must
+    // equal the SQL upsert the oracle computes (source rows + target
+    // rows whose keys the source doesn't carry). Old versions keep the
+    // pre-merge rows (time travel unaffected — covered by the spec).
+    "s_versioned_merge" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_merge").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") % 2 === 0))
+        vt.append(o.filter(col("o_orderkey") % 2 === 1))
+        val updates = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserts = o.filter(col("o_orderkey") % 11 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        vt.merge(updates.unionByName(inserts), Seq("o_orderkey"))
+        // Materialize before the finally deletes the table's files (the
+        // returned frame is written by the caller AFTER this function).
+        import s.implicits._
+        vt.read().select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      } finally deleteRecursively(base)
+    }),
+
+    // Change data feed over the same construction (merge committed WITH
+    // row-level CDC): changes(0, latest) must reconstruct — per commit
+    // and change type — exactly the row counts and price sums the
+    // oracle derives from the slice definitions: two append-inserts,
+    // then the merge's update_preimage (original matched rows),
+    // update_postimage (the +1000 replacements), and insert (the fresh
+    // keys). An optimize commit in between proves compaction emits NO
+    // changes.
+    "s_versioned_cdf" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_cdf").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") % 2 === 0))
+        vt.append(o.filter(col("o_orderkey") % 2 === 1))
+        vt.optimize("o_orderkey", targetChunks = 2) // must emit no changes
+        val updates = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserts = o.filter(col("o_orderkey") % 11 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        val vMerge = vt.merge(updates.unionByName(inserts), Seq("o_orderkey"),
+          writeChangeData = true)
+        import s.implicits._
+        vt.changes(0, vMerge)
+          .groupBy(col("_commit_version").as("commit_version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .collect() // materialize before the finally deletes the files
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toSeq.toDF("commit_version", "change_type", "n_rows", "sum_price")
       } finally deleteRecursively(base)
     }),
 
@@ -2723,6 +2807,17 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'signup') s
         |ON c.user_id = s.user_id AND c.ts >= s.signup_ts""".stripMargin,
 
+    // q29's oracle once more — the broadcast physical form may not
+    // disagree with the shuffled-merge one on a row.
+    "q61_asof_broadcast" ->
+      """SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id, c.value,
+        |  s.signup_id AS asof_signup_id
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS signup_ts, event_id AS signup_id
+        |      FROM events WHERE event_type = 'signup') s
+        |ON c.user_id = s.user_id AND c.ts >= s.signup_ts""".stripMargin,
+
     // Identical to q29's oracle — the custom-planner implementation
     // must reproduce the composed one's rows exactly.
     "q58_asof_native" ->
@@ -3181,6 +3276,42 @@ object SparkEntry {
         |  CAST(1 AS INTEGER) AS kept_dirs, CAST(2 AS INTEGER) AS skipped_dirs,
         |  (SELECT count(*) FROM orders) AS rows_pre_opt
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1400""".stripMargin,
+
+    // The merged snapshot is the SQL upsert: every source row (updates
+    // to %7==0 keys, inserts on fresh +100000000 keys) plus every
+    // target row the source's keys don't cover.
+    "s_versioned_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 1000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 3)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+        |UNION ALL
+        |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
+        |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)""".stripMargin,
+
+    // Per-commit change-feed accounting: the two appends synthesize
+    // inserts, the optimize (v2) emits nothing, the CDC-committed merge
+    // (v3) serves exact preimage/postimage/insert rows.
+    "s_versioned_cdf" ->
+      """SELECT 0 AS commit_version, 'insert' AS change_type, count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 1, 'insert', count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT 3, 'update_preimage', count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT 3, 'update_postimage', count(*), round(sum(o_totalprice + 1000), 2)
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT 3, 'insert', count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 11 = 3""".stripMargin,
 
     "s_http_source" ->
       """SELECT strptime(t, '%Y-%m-%dT%H:%M') AS time, pm10, pm2_5,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession, SparkSessi
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -34,10 +34,13 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
                     leftTime: Attribute, rightTime: Attribute,
-                    direction: String, toleranceSec: Option[Long])
+                    direction: String, toleranceSec: Option[Long],
+                    hint: Option[String] = None)
     extends BinaryNode {
   require(direction == "backward" || direction == "forward",
     s"asOf direction must be backward|forward, got $direction")
+  require(hint.forall(h => h == "merge" || h == "broadcast"),
+    s"asOf hint must be merge|broadcast|None(auto), got $hint")
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     s"asOf key types disagree: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
   Seq(leftTime, rightTime).foreach(t =>
@@ -55,16 +58,33 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: [[AsOfJoin]] → [[AsOfJoinExec]]. Registered either at
+/** Planner rule: [[AsOfJoin]] → [[AsOfJoinExec]] (shuffled merge) or
+  * [[BroadcastAsOfJoinExec]] (dimension-sized right). Physical
+  * selection mirrors Spark's own JoinSelection: an explicit `hint`
+  * wins; otherwise broadcast iff the right side's estimated size fits
+  * under `spark.sql.autoBroadcastJoinThreshold`. Registered either at
   * runtime ([[AsOfJoinPlan.register]]) or at session build via the
   * `spark.sql.extensions` conf ([[GraftExtensions]]).
   */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
-      AsOfJoinExec(planLater(j.left), planLater(j.right),
-        j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
-        j.direction, j.toleranceSec, j.output) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val useBroadcast = j.hint match {
+        case Some("broadcast") => true
+        case Some("merge") => false
+        case _ => threshold > 0 && j.right.stats.sizeInBytes >= 0 &&
+          j.right.stats.sizeInBytes <= threshold
+      }
+      if (useBroadcast)
+        BroadcastAsOfJoinExec(planLater(j.left), planLater(j.right),
+          j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+          j.direction, j.toleranceSec, j.output) :: Nil
+      else
+        AsOfJoinExec(planLater(j.left), planLater(j.right),
+          j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+          j.direction, j.toleranceSec, j.output) :: Nil
     case _ => Nil
   }
 }
@@ -272,6 +292,136 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast as-of join: the physical form for a dimension-sized right
+  * side (reference prices, config versions, any slowly-changing
+  * dimension). The merge exec shuffles BOTH sides on their keys — at
+  * 100 TB that re-partitions the fact stream just to meet a feed that
+  * fits in memory. This exec instead declares
+  * `BroadcastDistribution(IdentityBroadcastMode)` on the right and
+  * NOTHING on the left: EnsureRequirements inserts one
+  * BroadcastExchange, the fact side is never exchanged or sorted, its
+  * upstream partitioning and ordering pass through for reuse by later
+  * stages, and the join is embarrassingly parallel.
+  *
+  * Per partition the broadcast rows are indexed once into a per-key
+  * time-sorted array (O(dim log dim), dimension-sized by the selection
+  * rule that chose this exec); each left row then costs one hash
+  * lookup + binary search, in arrival order — no sort of the left side
+  * at all. Tie semantics match [[AsOfJoinExec]]: among equal right
+  * (keys, time) rows, backward takes the last in sort order, forward
+  * the first; ambiguous ties should be broken upstream exactly as
+  * documented on [[AsOfJoin]].
+  */
+case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                                 leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                                 leftTime: Expression, rightTime: Expression,
+                                 direction: String, toleranceSec: Option[Long],
+                                 output: Seq[Attribute])
+    extends BinaryExecNode {
+
+  override def nodeName: String = "BroadcastAsOfJoinExec"
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // The whole point: left rows pass through untouched, so whatever
+  // partitioning/ordering the fact side already has survives the join.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val forward = direction == "forward"
+    val tolMicros = toleranceSec.map(_ * 1000000L)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    val lOut = left.output; val rOut = right.output
+    val outAttrs = output
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      // Build the per-key sorted-time index once per partition. Rows in
+      // the broadcast are already materialized copies; projected keys
+      // are copied because UnsafeProjection reuses its buffer.
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val grouped = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+      bcast.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTimeProj(r)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          var buf = grouped.get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]()
+            grouped.put(k.copy(), buf)
+          }
+          buf += ((t.getLong(0), r))
+        }
+      }
+      val index = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])](
+        math.max(8, grouped.size() * 2))
+      grouped.forEach { (k, buf) =>
+        val sorted = buf.sortBy(_._1) // stable: array order breaks equal-time ties
+        index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+      }
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      // Right side binds nullable for the same reason as the merge exec:
+      // unmatched left rows null-extend even NOT-NULL right columns.
+      val resultProj =
+        UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lt = lTimeProj(l)
+        var m: InternalRow = null
+        if (!lk.anyNull && !lt.isNullAt(0)) {
+          val entry = index.get(lk)
+          if (entry != null) {
+            val ltv = lt.getLong(0)
+            val times = entry._1
+            if (forward) {
+              // Leftmost i with times(i) >= ltv.
+              var lo = 0; var hi = times.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) >= ltv) hi = mid else lo = mid + 1
+              }
+              if (lo < times.length && tolMicros.forall(times(lo) - ltv <= _))
+                m = entry._2(lo)
+            } else {
+              // Rightmost i with times(i) <= ltv.
+              var lo = 0; var hi = times.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) <= ltv) lo = mid + 1 else hi = mid
+              }
+              if (lo > 0 && tolMicros.forall(ltv - times(lo - 1) <= _))
+                m = entry._2(lo - 1)
+            }
+          }
+        }
+        numOutputRows += 1
+        if (m != null) numMatchedRows += 1
+        resultProj(joined(l, if (m == null) nullRight else m))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** DataFrame-level API + strategy registration for the native as-of
   * join.
   */
@@ -295,12 +445,18 @@ object AsOfJoinPlan {
     * `rightPrefix` (the key/time columns included — drop what you
     * don't need; the prefix exists because the right side usually
     * repeats the key names).
+    *
+    * `hint`: None (default) lets the planner pick — broadcast when the
+    * right side's estimated size fits `autoBroadcastJoinThreshold`,
+    * shuffled merge otherwise; Some("merge")/Some("broadcast") force a
+    * physical form, exactly like Spark's own join hints.
     */
   def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftTs: String, rightTs: String,
                  direction: String = "backward",
                  toleranceSec: Option[Long] = None,
-                 rightPrefix: String = "asof_"): DataFrame = {
+                 rightPrefix: String = "asof_",
+                 hint: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = GraftSqlBridge.analyzed(left)
@@ -323,7 +479,7 @@ object AsOfJoinPlan {
     val node = AsOfJoin(lPlan, rPlan,
       keys.map(attr(lPlan.output, _, "left")), keys.map(attr(rAttrs, _, "right")),
       attr(lPlan.output, leftTs, "left"), attr(rAttrs, rightTs, "right"),
-      direction, toleranceSec)
+      direction, toleranceSec, hint)
     GraftSqlBridge.ofRows(spark, node)
       .toDF(lPlan.output.map(_.name) ++
         rPlan.output.map(a => s"$rightPrefix${a.name}"): _*)

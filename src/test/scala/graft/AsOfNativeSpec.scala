@@ -17,27 +17,31 @@ class AsOfNativeSpec extends SparkSuite {
     (1L, ts(5), "a"), (1L, ts(15), "b"), (1L, ts(20), "c"), (2L, ts(50), "z"))
     .toDF("k", "rt", "rv")
 
-  private def run(direction: String, tol: Option[Long]) =
+  private def run(direction: String, tol: Option[Long],
+                  hint: Option[String] = None) =
     AsOfJoinPlan.asOfNative(leftDf, rightDf, Seq("k"), "t", "rt",
-        direction = direction, toleranceSec = tol)
+        direction = direction, toleranceSec = tol, hint = hint)
       .select(col("k"), col("lv"), col("asof_rv"))
       .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
 
-  test("native as-of: hand-computed backward/forward/tolerance semantics") {
-    assert(run("backward", None) === Set(
+  // Both physical forms (shuffled merge and broadcast) must reproduce
+  // the same hand-computed truth — parametrized over the hint.
+  for (h <- Seq(Some("merge"), Some("broadcast")))
+  test(s"native as-of (${h.get}): hand-computed backward/forward/tolerance semantics") {
+    assert(run("backward", None, h) === Set(
       (1L, "L10", Some("a")),  // last rt <= 10 is 5
       (1L, "L20", Some("c")),  // bound is inclusive: rt == 20 matches
       (2L, "L5", None)))       // only future right rows exist
-    assert(run("forward", None) === Set(
+    assert(run("forward", None, h) === Set(
       (1L, "L10", Some("b")),  // first rt >= 10 is 15
       (1L, "L20", Some("c")),
       (2L, "L5", Some("z"))))
     // Tolerance boundary: |t - rt| == tol still matches, tol-1 doesn't.
-    assert(run("backward", Some(5L)) === Set(
+    assert(run("backward", Some(5L), h) === Set(
       (1L, "L10", Some("a")), (1L, "L20", Some("c")), (2L, "L5", None)))
-    assert(run("backward", Some(4L)) === Set(
+    assert(run("backward", Some(4L), h) === Set(
       (1L, "L10", None), (1L, "L20", Some("c")), (2L, "L5", None)))
-    assert(run("forward", Some(10L)) === Set(
+    assert(run("forward", Some(10L), h) === Set(
       (1L, "L10", Some("b")), (1L, "L20", Some("c")), (2L, "L5", None)))
   }
 
@@ -53,17 +57,20 @@ class AsOfNativeSpec extends SparkSuite {
           "ts", "signup_ts", Seq("signup_id"), direction = dir, toleranceSec = tol)
         .select(col("event_id"), col("asof_signup_id"))
         .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
-      val native = AsOfJoinPlan.asOfNative(clicks, signups, Seq("user_id"),
-          "ts", "signup_ts", direction = dir, toleranceSec = tol)
-        .select(col("event_id"), col("asof_signup_id"))
-        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
-      assert(native === composed, s"dir=$dir tol=$tol")
-      assert(native.nonEmpty)
+      for (h <- Seq(Some("merge"), Some("broadcast"))) {
+        val native = AsOfJoinPlan.asOfNative(clicks, signups, Seq("user_id"),
+            "ts", "signup_ts", direction = dir, toleranceSec = tol, hint = h)
+          .select(col("event_id"), col("asof_signup_id"))
+          .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+        assert(native === composed, s"dir=$dir tol=$tol hint=$h")
+        assert(native.nonEmpty)
+      }
     }
   }
 
   test("native as-of plans its own exec: two exchanges, no union, no window") {
-    val q = AsOfJoinPlan.asOfNative(leftDf, rightDf, Seq("k"), "t", "rt")
+    val q = AsOfJoinPlan.asOfNative(leftDf, rightDf, Seq("k"), "t", "rt",
+      hint = Some("merge"))
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoinExec"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, plan)
@@ -78,9 +85,10 @@ class AsOfNativeSpec extends SparkSuite {
       cplan.contains("Window"), cplan)
   }
 
-  test("native as-of: empty right null-extends; null keys and times never match") {
+  for (h <- Seq(Some("merge"), Some("broadcast")))
+  test(s"native as-of (${h.get}): empty right null-extends; null keys/times never match") {
     val emptyRight = rightDf.filter(lit(false))
-    val r = AsOfJoinPlan.asOfNative(leftDf, emptyRight, Seq("k"), "t", "rt")
+    val r = AsOfJoinPlan.asOfNative(leftDf, emptyRight, Seq("k"), "t", "rt", hint = h)
       .select(col("asof_rv")).collect()
     assert(r.length === 3 && r.forall(_.isNullAt(0)))
     val nullishLeft = Seq(
@@ -93,7 +101,8 @@ class AsOfNativeSpec extends SparkSuite {
       (Option.empty[Long], Option(ts(1)), "nk"),
       (Option(1L), Option.empty[Timestamp], "nt"))
       .toDF("k", "rt", "rv")
-    val out = AsOfJoinPlan.asOfNative(nullishLeft, nullishRight, Seq("k"), "t", "rt")
+    val out = AsOfJoinPlan.asOfNative(nullishLeft, nullishRight, Seq("k"), "t", "rt",
+        hint = h)
       .select(col("lv"), col("asof_rv"))
       .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
     assert(out === Map("ok" -> Some("a"), "nullkey" -> None, "nulltime" -> None))
@@ -140,7 +149,8 @@ class AsOfNativeSpec extends SparkSuite {
       case e: AsOfJoinExec => Some(e)
       case other => other.children.flatMap(find(_)).headOption
     }
-    val q = AsOfJoinPlan.asOfNative(leftDf, rightDf, Seq("k"), "t", "rt")
+    val q = AsOfJoinPlan.asOfNative(leftDf, rightDf, Seq("k"), "t", "rt",
+      hint = Some("merge"))
     // collect() drives THIS frame's QueryExecution (count() would plan
     // and execute a separate one, leaving these metrics untouched).
     assert(q.collect().length === 3)
@@ -151,12 +161,53 @@ class AsOfNativeSpec extends SparkSuite {
     assert(exec.metrics("numMatchedRows").value === 2)
   }
 
+  test("broadcast as-of: no shuffle at all, one BroadcastExchange, same metrics") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Option[graft.plans.BroadcastAsOfJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec => find(q.plan)
+      case e: graft.plans.BroadcastAsOfJoinExec => Some(e)
+      case other => other.children.flatMap(find(_)).headOption
+    }
+    val q = AsOfJoinPlan.asOfNative(leftDf, rightDf, Seq("k"), "t", "rt",
+      hint = Some("broadcast"))
+    assert(q.collect().length === 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoinExec"), plan)
+    // The fact side is never exchanged or sorted: zero shuffles, zero
+    // sorts, exactly one broadcast of the dimension side.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan)
+    assert(!plan.contains("Sort "), plan)
+    // AQE prints Final + Initial plan sections, so assert presence here;
+    // PlanShapeSpec pins the exact single-BroadcastExchange count.
+    assert(plan.contains("BroadcastExchange IdentityBroadcastMode"), plan)
+    val exec = find(q.queryExecution.executedPlan)
+      .getOrElse(fail(s"no BroadcastAsOfJoinExec in\n${q.queryExecution.executedPlan}"))
+    assert(exec.metrics("numOutputRows").value === 3)
+    assert(exec.metrics("numMatchedRows").value === 2)
+  }
+
+  test("auto selection: small right broadcasts, threshold -1 falls back to merge") {
+    // No hint: the strategy sizes the right side like JoinSelection.
+    val auto = AsOfJoinPlan.asOfNative(leftDf, rightDf, Seq("k"), "t", "rt")
+    assert(auto.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoinExec"),
+      auto.queryExecution.executedPlan.toString)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merge = AsOfJoinPlan.asOfNative(leftDf, rightDf, Seq("k"), "t", "rt")
+      val p = merge.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastAsOfJoinExec") && p.contains("AsOfJoinExec"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("native as-of survives AQE and repartitioned ragged inputs") {
     // Many partitions, deliberately mismatched pre-shuffle layouts —
     // EnsureRequirements must co-partition both sides.
     val l = leftDf.repartition(7)
     val r = rightDf.repartition(3)
-    val out = AsOfJoinPlan.asOfNative(l, r, Seq("k"), "t", "rt")
+    val out = AsOfJoinPlan.asOfNative(l, r, Seq("k"), "t", "rt", hint = Some("merge"))
       .select(col("k"), col("lv"), col("asof_rv"))
       .collect().map(x => (x.getLong(0), x.getString(1), Option(x.getString(2)))).toSet
     assert(out === Set((1L, "L10", Some("a")), (1L, "L20", Some("c")), (2L, "L5", None)))

@@ -98,6 +98,26 @@ class PlanShapeSpec extends SparkSuite {
     assert(readSchemas.length === 2, p)
     assert(readSchemas.forall(!_.contains("props")),
       s"unselected payload must not reach a scan\n$p")
+  }
+
+  test("q61_asof_broadcast: zero shuffles, zero sorts, one broadcast, pruned scans") {
+    // The broadcast physical form's contract plan: the click (fact)
+    // side reaches the join straight from its scan — NO exchange and
+    // NO sort anywhere in the plan, exactly one BroadcastExchange on
+    // the dimension-sized signups. At 100 TB this is the difference
+    // between re-partitioning the fact stream and never touching it.
+    val p = shape("q61_asof_broadcast")
+    assert(p.contains("BroadcastAsOfJoinExec"), p)
+    assert(c(p, """[)] Exchange""") === 0, s"q61 must not shuffle\n$p")
+    assert(c(p, """[)] BroadcastExchange""") === 1, p)
+    assert(c(p, """[)] Sort""") === 0, s"q61 must not sort\n$p")
+    assert(c(p, """SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct""") === 0,
+      s"no built-in join may appear\n$p")
+    assert(c(p, """PushedFilters: \[[^\]]""") === 2, s"event_type must push\n$p")
+    val readSchemas = """ReadSchema: [^\n]+""".r.findAllIn(p).toList
+    assert(readSchemas.length === 2, p)
+    assert(readSchemas.forall(!_.contains("props")),
+      s"unselected payload must not reach a scan\n$p")
     spark.catalog.clearCache()
   }
 

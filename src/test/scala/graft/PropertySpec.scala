@@ -463,13 +463,18 @@ class PropertySpec extends SparkSuite {
       val composed = canon(graft.operators.Joins.asOf(
         left, right, Seq("k"), "t", "rt", Seq("rv")).select(col("lid"), col("asof_rv")))
       val native = canon(graft.plans.AsOfJoinPlan.asOfNative(
-        left, right, Seq("k"), "t", "rt").select(col("lid"), col("asof_rv")))
+        left, right, Seq("k"), "t", "rt", hint = Some("merge"))
+        .select(col("lid"), col("asof_rv")))
+      val bcast = canon(graft.plans.AsOfJoinPlan.asOfNative(
+        left, right, Seq("k"), "t", "rt", hint = Some("broadcast"))
+        .select(col("lid"), col("asof_rv")))
       left.createOrReplaceTempView("prop_asof_l")
       right.createOrReplaceTempView("prop_asof_r")
       val sql = canon(spark.sql(
         """SELECT l.lid, r.rv FROM prop_asof_l l
           |ASOF LEFT JOIN prop_asof_r r ON l.k = r.k AND l.t >= r.rt""".stripMargin))
       assert(native === composed, s"seed $seed: native vs composed")
+      assert(bcast === native, s"seed $seed: broadcast vs merge")
       assert(sql === native, s"seed $seed: SQL vs native")
       assert(composed.values.exists(_.isDefined) &&
         composed.values.exists(_.isEmpty), s"seed $seed covers both outcomes")
