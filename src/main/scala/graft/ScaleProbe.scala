@@ -133,7 +133,13 @@ object ScaleProbe {
           timed(s"composed union+window p$pass")(sink(
             graft.operators.Joins.asOf(l, r, Seq("k"), "t", "rt", Seq("rid"))))
           timed(s"native merge exec    p$pass")(sink(
-            graft.plans.AsOfJoinPlan.asOfNative(l, r, Seq("k"), "t", "rt")))
+            graft.plans.AsOfJoinPlan.asOfNative(l, r, Seq("k"), "t", "rt",
+              hint = Some("merge"))))
+          // Broadcast form: the right side (n/4 rows) ships whole to
+          // every task; the left is never exchanged or sorted.
+          timed(s"broadcast exec       p$pass")(sink(
+            graft.plans.AsOfJoinPlan.asOfNative(l, r, Seq("k"), "t", "rt",
+              hint = Some("broadcast"))))
         }
 
       case "prune" =>

@@ -1212,6 +1212,37 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // Copy-on-write DELETE in one atomic commit: orders in two
+    // key-range-disjoint directories; the delete condition only holds
+    // in the lower range, so exactly ONE directory is rewritten (the
+    // touched-dir discovery scan tags rows with input_file_name) — the
+    // other survives byte-identical. NULL-condition rows are kept (SQL
+    // DELETE semantics). Oracle: everything the condition doesn't
+    // provably match.
+    "s_versioned_delete" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_del").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mid = 30000L
+        vt.append(o.filter(col("o_orderkey") < mid))
+        vt.append(o.filter(col("o_orderkey") >= mid))
+        val before = vt.history().count()
+        vt.delete(col("o_orderkey") < mid && col("o_orderkey") % 5 === 0)
+        val dirsNow = vt.history().orderBy(col("version").desc)
+          .select(col("num_active_dirs")).head.getInt(0)
+        import s.implicits._
+        vt.read().select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+            dirsNow, before))
+          .toSeq
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice",
+            "active_dirs", "versions_before_delete")
+      } finally deleteRecursively(base)
+    }),
+
     // Change data feed over the same construction (merge committed WITH
     // row-level CDC): changes(0, latest) must reconstruct — per commit
     // and change type — exactly the row counts and price sums the
@@ -3292,6 +3323,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
         |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)""".stripMargin,
+
+    // Survivors of the copy-on-write delete, plus the pinned layout
+    // facts: 2 active directories after (1 untouched + 1 rewritten) and
+    // 2 versions before the delete committed.
+    "s_versioned_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(2 AS INTEGER) AS active_dirs,
+        |  CAST(2 AS BIGINT) AS versions_before_delete
+        |FROM orders
+        |WHERE NOT (o_orderkey < 30000 AND o_orderkey % 5 = 0)""".stripMargin,
 
     // Per-commit change-feed accounting: the two appends synthesize
     // inserts, the optimize (v2) emits nothing, the CDC-committed merge

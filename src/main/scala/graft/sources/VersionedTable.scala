@@ -69,7 +69,8 @@ class VersionedTable(spark: SparkSession, dir: String,
   case class Commit(version: Int, op: String, added: Seq[String],
                     removed: Seq[String], numRows: Long, tsMs: Long,
                     txn: Option[(String, Long)] = None,
-                    addedStats: Map[String, Map[String, ColStat]] = Map.empty)
+                    addedStats: Map[String, Map[String, ColStat]] = Map.empty,
+                    cdf: Option[String] = None)
 
   private def manifestPath(v: Int): Path = new Path(logDir, f"$v%08d.json")
   private def checkpointPath(v: Int): Path =
@@ -131,7 +132,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     Commit(node.get("version").asInt(), node.get("op").asText(),
       readArray(node, "added"), readArray(node, "removed"),
       node.get("num_rows").asLong(), node.get("ts_ms").asLong(), txn,
-      parseStats(node.get("added_stats")))
+      parseStats(node.get("added_stats")),
+      if (node.has("cdf")) Some(node.get("cdf").asText()) else None)
   }
 
   private val lastCheckpointPath = new Path(logDir, "_last_checkpoint")
@@ -274,6 +276,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       c.txn.foreach { case (app, batch) =>
         node.put("txn_app", app); node.put("txn_batch", batch)
       }
+      c.cdf.foreach(node.put("cdf", _))
       writeStats(node, "added_stats", c.addedStats)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
@@ -477,6 +480,219 @@ class VersionedTable(spark: SparkSession, dir: String,
     publish(Commit(v, "overwrite", Seq(name), prevActive, rows,
       System.currentTimeMillis(), addedStats = Map(name -> stats)))
     v
+  }
+
+  /** Union-read a set of this table's data directories (mergeSchema,
+    * same as [[readAt]]).
+    */
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(n => new Path(root, n).toString): _*)
+
+  /** Delta-style MERGE — copy-on-write upsert in ONE atomic commit:
+    * every source row replaces the target row with the same `keys`
+    * (when matched → update, whole-row) or is inserted (when not
+    * matched). Only TOUCHED directories are rewritten: the source's
+    * [min, max] on `keys.head` is computed first (one scalar agg) and
+    * [[pruneActive]] splits the active set on it — a directory whose
+    * recorded key range cannot intersect the source's key span provably
+    * holds no matching row and survives the merge untouched. At 100 TB
+    * this is the difference between rewriting an ingestion-day and
+    * rewriting the table; after an [[optimize]] clustered on the merge
+    * key, touched ≈ the key span's chunks exactly (clustering layout
+    * and merge write-amplification are the same decision, as in Delta).
+    *
+    * Old versions still read the pre-merge rows until [[vacuum]]. The
+    * caller must ensure source keys are UNIQUE (Delta raises on
+    * multi-match; here the last-writer row would be both kept and
+    * joined ambiguously — same contract, enforced upstream). Source
+    * schema must equal the snapshot schema up to column order.
+    *
+    * `writeChangeData = true` additionally persists the commit's exact
+    * row-level change feed (Delta's CDC files) next to the data:
+    * matched target rows as `update_preimage`, their source
+    * replacements as `update_postimage`, unmatched source rows as
+    * `insert` — [[changes]] then serves the merge precisely instead of
+    * the coarse added/removed synthesis. Costs two extra joins over the
+    * touched directories at write time; off by default.
+    */
+  def merge(source: DataFrame, keys: Seq[String],
+            writeChangeData: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin, unix_micros}
+    import org.apache.spark.sql.types._
+    require(keys.nonEmpty, "merge needs at least one key column")
+    keys.foreach(k => require(source.columns.contains(k),
+      s"merge key `$k` missing from source (has: ${source.columns.mkString(", ")})"))
+    val latest = latestVersion
+    if (latest < 0) return append(source) // empty table: all inserts
+    val snapCols = read().columns
+    require(source.columns.sorted.sameElements(snapCols.sorted),
+      s"merge source schema ${source.columns.sorted.mkString(",")} != " +
+        s"table schema ${snapCols.sorted.mkString(",")}")
+    val srcAligned = source.select(snapCols.map(col).toIndexedSeq: _*)
+
+    // Touched-directory pruning on the first key, in the stat domain.
+    // `None` bounds mean the key TYPE is unindexable (touch everything,
+    // conservative); an empty/all-null source key span means no row can
+    // match (touch nothing — every source row inserts).
+    val k0 = keys.head
+    sealed trait Span
+    case object Unindexable extends Span
+    case object EmptySpan extends Span
+    case class Bounds(lo: Any, hi: Any) extends Span
+    def span2(c: org.apache.spark.sql.Column): Span = {
+      val r = source.agg(fmin(c), fmax(c)).head()
+      if (r.isNullAt(0)) EmptySpan else Bounds(r.get(0), r.get(1))
+    }
+    val span = source.schema(k0).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        span2(col(k0).cast("long"))
+      case TimestampType | TimestampNTZType =>
+        span2(unix_micros(col(k0).cast("timestamp")))
+      case FloatType | DoubleType => span2(col(k0).cast("double"))
+      case StringType => span2(col(k0))
+      case _ => Unindexable
+    }
+    val (active, _, _) = snapshotAt(latest)
+    val (touched, _) = span match {
+      case Bounds(lo, hi) => pruneActive(k0, Some(lo), Some(hi), Some(latest))
+      case Unindexable => (active, Seq.empty)
+      case EmptySpan => (Seq.empty, active)
+    }
+    val touchedData = if (touched.isEmpty) None else Some(readDirs(touched))
+    val srcKeys = source.select(keys.map(col).toIndexedSeq: _*)
+    val newData = touchedData match {
+      case Some(td) =>
+        td.join(srcKeys, keys, "left_anti")
+          .select(snapCols.map(col).toIndexedSeq: _*).unionByName(srcAligned)
+      case None => srcAligned
+    }
+    val v = latest + 1
+    val (name, rows, st) = writePayload(newData, v)
+    val cdfName =
+      if (!writeChangeData) None
+      else {
+        val n = f"cdf-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+        val tgtKeys = touchedData.map(_.select(keys.map(col).toIndexedSeq: _*))
+        val pre = touchedData.map(_.join(srcKeys, keys, "left_semi")
+          .select(snapCols.map(col).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("update_preimage")))
+        val post = tgtKeys.map(tk => srcAligned.join(tk, keys, "left_semi")
+          .withColumn("_change_type", lit("update_postimage")))
+        val ins = tgtKeys.fold(srcAligned)(tk => srcAligned.join(tk, keys, "left_anti"))
+          .withColumn("_change_type", lit("insert"))
+        (pre.toSeq ++ post.toSeq :+ ins).reduce(_.unionByName(_))
+          .write.parquet(new Path(root, n).toString)
+        Some(n)
+      }
+    publish(Commit(v, "merge", Seq(name), touched, rows,
+      System.currentTimeMillis(), addedStats = Map(name -> st), cdf = cdfName))
+    v
+  }
+
+  /** Delta-style DELETE — copy-on-write row deletion in ONE atomic
+    * commit. One scan over the current snapshot (tagged with
+    * `input_file_name`) finds the directories that actually hold
+    * matching rows — only those are rewritten without the matches;
+    * every other directory survives untouched, so the write
+    * amplification is bounded by where the condition's rows live, not
+    * the table size (after an [[optimize]] clustered on the predicate
+    * column, that's the matching chunks exactly). SQL DELETE null
+    * semantics: rows where `condition` is NULL are KEPT (only
+    * provably-true rows are deleted). Directories whose every row
+    * matches simply disappear (no empty payload is written). Returns
+    * the committed version, or the CURRENT version unchanged when
+    * nothing matches (no empty commit).
+    *
+    * `writeChangeData = true` persists the deleted rows as the
+    * commit's CDC (`_change_type = "delete"`), making [[changes]]
+    * exact; without it the synthesis reports the rewritten
+    * directories' survivors as delete+insert pairs too.
+    */
+  def delete(condition: org.apache.spark.sql.Column,
+             writeChangeData: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+    val latest = latestVersion
+    require(latest >= 0, s"$dir has no committed versions")
+    val (active, _, _) = snapshotAt(latest)
+    val snap = readDirs(active)
+    // Which directories hold matching rows? One scan, metadata-sized
+    // result (distinct FILE names → their parent directories).
+    val touched = snap.withColumn("__graft_file", input_file_name())
+      .filter(condition).select(col("__graft_file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getParent.getName)
+      .toSet.toSeq.sorted
+    if (touched.isEmpty) return latest
+    val keep = not(coalesce(condition, lit(false)))
+    val v = latest + 1
+    val survivors = readDirs(touched).filter(keep)
+    val (name, rows, st) = writePayload(survivors, v)
+    val (added, addedStats) =
+      if (rows == 0L) { // every row of every touched dir matched
+        fs.delete(new Path(root, name), true)
+        (Seq.empty[String], Map.empty[String, Map[String, ColStat]])
+      } else (Seq(name), Map(name -> st))
+    val cdfName =
+      if (!writeChangeData) None
+      else {
+        val n = f"cdf-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+        readDirs(touched).filter(coalesce(condition, lit(false)))
+          .withColumn("_change_type", lit("delete"))
+          .write.parquet(new Path(root, n).toString)
+        Some(n)
+      }
+    publish(Commit(v, "delete", added, touched, rows,
+      System.currentTimeMillis(), addedStats = addedStats, cdf = cdfName))
+    v
+  }
+
+  /** Change data feed (Delta's `readChangeFeed`): every row added or
+    * removed by commits `fromVersion..toVersion` (both inclusive),
+    * tagged `_change_type` and `_commit_version`. Appends synthesize
+    * `insert` rows from their added directories and overwrites also
+    * `delete` rows from their removed ones — no extra storage, exactly
+    * like Delta serving CDF from add/remove actions. An `optimize`
+    * commit emits NOTHING (the data is identical by contract). A merge
+    * or delete committed with `writeChangeData = true` serves its
+    * persisted row-level CDC (`update_preimage`/`update_postimage`/
+    * `insert`, or `delete`); without it they degrade to the coarse
+    * synthesis — rewritten-but-unchanged rows then appear as
+    * delete+insert pairs, the documented trade-off of not paying the
+    * CDC write.
+    */
+  def changes(fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val latest = latestVersion
+    require(0 <= fromVersion && fromVersion <= toVersion && toVersion <= latest,
+      s"changes($fromVersion, $toVersion) out of range for $dir (latest $latest)")
+    def existing(dirs: Seq[String], v: Int): Seq[String] = {
+      dirs.foreach(n => require(fs.exists(new Path(root, n)),
+        s"data directory $n of commit $v was vacuumed; its changes are gone"))
+      dirs
+    }
+    val frames = (fromVersion to toVersion).flatMap { v =>
+      val c = commitAt(v)
+      c.op match {
+        case "optimize" => Nil
+        case _ if c.cdf.isDefined => // merge/delete committed with CDC
+          Seq(spark.read.parquet(new Path(root, c.cdf.get).toString)
+            .withColumn("_commit_version", lit(v)))
+        case _ =>
+          val ins =
+            if (c.added.isEmpty) Nil
+            else Seq(readDirs(existing(c.added, v))
+              .withColumn("_change_type", lit("insert")))
+          val del =
+            if (c.removed.isEmpty) Nil
+            else Seq(readDirs(existing(c.removed, v))
+              .withColumn("_change_type", lit("delete")))
+          (ins ++ del).map(_.withColumn("_commit_version", lit(v)))
+      }
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(readAt(toVersion).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0)))
   }
 
   /** Transactional OPTIMIZE [ZORDER] — Delta's compaction as ONE
@@ -748,10 +964,20 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (n.matches("\\d{8}\\.(checkpoint\\.)?json(\\.[0-9a-f]{8})?\\.tmp") &&
           n.take(8).toInt <= latest) fs.delete(st.getPath, false)
     }
+    // CDC directories follow their commit's manifest: referenced while
+    // the manifest survives, reclaimed with it (orphans of a lost merge
+    // race were never referenced at all).
+    val referencedCdf: Set[String] =
+      (cutoff to math.max(cutoff, latest)).flatMap(v =>
+        if (fs.exists(manifestPath(v))) commitAt(v).cdf else None).toSet
     var removed = 0
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.matches("v\\d{5}-.*") && !referenced.contains(n)) {
+      val deadData =
+        st.isDirectory && n.matches("v\\d{5}-.*") && !referenced.contains(n)
+      val deadCdf =
+        st.isDirectory && n.matches("cdf-v\\d{5}-.*") && !referencedCdf.contains(n)
+      if (deadData || deadCdf) {
         fs.delete(st.getPath, true); removed += 1
       }
     }

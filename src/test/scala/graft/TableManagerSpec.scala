@@ -653,4 +653,112 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.vacuum(keepLast = 1) === 100)
     assert(vt.read().count() === 1)
   }
+
+  test("merge: upsert semantics, touched-directory pruning, time travel intact") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    // Three RANGE-DISJOINT directories (k in [0,10), [10,20), [20,30)).
+    (0 until 3).foreach(i =>
+      vt.append((i * 10 until i * 10 + 10).map(k => (k.toLong, s"v$k", 0))
+        .toDF("k", "s", "gen")))
+    // Source touches only the middle range: update k=12/17, insert k=13x
+    // — wait, 13 exists; insert a key INSIDE the middle span that's new.
+    val src = Seq((12L, "u12", 1), (17L, "u17", 1), (15L, "fresh", 1))
+      .toDF("k", "s", "gen")
+    // k=15 exists too (0..29 are all present) — make the insert truly new:
+    val src2 = src.union(Seq((115L, "new115", 1)).toDF("k", "s", "gen"))
+    val vPre = vt.latestVersion
+    vt.merge(src2, Seq("k"))
+    val c = vt.history().filter(col("version") === vPre + 1).head()
+    assert(c.getString(1) === "merge")
+    // Span [12, 115] intersects dirs 2 and 3 but provably not [0,10):
+    // the merge commit must have REMOVED exactly 2 directories.
+    val snap = vt.read().collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(snap.size === 31) // 30 original + 1 genuinely new key
+    assert(snap(12L) === (("u12", 1)) && snap(17L) === (("u17", 1)))
+    assert(snap(15L) === (("fresh", 1))) // existing key: updated, not duplicated
+    assert(snap(115L) === (("new115", 1)))
+    assert(snap(3L) === (("v3", 0)) && snap(25L) === (("v25", 0)))
+    // Untouched directory survives: pre-merge version still reads original rows.
+    val pre = vt.readAt(vPre).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pre(12L) === "v12" && pre.size === 30)
+    // Directory-level write amplification: 3 dirs before, merge removed
+    // only the 2 intersecting ones (the [0,10) dir is byte-identical).
+    val hist = vt.history().orderBy("version").collect()
+    assert(hist.last.getInt(3) === 2) // num_active_dirs: 1 untouched + 1 merged
+  }
+
+  test("merge on an empty table appends; mismatched schema fails loudly") {
+    val vt = tables.versioned(tmpVt())
+    val v = vt.merge(Seq((1L, "a")).toDF("k", "s"), Seq("k"))
+    assert(v === 0 && vt.read().count() === 1)
+    val bad = Seq((1L, "a", 9)).toDF("k", "s", "extra")
+    val e = intercept[IllegalArgumentException] { vt.merge(bad, Seq("k")) }
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("changes: CDC merge serves exact row-level feed; optimize emits nothing; vacuum reclaims cdf dirs") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    vt.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "x")) // v0
+    vt.append(Seq((3L, "c", 30.0)).toDF("k", "s", "x"))                  // v1
+    vt.optimize("k", targetChunks = 1)                                   // v2: no changes
+    val vM = vt.merge(Seq((2L, "B", 22.0), (9L, "i", 90.0)).toDF("k", "s", "x"),
+      Seq("k"), writeChangeData = true)                                  // v3
+    val ch = vt.changes(0, vM)
+      .select(col("_commit_version"), col("_change_type"), col("k"), col("s"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(ch === Set(
+      (0, "insert", 1L, "a"), (0, "insert", 2L, "b"),
+      (1, "insert", 3L, "c"),
+      (3, "update_preimage", 2L, "b"), (3, "update_postimage", 2L, "B"),
+      (3, "insert", 9L, "i")))
+    // Coarse fallback: a merge WITHOUT CDC reports rewritten rows as
+    // delete+insert pairs (documented trade-off).
+    val vM2 = vt.merge(Seq((3L, "C", 33.0)).toDF("k", "s", "x"), Seq("k"))
+    val coarse = vt.changes(vM2, vM2)
+      .groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(coarse("insert") >= 1 && coarse("delete") >= 1)
+    // Vacuum away everything before the last version: the CDC directory
+    // of the vacuumed merge is reclaimed with its manifest.
+    val fsRoot = new java.io.File(dir)
+    def cdfDirs() = fsRoot.listFiles().filter(_.getName.startsWith("cdf-v")).length
+    assert(cdfDirs() === 1)
+    vt.vacuum(keepLast = 1)
+    assert(cdfDirs() === 0)
+    intercept[IllegalArgumentException] { vt.changes(0, vM) }
+    assert(vt.read().count() === 4) // 1,2,3(C),9
+  }
+
+  test("delete: touched dirs only, null condition keeps, no-op skips commit, CDC exact") {
+    val vt = tables.versioned(tmpVt())
+    // Range-disjoint dirs [0,10) and [10,20); a NULL flag on k=3.
+    vt.append((0 until 10).map(k =>
+      (k.toLong, if (k == 3) Option.empty[String] else Some(s"f$k"))).toDF("k", "flag"))
+    vt.append((10 until 20).map(k => (k.toLong, Some(s"f$k"))).toDF("k", "flag"))
+    // Condition is NULL on k=3 (flag IS NULL): that row must be KEPT.
+    val vD = vt.delete(col("k") < 5 && col("flag").startsWith("f"),
+      writeChangeData = true)
+    assert(vD === 2)
+    val left = vt.read().select("k").collect().map(_.getLong(0)).toSet
+    assert(left === (Set(3L) ++ (5L until 20L))) // 0,1,2,4 deleted; 3 kept
+    // Only the lower dir was rewritten: 2 active dirs, upper untouched.
+    assert(vt.history().orderBy(col("version").desc)
+      .select("num_active_dirs").head.getInt(0) === 2)
+    // CDC serves exactly the deleted rows.
+    val cdc = vt.changes(vD, vD).select("_change_type", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cdc === Set(("delete", 0L), ("delete", 1L), ("delete", 2L), ("delete", 4L)))
+    // No matches → no commit at all.
+    assert(vt.delete(col("k") > 1000) === vD)
+    assert(vt.latestVersion === vD)
+    // Deleting a whole directory's rows drops the dir without writing
+    // an empty replacement.
+    val vAll = vt.delete(col("k") >= 10)
+    assert(vt.history().orderBy(col("version").desc)
+      .select("num_active_dirs").head.getInt(0) === 1)
+    assert(vt.readAt(vAll).count() === 6) // 3,5,6,7,8,9
+  }
 }
