@@ -1212,6 +1212,37 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // OPTIMIZE ZORDER BY (o_orderkey, o_totalprice): after interleaved
+    // appends (nothing prunable), one transactional Morton-curve
+    // rewrite must make range predicates on EITHER column skip
+    // directories from manifest stats alone — both narrow-range
+    // answers still equal the full scan, and both prune flags must be
+    // true (the oracle pins them).
+    "s_versioned_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_z").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        (0 until 3).foreach(i => vt.append(o.filter(col("o_orderkey") % 3 === i)))
+        vt.optimizeZOrder(Seq("o_orderkey", "o_totalprice"), targetChunks = 8)
+        val (keyLo, keyHi) = (1000L, 5000L)
+        val sKey = vt.pruneActive("o_orderkey", Some(keyLo), Some(keyHi))._2.length
+        val aggK = vt.readPruned("o_orderkey", Some(keyLo), Some(keyHi))
+          .filter(col("o_orderkey").between(keyLo, keyHi))
+          .agg(count(lit(1)), round(sum(col("o_totalprice")), 2)).head
+        val (pLo, pHi) = (100000.0, 150000.0)
+        val sPrice = vt.pruneActive("o_totalprice", Some(pLo), Some(pHi))._2.length
+        val aggP = vt.readPruned("o_totalprice", Some(pLo), Some(pHi))
+          .filter(col("o_totalprice").between(pLo, pHi))
+          .agg(count(lit(1)), round(sum(col("o_totalprice")), 2)).head
+        Seq((aggK.getLong(0), aggK.getDouble(1), aggP.getLong(0), aggP.getDouble(1),
+          sKey > 0, sPrice > 0))
+          .toDF("n_key", "total_key", "n_price", "total_price",
+            "pruned_key", "pruned_price")
+      } finally deleteRecursively(base)
+    }),
+
     // Copy-on-write DELETE in one atomic commit: orders in two
     // key-range-disjoint directories; the delete condition only holds
     // in the lower range, so exactly ONE directory is rewritten (the
@@ -3323,6 +3354,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
         |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)""".stripMargin,
+
+    // Both narrow-range answers equal the plain scans, and the z-order
+    // layout must have made BOTH dimensions prunable.
+    "s_versioned_zorder" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey BETWEEN 1000 AND 5000) AS n_key,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders
+        |   WHERE o_orderkey BETWEEN 1000 AND 5000) AS total_key,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_totalprice BETWEEN 100000 AND 150000) AS n_price,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders
+        |   WHERE o_totalprice BETWEEN 100000 AND 150000) AS total_price,
+        |  true AS pruned_key, true AS pruned_price""".stripMargin,
 
     // Survivors of the copy-on-write delete, plus the pinned layout
     // facts: 2 active directories after (1 untouched + 1 rewritten) and

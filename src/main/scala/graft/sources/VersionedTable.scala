@@ -725,6 +725,90 @@ class VersionedTable(spark: SparkSession, dir: String,
           s"${other.simpleString} (a string cast would null every key)")
     }
     val keyed = snap.withColumn(ck, col(clusterBy).cast("double"))
+    rewriteClustered(keyed, ck, targetChunks)
+  }
+
+  /** Multi-dimensional OPTIMIZE ZORDER BY: rewrite the active set into
+    * chunks clustered on the Z-ORDER (Morton) curve over 2+ columns, so
+    * [[pruneActive]] skips directories on a range predicate over ANY of
+    * them — the locality trade Delta's ZORDER makes. Each column is
+    * first equi-depth bucketed (approximate quantile cuts → bucket id,
+    * the skew-robust choice: a uniform-width grid would collapse a
+    * skewed column into one cell), the per-column bucket ids are
+    * bit-interleaved into the z-value with plain shift/and/or column
+    * arithmetic (codegen'd, no UDF), and the z-value becomes the chunk
+    * key for the same transactional range-chunk rewrite as the
+    * single-column form. Null/NaN keys ride the top bucket. With k
+    * columns at `bitsPerCol` bits, a narrow range on one column keeps
+    * ~targetChunks^((k-1)/k) chunks instead of all of them — strictly
+    * coarser per-dimension than a single-column cluster, the price of
+    * serving every dimension at once.
+    */
+  def optimizeZOrder(clusterBy: Seq[String], targetChunks: Int,
+                     bitsPerCol: Int = 8): Int = {
+    import org.apache.spark.sql.functions._
+    require(clusterBy.size >= 2,
+      "optimizeZOrder needs >= 2 columns (use optimize(col, n) for one)")
+    require(bitsPerCol >= 1 && bitsPerCol * clusterBy.size <= 48,
+      s"bitsPerCol * columns must fit a double-exact long: " +
+        s"$bitsPerCol * ${clusterBy.size}")
+    val snap = read()
+    clusterBy.foreach(c => snap.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"optimizeZOrder column `$c` must be numeric or timestamp, got " +
+          other.simpleString)
+    })
+    val buckets = 1 << bitsPerCol
+    // Equi-depth bucket id per column: value → #quantile-cuts below it.
+    // The cuts are a driver-side constant (≤255 per column), so the
+    // assignment is a pure column expression the planner folds into one
+    // codegen'd projection — no second shuffle, no UDF.
+    val shadow = clusterBy.map(c => s"__graft_z_$c")
+    var keyed = clusterBy.zip(shadow).foldLeft(snap) { case (df, (c, s)) =>
+      df.withColumn(s, col(c).cast("double"))
+    }
+    val bucketIds = clusterBy.zip(shadow).map { case (_, s) =>
+      val cuts = keyed.stat.approxQuantile(s,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+      // Balanced when-tree binary search: id = #cuts strictly below the
+      // value — log2(buckets) comparisons per row, not buckets.
+      def search(loIdx: Int, hiIdx: Int): org.apache.spark.sql.Column =
+        if (loIdx == hiIdx) lit(loIdx.toLong)
+        else {
+          val mid = (loIdx + hiIdx) / 2
+          when(col(s) <= cuts(mid), search(loIdx, mid))
+            .otherwise(search(mid + 1, hiIdx))
+        }
+      // nulls/NaN to the top bucket (approxQuantile ignored them)
+      when(col(s).isNull || isnan(col(s)), lit((buckets - 1).toLong))
+        .otherwise(search(0, cuts.length))
+    }
+    // Morton interleave: bit j of column i lands at position j*k + i.
+    val k = clusterBy.size
+    val zTerms = for (i <- bucketIds.indices; j <- 0 until bitsPerCol)
+      yield shiftleft(shiftright(bucketIds(i), j).bitwiseAND(lit(1L)),
+        j * k + i)
+    val ck = "__graft_ck"
+    keyed = keyed.withColumn(ck,
+      zTerms.reduce(_ bitwiseOR _).cast("double")).drop(shadow: _*)
+    rewriteClustered(keyed, ck, targetChunks)
+  }
+
+  /** The shared transactional rewrite behind [[optimize]] and
+    * [[optimizeZOrder]]: chunk `keyed` into up-to-`targetChunks`
+    * range-disjoint directories on the `ck` double column (boundaries
+    * from approximate quantiles, rows sorted by `ck` within chunks, the
+    * last chunk carrying null keys), drop `ck`, and publish ONE
+    * "optimize" commit swapping the previous active set for the chunks.
+    */
+  private def rewriteClustered(keyed: DataFrame, ck: String,
+                               targetChunks: Int): Int = {
+    require(targetChunks >= 1, s"targetChunks must be >= 1: $targetChunks")
+    import org.apache.spark.sql.functions.col
     val v = latestVersion + 1
     val cuts =
       if (targetChunks == 1) Array.empty[Double]

@@ -732,6 +732,37 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.read().count() === 4) // 1,2,3(C),9
   }
 
+  test("optimizeZOrder: both dimensions prunable, rows preserved, nulls survive") {
+    val vt = tables.versioned(tmpVt())
+    // 32×32 grid of (a, b) — appended in a-interleaved stripes so the
+    // pre-optimize layout prunes NOTHING on either column — plus one
+    // null-b row that must survive the rewrite.
+    val grid = for (a <- 0 until 32; b <- 0 until 32)
+      yield (a.toLong, Option((b * 100).toLong))
+    val df = (grid :+ ((99L, Option.empty[Long]))).toDF("a", "b")
+    // (the null-b row has a = 99 → stripe 3)
+    (0 until 4).foreach(i => vt.append(df.filter(col("a") % 4 === i)))
+    assert(vt.pruneActive("a", Some(0L), Some(3L))._2.isEmpty) // nothing skips
+    vt.optimizeZOrder(Seq("a", "b"), targetChunks = 16, bitsPerCol = 4)
+    // Narrow range on EACH dimension now skips most chunks...
+    val (kA, sA) = vt.pruneActive("a", Some(0L), Some(3L))
+    val (kB, sB) = vt.pruneActive("b", Some(0L), Some(300L))
+    assert(sA.length >= 8, s"a-pruning kept ${kA.length}, skipped ${sA.length}")
+    assert(sB.length >= 8, s"b-pruning kept ${kB.length}, skipped ${sB.length}")
+    // ...and the pruned reads still answer exactly.
+    assert(vt.readPruned("a", Some(0L), Some(3L))
+      .filter(col("a").between(0L, 3L)).count() === 4 * 32)
+    assert(vt.readPruned("b", Some(0L), Some(300L))
+      .filter(col("b").between(0L, 300L)).count() === 4 * 32)
+    // Row preservation incl. the null key; ONE commit did the rewrite.
+    assert(vt.read().count() === 32 * 32 + 1)
+    assert(vt.read().filter(col("b").isNull).count() === 1)
+    assert(vt.history().filter(col("op") === "optimize").count() === 1)
+    intercept[IllegalArgumentException] {
+      vt.optimizeZOrder(Seq("a"), 4) // one column → use optimize()
+    }
+  }
+
   test("delete: touched dirs only, null condition keeps, no-op skips commit, CDC exact") {
     val vt = tables.versioned(tmpVt())
     // Range-disjoint dirs [0,10) and [10,20); a NULL flag on k=3.
