@@ -114,15 +114,16 @@ object ScaleProbe {
         // native exec shuffles each side alone and streams the merge.
         val n = args.lift(1).map(_.toLong).getOrElse(4000000L)
         val keys = args.lift(2).map(_.toLong).getOrElse(50000L)
+        val rn = args.lift(3).map(_.toLong).getOrElse(n / 4)
         val tmp = java.nio.file.Files.createTempDirectory("probe-asof").toString
         spark.range(n).select(
             col("id").as("event_id"), pmod(col("id") * 2654435761L, lit(keys)).as("k"),
             timestamp_micros(col("id") * 1000L + 17L).as("t"),
             (col("id") % 97).cast("double").as("v"))
           .write.parquet(s"$tmp/left")
-        spark.range(n / 4).select(
+        spark.range(rn).select(
             pmod(col("id") * 40503L, lit(keys)).as("k"),
-            timestamp_micros(col("id") * 4000L).as("rt"),
+            timestamp_micros(col("id") * 4000L * (n / math.max(1L, 4L * rn))).as("rt"),
             col("id").as("rid"))
           .write.parquet(s"$tmp/right")
         val l = spark.read.parquet(s"$tmp/left")

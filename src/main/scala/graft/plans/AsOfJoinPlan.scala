@@ -346,31 +346,38 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val outAttrs = output
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
-      // Build the per-key sorted-time index once per partition. Rows in
-      // the broadcast are already materialized copies; projected keys
-      // are copied because UnsafeProjection reuses its buffer.
-      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
-      val grouped = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
-      bcast.value.foreach { r =>
-        val k = rKeyProj(r)
-        val t = rTimeProj(r)
-        if (!k.anyNull && !t.isNullAt(0)) {
-          var buf = grouped.get(k)
-          if (buf == null) {
-            buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]()
-            grouped.put(k.copy(), buf)
+      // The per-key sorted-time index is built ONCE PER EXECUTOR and
+      // shared by every task ([[BroadcastAsOfJoinExec.indexFor]]) — N
+      // concurrent tasks each building a private copy would multiply
+      // the dimension's footprint by the task slots (the same sharing
+      // BroadcastHashJoin gets from its HashedRelation). Rows in the
+      // broadcast are already materialized copies; projected keys are
+      // copied because UnsafeProjection reuses its buffer.
+      val index = BroadcastAsOfJoinExec.indexFor(bcast.id, () => {
+        val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+        val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+        val grouped = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+        bcast.value.foreach { r =>
+          val k = rKeyProj(r)
+          val t = rTimeProj(r)
+          if (!k.anyNull && !t.isNullAt(0)) {
+            var buf = grouped.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]()
+              grouped.put(k.copy(), buf)
+            }
+            buf += ((t.getLong(0), r))
           }
-          buf += ((t.getLong(0), r))
         }
-      }
-      val index = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])](
-        math.max(8, grouped.size() * 2))
-      grouped.forEach { (k, buf) =>
-        val sorted = buf.sortBy(_._1) // stable: array order breaks equal-time ties
-        index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-      }
+        val built = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])](
+          math.max(8, grouped.size() * 2))
+        grouped.forEach { (k, buf) =>
+          val sorted = buf.sortBy(_._1) // stable: array order breaks equal-time ties
+          built.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+        built
+      })
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
       // Right side binds nullable for the same reason as the merge exec:
@@ -420,6 +427,34 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object BroadcastAsOfJoinExec {
+  private type Index =
+    java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]
+
+  // One built index per (executor JVM, broadcast id), SoftReference'd so
+  // memory pressure can reclaim it (it rebuilds from the broadcast).
+  // Stale cleared refs are purged on the build path.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[Index]]()
+
+  private[plans] def indexFor(id: Long, build: () => Index): Index = {
+    val ref = cache.get(id)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) return hit
+    cache.synchronized {
+      val ref2 = cache.get(id)
+      val hit2 = if (ref2 == null) null else ref2.get()
+      if (hit2 != null) hit2
+      else {
+        val built = build()
+        cache.entrySet().removeIf(e => e.getValue.get() == null)
+        cache.put(id, new java.lang.ref.SoftReference(built))
+        built
+      }
+    }
+  }
 }
 
 /** DataFrame-level API + strategy registration for the native as-of
