@@ -1212,6 +1212,37 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // CHECK constraints on the versioned table: added after the first
+    // slice (validating existing data), enforced on every later write
+    // inside the same job that computes data-skipping stats. The
+    // violating append and the impossible ALTER must BOTH fail loudly
+    // and leave no trace — final state is exactly both valid slices,
+    // with the two rejection flags pinned true by the oracle.
+    "s_versioned_constraint" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_ck").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") % 2 === 0))
+        vt.addConstraint("positive_price", "o_totalprice > 0")
+        vt.append(o.filter(col("o_orderkey") % 2 === 1))
+        val versionsBefore = vt.latestVersion
+        val writeRejected =
+          try { vt.append(o.limit(50).withColumn("o_totalprice",
+            -col("o_totalprice"))); false }
+          catch { case _: IllegalArgumentException => true }
+        val alterRejected =
+          try { vt.addConstraint("impossible", "o_orderkey > 100"); false }
+          catch { case _: IllegalArgumentException => true }
+        val unchanged = vt.latestVersion == versionsBefore
+        vt.read().select(col("o_orderkey"), col("o_totalprice")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            writeRejected && alterRejected && unchanged)).toSeq
+          .toDF("o_orderkey", "o_totalprice", "rejected_cleanly")
+      } finally deleteRecursively(base)
+    }),
+
     // OPTIMIZE ZORDER BY (o_orderkey, o_totalprice): after interleaved
     // appends (nothing prunable), one transactional Morton-curve
     // rewrite must make range predicates on EITHER column skip
@@ -2237,6 +2268,32 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
           .toDF("event_type", "n")
+      } finally deleteRecursively(base)
+    }),
+
+    // The change data feed of a STREAMED ingest reconstructs the source
+    // exactly: every micro-batch committed through the txn protocol, so
+    // changes(0, latest) replays each batch's rows as tagged inserts —
+    // their union (aggregated per event type; the batch SPLIT is not
+    // part of the contract) must equal the full events table. This is
+    // the audit/replay path a downstream consumer of a 100 TB streaming
+    // table uses instead of re-reading snapshots.
+    "streaming_cdf" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_scdf").toString
+      try {
+        val stream = StreamingJobs.eventsStream(s, s"$dir/events.parquet")
+          .select(col("event_id"), col("event_type"), col("value"))
+        StreamingJobs.runToVersionedTable(s, stream, base,
+          app = "cdfgate", statePartitions = Some(8))
+        val vt = new graft.sources.VersionedTable(s, base)
+        vt.changes(0, vt.latestVersion)
+          .groupBy(col("_change_type").as("change_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
+          .toSeq.toDF("change_type", "event_type", "n", "sum_value")
       } finally deleteRecursively(base)
     }),
 
@@ -3354,6 +3411,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
         |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)""".stripMargin,
+
+    // The constrained table ends exactly at both valid slices; the
+    // violating write and impossible constraint were rejected cleanly.
+    "s_versioned_constraint" ->
+      """SELECT o_orderkey, o_totalprice, true AS rejected_cleanly
+        |FROM orders""".stripMargin,
 
     // Both narrow-range answers equal the plain scans, and the z-order
     // layout must have made BOTH dimensions prunable.
@@ -4780,6 +4843,13 @@ object SparkEntry {
     "streaming_to_versioned" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY event_type
         |UNION ALL SELECT 'sideload' AS event_type, 7 AS n""".stripMargin,
+
+    // The union of all micro-batch CDC inserts IS the source table
+    // (the batch split is not part of the contract — aggregate over it).
+    "streaming_cdf" ->
+      """SELECT 'insert' AS change_type, event_type, count(*) AS n,
+        |  coalesce(round(sum(value), 2), 0) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // Two runs against one durable checkpoint == one uninterrupted
     // run: a key emitted before the restart must not re-emit after it.

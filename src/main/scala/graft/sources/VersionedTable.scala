@@ -70,7 +70,9 @@ class VersionedTable(spark: SparkSession, dir: String,
                     removed: Seq[String], numRows: Long, tsMs: Long,
                     txn: Option[(String, Long)] = None,
                     addedStats: Map[String, Map[String, ColStat]] = Map.empty,
-                    cdf: Option[String] = None)
+                    cdf: Option[String] = None,
+                    constraintAdd: Option[(String, String)] = None,
+                    constraintDrop: Option[String] = None)
 
   private def manifestPath(v: Int): Path = new Path(logDir, f"$v%08d.json")
   private def checkpointPath(v: Int): Path =
@@ -133,7 +135,13 @@ class VersionedTable(spark: SparkSession, dir: String,
       readArray(node, "added"), readArray(node, "removed"),
       node.get("num_rows").asLong(), node.get("ts_ms").asLong(), txn,
       parseStats(node.get("added_stats")),
-      if (node.has("cdf")) Some(node.get("cdf").asText()) else None)
+      if (node.has("cdf")) Some(node.get("cdf").asText()) else None,
+      if (node.has("constraint_add_name"))
+        Some((node.get("constraint_add_name").asText(),
+          node.get("constraint_add_expr").asText()))
+      else None,
+      if (node.has("constraint_drop")) Some(node.get("constraint_drop").asText())
+      else None)
   }
 
   private val lastCheckpointPath = new Path(logDir, "_last_checkpoint")
@@ -200,8 +208,16 @@ class VersionedTable(spark: SparkSession, dir: String,
     * hint without listing; time travel below the hinted checkpoint
     * falls back to the listing.
     */
-  private def checkpointAtOrBelow(v: Int)
-      : Option[(Int, Seq[String], Map[String, Map[String, ColStat]], Map[String, Long])] = {
+  /** A resolved table state: active data directories, their
+    * data-skipping stats, the newest txn tag per streaming app, and the
+    * CHECK constraints in force.
+    */
+  private case class Snapshot(active: Seq[String],
+                              stats: Map[String, Map[String, ColStat]],
+                              txns: Map[String, Long],
+                              constraints: Map[String, String])
+
+  private def checkpointAtOrBelow(v: Int): Option[(Int, Snapshot)] = {
     if (!fs.exists(logDir)) return None
     val best = lastCheckpointHint.filter(_ <= v).getOrElse {
       fs.listStatus(logDir).map(_.getPath.getName)
@@ -213,41 +229,39 @@ class VersionedTable(spark: SparkSession, dir: String,
     else {
       val in = fs.open(checkpointPath(best))
       val node = try mapper.readTree(in) finally in.close()
-      val txns: Map[String, Long] = {
-        val t = node.get("txns")
+      import scala.jdk.CollectionConverters._
+      def strMap(field: String, as: com.fasterxml.jackson.databind.JsonNode => String)
+          : Map[String, String] = {
+        val t = node.get(field)
         if (t == null) Map.empty
-        else {
-          import scala.jdk.CollectionConverters._
-          t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-        }
+        else t.properties().asScala.map(e => e.getKey -> as(e.getValue)).toMap
       }
-      Some((best, readArray(node, "active"), parseStats(node.get("stats")), txns))
+      val txns = strMap("txns", _.asText()).map { case (k, s) => k -> s.toLong }
+      Some((best, Snapshot(readArray(node, "active"),
+        parseStats(node.get("stats")), txns, strMap("constraints", _.asText()))))
     }
   }
 
-  /** The (active directories, per-directory data-skipping stats) of
-    * version `v`: nearest checkpoint plus the delta manifests since
-    * it. O(checkpointInterval) manifest reads on a checkpointed log,
-    * never O(v). Directories without recorded stats map to an empty
-    * stat set (readers keep them conservatively).
+  /** The resolved [[Snapshot]] of version `v`: nearest checkpoint plus
+    * the delta manifests since it. O(checkpointInterval) manifest reads
+    * on a checkpointed log, never O(v). Directories without recorded
+    * stats map to an empty stat set (readers keep them conservatively).
     */
-  private def snapshotAt(v: Int)
-      : (Seq[String], Map[String, Map[String, ColStat]], Map[String, Long]) = {
-    val (start, baseActive, baseStats, baseTxns) =
-      checkpointAtOrBelow(v).getOrElse(
-        (-1, Seq.empty[String], Map.empty[String, Map[String, ColStat]],
-          Map.empty[String, Long]))
-    (start + 1 to v).foldLeft((baseActive, baseStats, baseTxns)) {
-      case ((active, stats, txns), i) =>
-        val c = commitAt(i)
-        (active.filterNot(c.removed.toSet) ++ c.added,
-          stats -- c.removed ++ c.addedStats,
-          c.txn.fold(txns) { case (app, b) =>
-            txns + (app -> math.max(b, txns.getOrElse(app, Long.MinValue))) })
+  private def snapshotAt(v: Int): Snapshot = {
+    val (start, base) = checkpointAtOrBelow(v).getOrElse(
+      (-1, Snapshot(Seq.empty, Map.empty, Map.empty, Map.empty)))
+    (start + 1 to v).foldLeft(base) { (s, i) =>
+      val c = commitAt(i)
+      Snapshot(
+        s.active.filterNot(c.removed.toSet) ++ c.added,
+        s.stats -- c.removed ++ c.addedStats,
+        c.txn.fold(s.txns) { case (app, b) =>
+          s.txns + (app -> math.max(b, s.txns.getOrElse(app, Long.MinValue))) },
+        (s.constraints -- c.constraintDrop) ++ c.constraintAdd)
     }
   }
 
-  private def activeAt(v: Int): Seq[String] = snapshotAt(v)._1
+  private def activeAt(v: Int): Seq[String] = snapshotAt(v).active
 
   /** Atomically publish manifest `c` as version `c.version`: write to a
     * `.tmp` sibling, then rename onto the final slot. Rename-onto-
@@ -277,6 +291,10 @@ class VersionedTable(spark: SparkSession, dir: String,
         node.put("txn_app", app); node.put("txn_batch", batch)
       }
       c.cdf.foreach(node.put("cdf", _))
+      c.constraintAdd.foreach { case (n, ex) =>
+        node.put("constraint_add_name", n); node.put("constraint_add_expr", ex)
+      }
+      c.constraintDrop.foreach(node.put("constraint_drop", _))
       writeStats(node, "added_stats", c.addedStats)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
@@ -299,13 +317,10 @@ class VersionedTable(spark: SparkSession, dir: String,
   private def maybeCheckpoint(v: Int): Unit = {
     if (v <= 0 || v % checkpointInterval != 0 || fs.exists(checkpointPath(v)))
       return
-    val (active, stats, txns) = snapshotAt(v)
-    writeCheckpoint(v, active, stats, txns)
+    writeCheckpoint(v, snapshotAt(v))
   }
 
-  private def writeCheckpoint(v: Int, active: Seq[String],
-                              stats: Map[String, Map[String, ColStat]],
-                              txns: Map[String, Long]): Unit = {
+  private def writeCheckpoint(v: Int, snap: Snapshot): Unit = {
     val tmp = new Path(logDir,
       f"$v%08d.checkpoint.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -313,11 +328,15 @@ class VersionedTable(spark: SparkSession, dir: String,
       val node = mapper.createObjectNode()
       node.put("version", v)
       val arr = node.putArray("active")
-      active.foreach(arr.add)
-      writeStats(node, "stats", stats)
-      if (txns.nonEmpty) {
+      snap.active.foreach(arr.add)
+      writeStats(node, "stats", snap.stats)
+      if (snap.txns.nonEmpty) {
         val tn = node.putObject("txns")
-        txns.foreach { case (app, b) => tn.put(app, b) }
+        snap.txns.foreach { case (app, b) => tn.put(app, b) }
+      }
+      if (snap.constraints.nonEmpty) {
+        val cn = node.putObject("constraints")
+        snap.constraints.foreach { case (n, ex) => cn.put(n, ex) }
       }
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
@@ -334,23 +353,38 @@ class VersionedTable(spark: SparkSession, dir: String,
     * The row count comes from the written files' parquet footers
     * (metadata-only), not a second data scan.
     */
-  private def writePayload(df: DataFrame, v: Int): (String, Long, Map[String, ColStat]) = {
+  private def writePayload(df: DataFrame, v: Int,
+                           constraints: Map[String, String] = Map.empty)
+      : (String, Long, Map[String, ColStat]) = {
     val name = f"v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(root, name)
     df.write.parquet(dataDir.toString)
-    val (rows, stats) = statsOf(dataDir.toString)
+    val (rows, stats, violations) = statsOf(dataDir.toString, constraints)
+    val broken = violations.filter(_._2 > 0L)
+    if (broken.nonEmpty) {
+      // Abort BEFORE publish: nothing was committed, the orphan payload
+      // is removed here rather than waiting for vacuum.
+      fs.delete(dataDir, true)
+      throw new IllegalArgumentException(
+        s"write to $dir violates CHECK constraint(s): " +
+          broken.map { case (n, c) =>
+            s"$n [${constraints(n)}] on $c row(s)" }.mkString("; "))
+    }
     (name, rows, stats)
   }
 
-  /** Row count + per-column min/max of one data directory — ONE job
-    * over the new files only (the former count read widened to carry
-    * the data-skipping bounds; metadata-cheap relative to the write).
+  /** Row count, per-column min/max, and per-CHECK-constraint violation
+    * count of one data directory — ONE job over the new files only
+    * (the former count read widened to carry the data-skipping bounds
+    * and the constraint checks; metadata-cheap relative to the write).
     * Supported kinds: integral → Long, timestamp → epoch micros
     * (exact — a seconds-truncated max could wrongly prune the row
     * holding it), fractional → Double, string as-is; other types are
     * simply not indexed (readers keep the directory conservatively).
     */
-  private def statsOf(dataDir: String): (Long, Map[String, ColStat]) = {
+  private def statsOf(dataDir: String,
+                      constraints: Map[String, String] = Map.empty)
+      : (Long, Map[String, ColStat], Map[String, Long]) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val d = spark.read.parquet(dataDir)
@@ -366,14 +400,25 @@ class VersionedTable(spark: SparkSession, dir: String,
         case _ => None
       }
     }
-    val aggs = count(lit(1)) +: cols.flatMap { case (_, _, c) => Seq(min(c), max(c)) }
+    // CHECK constraint violation counts ride the SAME single job as
+    // the stats (SQL semantics: a NULL constraint result passes, so a
+    // violation is exactly `expr <=> false`).
+    val cNames = constraints.keys.toSeq.sorted
+    val cAggs = cNames.map(n =>
+      sum(when(expr(constraints(n)) <=> lit(false), 1L).otherwise(0L)))
+    val aggs = (count(lit(1)) +:
+      cols.flatMap { case (_, _, c) => Seq(min(c), max(c)) }.toSeq) ++ cAggs
     val row = d.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
     val stats = cols.zipWithIndex.flatMap { case ((n, kind, _), i) =>
       val lo = row.get(1 + 2 * i); val hi = row.get(2 + 2 * i)
       if (lo == null || hi == null) None // all-null column: unindexed
       else Some(n -> ColStat(kind, lo, hi))
     }.toMap
-    (row.getLong(0), stats)
+    val base = 1 + 2 * cols.length
+    val violations = cNames.zipWithIndex.map { case (n, i) =>
+      n -> (if (row.isNullAt(base + i)) 0L else row.getLong(base + i))
+    }.toMap
+    (row.getLong(0), stats, violations)
   }
 
   /** Commit `df` as a new version extending the current active set.
@@ -382,9 +427,63 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   def append(df: DataFrame): Int = {
     val v = latestVersion + 1
-    val (name, rows, stats) = writePayload(df, v)
+    val (name, rows, stats) = writePayload(df, v, currentConstraints)
     publish(Commit(v, "append", Seq(name), Seq.empty, rows,
       System.currentTimeMillis(), addedStats = Map(name -> stats)))
+    v
+  }
+
+  /** The CHECK constraints in force at the latest version (empty for a
+    * new table).
+    */
+  def currentConstraints: Map[String, String] = {
+    val latest = latestVersion
+    if (latest < 0) Map.empty else snapshotAt(latest).constraints
+  }
+
+  /** Add a Delta-style CHECK constraint: `sqlExpr` (any Spark SQL
+    * boolean expression over the table's columns) must not evaluate to
+    * FALSE for any row — SQL semantics, so a NULL result passes. The
+    * EXISTING table is validated first (one aggregate scan, exactly
+    * like ALTER TABLE ADD CONSTRAINT); every subsequent write
+    * (append/overwrite/streaming/merge) then validates its new rows in
+    * the same job that computes their data-skipping stats and ABORTS
+    * before publishing on a violation — at 100 TB the check costs the
+    * new files' scan, never the table's. The constraint rides the
+    * manifest log and checkpoints, so it survives restarts and vacuum
+    * and is seen by every writer. Returns the committed version.
+    */
+  def addConstraint(name: String, sqlExpr: String): Int = {
+    import org.apache.spark.sql.functions.{expr, lit, sum, when}
+    require(name.nonEmpty, "constraint name must be non-empty")
+    val latest = latestVersion
+    val existing = currentConstraints
+    require(!existing.contains(name),
+      s"constraint `$name` already exists on $dir: ${existing(name)}")
+    if (latest >= 0 && activeAt(latest).nonEmpty) {
+      val bad = read().agg(
+        sum(when(expr(sqlExpr) <=> lit(false), 1L).otherwise(0L))).head()
+      val n = if (bad.isNullAt(0)) 0L else bad.getLong(0)
+      require(n == 0L,
+        s"cannot add constraint `$name` [$sqlExpr] to $dir: " +
+          s"$n existing row(s) violate it")
+    }
+    val v = latestVersion + 1
+    publish(Commit(v, "constraint", Seq.empty, Seq.empty, 0L,
+      System.currentTimeMillis(), constraintAdd = Some((name, sqlExpr))))
+    v
+  }
+
+  /** Drop a CHECK constraint (commits a manifest; old versions keep
+    * enforcing it historically). Returns the committed version.
+    */
+  def dropConstraint(name: String): Int = {
+    require(currentConstraints.contains(name),
+      s"no constraint `$name` on $dir (has: " +
+        s"${currentConstraints.keys.toSeq.sorted.mkString(", ")})")
+    val v = latestVersion + 1
+    publish(Commit(v, "constraint", Seq.empty, Seq.empty, 0L,
+      System.currentTimeMillis(), constraintDrop = Some(name)))
     v
   }
 
@@ -400,7 +499,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     * commit changes meaning, and that decision belongs to the caller.
     */
   def appendWithRetry(df: DataFrame, maxRetries: Int = 5): Int = {
-    val (name, rows, stats) = writePayload(df, latestVersion + 1)
+    val (name, rows, stats) = writePayload(df, latestVersion + 1, currentConstraints)
     var attempt = 0
     while (true) {
       val v = latestVersion + 1
@@ -434,7 +533,7 @@ class VersionedTable(spark: SparkSession, dir: String,
                         maxRetries: Int = 5): Option[Int] = {
     require(app.nonEmpty, "app id must be non-empty")
     if (lastCommittedBatch(app).exists(_ >= batchId)) return None
-    val (name, rows, stats) = writePayload(df, latestVersion + 1)
+    val (name, rows, stats) = writePayload(df, latestVersion + 1, currentConstraints)
     var attempt = 0
     while (true) {
       val v = latestVersion + 1
@@ -467,7 +566,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   private def lastCommittedBatch(app: String): Option[Long] = {
     val latest = latestVersion
-    if (latest < 0) None else snapshotAt(latest)._3.get(app)
+    if (latest < 0) None else snapshotAt(latest).txns.get(app)
   }
 
   /** Commit `df` as a new version REPLACING the active set. Old
@@ -475,7 +574,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   def overwrite(df: DataFrame): Int = {
     val v = latestVersion + 1
-    val (name, rows, stats) = writePayload(df, v)
+    val (name, rows, stats) = writePayload(df, v, currentConstraints)
     val prevActive = if (v == 0) Seq.empty else activeAt(v - 1)
     publish(Commit(v, "overwrite", Seq(name), prevActive, rows,
       System.currentTimeMillis(), addedStats = Map(name -> stats)))
@@ -553,7 +652,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       case StringType => span2(col(k0))
       case _ => Unindexable
     }
-    val (active, _, _) = snapshotAt(latest)
+    val snapState = snapshotAt(latest)
+    val active = snapState.active
     val (touched, _) = span match {
       case Bounds(lo, hi) => pruneActive(k0, Some(lo), Some(hi), Some(latest))
       case Unindexable => (active, Seq.empty)
@@ -568,7 +668,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       case None => srcAligned
     }
     val v = latest + 1
-    val (name, rows, st) = writePayload(newData, v)
+    val (name, rows, st) = writePayload(newData, v, snapState.constraints)
     val cdfName =
       if (!writeChangeData) None
       else {
@@ -614,7 +714,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
     val latest = latestVersion
     require(latest >= 0, s"$dir has no committed versions")
-    val (active, _, _) = snapshotAt(latest)
+    val active = snapshotAt(latest).active
     val snap = readDirs(active)
     // Which directories hold matching rows? One scan, metadata-sized
     // result (distinct FILE names → their parent directories).
@@ -829,7 +929,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       val name = f"v$v%05d-opt$i%03d-${java.util.UUID.randomUUID().toString.take(8)}"
       val path = new Path(root, name)
       c.write.parquet(path.toString)
-      val (rows, stats) = statsOf(path.toString)
+      val (rows, stats, _) = statsOf(path.toString)
       if (rows == 0L) { fs.delete(path, true); None } // stat-less empty dir would defeat pruning
       else Some((name, rows, stats))
     }
@@ -916,7 +1016,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                   version: Option[Int] = None): (Seq[String], Seq[String]) = {
     val v = version.getOrElse(latestVersion)
     require(v >= 0, s"$dir has no committed versions")
-    val (active, stats, _) = snapshotAt(v)
+    val snapState = snapshotAt(v)
+    val (active, stats) = (snapState.active, snapState.stats)
     val lo = lower.map(normBound)
     val hi = upper.map(normBound)
     active.partition { d =>
@@ -994,7 +1095,7 @@ class VersionedTable(spark: SparkSession, dir: String,
         // already includes version f's own delta, so skip re-applying
         // it. An unvacuumed log starts from the empty set at f = 0.
         val ckptAtF = checkpointAtOrBelow(f).filter(_._1 == f)
-        var active: Set[String] = ckptAtF.map(_._2.toSet).getOrElse(Set.empty)
+        var active: Set[String] = ckptAtF.map(_._2.active.toSet).getOrElse(Set.empty)
         (f to latest).flatMap { v =>
           if (fs.exists(manifestPath(v))) {
             val c = parseManifest(manifestPath(v))
@@ -1020,7 +1121,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     val cutoff = math.max(0, latest - keepLast + 1)
     if (cutoff > 0 && fs.exists(manifestPath(cutoff)) &&
         !fs.exists(checkpointPath(cutoff)))
-      { val (a, st, tx) = snapshotAt(cutoff); writeCheckpoint(cutoff, a, st, tx) }
+      writeCheckpoint(cutoff, snapshotAt(cutoff))
     // Everything a kept version can reference: the oldest kept
     // version's active set plus every directory added after it.
     val referenced: Set[String] =

@@ -763,6 +763,47 @@ class TableManagerSpec extends SparkSuite {
     }
   }
 
+  test("CHECK constraints: enforced in the stats job, SQL null semantics, log-durable") {
+    val base = tmpVt()
+    val vt = tables.versioned(base)
+    def payloadDirs() =
+      new java.io.File(base).listFiles().count(_.getName.startsWith("v"))
+    vt.append(Seq((1L, Option(10.0)), (2L, Option.empty[Double])).toDF("k", "x"))
+    vt.addConstraint("x_positive", "x > 0") // null x passes (SQL CHECK)
+    assert(vt.currentConstraints === Map("x_positive" -> "x > 0"))
+    vt.append(Seq((3L, Option(5.0)), (4L, Option.empty[Double])).toDF("k", "x"))
+    // A violating append aborts BEFORE publish: no version, no rows, no
+    // orphan payload directory.
+    val before = vt.latestVersion
+    val dirsBefore = payloadDirs()
+    val e = intercept[IllegalArgumentException] {
+      vt.append(Seq((5L, Option(-1.0))).toDF("k", "x"))
+    }
+    assert(e.getMessage.contains("x_positive"))
+    assert(vt.latestVersion === before && vt.read().count() === 4)
+    assert(payloadDirs() === dirsBefore)
+    // merge validates its new rows too
+    intercept[IllegalArgumentException] {
+      vt.merge(Seq((1L, Option(-9.0))).toDF("k", "x"), Seq("k"))
+    }
+    // a constraint the existing data violates cannot be added;
+    // duplicate names fail loudly
+    intercept[IllegalArgumentException] { vt.addConstraint("imp", "k > 100") }
+    intercept[IllegalArgumentException] { vt.addConstraint("x_positive", "x > 1") }
+    // durability: past a checkpoint and a vacuum, the constraint still
+    // binds (it rides the checkpointed snapshot, not driver memory)
+    (0 until 12).foreach(i => vt.append(Seq((100L + i, Option(1.0))).toDF("k", "x")))
+    vt.vacuum(keepLast = 2)
+    intercept[IllegalArgumentException] {
+      vt.append(Seq((999L, Option(-2.0))).toDF("k", "x"))
+    }
+    // drop: the same write now commits
+    vt.dropConstraint("x_positive")
+    vt.append(Seq((999L, Option(-2.0))).toDF("k", "x"))
+    assert(vt.read().filter(col("x") < 0).count() === 1)
+    intercept[IllegalArgumentException] { vt.dropConstraint("x_positive") }
+  }
+
   test("delete: touched dirs only, null condition keeps, no-op skips commit, CDC exact") {
     val vt = tables.versioned(tmpVt())
     // Range-disjoint dirs [0,10) and [10,20); a NULL flag on k=3.
