@@ -905,11 +905,18 @@ class VersionedTable(spark: SparkSession, dir: String,
     * last chunk carrying null keys), drop `ck`, and publish ONE
     * "optimize" commit swapping the previous active set for the chunks.
     */
-  private def rewriteClustered(keyed: DataFrame, ck: String,
+  private def rewriteClustered(keyed0: DataFrame, ck: String,
                                targetChunks: Int): Int = {
     require(targetChunks >= 1, s"targetChunks must be >= 1: $targetChunks")
     import org.apache.spark.sql.functions.col
     val v = latestVersion + 1
+    // The cluster key is evaluated ONCE: the quantile pass and every
+    // chunk filter re-scan this frame, and a z-order key in particular
+    // is an expensive projection (two quantile-bucket searches + bit
+    // interleave per row) that must not be recomputed targetChunks+1
+    // times over the whole table.
+    val keyed = keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val cuts =
       if (targetChunks == 1) Array.empty[Double]
       else keyed.stat.approxQuantile(ck,
@@ -938,6 +945,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       written.map(_._2).sum, System.currentTimeMillis(),
       addedStats = written.map(w => w._1 -> w._3).toMap))
     v
+    } finally keyed.unpersist()
   }
 
   /** `VERSION AS OF v`: the table exactly as version `v` committed it.
