@@ -1212,6 +1212,28 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // RESTORE as a new commit: after a delete, rolling back to the
+    // pre-delete version is METADATA-ONLY (the manifest re-adds the old
+    // directories — no data is copied or rewritten) and history is
+    // preserved: the deleted state's row count still time-travels and
+    // rides the oracle alongside the fully-restored rows.
+    "s_versioned_restore" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_rst").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") % 2 === 0))
+        val vPre = vt.append(o.filter(col("o_orderkey") % 2 === 1))
+        vt.delete(col("o_orderkey") % 5 === 0)
+        val vR = vt.restore(vPre)
+        val nDeleted = vt.readAt(vR - 1).count()
+        vt.read().select(col("o_orderkey"), col("o_totalprice")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), nDeleted)).toSeq
+          .toDF("o_orderkey", "o_totalprice", "n_after_delete")
+      } finally deleteRecursively(base)
+    }),
+
     // CHECK constraints on the versioned table: added after the first
     // slice (validating existing data), enforced on every later write
     // inside the same job that computes data-skipping stats. The
@@ -3411,6 +3433,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
         |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)""".stripMargin,
+
+    // The restored table is the full orders set; the surviving count of
+    // the deleted (pre-restore) version rides every row.
+    "s_versioned_restore" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT count(*) FROM orders
+        |   WHERE NOT (o_orderkey % 5 = 0)) AS n_after_delete
+        |FROM orders""".stripMargin,
 
     // The constrained table ends exactly at both valid slices; the
     // violating write and impossible constraint were rejected cleanly.

@@ -690,6 +690,34 @@ class VersionedTable(spark: SparkSession, dir: String,
     v
   }
 
+  /** Delta-style RESTORE — roll the table back to version `v` as a NEW
+    * commit (history is preserved; nothing is rewritten or copied: the
+    * manifest removes the current active set and re-adds version v's
+    * directories, which still exist until [[vacuum]] — at 100 TB a
+    * rollback is a metadata operation, not a data move). Stats ride
+    * along so data skipping keeps working on the restored snapshot;
+    * constraints are NOT rolled back (they bind the table, not a
+    * snapshot — same as Delta). Returns the committed version. Fails
+    * loudly if `v`'s data directories were already vacuumed.
+    */
+  def restore(v: Int): Int = {
+    val latest = latestVersion
+    require(v >= 0 && v <= latest,
+      s"restore($v) out of range for $dir (latest $latest)")
+    commitAt(v) // loud on a vacuumed manifest
+    val target = snapshotAt(v)
+    target.active.foreach(n => require(fs.exists(new Path(root, n)),
+      s"cannot restore $dir to version $v: data directory $n was vacuumed"))
+    val cur = snapshotAt(latest)
+    val newV = latest + 1
+    val removed = cur.active.filterNot(target.active.toSet)
+    val added = target.active.filterNot(cur.active.toSet)
+    publish(Commit(newV, "restore", added, removed, 0L,
+      System.currentTimeMillis(),
+      addedStats = target.stats.filter(kv => added.contains(kv._1))))
+    newV
+  }
+
   /** Delta-style DELETE — copy-on-write row deletion in ONE atomic
     * commit. One scan over the current snapshot (tagged with
     * `input_file_name`) finds the directories that actually hold

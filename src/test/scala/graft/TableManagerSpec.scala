@@ -763,6 +763,30 @@ class TableManagerSpec extends SparkSuite {
     }
   }
 
+  test("restore: metadata-only rollback, stats restored, vacuum keeps re-referenced dirs") {
+    val base = tmpVt()
+    val vt = tables.versioned(base)
+    vt.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s")) // v0
+    vt.append(Seq((3L, "c")).toDF("k", "s"))            // v1
+    vt.delete(col("k") === 2L)                          // v2 rewrites v0's dir
+    assert(vt.read().count() === 2)
+    // Restore writes NO data — same payload directories before/after.
+    val dirsBefore = new java.io.File(base).listFiles().count(_.getName.startsWith("v"))
+    val vR = vt.restore(1)
+    assert(new java.io.File(base).listFiles()
+      .count(_.getName.startsWith("v")) === dirsBefore)
+    assert(vt.read().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // History preserved: the pre-restore (deleted) state still reads.
+    assert(vt.readAt(vR - 1).count() === 2)
+    // The re-added directory's data-skipping stats rode the restore.
+    assert(vt.pruneActive("k", Some(100L), Some(200L))._1.isEmpty)
+    // Vacuum protects re-referenced directories; the delete's rewrite
+    // directory is now unreferenced and reclaimed.
+    assert(vt.vacuum(keepLast = 1) === 1)
+    assert(vt.read().count() === 3)
+    intercept[IllegalArgumentException] { vt.restore(0) } // vacuumed
+  }
+
   test("CHECK constraints: enforced in the stats job, SQL null semantics, log-durable") {
     val base = tmpVt()
     val vt = tables.versioned(base)
