@@ -27,10 +27,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (mergeSchema — an evolving append widens later reads, old
   *    versions keep their shape); `history()` folds the manifests once
   *    (O(total deltas), not O(versions × active));
-  *  - commits are ATOMIC via write-tmp + rename onto the next log slot:
-  *    a crash mid-commit leaves an orphan data dir and/or a `.tmp`
-  *    manifest, both ignored by readers and reclaimed by [[vacuum]];
-  *    two racing writers contend on the same rename and the loser
+  *  - commits are ATOMIC via write-tmp + an atomic claim of the next
+  *    log slot (hard-link on local filesystems, no-overwrite rename on
+  *    HDFS — see [[atomicClaim]]): a crash mid-commit leaves an orphan
+  *    data dir and/or a `.tmp` manifest, both ignored by readers and
+  *    reclaimed by [[vacuum]];
+  *    two racing writers contend on the same claim and the loser
   *    fails loudly (optimistic concurrency, single winner — the same
   *    protocol as Delta, minus the loser's automatic retry, which
   *    [[appendWithRetry]] adds for the always-safe append case).
@@ -263,12 +265,37 @@ class VersionedTable(spark: SparkSession, dir: String,
 
   private def activeAt(v: Int): Seq[String] = snapshotAt(v).active
 
+  /** Claim `target` with the content of `tmp`, atomically failing if
+    * another writer already claimed it — the per-backend LogStore
+    * primitive Delta builds its whole protocol on. On the LOCAL
+    * filesystem a rename REPLACES an existing target (POSIX rename(2)),
+    * so an exists-then-rename has a window where two racers both
+    * "win" and one manifest is silently lost; hard-linking the tmp onto
+    * the target is the correct local primitive — link(2) fails EEXIST
+    * atomically in the kernel. Distributed filesystems (HDFS) get the
+    * exists+rename path, whose rename-onto-existing DOES fail
+    * atomically there; an object store would need an external
+    * coordinator, exactly as Delta documents for S3.
+    */
+  private def atomicClaim(tmp: Path, target: Path): Boolean =
+    if (fs.getScheme == "file")
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    else !fs.exists(target) && fs.rename(tmp, target)
+
   /** Atomically publish manifest `c` as version `c.version`: write to a
-    * `.tmp` sibling, then rename onto the final slot. Rename-onto-
-    * existing fails on every sane filesystem, so of two racing writers
-    * exactly one wins; the loser must re-read the log and retry its
-    * whole commit (we fail loudly instead of retrying silently — the
-    * caller decides whether replaying its write is safe).
+    * `.tmp` sibling, then [[atomicClaim]] the final slot — of two
+    * racing writers exactly one wins; the loser must re-read the log
+    * and retry its whole commit (we fail loudly instead of retrying
+    * silently — the caller decides whether replaying its write is
+    * safe).
     */
   private def publish(c: Commit): Unit = {
     fs.mkdirs(logDir)
@@ -299,7 +326,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
     val target = manifestPath(c.version)
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
+    if (!atomicClaim(tmp, target)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"concurrent commit: version ${c.version} of $dir was published by " +
@@ -340,7 +367,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       }
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
-    if (fs.rename(tmp, checkpointPath(v))) writeLastCheckpointHint(v)
+    if (atomicClaim(tmp, checkpointPath(v))) writeLastCheckpointHint(v)
     else fs.delete(tmp, false)
   }
 

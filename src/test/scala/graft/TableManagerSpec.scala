@@ -763,6 +763,35 @@ class TableManagerSpec extends SparkSuite {
     }
   }
 
+  test("publish: simultaneous claims of one version slot have EXACTLY one winner") {
+    // Regression for the local-filesystem TOCTOU: rename(2) REPLACES an
+    // existing target, so exists-then-rename let two racers both "win"
+    // a slot and silently drop a manifest (caught as a 1-in-3 suite
+    // flake). atomicClaim hard-links instead — link(2) fails EEXIST in
+    // the kernel. Hammer the window: per round, 8 barrier-released
+    // threads race plain append() toward the SAME version; exactly one
+    // may win, and every round's winner must be durable.
+    val vt = tables.versioned(tmpVt())
+    vt.append(Seq((0L, "base")).toDF("k", "s"))
+    val rounds = 12; val racers = 8
+    for (r <- 1 to rounds) {
+      val barrier = new java.util.concurrent.CyclicBarrier(racers)
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val losses = new java.util.concurrent.atomic.AtomicInteger
+      val threads = (0 until racers).map(i => new Thread(() => {
+        val d = Seq((r * 100L + i, s"r$r-w$i")).toDF("k", "s")
+        barrier.await()
+        try { vt.append(d); wins.incrementAndGet() }
+        catch { case _: IllegalStateException => losses.incrementAndGet() }
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get() === 1, s"round $r: ${wins.get()} writers won one slot")
+      assert(losses.get() === racers - 1)
+      assert(vt.latestVersion === r)
+    }
+    assert(vt.read().count() === 1L + rounds) // every winner's rows, none lost
+  }
+
   test("restore: metadata-only rollback, stats restored, vacuum keeps re-referenced dirs") {
     val base = tmpVt()
     val vt = tables.versioned(base)
