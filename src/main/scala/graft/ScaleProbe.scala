@@ -174,6 +174,40 @@ object ScaleProbe {
               .filter(col("ingest_slice") === 7L)))
         }
 
+      case "vtops" =>
+        // Versioned-table op costs vs table size: build a K-dir table
+        // from `reps`-fold widened orders, then time MERGE (source =
+        // ~1/50 of the keys), DELETE (~1/100), ZORDER, RESTORE. The
+        // scale story to verify: merge/delete cost tracks the TOUCHED
+        // data (+ one discovery scan for delete), restore is O(1)
+        // metadata, zorder is the deliberate full rewrite.
+        val reps = args.lift(1).map(_.toInt).getOrElse(1)
+        val slices = args.lift(2).map(_.toInt).getOrElse(4)
+        val tmp = java.nio.file.Files.createTempDirectory("probe-vtops").toString
+        val vt = new graft.sources.VersionedTable(spark, tmp)
+        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val o = (0 until reps).map(i =>
+            o0.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+          .reduce(_ unionByName _)
+        val maxKey = reps.toLong * 100000000L
+        (0 until slices).foreach(i => // range-disjoint ingestion slices
+          vt.append(o.filter(col("o_orderkey") % slices === i)))
+        println(s"[probe] table rows = ${vt.read().count()}")
+        val upd = o.filter(col("o_orderkey") % 50 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        timed("merge ~2% of keys")(vt.merge(upd, Seq("o_orderkey")))
+        timed("delete ~1% of rows")(vt.delete(col("o_orderkey") % 100 === 1))
+        timed("zorder full rewrite")(
+          vt.optimizeZOrder(Seq("o_orderkey", "o_totalprice"), 8))
+        val vNow = vt.latestVersion
+        timed("restore (metadata)")(vt.restore(vNow - 1))
+        timed("pruned range read")(
+          vt.readPruned("o_orderkey", Some(1000L), Some(maxKey / 100))
+            .filter(col("o_orderkey").between(1000L, maxKey / 100))
+            .write.format("noop").mode("overwrite").save())
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
