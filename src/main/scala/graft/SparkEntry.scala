@@ -1212,6 +1212,31 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // Metadata-only COUNT(*): after appends, a merge, and a delete, the
+    // row count resolved purely from the manifest fold (fastCount — no
+    // data scan) must equal the real scan count at BOTH the current and
+    // a time-traveled version, and the oracle recomputes both from the
+    // slice definitions.
+    "s_versioned_count" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_cnt").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") % 2 === 0))
+        val vPre = vt.append(o.filter(col("o_orderkey") % 2 === 1))
+        vt.merge(o.filter(col("o_orderkey") % 11 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L),
+          Seq("o_orderkey"))
+        vt.delete(col("o_orderkey") % 5 === 0)
+        val fast = vt.fastCount().getOrElse(
+          sys.error("fastCount must be available on a fully-recorded log"))
+        val fastPre = vt.fastCount(Some(vPre)).getOrElse(sys.error("pre"))
+        Seq((fast, vt.read().count(), fastPre))
+          .toDF("fast_count", "scan_count", "fast_count_pre_merge")
+      } finally deleteRecursively(base)
+    }),
+
     // RESTORE as a new commit: after a delete, rolling back to the
     // pre-delete version is METADATA-ONLY (the manifest re-adds the old
     // directories — no data is copied or rewritten) and history is
@@ -3433,6 +3458,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
         |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)""".stripMargin,
+
+    // Both count paths (manifest fold vs scan) equal the recomputed
+    // final row count: orders plus the shifted inserts, minus every
+    // key divisible by 5 (the +100000000 shift preserves mod 5).
+    "s_versioned_count" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 0)
+        |   + (SELECT count(*) FROM orders
+        |      WHERE o_orderkey % 11 = 3 AND o_orderkey % 5 <> 0) AS fast_count,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 0)
+        |   + (SELECT count(*) FROM orders
+        |      WHERE o_orderkey % 11 = 3 AND o_orderkey % 5 <> 0) AS scan_count,
+        |  (SELECT count(*) FROM orders) AS fast_count_pre_merge""".stripMargin,
 
     // The restored table is the full orders set; the surviving count of
     // the deleted (pre-restore) version rides every row.

@@ -763,6 +763,23 @@ class TableManagerSpec extends SparkSuite {
     }
   }
 
+  test("fastCount: metadata-only COUNT(*) agrees with scans at every version") {
+    val vt = tables.versioned(tmpVt())
+    vt.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))   // v0
+    vt.append(Seq((4L, "d")).toDF("k", "s"))                         // v1
+    vt.merge(Seq((2L, "B"), (9L, "i")).toDF("k", "s"), Seq("k"))     // v2
+    vt.delete(col("k") === 1L)                                       // v3
+    vt.optimize("k", targetChunks = 2)                               // v4
+    val vR = vt.restore(1)                                           // v5
+    for (v <- 0 to vR)
+      assert(vt.fastCount(Some(v)) === Some(vt.readAt(v).count()),
+        s"fastCount disagrees with the scan at version $v")
+    // survives checkpoint resolution (interval commits) and vacuum
+    (0 until 12).foreach(i => vt.append(Seq((50L + i, "x")).toDF("k", "s")))
+    vt.vacuum(keepLast = 2)
+    assert(vt.fastCount() === Some(vt.read().count()))
+  }
+
   test("publish: simultaneous claims of one version slot have EXACTLY one winner") {
     // Regression for the local-filesystem TOCTOU: rename(2) REPLACES an
     // existing target, so exists-then-rename let two racers both "win"
