@@ -499,6 +499,30 @@ class VersionedTable(spark: SparkSession, dir: String,
     else None
   }
 
+  /** Metadata-only MIN/MAX of a column — the same manifest fold as
+    * [[fastCount]]: per-directory bounds are exact (computed from the
+    * data at write time), so the min of mins / max of maxes IS the
+    * global answer, with no scan. Returns None when any active
+    * directory lacks recorded stats for the column (unsupported type,
+    * all-null directory, pre-stats commit) — never guesses. NOTE: rows
+    * deleted by [[delete]]/[[merge]] rewrites are truly gone from the
+    * rewritten directories' re-computed stats, so bounds stay exact
+    * through row-level operations.
+    */
+  def statRange(colName: String, version: Option[Int] = None)
+      : Option[(Any, Any)] = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    val snap = snapshotAt(v)
+    val bounds = snap.active.map(d => snap.stats.get(d).flatMap(_.get(colName)))
+    if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
+    else {
+      val bs = bounds.flatten
+      Some((bs.map(_.min).reduce((a, b) => if (cmpBound(a, b) <= 0) a else b),
+        bs.map(_.max).reduce((a, b) => if (cmpBound(a, b) >= 0) a else b)))
+    }
+  }
+
   /** The CHECK constraints in force at the latest version (empty for a
     * new table).
     */

@@ -778,6 +778,16 @@ class TableManagerSpec extends SparkSuite {
     (0 until 12).foreach(i => vt.append(Seq((50L + i, "x")).toDF("k", "s")))
     vt.vacuum(keepLast = 2)
     assert(vt.fastCount() === Some(vt.read().count()))
+    // Metadata MIN/MAX from the same fold — exact through the delete
+    // (the rewrite re-computed its directory's bounds) and both string
+    // and integral kinds.
+    // (the restore at v5 reinstated k=1 "a"; appends added 50..61 "x")
+    assert(vt.statRange("k") === Some((1L, 61L)))
+    assert(vt.statRange("s") === Some(("a", "x")))
+    assert(vt.statRange("nope") === None)
+    // and exactness THROUGH a delete: drop the max key, bounds follow
+    vt.delete(col("k") === 61L)
+    assert(vt.statRange("k") === Some((1L, 60L)))
   }
 
   test("publish: simultaneous claims of one version slot have EXACTLY one winner") {
