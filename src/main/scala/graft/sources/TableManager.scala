@@ -417,6 +417,30 @@ class TableManager(spark: SparkSession) {
     v
   }
 
+  /** MERGE (upsert) into a versioned managed table — the named-table
+    * face of [[VersionedTable.merge]]: copy-on-write, stats-pruned
+    * touched set, one atomic commit; the catalog view then reads the
+    * merged snapshot. Returns the committed version.
+    */
+  def mergeVersioned(source: DataFrame, table: String,
+                     keys: Seq[String]): Int = {
+    val v = versionedFor(table).merge(source, keys)
+    refreshVersioned(table)
+    v
+  }
+
+  /** DELETE from a versioned managed table ([[VersionedTable.delete]]
+    * through the catalog name): rewrites only directories holding
+    * matches, then re-points the view. Returns the committed version
+    * (unchanged when nothing matched).
+    */
+  def deleteVersioned(condition: org.apache.spark.sql.Column,
+                      table: String): Int = {
+    val v = versionedFor(table).delete(condition)
+    refreshVersioned(table)
+    v
+  }
+
   /** (Re)expose `table`'s versioned snapshot under its catalog name —
     * also the recovery path when a reader session starts fresh.
     * Synchronized per-session: two racing appenders both re-register

@@ -763,6 +763,21 @@ class TableManagerSpec extends SparkSuite {
     }
   }
 
+  test("mergeVersioned/deleteVersioned drive the commit protocol through the catalog name") {
+    val tbl = "tm_spec_upsert"
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl + "__versioned")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    tables.appendVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), tbl)
+    tables.mergeVersioned(Seq((2L, "B"), (3L, "c")).toDF("k", "s"), tbl, Seq("k"))
+    assert(spark.table(tbl).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    tables.deleteVersioned(col("k") === 1L, tbl)
+    assert(spark.table(tbl).select("k").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L))
+    assert(tables.versionedFor(tbl).history().count() === 3)
+  }
+
   test("fastCount: metadata-only COUNT(*) agrees with scans at every version") {
     val vt = tables.versioned(tmpVt())
     vt.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))   // v0
