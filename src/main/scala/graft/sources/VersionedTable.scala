@@ -1162,6 +1162,48 @@ class VersionedTable(spark: SparkSession, dir: String,
     }
   }
 
+  /** Conjunctive multi-column data skipping: a directory survives only
+    * if EVERY (column, lower, upper) range can intersect its recorded
+    * bounds — the reader shape a Z-ORDERED table exists for (each
+    * predicate independently eliminates chunks, and the intersection is
+    * never larger than the tightest single-column prune). Missing stats
+    * for a column keep the directory conservatively, same as
+    * [[pruneActive]].
+    */
+  def pruneActiveAll(predicates: Seq[(String, Option[Any], Option[Any])],
+                     version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    require(predicates.nonEmpty, "pruneActiveAll needs at least one predicate")
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    val snapState = snapshotAt(v)
+    val norm = predicates.map { case (c, lo, hi) =>
+      (c, lo.map(normBound), hi.map(normBound)) }
+    snapState.active.partition { d =>
+      norm.forall { case (c, lo, hi) =>
+        snapState.stats.get(d).flatMap(_.get(c)) match {
+          case None => true
+          case Some(st) =>
+            !(lo.exists(l => cmpBound(st.max, l) < 0) ||
+              hi.exists(h => cmpBound(st.min, h) > 0))
+        }
+      }
+    }
+  }
+
+  /** [[readAt]] restricted to the [[pruneActiveAll]] survivors of a
+    * conjunction of ranges (superset guarantee — the caller still
+    * applies the row filter).
+    */
+  def readPrunedAll(predicates: Seq[(String, Option[Any], Option[Any])],
+                    version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion)
+    commitAt(v)
+    val (kept, _) = pruneActiveAll(predicates, Some(v))
+    if (kept.isEmpty) readAt(v).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(n => new Path(root, n).toString): _*)
+  }
+
   /** [[readAt]] with [[pruneActive]] data skipping applied: the
     * returned frame unions only directories that can hold rows with
     * `colName` in [lower, upper]. The caller still applies the actual

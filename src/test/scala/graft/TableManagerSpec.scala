@@ -805,6 +805,25 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.statRange("k") === Some((1L, 60L)))
   }
 
+  test("pruneActiveAll: conjunctive ranges intersect per-column prunes on a zordered table") {
+    val vt = tables.versioned(tmpVt())
+    val grid = for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong * 10)
+    vt.append(grid.toDF("a", "b"))
+    vt.optimizeZOrder(Seq("a", "b"), targetChunks = 16, bitsPerCol = 4)
+    val keptA = vt.pruneActive("a", Some(0L), Some(3L))._1.toSet
+    val keptB = vt.pruneActive("b", Some(0L), Some(30L))._1.toSet
+    val (keptBoth, skipped) = vt.pruneActiveAll(Seq(
+      ("a", Some(0L), Some(3L)), ("b", Some(0L), Some(30L))))
+    // the conjunction is exactly the per-column intersection...
+    assert(keptBoth.toSet === (keptA intersect keptB))
+    assert(keptBoth.size < math.min(keptA.size, keptB.size) ||
+      keptBoth.size <= 2, s"both=${keptBoth.size} a=${keptA.size} b=${keptB.size}")
+    assert(skipped.size >= 12)
+    // ...and the pruned read still answers exactly.
+    assert(vt.readPrunedAll(Seq(("a", Some(0L), Some(3L)), ("b", Some(0L), Some(30L))))
+      .filter(col("a") <= 3L && col("b") <= 30L).count() === 16)
+  }
+
   test("publish: simultaneous claims of one version slot have EXACTLY one winner") {
     // Regression for the local-filesystem TOCTOU: rename(2) REPLACES an
     // existing target, so exists-then-rename let two racers both "win"
