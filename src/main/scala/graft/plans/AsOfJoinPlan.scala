@@ -345,6 +345,11 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lOut = left.output; val rOut = right.output
     val outAttrs = output
     val bcast = right.executeBroadcast[Array[InternalRow]]()
+    // Cache key carries the application id: broadcast ids restart from
+    // 0 per SparkContext, so in a JVM that outlives a context (tests,
+    // notebooks) a bare id could serve a PREVIOUS session's index for a
+    // different dataset.
+    val cacheKey = s"${sparkContext.applicationId}#${bcast.id}"
     left.execute().mapPartitions({ lIter =>
       // The per-key sorted-time index is built ONCE PER EXECUTOR and
       // shared by every task ([[BroadcastAsOfJoinExec.indexFor]]) — N
@@ -353,7 +358,7 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
       // BroadcastHashJoin gets from its HashedRelation). Rows in the
       // broadcast are already materialized copies; projected keys are
       // copied because UnsafeProjection reuses its buffer.
-      val index = BroadcastAsOfJoinExec.indexFor(bcast.id, () => {
+      val index = BroadcastAsOfJoinExec.indexFor(cacheKey, () => {
         val rKeyProj = UnsafeProjection.create(rKeys, rOut)
         val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
         val grouped = new java.util.HashMap[UnsafeRow,
@@ -433,13 +438,13 @@ object BroadcastAsOfJoinExec {
   private type Index =
     java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]
 
-  // One built index per (executor JVM, broadcast id), SoftReference'd so
-  // memory pressure can reclaim it (it rebuilds from the broadcast).
-  // Stale cleared refs are purged on the build path.
+  // One built index per (executor JVM, application, broadcast id),
+  // SoftReference'd so memory pressure can reclaim it (it rebuilds from
+  // the broadcast). Stale cleared refs are purged on the build path.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[Index]]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[Index]]()
 
-  private[plans] def indexFor(id: Long, build: () => Index): Index = {
+  private[plans] def indexFor(id: String, build: () => Index): Index = {
     val ref = cache.get(id)
     val hit = if (ref == null) null else ref.get()
     if (hit != null) return hit

@@ -550,15 +550,19 @@ class VersionedTable(spark: SparkSession, dir: String,
     val existing = currentConstraints
     require(!existing.contains(name),
       s"constraint `$name` already exists on $dir: ${existing(name)}")
+    // The slot is CAPTURED before the validation scan: a commit landing
+    // in the window takes this version and our publish fails loudly —
+    // recomputing the slot after validation would silently constrain
+    // data the scan never saw.
+    val v = latest + 1
     if (latest >= 0 && activeAt(latest).nonEmpty) {
-      val bad = read().agg(
+      val bad = readAt(latest).agg(
         sum(when(expr(sqlExpr) <=> lit(false), 1L).otherwise(0L))).head()
       val n = if (bad.isNullAt(0)) 0L else bad.getLong(0)
       require(n == 0L,
         s"cannot add constraint `$name` [$sqlExpr] to $dir: " +
           s"$n existing row(s) violate it")
     }
-    val v = latestVersion + 1
     publish(Commit(v, "constraint", Seq.empty, Seq.empty, 0L,
       System.currentTimeMillis(), constraintAdd = Some((name, sqlExpr))))
     v
@@ -568,10 +572,11 @@ class VersionedTable(spark: SparkSession, dir: String,
     * enforcing it historically). Returns the committed version.
     */
   def dropConstraint(name: String): Int = {
+    val latest = latestVersion
     require(currentConstraints.contains(name),
       s"no constraint `$name` on $dir (has: " +
         s"${currentConstraints.keys.toSeq.sorted.mkString(", ")})")
-    val v = latestVersion + 1
+    val v = latest + 1
     publish(Commit(v, "constraint", Seq.empty, Seq.empty, 0L,
       System.currentTimeMillis(), constraintDrop = Some(name)))
     v
@@ -589,7 +594,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     * commit changes meaning, and that decision belongs to the caller.
     */
   def appendWithRetry(df: DataFrame, maxRetries: Int = 5): Int = {
-    val (name, rows, stats) = writePayload(df, latestVersion + 1, currentConstraints)
+    var validated = currentConstraints
+    val (name, rows, stats) = writePayload(df, latestVersion + 1, validated)
     var attempt = 0
     while (true) {
       val v = latestVersion + 1
@@ -602,9 +608,38 @@ class VersionedTable(spark: SparkSession, dir: String,
         case e: IllegalStateException =>
           if (attempt >= maxRetries) throw e
           attempt += 1
+          // The winner may have been an addConstraint: re-validate the
+          // already-written payload against anything new before
+          // re-claiming a slot — retrying blind would publish data the
+          // new constraint never checked.
+          validated = revalidatePayload(name, validated)
       }
     }
     -1 // unreachable
+  }
+
+  /** Re-check the written payload `name` against constraints that
+    * appeared since `validated` was read (retry-loop support): returns
+    * the now-current constraint set, or deletes the payload and throws
+    * if a new constraint rejects it.
+    */
+  private def revalidatePayload(name: String,
+                                validated: Map[String, String])
+      : Map[String, String] = {
+    val now = currentConstraints
+    val fresh = now.filter { case (n, ex) => !validated.get(n).contains(ex) }
+    if (fresh.nonEmpty) {
+      val (_, _, violations) = statsOf(new Path(root, name).toString, fresh)
+      val broken = violations.filter(_._2 > 0L)
+      if (broken.nonEmpty) {
+        fs.delete(new Path(root, name), true)
+        throw new IllegalArgumentException(
+          s"retried write to $dir violates CHECK constraint(s) added " +
+            s"concurrently: " + broken.map { case (n, c) =>
+              s"$n [${fresh(n)}] on $c row(s)" }.mkString("; "))
+      }
+    }
+    now
   }
 
   /** EXACTLY-ONCE streaming append — the Delta `txnAppId`/`txnVersion`
@@ -624,7 +659,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                         maxRetries: Int = 5): Option[Int] = {
     require(app.nonEmpty, "app id must be non-empty")
     if (lastCommittedBatch(app).exists(_ >= batchId)) return None
-    val (name, rows, stats) = writePayload(df, latestVersion + 1, currentConstraints)
+    var validated = currentConstraints
+    val (name, rows, stats) = writePayload(df, latestVersion + 1, validated)
     var attempt = 0
     while (true) {
       val v = latestVersion + 1
@@ -644,6 +680,8 @@ class VersionedTable(spark: SparkSession, dir: String,
             fs.delete(new Path(root, name), true)
             return None
           }
+          // ...or an addConstraint: re-validate before re-claiming.
+          validated = revalidatePayload(name, validated)
       }
     }
     None // unreachable
@@ -751,23 +789,38 @@ class VersionedTable(spark: SparkSession, dir: String,
       case Unindexable => (active, Seq.empty)
       case EmptySpan => (Seq.empty, active)
     }
-    val touchedData = if (touched.isEmpty) None else Some(readDirs(touched))
+    // Align touched directories to the SNAPSHOT schema: an evolving
+    // append means an old directory can predate a column — pad it with
+    // typed nulls so a merge whose key span only touches old data still
+    // runs (and unions cleanly with the source).
+    val snapSchema = read().schema
+    def alignTo(df: DataFrame): DataFrame =
+      snapCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(snapSchema(c).dataType)))
+        .select(snapCols.map(col).toIndexedSeq: _*)
+    val touchedData =
+      if (touched.isEmpty) None else Some(alignTo(readDirs(touched)))
     val srcKeys = source.select(keys.map(col).toIndexedSeq: _*)
     val newData = touchedData match {
       case Some(td) =>
-        td.join(srcKeys, keys, "left_anti")
-          .select(snapCols.map(col).toIndexedSeq: _*).unionByName(srcAligned)
+        td.join(srcKeys, keys, "left_anti").unionByName(srcAligned)
       case None => srcAligned
     }
     val v = latest + 1
     val (name, rows, st) = writePayload(newData, v, snapState.constraints)
+    if (touched.isEmpty && rows == 0L) {
+      // Empty/all-null-key source touching nothing: a no-op. Committing
+      // would add a stat-less empty directory every prune keeps forever.
+      fs.delete(new Path(root, name), true)
+      return latest
+    }
     val cdfName =
       if (!writeChangeData) None
       else {
         val n = f"cdf-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
         val tgtKeys = touchedData.map(_.select(keys.map(col).toIndexedSeq: _*))
         val pre = touchedData.map(_.join(srcKeys, keys, "left_semi")
-          .select(snapCols.map(col).toIndexedSeq: _*)
           .withColumn("_change_type", lit("update_preimage")))
         val post = tgtKeys.map(tk => srcAligned.join(tk, keys, "left_semi")
           .withColumn("_change_type", lit("update_postimage")))
@@ -822,7 +875,9 @@ class VersionedTable(spark: SparkSession, dir: String,
     * column, that's the matching chunks exactly). SQL DELETE null
     * semantics: rows where `condition` is NULL are KEPT (only
     * provably-true rows are deleted). Directories whose every row
-    * matches simply disappear (no empty payload is written). Returns
+    * matches simply disappear (no empty payload is written), except
+    * that emptying the whole table keeps one 0-row directory as the
+    * schema holder so the table still reads as an empty frame. Returns
     * the committed version, or the CURRENT version unchanged when
     * nothing matches (no empty commit).
     *
@@ -850,9 +905,15 @@ class VersionedTable(spark: SparkSession, dir: String,
     val survivors = readDirs(touched).filter(keep)
     val (name, rows, st) = writePayload(survivors, v)
     val (added, addedStats) =
-      if (rows == 0L) { // every row of every touched dir matched
+      if (rows == 0L && touched.size < active.size) {
+        // every row of every touched dir matched; other dirs remain
         fs.delete(new Path(root, name), true)
         (Seq.empty[String], Map.empty[String, Map[String, ColStat]])
+      } else if (rows == 0L) {
+        // the delete empties the TABLE: keep the 0-row directory as the
+        // schema holder so read()/merge() keep working (an empty table
+        // must read as an empty frame, not throw)
+        (Seq(name), Map.empty[String, Map[String, ColStat]])
       } else (Seq(name), Map(name -> st))
     val cdfName =
       if (!writeChangeData) None
@@ -993,10 +1054,12 @@ class VersionedTable(spark: SparkSession, dir: String,
     var keyed = clusterBy.zip(shadow).foldLeft(snap) { case (df, (c, s)) =>
       df.withColumn(s, col(c).cast("double"))
     }
-    val bucketIds = clusterBy.zip(shadow).map { case (_, s) =>
-      val cuts = keyed.stat.approxQuantile(s,
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-        .distinct.sorted
+    // ONE multi-column quantile job for every dimension's cuts (a
+    // per-column call would scan the full table k times).
+    val allCuts = keyed.stat.approxQuantile(shadow.toArray,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    val bucketIds = shadow.zip(allCuts).map { case (s, rawCuts) =>
+      val cuts = rawCuts.distinct.sorted
       // Balanced when-tree binary search: id = #cuts strictly below the
       // value — log2(buckets) comparisons per row, not buckets.
       def search(loIdx: Int, hiIdx: Int): org.apache.spark.sql.Column =
@@ -1145,22 +1208,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   def pruneActive(colName: String, lower: Option[Any] = None,
                   upper: Option[Any] = None,
-                  version: Option[Int] = None): (Seq[String], Seq[String]) = {
-    val v = version.getOrElse(latestVersion)
-    require(v >= 0, s"$dir has no committed versions")
-    val snapState = snapshotAt(v)
-    val (active, stats) = (snapState.active, snapState.stats)
-    val lo = lower.map(normBound)
-    val hi = upper.map(normBound)
-    active.partition { d =>
-      stats.get(d).flatMap(_.get(colName)) match {
-        case None => true // no stats -> keep
-        case Some(st) =>
-          !(lo.exists(l => cmpBound(st.max, l) < 0) ||
-            hi.exists(h => cmpBound(st.min, h) > 0))
-      }
-    }
-  }
+                  version: Option[Int] = None): (Seq[String], Seq[String]) =
+    pruneActiveAll(Seq((colName, lower, upper)), version)
 
   /** Conjunctive multi-column data skipping: a directory survives only
     * if EVERY (column, lower, upper) range can intersect its recorded
@@ -1199,9 +1248,9 @@ class VersionedTable(spark: SparkSession, dir: String,
     val v = version.getOrElse(latestVersion)
     commitAt(v)
     val (kept, _) = pruneActiveAll(predicates, Some(v))
-    if (kept.isEmpty) readAt(v).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(kept.map(n => new Path(root, n).toString): _*)
+    // every directory pruned is a legitimate answer (the range holds
+    // no rows): an empty frame with the snapshot's schema
+    if (kept.isEmpty) readAt(v).limit(0) else readDirs(kept)
   }
 
   /** [[readAt]] with [[pruneActive]] data skipping applied: the
@@ -1211,16 +1260,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   def readPruned(colName: String, lower: Option[Any] = None,
                  upper: Option[Any] = None,
-                 version: Option[Int] = None): DataFrame = {
-    val v = version.getOrElse(latestVersion)
-    commitAt(v)
-    val (kept, _) = pruneActive(colName, lower, upper, Some(v))
-    // every directory pruned is a legitimate answer (the range holds
-    // no rows): an empty frame with the snapshot's schema
-    if (kept.isEmpty) readAt(v).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(kept.map(n => new Path(root, n).toString): _*)
-  }
+                 version: Option[Int] = None): DataFrame =
+    readPrunedAll(Seq((colName, lower, upper)), version)
 
   /** `TIMESTAMP AS OF`: the newest version committed at or before
     * `tsMs` (epoch millis) — Delta's second time-travel axis. Commit

@@ -805,6 +805,36 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.statRange("k") === Some((1L, 60L)))
   }
 
+  test("delete-all keeps the table readable; merge survives evolved touched dirs; empty merge is a no-op") {
+    // 1. Emptying the table must leave an empty FRAME, not a broken table.
+    val vt = tables.versioned(tmpVt())
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    val vEmpty = vt.delete(col("k") >= 0L)
+    assert(vt.read().count() === 0)
+    assert(vt.read().columns.toSeq === Seq("k", "s")) // schema survives
+    assert(vt.fastCount() === Some(0L))
+    vt.append(Seq((2L, "b")).toDF("k", "s")) // and writes keep working
+    assert(vt.read().count() === 1 && vEmpty >= 0)
+    // 2. Merge whose key span touches only a PRE-EVOLUTION directory:
+    // the old dir lacks `extra` and must be padded with typed nulls.
+    val vt2 = tables.versioned(tmpVt())
+    vt2.append((0L until 10L).map(k => (k, s"v$k")).toDF("k", "s"))
+    vt2.append((100L until 110L).map(k => (k, s"v$k", k * 2)).toDF("k", "s", "extra"))
+    vt2.merge(Seq((3L, "U3", Option(33L)), (5L, "U5", Option.empty[Long]))
+      .toDF("k", "s", "extra"), Seq("k"))
+    val m = vt2.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(m(3L) === (("U3", Some(33L))) && m(5L) === (("U5", None)))
+    assert(m(4L) === (("v4", None)) && m(105L) === (("v105", Some(210L))))
+    assert(m.size === 20)
+    // 3. An empty merge source commits nothing (no stat-less dir).
+    val before = vt2.latestVersion
+    assert(vt2.merge(Seq.empty[(Long, String, Option[Long])]
+      .toDF("k", "s", "extra"), Seq("k")) === before)
+    assert(vt2.latestVersion === before)
+  }
+
   test("pruneActiveAll: conjunctive ranges intersect per-column prunes on a zordered table") {
     val vt = tables.versioned(tmpVt())
     val grid = for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong * 10)
