@@ -51,7 +51,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val out = sql.toCharArray
     var i = 0
     def blankUntil(stop: Int): Unit = {
-      while (i < stop) { out(i) = ' '; i += 1 }
+      val s = math.min(stop, sql.length)
+      while (i < s) { out(i) = ' '; i += 1 }
     }
     while (i < sql.length) {
       sql.charAt(i) match {
@@ -59,10 +60,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           var j = i + 1
           var open = true
           while (open && j < sql.length) {
-            if (sql.charAt(j) == q) {
-              if (j + 1 < sql.length && sql.charAt(j + 1) == q) j += 2 // '' escape
-              else { open = false; j += 1 }
-            } else j += 1
+            sql.charAt(j) match {
+              // Spark's default lexer honors backslash escapes
+              // (escapedStringLiterals=false), so \' does NOT close the
+              // literal — skipping the escaped char keeps the masker in
+              // sync with the parser it fronts.
+              case '\\' => j += 2
+              case c if c == q =>
+                if (j + 1 < sql.length && sql.charAt(j + 1) == q) j += 2 // '' escape
+                else { open = false; j += 1 }
+              case _ => j += 1
+            }
           }
           blankUntil(j)
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
@@ -70,9 +78,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           while (j < sql.length && sql.charAt(j) != '\n') j += 1
           blankUntil(j)
         case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
-          var j = sql.indexOf("*/", i + 2)
-          j = if (j < 0) sql.length else j + 2
-          blankUntil(j)
+          // bracketed comments NEST in Spark's lexer — track depth
+          var depth = 1
+          var j = i + 2
+          while (depth > 0 && j < sql.length) {
+            if (j + 1 < sql.length &&
+                sql.charAt(j) == '/' && sql.charAt(j + 1) == '*') {
+              depth += 1; j += 2
+            } else if (j + 1 < sql.length &&
+                sql.charAt(j) == '*' && sql.charAt(j + 1) == '/') {
+              depth -= 1; j += 2
+            } else j += 1
+          }
+          blankUntil(if (depth > 0) sql.length else j)
         case _ => i += 1
       }
     }
@@ -100,8 +118,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case _: GreaterThanOrEqual | _: LessThanOrEqual => true
       case _ => false
     }
+    // transformUpWithSubqueries: an ASOF JOIN written inside an
+    // EXISTS/IN subquery lives in a SubqueryExpression's plan, which a
+    // plain transformUp never visits — missing it would convert some
+    // OTHER inclusive-inequality join in the outer query instead.
     var replaced = 0
-    val out = plan.transformUp {
+    val out = plan.transformUpWithSubqueries {
       case Join(l, r, t, Some(cond), _) if t == wantType && hasIneq(cond) =>
         replaced += 1
         UnresolvedAsOfJoin(l, r, cond, leftOuter)

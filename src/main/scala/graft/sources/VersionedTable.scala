@@ -422,9 +422,14 @@ class VersionedTable(spark: SparkSession, dir: String,
   }
 
   /** Row count, per-column min/max, and per-CHECK-constraint violation
-    * count of one data directory — ONE job over the new files only
-    * (the former count read widened to carry the data-skipping bounds
-    * and the constraint checks; metadata-cheap relative to the write).
+    * count of one data directory — ONE aggregate job over the new
+    * files only (never the table). This is a real column scan of the
+    * just-written directory, not a footer read: parquet footer
+    * statistics for string/binary columns may be TRUNCATED (inexact
+    * bounds), and the data-skipping contract requires exact bounds — a
+    * wrong max could prune a directory that holds matching rows. The
+    * scan is bounded by the commit's own size and column-pruned to the
+    * indexed/constrained columns.
     * Supported kinds: integral → Long, timestamp → epoch micros
     * (exact — a seconds-truncated max could wrongly prune the row
     * holding it), fractional → Double, string as-is; other types are
@@ -995,7 +1000,12 @@ class VersionedTable(spark: SparkSession, dir: String,
   def optimize(clusterBy: String, targetChunks: Int): Int = {
     require(targetChunks >= 1, s"targetChunks must be >= 1: $targetChunks")
     import org.apache.spark.sql.functions.col
-    val snap = read()
+    // Slot claimed BEFORE the snapshot is read: an append landing while
+    // the rewrite runs makes the publish fail loudly instead of being
+    // silently dropped from the compacted active set.
+    val base = latestVersion
+    require(base >= 0, s"$dir has no committed versions")
+    val snap = readAt(base)
     // approxQuantile wants a numeric column: timestamps/integrals
     // shadow-cast to double for the BOUNDARIES only — rows are
     // filtered on the shadow, written with their original columns.
@@ -1009,7 +1019,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           s"${other.simpleString} (a string cast would null every key)")
     }
     val keyed = snap.withColumn(ck, col(clusterBy).cast("double"))
-    rewriteClustered(keyed, ck, targetChunks)
+    rewriteClustered(keyed, ck, targetChunks, base)
   }
 
   /** Multi-dimensional OPTIMIZE ZORDER BY: rewrite the active set into
@@ -1036,7 +1046,9 @@ class VersionedTable(spark: SparkSession, dir: String,
     require(bitsPerCol >= 1 && bitsPerCol * clusterBy.size <= 48,
       s"bitsPerCol * columns must fit a double-exact long: " +
         s"$bitsPerCol * ${clusterBy.size}")
-    val snap = read()
+    val base = latestVersion
+    require(base >= 0, s"$dir has no committed versions")
+    val snap = readAt(base)
     clusterBy.foreach(c => snap.schema(c).dataType match {
       case _: org.apache.spark.sql.types.NumericType => ()
       case org.apache.spark.sql.types.TimestampType |
@@ -1081,57 +1093,79 @@ class VersionedTable(spark: SparkSession, dir: String,
     val ck = "__graft_ck"
     keyed = keyed.withColumn(ck,
       zTerms.reduce(_ bitwiseOR _).cast("double")).drop(shadow: _*)
-    rewriteClustered(keyed, ck, targetChunks)
+    rewriteClustered(keyed, ck, targetChunks, base)
   }
 
   /** The shared transactional rewrite behind [[optimize]] and
     * [[optimizeZOrder]]: chunk `keyed` into up-to-`targetChunks`
     * range-disjoint directories on the `ck` double column (boundaries
-    * from approximate quantiles, rows sorted by `ck` within chunks, the
-    * last chunk carrying null keys), drop `ck`, and publish ONE
-    * "optimize" commit swapping the previous active set for the chunks.
+    * from approximate quantiles, rows sorted by `ck` within chunks,
+    * null keys riding the last chunk — assigned by chunk ID, so they
+    * are written exactly once), drop `ck`, and publish ONE "optimize"
+    * commit at `base + 1` swapping version `base`'s active set for the
+    * chunks (a concurrent commit takes the slot and this publish fails
+    * loudly — nothing it added can be silently dropped).
+    *
+    * The write is a SINGLE pass: rows get a chunk id (when-tree binary
+    * search over the cuts), shuffle once on it, sort within tasks by
+    * (chunk, key), and a partitionBy write emits every chunk directory
+    * in one job — not one filtered scan per chunk. The staged
+    * partition directories are then renamed (metadata-only) into
+    * top-level data directories.
     */
   private def rewriteClustered(keyed0: DataFrame, ck: String,
-                               targetChunks: Int): Int = {
+                               targetChunks: Int, base: Int): Int = {
     require(targetChunks >= 1, s"targetChunks must be >= 1: $targetChunks")
-    import org.apache.spark.sql.functions.col
-    val v = latestVersion + 1
-    // The cluster key is evaluated ONCE: the quantile pass and every
-    // chunk filter re-scan this frame, and a z-order key in particular
-    // is an expensive projection (two quantile-bucket searches + bit
-    // interleave per row) that must not be recomputed targetChunks+1
-    // times over the whole table.
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val v = base + 1
+    // The cluster key is evaluated ONCE: the quantile pass and the
+    // write re-scan this frame, and a z-order key in particular is an
+    // expensive projection that must not be recomputed per pass.
     val keyed = keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val cuts =
-      if (targetChunks == 1) Array.empty[Double]
-      else keyed.stat.approxQuantile(ck,
-        (1 until targetChunks).map(_.toDouble / targetChunks).toArray, 0.01)
-        .distinct // duplicate cuts would emit empty chunks
-    val chunks = (0 to cuts.length).map { i =>
-      val lo = if (i == 0) None else Some(cuts(i - 1))
-      val hi = if (i == cuts.length) None else Some(cuts(i))
-      var c = keyed
-      lo.foreach(l => c = c.filter(col(ck) > l))
-      hi.foreach(h => c = c.filter(col(ck) <= h))
-      if (i == cuts.length) // last chunk also carries null keys
-        c = keyed.filter(col(ck).isNull).unionByName(c)
-      c.sortWithinPartitions(col(ck)).drop(ck)
-    }
-    val written = chunks.zipWithIndex.flatMap { case (c, i) =>
-      val name = f"v$v%05d-opt$i%03d-${java.util.UUID.randomUUID().toString.take(8)}"
-      val path = new Path(root, name)
-      c.write.parquet(path.toString)
-      val (rows, stats, _) = statsOf(path.toString)
-      if (rows == 0L) { fs.delete(path, true); None } // stat-less empty dir would defeat pruning
-      else Some((name, rows, stats))
-    }
-    val prevActive = activeAt(v - 1)
-    publish(Commit(v, "optimize", written.map(_._1), prevActive,
-      written.map(_._2).sum, System.currentTimeMillis(),
-      addedStats = written.map(w => w._1 -> w._3).toMap,
-      addedRows = written.map(w => w._1 -> w._2).toMap))
-    v
+      val cuts =
+        if (targetChunks == 1) Array.empty[Double]
+        else keyed.stat.approxQuantile(ck,
+          (1 until targetChunks).map(_.toDouble / targetChunks).toArray, 0.01)
+          .distinct.sorted // duplicate cuts would emit empty chunks
+      // chunk id = #cuts strictly below the key (balanced when-tree);
+      // null keys go to the LAST chunk by id — never duplicated.
+      def search(loIdx: Int, hiIdx: Int): org.apache.spark.sql.Column =
+        if (loIdx == hiIdx) lit(loIdx.toLong)
+        else {
+          val mid = (loIdx + hiIdx) / 2
+          when(col(ck) <= cuts(mid), search(loIdx, mid))
+            .otherwise(search(mid + 1, hiIdx))
+        }
+      val chunkId =
+        if (cuts.isEmpty) lit(0L)
+        else when(col(ck).isNull, lit(cuts.length.toLong))
+          .otherwise(search(0, cuts.length))
+      val staging = new Path(root,
+        f"_staging-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}")
+      keyed.withColumn("__graft_chunk", chunkId)
+        .repartition(col("__graft_chunk"))
+        .sortWithinPartitions(col("__graft_chunk"), col(ck))
+        .drop(ck)
+        .write.partitionBy("__graft_chunk").parquet(staging.toString)
+      val written = fs.listStatus(staging).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .sortBy(_.getPath.getName.split('=').last.toLong)
+        .zipWithIndex.flatMap { case (st, i) =>
+          val name = f"v$v%05d-opt$i%03d-${java.util.UUID.randomUUID().toString.take(8)}"
+          val target = new Path(root, name)
+          fs.rename(st.getPath, target)
+          val (rows, stats, _) = statsOf(target.toString)
+          if (rows == 0L) { fs.delete(target, true); None }
+          else Some((name, rows, stats))
+        }
+      fs.delete(staging, true) // _SUCCESS and friends
+      if (written.isEmpty) return base // empty table: nothing to compact
+      publish(Commit(v, "optimize", written.map(_._1), activeAt(base),
+        written.map(_._2).sum, System.currentTimeMillis(),
+        addedStats = written.map(w => w._1 -> w._3).toMap,
+        addedRows = written.map(w => w._1 -> w._2).toMap))
+      v
     } finally keyed.unpersist()
   }
 
@@ -1301,7 +1335,7 @@ class VersionedTable(spark: SparkSession, dir: String,
   def history(): DataFrame = {
     import spark.implicits._
     val latest = latestVersion
-    val first = (0 to latest).find(v => fs.exists(manifestPath(v)))
+    val first = survivingFloor.filter(_ <= latest)
     val rows = first match {
       case None => Seq.empty[(Int, String, Long, Int, Long)]
       case Some(f) =>
@@ -1330,10 +1364,25 @@ class VersionedTable(spark: SparkSession, dir: String,
     * once the delta chain before it is gone. Returns the number of
     * data directories deleted.
     */
+  /** The oldest version whose manifest still exists — ONE log listing,
+    * not a 0..latest probe walk ([[vacuum]] guarantees the survivor
+    * prefix is dense and checkpointed at its floor).
+    */
+  private def survivingFloor: Option[Int] =
+    if (!fs.exists(logDir)) None
+    else fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.json"))
+      .map(_.stripSuffix(".json").toInt)
+      .reduceOption(_ min _)
+
   def vacuum(keepLast: Int): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val latest = latestVersion
-    val cutoff = math.max(0, latest - keepLast + 1)
+    // Clamp to the oldest SURVIVING version: a keepLast larger than a
+    // previous vacuum's window cannot resurrect deleted manifests, and
+    // resolving below them would walk off the log.
+    val cutoff = math.max(math.max(0, latest - keepLast + 1),
+      survivingFloor.getOrElse(0))
     if (cutoff > 0 && fs.exists(manifestPath(cutoff)) &&
         !fs.exists(checkpointPath(cutoff)))
       writeCheckpoint(cutoff, snapshotAt(cutoff))
@@ -1377,7 +1426,12 @@ class VersionedTable(spark: SparkSession, dir: String,
         st.isDirectory && n.matches("v\\d{5}-.*") && !referenced.contains(n)
       val deadCdf =
         st.isDirectory && n.matches("cdf-v\\d{5}-.*") && !referencedCdf.contains(n)
-      if (deadData || deadCdf) {
+      // A crashed optimize's staging dir is dead once its target slot
+      // is decided (same rule as tmp manifests).
+      val deadStaging =
+        st.isDirectory && n.matches("_staging-v\\d{5}-.*") &&
+          n.substring(10, 15).toInt <= latest
+      if (deadData || deadCdf || deadStaging) {
         fs.delete(st.getPath, true); removed += 1
       }
     }

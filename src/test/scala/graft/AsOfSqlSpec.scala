@@ -139,6 +139,32 @@ class AsOfSqlSpec extends SparkSuite {
       "SELECT count(*) AS n FROM asof_l WHERE lv != 'it''s an ASOF JOIN'")
       .head.getLong(0)
     assert(n2 === 3)
+    // BACKSLASH escape (Spark's default lexer honors it): the masker
+    // must not close the literal at \' — 'ASOF JOIN' inside stays text
+    val n3 = spark.sql(
+      "SELECT count(*) AS n FROM asof_l WHERE lv != 'it\\'s an ASOF JOIN'")
+      .head.getLong(0)
+    assert(n3 === 3)
+    // NESTED bracketed comments (Spark's lexer nests them): the inner
+    // close must not end masking early
+    val n4 = spark.sql(
+      "SELECT /* outer /* ASOF JOIN */ still comment */ count(*) AS n FROM asof_l")
+      .head.getLong(0)
+    assert(n4 === 3)
+  }
+
+  test("ASOF JOIN inside an EXISTS subquery converts the subquery's join, not an outer one") {
+    // The outer query also carries an inclusive-inequality join — the
+    // relocation must descend into the subquery plan and convert THE
+    // ASOF there; every k with any (t >= rt) match survives.
+    val out = spark.sql(
+      """SELECT a.k, a.lv, NULL AS rv FROM asof_l a
+        |WHERE EXISTS (
+        |  SELECT 1 FROM asof_l l ASOF JOIN asof_r r
+        |  ON l.k = r.k AND l.t >= r.rt WHERE l.k = a.k)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // k=1 rows have as-of matches; k=2's only right row is in the future
+    assert(out === Set((1L, "L10"), (1L, "L20")))
   }
 
   test("ordinary SQL still parses and runs through the delegating parser") {

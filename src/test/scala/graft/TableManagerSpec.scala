@@ -805,6 +805,32 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.statRange("k") === Some((1L, 60L)))
   }
 
+  test("optimize(1) never duplicates null-key rows; growing vacuum retention is safe") {
+    // Regression 1: with no cuts (targetChunks=1) the single chunk holds
+    // every row INCLUDING null keys — the old filter+union path wrote
+    // null-key rows twice and committed the duplicates.
+    val vt = tables.versioned(tmpVt())
+    vt.append(Seq((Option(1L), "a"), (Option.empty[Long], "n1"),
+      (Option.empty[Long], "n2")).toDF("k", "s"))
+    vt.optimize("k", targetChunks = 1)
+    assert(vt.read().count() === 3)
+    assert(vt.read().filter(col("k").isNull).count() === 2)
+    // and with real cuts, nulls still land exactly once (last chunk)
+    vt.append((10L until 30L).map(k => (Option(k), s"v$k")).toDF("k", "s"))
+    vt.optimize("k", targetChunks = 4)
+    assert(vt.read().count() === 23)
+    assert(vt.read().filter(col("k").isNull).count() === 2)
+    // Regression 2: vacuum with a LARGER keepLast than an earlier vacuum
+    // must clamp to the surviving floor, not walk off the deleted log.
+    val vt2 = tables.versioned(tmpVt())
+    (0 until 10).foreach(i => vt2.append(Seq((i.toLong, "x")).toDF("k", "s")))
+    vt2.vacuum(keepLast = 2)   // keeps v8, v9
+    val removed = vt2.vacuum(keepLast = 5) // grown window: no-op, no crash
+    assert(removed === 0)
+    assert(vt2.read().count() === 10)
+    assert(vt2.readAt(8).count() === 9)
+  }
+
   test("delete-all keeps the table readable; merge survives evolved touched dirs; empty merge is a no-op") {
     // 1. Emptying the table must leave an empty FRAME, not a broken table.
     val vt = tables.versioned(tmpVt())
