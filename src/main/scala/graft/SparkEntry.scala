@@ -1212,6 +1212,27 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // DESCRIBE DETAIL from pure metadata: version, directory count, row
+    // count, and recorded byte sizes all answered from the manifest
+    // fold — no data scan. The oracle pins everything DuckDB can
+    // recompute; byte sizes are parquet-encoding-dependent, so the gate
+    // pins only that they were recorded (> 0).
+    "s_versioned_detail" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_dtl").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") % 2 === 0))
+        vt.append(o.filter(col("o_orderkey") % 2 === 1))
+        val d = vt.detail().head
+        Seq((d.getInt(0), d.getInt(1), d.getLong(2), d.getLong(3) > 0L,
+          d.getInt(4)))
+          .toDF("version", "num_dirs", "num_rows", "bytes_recorded",
+            "num_constraints")
+      } finally deleteRecursively(base)
+    }),
+
     // Metadata-only COUNT(*): after appends, a merge, and a delete, the
     // row count resolved purely from the manifest fold (fastCount — no
     // data scan) must equal the real scan count at BOTH the current and
@@ -3458,6 +3479,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
         |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)""".stripMargin,
+
+    // The metadata detail row: version 1 (two appends), 2 directories,
+    // every orders row, recorded sizes, no constraints.
+    "s_versioned_detail" ->
+      """SELECT 1 AS version, 2 AS num_dirs,
+        |  (SELECT count(*) FROM orders) AS num_rows,
+        |  true AS bytes_recorded, 0 AS num_constraints""".stripMargin,
 
     // Both count paths (manifest fold vs scan) equal the recomputed
     // final row count: orders plus the shifted inserts, minus every

@@ -75,7 +75,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                     cdf: Option[String] = None,
                     constraintAdd: Option[(String, String)] = None,
                     constraintDrop: Option[String] = None,
-                    addedRows: Map[String, Long] = Map.empty)
+                    addedRows: Map[String, Long] = Map.empty,
+                    addedBytes: Map[String, Long] = Map.empty)
 
   private def manifestPath(v: Int): Path = new Path(logDir, f"$v%08d.json")
   private def checkpointPath(v: Int): Path =
@@ -152,6 +153,14 @@ class VersionedTable(spark: SparkSession, dir: String,
           import scala.jdk.CollectionConverters._
           ar.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         }
+      },
+      {
+        val ab = node.get("added_bytes")
+        if (ab == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          ab.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        }
       })
   }
 
@@ -227,7 +236,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                               stats: Map[String, Map[String, ColStat]],
                               txns: Map[String, Long],
                               constraints: Map[String, String],
-                              dirRows: Map[String, Long])
+                              dirRows: Map[String, Long],
+                              dirBytes: Map[String, Long])
 
   private def checkpointAtOrBelow(v: Int): Option[(Int, Snapshot)] = {
     if (!fs.exists(logDir)) return None
@@ -250,9 +260,10 @@ class VersionedTable(spark: SparkSession, dir: String,
       }
       val txns = strMap("txns", _.asText()).map { case (k, s) => k -> s.toLong }
       val dirRows = strMap("dir_rows", _.asText()).map { case (k, s) => k -> s.toLong }
+      val dirBytes = strMap("dir_bytes", _.asText()).map { case (k, s) => k -> s.toLong }
       Some((best, Snapshot(readArray(node, "active"),
         parseStats(node.get("stats")), txns, strMap("constraints", _.asText()),
-        dirRows)))
+        dirRows, dirBytes)))
     }
   }
 
@@ -263,7 +274,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   private def snapshotAt(v: Int): Snapshot = {
     val (start, base) = checkpointAtOrBelow(v).getOrElse(
-      (-1, Snapshot(Seq.empty, Map.empty, Map.empty, Map.empty, Map.empty)))
+      (-1, Snapshot(Seq.empty, Map.empty, Map.empty, Map.empty, Map.empty,
+        Map.empty)))
     (start + 1 to v).foldLeft(base) { (s, i) =>
       val c = commitAt(i)
       Snapshot(
@@ -272,7 +284,8 @@ class VersionedTable(spark: SparkSession, dir: String,
         c.txn.fold(s.txns) { case (app, b) =>
           s.txns + (app -> math.max(b, s.txns.getOrElse(app, Long.MinValue))) },
         (s.constraints -- c.constraintDrop) ++ c.constraintAdd,
-        s.dirRows -- c.removed ++ c.addedRows)
+        s.dirRows -- c.removed ++ c.addedRows,
+        s.dirBytes -- c.removed ++ c.addedBytes)
     }
   }
 
@@ -310,7 +323,19 @@ class VersionedTable(spark: SparkSession, dir: String,
     * silently — the caller decides whether replaying its write is
     * safe).
     */
-  private def publish(c: Commit): Unit = {
+  /** Total on-disk bytes of one data directory — a filesystem listing,
+    * no data read.
+    */
+  private def dirSizeBytes(name: String): Long =
+    fs.getContentSummary(new Path(root, name)).getLength
+
+  private def publish(c0: Commit): Unit = {
+    // Every committed directory carries its byte size in the log (the
+    // listing is metadata-only), so DESCRIBE DETAIL and size-based
+    // maintenance decisions never scan the table.
+    val c = if (c0.added.nonEmpty && c0.addedBytes.isEmpty)
+      c0.copy(addedBytes = c0.added.map(n => n -> dirSizeBytes(n)).toMap)
+    else c0
     fs.mkdirs(logDir)
     // Writer-unique tmp name: two racers sharing one tmp path would
     // overwrite each other's half-written manifest before the rename
@@ -338,6 +363,10 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (c.addedRows.nonEmpty) {
         val rn = node.putObject("added_rows")
         c.addedRows.foreach { case (d, n) => rn.put(d, n) }
+      }
+      if (c.addedBytes.nonEmpty) {
+        val bn = node.putObject("added_bytes")
+        c.addedBytes.foreach { case (d, n) => bn.put(d, n) }
       }
       writeStats(node, "added_stats", c.addedStats)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
@@ -385,6 +414,10 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (snap.dirRows.nonEmpty) {
         val dr = node.putObject("dir_rows")
         snap.dirRows.foreach { case (d, n) => dr.put(d, n) }
+      }
+      if (snap.dirBytes.nonEmpty) {
+        val db = node.putObject("dir_bytes")
+        snap.dirBytes.foreach { case (d, n) => db.put(d, n) }
       }
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
@@ -526,6 +559,24 @@ class VersionedTable(spark: SparkSession, dir: String,
       Some((bs.map(_.min).reduce((a, b) => if (cmpBound(a, b) <= 0) a else b),
         bs.map(_.max).reduce((a, b) => if (cmpBound(a, b) >= 0) a else b)))
     }
+  }
+
+  /** DESCRIBE DETAIL from PURE metadata — version, active directory
+    * count, row count, byte size, constraint count, all resolved from
+    * the manifest fold with no data scan (Delta's detail reads its log
+    * the same way). Row/byte totals are None when any active directory
+    * predates their recording.
+    */
+  def detail(version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    val snap = snapshotAt(v)
+    def total(m: Map[String, Long]): Option[Long] =
+      if (snap.active.forall(m.contains)) Some(snap.active.map(m).sum) else None
+    Seq((v, snap.active.size, total(snap.dirRows), total(snap.dirBytes),
+      snap.constraints.size))
+      .toDF("version", "num_dirs", "num_rows", "size_bytes", "num_constraints")
   }
 
   /** The CHECK constraints in force at the latest version (empty for a

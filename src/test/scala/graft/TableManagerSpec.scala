@@ -861,6 +861,29 @@ class TableManagerSpec extends SparkSuite {
     assert(vt2.latestVersion === before)
   }
 
+  test("detail: pure-metadata table report through mixed ops, checkpoints, vacuum") {
+    val vt = tables.versioned(tmpVt())
+    vt.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    vt.append(Seq((3L, "c")).toDF("k", "s"))
+    vt.addConstraint("k_pos", "k > 0")
+    val d1 = vt.detail().head
+    assert(d1.getInt(0) === 2 && d1.getInt(1) === 2) // version, dirs
+    assert(d1.getLong(2) === 3L)                     // rows from metadata
+    assert(d1.getLong(3) > 0L)                       // bytes recorded
+    assert(d1.getInt(4) === 1)                       // constraints
+    // bytes follow a rewrite (optimize) and time travel reads old sizes
+    val sizeBefore = d1.getLong(3)
+    vt.optimize("k", targetChunks = 1)
+    val d2 = vt.detail().head
+    assert(d2.getInt(1) === 1 && d2.getLong(2) === 3L && d2.getLong(3) > 0L)
+    assert(vt.detail(Some(2)).head.getLong(3) === sizeBefore)
+    // survives checkpoint + vacuum resolution
+    (0 until 12).foreach(i => vt.append(Seq((10L + i, "x")).toDF("k", "s")))
+    vt.vacuum(keepLast = 2)
+    val d3 = vt.detail().head
+    assert(d3.getLong(2) === 15L && d3.getLong(3) > 0L && d3.getInt(4) === 1)
+  }
+
   test("pruneActiveAll: conjunctive ranges intersect per-column prunes on a zordered table") {
     val vt = tables.versioned(tmpVt())
     val grid = for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong * 10)
