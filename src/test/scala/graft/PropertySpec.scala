@@ -480,4 +480,65 @@ class PropertySpec extends SparkSuite {
         composed.values.exists(_.isEmpty), s"seed $seed covers both outcomes")
     }
   }
+
+  test("versioned table model check: random op sequences match an in-memory reference") {
+    // Model-based property test for the whole transaction-log surface:
+    // a random sequence of append / overwrite / merge / delete /
+    // optimize / restore ops is applied BOTH to a real VersionedTable
+    // and to a driver-side Map[k -> s] reference model; after every op
+    // the table's snapshot must equal the model exactly, fastCount must
+    // equal its size, and at the end every recorded historical version
+    // must time-travel back to its recorded model state.
+    import org.apache.spark.sql.functions.col
+    val tables = new graft.sources.TableManager(spark)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files.createTempDirectory(s"vt-model-$seed").toString
+      val vt = tables.versioned(dir)
+      def df(rows: Seq[(Long, String)]) = rows.toDF("k", "s")
+      def randRows(n: Int) =
+        Seq.fill(n)((rnd.nextInt(40).toLong, s"s${rnd.nextInt(1000)}"))
+          .distinctBy(_._1) // unique keys per op (merge's contract)
+      var model = Map.empty[Long, String]
+      // version -> model at that version, for the time-travel sweep
+      var history = Vector.empty[(Int, Map[Long, String])]
+      def commit(v: Int): Unit = history :+= ((v, model))
+      val init = randRows(6)
+      model = init.toMap
+      commit(vt.append(df(init)))
+      for (step <- 1 to 12) {
+        rnd.nextInt(6) match {
+          case 0 => // append fresh keys only (append never upserts)
+            val rows = randRows(4).filterNot(r => model.contains(r._1))
+            if (rows.nonEmpty) { model ++= rows; commit(vt.append(df(rows))) }
+          case 1 =>
+            val rows = randRows(5)
+            model = rows.toMap; commit(vt.overwrite(df(rows)))
+          case 2 => // merge (upsert)
+            val rows = randRows(4)
+            model ++= rows; commit(vt.merge(df(rows), Seq("k")))
+          case 3 => // delete a random key band (may be a no-op)
+            val lo = rnd.nextInt(40).toLong
+            val v0 = vt.latestVersion
+            val v = vt.delete(col("k") >= lo && col("k") < lo + 8L)
+            model = model.filterNot { case (k, _) => k >= lo && k < lo + 8L }
+            if (v != v0) commit(v)
+          case 4 => // optimize: data identical, new version
+            if (model.nonEmpty) commit(vt.optimize("k", 1 + rnd.nextInt(3)))
+          case 5 => // restore to a random recorded version
+            val (tv, tm) = history(rnd.nextInt(history.length))
+            model = tm; commit(vt.restore(tv))
+        }
+        // invariant after every op: snapshot == model, fastCount == size
+        val snap = vt.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(snap === model, s"seed $seed step $step: snapshot != model")
+        assert(vt.fastCount() === Some(model.size.toLong), s"seed $seed step $step")
+      }
+      // time travel: every recorded version reads its recorded state
+      history.foreach { case (v, m) =>
+        val snap = vt.readAt(v).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(snap === m, s"seed $seed: version $v time-travel mismatch")
+      }
+    }
+  }
 }
