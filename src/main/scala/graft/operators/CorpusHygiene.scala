@@ -189,7 +189,8 @@ object CorpusHygiene {
                          idCol: String, textCol: String,
                          n: Int = 5, minShared: Long = 2,
                          bitsPerKey: Int = 20, numHashes: Int = 6): DataFrame = {
-    val bad = bloomScores(corpus, benchmark, idCol, textCol, n, bitsPerKey, numHashes)
+    val bad = bloomScores(corpus, benchmark, idCol, textCol, n, bitsPerKey, numHashes,
+        withExact = false)
       .filter(col("bloom_n") >= minShared).select(col(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
@@ -207,7 +208,8 @@ object CorpusHygiene {
                       n: Int = 5, minShared: Long = 2,
                       bitsPerKey: Int = 20, numHashes: Int = 6,
                       maxExtraFraction: Double = 0.01): DataFrame =
-    bloomScores(corpus, benchmark, idCol, textCol, n, bitsPerKey, numHashes)
+    bloomScores(corpus, benchmark, idCol, textCol, n, bitsPerKey, numHashes,
+        withExact = true)
       .agg(
         count(lit(1)).as("n_corpus"),
         count(when(col("exact_n") >= minShared, 1)).as("n_exact"),
@@ -217,31 +219,49 @@ object CorpusHygiene {
           ceil(lit(maxExtraFraction) * count(lit(1)))).as("fp_ok"))
 
   /** Shared scoring pass: per corpus doc, `bloom_n` (shingles hitting
-    * the Bloom filter) and `exact_n` (shingles exactly in the
-    * benchmark union, via the same inverted-index expression the
-    * exact path uses, with one pseudo-entry holding the union).
+    * the Bloom filter) and — `withExact` only — `exact_n` (shingles
+    * exactly in the benchmark union, via the same inverted-index
+    * expression the exact path uses, with one pseudo-entry holding the
+    * union).
+    *
+    * The BIT ARRAY is built distributively (per-partition fold +
+    * OR-reduce, [[graft.plans.BloomHitCount.buildDistributed]]): the
+    * driver holds only the bits, never the raw shingle set — the whole
+    * point of the Bloom path is benchmarks that outgrow driver memory,
+    * so the build must not collect what the filter exists to avoid.
+    * `withExact = true` (the [[bloomDeconStats]] honesty gate only)
+    * DOES collect the distinct shingles for exact attribution — that
+    * gate is a bounded diagnostic run on benchmarks small enough to
+    * check exactly, not a production path.
     */
   private def bloomScores(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String,
-                          n: Int, bitsPerKey: Int, numHashes: Int): DataFrame = {
+                          n: Int, bitsPerKey: Int, numHashes: Int,
+                          withExact: Boolean): DataFrame = {
     val spark = corpus.sparkSession
-    val keys: Array[Long] = NearDup.shingleSets(benchmark, idCol, textCol, n)
+    val distinctShingles = NearDup.shingleSets(benchmark, idCol, textCol, n)
       .select(explode(col("shingles")).as("s")).distinct()
-      .collect().map(_.getLong(0))
-    val bits = graft.plans.BloomHitCount.build(keys, bitsPerKey, numHashes)
+    val bits =
+      graft.plans.BloomHitCount.buildDistributed(distinctShingles, bitsPerKey, numHashes)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_hits",
       exprs => graft.plans.BloomHitCount(exprs.head, bits, numHashes), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bench_overlap",
-      exprs => graft.plans.BenchmarkOverlap(exprs.head, Array((0L, keys)), 1L), "built-in")
-    NearDup.shingleSets(corpus, idCol, textCol, n)
-      .select(col(idCol),
+    val scored = NearDup.shingleSets(corpus, idCol, textCol, n)
+    if (!withExact)
+      scored.select(col(idCol),
+        call_function("graft_bloom_hits", col("shingles")).as("bloom_n"))
+    else {
+      val keys: Array[Long] = distinctShingles.collect().map(_.getLong(0))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bench_overlap",
+        exprs => graft.plans.BenchmarkOverlap(exprs.head, Array((0L, keys)), 1L), "built-in")
+      scored.select(col(idCol),
         call_function("graft_bloom_hits", col("shingles")).as("bloom_n"),
         coalesce(
           try_element_at(call_function("graft_bench_overlap", col("shingles")), lit(1))
             .getField("n_shared"),
           lit(0L)).as("exact_n"))
+    }
   }
 
   /** The hygiene FUNNEL a pretraining corpus goes through before

@@ -431,6 +431,34 @@ object BloomHitCount {
     true
   }
 
+  /** Insert one key into `bits` (length must be a power of two in
+    * words): the shared primitive of the driver-side and distributed
+    * builders. Bit sets commute, so insertion order never matters.
+    */
+  def insert(bits: Array[Long], k: Int, key: Long): Unit = {
+    val mask = (bits.length.toLong << 6) - 1
+    val h1 = fmix64(key)
+    val h2 = fmix64(key + 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val idx = ((h1 + i * h2) & mask).toInt
+      bits(idx >>> 6) |= 1L << (idx & 63)
+      i += 1
+    }
+  }
+
+  /** The bit-array LENGTH (in 64-bit words) for `nKeys` keys at
+    * `bitsPerKey` bits per key, rounded up to a power of two with a
+    * 1024-bit floor — shared sizing so the driver and distributed
+    * builders produce interchangeable filters.
+    */
+  private def sizeWords(nKeys: Long, bitsPerKey: Int): Int = {
+    val wanted = math.max(1024L, nKeys * bitsPerKey)
+    var m = 1024L
+    while (m < wanted) m <<= 1
+    (m >>> 6).toInt
+  }
+
   /** Build the bit array for `keys` at `bitsPerKey` bits per key
     * (rounded up to a power of two, floor 1024 bits). Insertion is
     * order-independent — bit sets commute — so the caller needs no
@@ -438,24 +466,44 @@ object BloomHitCount {
     */
   def build(keys: Array[Long], bitsPerKey: Int, k: Int): Array[Long] = {
     require(bitsPerKey > 0 && k > 0, s"need positive sizing, got $bitsPerKey bits/key, k=$k")
-    val wanted = math.max(1024L, keys.length.toLong * bitsPerKey)
-    var m = 1024L
-    while (m < wanted) m <<= 1
-    val bits = new Array[Long]((m >>> 6).toInt)
-    val mask = m - 1
+    val bits = new Array[Long](sizeWords(keys.length.toLong, bitsPerKey))
     var j = 0
     while (j < keys.length) {
-      val h1 = fmix64(keys(j))
-      val h2 = fmix64(keys(j) + 0x9e3779b97f4a7c15L) | 1L
-      var i = 0
-      while (i < k) {
-        val idx = ((h1 + i * h2) & mask).toInt
-        bits(idx >>> 6) |= 1L << (idx & 63)
-        i += 1
-      }
+      insert(bits, k, keys(j))
       j += 1
     }
     bits
+  }
+
+  /** DISTRIBUTED Bloom build: the bit array for a key set that is too
+    * large to collect. One count job sizes the array, then each
+    * partition folds its keys into a local copy and the copies
+    * OR-reduce back — the driver only ever holds bit arrays (nKeys ×
+    * bitsPerKey / 8 bytes, ~2.5 GB for a billion shingles at 20
+    * bits/key), never the raw keys plus their JVM object overhead. The
+    * result is bit-identical to [[build]] over the same key set
+    * (insertion commutes), so the probing expression cannot tell the
+    * builders apart. `keys` must be a single LongType column.
+    */
+  def buildDistributed(keys: org.apache.spark.sql.DataFrame,
+                       bitsPerKey: Int, k: Int): Array[Long] = {
+    require(bitsPerKey > 0 && k > 0, s"need positive sizing, got $bitsPerKey bits/key, k=$k")
+    require(keys.schema.fields.length == 1 &&
+        keys.schema.fields.head.dataType == org.apache.spark.sql.types.LongType,
+      s"buildDistributed wants one bigint column, got ${keys.schema.simpleString}")
+    // Two passes (count → fold) over the same frame: persist so the
+    // upstream distinct/shingling work runs once.
+    val persisted = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nWords = sizeWords(persisted.count(), bitsPerKey)
+      persisted.rdd.treeAggregate(new Array[Long](nWords))(
+        seqOp = (bits, row) => { insert(bits, k, row.getLong(0)); bits },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
+    } finally persisted.unpersist()
   }
 }
 

@@ -238,52 +238,18 @@ class TableManager(spark: SparkSession) {
     }
   }
 
-  /** The accepted widening casts for the evolving-append path, listed
-    * explicitly rather than by a numeric rank — a rank order would
-    * silently admit the LOSSY promotions (int→float and long→float
-    * overflow a 24-bit mantissa). long→double is the one deliberate
-    * exception to strict losslessness (exact only below 2⁵³): count
-    * columns promote to averages throughout the reference's pipelines,
-    * and refusing it would make the common evolution impossible.
-    * Everything else (string↔numeric, nested changes…) is rejected.
-    */
-  private val wideningCasts: Set[(org.apache.spark.sql.types.DataType,
-                                  org.apache.spark.sql.types.DataType)] = {
-    import org.apache.spark.sql.types._
-    val integralChain = Seq(ByteType, ShortType, IntegerType, LongType)
-    val chain = for {
-      (from, i) <- integralChain.zipWithIndex
-      to <- integralChain.drop(i + 1)
-    } yield (from: DataType, to: DataType)
-    chain.toSet ++ Set[(DataType, DataType)](
-      (ByteType, FloatType), (ShortType, FloatType), (FloatType, DoubleType),
-      (ByteType, DoubleType), (ShortType, DoubleType), (IntegerType, DoubleType),
-      (LongType, DoubleType))
-  }
-
-  /** Loud guard for [[appendEvolving]]: incoming columns may be
-    * NARROWER than the table (int into long — `alignToSchema`'s cast
-    * widens losslessly) but never WIDER (long into int would truncate
-    * silently row by row). Also rejects cross-family / unranked type
-    * changes (string into int, array into scalar): schema drift that
-    * drastic is a pipeline bug, not evolution — use `ensureTable`'s
-    * repair path deliberately instead.
+  /** Loud guard for [[appendEvolving]] — the shared widening-cast
+    * policy ([[SchemaCompat.checkNoNarrowing]], also enforced by the
+    * versioned commit protocol): incoming columns may be NARROWER than
+    * the table (int into long — `alignToSchema`'s cast widens
+    * losslessly) but never WIDER (long into int would truncate
+    * silently row by row), and cross-family / unranked type changes
+    * are rejected — use `ensureTable`'s repair path deliberately
+    * instead.
     */
   private def checkNoNarrowing(incoming: StructType, table: StructType,
-                               tableName: String): Unit = {
-    val bad = incoming.fields.flatMap { f =>
-      table.find(_.name == f.name).collect {
-        case t if t.dataType != f.dataType &&
-            !wideningCasts.contains((f.dataType, t.dataType)) =>
-          s"${f.name}: incoming ${f.dataType.simpleString} does not widen " +
-            s"to table ${t.dataType.simpleString}"
-      }
-    }
-    if (bad.nonEmpty) throw new IllegalStateException(
-      s"appendEvolving into $tableName would narrow/reinterpret columns " +
-        s"(${bad.mkString("; ")}); widen the table first or use " +
-        "ensureTable(repair = true) if the type change is intentional")
-  }
+                               tableName: String): Unit =
+    SchemaCompat.checkNoNarrowing(incoming, table, tableName)
 
   /** Dynamic partition overwrite: replace ONLY the partitions present
     * in `df`, leaving all others — the idempotent re-ingestion

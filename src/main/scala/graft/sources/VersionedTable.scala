@@ -507,11 +507,32 @@ class VersionedTable(spark: SparkSession, dir: String,
     (row.getLong(0), stats, violations)
   }
 
+  /** Schema-compatibility gate for the append paths: validate `df`
+    * against the current snapshot schema at COMMIT time (the shared
+    * [[SchemaCompat]] policy — int→long widens and is cast to the
+    * table's physical type, long→int and cross-family changes fail
+    * loudly) instead of letting an incompatible append commit fine and
+    * explode rows later inside a reader's parquet mergeSchema. New
+    * columns pass (evolution — old directories read them as null);
+    * missing columns pass (mergeSchema pads). Overwrite is exempt by
+    * design: it replaces the active set, and each version unions only
+    * its own directories.
+    */
+  private def alignedForAppend(df: DataFrame): DataFrame = {
+    val latest = latestVersion
+    if (latest < 0) return df
+    // A constraint-only commit 0 (or a schema-holder-free state) has no
+    // data directories — nothing to be compatible with.
+    if (snapshotAt(latest).active.isEmpty) return df
+    SchemaCompat.alignWidening(df, readAt(latest).schema, dir)
+  }
+
   /** Commit `df` as a new version extending the current active set.
     * Returns the committed version number. Delta-encoded: the manifest
     * records only the one added directory, whatever the table size.
     */
-  def append(df: DataFrame): Int = {
+  def append(df0: DataFrame): Int = {
+    val df = alignedForAppend(df0)
     val v = latestVersion + 1
     val (name, rows, stats) = writePayload(df, v, currentConstraints)
     publish(Commit(v, "append", Seq(name), Seq.empty, rows,
@@ -649,7 +670,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     * wrapper: replaying "replace the table" after someone else's
     * commit changes meaning, and that decision belongs to the caller.
     */
-  def appendWithRetry(df: DataFrame, maxRetries: Int = 5): Int = {
+  def appendWithRetry(df0: DataFrame, maxRetries: Int = 5): Int = {
+    val df = alignedForAppend(df0)
     var validated = currentConstraints
     val (name, rows, stats) = writePayload(df, latestVersion + 1, validated)
     var attempt = 0
@@ -711,10 +733,11 @@ class VersionedTable(spark: SparkSession, dir: String,
     * up this app's newest batch id; the walk is bounded in practice by
     * the interleave distance between this app's commits.
     */
-  def appendStreamBatch(df: DataFrame, app: String, batchId: Long,
+  def appendStreamBatch(df0: DataFrame, app: String, batchId: Long,
                         maxRetries: Int = 5): Option[Int] = {
     require(app.nonEmpty, "app id must be non-empty")
     if (lastCommittedBatch(app).exists(_ >= batchId)) return None
+    val df = alignedForAppend(df0)
     var validated = currentConstraints
     val (name, rows, stats) = writePayload(df, latestVersion + 1, validated)
     var attempt = 0
@@ -778,10 +801,11 @@ class VersionedTable(spark: SparkSession, dir: String,
     * every source row replaces the target row with the same `keys`
     * (when matched → update, whole-row) or is inserted (when not
     * matched). Only TOUCHED directories are rewritten: the source's
-    * [min, max] on `keys.head` is computed first (one scalar agg) and
-    * [[pruneActive]] splits the active set on it — a directory whose
-    * recorded key range cannot intersect the source's key span provably
-    * holds no matching row and survives the merge untouched. At 100 TB
+    * [min, max] on EVERY indexable key is computed first (one scalar
+    * agg) and [[pruneActiveAll]] splits the active set conjunctively —
+    * a directory whose recorded range on ANY key cannot intersect the
+    * source's span provably holds no matching row and survives the
+    * merge untouched. At 100 TB
     * this is the difference between rewriting an ingestion-day and
     * rewriting the table; after an [[optimize]] clustered on the merge
     * key, touched ≈ the key span's chunks exactly (clustering layout
@@ -816,35 +840,45 @@ class VersionedTable(spark: SparkSession, dir: String,
         s"table schema ${snapCols.sorted.mkString(",")}")
     val srcAligned = source.select(snapCols.map(col).toIndexedSeq: _*)
 
-    // Touched-directory pruning on the first key, in the stat domain.
-    // `None` bounds mean the key TYPE is unindexable (touch everything,
-    // conservative); an empty/all-null source key span means no row can
-    // match (touch nothing — every source row inserts).
-    val k0 = keys.head
-    sealed trait Span
-    case object Unindexable extends Span
-    case object EmptySpan extends Span
-    case class Bounds(lo: Any, hi: Any) extends Span
-    def span2(c: org.apache.spark.sql.Column): Span = {
-      val r = source.agg(fmin(c), fmax(c)).head()
-      if (r.isNullAt(0)) EmptySpan else Bounds(r.get(0), r.get(1))
-    }
-    val span = source.schema(k0).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        span2(col(k0).cast("long"))
-      case TimestampType | TimestampNTZType =>
-        span2(unix_micros(col(k0).cast("timestamp")))
-      case FloatType | DoubleType => span2(col(k0).cast("double"))
-      case StringType => span2(col(k0))
-      case _ => Unindexable
-    }
+    // Touched-directory pruning over EVERY indexable merge key, in the
+    // stat domain — conjunctive, matching the equality semantics: a
+    // target row matches only when ALL keys equal, so a directory is
+    // touched only when EVERY key's recorded range can intersect the
+    // source's span ([[pruneActiveAll]]); a multi-key merge therefore
+    // never rewrites a directory a single key's span alone would admit.
+    // Unindexable key TYPES contribute no predicate (conservative); a
+    // key whose source values are ALL NULL means no source row can
+    // match any target row at all (SQL equality never matches null) —
+    // touch nothing, every source row inserts. All spans ride ONE
+    // scalar aggregate over the source.
+    val keyDomain: Seq[(String, Option[org.apache.spark.sql.Column])] =
+      keys.map { k =>
+        k -> (source.schema(k).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(col(k).cast("long"))
+          case TimestampType | TimestampNTZType =>
+            Some(unix_micros(col(k).cast("timestamp")))
+          case FloatType | DoubleType => Some(col(k).cast("double"))
+          case StringType => Some(col(k))
+          case _ => None
+        })
+      }
+    val indexable = keyDomain.collect { case (k, Some(c)) => (k, c) }
     val snapState = snapshotAt(latest)
     val active = snapState.active
-    val (touched, _) = span match {
-      case Bounds(lo, hi) => pruneActive(k0, Some(lo), Some(hi), Some(latest))
-      case Unindexable => (active, Seq.empty)
-      case EmptySpan => (Seq.empty, active)
-    }
+    val touched: Seq[String] =
+      if (indexable.isEmpty) active
+      else {
+        val aggs = indexable.flatMap { case (_, c) => Seq(fmin(c), fmax(c)) }
+        val row = source.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+        val spans = indexable.zipWithIndex.map { case ((k, _), i) =>
+          if (row.isNullAt(2 * i)) None
+          else Some((k, Some(row.get(2 * i)): Option[Any],
+            Some(row.get(2 * i + 1)): Option[Any]))
+        }
+        if (spans.exists(_.isEmpty)) Seq.empty // an all-null key: no matches
+        else pruneActiveAll(spans.flatten, Some(latest))._1
+      }
     // Align touched directories to the SNAPSHOT schema: an evolving
     // append means an old directory can predate a column — pad it with
     // typed nulls so a merge whose key span only touches old data still

@@ -350,24 +350,55 @@ object StreamingJobs {
     */
   def deconStream(stream: DataFrame, benchmark: DataFrame,
                   idCol: String, textCol: String,
-                  n: Int = 5, minShared: Long = 2): DataFrame = {
+                  n: Int = 5, minShared: Long = 2,
+                  maxDriverShingles: Long =
+                    graft.operators.CorpusHygiene.DefaultMaxDriverShingles,
+                  bitsPerKey: Int = 20, numHashes: Int = 6): DataFrame = {
     val spark = stream.sparkSession
     graft.plans.NativeFunctions.ensureRegistered(spark)
-    val bench: Array[(Long, Array[Long])] =
+    val benchShingled =
       graft.operators.NearDup.shingleSets(benchmark, idCol, textCol, n)
+    // Same driver budget as the batch paths (CorpusHygiene's
+    // maxDriverShingles): a benchmark past task memory must not be
+    // collected wholesale. The batch fallback is a posting JOIN, which
+    // a stateless stream can't do per-row — the streaming fallback is
+    // the Bloom expression over the benchmark's shingle UNION, built
+    // distributively so the driver holds only the bit array. Trade-off
+    // vs the exact path, documented: union membership has no
+    // per-benchmark-doc attribution, so (a) a streamed document that is
+    // ITSELF a benchmark entry is dropped (the exact path's self-pair
+    // exclusion needs ids), and (b) Bloom false positives can over-drop
+    // at the filter's designed rate — both in the safe direction for
+    // decontamination (never under-drop).
+    val totalShingles = benchShingled
+      .agg(sum(size(col("shingles")).cast("long"))).head(1)
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(0L)
+    if (totalShingles <= maxDriverShingles) {
+      val bench: Array[(Long, Array[Long])] = benchShingled
         .select(col(idCol).cast("long"), col("shingles"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bench_overlap",
-      exprs => graft.plans.BenchmarkOverlap(exprs.head, bench, minShared), "built-in")
-    stream
-      .withColumn("__hits", call_function("graft_bench_overlap",
-        call_function("graft_shingle_hashes", col(textCol), lit(n))))
-      .filter(!exists(col("__hits"),
-        h => h.getField("bench_id") =!= col(idCol).cast("long")))
-      .drop("__hits")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bench_overlap",
+        exprs => graft.plans.BenchmarkOverlap(exprs.head, bench, minShared), "built-in")
+      stream
+        .withColumn("__hits", call_function("graft_bench_overlap",
+          call_function("graft_shingle_hashes", col(textCol), lit(n))))
+        .filter(!exists(col("__hits"),
+          h => h.getField("bench_id") =!= col(idCol).cast("long")))
+        .drop("__hits")
+    } else {
+      val bits = graft.plans.BloomHitCount.buildDistributed(
+        benchShingled.select(explode(col("shingles")).as("s")).distinct(),
+        bitsPerKey, numHashes)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bloom_hits",
+        exprs => graft.plans.BloomHitCount(exprs.head, bits, numHashes), "built-in")
+      stream.filter(call_function("graft_bloom_hits",
+        call_function("graft_shingle_hashes", col(textCol), lit(n))) < minShared)
+    }
   }
 
   /** Streaming token-budget admission — the live-feed twin of

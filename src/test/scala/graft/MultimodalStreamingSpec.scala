@@ -449,6 +449,34 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("deconStream falls back to the distributed Bloom gate past the driver budget") {
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"text")
+    val bench = d.filter($"doc_id" % 50 === 0)
+    // maxDriverShingles = 0 forces the fallback: the benchmark is never
+    // collected; the stream filters on the distributed-built Bloom.
+    val streamed = StreamingJobs.runToMemory(spark,
+      StreamingJobs.deconStream(
+        StreamingJobs.documentsStream(spark, s"$dir/documents.parquet")
+          .select($"doc_id", $"text"),
+        bench, "doc_id", "text", n = 5, minShared = 2,
+        maxDriverShingles = 0L).select($"doc_id"),
+      s"t_decon_bloom_${System.nanoTime}", mode = "append", statePartitions = Some(2))
+      .collect().map(_.getLong(0)).sorted
+    // Same decision rule as the batch Bloom path (identical bit array —
+    // the build is deterministic over the same key set), so the
+    // survivor sets must match exactly; and the fallback can only
+    // OVER-drop vs the exact batch rule, never under-drop.
+    val batchBloom = graft.operators.CorpusHygiene.bloomDecontaminate(
+        d, bench, "doc_id", "text", n = 5, minShared = 2)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(streamed.toSeq === batchBloom.toSeq)
+    val batchExact = graft.operators.CorpusHygiene.removeContaminated(
+        d, bench, "doc_id", "text", n = 5, minShared = 2)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.toSet.subsetOf(batchExact))
+  }
+
   test("ephemeral streaming checkpoints are deleted after the query stops") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

@@ -752,6 +752,25 @@ class OperatorsSpec extends SparkSuite {
     assert(falseHits < 100, s"FPR too high: $falseHits/20000")
   }
 
+  test("BloomHitCount: distributed build is bit-identical to the driver build") {
+    import graft.plans.BloomHitCount
+    val keys = Array.tabulate(3000)(i => (i.toLong * 2654435761L) % 4294967296L)
+    val driverBits = BloomHitCount.build(keys, bitsPerKey = 20, k = 6)
+    // 7 partitions: the per-partition fold + OR-reduce must commute to
+    // the same array regardless of how keys scatter.
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.toSeq.map(org.apache.spark.sql.Row(_)), 7),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.LongType))))
+    val distBits = BloomHitCount.buildDistributed(df, bitsPerKey = 20, k = 6)
+    assert(java.util.Arrays.equals(driverBits, distBits))
+    // Loud on the wrong shape.
+    intercept[IllegalArgumentException] {
+      BloomHitCount.buildDistributed(df.selectExpr("CAST(s AS INT) AS s", "s AS t"), 20, 6)
+    }
+  }
+
   test("bloomDecontaminate flags everything the exact rule flags") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains bench 4-gram run

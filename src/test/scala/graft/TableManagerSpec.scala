@@ -1026,4 +1026,64 @@ class TableManagerSpec extends SparkSuite {
       .select("num_active_dirs").head.getInt(0) === 1)
     assert(vt.readAt(vAll).count() === 6) // 3,5,6,7,8,9
   }
+
+  test("versioned append: narrowing/reinterpreting schema fails at COMMIT, widening casts") {
+    val vt = tables.versioned(tmpVt())
+    vt.append(Seq((1L, "a", 10L)).toDF("k", "s", "n"))
+    // int into a long column WIDENS: accepted and physically cast, so
+    // the mergeSchema read never reconciles int against long.
+    vt.append(Seq((2, "b", 20)).toDF("k", "s", "n"))
+    val now = vt.read()
+    assert(now.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(now.schema("n").dataType === org.apache.spark.sql.types.LongType)
+    assert(now.select("n").collect().map(_.getLong(0)).toSet === Set(10L, 20L))
+    // long into an int column NARROWS: rejected loudly at commit time
+    // (previously committed fine and only broke a later mergeSchema read).
+    val intTable = tables.versioned(tmpVt())
+    intTable.append(Seq((1, "a")).toDF("k", "s"))
+    val eNarrow = intercept[IllegalStateException] {
+      intTable.append(Seq((2L, "b")).toDF("k", "s"))
+    }
+    assert(eNarrow.getMessage.contains("narrow"))
+    assert(intTable.latestVersion === 0) // nothing committed
+    // cross-family reinterpretation (string into long): rejected too,
+    // on the retrying paths as well.
+    val eFamily = intercept[IllegalStateException] {
+      vt.appendWithRetry(Seq(("3", "c", 30L)).toDF("k", "s", "n"))
+    }
+    assert(eFamily.getMessage.contains("reinterpret"))
+    intercept[IllegalStateException] {
+      vt.appendStreamBatch(Seq(("4", "d", 40L)).toDF("k", "s", "n"), "app", 0L)
+    }
+    // New columns still pass (evolution), missing columns still pad.
+    vt.append(Seq((5L, "e", 50L, 0.5)).toDF("k", "s", "n", "score"))
+    assert(vt.read().count() === 3)
+  }
+
+  test("merge: conjunctive multi-key pruning touches strictly fewer dirs than key-head") {
+    val vt = tables.versioned(tmpVt())
+    // Three dirs: A and B OVERLAP on k1 (head-key pruning alone would
+    // touch both) but are disjoint on k2; C is disjoint on k1.
+    vt.append((0 until 10).map(i => (i.toLong, i.toLong, s"a$i")).toDF("k1", "k2", "v"))
+    vt.append((0 until 10).map(i => (i.toLong, (i + 100).toLong, s"b$i")).toDF("k1", "k2", "v"))
+    vt.append((0 until 10).map(i => ((i + 100).toLong, i.toLong, s"c$i")).toDF("k1", "k2", "v"))
+    // Source hits dir A only under the (k1, k2) conjunction.
+    val src = Seq((3L, 3L, "UPD")).toDF("k1", "k2", "v")
+    vt.merge(src, Seq("k1", "k2"))
+    // Conjunctive pruning rewrote ONLY dir A: active = 3 - 1 + 1 = 3
+    // (head-key-only pruning would rewrite A and B → 2 dirs).
+    assert(vt.history().orderBy(col("version").desc)
+      .select("num_active_dirs").head.getInt(0) === 3)
+    val rows = vt.read().collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 30)
+    assert(rows.count(_._3 == "UPD") === 1)
+    assert(!rows.exists(r => r._1 == 3L && r._2 == 3L && r._3 == "a3"))
+    // An all-null key column means NO source row can match: nothing is
+    // rewritten, every source row inserts (active grows by 1).
+    val nullKey = Seq((Option.empty[Long], Option(7L), "INS")).toDF("k1", "k2", "v")
+    vt.merge(nullKey, Seq("k1", "k2"))
+    assert(vt.history().orderBy(col("version").desc)
+      .select("num_active_dirs").head.getInt(0) === 4)
+    assert(vt.read().count() === 31)
+  }
 }
