@@ -1155,6 +1155,45 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // The DataSourceV2 face of the same pruning — NO explicit pruning
+    // call anywhere: the table registers as a `graftvt` view, plain SQL
+    // text runs against it, and the manifest prune happens inside scan
+    // planning (SupportsPushDownFilters → pruneActiveAll). Kept/skipped
+    // counts come from the scan's own file-index roots and ride the
+    // oracle: 2 of 3 directories provably never open, and the answer
+    // equals the full scan.
+    "s_versioned_prune_sql" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_dsv2").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        val y97 = to_timestamp(lit("1997-01-01"))
+        val y99 = to_timestamp(lit("1999-01-01"))
+        vt.append(o.filter(col("o_orderdate") < y97))
+        vt.append(o.filter(col("o_orderdate") >= y97 && col("o_orderdate") < y99))
+        vt.append(o.filter(col("o_orderdate") >= y99))
+        s.read.format("graftvt").load(base)
+          .createOrReplaceTempView("graft_vt_prune_sql")
+        val q = s.sql(
+          """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
+            |FROM graft_vt_prune_sql
+            |WHERE o_orderdate >= TIMESTAMP'1997-07-01'
+            |  AND o_orderdate < TIMESTAMP'1998-07-01'""".stripMargin)
+        val kept = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+        }.collectFirst {
+          case p: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan => p.fileIndex.rootPaths.length
+        }.get
+        val total = vt.activeDirs().length
+        q.collect().map(r => (r.getLong(0), r.getDouble(1), kept, total - kept))
+          .toSeq.toDF("n_rows", "total", "kept_dirs", "skipped_dirs")
+      } finally deleteRecursively(base)
+    }),
+
     // Transactional OPTIMIZE then pruned read: orders appended in 3
     // INTERLEAVED slices (every directory straddles the whole key
     // range — pruning can skip nothing), then optimize() rewrites the
@@ -3446,6 +3485,16 @@ object SparkEntry {
     // The pruned 1995 slice answers exactly like a full-table scan,
     // with exactly one directory kept of three.
     "s_versioned_prune" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS INTEGER) AS kept_dirs, CAST(2 AS INTEGER) AS skipped_dirs
+        |FROM orders
+        |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-07-01'
+        |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-07-01'""".stripMargin,
+
+    // The SQL-only DSv2 form answers exactly like the full scan with
+    // exactly one directory's scan planned of three.
+    "s_versioned_prune_sql" ->
       """SELECT count(*) AS n_rows,
         |  round(sum(o_totalprice), 2) AS total,
         |  CAST(1 AS INTEGER) AS kept_dirs, CAST(2 AS INTEGER) AS skipped_dirs

@@ -291,6 +291,17 @@ class VersionedTable(spark: SparkSession, dir: String,
 
   private def activeAt(v: Int): Seq[String] = snapshotAt(v).active
 
+  /** The active data-directory NAMES of a version (default: latest) —
+    * the unpruned denominator snapshot consumers (the DataSourceV2
+    * scan) plan against; resolved from the manifest fold, no data
+    * touched.
+    */
+  def activeDirs(version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    activeAt(v)
+  }
+
   /** Claim `target` with the content of `tmp`, atomically failing if
     * another writer already claimed it — the per-backend LogStore
     * primitive Delta builds its whole protocol on. On the LOCAL
@@ -1294,7 +1305,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     * supplementary-plane characters, and a mismatched order could
     * prune a directory that actually holds matching rows.
     */
-  private def cmpBound(a: Any, b: Any): Int = (a, b) match {
+  private[sources] def cmpBound(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: String, y: String) =>
       val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1390,7 +1401,14 @@ class VersionedTable(spark: SparkSession, dir: String,
     * back from latest, so recent-timestamp queries cost O(versions
     * since tsMs).
     */
-  def readAtTimestamp(tsMs: Long): DataFrame = {
+  def readAtTimestamp(tsMs: Long): DataFrame = readAt(versionAtTimestamp(tsMs))
+
+  /** The version [[readAtTimestamp]] resolves `tsMs` to — exposed so
+    * snapshot consumers (the DataSourceV2 relation's `timestampAsOf`
+    * option) can PIN the resolved version once instead of racing a
+    * concurrent writer between schema inference and scan planning.
+    */
+  def versionAtTimestamp(tsMs: Long): Int = {
     var v = latestVersion
     require(v >= 0, s"$dir has no committed versions")
     while (v >= 0 && (!fs.exists(manifestPath(v)) || commitAt(v).tsMs > tsMs))
@@ -1398,7 +1416,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     require(v >= 0,
       s"no version of $dir existed at or before timestamp $tsMs " +
         s"(earliest surviving commit is later, or was vacuumed)")
-    readAt(v)
+    v
   }
 
   /** The current snapshot (latest version). */

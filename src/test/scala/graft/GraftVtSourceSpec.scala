@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+
+/** The DataSourceV2 face of the versioned table: transparent manifest
+  * pruning for plain `.filter(...)` DataFrames and SQL alike, pinned
+  * time travel via options, column pruning into the parquet reader.
+  */
+class GraftVtSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpVt(): String =
+    java.nio.file.Files.createTempDirectory("vt_dsv2").toString
+
+  /** Kept-directory count of the query's graftvt scan (the fileIndex
+    * roots are exactly the directories the manifest prune admitted).
+    */
+  private def keptDirs(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case p: ParquetScan => p.fileIndex.rootPaths.length }.get
+
+  private def scanOf(df: DataFrame): ParquetScan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case p: ParquetScan => p }.get
+
+  private def threeSliceTable(): (String, graft.sources.VersionedTable) = {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(i => (i, i / 10.0, s"a$i")).toDF("k", "x", "s"))
+    vt.append((100L until 200L).map(i => (i, i / 10.0, s"b$i")).toDF("k", "x", "s"))
+    vt.append((200L until 300L).map(i => (i, i / 10.0, s"c$i")).toDF("k", "x", "s"))
+    (dir, vt)
+  }
+
+  test("plain filter prunes directories transparently and answers like a full scan") {
+    val (dir, vt) = threeSliceTable()
+    val t = spark.read.format("graftvt").load(dir)
+    assert(t.count() === 300)
+    assert(keptDirs(t) === 3) // no filter: every active dir scanned
+    // A range hitting only the middle directory: 1 of 3 dirs survives
+    // the MANIFEST prune — no readPruned call anywhere in sight.
+    val q = t.filter(col("k").between(120L, 180L))
+    assert(keptDirs(q) === 1)
+    assert(q.select("k").collect().map(_.getLong(0)).toSet ===
+      vt.read().filter(col("k").between(120L, 180L))
+        .select("k").collect().map(_.getLong(0)).toSet)
+    // The pushed range shows up in the scan (explain visibility) and
+    // rows NOT matching inside the kept dir are still filtered
+    // (superset guarantee: the row filter stays post-scan).
+    assert(scanOf(q).pushedFilters.nonEmpty)
+    assert(q.count() === 61)
+    // Strict bounds relax but never leak rows.
+    assert(t.filter(col("k") > 285L).count() === 14)
+    assert(keptDirs(t.filter(col("k") > 285L)) === 1)
+    // Disjoint range: zero dirs, zero rows, no error.
+    val none = t.filter(col("k") >= 1000L)
+    assert(keptDirs(none) === 0)
+    assert(none.count() === 0)
+    // String stats prune too.
+    assert(keptDirs(t.filter(col("s") >= "b" && col("s") <= "bzz")) === 1)
+    // IN-list envelope prunes under the stat-domain order.
+    assert(keptDirs(t.filter(col("k").isin(110L, 150L, 199L))) === 1)
+    assert(t.filter(col("k").isin(110L, 150L, 199L)).count() === 3)
+    // An unindexed shape (disjunction) keeps everything — conservatively.
+    assert(keptDirs(t.filter(col("k") === 5L || col("k") === 250L)) === 3)
+    assert(t.filter(col("k") === 5L || col("k") === 250L).count() === 2)
+  }
+
+  test("the same pruning serves SQL text over a registered view") {
+    val (dir, _) = threeSliceTable()
+    spark.read.format("graftvt").load(dir).createOrReplaceTempView("vt_sql_spec")
+    val q = spark.sql(
+      "SELECT count(*) AS n, sum(x) AS sx FROM vt_sql_spec WHERE k >= 120 AND k <= 180")
+    assert(keptDirs(q) === 1)
+    val r = q.head
+    assert(r.getLong(0) === 61)
+    assert(math.abs(r.getDouble(1) - (120L to 180L).map(_ / 10.0).sum) < 1e-9)
+  }
+
+  test("column pruning reaches the parquet reader") {
+    val (dir, _) = threeSliceTable()
+    val t = spark.read.format("graftvt").load(dir).select("s")
+    assert(scanOf(t).readDataSchema.fieldNames.toSeq === Seq("s"))
+  }
+
+  test("versionAsOf / timestampAsOf options time-travel; conflicts fail loudly") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    val tAfterV0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    vt.append(Seq((2L, "b")).toDF("k", "s"))
+    vt.overwrite(Seq((9L, "z")).toDF("k", "s"))
+    assert(spark.read.format("graftvt").load(dir).count() === 1)
+    assert(spark.read.format("graftvt").option("versionAsOf", 1).load(dir).count() === 2)
+    assert(spark.read.format("graftvt").option("versionAsOf", 0)
+      .load(dir).select("k").head.getLong(0) === 1L)
+    assert(spark.read.format("graftvt").option("timestampAsOf", tAfterV0.toString)
+      .load(dir).count() === 1)
+    intercept[Exception] {
+      spark.read.format("graftvt").option("versionAsOf", 0)
+        .option("timestampAsOf", tAfterV0.toString).load(dir).collect()
+    }
+    intercept[Exception] {
+      spark.read.format("graftvt").option("versionAsOf", 99).load(dir).collect()
+    }
+  }
+
+  test("schema evolution: the latest snapshot pads old directories with null") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    vt.append(Seq((2L, "b", 0.5)).toDF("k", "s", "score"))
+    val t = spark.read.format("graftvt").load(dir)
+    assert(t.columns.toSet === Set("k", "s", "score"))
+    assert(t.filter(col("k") === 1L).select("score").head.isNullAt(0))
+    // the old version still reads with its own shape
+    assert(spark.read.format("graftvt").option("versionAsOf", 0)
+      .load(dir).columns.toSeq === Seq("k", "s"))
+  }
+
+  test("timestamp-column range bounds prune in exact micros") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    def slice(d0: String, d1: String) =
+      spark.sql(s"SELECT explode(sequence(TIMESTAMP'$d0', TIMESTAMP'$d1', " +
+        "INTERVAL 1 DAY)) AS ts")
+    vt.append(slice("1997-01-01", "1997-03-01"))
+    vt.append(slice("1998-01-01", "1998-03-01"))
+    vt.append(slice("1999-01-01", "1999-03-01"))
+    val t = spark.read.format("graftvt").load(dir)
+    val q = t.filter(col("ts") >= lit("1998-01-15").cast("timestamp") &&
+      col("ts") < lit("1998-02-15").cast("timestamp"))
+    assert(keptDirs(q) === 1)
+    assert(q.count() === 31)
+  }
+
+  test("TIMESTAMP_NTZ columns prune through the session zone (the fixtures' encoding)") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    def slice(d0: String, d1: String) =
+      spark.sql(s"SELECT explode(sequence(TIMESTAMP'$d0', TIMESTAMP'$d1', " +
+        "INTERVAL 1 DAY)) AS ts").select(to_timestamp_ntz(col("ts")).as("ts"))
+    vt.append(slice("1997-01-01", "1997-03-01"))
+    vt.append(slice("1998-01-01", "1998-03-01"))
+    vt.append(slice("1999-01-01", "1999-03-01"))
+    spark.read.format("graftvt").load(dir).createOrReplaceTempView("vt_ntz_spec")
+    val q = spark.sql("SELECT count(*) AS n FROM vt_ntz_spec " +
+      "WHERE ts >= TIMESTAMP'1998-01-15' AND ts < TIMESTAMP'1998-02-15'")
+    assert(keptDirs(q) === 1)
+    assert(q.head.getLong(0) === 31)
+  }
+}
