@@ -1155,6 +1155,34 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // The SQL command frontend: the s_table_history contract re-run
+    // with every READ as SQL text only — `DESCRIBE HISTORY t` for the
+    // log and `SELECT ... FROM t VERSION AS OF v` for time travel (the
+    // reference's S15 surface is literally these SQL strings). Writes
+    // go through the managed bridge (appendVersioned), exactly how a
+    // catalog-named versioned table is fed.
+    "s_versioned_sql" -> ((s, dir) => {
+      import s.implicits._
+      val tm = new graft.sources.TableManager(s)
+      val tbl = "graft_gate_vsql"
+      try s.catalog.dropTempView(tbl) catch { case _: Exception => () }
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl + "__versioned")
+      base.getFileSystem(s.sparkContext.hadoopConfiguration).delete(base, true)
+      val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      tm.appendVersioned(r.filter(col("r_regionkey") < 3), tbl)  // v0: 3 rows
+      tm.appendVersioned(r.filter(col("r_regionkey") >= 3), tbl) // v1: +2
+      tm.versionedFor(tbl).overwrite(r.filter(col("r_regionkey") === 0)) // v2: 1
+      tm.refreshVersioned(tbl)
+      val hist = s.sql(s"DESCRIBE HISTORY $tbl")
+        .select(col("version"), col("op"), col("num_rows"), col("num_active_dirs"))
+        .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getInt(3)))
+      val visible = (0 to 2).map(v =>
+        v -> s.sql(s"SELECT count(*) FROM $tbl VERSION AS OF $v").head.getLong(0)).toMap
+      hist.toSeq.map { case (v, op, added, dirs) => (v, op, added, dirs, visible(v)) }
+        .toDF("version", "op", "rows_added", "active_dirs", "rows_visible")
+    }),
+
     // The DataSourceV2 face of the same pruning — NO explicit pruning
     // call anywhere: the table registers as a `graftvt` view, plain SQL
     // text runs against it, and the manifest prune happens inside scan
@@ -3491,6 +3519,19 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-07-01'
         |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-07-01'""".stripMargin,
+
+    // The SQL command frontend re-derives the s_table_history pins
+    // with DESCRIBE HISTORY + VERSION AS OF text only.
+    "s_versioned_sql" ->
+      """SELECT CAST(version AS INTEGER) AS version, op,
+        |  CAST(rows_added AS BIGINT) AS rows_added,
+        |  CAST(active_dirs AS INTEGER) AS active_dirs,
+        |  CAST(rows_visible AS BIGINT) AS rows_visible
+        |FROM (VALUES
+        |  (0, 'append', 3, 1, 3),
+        |  (1, 'append', 2, 2, 5),
+        |  (2, 'overwrite', 1, 1, 1)
+        |) AS t(version, op, rows_added, active_dirs, rows_visible)""".stripMargin,
 
     // The SQL-only DSv2 form answers exactly like the full scan with
     // exactly one directory's scan planned of three.

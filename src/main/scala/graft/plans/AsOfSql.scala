@@ -42,6 +42,63 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val AsOfRe = "(?i)\\bASOF\\s+(LEFT\\s+)?JOIN\\b".r
 
+  // Versioned-table maintenance statements (see [[VersionedSql]]):
+  // whole-statement anchored matches against the RAW text — the target
+  // may itself be a quoted path literal, which the literal masker
+  // would blank. Backticked, quoted, and dotted bare names all match;
+  // anything else falls through to Spark's parser untouched.
+  private val TargetPat = "(`[^`]+`(?:\\s*\\.\\s*`[^`]+`)*|'[^']*'|\"[^\"]*\"|[\\w.]+)"
+  private val OptimizeRe =
+    ("(?is)^\\s*OPTIMIZE\\s+" + TargetPat +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?" +
+      "(?:\\s+INTO\\s+(\\d+)\\s+CHUNKS)?\\s*;?\\s*$").r
+  private val HistoryRe =
+    ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + TargetPat + "\\s*;?\\s*$").r
+  private val VacuumRe =
+    ("(?is)^\\s*VACUUM\\s+" + TargetPat +
+      "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$").r
+
+  private def maintenanceCommand(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(target, cols, chunks) =>
+        val zorder = Option(cols).toSeq.flatMap(_.split(',').toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        Some(GraftOptimize(target, zorder, Option(chunks).map(_.toInt)))
+      case HistoryRe(target) => Some(GraftDescribeHistory(target))
+      case VacuumRe(target, keep) => Some(GraftVacuum(target, keep.toInt))
+      case _ => None
+    }
+
+  /** Substitute `t VERSION AS OF v` / `t TIMESTAMP AS OF ts` over a
+    * versioned table with the graftvt DataSourceV2 relation pinned to
+    * that version, AT PARSE TIME — Spark's own resolution would reject
+    * the time-travel clause for these tables (a temp view / missing
+    * catalog entry), and an injected resolution rule would race that
+    * rejection inside the same fixed-point batch. Identifiers that do
+    * not map to a versioned directory pass through untouched.
+    */
+  private def substituteTimeTravel(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    if (!plan.exists(_.isInstanceOf[RelationTimeTravel])) return plan
+    val spark = SparkSession.active
+    plan.transformUpWithSubqueries {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, v) =>
+        VersionedSql.timeTravelDir(spark, u.multipartIdentifier) match {
+          case None => tt
+          case Some(dir) =>
+            val reader = spark.read.format("graftvt")
+            val pinned = (v, ts) match {
+              case (Some(ver), None) => reader.option("versionAsOf", ver)
+              case (None, Some(expr)) =>
+                reader.option("timestampAsOf", VersionedSql.timestampBound(expr))
+              case _ => throw new IllegalArgumentException(
+                "specify VERSION AS OF or TIMESTAMP AS OF, not both")
+            }
+            pinned.load(dir).queryExecution.logical
+        }
+    }
+  }
+
   /** `sqlText` with string literals ('…', "…", including '' escapes)
     * and comments (-- to EOL, bracketed) blanked out, same length —
     * so the ASOF regex can only match live syntax, never the words
@@ -136,9 +193,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(sqlText, delegate.parsePlan)
+    maintenanceCommand(sqlText).getOrElse(
+      substituteTimeTravel(rewrite(sqlText, delegate.parsePlan)))
   override def parseQuery(sqlText: String): LogicalPlan =
-    rewrite(sqlText, delegate.parseQuery)
+    substituteTimeTravel(rewrite(sqlText, delegate.parseQuery))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

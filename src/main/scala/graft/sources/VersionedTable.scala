@@ -1118,6 +1118,58 @@ class VersionedTable(spark: SparkSession, dir: String,
     rewriteClustered(keyed, ck, targetChunks, base)
   }
 
+  /** Bare OPTIMIZE — bin-packing compaction without a cluster key
+    * (Delta's no-ZORDER form): rewrite the active set into
+    * `targetChunks` directories in ONE transactional commit, rows
+    * spread deterministically by a hash of the hashable columns (the
+    * same transactional staging/publish as [[optimize]], with a hash
+    * key instead of a range key — re-runs land identical chunks, but
+    * no range-pruning benefit accrues; use a clustered form for that).
+    * The small-files problem this solves is real at any scale: a
+    * streaming sink committing every micro-batch leaves thousands of
+    * tiny directories whose per-file open cost dominates reads.
+    */
+  def compact(targetChunks: Int): Int = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
+    require(targetChunks >= 1, s"targetChunks must be >= 1: $targetChunks")
+    val base = latestVersion
+    require(base >= 0, s"$dir has no committed versions")
+    val snap = readAt(base)
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val hashCols = snap.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val ck = "__graft_ck"
+    val keyed =
+      if (hashCols.isEmpty) snap.withColumn(ck, lit(0.0))
+      else snap.withColumn(ck,
+        pmod(xxhash64(struct(hashCols.toIndexedSeq: _*)), lit(1000000L))
+          .cast("double"))
+    rewriteClustered(keyed, ck, targetChunks, base)
+  }
+
+  /** The chunk count a size-driven maintenance pass targets: recorded
+    * active bytes over `targetBytes` (Delta's ~128 MB–1 GB file-size
+    * contract), from PURE metadata; directory count when byte totals
+    * predate recording.
+    */
+  def defaultTargetChunks(targetBytes: Long = 128L << 20): Int = {
+    val v = latestVersion
+    require(v >= 0, s"$dir has no committed versions")
+    val snap = snapshotAt(v)
+    val bytes =
+      if (snap.active.forall(snap.dirBytes.contains))
+        Some(snap.active.map(snap.dirBytes).sum)
+      else None
+    bytes.map(b => math.max(1L, (b + targetBytes - 1) / targetBytes).toInt)
+      .getOrElse(math.max(1, snap.active.size))
+  }
+
   /** Multi-dimensional OPTIMIZE ZORDER BY: rewrite the active set into
     * chunks clustered on the Z-ORDER (Morton) curve over 2+ columns, so
     * [[pruneActive]] skips directories on a range predicate over ANY of

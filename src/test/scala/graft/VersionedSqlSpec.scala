@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL text drives the whole versioned maintenance surface: DESCRIBE
+  * HISTORY, OPTIMIZE [ZORDER BY] [INTO n CHUNKS], VACUUM RETAIN, and
+  * VERSION/TIMESTAMP AS OF time travel — against both bridge-named
+  * tables (warehouse `<t>__versioned`) and quoted directory paths.
+  */
+class VersionedSqlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val tables = new graft.sources.TableManager(spark)
+
+  private def tmpVt(): String =
+    java.nio.file.Files.createTempDirectory("vt_sql_spec").toString
+
+  test("DESCRIBE HISTORY and VERSION AS OF work on a bridge-named table via SQL only") {
+    val tbl = "vsql_bridge"
+    try spark.catalog.dropTempView(tbl) catch { case _: Exception => () }
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl + "__versioned")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    tables.appendVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), tbl)
+    tables.appendVersioned(Seq((3L, "c")).toDF("k", "s"), tbl)
+    tables.versionedFor(tbl).overwrite(Seq((9L, "z")).toDF("k", "s"))
+    tables.refreshVersioned(tbl)
+    val hist = spark.sql(s"DESCRIBE HISTORY $tbl")
+      .select("version", "op", "num_rows", "num_active_dirs")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(hist.toSeq === Seq((0, "append", 2L, 1), (1, "append", 1L, 2),
+      (2, "overwrite", 1L, 1)))
+    // Time travel through plain SELECT text.
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 0").head.getLong(0) === 2)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1").head.getLong(0) === 3)
+    assert(spark.sql(s"SELECT k FROM $tbl VERSION AS OF 2").head.getLong(0) === 9L)
+    // The un-travelled name still reads the latest snapshot (temp view).
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 1)
+    // TIMESTAMP AS OF: epoch millis after the last commit → latest.
+    val now = System.currentTimeMillis() + 1000
+    assert(spark.sql(s"SELECT count(*) FROM $tbl TIMESTAMP AS OF $now")
+      .head.getLong(0) === 1)
+  }
+
+  test("a quoted path addresses a versioned directory directly; graftvt.`path` travels") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    vt.append(Seq((2L, "b")).toDF("k", "s"))
+    val hist = spark.sql(s"DESCRIBE HISTORY '$dir'")
+    assert(hist.count() === 2)
+    assert(spark.sql(s"SELECT count(*) FROM graftvt.`$dir` VERSION AS OF 0")
+      .head.getLong(0) === 1)
+    assert(spark.sql(s"SELECT count(*) FROM graftvt.`$dir` VERSION AS OF 1")
+      .head.getLong(0) === 2)
+  }
+
+  test("OPTIMIZE ZORDER BY through SQL makes pruning tight and preserves rows") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    // interleaved: every dir straddles the whole key range
+    (0 until 3).foreach(i =>
+      vt.append((0L until 300L).filter(_ % 3 == i).map(k => (k, s"r$k"))
+        .toDF("k", "s")))
+    assert(vt.pruneActive("k", Some(100L), Some(120L))._2.isEmpty)
+    val out = spark.sql(s"OPTIMIZE '$dir' ZORDER BY (k) INTO 3 CHUNKS").head
+    assert(out.getInt(0) === 3) // committed version
+    assert(out.getInt(1) === 3) // post-optimize active dirs
+    assert(vt.read().count() === 300)
+    assert(vt.pruneActive("k", Some(100L), Some(120L))._1.size === 1)
+    // multi-column form routes to the z-order rewrite
+    val dir2 = tmpVt()
+    val vt2 = new graft.sources.VersionedTable(spark, dir2)
+    vt2.append((0L until 200L).map(i => (i, (i * 7) % 200)).toDF("a", "b"))
+    spark.sql(s"OPTIMIZE '$dir2' ZORDER BY (a, b) INTO 4 CHUNKS")
+    assert(vt2.read().count() === 200)
+    assert(vt2.history().orderBy(col("version").desc)
+      .select("op").head.getString(0) === "optimize")
+  }
+
+  test("bare OPTIMIZE bin-packs; VACUUM RETAIN reclaims through SQL") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    (0 until 6).foreach(i => vt.append(Seq((i.toLong, s"r$i")).toDF("k", "s")))
+    assert(vt.activeDirs().size === 6)
+    val out = spark.sql(s"OPTIMIZE '$dir' INTO 2 CHUNKS").head
+    assert(out.getInt(1) === 2)
+    assert(vt.read().count() === 6)
+    // Without INTO, the chunk count comes from recorded bytes (tiny
+    // table → 1 chunk) — just assert it runs and preserves rows.
+    spark.sql(s"OPTIMIZE '$dir'")
+    assert(vt.read().count() === 6)
+    val removed = spark.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS").head.getInt(0)
+    assert(removed > 0)
+    assert(vt.read().count() === 6)
+  }
+
+  test("loud errors: unversioned names, malformed bounds; plain SQL is untouched") {
+    val e = intercept[Exception] { spark.sql("DESCRIBE HISTORY no_such_vt_table") }
+    assert(e.getMessage.contains("not a versioned table"))
+    // statements that merely CONTAIN the keywords still parse normally
+    assert(spark.sql("SELECT 'OPTIMIZE t' AS s").head.getString(0) === "OPTIMIZE t")
+    assert(spark.sql("SELECT 1 AS optimize").head.getInt(0) === 1)
+  }
+}
