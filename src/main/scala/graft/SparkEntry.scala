@@ -1248,6 +1248,34 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // Predicate-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): three
+    // bucket-disjoint directories; the scope hits only bucket 1, which
+    // is rewritten into 2 orderkey-clustered chunks in ONE commit while
+    // buckets 0 and 2 survive untouched (their directory names stay
+    // active — pinned in the oracle as untouched_intact). At 100 TB
+    // this is the maintenance loop's shape: compact the hot window,
+    // never rewrite the cold bulk. Answers equal the full scan.
+    "s_versioned_optimize_where" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_optw").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("bucket", col("o_orderkey") % 3)
+        (0 to 2).foreach(b => vt.append(o.filter(col("bucket") === b)))
+        val preDirs = vt.activeDirs()
+        val untouched = Seq(preDirs.head, preDirs.last)
+        val v = vt.optimizeWhere("o_orderkey", 2, "bucket", Some(1L), Some(1L))
+        val after = vt.activeDirs(Some(v))
+        val intact = untouched.forall(after.contains)
+        vt.read().agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("tot"))
+          .collect()
+          .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100) / 100.0,
+            intact, after.size))
+          .toSeq.toDF("n_rows", "total", "untouched_intact", "active_dirs")
+      } finally deleteRecursively(base)
+    }),
+
     // Delta-style MERGE as ONE atomic copy-on-write commit: the table
     // holds orders in two modular slices, the source updates every
     // %7==0 row (status 'U', price +1000) and inserts fresh keys
@@ -3553,6 +3581,13 @@ object SparkEntry {
         |  CAST(1 AS INTEGER) AS kept_dirs, CAST(2 AS INTEGER) AS skipped_dirs,
         |  (SELECT count(*) FROM orders) AS rows_pre_opt
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1400""".stripMargin,
+
+    // Scoped optimize: the full-scan answer with buckets 0 and 2 never
+    // rewritten (their dirs stay active) and bucket 1 split in two.
+    "s_versioned_optimize_where" ->
+      """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
+        |  true AS untouched_intact, CAST(4 AS INTEGER) AS active_dirs
+        |FROM orders""".stripMargin,
 
     // The merged snapshot is the SQL upsert: every source row (updates
     // to %7==0 keys, inserts on fresh +100000000 keys) plus every

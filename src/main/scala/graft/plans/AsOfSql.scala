@@ -50,6 +50,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val TargetPat = "(`[^`]+`(?:\\s*\\.\\s*`[^`]+`)*|'[^']*'|\"[^\"]*\"|[\\w.]+)"
   private val OptimizeRe =
     ("(?is)^\\s*OPTIMIZE\\s+" + TargetPat +
+      "(?:\\s+WHERE\\s+(`[^`]+`|\\w+)\\s+BETWEEN\\s+(-?[\\d.]+)\\s+AND\\s+(-?[\\d.]+))?" +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?" +
       "(?:\\s+INTO\\s+(\\d+)\\s+CHUNKS)?\\s*;?\\s*$").r
   private val HistoryRe =
@@ -60,10 +61,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def maintenanceCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case OptimizeRe(target, cols, chunks) =>
+      case OptimizeRe(target, whereCol, whereLo, whereHi, cols, chunks) =>
         val zorder = Option(cols).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        Some(GraftOptimize(target, zorder, Option(chunks).map(_.toInt)))
+        def num(s: String): Any =
+          if (s.matches("-?\\d+")) s.toLong else s.toDouble
+        val where = Option(whereCol).map(c =>
+          (c.stripPrefix("`").stripSuffix("`"), num(whereLo), num(whereHi)))
+        Some(GraftOptimize(target, zorder, Option(chunks).map(_.toInt), where))
       case HistoryRe(target) => Some(GraftDescribeHistory(target))
       case VacuumRe(target, keep) => Some(GraftVacuum(target, keep.toInt))
       case _ => None

@@ -112,16 +112,23 @@ case class GraftDescribeHistory(target: String) extends LeafRunnableCommand {
     VersionedSql.resolveTarget(spark, target)._1.history().collect().toSeq
 }
 
-/** `OPTIMIZE t [ZORDER BY (...)] [INTO n CHUNKS]` — the transactional
-  * rewrite: no columns → bin-packing [[graft.sources.VersionedTable
-  * .compact]], one column → range-clustered [[graft.sources
-  * .VersionedTable.optimize]], 2+ → [[graft.sources.VersionedTable
-  * .optimizeZOrder]]. Chunk count defaults to the recorded-bytes /
-  * 128 MB metadata estimate. A bridge-named table's catalog view is
+/** `OPTIMIZE t [WHERE c BETWEEN a AND b] [ZORDER BY (...)] [INTO n
+  * CHUNKS]` — the transactional rewrite: no columns → bin-packing
+  * [[graft.sources.VersionedTable.compact]], one column →
+  * range-clustered [[graft.sources.VersionedTable.optimize]], 2+ →
+  * [[graft.sources.VersionedTable.optimizeZOrder]]. A WHERE range
+  * scopes the rewrite to the directories whose stats can intersect it
+  * ([[graft.sources.VersionedTable.optimizeWhere]] — the 100 TB form:
+  * compact the hot ingestion window, leave the cold bulk untouched),
+  * clustering on the ZORDER column when given, else on the scope
+  * column itself. Chunk count defaults to the recorded-bytes / 128 MB
+  * metadata estimate. A bridge-named table's catalog view is
   * re-pointed at the new snapshot afterwards.
   */
 case class GraftOptimize(target: String, zorder: Seq[String],
-                         chunks: Option[Int]) extends LeafRunnableCommand {
+                         chunks: Option[Int],
+                         where: Option[(String, Any, Any)] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("num_dirs", IntegerType, nullable = false)())
@@ -129,10 +136,17 @@ case class GraftOptimize(target: String, zorder: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
     val n = chunks.getOrElse(vt.defaultTargetChunks())
-    val v = zorder match {
-      case Nil => vt.compact(n)
-      case Seq(c) => vt.optimize(c, n)
-      case cs => vt.optimizeZOrder(cs, n)
+    val v = (where, zorder) match {
+      case (None, Nil) => vt.compact(n)
+      case (None, Seq(c)) => vt.optimize(c, n)
+      case (None, cs) => vt.optimizeZOrder(cs, n)
+      case (Some((wc, lo, hi)), Nil) =>
+        vt.optimizeWhere(wc, n, wc, Some(lo), Some(hi))
+      case (Some((wc, lo, hi)), Seq(c)) =>
+        vt.optimizeWhere(c, n, wc, Some(lo), Some(hi))
+      case (Some(_), _) => throw new IllegalArgumentException(
+        "OPTIMIZE ... WHERE with a multi-column ZORDER BY is not " +
+          "supported; scope and cluster a single column")
     }
     bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
     Seq(Row(v, vt.activeDirs(Some(v)).size))

@@ -837,7 +837,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     * touched directories at write time; off by default.
     */
   def merge(source: DataFrame, keys: Seq[String],
-            writeChangeData: Boolean = false): Int = {
+            writeChangeData: Boolean = false, maxRetries: Int = 5): Int = {
     import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin, unix_micros}
     import org.apache.spark.sql.types._
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -877,8 +877,13 @@ class VersionedTable(spark: SparkSession, dir: String,
     val indexable = keyDomain.collect { case (k, Some(c)) => (k, c) }
     val snapState = snapshotAt(latest)
     val active = snapState.active
-    val touched: Seq[String] =
-      if (indexable.isEmpty) active
+    // The span triple doubles as the retry protocol's conflict test:
+    // None = unprovable (unindexable keys — any concurrently added data
+    // may match); Some(None) = provably matchless (an all-null key —
+    // pure insert, nothing can conflict); Some(Some(preds)) = the
+    // conjunctive bounds concurrent adds are tested against.
+    val spanState: Option[Option[Seq[(String, Option[Any], Option[Any])]]] =
+      if (indexable.isEmpty) None
       else {
         val aggs = indexable.flatMap { case (_, c) => Seq(fmin(c), fmax(c)) }
         val row = source.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
@@ -887,9 +892,14 @@ class VersionedTable(spark: SparkSession, dir: String,
           else Some((k, Some(row.get(2 * i)): Option[Any],
             Some(row.get(2 * i + 1)): Option[Any]))
         }
-        if (spans.exists(_.isEmpty)) Seq.empty // an all-null key: no matches
-        else pruneActiveAll(spans.flatten, Some(latest))._1
+        if (spans.exists(_.isEmpty)) Some(None) // an all-null key: no matches
+        else Some(Some(spans.flatten))
       }
+    val touched: Seq[String] = spanState match {
+      case None => active
+      case Some(None) => Seq.empty
+      case Some(Some(preds)) => pruneActiveAll(preds, Some(latest))._1
+    }
     // Align touched directories to the SNAPSHOT schema: an evolving
     // append means an old directory can predate a column — pad it with
     // typed nulls so a merge whose key span only touches old data still
@@ -931,10 +941,93 @@ class VersionedTable(spark: SparkSession, dir: String,
           .write.parquet(new Path(root, n).toString)
         Some(n)
       }
-    publish(Commit(v, "merge", Seq(name), touched, rows,
-      System.currentTimeMillis(), addedStats = Map(name -> st), cdf = cdfName,
-      addedRows = Map(name -> rows)))
-    v
+    // Which of a concurrent winner's added directories may hold rows
+    // matching the merge keys: its recorded stats tested against the
+    // source's conjunctive span, same rule as the touched prune.
+    val addedMayMatch: Commit => Seq[String] = c => spanState match {
+      case Some(None) => Seq.empty // pure insert: nothing can match
+      case None => c.added // unindexable keys: unprovable, conservative
+      case Some(Some(preds)) => c.added.filter { d =>
+        c.addedStats.get(d) match {
+          case None => true // no stats recorded: conservative
+          case Some(st) => preds.forall { case (cn, lo, hi) =>
+            st.get(cn) match {
+              case None => true
+              case Some(cs) =>
+                !(lo.exists(l => cmpBound(cs.max, normBound(l)) < 0) ||
+                  hi.exists(h => cmpBound(cs.min, normBound(h)) > 0))
+            }
+          }
+        }
+      }
+    }
+    publishMutationRetrying("merge", latest, maxRetries, touched,
+      revalidate = Seq(name), addedMayMatch,
+      mkCommit = vv => Commit(vv, "merge", Seq(name), touched, rows,
+        System.currentTimeMillis(), addedStats = Map(name -> st),
+        cdf = cdfName, addedRows = Map(name -> rows)),
+      validated0 = snapState.constraints)
+  }
+
+  /** Test seam: runs once after a merge/delete result is fully written
+    * and before its first publish attempt — specs inject a concurrent
+    * commit here deterministically instead of racing threads.
+    */
+  private[graft] var beforeMutationPublish: () => Unit = () => ()
+
+  /** The optimistic-concurrency loser's retry for row-level MUTATIONS
+    * (merge/delete) — Delta's conflict-detection protocol: on a slot
+    * conflict, re-read the log and re-commit iff every intervening
+    * commit is provably DISJOINT from this mutation. Disjoint means:
+    * the winner removed none of the directories this mutation rewrote
+    * (its inputs would be gone — re-committing would resurrect rows
+    * the winner rewrote and lose the winner's changes), the winner
+    * added no data that may satisfy this mutation's predicate (checked
+    * by `addedMayMatch` — a matching row the mutation never saw would
+    * silently survive), and any concurrently added CHECK constraint
+    * re-validates the `revalidate` payloads. Anything unprovable fails
+    * loudly with the conflicting commit named; `maxRetries` bounds the
+    * loop. A plain concurrent APPEND of out-of-range data — the
+    * overwhelmingly common race at ingestion scale — retries through
+    * without a rewrite.
+    */
+  private def publishMutationRetrying(op: String, base: Int, maxRetries: Int,
+      touched: Seq[String], revalidate: Seq[String],
+      addedMayMatch: Commit => Seq[String], mkCommit: Int => Commit,
+      validated0: Map[String, String]): Int = {
+    beforeMutationPublish()
+    var validated = validated0
+    var checkedThrough = base
+    var attempt = 0
+    while (true) {
+      val v = checkedThrough + 1
+      try {
+        publish(mkCommit(v))
+        return v
+      } catch {
+        case e: IllegalStateException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          val newLatest = latestVersion
+          (checkedThrough + 1 to newLatest).foreach { w =>
+            val c = commitAt(w)
+            val removedHit = c.removed.toSet.intersect(touched.toSet)
+            if (removedHit.nonEmpty) throw new IllegalStateException(
+              s"concurrent commit $w (${c.op}) of $dir rewrote directories " +
+                s"this $op read (${removedHit.mkString(", ")}); re-run the " +
+                s"$op on the new snapshot", e)
+            val conflicts = addedMayMatch(c)
+            if (conflicts.nonEmpty) throw new IllegalStateException(
+              s"concurrent commit $w (${c.op}) of $dir added data that may " +
+                s"match this $op's predicate (${conflicts.mkString(", ")}); " +
+                s"re-run the $op on the new snapshot", e)
+            if (c.constraintAdd.isDefined)
+              revalidate.foreach(p => validated = revalidatePayload(p, validated))
+          }
+          checkedThrough = newLatest
+      }
+    }
+    -1 // unreachable
   }
 
   /** Delta-style RESTORE — roll the table back to version `v` as a NEW
@@ -988,7 +1081,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     * directories' survivors as delete+insert pairs too.
     */
   def delete(condition: org.apache.spark.sql.Column,
-             writeChangeData: Boolean = false): Int = {
+             writeChangeData: Boolean = false, maxRetries: Int = 5): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
     val latest = latestVersion
     require(latest >= 0, s"$dir has no committed versions")
@@ -1025,10 +1118,24 @@ class VersionedTable(spark: SparkSession, dir: String,
           .write.parquet(new Path(root, n).toString)
         Some(n)
       }
-    publish(Commit(v, "delete", added, touched, rows,
-      System.currentTimeMillis(), addedStats = addedStats, cdf = cdfName,
-      addedRows = added.map(_ -> rows).toMap))
-    v
+    // A concurrent winner's added directories conflict iff they hold
+    // any row the condition matches — checked EXACTLY by scanning just
+    // those directories (bounded by the winner's own commit size), not
+    // by stats: an arbitrary Column has no stat-domain form.
+    val addedMayMatch: Commit => Seq[String] = c =>
+      if (c.added.isEmpty) Seq.empty
+      else if (!readDirs(c.added).filter(coalesce(condition, lit(false)))
+        .isEmpty) c.added
+      else Seq.empty
+    // No constraint revalidation on retry: the survivors are a subset
+    // of rows a concurrently added constraint already validated (its
+    // own table scan saw the pre-delete snapshot, which contains them).
+    publishMutationRetrying("delete", latest, maxRetries, touched,
+      revalidate = Seq.empty, addedMayMatch,
+      mkCommit = vv => Commit(vv, "delete", added, touched, rows,
+        System.currentTimeMillis(), addedStats = addedStats, cdf = cdfName,
+        addedRows = added.map(_ -> rows).toMap),
+      validated0 = Map.empty)
   }
 
   /** Change data feed (Delta's `readChangeFeed`): every row added or
@@ -1115,7 +1222,46 @@ class VersionedTable(spark: SparkSession, dir: String,
           s"${other.simpleString} (a string cast would null every key)")
     }
     val keyed = snap.withColumn(ck, col(clusterBy).cast("double"))
-    rewriteClustered(keyed, ck, targetChunks, base)
+    rewriteClustered(keyed, ck, targetChunks, base, activeAt(base))
+  }
+
+  /** Predicate-scoped OPTIMIZE — Delta's `OPTIMIZE ... WHERE`: rewrite
+    * ONLY the active directories whose recorded `scopeCol` range can
+    * intersect [lower, upper] (the [[pruneActive]] survivors),
+    * clustered on `clusterBy` into `targetChunks` range-disjoint
+    * chunks; every other directory survives BYTE-IDENTICAL (it is
+    * neither read nor renamed). At 100 TB a full-table optimize is
+    * impractical — the scale-safe maintenance loop compacts the recent
+    * ingestion window (`WHERE day BETWEEN ...`) while the cold bulk
+    * stays untouched. Directories without stats for `scopeCol` are
+    * conservatively IN scope (they may hold matching rows, and leaving
+    * them unclustered would silently skip exactly the pre-stats
+    * directories maintenance most wants to rewrite). Returns the
+    * committed version, or the current version unchanged when nothing
+    * is in scope.
+    */
+  def optimizeWhere(clusterBy: String, targetChunks: Int, scopeCol: String,
+                    lower: Option[Any], upper: Option[Any]): Int = {
+    import org.apache.spark.sql.functions.col
+    require(lower.isDefined || upper.isDefined,
+      "optimizeWhere needs at least one bound (use optimize() for the " +
+        "whole table)")
+    val base = latestVersion
+    require(base >= 0, s"$dir has no committed versions")
+    val (kept, _) = pruneActive(scopeCol, lower, upper, Some(base))
+    if (kept.isEmpty) return base
+    val scope = readDirs(kept)
+    scope.schema(clusterBy).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"optimize clusterBy must be numeric or timestamp, got " +
+          s"${other.simpleString}")
+    }
+    val ck = "__graft_ck"
+    rewriteClustered(scope.withColumn(ck, col(clusterBy).cast("double")),
+      ck, targetChunks, base, kept)
   }
 
   /** Bare OPTIMIZE — bin-packing compaction without a cluster key
@@ -1150,7 +1296,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       else snap.withColumn(ck,
         pmod(xxhash64(struct(hashCols.toIndexedSeq: _*)), lit(1000000L))
           .cast("double"))
-    rewriteClustered(keyed, ck, targetChunks, base)
+    rewriteClustered(keyed, ck, targetChunks, base, activeAt(base))
   }
 
   /** The chunk count a size-driven maintenance pass targets: recorded
@@ -1241,7 +1387,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     val ck = "__graft_ck"
     keyed = keyed.withColumn(ck,
       zTerms.reduce(_ bitwiseOR _).cast("double")).drop(shadow: _*)
-    rewriteClustered(keyed, ck, targetChunks, base)
+    rewriteClustered(keyed, ck, targetChunks, base, activeAt(base))
   }
 
   /** The shared transactional rewrite behind [[optimize]] and
@@ -1250,9 +1396,10 @@ class VersionedTable(spark: SparkSession, dir: String,
     * from approximate quantiles, rows sorted by `ck` within chunks,
     * null keys riding the last chunk — assigned by chunk ID, so they
     * are written exactly once), drop `ck`, and publish ONE "optimize"
-    * commit at `base + 1` swapping version `base`'s active set for the
-    * chunks (a concurrent commit takes the slot and this publish fails
-    * loudly — nothing it added can be silently dropped).
+    * commit at `base + 1` swapping `removed` (the full active set, or
+    * [[optimizeWhere]]'s in-scope subset) for the chunks (a concurrent
+    * commit takes the slot and this publish fails loudly — nothing it
+    * added can be silently dropped).
     *
     * The write is a SINGLE pass: rows get a chunk id (when-tree binary
     * search over the cuts), shuffle once on it, sort within tasks by
@@ -1262,7 +1409,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     * top-level data directories.
     */
   private def rewriteClustered(keyed0: DataFrame, ck: String,
-                               targetChunks: Int, base: Int): Int = {
+                               targetChunks: Int, base: Int,
+                               removed: Seq[String]): Int = {
     require(targetChunks >= 1, s"targetChunks must be >= 1: $targetChunks")
     import org.apache.spark.sql.functions.{col, lit, when}
     val v = base + 1
@@ -1309,7 +1457,7 @@ class VersionedTable(spark: SparkSession, dir: String,
         }
       fs.delete(staging, true) // _SUCCESS and friends
       if (written.isEmpty) return base // empty table: nothing to compact
-      publish(Commit(v, "optimize", written.map(_._1), activeAt(base),
+      publish(Commit(v, "optimize", written.map(_._1), removed,
         written.map(_._2).sum, System.currentTimeMillis(),
         addedStats = written.map(w => w._1 -> w._3).toMap,
         addedRows = written.map(w => w._1 -> w._2).toMap))

@@ -1086,4 +1086,121 @@ class TableManagerSpec extends SparkSuite {
       .select("num_active_dirs").head.getInt(0) === 4)
     assert(vt.read().count() === 31)
   }
+
+  test("merge retry: disjoint concurrent commits retry through, overlapping fail loudly") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    vt.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("k", "v"))
+    vt.append((100 until 110).map(i => (i.toLong, s"b$i")).toDF("k", "v"))
+    val racer = tables.versioned(dir)
+    val src = Seq((3L, "UPD")).toDF("k", "v")
+    // Disjoint winner: an append of far-away keys lands between the
+    // merge's snapshot read and its publish — the merge re-reads the
+    // log, proves disjointness from manifest stats, and re-commits.
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.append(Seq((500L, "r500")).toDF("k", "v"))
+    }
+    val vMerge = vt.merge(src, Seq("k"))
+    assert(vMerge === 3) // v2 = racer's append, v3 = the retried merge
+    val rows = vt.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows(3L) === "UPD")
+    assert(rows(500L) === "r500") // the winner's rows survive
+    assert(rows.size === 21)
+    // Overlapping ADD: the winner appends the merged key itself — the
+    // merge result never saw it, so the retry must fail loudly.
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.append(Seq((3L, "hot")).toDF("k", "v"))
+    }
+    val eAdd = intercept[IllegalStateException] { vt.merge(src, Seq("k")) }
+    assert(eAdd.getMessage.contains("added data that may match"))
+    // Overlapping REWRITE: the winner deletes a row from a directory the
+    // merge read — re-committing would resurrect it.
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.delete(col("k") === 1L)
+    }
+    val eRm = intercept[IllegalStateException] { vt.merge(src, Seq("k")) }
+    assert(eRm.getMessage.contains("rewrote directories"))
+    vt.beforeMutationPublish = () => ()
+  }
+
+  test("delete retry: exact added-data check; two live writers both land when disjoint") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    vt.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("k", "v"))
+    val racer = tables.versioned(dir)
+    // Winner appends non-matching rows: the delete scans exactly those
+    // directories, finds no match, and retries through.
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.append(Seq((500L, "r500")).toDF("k", "v"))
+    }
+    val vDel = vt.delete(col("k") < 3L)
+    assert(vDel === 2)
+    assert(vt.read().select("k").collect().map(_.getLong(0)).toSet ===
+      (Set(500L) ++ (3L until 10L)))
+    // Winner appends a MATCHING row: committing the delete would let it
+    // silently survive the predicate — loud failure.
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.append(Seq((600L, "hot")).toDF("k", "v"))
+    }
+    val e = intercept[IllegalStateException] { vt.delete(col("k") >= 500L) }
+    assert(e.getMessage.contains("added data that may match"))
+    vt.beforeMutationPublish = () => ()
+    // Integration: two REAL concurrent merges on disjoint key ranges —
+    // with the retry protocol both always land, whatever the interleave.
+    val dir2 = tmpVt()
+    val vt2 = tables.versioned(dir2)
+    vt2.append((0 until 50).map(i => (i.toLong, "x")).toDF("k", "v"))
+    vt2.append((1000 until 1050).map(i => (i.toLong, "y")).toDF("k", "v"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(
+      (0L, "lo"), (1000L, "hi")).map { case (k0, tag) => new Thread(() => {
+        barrier.await()
+        try new graft.sources.VersionedTable(spark, dir2)
+          .merge(Seq((k0, tag)).toDF("k", "v"), Seq("k"))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"disjoint merges must both land: ${errs.peek()}")
+    val m = vt2.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(m(0L) === "lo" && m(1000L) === "hi" && m.size === 100)
+  }
+
+  test("optimizeWhere rewrites only in-scope directories; others stay byte-identical") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    vt.append((0L until 100L).map(k => (k, s"r$k")).toDF("k", "s"))
+    vt.append((100L until 200L).map(k => (k, s"r$k")).toDF("k", "s"))
+    vt.append((200L until 300L).map(k => (k, s"r$k")).toDF("k", "s"))
+    val before = vt.activeDirs().sorted
+    def fileState(dirName: String): Set[(String, Long, Long)] =
+      new java.io.File(dir, dirName).listFiles()
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val outOfScope = Seq(before.head, before.last)
+    val outStates = outOfScope.map(d => d -> fileState(d)).toMap
+    // Scope hits only the middle directory; rewrite it into 2 chunks.
+    val v = vt.optimizeWhere("k", 2, "k", Some(120L), Some(180L))
+    val after = vt.activeDirs()
+    assert(after.size === 4, s"1 + 2 chunks + 1, got $after") // dir1, dir3, 2 chunks
+    outOfScope.foreach { d =>
+      assert(after.contains(d), s"out-of-scope $d must stay active")
+      assert(fileState(d) === outStates(d), s"$d must stay byte-identical")
+    }
+    assert(vt.read().count() === 300)
+    assert(vt.read().select("k").collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 300L))
+    // the scoped chunks are range-disjoint: pruning inside the scope is
+    // now tighter than one whole-slice directory
+    assert(vt.pruneActive("k", Some(120L), Some(145L))._1.size === 1)
+    // time travel to the pre-optimize version still works
+    assert(vt.readAt(v - 1).count() === 300)
+    // nothing in scope → no commit
+    assert(vt.optimizeWhere("k", 2, "k", Some(5000L), Some(6000L)) === v)
+  }
 }

@@ -95,6 +95,25 @@ class VersionedSqlSpec extends SparkSuite {
     assert(vt.read().count() === 6)
   }
 
+  test("OPTIMIZE ... WHERE scopes the rewrite to intersecting directories") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, s"r$k")).toDF("k", "s"))
+    vt.append((100L until 200L).map(k => (k, s"r$k")).toDF("k", "s"))
+    vt.append((200L until 300L).map(k => (k, s"r$k")).toDF("k", "s"))
+    val keepFirst = vt.activeDirs().head
+    val out = spark.sql(
+      s"OPTIMIZE '$dir' WHERE k BETWEEN 120 AND 180 INTO 2 CHUNKS").head
+    assert(out.getInt(1) === 4) // dir1, dir3 survive; middle → 2 chunks
+    assert(vt.activeDirs().contains(keepFirst))
+    assert(vt.read().count() === 300)
+    // WHERE + multi-column ZORDER is rejected loudly
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE '$dir' WHERE k BETWEEN 0 AND 10 ZORDER BY (k, s)")
+    }
+    assert(e.getMessage.contains("not") && e.getMessage.toLowerCase.contains("supported"))
+  }
+
   test("loud errors: unversioned names, malformed bounds; plain SQL is untouched") {
     val e = intercept[Exception] { spark.sql("DESCRIBE HISTORY no_such_vt_table") }
     assert(e.getMessage.contains("not a versioned table"))
