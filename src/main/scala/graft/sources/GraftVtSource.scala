@@ -85,23 +85,67 @@ class GraftVtDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val (vt, v, path) = resolve(new CaseInsensitiveStringMap(properties))
-    new GraftVtTable(vt, v, path, schema, properties)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (vt, v, path) = resolve(opts)
+    val travelled = opts.containsKey("versionAsOf") || opts.containsKey("timestampAsOf")
+    new GraftVtTable(vt, v, path, schema, travelled)
   }
 }
 
 private[sources] class GraftVtTable(vt: VersionedTable, version: Int,
                                     rootPath: String, schema: StructType,
-                                    properties: util.Map[String, String])
-    extends Table with SupportsRead {
+                                    timeTravelled: Boolean)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graftvt.`$rootPath` (version $version)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_WRITE routes DataFrameWriter.save here; V1_BATCH_WRITE
+    // tells the planner the produced Write is the V1 fallback shape.
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftVtScanBuilder(vt, version, rootPath, schema, options)
+
+  /** Write path (`df.write.format("graftvt").mode(...)` over an
+    * EXISTING table): append rides the full optimistic-concurrency
+    * commit protocol ([[VersionedTable.appendWithRetry]] — racing
+    * writers all land), overwrite replaces the active set as one
+    * commit. A V1 fallback write: the commit protocol needs the whole
+    * payload written before one atomic manifest publish, which is
+    * exactly the InsertableRelation shape — a per-partition DataWriter
+    * commit would buy nothing (parquet tasks already write files; the
+    * TRANSACTION is the manifest). Time-travelled loads reject writes
+    * (history is immutable — same as Delta); fresh directories
+    * bootstrap through the Scala API, whose append defines the schema
+    * the v2 path then validates against.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!timeTravelled,
+      s"cannot write to a time-travelled load of $rootPath: versions are " +
+        "immutable — load the table without versionAsOf/timestampAsOf")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              if (replace) vt.overwrite(data)
+              else vt.appendWithRetry(data)
+              ()
+            }
+        }
+    }
+  }
 }
 
 /** The pushdown site: collects the pushed conjuncts' bounds into

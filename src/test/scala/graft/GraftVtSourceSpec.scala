@@ -140,6 +140,44 @@ class GraftVtSourceSpec extends SparkSuite {
     assert(q.count() === 31)
   }
 
+  test("df.write.format(graftvt) appends through the commit protocol; overwrite replaces") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s")) // bootstrap defines the schema
+    Seq((2L, "b")).toDF("k", "s").write.format("graftvt").mode("append").save(dir)
+    assert(vt.latestVersion === 1)
+    assert(vt.read().count() === 2)
+    assert(vt.history().filter(col("version") === 1)
+      .select("op").head.getString(0) === "append")
+    Seq((9L, "z")).toDF("k", "s").write.format("graftvt").mode("overwrite").save(dir)
+    assert(vt.latestVersion === 2)
+    assert(vt.read().select("k").head.getLong(0) === 9L)
+    assert(vt.readAt(1).count() === 2) // history intact
+    // a time-travelled load is read-only
+    intercept[Exception] {
+      spark.read.format("graftvt").option("versionAsOf", 0).load(dir)
+        .write.format("graftvt").option("versionAsOf", 0).mode("append").save(dir)
+    }
+    // Narrowing through the v2 path is guarded by Spark's ANSI store
+    // assignment (the cast to the table's int type is added at
+    // analysis, with a RUNTIME overflow check) — so an in-range long
+    // lands as int, and an overflowing one fails loudly rather than
+    // truncating. Our own commit-time gate backs the Scala API paths.
+    val intDir = tmpVt()
+    new graft.sources.VersionedTable(spark, intDir)
+      .append(Seq((1, "a")).toDF("k", "s"))
+    Seq((2L, "b")).toDF("k", "s")
+      .write.format("graftvt").mode("append").save(intDir)
+    val t2 = new graft.sources.VersionedTable(spark, intDir)
+    assert(t2.read().schema("k").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    intercept[Exception] {
+      Seq((3000000000L, "c")).toDF("k", "s") // > Int.MaxValue
+        .write.format("graftvt").mode("append").save(intDir)
+    }
+    assert(t2.read().count() === 2) // the overflow write committed nothing
+  }
+
   test("TIMESTAMP_NTZ columns prune through the session zone (the fixtures' encoding)") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
