@@ -237,12 +237,34 @@ object CorpusHygiene {
   private def bloomScores(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String,
                           n: Int, bitsPerKey: Int, numHashes: Int,
-                          withExact: Boolean): DataFrame = {
+                          withExact: Boolean,
+                          maxDriverShingles: Long = DefaultMaxDriverShingles)
+      : DataFrame = {
     val spark = corpus.sparkSession
-    val distinctShingles = NearDup.shingleSets(benchmark, idCol, textCol, n)
+    val benchShingled = NearDup.shingleSets(benchmark, idCol, textCol, n)
+    val distinctShingles = benchShingled
       .select(explode(col("shingles")).as("s")).distinct()
-    val bits =
-      graft.plans.BloomHitCount.buildDistributed(distinctShingles, bitsPerKey, numHashes)
+    // Two-tier build, same routing rule as the exact decon paths: a
+    // benchmark inside the driver budget collects once and builds
+    // locally (one job); past the budget the bit array is built
+    // DISTRIBUTIVELY (per-partition fold + OR-reduce) so the driver
+    // only ever holds the bits — the point of the Bloom path is
+    // benchmarks that outgrow memory, and the build must not collect
+    // what the filter exists to avoid. Both builders are bit-identical
+    // over the same key set (insertion commutes).
+    val totalShingles = benchShingled
+      .agg(sum(size(col("shingles")).cast("long"))).head(1)
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(0L)
+    val smallKeys: Option[Array[Long]] =
+      if (totalShingles <= maxDriverShingles)
+        Some(distinctShingles.collect().map(_.getLong(0)))
+      else None
+    val bits = smallKeys match {
+      case Some(keys) => graft.plans.BloomHitCount.build(keys, bitsPerKey, numHashes)
+      case None =>
+        graft.plans.BloomHitCount.buildDistributed(distinctShingles, bitsPerKey, numHashes)
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_hits",
       exprs => graft.plans.BloomHitCount(exprs.head, bits, numHashes), "built-in")
@@ -251,7 +273,11 @@ object CorpusHygiene {
       scored.select(col(idCol),
         call_function("graft_bloom_hits", col("shingles")).as("bloom_n"))
     else {
-      val keys: Array[Long] = distinctShingles.collect().map(_.getLong(0))
+      // Exact attribution needs the raw keys on the driver — the
+      // bloomDeconStats honesty gate is a bounded diagnostic run on
+      // benchmarks small enough to check exactly, never a scale path.
+      val keys: Array[Long] =
+        smallKeys.getOrElse(distinctShingles.collect().map(_.getLong(0)))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_bench_overlap",
         exprs => graft.plans.BenchmarkOverlap(exprs.head, Array((0L, keys)), 1L), "built-in")
