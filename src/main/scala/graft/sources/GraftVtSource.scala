@@ -162,6 +162,8 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var ranges: Seq[(String, Option[Any], Option[Any])] = Nil
+  private var notNullCols: Seq[String] = Nil
+  private var isNullCols: Seq[String] = Nil
 
   /** A filter value in the manifest-stat domain: integrals → Long,
     * fractionals → Double, strings as-is, timestamps → exact epoch
@@ -236,13 +238,32 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
       case _ => Nil
     }
 
+  /** Null-ness conjuncts prune on the manifest's null counts: IS NOT
+    * NULL skips all-null directories, IS NULL skips zero-null ones
+    * (Delta's nullCount statistics). Spark pushes an IsNotNull for
+    * every column a filter references, so this fires on almost every
+    * filtered scan.
+    */
+  private def toNullness(f: Filter): (Seq[String], Seq[String]) = f match {
+    case IsNotNull(a) if plain(a) => (Seq(a), Nil)
+    case IsNull(a) if plain(a) => (Nil, Seq(a))
+    case And(l, r) =>
+      val (ln, li) = toNullness(l); val (rn, ri) = toNullness(r)
+      (ln ++ rn, li ++ ri)
+    case _ => (Nil, Nil)
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     ranges = filters.toSeq.flatMap(toRanges)
-    // Report the conjuncts that contributed a range (explain shows them
-    // as PushedFilters); EVERY filter is returned as post-scan — the
-    // manifest prune is a superset at directory granularity, never a
-    // row filter.
-    pushed = filters.filter(f => toRanges(f).nonEmpty)
+    val nullness = filters.toSeq.map(toNullness)
+    notNullCols = nullness.flatMap(_._1)
+    isNullCols = nullness.flatMap(_._2)
+    // Report the conjuncts that contributed pruning information
+    // (explain shows them as PushedFilters); EVERY filter is returned
+    // as post-scan — the manifest prune is a superset at directory
+    // granularity, never a row filter.
+    pushed = filters.filter(f => toRanges(f).nonEmpty ||
+      toNullness(f) != ((Nil, Nil)))
     filters
   }
 
@@ -254,8 +275,9 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
   override def build(): Scan = {
     val spark = SparkSession.active
     val kept =
-      if (ranges.isEmpty) vt.activeDirs(Some(version))
-      else vt.pruneActiveAll(ranges, Some(version))._1
+      if (ranges.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty)
+        vt.activeDirs(Some(version))
+      else vt.pruneActiveAll(ranges, Some(version), notNullCols, isNullCols)._1
     val paths = kept.map(n => new Path(new Path(rootPath), n)).toSeq
     val index = new InMemoryFileIndex(spark, paths,
       options.asScala.toMap, Some(tableSchema), NoopCache, None, None)

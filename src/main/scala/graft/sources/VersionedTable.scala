@@ -53,12 +53,19 @@ class VersionedTable(spark: SparkSession, dir: String,
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Per-directory, per-column min/max — the data-skipping index
-    * (Delta's file statistics): `kind` is "l" (integral/timestamp/date
-    * normalized to Long), "d" (fractional), or "s" (string); bounds
-    * are inclusive over the directory's rows.
+  /** Per-directory, per-column min/max + null count — the
+    * data-skipping index (Delta's file statistics): `kind` is "l"
+    * (integral/timestamp/date normalized to Long), "d" (fractional),
+    * or "s" (string); bounds are inclusive over the directory's
+    * NON-NULL rows. An ALL-NULL column records `min = max = null`
+    * (pre-round-12 manifests simply omitted the entry — readers treat
+    * both as "no non-null bounds known" where bounds are needed, but
+    * the explicit entry lets range/IS NOT NULL predicates SKIP the
+    * directory: no range matches a null). `nulls` is the column's
+    * null-row count (-1 in pre-round-12 manifests = unknown), the fact
+    * IS NULL pruning needs (`nulls == 0` → no row can satisfy it).
     */
-  case class ColStat(kind: String, min: Any, max: Any)
+  case class ColStat(kind: String, min: Any, max: Any, nulls: Long = -1L)
 
   /** One committed manifest — a DELTA against the previous version.
     * `numRows` is the rows ADDED by this commit. `txn` optionally tags
@@ -96,12 +103,15 @@ class VersionedTable(spark: SparkSession, dir: String,
     node.properties().asScala.map { dirEnt =>
       dirEnt.getKey -> dirEnt.getValue.properties().asScala.map { colEnt =>
         val c = colEnt.getValue
-        def v(f: String): Any = c.get("k").asText() match {
-          case "l" => c.get(f).asLong()
-          case "d" => c.get(f).asDouble()
-          case _ => c.get(f).asText()
-        }
-        colEnt.getKey -> ColStat(c.get("k").asText(), v("lo"), v("hi"))
+        def v(f: String): Any =
+          if (!c.has(f)) null // all-null column: no non-null bounds
+          else c.get("k").asText() match {
+            case "l" => c.get(f).asLong()
+            case "d" => c.get(f).asDouble()
+            case _ => c.get(f).asText()
+          }
+        val nulls = if (c.has("n")) c.get("n").asLong() else -1L
+        colEnt.getKey -> ColStat(c.get("k").asText(), v("lo"), v("hi"), nulls)
       }.toMap
     }.toMap
   }
@@ -116,7 +126,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       cols.foreach { case (col, st) =>
         val cn = dirNode.putObject(col)
         cn.put("k", st.kind)
-        st.kind match {
+        if (st.min != null) st.kind match {
           case "l" =>
             cn.put("lo", st.min.asInstanceOf[Long]); cn.put("hi", st.max.asInstanceOf[Long])
           case "d" =>
@@ -124,6 +134,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           case _ =>
             cn.put("lo", st.min.asInstanceOf[String]); cn.put("hi", st.max.asInstanceOf[String])
         }
+        if (st.nulls >= 0L) cn.put("n", st.nulls)
       }
     }
   }
@@ -499,19 +510,28 @@ class VersionedTable(spark: SparkSession, dir: String,
     }
     // CHECK constraint violation counts ride the SAME single job as
     // the stats (SQL semantics: a NULL constraint result passes, so a
-    // violation is exactly `expr <=> false`).
+    // violation is exactly `expr <=> false`), as do per-column NULL
+    // counts (IS NULL / IS NOT NULL pruning and all-null-directory
+    // range skipping need them — Delta's nullCount statistic).
     val cNames = constraints.keys.toSeq.sorted
     val cAggs = cNames.map(n =>
       sum(when(expr(constraints(n)) <=> lit(false), 1L).otherwise(0L)))
-    val aggs = (count(lit(1)) +:
-      cols.flatMap { case (_, _, c) => Seq(min(c), max(c)) }.toSeq) ++ cAggs
+    val nullAggs = cols.map { case (n, _, _) =>
+      sum(when(col(n).isNull, 1L).otherwise(0L)) }.toSeq
+    val aggs = ((count(lit(1)) +:
+      cols.flatMap { case (_, _, c) => Seq(min(c), max(c)) }.toSeq) ++
+      nullAggs) ++ cAggs
     val row = d.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
-    val stats = cols.zipWithIndex.flatMap { case ((n, kind, _), i) =>
-      val lo = row.get(1 + 2 * i); val hi = row.get(2 + 2 * i)
-      if (lo == null || hi == null) None // all-null column: unindexed
-      else Some(n -> ColStat(kind, lo, hi))
+    val nullBase = 1 + 2 * cols.length
+    def nullsOf(i: Int): Long =
+      if (row.isNullAt(nullBase + i)) 0L else row.getLong(nullBase + i)
+    val stats = cols.zipWithIndex.map { case ((n, kind, _), i) =>
+      // An all-null column keeps an explicit (null, null) entry: it
+      // PROVES no row can satisfy a range or IS NOT NULL predicate —
+      // omitting it (the pre-round-12 shape) forced conservative keeps.
+      n -> ColStat(kind, row.get(1 + 2 * i), row.get(2 + 2 * i), nullsOf(i))
     }.toMap
-    val base = 1 + 2 * cols.length
+    val base = nullBase + cols.length
     val violations = cNames.zipWithIndex.map { case (n, i) =>
       n -> (if (row.isNullAt(base + i)) 0L else row.getLong(base + i))
     }.toMap
@@ -585,7 +605,10 @@ class VersionedTable(spark: SparkSession, dir: String,
     require(v >= 0, s"$dir has no committed versions")
     val snap = snapshotAt(v)
     val bounds = snap.active.map(d => snap.stats.get(d).flatMap(_.get(colName)))
-    if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
+    // An all-null directory records (null, null) bounds — MIN/MAX over
+    // it has no exact metadata answer, same contract as missing stats.
+    if (bounds.isEmpty || bounds.exists(b => b.isEmpty || b.exists(_.min == null)))
+      None
     else {
       val bs = bounds.flatten
       Some((bs.map(_.min).reduce((a, b) => if (cmpBound(a, b) <= 0) a else b),
@@ -953,6 +976,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           case Some(st) => preds.forall { case (cn, lo, hi) =>
             st.get(cn) match {
               case None => true
+              case Some(cs) if cs.min == null => false // all-null key: no match
               case Some(cs) =>
                 !(lo.exists(l => cmpBound(cs.max, normBound(l)) < 0) ||
                   hi.exists(h => cmpBound(cs.min, normBound(h)) > 0))
@@ -1547,25 +1571,48 @@ class VersionedTable(spark: SparkSession, dir: String,
     * predicate independently eliminates chunks, and the intersection is
     * never larger than the tightest single-column prune). Missing stats
     * for a column keep the directory conservatively, same as
-    * [[pruneActive]].
+    * [[pruneActive]]. A bounded predicate also skips directories whose
+    * column is recorded ALL-NULL (no range matches a null — SQL
+    * comparison semantics); an UNBOUNDED (None, None) entry keeps
+    * everything, unchanged.
+    *
+    * `notNullCols` skips directories whose recorded column is all-null
+    * (`IS NOT NULL` can match nothing there); `isNullCols` skips
+    * directories whose recorded null count is ZERO (`IS NULL` can
+    * match nothing) — Delta's nullCount statistics, the shape the
+    * DataSourceV2 scan pushes. Unknown null counts (pre-round-12
+    * manifests) keep conservatively.
     */
   def pruneActiveAll(predicates: Seq[(String, Option[Any], Option[Any])],
-                     version: Option[Int] = None): (Seq[String], Seq[String]) = {
-    require(predicates.nonEmpty, "pruneActiveAll needs at least one predicate")
+                     version: Option[Int] = None,
+                     notNullCols: Seq[String] = Nil,
+                     isNullCols: Seq[String] = Nil): (Seq[String], Seq[String]) = {
+    require(predicates.nonEmpty || notNullCols.nonEmpty || isNullCols.nonEmpty,
+      "pruneActiveAll needs at least one predicate")
     val v = version.getOrElse(latestVersion)
     require(v >= 0, s"$dir has no committed versions")
     val snapState = snapshotAt(v)
     val norm = predicates.map { case (c, lo, hi) =>
       (c, lo.map(normBound), hi.map(normBound)) }
     snapState.active.partition { d =>
+      def statOf(c: String): Option[ColStat] =
+        snapState.stats.get(d).flatMap(_.get(c))
       norm.forall { case (c, lo, hi) =>
-        snapState.stats.get(d).flatMap(_.get(c)) match {
+        statOf(c) match {
           case None => true
+          case Some(st) if st.min == null => // all-null (or empty) column
+            lo.isEmpty && hi.isEmpty // any actual bound proves no match
           case Some(st) =>
             !(lo.exists(l => cmpBound(st.max, l) < 0) ||
               hi.exists(h => cmpBound(st.min, h) > 0))
         }
-      }
+      } && notNullCols.forall(c => statOf(c) match {
+        case Some(st) => st.min != null // all-null: IS NOT NULL matches nothing
+        case None => true
+      }) && isNullCols.forall(c => statOf(c) match {
+        case Some(st) => st.nulls != 0L // zero nulls: IS NULL matches nothing
+        case None => true
+      })
     }
   }
 

@@ -140,6 +140,37 @@ class GraftVtSourceSpec extends SparkSuite {
     assert(q.count() === 31)
   }
 
+  test("null-count stats: all-null dirs prune under ranges; IS [NOT] NULL prunes") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    // dir0: x fully null; dir1: x fully populated; dir2: x mixed
+    vt.append((0L until 10L).map(k => (k, Option.empty[Long])).toDF("k", "x"))
+    vt.append((10L until 20L).map(k => (k, Option(k * 10))).toDF("k", "x"))
+    vt.append((20L until 30L).map(k =>
+      (k, if (k % 2 == 0) Option(k * 10) else None)).toDF("k", "x"))
+    // A range on x can never match the all-null dir: 2 of 3 kept.
+    assert(vt.pruneActive("x", Some(0L), None)._1.size === 2)
+    // IS NOT NULL skips the all-null dir; IS NULL skips the no-null dir.
+    assert(vt.pruneActiveAll(Nil, notNullCols = Seq("x"))._1.size === 2)
+    assert(vt.pruneActiveAll(Nil, isNullCols = Seq("x"))._1.size === 2)
+    // ...and the same pruning reaches a plain DataFrame filter (Spark
+    // pushes IsNotNull alongside every comparison).
+    val t = spark.read.format("graftvt").load(dir)
+    val qRange = t.filter(col("x") >= 0L)
+    assert(keptDirs(qRange) === 2)
+    assert(qRange.count() === 15)
+    val qNull = t.filter(col("x").isNull)
+    assert(keptDirs(qNull) === 2)
+    assert(qNull.count() === 15)
+    val qNotNull = t.filter(col("x").isNotNull)
+    assert(keptDirs(qNotNull) === 2)
+    assert(qNotNull.count() === 15)
+    // metadata MIN/MAX stays honest: the all-null dir has no exact
+    // bounds, so the range answer refuses rather than guessing
+    assert(vt.statRange("x").isEmpty)
+    assert(vt.statRange("k").contains((0L, 29L)))
+  }
+
   test("df.write.format(graftvt) appends through the commit protocol; overwrite replaces") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
