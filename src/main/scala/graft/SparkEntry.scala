@@ -1213,8 +1213,8 @@ object SparkEntry {
           case r: org.apache.spark.sql.execution.datasources.v2
             .DataSourceV2ScanRelation => r.scan
         }.collectFirst {
-          case p: org.apache.spark.sql.execution.datasources.v2.parquet
-            .ParquetScan => p.fileIndex.rootPaths.length
+          case s: graft.sources.GraftVtScan =>
+            s.parquet.fileIndex.rootPaths.length
         }.get
         val total = vt.activeDirs().length
         q.collect().map(r => (r.getLong(0), r.getDouble(1), kept, total - kept))
@@ -2441,6 +2441,41 @@ object SparkEntry {
     // part of the contract) must equal the full events table. This is
     // the audit/replay path a downstream consumer of a 100 TB streaming
     // table uses instead of re-reading snapshots.
+    // The versioned table as a STREAMING SOURCE: offsets are log
+    // versions, each commit's added directories arrive exactly once.
+    // Two slices exist before the stream starts (the initial batch);
+    // the third commits AFTER it — served_incrementally pins that the
+    // stream delivered rows in >= 2 separate micro-batches, so this is
+    // a log-tail read, not a snapshot rescan. Totals equal the full
+    // orders table in DuckDB.
+    "streaming_versioned_source" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_vt_src_ck").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") % 3 === 0))
+        vt.append(o.filter(col("o_orderkey") % 3 === 1))
+        val sink = "graft_gate_vt_stream"
+        val q = s.readStream.format("graftvt").load(base)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt).start()
+        try {
+          q.processAllAvailable()
+          vt.append(o.filter(col("o_orderkey") % 3 === 2))
+          q.processAllAvailable()
+          val incremental = q.recentProgress.count(_.numInputRows > 0) >= 2
+          s.table(sink)
+            .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("tot"))
+            .collect()
+            .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100) / 100.0,
+              incremental))
+            .toSeq.toDF("n_rows", "total", "served_incrementally")
+        } finally q.stop()
+      } finally { deleteRecursively(base); deleteRecursively(ckpt) }
+    }),
+
     "streaming_cdf" -> ((s, dir) => {
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_vt_scdf").toString
@@ -5064,6 +5099,14 @@ object SparkEntry {
     "streaming_to_versioned" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY event_type
         |UNION ALL SELECT 'sideload' AS event_type, 7 AS n""".stripMargin,
+
+    // The streaming SOURCE serves every committed row exactly once and
+    // in >= 2 separate micro-batches (the third slice commits after
+    // the stream starts).
+    "streaming_versioned_source" ->
+      """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
+        |  true AS served_incrementally
+        |FROM orders""".stripMargin,
 
     // The union of all micro-batch CDC inserts IS the source table
     // (the batch split is not part of the contract — aggregate over it).

@@ -58,6 +58,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val VacuumRe =
     ("(?is)^\\s*VACUUM\\s+" + TargetPat +
       "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$").r
+  private val RestoreRe =
+    ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?" + TargetPat +
+      "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
 
   private def maintenanceCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -71,6 +74,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftOptimize(target, zorder, Option(chunks).map(_.toInt), where))
       case HistoryRe(target) => Some(GraftDescribeHistory(target))
       case VacuumRe(target, keep) => Some(GraftVacuum(target, keep.toInt))
+      case RestoreRe(target, v) => Some(GraftRestore(target, v.toInt))
       case _ => None
     }
 

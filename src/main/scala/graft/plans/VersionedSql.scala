@@ -153,6 +153,25 @@ case class GraftOptimize(target: String, zorder: Seq[String],
   }
 }
 
+/** `RESTORE [TABLE] t TO VERSION AS OF v` —
+  * [[graft.sources.VersionedTable.restore]] through SQL: roll the
+  * table back to version `v` as a NEW commit (pure metadata — nothing
+  * is copied or rewritten; history is preserved).
+  */
+case class GraftRestore(target: String, version: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", IntegerType, nullable = false)(),
+    AttributeReference("committed_version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
+    val v = vt.restore(version)
+    bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
+    Seq(Row(version, v))
+  }
+}
+
 /** `VACUUM t RETAIN n VERSIONS` —
   * [[graft.sources.VersionedTable.vacuum]] through SQL: keep the last
   * n versions, reclaim everything older plus crash orphans.

@@ -102,9 +102,11 @@ private[sources] class GraftVtTable(vt: VersionedTable, version: Int,
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     // BATCH_WRITE routes DataFrameWriter.save here; V1_BATCH_WRITE
-    // tells the planner the produced Write is the V1 fallback shape.
+    // tells the planner the produced Write is the V1 fallback shape;
+    // MICRO_BATCH_READ serves spark.readStream (GraftVtMicroBatchStream).
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftVtScanBuilder(vt, version, rootPath, schema, options)
@@ -281,7 +283,7 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
     val paths = kept.map(n => new Path(new Path(rootPath), n)).toSeq
     val index = new InMemoryFileIndex(spark, paths,
       options.asScala.toMap, Some(tableSchema), NoopCache, None, None)
-    ParquetScan(spark,
+    val parquet = ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
       index,
       dataSchema = tableSchema,
@@ -289,5 +291,36 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
       readPartitionSchema = new StructType(),
       pushedFilters = pushed,
       options = options)
+    new GraftVtScan(spark, vt, rootPath, tableSchema, required,
+      options.asScala.toMap, parquet)
   }
+}
+
+/** The produced Scan: BATCH reads delegate wholesale to the stock
+  * [[ParquetScan]] over the manifest-pruned directories (vectorized
+  * reads, row-group skipping, reported statistics — so joins against
+  * the table still broadcast when small); STREAMING reads hand the
+  * table to [[GraftVtMicroBatchStream]], whose offsets are log
+  * versions. `parquet` is exposed for plan assertions (the pruning
+  * gates count its file-index roots).
+  */
+private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
+                                   rootPath: String, tableSchema: StructType,
+                                   required: StructType,
+                                   optionsMap: Map[String, String],
+                                   val parquet: ParquetScan)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = parquet.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    parquet.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftVtMicroBatchStream(spark, vt, rootPath, tableSchema, required,
+      optionsMap, () => parquet.createReaderFactory())
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    parquet.estimateStatistics()
+  override def description(): String = "GraftVt " + parquet.description()
 }

@@ -226,6 +226,15 @@ class VersionedTable(spark: SparkSession, dir: String,
         .foldLeft(-1)(math.max)
   }
 
+  /** The (op, added-directories) pair of one committed version — what
+    * the streaming source replays the log by. Package-private: the
+    * manifest schema stays an implementation detail.
+    */
+  private[sources] def commitSummary(v: Int): (String, Seq[String]) = {
+    val c = commitAt(v)
+    (c.op, c.added)
+  }
+
   private def commitAt(v: Int): Commit = {
     val p = manifestPath(v)
     require(fs.exists(p),

@@ -19,14 +19,15 @@ class GraftVtSourceSpec extends SparkSuite {
     * roots are exactly the directories the manifest prune admitted).
     */
   private def keptDirs(df: DataFrame): Int =
-    df.queryExecution.optimizedPlan.collect {
-      case r: DataSourceV2ScanRelation => r.scan
-    }.collectFirst { case p: ParquetScan => p.fileIndex.rootPaths.length }.get
+    scanOf(df).fileIndex.rootPaths.length
 
   private def scanOf(df: DataFrame): ParquetScan =
     df.queryExecution.optimizedPlan.collect {
       case r: DataSourceV2ScanRelation => r.scan
-    }.collectFirst { case p: ParquetScan => p }.get
+    }.collectFirst {
+      case s: graft.sources.GraftVtScan => s.parquet
+      case p: ParquetScan => p
+    }.get
 
   private def threeSliceTable(): (String, graft.sources.VersionedTable) = {
     val dir = tmpVt()

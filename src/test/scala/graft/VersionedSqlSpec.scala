@@ -95,6 +95,19 @@ class VersionedSqlSpec extends SparkSuite {
     assert(vt.read().count() === 6)
   }
 
+  test("RESTORE TABLE ... TO VERSION AS OF rolls back as a new metadata commit") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s")) // v0
+    vt.overwrite(Seq((9L, "z")).toDF("k", "s"))         // v1
+    val out = spark.sql(s"RESTORE TABLE '$dir' TO VERSION AS OF 0").head
+    assert(out.getInt(0) === 0 && out.getInt(1) === 2)
+    assert(vt.read().count() === 2)
+    assert(vt.readAt(1).count() === 1) // history preserved
+    assert(spark.sql(s"DESCRIBE HISTORY '$dir'")
+      .orderBy(col("version").desc).select("op").head.getString(0) === "restore")
+  }
+
   test("OPTIMIZE ... WHERE scopes the rewrite to intersecting directories") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
