@@ -78,9 +78,15 @@ class GraftVtDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
+  private def changeFeed(opts: CaseInsensitiveStringMap): Boolean =
+    Option(opts.get("readChangeFeed")).exists(_.trim.toBoolean)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (vt, v, _) = resolve(options)
-    vt.readAt(v).schema
+    val base = vt.readAt(v).schema
+    if (changeFeed(options))
+      StructType(base.fields ++ GraftVtChangeFiles.cdfSchema.fields)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -88,13 +94,15 @@ class GraftVtDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val (vt, v, path) = resolve(opts)
     val travelled = opts.containsKey("versionAsOf") || opts.containsKey("timestampAsOf")
-    new GraftVtTable(vt, v, path, schema, travelled)
+    new GraftVtTable(vt, v, path, schema, travelled || changeFeed(opts),
+      changeFeed(opts))
   }
 }
 
 private[sources] class GraftVtTable(vt: VersionedTable, version: Int,
                                     rootPath: String, schema: StructType,
-                                    timeTravelled: Boolean)
+                                    timeTravelled: Boolean,
+                                    changeFeed: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -109,7 +117,7 @@ private[sources] class GraftVtTable(vt: VersionedTable, version: Int,
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftVtScanBuilder(vt, version, rootPath, schema, options)
+    new GraftVtScanBuilder(vt, version, rootPath, schema, options, changeFeed)
 
   /** Write path (`df.write.format("graftvt").mode(...)` over an
     * EXISTING table): append rides the full optimistic-concurrency
@@ -157,9 +165,16 @@ private[sources] class GraftVtTable(vt: VersionedTable, version: Int,
 private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
                                           rootPath: String,
                                           tableSchema: StructType,
-                                          options: CaseInsensitiveStringMap)
+                                          options: CaseInsensitiveStringMap,
+                                          changeFeed: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  // In change-feed mode tableSchema carries the two synthetic columns;
+  // the BASE schema is what the parquet files actually hold.
+  private val baseSchema: StructType = StructType(tableSchema.fields
+    .filterNot(f => changeFeed &&
+      GraftVtChangeFiles.cdfSchema.fieldNames.contains(f.name)))
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -276,23 +291,56 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
 
   override def build(): Scan = {
     val spark = SparkSession.active
-    val kept =
-      if (ranges.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty)
-        vt.activeDirs(Some(version))
-      else vt.pruneActiveAll(ranges, Some(version), notNullCols, isNullCols)._1
-    val paths = kept.map(n => new Path(new Path(rootPath), n)).toSeq
-    val index = new InMemoryFileIndex(spark, paths,
-      options.asScala.toMap, Some(tableSchema), NoopCache, None, None)
-    val parquet = ParquetScan(spark,
-      spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
-      index,
-      dataSchema = tableSchema,
-      readDataSchema = required,
-      readPartitionSchema = new StructType(),
-      pushedFilters = pushed,
-      options = options)
-    new GraftVtScan(spark, vt, rootPath, tableSchema, required,
-      options.asScala.toMap, parquet)
+    if (changeFeed) {
+      // Change feed: the scan serves versions' added/removed files with
+      // (_change_type, _commit_version) injected as PARTITION VALUES —
+      // the reader appends them per row exactly as a partitioned table
+      // serves its partition columns; the parquet files hold only the
+      // base schema. Manifest pruning does not apply (the unit is a
+      // commit, not the active set); filters stay post-scan as always.
+      val dataCols = StructType(required.fields.filterNot(f =>
+        GraftVtChangeFiles.cdfSchema.fieldNames.contains(f.name)))
+      val cdfCols = required.fields.map(_.name)
+        .filter(GraftVtChangeFiles.cdfSchema.fieldNames.contains).toSeq
+      val cdfStruct = StructType(cdfCols.map(n =>
+        GraftVtChangeFiles.cdfSchema(n)))
+      val emptyIndex = new InMemoryFileIndex(spark, Nil,
+        options.asScala.toMap, Some(baseSchema), NoopCache, None, None)
+      val readerScan = ParquetScan(spark,
+        spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
+        emptyIndex,
+        dataSchema = baseSchema,
+        readDataSchema = dataCols,
+        readPartitionSchema = cdfStruct,
+        pushedFilters = Array.empty,
+        options = options)
+      val fromV = Option(options.get("startingVersion")).map(_.trim.toInt)
+        .getOrElse(0)
+      val toV = Option(options.get("endingVersion")).map(_.trim.toInt)
+        .getOrElse(version)
+      new GraftVtScan(spark, vt, rootPath, baseSchema,
+        StructType(dataCols.fields ++ cdfStruct.fields),
+        options.asScala.toMap, readerScan,
+        cdf = Some((fromV, toV, cdfCols)))
+    } else {
+      val kept =
+        if (ranges.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty)
+          vt.activeDirs(Some(version))
+        else vt.pruneActiveAll(ranges, Some(version), notNullCols, isNullCols)._1
+      val paths = kept.map(n => new Path(new Path(rootPath), n)).toSeq
+      val index = new InMemoryFileIndex(spark, paths,
+        options.asScala.toMap, Some(tableSchema), NoopCache, None, None)
+      val parquet = ParquetScan(spark,
+        spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
+        index,
+        dataSchema = tableSchema,
+        readDataSchema = required,
+        readPartitionSchema = new StructType(),
+        pushedFilters = pushed,
+        options = options)
+      new GraftVtScan(spark, vt, rootPath, tableSchema, required,
+        options.asScala.toMap, parquet)
+    }
   }
 }
 
@@ -308,17 +356,33 @@ private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
                                    rootPath: String, tableSchema: StructType,
                                    required: StructType,
                                    optionsMap: Map[String, String],
-                                   val parquet: ParquetScan)
+                                   val parquet: ParquetScan,
+                                   cdf: Option[(Int, Int, Seq[String])] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  override def readSchema(): StructType = parquet.readSchema()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    parquet.toBatch
+  override def readSchema(): StructType =
+    if (cdf.isDefined) required else parquet.readSchema()
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = cdf match {
+    case None => parquet.toBatch
+    case Some((fromV, toV, cdfCols)) =>
+      new GraftVtCdfBatch(spark, vt, rootPath, fromV, toV, cdfCols,
+        () => parquet.createReaderFactory())
+  }
+
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftVtMicroBatchStream(spark, vt, rootPath, tableSchema, required,
-      optionsMap, () => parquet.createReaderFactory())
+    cdf match {
+      case None =>
+        new GraftVtMicroBatchStream(spark, vt, rootPath, tableSchema, required,
+          optionsMap, () => parquet.createReaderFactory())
+      case Some((_, _, cdfCols)) =>
+        new GraftVtMicroBatchStream(spark, vt, rootPath, tableSchema, required,
+          optionsMap, () => parquet.createReaderFactory(),
+          changeFeed = true, cdfCols = cdfCols)
+    }
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     parquet.estimateStatistics()

@@ -20,6 +20,93 @@ case class GraftVtOffset(version: Int) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
+/** Shared change-feed/stream file planning: the parquet files one
+  * commit contributes, each tagged with the (change-type,
+  * commit-version) PARTITION VALUES the reader appends to every row —
+  * constants never touch the data files, exactly how a partitioned
+  * table serves its partition columns. `cdfCols` is the REQUESTED
+  * subset (column pruning may drop either), in requested order.
+  */
+private[sources] object GraftVtChangeFiles {
+
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+  val cdfSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(ChangeType,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField(CommitVersion,
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  def partitionValues(cdfCols: Seq[String], changeType: String,
+                      version: Int): InternalRow =
+    InternalRow.fromSeq(cdfCols.map {
+      case ChangeType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(changeType)
+      case CommitVersion => version
+    })
+
+  /** The (directory, change-type) pairs commit `v` contributes to a
+    * CHANGE FEED: appends synthesize `insert` from their added
+    * directories, mutations also `delete` from their removed ones —
+    * the same add/remove synthesis [[VersionedTable.changes]] serves
+    * (the coarse form: rewritten-but-unchanged rows appear as
+    * delete+insert pairs; exact persisted CDC stays a batch `changes()`
+    * feature). `optimize` emits nothing — identical data by contract.
+    */
+  def changeDirs(vt: VersionedTable, v: Int): Seq[(String, String)] = {
+    val (op, added) = vt.commitSummary(v)
+    op match {
+      case "optimize" | "constraint" => Nil
+      case _ =>
+        added.map((_, "insert")) ++ vt.removedSummary(v).map((_, "delete"))
+    }
+  }
+
+  def filesOf(spark: SparkSession, root: Path, vt: VersionedTable,
+              dirsWithType: Seq[(String, String)], v: Int,
+              cdfCols: Seq[String]): Seq[PartitionedFile] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirsWithType.flatMap { case (d, changeType) =>
+      val p = new Path(root, d)
+      require(fs.exists(p),
+        s"data directory $d of version $v was vacuumed; its rows cannot " +
+          "be served — start from a retained version")
+      fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => PartitionedFile(partitionValues(cdfCols, changeType, v),
+          org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+          0L, st.getLen, Array.empty[String],
+          st.getModificationTime, st.getLen, Map.empty))
+    }
+  }
+}
+
+/** BATCH change feed — Delta's
+  * `spark.read.option("readChangeFeed", true).option("startingVersion",
+  * a).option("endingVersion", b)`: one Batch whose partitions are the
+  * change files of versions [a, b], change-type and commit-version
+  * injected as partition values. The plan-time cost is the manifest
+  * fold; only the commits' own directories are read.
+  */
+private[sources] class GraftVtCdfBatch(spark: SparkSession,
+                                       vt: VersionedTable, rootPath: String,
+                                       fromV: Int, toV: Int,
+                                       cdfCols: Seq[String],
+                                       mkReaderFactory: () => PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new Path(rootPath)
+    val files = (fromV to toV).flatMap(v =>
+      GraftVtChangeFiles.filesOf(spark, root, vt,
+        GraftVtChangeFiles.changeDirs(vt, v), v, cdfCols))
+    FilePartition.getFilePartitions(spark, files,
+      spark.sessionState.conf.filesMaxPartitionBytes).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = mkReaderFactory()
+}
+
 /** The versioned table as a STREAMING SOURCE (Delta's streaming reads):
   * `spark.readStream.format("graftvt").load(dir)` serves each commit's
   * added rows exactly once, in commit order — micro-batch (start, end]
@@ -56,7 +143,9 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
                               rootPath: String, dataSchema: StructType,
                               readSchema: StructType,
                               options: Map[String, String],
-                              mkReaderFactory: () => PartitionReaderFactory)
+                              mkReaderFactory: () => PartitionReaderFactory,
+                              changeFeed: Boolean = false,
+                              cdfCols: Seq[String] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val root = new Path(rootPath)
@@ -96,32 +185,30 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
     }
   }
 
-  /** The parquet files commit `v` streams, per the commit-kind rules. */
+  /** The parquet files commit `v` streams, per the commit-kind rules.
+    * A CHANGE FEED stream serves the add/remove synthesis (every
+    * commit kind welcome); a plain row stream requires append-only
+    * history unless ignoreChanges.
+    */
   private def filesOf(v: Int): Seq[PartitionedFile] = {
-    val (op, added) = vt.commitSummary(v)
-    val dirs = op match {
-      case "append" => added
-      case "optimize" => Nil // dataChange = false: same rows, never replay
-      case "constraint" => Nil // metadata-only commit
-      case other if ignoreChanges => added
-      case other => throw new IllegalStateException(
-        s"streaming read of $rootPath hit a '$other' commit at version $v — " +
-          "a streamed table must be append-only past the stream's start; " +
-          "set option(\"ignoreChanges\", \"true\") to receive the commit's " +
-          "rewritten rows (rows the rewrite did not change arrive AGAIN)")
-    }
-    dirs.flatMap { d =>
-      val p = new Path(root, d)
-      require(fs.exists(p),
-        s"data directory $d of version $v was vacuumed; restart the stream " +
-          "from a retained version (startingVersion)")
-      fs.listStatus(p).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(st => PartitionedFile(InternalRow.empty,
-          org.apache.spark.paths.SparkPath.fromPath(st.getPath),
-          0L, st.getLen, Array.empty[String],
-          st.getModificationTime, st.getLen, Map.empty))
-    }
+    val dirsWithType: Seq[(String, String)] =
+      if (changeFeed) GraftVtChangeFiles.changeDirs(vt, v)
+      else {
+        val (op, added) = vt.commitSummary(v)
+        op match {
+          case "append" => added.map((_, "insert"))
+          case "optimize" => Nil // dataChange = false: same rows, never replay
+          case "constraint" => Nil // metadata-only commit
+          case _ if ignoreChanges => added.map((_, "insert"))
+          case other => throw new IllegalStateException(
+            s"streaming read of $rootPath hit a '$other' commit at version $v — " +
+              "a streamed table must be append-only past the stream's start; " +
+              "set option(\"ignoreChanges\", \"true\") to receive the commit's " +
+              "rewritten rows (rows the rewrite did not change arrive AGAIN), " +
+              "or option(\"readChangeFeed\", \"true\") for tagged changes")
+        }
+      }
+    GraftVtChangeFiles.filesOf(spark, root, vt, dirsWithType, v, cdfCols)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -235,6 +235,11 @@ class VersionedTable(spark: SparkSession, dir: String,
     (c.op, c.added)
   }
 
+  /** The directories one commit REMOVED — the change feed's `delete`
+    * synthesis source (they remain readable until [[vacuum]]).
+    */
+  private[sources] def removedSummary(v: Int): Seq[String] = commitAt(v).removed
+
   private def commitAt(v: Int): Commit = {
     val p = manifestPath(v)
     require(fs.exists(p),

@@ -117,6 +117,54 @@ class GraftVtStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("readChangeFeed batch: tagged add/remove rows equal the changes() API") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s")) // v0: 2 inserts
+    vt.delete(col("k") === 1L)                          // v1: rewrite dir
+    vt.append(Seq((3L, "c")).toDF("k", "s"))            // v2: 1 insert
+    val cdf = spark.read.format("graftvt")
+      .option("readChangeFeed", "true").load(dir)
+    assert(cdf.columns.toSeq ===
+      Seq("k", "s", "_change_type", "_commit_version"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
+    assert(canon(cdf) === canon(vt.changes(0, 2)
+      .withColumn("_commit_version", col("_commit_version").cast("int"))))
+    // version-bounded form + column pruning through the synthetic cols
+    val only1 = spark.read.format("graftvt")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 1).load(dir)
+    val rows1 = only1.select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    // v1's coarse synthesis: removed dir (k=1,2 delete) + survivor dir (k=2 insert)
+    assert(rows1.toSeq ===
+      Seq((1L, "delete"), (2L, "delete"), (2L, "insert")))
+    assert(only1.groupBy("_change_type").count().collect().length === 2)
+  }
+
+  test("readChangeFeed streaming: mutations stream as tagged changes, no loud failure") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val sink = s"vt_cdf_stream_${System.nanoTime}"
+    val q = spark.readStream.format("graftvt")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 2) // two inserts
+      vt.delete(col("k") === 1L) // plain stream would fail loudly here
+      q.processAllAvailable()
+      val rows = spark.table(sink).select("k", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
+      assert(rows.toSeq === Seq((1L, "delete", 1), (1L, "insert", 0),
+        (2L, "delete", 1), (2L, "insert", 0), (2L, "insert", 1)))
+    } finally q.stop()
+  }
+
   test("checkpoint restart resumes from the committed offset, no replay") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
