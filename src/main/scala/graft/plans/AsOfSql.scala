@@ -61,6 +61,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val RestoreRe =
     ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?" + TargetPat +
       "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+  private val ConvertRe =
+    ("(?is)^\\s*CONVERT\\s+TO\\s+GRAFTVT\\s+('[^']*'|\"[^\"]*\")\\s*;?\\s*$").r
 
   private def maintenanceCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -75,6 +77,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case HistoryRe(target) => Some(GraftDescribeHistory(target))
       case VacuumRe(target, keep) => Some(GraftVacuum(target, keep.toInt))
       case RestoreRe(target, v) => Some(GraftRestore(target, v.toInt))
+      case ConvertRe(path) =>
+        Some(GraftConvert(path.substring(1, path.length - 1)))
       case _ => None
     }
 

@@ -172,6 +172,22 @@ case class GraftRestore(target: String, version: Int)
   }
 }
 
+/** `CONVERT TO GRAFTVT 'dir'` —
+  * [[graft.sources.VersionedTable.convert]] through SQL: an existing
+  * flat parquet directory becomes a versioned table in place (files
+  * renamed into v0, no data copied).
+  */
+case class GraftConvert(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val vt = graft.sources.VersionedTable.convert(spark, path)
+    Seq(Row(0, vt.fastCount().getOrElse(-1L)))
+  }
+}
+
 /** `VACUUM t RETAIN n VERSIONS` —
   * [[graft.sources.VersionedTable.vacuum]] through SQL: keep the last
   * n versions, reclaim everything older plus crash orphans.

@@ -196,7 +196,7 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
       else {
         val (op, added) = vt.commitSummary(v)
         op match {
-          case "append" => added.map((_, "insert"))
+          case "append" | "convert" => added.map((_, "insert"))
           case "optimize" => Nil // dataChange = false: same rows, never replay
           case "constraint" => Nil // metadata-only commit
           case _ if ignoreChanges => added.map((_, "insert"))

@@ -41,6 +41,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * version (so it stays resolvable), drop older manifests/checkpoints,
   * and delete data directories no kept version references.
   */
+object VersionedTable {
+  /** CONVERT an existing FLAT parquet directory into a versioned table
+    * IN PLACE (Delta's `CONVERT TO DELTA`): every `*.parquet` file is
+    * RENAMED (metadata-only — no data copied or rewritten, whatever
+    * the table size) into the version-0 payload directory, and the v0
+    * manifest records row counts and data-skipping stats from one
+    * bounded scan of those files. The directory is thereafter a
+    * transaction-log table: append/merge/delete/optimize/time-travel
+    * and the graftvt DataSourceV2 all work on it. Partitioned/nested
+    * layouts are rejected loudly (flat is the compaction-output shape;
+    * a Hive-partitioned tree needs the partition columns materialized
+    * into the data first). Fails loudly if the directory already has a
+    * transaction log. Returns the table at version 0.
+    */
+  def convert(spark: SparkSession, dir: String): VersionedTable = {
+    val vt = new VersionedTable(spark, dir)
+    require(!vt.fs.exists(vt.logDir),
+      s"$dir already has a transaction log; it is a versioned table")
+    val entries = vt.fs.listStatus(vt.root).toSeq
+    val files = entries.filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"nothing to convert: no *.parquet files in $dir")
+    val dirs = entries.filter(st => st.isDirectory)
+    require(dirs.isEmpty,
+      s"cannot convert $dir: nested directories found " +
+        s"(${dirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "convert supports flat parquet directories; materialize partition " +
+        "columns into the data first")
+    val name = f"v00000-conv-${java.util.UUID.randomUUID().toString.take(8)}"
+    val target = new Path(vt.root, name)
+    vt.fs.mkdirs(target)
+    files.foreach(f =>
+      vt.fs.rename(f.getPath, new Path(target, f.getPath.getName)))
+    val (rows, stats, _) = vt.statsOf(target.toString)
+    vt.publish(vt.Commit(0, "convert", Seq(name), Seq.empty, rows,
+      System.currentTimeMillis(), addedStats = Map(name -> stats),
+      addedRows = Map(name -> rows)))
+    vt
+  }
+}
+
 class VersionedTable(spark: SparkSession, dir: String,
                      checkpointInterval: Int = 10) {
   require(checkpointInterval >= 1,

@@ -127,6 +127,32 @@ class VersionedSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("not") && e.getMessage.toLowerCase.contains("supported"))
   }
 
+  test("CONVERT TO GRAFTVT turns a flat parquet directory into a table in place") {
+    val dir = tmpVt()
+    (0L until 100L).map(k => (k, s"r$k")).toDF("k", "s")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val out = spark.sql(s"CONVERT TO GRAFTVT '$dir'").head
+    assert(out.getInt(0) === 0 && out.getLong(1) === 100L)
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    assert(vt.read().count() === 100)
+    assert(vt.history().select("op").head.getString(0) === "convert")
+    // a full citizen afterwards: appends, stats pruning, DSv2, streaming
+    vt.append(Seq((200L, "new")).toDF("k", "s"))
+    assert(vt.read().count() === 101)
+    assert(vt.pruneActive("k", Some(200L), None)._1.size === 1)
+    assert(spark.read.format("graftvt").load(dir).count() === 101)
+    // converting again (or a nested layout) fails loudly
+    assert(intercept[Exception] { spark.sql(s"CONVERT TO GRAFTVT '$dir'") }
+      .getMessage.contains("transaction log"))
+    val nested = tmpVt()
+    (0L until 10L).map(k => (k, k % 2)).toDF("k", "p")
+      .write.partitionBy("p").parquet(s"$nested/data")
+    assert(intercept[Exception] { spark.sql(s"CONVERT TO GRAFTVT '$nested'") }
+      .getMessage.contains("nested") ||
+      intercept[Exception] { spark.sql(s"CONVERT TO GRAFTVT '$nested'") }
+        .getMessage.contains("no *.parquet"))
+  }
+
   test("loud errors: unversioned names, malformed bounds; plain SQL is untouched") {
     val e = intercept[Exception] { spark.sql("DESCRIBE HISTORY no_such_vt_table") }
     assert(e.getMessage.contains("not a versioned table"))
