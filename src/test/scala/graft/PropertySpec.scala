@@ -507,7 +507,7 @@ class PropertySpec extends SparkSuite {
       model = init.toMap
       commit(vt.append(df(init)))
       for (step <- 1 to 12) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(8) match {
           case 0 => // append fresh keys only (append never upserts)
             val rows = randRows(4).filterNot(r => model.contains(r._1))
             if (rows.nonEmpty) { model ++= rows; commit(vt.append(df(rows))) }
@@ -528,6 +528,17 @@ class PropertySpec extends SparkSuite {
           case 5 => // restore to a random recorded version
             val (tv, tm) = history(rnd.nextInt(history.length))
             model = tm; commit(vt.restore(tv))
+          case 6 => // bin-packing compact: data identical, new version
+            if (model.nonEmpty) commit(vt.compact(1 + rnd.nextInt(3)))
+          case 7 => // scoped optimize: rewrites only in-scope dirs,
+            // data identical (may be a no-op when nothing intersects)
+            if (model.nonEmpty) {
+              val lo = rnd.nextInt(40).toLong
+              val v0 = vt.latestVersion
+              val v = vt.optimizeWhere("k", 1 + rnd.nextInt(2), "k",
+                Some(lo), Some(lo + 10L))
+              if (v != v0) commit(v)
+            }
         }
         // invariant after every op: snapshot == model, fastCount == size
         val snap = vt.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
