@@ -278,9 +278,12 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
     // Report the conjuncts that contributed pruning information
     // (explain shows them as PushedFilters); EVERY filter is returned
     // as post-scan — the manifest prune is a superset at directory
-    // granularity, never a row filter.
-    pushed = filters.filter(f => toRanges(f).nonEmpty ||
-      toNullness(f) != ((Nil, Nil)))
+    // granularity, never a row filter. A change-feed scan prunes
+    // nothing (its unit is a commit), so it reports nothing.
+    pushed =
+      if (changeFeed) Array.empty
+      else filters.filter(f => toRanges(f).nonEmpty ||
+        toNullness(f) != ((Nil, Nil)))
     filters
   }
 

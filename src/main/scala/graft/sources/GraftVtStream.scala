@@ -151,6 +151,14 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
   private val root = new Path(rootPath)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Initial-batch semantics: WITHOUT `startingVersion` the first
+    * micro-batch serves the CURRENT SNAPSHOT (Delta's initial snapshot
+    * — correct even when history contains overwrites/merges/deletes,
+    * which a log replay would refuse) and the stream tails commits
+    * after it; an EXPLICIT `startingVersion` asks for the log replay
+    * from that version (`"latest"` = tail only).
+    */
+  private val snapshotInit: Boolean = !options.contains("startingversion")
   private val startingVersion: Int = options.get("startingversion") match {
     case Some(v) if v.trim.equalsIgnoreCase("latest") => vt.latestVersion + 1
     case Some(v) => v.trim.toInt
@@ -214,7 +222,14 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftVtOffset].version
     val e = end.asInstanceOf[GraftVtOffset].version
-    val files = (s + 1 to e).flatMap(filesOf)
+    val files =
+      if (!changeFeed && snapshotInit && s < 0)
+        // The initial batch IS the snapshot at `e`: active directories,
+        // not a commit-by-commit replay — a historical overwrite or
+        // merge is already folded into the active set.
+        GraftVtChangeFiles.filesOf(spark, root, vt,
+          vt.activeDirs(Some(e)).map((_, "insert")), e, cdfCols)
+      else (s + 1 to e).flatMap(filesOf)
     FilePartition.getFilePartitions(spark, files,
       spark.sessionState.conf.filesMaxPartitionBytes).toArray
   }

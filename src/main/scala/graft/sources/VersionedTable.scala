@@ -80,7 +80,8 @@ object VersionedTable {
     vt.publish(vt.Commit(0, "convert", Seq(name), Seq.empty, rows,
       System.currentTimeMillis(), addedStats = Map(name -> stats),
       addedRows = Map(name -> rows),
-      schemaJson = Some(spark.read.parquet(target.toString)
+      schemaJson = Some(spark.read.option("mergeSchema", "true")
+        .parquet(target.toString)
         .schema.pipe(graft.sources.SchemaCompat.nullableJson))))
     vt
   }

@@ -87,15 +87,16 @@ class GraftVtStreamSpec extends SparkSuite {
       assert(e.getMessage.contains("append-only") ||
         Option(e.getCause).exists(_.getMessage.contains("append-only")))
     } finally q.stop()
-    // ignoreChanges: the rewritten directory's survivors arrive again
+    // ignoreChanges + explicit startingVersion: the log REPLAY serves
+    // v0's dir AND v1's rewrite — survivors arrive again (10 + 8 rows),
+    // the documented duplication the option opts into.
     val sink2 = s"vt_stream_ic_${System.nanoTime}"
     val q2 = spark.readStream.format("graftvt")
-      .option("ignoreChanges", "true").load(dir)
+      .option("ignoreChanges", "true").option("startingVersion", 0).load(dir)
       .writeStream.format("memory").queryName(sink2)
       .option("checkpointLocation", ckpt()).start()
     try {
       q2.processAllAvailable()
-      // initial batch serves v0's dir AND v1's rewrite: 10 + 8 rows
       assert(spark.table(sink2).count() === 18)
     } finally q2.stop()
   }
@@ -115,6 +116,40 @@ class GraftVtStreamSpec extends SparkSuite {
       // 4 commits at 1 version/trigger → at least 4 separate batches
       assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
     } finally q.stop()
+  }
+
+  test("default initial batch is the SNAPSHOT: mutated history streams fine") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 10L).map(k => (k, s"r$k")).toDF("k", "s"))
+    vt.delete(col("k") < 3L)                      // history holds a mutation
+    vt.overwrite((100L until 105L).map(k => (k, s"o$k")).toDF("k", "s"))
+    val sink = s"vt_snap_init_${System.nanoTime}"
+    // NO startingVersion: the first batch serves the CURRENT snapshot —
+    // a log replay would fail loudly on the delete/overwrite commits.
+    val q = spark.readStream.format("graftvt").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).select("k").collect().map(_.getLong(0)).sorted
+        .toSeq === (100L until 105L))
+      vt.append(Seq((200L, "new")).toDF("k", "s")) // the tail still streams
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 6)
+    } finally q.stop()
+    // an EXPLICIT startingVersion keeps log-replay semantics (loud on
+    // the mutation commits, as the append-only contract requires)
+    val sink2 = s"vt_snap_replay_${System.nanoTime}"
+    val q2 = spark.readStream.format("graftvt")
+      .option("startingVersion", 0).load(dir)
+      .writeStream.format("memory").queryName(sink2)
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      assert(e.getMessage.contains("append-only") ||
+        Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    } finally q2.stop()
   }
 
   test("readChangeFeed batch: tagged add/remove rows equal the changes() API") {
