@@ -6,10 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.util.SerializableConfiguration
 
 /** Stream OFFSET = a committed version number: the transaction log IS
   * the write-ahead log a streaming source needs, so offsets are exact,
@@ -178,7 +175,12 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftVtOffset].version
     val latest = vt.latestVersion
-    GraftVtOffset(maxVersionsPerTrigger
+    // The snapshot-initial batch is ONE snapshot at the stream-start
+    // version, never capped: capping would pin an older snapshot and
+    // then replay the pre-stream commits it omitted — including
+    // mutations the snapshot semantics exist to fold away.
+    if (snapshotInit && s < 0 && !changeFeed) GraftVtOffset(latest)
+    else GraftVtOffset(maxVersionsPerTrigger
       .map(m => math.min(latest, s + m)).getOrElse(latest).max(s))
   }
 

@@ -106,7 +106,11 @@ class GraftVtStreamSpec extends SparkSuite {
     val vt = new graft.sources.VersionedTable(spark, dir)
     (0 until 4).foreach(i => vt.append(Seq((i.toLong, s"r$i")).toDF("k", "s")))
     val sink = s"vt_stream_mvpt_${System.nanoTime}"
+    // explicit startingVersion = log-replay semantics: the cap splits
+    // per commit (the DEFAULT snapshot-initial batch is deliberately
+    // uncapped — one snapshot, however many commits built it)
     val q = spark.readStream.format("graftvt")
+      .option("startingVersion", 0)
       .option("maxVersionsPerTrigger", 1).load(dir)
       .writeStream.format("memory").queryName(sink)
       .option("checkpointLocation", ckpt()).start()
