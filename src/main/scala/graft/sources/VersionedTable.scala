@@ -620,28 +620,65 @@ class VersionedTable(spark: SparkSession, dir: String,
     org.apache.spark.sql.types.DataType.fromJson(j)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
-  /** Align `df` for an append AND compute the post-commit table schema
-    * (recorded in the manifest so readers and schema inference never
-    * pay an O(active-directories) parquet footer merge — Delta stores
-    * its schema in the log for exactly this reason). The evolved
-    * schema is the existing fields followed by the genuinely-new
-    * incoming fields, nullable-normalized (file reads are always
-    * nullable). Pre-schema logs fall back to one footer merge.
+  /** Align `df` for an append against version `base` AND compute the
+    * post-commit table schema (recorded in the manifest so readers and
+    * schema inference never pay an O(active-directories) parquet
+    * footer merge — Delta stores its schema in the log for exactly
+    * this reason). The evolved schema is the existing fields followed
+    * by the genuinely-new incoming fields, nullable-normalized (file
+    * reads are always nullable). Pre-schema logs fall back to one
+    * footer merge. Taking `base` explicitly keeps alignment, schema,
+    * and the commit slot CONSISTENT: the caller publishes at base + 1,
+    * and a commit landing in between fails the publish instead of
+    * letting a schema computed against an older snapshot land.
     */
-  private def alignedForAppend(df: DataFrame): (DataFrame, String) = {
-    val latest = latestVersion
-    if (latest < 0) return (df, df.schema.pipe(graft.sources.SchemaCompat.nullableJson))
-    val snap = snapshotAt(latest)
+  private def alignedForAppend(df: DataFrame, base: Int): (DataFrame, String) = {
+    if (base < 0) return (df, df.schema.pipe(graft.sources.SchemaCompat.nullableJson))
+    val snap = snapshotAt(base)
     // A constraint-only commit 0 (or a schema-holder-free state) has no
     // data directories — nothing to be compatible with.
     if (snap.active.isEmpty && snap.schemaJson.isEmpty)
       return (df, df.schema.pipe(graft.sources.SchemaCompat.nullableJson))
     val existing = snap.schemaJson.map(schemaFromJson)
-      .getOrElse(readAt(latest).schema)
+      .getOrElse(readAt(base).schema)
     val aligned = SchemaCompat.alignWidening(df, existing, dir)
     val evolved = org.apache.spark.sql.types.StructType(existing.fields ++
       aligned.schema.fields.filterNot(f => existing.fieldNames.contains(f.name)))
     (aligned, SchemaCompat.nullableJson(evolved))
+  }
+
+  /** Retry-loop support for the schema the loser recorded: the WINNER
+    * may itself have evolved the table, so the retried manifest must
+    * record the union of the CURRENT schema and this payload's fields
+    * — re-publishing the pre-race schema would hide a concurrently
+    * added column from every reader. A TYPE conflict on a shared
+    * column aborts loudly and reclaims the payload: the already-written
+    * files carry this writer's physical type, and committing them
+    * under either schema would fail readers of the other.
+    */
+  private def reconcileSchemaOnRetry(asOf: Int, payloadName: String,
+                                     payload: org.apache.spark.sql.types.StructType)
+      : String = {
+    val cur = if (asOf < 0) None else snapshotAt(asOf).schemaJson
+    cur match {
+      case None => SchemaCompat.nullableJson(payload)
+      case Some(j) =>
+        val current = schemaFromJson(j)
+        val conflicts = payload.fields.flatMap(f =>
+          current.find(_.name == f.name).filter(_.dataType !=
+            SchemaCompat.nullableDeep(f.dataType)).map(c =>
+            s"${f.name}: payload ${f.dataType.simpleString} vs table " +
+              s"${c.dataType.simpleString}"))
+        if (conflicts.nonEmpty) {
+          fs.delete(new Path(root, payloadName), true)
+          throw new IllegalStateException(
+            s"retried append to $dir conflicts with a concurrent schema " +
+              s"change (${conflicts.mkString("; ")}); re-align and re-append")
+        }
+        SchemaCompat.nullableJson(org.apache.spark.sql.types.StructType(
+          current.fields ++ payload.fields.filterNot(f =>
+            current.fieldNames.contains(f.name))))
+    }
   }
 
   /** Commit `df` as a new version extending the current active set.
@@ -649,9 +686,11 @@ class VersionedTable(spark: SparkSession, dir: String,
     * records only the one added directory, whatever the table size.
     */
   def append(df0: DataFrame): Int = {
-    val (df, schemaJson) = alignedForAppend(df0)
-    val v = latestVersion + 1
-    val (name, rows, stats) = writePayload(df, v, currentConstraints)
+    val base = latestVersion
+    val (df, schemaJson) = alignedForAppend(df0, base)
+    val v = base + 1
+    val (name, rows, stats) = writePayload(df, v,
+      if (base < 0) Map.empty else snapshotAt(base).constraints)
     publish(Commit(v, "append", Seq(name), Seq.empty, rows,
       System.currentTimeMillis(), addedStats = Map(name -> stats),
       addedRows = Map(name -> rows), schemaJson = Some(schemaJson)))
@@ -791,17 +830,26 @@ class VersionedTable(spark: SparkSession, dir: String,
     * commit changes meaning, and that decision belongs to the caller.
     */
   def appendWithRetry(df0: DataFrame, maxRetries: Int = 5): Int = {
-    val (df, schemaJson) = alignedForAppend(df0)
-    var validated = currentConstraints
-    val (name, rows, stats) = writePayload(df, latestVersion + 1, validated)
+    val base = latestVersion
+    val (df, schemaJson0) = alignedForAppend(df0, base)
+    var schemaJson = schemaJson0
+    var validated = if (base < 0) Map.empty[String, String]
+      else snapshotAt(base).constraints
+    val (name, rows, stats) = writePayload(df, base + 1, validated)
     var attempt = 0
+    // The attempted slot is ALWAYS the successor of a version this
+    // writer has reconciled against (base at first; the re-read latest
+    // after each loss). Recomputing the slot fresh per attempt would
+    // let a slow writer land a STALE manifest at a later free slot
+    // without ever hitting the conflict path — hiding, for example, a
+    // column a concurrent evolving append added.
+    var expected = base + 1
     while (true) {
-      val v = latestVersion + 1
       try {
-        publish(Commit(v, "append", Seq(name), Seq.empty, rows,
+        publish(Commit(expected, "append", Seq(name), Seq.empty, rows,
           System.currentTimeMillis(), addedStats = Map(name -> stats),
           addedRows = Map(name -> rows), schemaJson = Some(schemaJson)))
-        return v
+        return expected
       } catch {
         case e: IllegalStateException =>
           if (attempt >= maxRetries) throw e
@@ -811,6 +859,15 @@ class VersionedTable(spark: SparkSession, dir: String,
           // re-claiming a slot — retrying blind would publish data the
           // new constraint never checked.
           validated = revalidatePayload(name, validated)
+          // ...or an EVOLVING append: re-merge the schema so the
+          // retried manifest never hides the winner's columns (loud on
+          // a type conflict — the payload's physical types are final).
+          // Latest is read ONCE and the next attempt targets exactly
+          // its successor: anything landing after this read makes the
+          // next publish fail and re-enter this reconciliation.
+          val upTo = latestVersion
+          schemaJson = reconcileSchemaOnRetry(upTo, name, df.schema)
+          expected = upTo + 1
       }
     }
     -1 // unreachable
@@ -857,18 +914,23 @@ class VersionedTable(spark: SparkSession, dir: String,
                         maxRetries: Int = 5): Option[Int] = {
     require(app.nonEmpty, "app id must be non-empty")
     if (lastCommittedBatch(app).exists(_ >= batchId)) return None
-    val (df, schemaJson) = alignedForAppend(df0)
-    var validated = currentConstraints
-    val (name, rows, stats) = writePayload(df, latestVersion + 1, validated)
+    val base = latestVersion
+    val (df, schemaJson0) = alignedForAppend(df0, base)
+    var schemaJson = schemaJson0
+    var validated = if (base < 0) Map.empty[String, String]
+      else snapshotAt(base).constraints
+    val (name, rows, stats) = writePayload(df, base + 1, validated)
     var attempt = 0
+    // Slot discipline identical to appendWithRetry: attempt only the
+    // successor of a version this writer has reconciled against.
+    var expected = base + 1
     while (true) {
-      val v = latestVersion + 1
       try {
-        publish(Commit(v, "append", Seq(name), Seq.empty, rows,
+        publish(Commit(expected, "append", Seq(name), Seq.empty, rows,
           System.currentTimeMillis(), Some((app, batchId)),
           addedStats = Map(name -> stats), addedRows = Map(name -> rows),
           schemaJson = Some(schemaJson)))
-        return Some(v)
+        return Some(expected)
       } catch {
         case e: IllegalStateException =>
           if (attempt >= maxRetries) throw e
@@ -880,8 +942,12 @@ class VersionedTable(spark: SparkSession, dir: String,
             fs.delete(new Path(root, name), true)
             return None
           }
-          // ...or an addConstraint: re-validate before re-claiming.
+          // ...or an addConstraint / evolving append: re-validate and
+          // re-merge the schema before re-claiming.
           validated = revalidatePayload(name, validated)
+          val upTo = latestVersion
+          schemaJson = reconcileSchemaOnRetry(upTo, name, df.schema)
+          expected = upTo + 1
       }
     }
     None // unreachable

@@ -1121,6 +1121,53 @@ class TableManagerSpec extends SparkSuite {
     assert(vt.read().columns.toSeq === Seq("k", "s"))
   }
 
+  test("racing evolving appends: the retried schema is the UNION; type conflicts are loud") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    // Two writers concurrently evolve with DIFFERENT new columns: the
+    // loser's retried manifest must record the union — re-publishing
+    // its pre-race schema would hide the winner's column from readers.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(
+      Seq((2L, "b", 7L)).toDF("k", "s", "x"),
+      Seq((3L, "c", 0.5)).toDF("k", "s", "y")).map(df => new Thread(() => {
+        barrier.await()
+        try new graft.sources.VersionedTable(spark, dir).appendWithRetry(df)
+        catch { case t: Throwable => errs.add(t) }
+      }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"disjoint evolving appends must both land: ${errs.peek()}")
+    val now = vt.read()
+    assert(now.columns.toSet === Set("k", "s", "x", "y"))
+    assert(now.count() === 3)
+    assert(now.filter(col("k") === 2L).select("x").head.getLong(0) === 7L)
+    assert(now.filter(col("k") === 3L).select("y").head.getDouble(0) === 0.5)
+    // The SAME new column with INCOMPATIBLE types: exactly one lands,
+    // the other fails loudly (raced → retry conflict; sequential → the
+    // widening gate) — never a silently mismatched schema.
+    val dir2 = tmpVt()
+    val vt2 = tables.versioned(dir2)
+    vt2.append(Seq((1L, "a")).toDF("k", "s"))
+    val barrier2 = new java.util.concurrent.CyclicBarrier(2)
+    val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts2 = Seq(
+      Seq((2L, "b", 7)).toDF("k", "s", "z"),
+      Seq((3L, "c", "seven")).toDF("k", "s", "z")).map(df => new Thread(() => {
+        barrier2.await()
+        try new graft.sources.VersionedTable(spark, dir2).appendWithRetry(df)
+        catch { case t: Throwable => errs2.add(t) }
+      }))
+    ts2.foreach(_.start()); ts2.foreach(_.join())
+    assert(errs2.size === 1, s"exactly one conflicting append must fail, got ${errs2.size}")
+    assert(errs2.peek().isInstanceOf[IllegalStateException])
+    val zType = vt2.read().schema("z").dataType
+    assert(zType === org.apache.spark.sql.types.IntegerType ||
+      zType === org.apache.spark.sql.types.StringType)
+    assert(vt2.read().count() === 2)
+  }
+
   test("merge retry: disjoint concurrent commits retry through, overlapping fail loudly") {
     val dir = tmpVt()
     val vt = tables.versioned(dir)
