@@ -55,6 +55,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "(?:\\s+INTO\\s+(\\d+)\\s+CHUNKS)?\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + TargetPat + "\\s*;?\\s*$").r
+  private val DetailRe =
+    ("(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+" + TargetPat + "\\s*;?\\s*$").r
+  private val AddConstraintRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + TargetPat +
+      "\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$").r
+  private val DropConstraintRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + TargetPat +
+      "\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$").r
   private val VacuumRe =
     ("(?is)^\\s*VACUUM\\s+" + TargetPat +
       "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$").r
@@ -63,6 +71,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
   private val ConvertRe =
     ("(?is)^\\s*CONVERT\\s+TO\\s+GRAFTVT\\s+('[^']*'|\"[^\"]*\")\\s*;?\\s*$").r
+
+  private def versionedTarget(target: String): Boolean = {
+    val t = target.trim
+    if (t.startsWith("'") || t.startsWith("\"")) true
+    else {
+      val parts = t.split('.').toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+      VersionedSql.timeTravelDir(SparkSession.active, parts).isDefined
+    }
+  }
 
   private def maintenanceCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -75,6 +93,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           (c.stripPrefix("`").stripSuffix("`"), num(whereLo), num(whereHi)))
         Some(GraftOptimize(target, zorder, Option(chunks).map(_.toInt), where))
       case HistoryRe(target) => Some(GraftDescribeHistory(target))
+      case DetailRe(target) => Some(GraftDescribeDetail(target))
+      // ALTER TABLE is real vanilla syntax — intercept ONLY when the
+      // target provably addresses a versioned table (quoted path, or a
+      // bridge name whose transaction log exists); anything else goes
+      // to Spark's own parser untouched.
+      case AddConstraintRe(target, name, expr) if versionedTarget(target) =>
+        Some(GraftAddConstraint(target, name, expr.trim))
+      case DropConstraintRe(target, name) if versionedTarget(target) =>
+        Some(GraftDropConstraint(target, name))
       case VacuumRe(target, keep) => Some(GraftVacuum(target, keep.toInt))
       case RestoreRe(target, v) => Some(GraftRestore(target, v.toInt))
       case ConvertRe(path) =>

@@ -172,6 +172,54 @@ case class GraftRestore(target: String, version: Int)
   }
 }
 
+/** `DESCRIBE DETAIL t` — the metadata-only table report
+  * ([[graft.sources.VersionedTable.detail]]: version, directory/row/
+  * byte totals, constraint count — no data scan).
+  */
+case class GraftDescribeDetail(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("num_dirs", IntegerType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("size_bytes", LongType, nullable = true)(),
+    AttributeReference("num_constraints", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedSql.resolveTarget(spark, target)._1.detail().collect().toSeq
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` —
+  * [[graft.sources.VersionedTable.addConstraint]]: the existing table
+  * validates first (one aggregate scan), every later write validates
+  * its new rows in its stats job and aborts before publish on a
+  * violation. Only intercepted for provably-versioned targets; other
+  * ALTER TABLE statements reach Spark's parser untouched.
+  */
+case class GraftAddConstraint(target: String, name: String, expr: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vt, _) = VersionedSql.resolveTarget(spark, target)
+    Seq(Row(vt.addConstraint(name, expr)))
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — the constraint stops binding
+  * new writes from the committed version on (history keeps it).
+  */
+case class GraftDropConstraint(target: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vt, _) = VersionedSql.resolveTarget(spark, target)
+    Seq(Row(vt.dropConstraint(name)))
+  }
+}
+
 /** `CONVERT TO GRAFTVT 'dir'` —
   * [[graft.sources.VersionedTable.convert]] through SQL: an existing
   * flat parquet directory becomes a versioned table in place (files

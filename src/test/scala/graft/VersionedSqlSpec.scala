@@ -127,6 +127,33 @@ class VersionedSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("not") && e.getMessage.toLowerCase.contains("supported"))
   }
 
+  test("DESCRIBE DETAIL and CHECK constraints through SQL") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 10L).map(k => (k, s"r$k")).toDF("k", "s"))
+    val d = spark.sql(s"DESCRIBE DETAIL '$dir'").head
+    assert(d.getInt(0) === 0 && d.getInt(1) === 1 && d.getLong(2) === 10L)
+    assert(d.getLong(3) > 0L && d.getInt(4) === 0)
+    // ADD CONSTRAINT validates the existing table, then gates writes.
+    val v = spark.sql(s"ALTER TABLE '$dir' ADD CONSTRAINT pos CHECK (k >= 0)")
+      .head.getInt(0)
+    assert(v === 1)
+    assert(spark.sql(s"DESCRIBE DETAIL '$dir'").head.getInt(4) === 1)
+    intercept[Exception] { vt.append(Seq((-5L, "bad")).toDF("k", "s")) }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$dir' ADD CONSTRAINT neg CHECK (k < 5)")
+    }
+    spark.sql(s"ALTER TABLE '$dir' DROP CONSTRAINT pos")
+    vt.append(Seq((-5L, "ok now")).toDF("k", "s"))
+    assert(vt.read().count() === 11)
+    // A non-versioned ALTER TABLE target still reaches Spark's own
+    // parser (whatever it does with it — never our bridge error).
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE no_such_plain_table ADD CONSTRAINT c CHECK (x > 0)")
+    }
+    assert(!e.getMessage.contains("not a versioned table"))
+  }
+
   test("CONVERT TO GRAFTVT turns a flat parquet directory into a table in place") {
     val dir = tmpVt()
     (0L until 100L).map(k => (k, s"r$k")).toDF("k", "s")
