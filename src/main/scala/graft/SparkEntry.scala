@@ -1328,6 +1328,116 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // Delta-style UPDATE — the third row-level mutation: copy-on-write
+    // in ONE atomic commit, rewriting ONLY the directories that hold
+    // matching rows (the low-key slice survives byte-identical — its
+    // directory name stays active, pinned as untouched_intact). Rows
+    // where the condition is NULL are NOT updated (SQL semantics); the
+    // final state must equal the CASE expression the oracle computes.
+    "s_versioned_update" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_upd").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val mid = 30000L
+        vt.append(o.filter(col("o_orderkey") < mid))
+        vt.append(o.filter(col("o_orderkey") >= mid))
+        val preDirs = vt.activeDirs()
+        vt.update(col("o_orderkey") >= mid && col("o_orderkey") % 7 === 0,
+          Map("o_orderstatus" -> lit("U"),
+            "o_totalprice" -> (col("o_totalprice") + 1000.0)))
+        val intact = vt.activeDirs().contains(preDirs.head)
+        vt.read().select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), intact))
+          .toSeq
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "untouched_intact")
+      } finally deleteRecursively(base)
+    }),
+
+    // The DML surface as SQL TEXT over a bridge-named versioned table —
+    // UPDATE ... SET ... WHERE, DELETE FROM ... WHERE, and the upsert
+    // MERGE INTO (subquery source, WHEN MATCHED THEN UPDATE SET * WHEN
+    // NOT MATCHED THEN INSERT *) all parse ahead of Spark's grammar and
+    // run the same copy-on-write mutations; the op history rides every
+    // row and the final state equals the oracle's CASE/anti-join
+    // recomputation.
+    "s_versioned_dml_sql" -> ((s, dir) => {
+      import s.implicits._
+      val tbl = "graft_gate_vdml"
+      try s.catalog.dropTempView(tbl) catch { case _: Exception => () }
+      val bridge = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl + "__versioned")
+      bridge.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bridge, true)
+      val tm = new graft.sources.TableManager(s)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      tm.appendVersioned(o, tbl)
+      o.createOrReplaceTempView("graft_vdml_base")
+      s.sql(s"""UPDATE $tbl SET o_orderstatus = 'U',
+               |  o_totalprice = o_totalprice + 1000
+               |WHERE o_orderkey % 7 = 0""".stripMargin)
+      s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 5 = 0")
+      s.sql(s"""MERGE INTO $tbl t USING (
+               |  SELECT o_orderkey, 'M' AS o_orderstatus,
+               |         0.0 AS o_totalprice
+               |  FROM graft_vdml_base WHERE o_orderkey % 11 = 3
+               |  UNION ALL
+               |  SELECT o_orderkey + 100000000 AS o_orderkey,
+               |         o_orderstatus, o_totalprice
+               |  FROM graft_vdml_base WHERE o_orderkey % 13 = 1) src
+               |ON t.o_orderkey = src.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val ops = new graft.sources.TableManager(s).versionedFor(tbl)
+        .history().orderBy(col("version"))
+        .select(col("op")).collect().map(_.getString(0)).mkString(",")
+      s.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $tbl")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), ops)).toSeq
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "history_ops")
+    }),
+
+    // Aggregate pushdown on the DSv2 source: unfiltered COUNT(*),
+    // COUNT(col), MIN, MAX over a graftvt view are answered ENTIRELY
+    // from the manifest fold — the executed plan is a LocalTableScan
+    // with NO BatchScan anywhere (metadata_plan rides the oracle), and
+    // after a row-level DELETE the metadata answers stay exact. At
+    // 100 TB this is `SELECT count(*)` from a few KB of log instead of
+    // a full-table scan.
+    "s_versioned_agg_push" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_aggp").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") % 2 === 0))
+        vt.append(o.filter(col("o_orderkey") % 2 === 1))
+        vt.delete(col("o_orderkey") % 5 === 0)
+        s.read.format("graftvt").load(base)
+          .createOrReplaceTempView("graft_vt_agg_push")
+        val q = s.sql(
+          """SELECT count(*) AS n_rows, count(o_orderstatus) AS n_status,
+            |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+            |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+            |FROM graft_vt_agg_push""".stripMargin)
+        val exec = q.queryExecution.executedPlan
+        val metadataPlan = exec.collectWithSubqueries {
+          case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+        }.nonEmpty && exec.collectWithSubqueries {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.isEmpty
+        q.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5), metadataPlan)).toSeq
+          .toDF("n_rows", "n_status", "min_key", "max_key",
+            "min_price", "max_price", "metadata_plan")
+      } finally deleteRecursively(base)
+    }),
+
     // Metadata-only COUNT(*): after appends, a merge, and a delete, the
     // row count resolved purely from the manifest fold (fastCount — no
     // data scan) must equal the real scan count at BOTH the current and
@@ -3639,6 +3749,55 @@ object SparkEntry {
         |UNION ALL
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
         |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)""".stripMargin,
+
+    // Copy-on-write UPDATE: the high-key slice's %7 rows take the CASE
+    // values, everything else is untouched, and the low-key directory
+    // provably survived byte-identical.
+    "s_versioned_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey >= 30000 AND o_orderkey % 7 = 0
+        |       THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey >= 30000 AND o_orderkey % 7 = 0
+        |       THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+        |  true AS untouched_intact
+        |FROM orders""".stripMargin,
+
+    // SQL-text DML: the update CASE, then the %5 delete, then the
+    // upsert merge (matched keys replaced, fresh +100000000 keys
+    // inserted, deleted %11 keys RE-inserted — they no longer match);
+    // the four-op history rides every row.
+    "s_versioned_dml_sql" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |del AS (SELECT * FROM upd WHERE o_orderkey % 5 <> 0),
+        |src AS (
+        |  SELECT o_orderkey, 'M' AS o_orderstatus,
+        |         CAST(0.0 AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey,
+        |         o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 1)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  'append,update,delete,merge' AS history_ops FROM src
+        |UNION ALL
+        |SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice,
+        |  'append,update,delete,merge' AS history_ops FROM del d
+        |WHERE d.o_orderkey NOT IN (SELECT o_orderkey FROM src)""".stripMargin,
+
+    // Metadata-served aggregates equal the post-delete recomputation,
+    // and the plan was provably a LocalTableScan (no BatchScan).
+    "s_versioned_agg_push" ->
+      """SELECT count(*) AS n_rows, count(o_orderstatus) AS n_status,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  true AS metadata_plan
+        |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
 
     // The metadata detail row: version 1 (two appends), 2 directories,
     // every orders row, recorded sizes, no constraints.

@@ -109,6 +109,216 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case _ => None
     }
 
+  // ---- DML over versioned tables -----------------------------------
+  // Spark's grammar parses UPDATE / DELETE FROM / MERGE INTO natively,
+  // but no built-in rule can resolve them for these tables — so, like
+  // ALTER TABLE above, they are intercepted ONLY when the target
+  // provably addresses a versioned table. Clause keywords are located
+  // on the MASKED text at paren depth 0 (a WHERE inside a string
+  // literal or a scalar subquery never splits the statement) and the
+  // ORIGINAL text is sliced at those offsets, so expression text keeps
+  // its literals and reaches `expr(...)` verbatim.
+
+  // The head patterns must NOT end in `\s+`: a quoted-path target is
+  // blanked to spaces in the masked text, and a greedy trailing \s+
+  // would swallow it, leaving an empty target slice.
+  private val UpdateHeadRe = "(?is)^\\s*UPDATE\\b".r
+  private val DeleteHeadRe = "(?is)^\\s*DELETE\\s+FROM\\b".r
+  private val MergeHeadRe = "(?is)^\\s*MERGE\\s+INTO\\b".r
+  private val MergeTailRe =
+    ("(?is)^WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+" +
+      "WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*$").r
+
+  /** Offset of the first occurrence of word `kw` at paren depth 0 in
+    * `masked`, at or after `from`; -1 when absent.
+    */
+  private def topLevelKeyword(masked: String, from: Int, kw: String): Int = {
+    val up = masked.toUpperCase(java.util.Locale.ROOT)
+    val k = kw.toUpperCase(java.util.Locale.ROOT)
+    def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0
+    var i = from
+    while (i < up.length) {
+      up.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && up.startsWith(k, i) &&
+              (i == 0 || !wordChar(up.charAt(i - 1))) &&
+              (i + k.length == up.length || !wordChar(up.charAt(i + k.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split `[start, end)` of the statement on depth-0 commas of the
+    * masked text, returning trimmed RAW slices.
+    */
+  private def splitTopLevelCommas(masked: String, raw: String,
+                                  start: Int, end: Int): Seq[String] = {
+    val cuts = scala.collection.mutable.ArrayBuffer[Int](start - 1)
+    var depth = 0
+    var i = start
+    while (i < end) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => cuts += i
+        case _ => ()
+      }
+      i += 1
+    }
+    cuts += end
+    cuts.toSeq.sliding(2).map(w => raw.substring(w(0) + 1, w(1)).trim).toSeq
+  }
+
+  private def stripStmtTail(s: String): String = {
+    val t = s.trim
+    (if (t.endsWith(";")) t.dropRight(1) else t).trim
+  }
+
+  private def targetShaped(t: String): Boolean = t.matches(TargetPat)
+
+  /** `UPDATE t SET c = e [, ...] [WHERE cond]` over a versioned target
+    * → [[GraftUpdate]]; anything else returns None for Spark's parser.
+    */
+  private def updateCommand(sql: String, masked: String): Option[LogicalPlan] = {
+    val m = UpdateHeadRe.findFirstMatchIn(masked).getOrElse(return None)
+    val setPos = topLevelKeyword(masked, m.end, "SET")
+    if (setPos < 0) return None
+    val target = sql.substring(m.end, setPos).trim
+    if (!targetShaped(target) || !versionedTarget(target)) return None
+    val setEnd = setPos + "SET".length
+    val wherePos = topLevelKeyword(masked, setEnd, "WHERE")
+    val assignEnd = if (wherePos < 0) sql.length else wherePos
+    val assigns = splitTopLevelCommas(masked, sql, setEnd, assignEnd)
+      .map(stripStmtTail).filter(_.nonEmpty).map { a =>
+      // The first depth-0 '=' of the assignment splits column from
+      // expression. The LHS is a plain (possibly backticked) column
+      // name, so scanning the RAW slice is safe: an '=' inside an RHS
+      // string literal can only appear AFTER the real one.
+      var depth = 0
+      var eq = -1
+      var i = 0
+      while (i < a.length && eq < 0) {
+        a.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '=' if depth == 0 => eq = i
+          case _ => ()
+        }
+        i += 1
+      }
+      require(eq > 0, s"UPDATE: malformed SET assignment `$a`")
+      val colName = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+      (colName, a.substring(eq + 1).trim)
+    }
+    require(assigns.nonEmpty, "UPDATE needs at least one SET assignment")
+    val where =
+      if (wherePos < 0) None
+      else Some(stripStmtTail(sql.substring(wherePos + "WHERE".length)))
+        .filter(_.nonEmpty)
+    Some(GraftUpdate(target, assigns, where))
+  }
+
+  /** `DELETE FROM t [WHERE cond]` over a versioned target →
+    * [[GraftDelete]].
+    */
+  private def deleteCommand(sql: String, masked: String): Option[LogicalPlan] = {
+    val m = DeleteHeadRe.findFirstMatchIn(masked).getOrElse(return None)
+    val wherePos = topLevelKeyword(masked, m.end, "WHERE")
+    val target = stripStmtTail(
+      sql.substring(m.end, if (wherePos < 0) sql.length else wherePos))
+    if (!targetShaped(target) || !versionedTarget(target)) return None
+    val where =
+      if (wherePos < 0) None
+      else Some(stripStmtTail(sql.substring(wherePos + "WHERE".length)))
+        .filter(_.nonEmpty)
+    Some(GraftDelete(target, where))
+  }
+
+  /** `MERGE INTO t [[AS] a] USING (<src name or subquery>) [[AS] s]
+    * ON <same-name equi-keys> WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *` over a versioned target → [[GraftMerge]].
+    * The clause tail is matched exactly: a supported-looking MERGE with
+    * any other WHEN form fails loudly rather than silently upserting.
+    */
+  private def mergeCommand(sql: String, masked: String): Option[LogicalPlan] = {
+    val m = MergeHeadRe.findFirstMatchIn(masked).getOrElse(return None)
+    val usingPos = topLevelKeyword(masked, m.end, "USING")
+    if (usingPos < 0) return None
+    // target: first token; optional [AS] alias tolerated and unused
+    // (keys come from the ON clause's column NAMES)
+    val targetToks = sql.substring(m.end, usingPos).trim.split("\\s+").toSeq
+    val target = targetToks.headOption.getOrElse(return None)
+    if (!targetShaped(target) || !versionedTarget(target)) return None
+    val onPos = topLevelKeyword(masked, usingPos + "USING".length, "ON")
+    require(onPos > 0, "MERGE INTO (versioned): missing ON clause")
+    val whenPos = topLevelKeyword(masked, onPos + "ON".length, "WHEN")
+    require(whenPos > 0, "MERGE INTO (versioned): missing WHEN clauses")
+    require(MergeTailRe.findFirstIn(masked.substring(whenPos)).isDefined,
+      "MERGE INTO (versioned) supports exactly `WHEN MATCHED THEN UPDATE " +
+        "SET * WHEN NOT MATCHED THEN INSERT *` (the upsert form)")
+    // source: `(subquery) [alias]` or `name [alias]` — the matching
+    // close paren is found on the MASKED slice (parens inside literals
+    // never count) and both slices share coordinates (same substring
+    // bounds, untrimmed).
+    val srcStart = usingPos + "USING".length
+    val srcRaw = sql.substring(srcStart, onPos)
+    val srcMasked = masked.substring(srcStart, onPos)
+    val sourceSql =
+      if (srcRaw.trim.startsWith("(")) {
+        val lead = srcMasked.indexOf('(')
+        var depth = 0
+        var close = -1
+        var i = lead
+        while (i < srcMasked.length && close < 0) {
+          srcMasked.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ => ()
+          }
+          i += 1
+        }
+        require(close > 0, "MERGE INTO (versioned): unbalanced USING (...)")
+        srcRaw.substring(lead, close + 1)
+      } else srcRaw.trim.split("\\s+").head
+    // ON: conjunction of same-name equality keys
+    val condRaw = sql.substring(onPos + "ON".length, whenPos)
+    val condMasked = masked.substring(onPos + "ON".length, whenPos)
+    val conjuncts = {
+      val cuts = scala.collection.mutable.ArrayBuffer[Int](-"AND".length)
+      var i = 0
+      while (i < condMasked.length) {
+        val p = topLevelKeyword(condMasked, i, "AND")
+        if (p < 0) i = condMasked.length
+        else { cuts += p; i = p + 3 }
+      }
+      cuts += condMasked.length
+      cuts.toSeq.sliding(2).map(w =>
+        condRaw.substring(w(0) + "AND".length, w(1)).trim).toSeq
+    }
+    val EqKey =
+      "(?s)^\\s*(?:(\\w+)\\s*\\.\\s*)?`?(\\w+)`?\\s*=\\s*(?:(\\w+)\\s*\\.\\s*)?`?(\\w+)`?\\s*$".r
+    val keys = conjuncts.map {
+      case EqKey(_, c1, _, c2) if c1.equalsIgnoreCase(c2) => c1
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO (versioned): ON term `$other` must be a same-name " +
+          "equality key (t.k = s.k) — that is the upsert contract the " +
+          "stat-pruned merge implements")
+    }
+    Some(GraftMerge(target, sourceSql, keys))
+  }
+
+  private def dmlCommand(sqlText: String): Option[LogicalPlan] = {
+    val masked = maskLiteralsAndComments(sqlText)
+    updateCommand(sqlText, masked)
+      .orElse(deleteCommand(sqlText, masked))
+      .orElse(mergeCommand(sqlText, masked))
+  }
+
   /** Substitute `t VERSION AS OF v` / `t TIMESTAMP AS OF ts` over a
     * versioned table with the graftvt DataSourceV2 relation pinned to
     * that version, AT PARSE TIME — Spark's own resolution would reject
@@ -233,7 +443,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    maintenanceCommand(sqlText).getOrElse(
+    maintenanceCommand(sqlText).orElse(dmlCommand(sqlText)).getOrElse(
       substituteTimeTravel(rewrite(sqlText, delegate.parsePlan)))
   override def parseQuery(sqlText: String): LogicalPlan =
     substituteTimeTravel(rewrite(sqlText, delegate.parseQuery))

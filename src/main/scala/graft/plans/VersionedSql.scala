@@ -236,6 +236,76 @@ case class GraftConvert(path: String) extends LeafRunnableCommand {
   }
 }
 
+/** `UPDATE t SET c = expr [, ...] [WHERE cond]` —
+  * [[graft.sources.VersionedTable.update]] through SQL: the parser
+  * captures the assignment and predicate TEXT (so any Spark SQL
+  * expression works on either side) and this command binds them with
+  * `expr(...)` at run time against the copy-on-write rewrite. No WHERE
+  * updates every row. Returns the committed version (unchanged when
+  * nothing matches).
+  */
+case class GraftUpdate(target: String, assignments: Seq[(String, String)],
+                       where: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
+    val cond = where.map(expr).getOrElse(lit(true))
+    val v = vt.update(cond,
+      assignments.map { case (c, e) => c -> expr(e) }.toMap)
+    bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
+    Seq(Row(v))
+  }
+}
+
+/** `DELETE FROM t [WHERE cond]` —
+  * [[graft.sources.VersionedTable.delete]] through SQL. No WHERE
+  * empties the table (one 0-row schema-holder directory survives, so
+  * the table still reads as an empty frame).
+  */
+case class GraftDelete(target: String, where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
+    val v = vt.delete(where.map(expr).getOrElse(lit(true)))
+    bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
+    Seq(Row(v))
+  }
+}
+
+/** `MERGE INTO t USING src ON t.k = s.k [AND ...] WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the upsert form of
+  * Delta's MERGE, mapped onto [[graft.sources.VersionedTable.merge]].
+  * `src` is a table/view name or a parenthesized subquery; the ON
+  * clause must be a conjunction of same-name equality keys (that is
+  * [[graft.sources.VersionedTable.merge]]'s contract — per-key
+  * conjunctive stat pruning and the disjoint-writer retry both hang
+  * off the key spans). Clause forms beyond UPDATE SET * / INSERT *
+  * fail loudly at parse time rather than silently approximating.
+  */
+case class GraftMerge(target: String, sourceSql: String, keys: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
+    val src = sourceSql.trim
+    val sourceDf =
+      if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
+      else spark.table(src)
+    val v = vt.merge(sourceDf, keys)
+    bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
+    Seq(Row(v))
+  }
+}
+
 /** `VACUUM t RETAIN n VERSIONS` —
   * [[graft.sources.VersionedTable.vacuum]] through SQL: keep the last
   * n versions, reclaim everything older plus crash orphans.

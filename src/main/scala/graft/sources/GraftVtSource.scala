@@ -8,11 +8,14 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, NoopCache}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSourceV2 face of [[VersionedTable]] — `format("graftvt")`, so
@@ -168,7 +171,8 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
                                           options: CaseInsensitiveStringMap,
                                           changeFeed: Boolean = false)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   // In change-feed mode tableSchema carries the two synthetic columns;
   // the BASE schema is what the parquet files actually hold.
@@ -292,8 +296,110 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // ---- Aggregate pushdown: metadata-only answers ---------------------
+  // Delta answers `SELECT count(*) FROM t` from its log; so does this
+  // source — COUNT(*), COUNT(col), MIN(col), MAX(col) with no GROUP BY
+  // and no filters resolve ENTIRELY from the manifest fold
+  // ([[VersionedTable.fastCount]]/[[VersionedTable.fastNonNullCount]]/
+  // [[VersionedTable.statRange]]: per-directory exact stats computed at
+  // write time), and the scan collapses to a [[LocalScan]] — the plan
+  // shows a LocalTableScan, NO parquet footer ever opens. At 100 TB
+  // that's a few KB of log instead of a full-table scan. Catalyst only
+  // attempts aggregate pushdown when NO post-scan filters remain, and
+  // this source retains EVERY filter post-scan, so a filtered aggregate
+  // can never take this path — correctness is structural. Any
+  // unanswerable piece (a directory predating stats, an unsupported
+  // column type, DISTINCT, GROUP BY) rejects the WHOLE aggregation and
+  // the ordinary scan path serves it.
+  private var aggAnswer: Option[(StructType, InternalRow)] = None
+
+  private def aggColumn(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      baseSchema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+    case _ => None
+  }
+
+  /** The internal-row value of a column's metadata MIN or MAX, in the
+    * column's physical type. NTZ bounds were recorded through the
+    * writer session's timezone, so they are only served when the
+    * current session runs UTC (the engine's pinned zone) — anything
+    * else falls back to the scan.
+    */
+  private def statInternal(f: StructField, isMin: Boolean): Option[Any] = {
+    import org.apache.spark.sql.types._
+    val utcSession = SparkSession.active.sessionState.conf
+      .sessionLocalTimeZone == "UTC"
+    vt.statRange(f.name, Some(version)).flatMap { case (lo, hi) =>
+      val v = if (isMin) lo else hi
+      f.dataType match {
+        case ByteType => Some(v.asInstanceOf[Number].byteValue)
+        case ShortType => Some(v.asInstanceOf[Number].shortValue)
+        case IntegerType => Some(v.asInstanceOf[Number].intValue)
+        case LongType => Some(v.asInstanceOf[Number].longValue)
+        case TimestampType => Some(v.asInstanceOf[Number].longValue)
+        case TimestampNTZType if utcSession =>
+          Some(v.asInstanceOf[Number].longValue)
+        case FloatType => Some(v.asInstanceOf[Number].floatValue)
+        case DoubleType => Some(v.asInstanceOf[Number].doubleValue)
+        case StringType =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(
+            v.asInstanceOf[String]))
+        case _ => None
+      }
+    }
+  }
+
+  private def answerAggregation(agg: Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.types._
+    if (changeFeed) return None
+    if (ranges.nonEmpty || notNullCols.nonEmpty || isNullCols.nonEmpty ||
+        pushed.nonEmpty) return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    val funcs = agg.aggregateExpressions()
+    if (funcs.isEmpty) return None
+    val parts: Seq[Option[(StructField, Any)]] = funcs.toSeq.map {
+      case _: CountStar =>
+        vt.fastCount(Some(version)).map(n =>
+          (StructField("count(*)", LongType, nullable = false), n: Any))
+      case c: Count if !c.isDistinct =>
+        aggColumn(c.column()).flatMap(f =>
+          vt.fastNonNullCount(f.name, Some(version)).map(n =>
+            (StructField(s"count(${f.name})", LongType, nullable = false),
+              n: Any)))
+      case m: Min =>
+        aggColumn(m.column()).flatMap(f => statInternal(f, isMin = true)
+          .map(v => (StructField(s"min(${f.name})", f.dataType), v)))
+      case m: Max =>
+        aggColumn(m.column()).flatMap(f => statInternal(f, isMin = false)
+          .map(v => (StructField(s"max(${f.name})", f.dataType), v)))
+      case _ => None
+    }
+    if (parts.exists(_.isEmpty)) None
+    else {
+      val ps = parts.flatten
+      Some((StructType(ps.map(_._1)), InternalRow.fromSeq(ps.map(_._2))))
+    }
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggAnswer = answerAggregation(agg)
+    aggAnswer.isDefined
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    if (aggAnswer.isEmpty) aggAnswer = answerAggregation(agg)
+    aggAnswer.isDefined
+  }
+
   override def build(): Scan = {
     val spark = SparkSession.active
+    aggAnswer match {
+      case Some((schema, row)) =>
+        return new GraftVtAggregateScan(schema, Array(row), rootPath)
+      case None => ()
+    }
     if (changeFeed) {
       // Change feed: the scan serves versions' added/removed files with
       // (_change_type, _commit_version) injected as PARTITION VALUES —
@@ -345,6 +451,18 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
         options.asScala.toMap, parquet)
     }
   }
+}
+
+/** A completely-pushed-down aggregate answered from the manifest fold:
+  * one pre-computed row, planned as a LocalTableScan — the table's
+  * data is never touched.
+  */
+private[graft] class GraftVtAggregateScan(schema: StructType,
+                                          answer: Array[InternalRow],
+                                          rootPath: String) extends LocalScan {
+  override def rows(): Array[InternalRow] = answer
+  override def readSchema(): StructType = schema
+  override def description(): String = s"GraftVtMetadataAggregate $rootPath"
 }
 
 /** The produced Scan: BATCH reads delegate wholesale to the stock

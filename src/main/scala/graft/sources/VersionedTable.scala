@@ -1325,6 +1325,117 @@ class VersionedTable(spark: SparkSession, dir: String,
       validated0 = Map.empty)
   }
 
+  /** Delta-style UPDATE — copy-on-write row update in ONE atomic
+    * commit, the third row-level mutation next to [[merge]] and
+    * [[delete]]. One snapshot scan (tagged with `input_file_name`)
+    * finds the directories actually holding matching rows; ONLY those
+    * are rewritten, with each assigned column replaced by its new
+    * expression on the matching rows (CAST to the column's physical
+    * type — the table schema never drifts) and every other row carried
+    * through byte-equal. SQL UPDATE null semantics: rows where
+    * `condition` is NULL are NOT updated. Write amplification is
+    * bounded by where the condition's rows live, exactly like
+    * [[delete]] — after an [[optimize]] clustered on the predicate
+    * column, that's the matching chunks only. New values are validated
+    * against the table's CHECK constraints in the same stats job that
+    * indexes the rewrite ([[writePayload]]). Returns the committed
+    * version, or the CURRENT version unchanged when nothing matches.
+    *
+    * Conflict semantics ride [[publishMutationRetrying]]: a concurrent
+    * append of rows that cannot match the condition retries through; a
+    * winner that rewrote this update's inputs, or added data the
+    * condition may match (checked EXACTLY by scanning just the winner's
+    * added directories — an arbitrary Column has no stat form), fails
+    * loudly. `writeChangeData = true` persists the exact row-level CDC
+    * (`update_preimage`/`update_postimage`), making [[changes]] serve
+    * this commit precisely instead of the coarse delete+insert
+    * synthesis.
+    */
+  def update(condition: org.apache.spark.sql.Column,
+             assignments: Map[String, org.apache.spark.sql.Column],
+             writeChangeData: Boolean = false, maxRetries: Int = 5): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    require(assignments.nonEmpty, "update needs at least one SET assignment")
+    val latest = latestVersion
+    require(latest >= 0, s"$dir has no committed versions")
+    val snapState = snapshotAt(latest)
+    val active = snapState.active
+    val snap = readDirs(active)
+    val schema = snap.schema
+    assignments.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"update SET column `$k` is not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    val hit = coalesce(condition, lit(false))
+    // Which directories hold matching rows? One scan, metadata-sized
+    // result — same discovery as [[delete]].
+    val touched = snap.withColumn("__graft_file", input_file_name())
+      .filter(hit).select(col("__graft_file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getParent.getName)
+      .toSet.toSeq.sorted
+    if (touched.isEmpty) return latest
+    val v = latest + 1
+    val updatedCols = schema.fields.map { f =>
+      assignments.get(f.name) match {
+        case Some(e) =>
+          when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq
+    val rewritten = readDirs(touched).select(updatedCols: _*)
+    // New values validate against the CURRENT constraints inside the
+    // stats job; a violation aborts before anything publishes.
+    val (name, rows, st) = writePayload(rewritten, v, snapState.constraints)
+    val cdfName =
+      if (!writeChangeData) None
+      else {
+        val n = f"cdf-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+        val matched = readDirs(touched).filter(hit)
+        matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(matched.select(updatedCols: _*)
+            .withColumn("_change_type", lit("update_postimage")))
+          .write.parquet(new Path(root, n).toString)
+        Some(n)
+      }
+    // A concurrent winner's added directories conflict iff they hold
+    // any row the condition matches — exact scan, same rule as delete.
+    val addedMayMatch: Commit => Seq[String] = c =>
+      if (c.added.isEmpty) Seq.empty
+      else if (!readDirs(c.added).filter(hit).isEmpty) c.added
+      else Seq.empty
+    // The payload carries NEW values a concurrently added constraint
+    // never saw — revalidate it on retry, same as merge.
+    publishMutationRetrying("update", latest, maxRetries, touched,
+      revalidate = Seq(name), addedMayMatch,
+      mkCommit = vv => Commit(vv, "update", Seq(name), touched, rows,
+        System.currentTimeMillis(), addedStats = Map(name -> st),
+        cdf = cdfName, addedRows = Map(name -> rows)),
+      validated0 = snapState.constraints)
+  }
+
+  /** Metadata-only COUNT(col) — the non-null count of a column from
+    * the manifest fold alone: per-directory `rows - nulls`, summed over
+    * the active set. Returns None (never guesses) when any active
+    * directory predates row-count recording, lacks a stats entry for
+    * the column (unsupported type, or the column was appended later and
+    * this directory's files never held it — its rows READ as null, but
+    * the manifest cannot prove that), or recorded stats before null
+    * counts existed (`nulls = -1`).
+    */
+  def fastNonNullCount(colName: String, version: Option[Int] = None)
+      : Option[Long] = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    val snap = snapshotAt(v)
+    val parts = snap.active.map { d =>
+      for {
+        rows <- snap.dirRows.get(d)
+        cs <- snap.stats.get(d).flatMap(_.get(colName))
+        if cs.nulls >= 0L
+      } yield rows - cs.nulls
+    }
+    if (parts.exists(_.isEmpty)) None else Some(parts.flatten.sum)
+  }
+
   /** Change data feed (Delta's `readChangeFeed`): every row added or
     * removed by commits `fromVersion..toVersion` (both inclusive),
     * tagged `_change_type` and `_commit_version`. Appends synthesize

@@ -210,6 +210,72 @@ class GraftVtSourceSpec extends SparkSuite {
     assert(t2.read().count() === 2) // the overflow write committed nothing
   }
 
+  test("unfiltered COUNT/MIN/MAX push down completely: LocalTableScan, no parquet read") {
+    val (dir, vt) = threeSliceTable()
+    spark.read.format("graftvt").load(dir).createOrReplaceTempView("vt_agg_spec")
+    val q = spark.sql(
+      "SELECT count(*) AS n, count(s) AS ns, min(k) AS mn, max(k) AS mx, " +
+        "min(x) AS mnx, max(s) AS mxs FROM vt_agg_spec")
+    // the plan is a LocalTableScan — the aggregate was answered from
+    // the manifest fold, no parquet scan exists anywhere in the plan
+    val exec = q.queryExecution.executedPlan
+    assert(exec.collectWithSubqueries {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.nonEmpty, exec.toString)
+    assert(exec.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.isEmpty, exec.toString)
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getString(5))).toSeq ===
+      Seq((300L, 300L, 0L, 299L, 0.0, "c299")))
+    // row-level mutations keep the metadata answers exact
+    vt.delete(col("k") < 10L)
+    vt.update(col("k") === 299L, Map("x" -> lit(9999.0)))
+    spark.read.format("graftvt").load(dir).createOrReplaceTempView("vt_agg_spec")
+    val q2 = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(x) AS mx FROM vt_agg_spec")
+    assert(q2.queryExecution.executedPlan.collectWithSubqueries {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.nonEmpty)
+    assert(q2.head === org.apache.spark.sql.Row(290L, 10L, 9999.0))
+    // time travel serves the version's own metadata
+    val q0 = spark.read.format("graftvt").option("versionAsOf", 2)
+      .load(dir).agg(count(lit(1)), min(col("k")))
+    assert(q0.head === org.apache.spark.sql.Row(300L, 0L))
+  }
+
+  test("filtered, grouped, or distinct aggregates fall back to the real scan") {
+    val (dir, _) = threeSliceTable()
+    spark.read.format("graftvt").load(dir).createOrReplaceTempView("vt_agg_fb")
+    def isLocal(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.collectWithSubqueries {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.nonEmpty
+    // a filter forces the scan path — and the answer is still right
+    val f = spark.sql("SELECT count(*) AS n FROM vt_agg_fb WHERE k >= 150")
+    assert(!isLocal(f) && f.head.getLong(0) === 150L)
+    val g = spark.sql("SELECT s, count(*) FROM vt_agg_fb GROUP BY s LIMIT 1")
+    assert(!isLocal(g))
+    val d = spark.sql("SELECT count(DISTINCT k) AS n FROM vt_agg_fb")
+    assert(!isLocal(d) && d.head.getLong(0) === 300L)
+    // sum() has no metadata form — the whole aggregation falls back
+    val sq = spark.sql("SELECT count(*) AS n, sum(k) AS s FROM vt_agg_fb")
+    assert(!isLocal(sq) && sq.head.getLong(1) === (0L until 300L).sum)
+    // an all-null column rejects min/max (no exact bounds) but the
+    // scan still answers
+    val dir2 = tmpVt()
+    val vt2 = new graft.sources.VersionedTable(spark, dir2)
+    vt2.append(Seq((1L, None: Option[String]), (2L, None)).toDF("k", "s"))
+    val an = spark.read.format("graftvt").load(dir2)
+      .agg(min(col("s")).as("mn"), count(lit(1)).as("n"))
+    assert(!isLocal(an))
+    assert(an.head.isNullAt(0) && an.head.getLong(1) === 2L)
+    // COUNT(col) = rows - nulls IS metadata-answerable on that table
+    val cn = spark.read.format("graftvt").load(dir2)
+      .agg(count(col("s")).as("n"), count(col("k")).as("nk"))
+    assert(isLocal(cn) && cn.head === org.apache.spark.sql.Row(0L, 2L))
+  }
+
   test("TIMESTAMP_NTZ columns prune through the session zone (the fixtures' encoding)") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)

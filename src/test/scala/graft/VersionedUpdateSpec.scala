@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The third row-level mutation — copy-on-write UPDATE — and the SQL
+  * DML frontend (UPDATE / DELETE FROM / MERGE INTO) over versioned
+  * tables.
+  */
+class VersionedUpdateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpVt(): String =
+    java.nio.file.Files.createTempDirectory("vt_upd_spec").toString
+
+  test("update rewrites only matching rows; non-matching and NULL-condition rows survive") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null, 30.0))
+      .toDF("k", "s", "p"))
+    val v = vt.update(col("s") === "a", Map("p" -> (col("p") + 100)))
+    assert(v === 1)
+    val rows = vt.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // k=3's condition is NULL (s is null) → NOT updated, SQL semantics
+    assert(rows === Seq((1L, "a", 110.0), (2L, "b", 20.0), (3L, null, 30.0)))
+    // time travel still serves the pre-update rows
+    assert(vt.readAt(0).filter(col("k") === 1).head.getDouble(2) === 10.0)
+  }
+
+  test("update touches only the directories holding matching rows") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 50L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.append((100L until 150L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    val before = vt.activeDirs()
+    vt.update(col("k") >= 100L, Map("p" -> lit(-1.0)))
+    val after = vt.activeDirs()
+    // the first directory was never rewritten — its name stays active
+    assert(after.contains(before.head))
+    assert(!after.contains(before.last))
+    assert(vt.read().filter(col("p") === -1.0).count() === 50)
+    assert(vt.read().count() === 100)
+    // no match → no commit
+    val v = vt.latestVersion
+    assert(vt.update(col("k") === 99999L, Map("p" -> lit(0.0))) === v)
+  }
+
+  test("update casts assigned values to the column's physical type; schema never drifts") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1, 5), (2, 6)).toDF("k", "v")) // both int
+    vt.update(col("k") === 1, Map("v" -> lit(123L))) // long literal
+    assert(vt.read().schema("v").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(vt.read().filter(col("k") === 1).head.getInt(1) === 123)
+    // unknown column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      vt.update(lit(true), Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("update validates CHECK constraints on the NEW values and aborts before publish") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"))
+    vt.addConstraint("pos", "p >= 0")
+    val v = vt.latestVersion
+    intercept[IllegalArgumentException] {
+      vt.update(col("k") === 1L, Map("p" -> lit(-5.0)))
+    }
+    assert(vt.latestVersion === v) // nothing committed
+    assert(vt.read().filter(col("k") === 1L).head.getDouble(1) === 10.0)
+  }
+
+  test("update with writeChangeData serves exact pre/postimages through changes()") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "p"))
+    val v = vt.update(col("k") <= 2L, Map("p" -> (col("p") * 2)),
+      writeChangeData = true)
+    val cdc = vt.changes(v, v).orderBy("_change_type", "k").collect()
+      .map(r => (r.getString(r.fieldIndex("_change_type")), r.getLong(0),
+        r.getDouble(1))).toSeq
+    assert(cdc === Seq(
+      ("update_postimage", 1L, 20.0), ("update_postimage", 2L, 40.0),
+      ("update_preimage", 1L, 10.0), ("update_preimage", 2L, 20.0)))
+  }
+
+  test("concurrent append of non-matching data retries through; matching data fails loudly") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 20L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    // disjoint winner: lands mid-update, cannot match k < 10 → retry wins
+    vt.beforeMutationPublish = () => {
+      new graft.sources.VersionedTable(spark, dir)
+        .append(Seq((500L, 0.0)).toDF("k", "p"))
+      vt.beforeMutationPublish = () => ()
+    }
+    vt.update(col("k") < 10L, Map("p" -> lit(-1.0)))
+    assert(vt.read().count() === 21)
+    assert(vt.read().filter(col("p") === -1.0).count() === 10)
+    // overlapping winner: adds a row the condition matches → loud
+    vt.beforeMutationPublish = () => {
+      new graft.sources.VersionedTable(spark, dir)
+        .append(Seq((5L, 999.0)).toDF("k", "p"))
+      vt.beforeMutationPublish = () => ()
+    }
+    val e = intercept[IllegalStateException] {
+      vt.update(col("k") < 10L, Map("p" -> lit(-2.0)))
+    }
+    assert(e.getMessage.contains("may match"))
+  }
+
+  test("SQL UPDATE / DELETE FROM / MERGE INTO drive the mutations over a quoted path") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "p"))
+    // literals containing clause keywords must not confuse the parser
+    spark.sql(s"UPDATE '$dir' SET s = 'WHERE SET', p = p + 1 WHERE k <= 2")
+    val rows = vt.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((1L, "WHERE SET", 11.0), (2L, "WHERE SET", 21.0),
+      (3L, "c", 30.0)))
+    spark.sql(s"DELETE FROM '$dir' WHERE k = 2")
+    assert(vt.read().count() === 2)
+    // MERGE with a subquery source and aliases; upsert form only
+    Seq((3L, "C!", 333.0), (9L, "new", 900.0)).toDF("k", "s", "p")
+      .createOrReplaceTempView("vt_upd_src")
+    spark.sql(
+      s"""MERGE INTO '$dir' t USING (SELECT * FROM vt_upd_src) src
+         |ON t.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val merged = vt.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(merged === Seq((1L, "WHERE SET", 11.0), (3L, "C!", 333.0),
+      (9L, "new", 900.0)))
+    // unsupported WHEN forms fail loudly, never silently approximate
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO '$dir' t USING vt_upd_src src ON t.k = src.k
+                   |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("upsert form"))
+    // UPDATE without WHERE touches every row; DELETE FROM empties
+    spark.sql(s"UPDATE '$dir' SET p = 0")
+    assert(vt.read().agg(sum("p")).head.getDouble(0) === 0.0)
+    spark.sql(s"DELETE FROM '$dir'")
+    assert(vt.read().count() === 0)
+  }
+
+  test("SQL DML over bridge-named tables refreshes the catalog view; plain tables untouched") {
+    val tbl = "vdml_bridge"
+    try spark.catalog.dropTempView(tbl) catch { case _: Exception => () }
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl + "__versioned")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    val tables = new graft.sources.TableManager(spark)
+    tables.appendVersioned(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"), tbl)
+    spark.sql(s"UPDATE $tbl SET p = p * 10 WHERE k = 1")
+    // the refreshed view serves the post-update snapshot through SQL
+    assert(spark.sql(s"SELECT p FROM $tbl WHERE k = 1").head.getDouble(0) === 100.0)
+    spark.sql(s"DELETE FROM $tbl WHERE k = 2")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 1)
+    // a non-versioned target falls through to Spark's own parser:
+    // its error, not our bridge error
+    val e = intercept[Exception] {
+      spark.sql("UPDATE definitely_not_a_table SET x = 1")
+    }
+    assert(!e.getMessage.contains("not a versioned table"))
+    // ...and DML keywords inside literals never trigger the intercept
+    assert(spark.sql("SELECT 'UPDATE t SET x = 1' AS s").head.getString(0)
+      === "UPDATE t SET x = 1")
+  }
+
+  test("fastNonNullCount answers COUNT(col) from the manifest fold only") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("k", "s"))
+    vt.append(Seq((4L, None: Option[String]), (5L, None)).toDF("k", "s"))
+    assert(vt.fastNonNullCount("s") === Some(2L))
+    assert(vt.fastNonNullCount("k") === Some(5L))
+    assert(vt.fastNonNullCount("s", Some(0)) === Some(2L))
+    assert(vt.fastNonNullCount("nope") === None)
+    assert(vt.fastCount() === Some(5L))
+  }
+}
