@@ -1438,6 +1438,55 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // Dynamic partition pruning on the DSv2 source (the 100 TB
+    // star-join shape): the fact table holds orders in 3 range-disjoint
+    // orderkey slices; the dimension is a SMALL parquet file whose
+    // selective predicate (tag = 'keep') correlates with the fact
+    // layout. Spark executes the dim side first and hands the surviving
+    // join keys to the scan as a runtime IN filter; exact stat-domain
+    // membership (pruneActiveIn) drops 2 of 3 fact directories BEFORE
+    // their parquet plans — pinned via the scan's own seam (kept_dirs)
+    // and the optimizer's injected subquery (dpp_planned). The join
+    // answer equals the oracle's recomputation.
+    "s_versioned_dpp" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_dpp").toString
+      val dimDir = java.nio.file.Files.createTempDirectory("graft_vt_dppd").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") < 20000L))
+        vt.append(o.filter(col("o_orderkey") >= 20000L && col("o_orderkey") < 40000L))
+        vt.append(o.filter(col("o_orderkey") >= 40000L))
+        t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey").as("dk"),
+            when(col("o_orderkey") < 20000L, lit("keep")).otherwise(lit("drop"))
+              .as("tag"))
+          .write.mode("overwrite").parquet(dimDir)
+        val dim = s.read.parquet(dimDir)
+        val fact = s.read.format("graftvt").load(base)
+        val joined = fact.join(dim.filter(col("tag") === "keep"),
+          fact("o_orderkey") === dim("dk"))
+        val dppPlanned =
+          joined.queryExecution.optimizedPlan.toString.contains("dynamicpruning")
+        val rows = joined.collect()
+        val finalPlan = joined.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.finalPhysicalPlan
+          case p => p
+        }
+        val kept = finalPlan.collectWithSubqueries {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan
+        }.collectFirst { case sc: graft.sources.GraftVtScan => sc }
+          .flatMap(_.runtimeKept).getOrElse(-1)
+        Seq((rows.length.toLong,
+          math.round(rows.map(_.getDouble(1)).sum * 100) / 100.0,
+          kept, dppPlanned))
+          .toDF("n_rows", "revenue", "kept_dirs", "dpp_planned")
+      } finally { deleteRecursively(base); deleteRecursively(dimDir) }
+    }),
+
     // Metadata-only COUNT(*): after appends, a merge, and a delete, the
     // row count resolved purely from the manifest fold (fastCount — no
     // data scan) must equal the real scan count at BOTH the current and
@@ -3798,6 +3847,17 @@ object SparkEntry {
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |  true AS metadata_plan
         |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+
+    // The dimension's surviving keys (every 100th key below 20000) each
+    // match exactly one fact row; the runtime filter provably kept ONE
+    // of the three fact directories, and the pruning subquery was
+    // planned.
+    "s_versioned_dpp" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  CAST(1 AS INTEGER) AS kept_dirs, true AS dpp_planned
+        |FROM orders
+        |WHERE o_orderkey % 100 = 0 AND o_orderkey < 20000""".stripMargin,
 
     // The metadata detail row: version 1 (two appends), 2 directories,
     // every orders row, recorded sizes, no constraints.

@@ -186,93 +186,17 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
   private var notNullCols: Seq[String] = Nil
   private var isNullCols: Seq[String] = Nil
 
-  /** A filter value in the manifest-stat domain: integrals → Long,
-    * fractionals → Double, strings as-is, timestamps → exact epoch
-    * MICROS (both pre- and post-java8 external types — a
-    * seconds-truncated bound could wrongly prune the directory holding
-    * it). Dates/decimals/binary return None: [[VersionedTable]] never
-    * indexes those types, so a range on them cannot prune anyway.
-    */
-  private def statBound(v: Any): Option[Any] = v match {
-    case null => None
-    case i: java.lang.Integer => Some(i.longValue)
-    case l: java.lang.Long => Some(l)
-    case s: java.lang.Short => Some(s.longValue)
-    case b: java.lang.Byte => Some(b.longValue)
-    case f: java.lang.Float => Some(f.doubleValue)
-    case d: java.lang.Double => Some(d)
-    case s: String => Some(s)
-    case t: java.sql.Timestamp =>
-      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
-    case i: java.time.Instant =>
-      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-    case ldt: java.time.LocalDateTime =>
-      // TIMESTAMP_NTZ literal: the stats were computed by casting NTZ
-      // through the writer session's timezone (statsOf), so the
-      // wall-time bound converts through the CURRENT session zone —
-      // exact when reader and writer agree on the session timezone
-      // (this engine pins UTC everywhere); a mismatched pair should
-      // not prune, so the caller keeps the conservative None path by
-      // configuring the same zone, same as any NTZ consumer.
-      val zone = java.time.ZoneId.of(
-        SparkSession.active.sessionState.conf.sessionLocalTimeZone)
-      val i = ldt.atZone(zone).toInstant
-      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-    case _ => None
-  }
+  private def statBound(v: Any): Option[Any] = GraftVtFilters.statBound(v)
 
   // Only top-level columns prune (a dotted v1 filter name is a nested
   // field — the stats index has no entry for it, conservative keep).
-  private def plain(attr: String): Boolean = !attr.contains(".")
+  private def plain(attr: String): Boolean = GraftVtFilters.plain(attr)
 
-  /** The directory-prunable ranges of one pushed conjunct. Strict
-    * bounds relax to inclusive (superset — the row filter still
-    * applies); an IN-list collapses to its [min, max] envelope under
-    * the SAME comparison order the stats prune with (cmpBound — a
-    * UTF-16 min over an IN-list could exclude a member from the
-    * envelope in UTF-8 stat order and prune a directory that holds
-    * it). Unsupported shapes (Or, IsNull, functions…) contribute
-    * nothing and stay post-scan like everything else.
-    */
   private def toRanges(f: Filter): Seq[(String, Option[Any], Option[Any])] =
-    f match {
-      case EqualTo(a, v) if plain(a) =>
-        statBound(v).map(b => (a, Some(b): Option[Any], Some(b): Option[Any])).toSeq
-      case GreaterThan(a, v) if plain(a) =>
-        statBound(v).map(b => (a, Some(b): Option[Any], None: Option[Any])).toSeq
-      case GreaterThanOrEqual(a, v) if plain(a) =>
-        statBound(v).map(b => (a, Some(b): Option[Any], None: Option[Any])).toSeq
-      case LessThan(a, v) if plain(a) =>
-        statBound(v).map(b => (a, None: Option[Any], Some(b): Option[Any])).toSeq
-      case LessThanOrEqual(a, v) if plain(a) =>
-        statBound(v).map(b => (a, None: Option[Any], Some(b): Option[Any])).toSeq
-      case In(a, vs) if plain(a) && vs.nonEmpty =>
-        val bs = vs.toSeq.map(statBound)
-        if (bs.exists(_.isEmpty)) Nil
-        else {
-          val bounds = bs.flatten
-          val lo = bounds.reduce((x, y) => if (vt.cmpBound(x, y) <= 0) x else y)
-          val hi = bounds.reduce((x, y) => if (vt.cmpBound(x, y) >= 0) x else y)
-          Seq((a, Some(lo), Some(hi)))
-        }
-      case And(l, r) => toRanges(l) ++ toRanges(r)
-      case _ => Nil
-    }
+    GraftVtFilters.toRanges(f, vt.cmpBound)
 
-  /** Null-ness conjuncts prune on the manifest's null counts: IS NOT
-    * NULL skips all-null directories, IS NULL skips zero-null ones
-    * (Delta's nullCount statistics). Spark pushes an IsNotNull for
-    * every column a filter references, so this fires on almost every
-    * filtered scan.
-    */
-  private def toNullness(f: Filter): (Seq[String], Seq[String]) = f match {
-    case IsNotNull(a) if plain(a) => (Seq(a), Nil)
-    case IsNull(a) if plain(a) => (Nil, Seq(a))
-    case And(l, r) =>
-      val (ln, li) = toNullness(l); val (rn, ri) = toNullness(r)
-      (ln ++ rn, li ++ ri)
-    case _ => (Nil, Nil)
-  }
+  private def toNullness(f: Filter): (Seq[String], Seq[String]) =
+    GraftVtFilters.toNullness(f)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     ranges = filters.toSeq.flatMap(toRanges)
@@ -448,7 +372,8 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
         pushedFilters = pushed,
         options = options)
       new GraftVtScan(spark, vt, rootPath, tableSchema, required,
-        options.asScala.toMap, parquet)
+        options.asScala.toMap, parquet,
+        version = version, staticKept = kept, staticPushed = pushed)
     }
   }
 }
@@ -472,15 +397,95 @@ private[graft] class GraftVtAggregateScan(schema: StructType,
   * table to [[GraftVtMicroBatchStream]], whose offsets are log
   * versions. `parquet` is exposed for plan assertions (the pruning
   * gates count its file-index roots).
+  *
+  * RUNTIME filtering ([[SupportsRuntimeFiltering]] — Spark's
+  * dynamic-partition-pruning hook for v2 sources): when this table is
+  * the big side of a join whose other side carries a selective filter,
+  * Spark executes the small side first and hands the join keys' value
+  * set here as an IN filter BEFORE this scan plans its partitions. The
+  * values prune directories by EXACT membership against the manifest
+  * stats ([[VersionedTable.pruneActiveIn]] — tighter than a [min, max]
+  * envelope for scattered key sets), the inner parquet scan rebuilds
+  * over the survivors, and `toBatch` (re-invoked by `BatchScanExec`
+  * after `filter`) plans only them. At 100 TB this is the star-join
+  * shape: a dimension filter skips fact directories wholesale. Pruning
+  * stays a SUPERSET guarantee — the join itself drops any surviving
+  * non-matching rows, so a conservative keep can never change answers.
   */
 private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
                                    rootPath: String, tableSchema: StructType,
                                    required: StructType,
                                    optionsMap: Map[String, String],
-                                   val parquet: ParquetScan,
-                                   cdf: Option[(Int, Int, Seq[String])] = None)
+                                   parquet0: ParquetScan,
+                                   cdf: Option[(Int, Int, Seq[String])] = None,
+                                   version: Int = -1,
+                                   staticKept: Seq[String] = Nil,
+                                   staticPushed: Array[Filter] = Array.empty)
     extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private var current: ParquetScan = parquet0
+  @volatile private var currentKept: Seq[String] = staticKept
+  /** Test/gate seam: Some(kept count) once a runtime filter pruned. */
+  @volatile private[graft] var runtimeKept: Option[Int] = None
+
+  def parquet: ParquetScan = current
+
+  /** Runtime-filterable columns: every top-level column the manifest
+    * stats can index — restricted to the scan's OUTPUT (Spark resolves
+    * these against the pruned read schema; reporting a pruned-away
+    * column is an analysis error). A change-feed scan reports none
+    * (its unit is a commit, not the active set).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    if (cdf.isDefined || version < 0) Array.empty
+    else readSchema().fields.collect {
+      case f if {
+        import org.apache.spark.sql.types._
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+               DoubleType | StringType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }
+      } => org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    if (cdf.isDefined || version < 0) return
+    var kept = currentKept
+    filters.foreach {
+      case In(a, vs) if GraftVtFilters.plain(a) && vs.nonEmpty =>
+        // null members never match (SQL: = NULL is never true) and are
+        // dropped; any UNTRANSLATABLE non-null member keeps every
+        // directory (conservative — its rows could live anywhere)
+        val pairs = vs.toSeq.filter(_ != null)
+          .map(v => GraftVtFilters.statBound(v))
+        if (!pairs.exists(_.isEmpty)) {
+          val (k, _) = vt.pruneActiveIn(a, pairs.flatten, Some(version))
+          kept = kept.intersect(k)
+        }
+      case f =>
+        val rs = GraftVtFilters.toRanges(f, vt.cmpBound)
+        if (rs.nonEmpty)
+          kept = kept.intersect(vt.pruneActiveAll(rs, Some(version))._1)
+    }
+    if (kept.size < currentKept.size) {
+      val paths = kept.map(n => new Path(new Path(rootPath), n))
+      val index = new InMemoryFileIndex(spark, paths, optionsMap,
+        Some(tableSchema), NoopCache, None, None)
+      current = ParquetScan(spark,
+        spark.sessionState.newHadoopConfWithOptions(optionsMap),
+        index,
+        dataSchema = tableSchema,
+        readDataSchema = required,
+        readPartitionSchema = new StructType(),
+        pushedFilters = staticPushed,
+        options = new CaseInsensitiveStringMap(optionsMap.asJava))
+      currentKept = kept
+    }
+    runtimeKept = Some(kept.size)
+  }
 
   override def readSchema(): StructType =
     if (cdf.isDefined) required else parquet.readSchema()
@@ -508,4 +513,104 @@ private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
       : org.apache.spark.sql.connector.read.Statistics =
     parquet.estimateStatistics()
   override def description(): String = "GraftVt " + parquet.description()
+}
+
+/** The v1-Filter → manifest-stat-domain translation, shared by the
+  * plan-time pushdown ([[GraftVtScanBuilder]]) and the runtime
+  * (dynamic-partition-pruning) filter path ([[GraftVtScan]]).
+  */
+private[sources] object GraftVtFilters {
+
+  /** A filter value in the manifest-stat domain: integrals → Long,
+    * fractionals → Double, strings as-is, timestamps → exact epoch
+    * MICROS (both pre- and post-java8 external types — a
+    * seconds-truncated bound could wrongly prune the directory holding
+    * it). Dates/decimals/binary return None: [[VersionedTable]] never
+    * indexes those types, so a range on them cannot prune anyway.
+    */
+  def statBound(v: Any): Option[Any] = v match {
+    case null => None
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long => Some(l)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case f: java.lang.Float => Some(f.doubleValue)
+    case d: java.lang.Double => Some(d)
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      // runtime (DPP) filter values may arrive as Catalyst internals
+      Some(u.toString)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case ldt: java.time.LocalDateTime =>
+      // TIMESTAMP_NTZ literal: the stats were computed by casting NTZ
+      // through the writer session's timezone (statsOf), so the
+      // wall-time bound converts through the CURRENT session zone —
+      // exact when reader and writer agree on the session timezone
+      // (this engine pins UTC everywhere); a mismatched pair should
+      // not prune, so the caller keeps the conservative None path by
+      // configuring the same zone, same as any NTZ consumer.
+      val zone = java.time.ZoneId.of(
+        SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+      val i = ldt.atZone(zone).toInstant
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+
+  // Only top-level columns prune (a dotted v1 filter name is a nested
+  // field — the stats index has no entry for it, conservative keep).
+  def plain(attr: String): Boolean = !attr.contains(".")
+
+  /** The directory-prunable ranges of one pushed conjunct. Strict
+    * bounds relax to inclusive (superset — the row filter still
+    * applies); an IN-list collapses to its [min, max] envelope under
+    * the SAME comparison order the stats prune with (`cmp` =
+    * [[VersionedTable.cmpBound]] — a UTF-16 min over an IN-list could
+    * exclude a member from the envelope in UTF-8 stat order and prune
+    * a directory that holds it). Unsupported shapes (Or, IsNull,
+    * functions…) contribute nothing and stay post-scan like everything
+    * else.
+    */
+  def toRanges(f: Filter, cmp: (Any, Any) => Int)
+      : Seq[(String, Option[Any], Option[Any])] =
+    f match {
+      case EqualTo(a, v) if plain(a) =>
+        statBound(v).map(b => (a, Some(b): Option[Any], Some(b): Option[Any])).toSeq
+      case GreaterThan(a, v) if plain(a) =>
+        statBound(v).map(b => (a, Some(b): Option[Any], None: Option[Any])).toSeq
+      case GreaterThanOrEqual(a, v) if plain(a) =>
+        statBound(v).map(b => (a, Some(b): Option[Any], None: Option[Any])).toSeq
+      case LessThan(a, v) if plain(a) =>
+        statBound(v).map(b => (a, None: Option[Any], Some(b): Option[Any])).toSeq
+      case LessThanOrEqual(a, v) if plain(a) =>
+        statBound(v).map(b => (a, None: Option[Any], Some(b): Option[Any])).toSeq
+      case In(a, vs) if plain(a) && vs.nonEmpty =>
+        val bs = vs.toSeq.map(statBound)
+        if (bs.exists(_.isEmpty)) Nil
+        else {
+          val bounds = bs.flatten
+          val lo = bounds.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
+          val hi = bounds.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
+          Seq((a, Some(lo), Some(hi)))
+        }
+      case And(l, r) => toRanges(l, cmp) ++ toRanges(r, cmp)
+      case _ => Nil
+    }
+
+  /** Null-ness conjuncts prune on the manifest's null counts: IS NOT
+    * NULL skips all-null directories, IS NULL skips zero-null ones
+    * (Delta's nullCount statistics). Spark pushes an IsNotNull for
+    * every column a filter references, so this fires on almost every
+    * filtered scan.
+    */
+  def toNullness(f: Filter): (Seq[String], Seq[String]) = f match {
+    case IsNotNull(a) if plain(a) => (Seq(a), Nil)
+    case IsNull(a) if plain(a) => (Nil, Seq(a))
+    case And(l, r) =>
+      val (ln, li) = toNullness(l); val (rn, ri) = toNullness(r)
+      (ln ++ rn, li ++ ri)
+    case _ => (Nil, Nil)
+  }
 }

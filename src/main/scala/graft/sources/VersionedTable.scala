@@ -1903,6 +1903,46 @@ class VersionedTable(spark: SparkSession, dir: String,
     }
   }
 
+  /** Exact IN-list data skipping — the runtime-filter (dynamic
+    * partition pruning) shape: keep a directory iff AT LEAST ONE of
+    * `values` falls inside its recorded [min, max]. Strictly tighter
+    * than collapsing the list to its envelope (a scattered key set
+    * envelopes the whole table but may intersect few directories) at
+    * O(|dirs| · log |values|): values sort once, each directory binary-
+    * searches for a member ≥ its min. Null values never match (SQL IN
+    * semantics); all-null or statless directories keep conservatively
+    * only when stats are absent — an all-null column provably holds no
+    * match and prunes. Returns (kept, skipped) like [[pruneActiveAll]].
+    */
+  def pruneActiveIn(colName: String, values: Seq[Any],
+                    version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    val snapState = snapshotAt(v)
+    val norm = values.filter(_ != null).map(normBound).distinct
+      .sortWith((a, b) => cmpBound(a, b) < 0).toIndexedSeq
+    if (norm.isEmpty)
+      // IN (NULL,…) or an empty list matches nothing anywhere — but a
+      // statless directory still keeps (cannot prove its column kind)
+      return snapState.active.partition(d =>
+        snapState.stats.get(d).flatMap(_.get(colName)).isEmpty)
+    snapState.active.partition { d =>
+      snapState.stats.get(d).flatMap(_.get(colName)) match {
+        case None => true // no stats: conservative keep
+        case Some(st) if st.min == null => false // all-null: IN never matches
+        case Some(st) =>
+          // smallest value >= st.min; a match exists iff it's <= st.max
+          var lo = 0
+          var hi = norm.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cmpBound(norm(mid), st.min) < 0) lo = mid + 1 else hi = mid
+          }
+          lo < norm.length && cmpBound(norm(lo), st.max) <= 0
+      }
+    }
+  }
+
   /** [[readAt]] restricted to the [[pruneActiveAll]] survivors of a
     * conjunction of ranges (superset guarantee — the caller still
     * applies the row filter).

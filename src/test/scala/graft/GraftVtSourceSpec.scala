@@ -276,6 +276,60 @@ class GraftVtSourceSpec extends SparkSuite {
     assert(isLocal(cn) && cn.head === org.apache.spark.sql.Row(0L, 2L))
   }
 
+  test("runtime IN filters prune directories by exact membership, not envelope") {
+    val (dir, vt) = threeSliceTable()
+    // exact membership: {50, 250} envelopes [50, 250] which INTERSECTS
+    // the middle directory [100, 200) — the envelope would keep all 3;
+    // exact membership keeps exactly the two directories holding them
+    val (kept, skipped) = vt.pruneActiveIn("k", Seq(50L, 250L))
+    assert(kept.size === 2 && skipped.size === 1)
+    // pruneActiveIn edge cases
+    assert(vt.pruneActiveIn("k", Seq(105L))._1.size === 1)
+    assert(vt.pruneActiveIn("k", Seq(9999L))._1.isEmpty)
+    assert(vt.pruneActiveIn("k", Seq(null))._1.isEmpty) // IN (NULL): nothing
+    // the scan applies a runtime filter and rebuilds over the survivors
+    val df = spark.read.format("graftvt").load(dir)
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case s: graft.sources.GraftVtScan => s }.get
+    assert(scan.filterAttributes().map(_.describe()).toSet === Set("k", "x", "s"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(50L, 250L))))
+    assert(scan.runtimeKept === Some(2))
+    assert(scan.parquet.fileIndex.rootPaths.length === 2)
+    assert(scan.toBatch.planInputPartitions().nonEmpty)
+  }
+
+  test("a selective dimension filter dynamically prunes fact directories through a join") {
+    val (dir, _) = threeSliceTable() // fact: 3 range-disjoint dirs on k
+    import spark.implicits._
+    // the dim must be a FILE relation: a local Seq collapses to a
+    // LocalRelation whose filter constant-folds away, leaving no
+    // selective predicate for the DPP planner to exploit
+    val dimDir = java.nio.file.Files.createTempDirectory("vt_dpp_dim").toString
+    (0L until 300L).map(i => (i, if (i < 100) "keep" else "drop"))
+      .toDF("dk", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.format("graftvt").load(dir)
+    val joined = fact.join(dim.filter(col("tag") === "keep"),
+      fact("k") === dim("dk"))
+    // the pruning subquery is injected at optimization time
+    assert(joined.queryExecution.optimizedPlan.toString.contains("dynamicpruning"))
+    assert(joined.collect().length === 100)
+    // after execution the scan was runtime-filtered down to the ONE
+    // directory holding the surviving dim keys (k < 100)
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan
+      case p => p
+    }
+    val scan = finalPlan.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case s: graft.sources.GraftVtScan => s }.get
+    assert(scan.runtimeKept === Some(1))
+    assert(scan.parquet.fileIndex.rootPaths.length === 1)
+  }
+
   test("TIMESTAMP_NTZ columns prune through the session zone (the fixtures' encoding)") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
