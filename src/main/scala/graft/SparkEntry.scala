@@ -1341,7 +1341,7 @@ object SparkEntry {
         val vt = new graft.sources.VersionedTable(s, base)
         val o = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        val mid = 30000L
+        val mid = 7000L // inside the dense key range at EVERY sf
         vt.append(o.filter(col("o_orderkey") < mid))
         vt.append(o.filter(col("o_orderkey") >= mid))
         val preDirs = vt.activeDirs()
@@ -1455,12 +1455,12 @@ object SparkEntry {
       try {
         val vt = new graft.sources.VersionedTable(s, base)
         val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
-        vt.append(o.filter(col("o_orderkey") < 20000L))
-        vt.append(o.filter(col("o_orderkey") >= 20000L && col("o_orderkey") < 40000L))
-        vt.append(o.filter(col("o_orderkey") >= 40000L))
+        vt.append(o.filter(col("o_orderkey") < 5000L))
+        vt.append(o.filter(col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L))
+        vt.append(o.filter(col("o_orderkey") >= 10000L))
         t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
           .select(col("o_orderkey").as("dk"),
-            when(col("o_orderkey") < 20000L, lit("keep")).otherwise(lit("drop"))
+            when(col("o_orderkey") < 5000L, lit("keep")).otherwise(lit("drop"))
               .as("tag"))
           .write.mode("overwrite").parquet(dimDir)
         val dim = s.read.parquet(dimDir)
@@ -1485,6 +1485,42 @@ object SparkEntry {
           kept, dppPlanned))
           .toDF("n_rows", "revenue", "kept_dirs", "dpp_planned")
       } finally { deleteRecursively(base); deleteRecursively(dimDir) }
+    }),
+
+    // Limit pushdown on the DSv2 source: `LIMIT n` keeps the shortest
+    // directory prefix whose RECORDED row counts reach n (metadata
+    // only) and never plans the rest — a LIMIT 10 on a 10k-directory
+    // table opens one directory. Row content under LIMIT is
+    // nondeterministic, so the gate pins the COUNTS and the planned
+    // directory numbers; a filtered limit must NOT cut directories
+    // (the filter is post-scan) and its rows all satisfy the filter.
+    "s_versioned_limit_push" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_lim").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") < 5000L))
+        vt.append(o.filter(col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L))
+        vt.append(o.filter(col("o_orderkey") >= 10000L))
+        val tbl = s.read.format("graftvt").load(base)
+        def kept(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.scan
+          }.collectFirst {
+            case sc: graft.sources.GraftVtScan =>
+              sc.parquet.fileIndex.rootPaths.length
+          }.get
+        val small = tbl.limit(100)
+        val big = tbl.limit(10_000_000)
+        val filtered = tbl.filter(col("o_orderkey") >= 10000L).limit(50)
+        Seq((small.count(), kept(small), big.count(), kept(big),
+          filtered.count(), kept(filtered),
+          filtered.collect().forall(_.getLong(0) >= 10000L)))
+          .toDF("n_small", "dirs_small", "n_big", "dirs_big",
+            "n_filtered", "dirs_filtered", "filtered_rows_match")
+      } finally deleteRecursively(base)
     }),
 
     // Metadata-only COUNT(*): after appends, a merge, and a delete, the
@@ -3804,9 +3840,9 @@ object SparkEntry {
     // provably survived byte-identical.
     "s_versioned_update" ->
       """SELECT o_orderkey,
-        |  CASE WHEN o_orderkey >= 30000 AND o_orderkey % 7 = 0
+        |  CASE WHEN o_orderkey >= 7000 AND o_orderkey % 7 = 0
         |       THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
-        |  CASE WHEN o_orderkey >= 30000 AND o_orderkey % 7 = 0
+        |  CASE WHEN o_orderkey >= 7000 AND o_orderkey % 7 = 0
         |       THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
         |  true AS untouched_intact
         |FROM orders""".stripMargin,
@@ -3857,7 +3893,17 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS revenue,
         |  CAST(1 AS INTEGER) AS kept_dirs, true AS dpp_planned
         |FROM orders
-        |WHERE o_orderkey % 100 = 0 AND o_orderkey < 20000""".stripMargin,
+        |WHERE o_orderkey % 100 = 0 AND o_orderkey < 5000""".stripMargin,
+
+    // LIMIT 100 plans one directory of three; an over-table limit plans
+    // (and returns) everything; the filtered limit's directory count is
+    // the STATIC range prune (1 — limit never cuts under a filter) and
+    // its rows satisfy the filter.
+    "s_versioned_limit_push" ->
+      """SELECT CAST(100 AS BIGINT) AS n_small, 1 AS dirs_small,
+        |  (SELECT count(*) FROM orders) AS n_big, 3 AS dirs_big,
+        |  CAST(50 AS BIGINT) AS n_filtered, 1 AS dirs_filtered,
+        |  true AS filtered_rows_match""".stripMargin,
 
     // The metadata detail row: version 1 (two appends), 2 directories,
     // every orders row, recorded sizes, no constraints.

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, NoopCache}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
@@ -172,7 +172,7 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
                                           changeFeed: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   // In change-feed mode tableSchema carries the two synthetic columns;
   // the BASE schema is what the parquet files actually hold.
@@ -307,6 +307,44 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
     }
   }
 
+  // ---- Limit pushdown: plan only enough directories -----------------
+  // `SELECT * FROM t LIMIT n` needs ANY n rows, so the scan keeps the
+  // shortest active-dir prefix whose RECORDED row counts reach n and
+  // never plans the rest — on a 10k-directory table a LIMIT 10 opens
+  // one directory. Catalyst only pushes a limit when no post-scan
+  // filters remain, and this source retains every filter post-scan, so
+  // a filtered limit can never take this path; the guard below repeats
+  // that structurally. PARTIAL push: Spark keeps its own Limit on top
+  // (the kept prefix may overshoot), this only bounds planned input.
+  private var limitRows: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = {
+    if (changeFeed || n <= 0 || ranges.nonEmpty || notNullCols.nonEmpty ||
+        isNullCols.nonEmpty || pushed.nonEmpty) return false
+    limitRows = Some(n)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** The shortest active-dir prefix whose recorded rows reach `n`; a
+    * directory with unrecorded rows counts as 0 (conservative — the
+    * walk continues past it, never stops short of provable coverage).
+    */
+  private def limitPrefix(active: Seq[String], n: Int): Seq[String] = {
+    val snapRows = vt.dirRowCounts(Some(version))
+    var acc = 0L
+    val kept = Vector.newBuilder[String]
+    var i = 0
+    while (i < active.length && acc < n) {
+      val d = active(i)
+      kept += d
+      acc += snapRows.getOrElse(d, 0L)
+      i += 1
+    }
+    kept.result()
+  }
+
   override def pushAggregation(agg: Aggregation): Boolean = {
     aggAnswer = answerAggregation(agg)
     aggAnswer.isDefined
@@ -356,10 +394,11 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
         options.asScala.toMap, readerScan,
         cdf = Some((fromV, toV, cdfCols)))
     } else {
-      val kept =
+      val keptAll =
         if (ranges.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty)
           vt.activeDirs(Some(version))
         else vt.pruneActiveAll(ranges, Some(version), notNullCols, isNullCols)._1
+      val kept = limitRows.fold(keptAll)(limitPrefix(keptAll, _))
       val paths = kept.map(n => new Path(new Path(rootPath), n)).toSeq
       val index = new InMemoryFileIndex(spark, paths,
         options.asScala.toMap, Some(tableSchema), NoopCache, None, None)

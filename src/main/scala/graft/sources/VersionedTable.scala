@@ -1412,6 +1412,17 @@ class VersionedTable(spark: SparkSession, dir: String,
       validated0 = snapState.constraints)
   }
 
+  /** Per-directory recorded row counts of a version's snapshot (the
+    * manifest fold's `dir_rows`) — metadata only; directories predating
+    * row-count recording are absent. The DSv2 limit pushdown sizes its
+    * directory prefix from this.
+    */
+  def dirRowCounts(version: Option[Int] = None): Map[String, Long] = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    snapshotAt(v).dirRows
+  }
+
   /** Metadata-only COUNT(col) — the non-null count of a column from
     * the manifest fold alone: per-directory `rows - nulls`, summed over
     * the active set. Returns None (never guesses) when any active

@@ -330,6 +330,28 @@ class GraftVtSourceSpec extends SparkSuite {
     assert(scan.parquet.fileIndex.rootPaths.length === 1)
   }
 
+  test("LIMIT plans only enough directories to cover the requested rows") {
+    val (dir, _) = threeSliceTable() // 3 dirs × 100 recorded rows
+    val t = spark.read.format("graftvt").load(dir)
+    // 50 ≤ 100: one directory suffices; Spark's own Limit still applies
+    val q50 = t.limit(50)
+    assert(q50.count() === 50)
+    assert(keptDirs(q50) === 1)
+    // 150 needs two directories
+    val q150 = t.limit(150)
+    assert(q150.count() === 150)
+    assert(keptDirs(q150) === 2)
+    // larger than the table: every directory, full answer
+    val qAll = t.limit(1000)
+    assert(qAll.count() === 300)
+    assert(keptDirs(qAll) === 3)
+    // a filtered limit never cuts directories (the filter is post-scan;
+    // the first directories might hold no matching rows)
+    val qf = t.filter(col("x") >= 25.0).limit(10)
+    assert(qf.count() === 10)
+    assert(qf.collect().forall(_.getDouble(1) >= 25.0))
+  }
+
   test("TIMESTAMP_NTZ columns prune through the session zone (the fixtures' encoding)") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
