@@ -1523,6 +1523,46 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // The V2 TableCatalog: the COMPLETE table lifecycle as native SQL —
+    // CREATE TABLE ... AS SELECT through the catalog, INSERT INTO via
+    // the optimistic commit protocol, UPDATE/DELETE row-level
+    // mutations addressed by the catalog NAME (no bridge views, no
+    // quoted paths), VERSION AS OF resolving natively through
+    // loadTable, DESCRIBE HISTORY on the name, and DROP TABLE. The
+    // final state and the version-1 row count ride the oracle together
+    // with the five-op history.
+    "s_versioned_catalog" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft.gate_orders")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_cat_base")
+      s.sql("""CREATE TABLE graft.gate_orders USING graftvt AS
+              |SELECT o_orderkey, o_orderstatus, o_totalprice
+              |FROM graft_cat_base""".stripMargin)        // v0 create + v1 append
+      s.sql("""INSERT INTO graft.gate_orders
+              |SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+              |FROM graft_cat_base WHERE o_orderkey % 9 = 4""".stripMargin) // v2
+      s.sql("UPDATE graft.gate_orders SET o_orderstatus = 'C' " +
+        "WHERE o_orderkey % 10 = 3")                      // v3
+      s.sql("DELETE FROM graft.gate_orders WHERE o_orderkey % 6 = 1") // v4
+      val v1Rows = s.sql(
+        "SELECT count(*) FROM graft.gate_orders VERSION AS OF 1").head.getLong(0)
+      val ops = s.sql("DESCRIBE HISTORY graft.gate_orders")
+        .orderBy(col("version")).select(col("op"))
+        .collect().map(_.getString(0)).mkString(",")
+      val out = s.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.gate_orders")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), ops, v1Rows))
+        .toSeq
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "history_ops",
+          "v1_rows")
+      s.sql("DROP TABLE graft.gate_orders")
+      out
+    }),
+
     // Metadata-only COUNT(*): after appends, a merge, and a delete, the
     // row count resolved purely from the manifest fold (fastCount — no
     // data scan) must equal the real scan count at BOTH the current and
@@ -3904,6 +3944,28 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders) AS n_big, 3 AS dirs_big,
         |  CAST(50 AS BIGINT) AS n_filtered, 1 AS dirs_filtered,
         |  true AS filtered_rows_match""".stripMargin,
+
+    // The catalog lifecycle's final state: base rows plus the shifted
+    // %9 inserts, the %10 status update applied, the %6 delete applied
+    // (all arithmetic on the FINAL key value — the shift changes the
+    // mod-6 class, the oracle recomputes it identically); v1 holds
+    // exactly the CTAS rows.
+    "s_versioned_catalog" ->
+      """WITH all_rows AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 9 = 4),
+        |upd AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'C'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM all_rows)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  'create,append,append,update,delete' AS history_ops,
+        |  (SELECT count(*) FROM orders) AS v1_rows
+        |FROM upd WHERE o_orderkey % 6 <> 1""".stripMargin,
 
     // The metadata detail row: version 1 (two appends), 2 directories,
     // every orders row, recorded sizes, no constraints.

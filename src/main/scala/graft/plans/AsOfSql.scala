@@ -78,7 +78,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     else {
       val parts = t.split('.').toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
-      VersionedSql.timeTravelDir(SparkSession.active, parts).isDefined
+      // a graft-catalog identifier or a managed-bridge name both qualify;
+      // time-travel SUBSTITUTION stays bridge-only (catalog time travel
+      // resolves natively through loadTable)
+      VersionedSql.catalogTableDir(SparkSession.active, parts).isDefined ||
+        VersionedSql.timeTravelDir(SparkSession.active, parts).isDefined
     }
   }
 

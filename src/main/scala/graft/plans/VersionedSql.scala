@@ -43,6 +43,24 @@ object VersionedSql {
     * the catalog name whose snapshot view must be refreshed after a
     * mutating command.
     */
+  /** The versioned directory of a `<catalog>.<table>` identifier when
+    * `<catalog>` is a registered [[graft.sources.GraftCatalog]] and the
+    * table's transaction log exists — so maintenance and DML SQL
+    * commands address catalog tables by their natural names.
+    */
+  def catalogTableDir(spark: SparkSession, parts: Seq[String]): Option[String] = {
+    if (parts.length < 2) return None
+    try spark.sessionState.catalogManager.catalog(parts.head) match {
+      case g: graft.sources.GraftCatalog =>
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.tail.init.toArray, parts.last)
+        val dir = g.tableDir(ident)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new Path(dir, "_graft_log"))) Some(dir.toString) else None
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
   def resolveTarget(spark: SparkSession, target: String)
       : (graft.sources.VersionedTable, Option[String]) = {
     val t = target.trim
@@ -51,14 +69,22 @@ object VersionedSql {
       val path = t.substring(1, t.length - 1)
       (new graft.sources.VersionedTable(spark, path), None)
     } else {
-      val name = t.split('.').map(_.stripPrefix("`").stripSuffix("`")).mkString(".")
-      val tm = new graft.sources.TableManager(spark)
-      val vt = tm.versionedFor(name)
-      require(vt.latestVersion >= 0,
-        s"`$name` is not a versioned table: no transaction log at its " +
-          s"bridge path (append through TableManager.appendVersioned, or " +
-          "address a versioned directory as a quoted 'path')")
-      (vt, Some(name))
+      val parts = t.split('.').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
+      catalogTableDir(spark, parts) match {
+        case Some(dir) =>
+          // catalog tables need no view refresh: every query re-loads
+          // the table from the log through the catalog
+          (new graft.sources.VersionedTable(spark, dir), None)
+        case None =>
+          val name = parts.mkString(".")
+          val tm = new graft.sources.TableManager(spark)
+          val vt = tm.versionedFor(name)
+          require(vt.latestVersion >= 0,
+            s"`$name` is not a versioned table: no transaction log at its " +
+              s"bridge path (append through TableManager.appendVersioned, or " +
+              "address a versioned directory as a quoted 'path')")
+          (vt, Some(name))
+      }
     }
   }
 

@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSourceV2 [[TableCatalog]] over versioned tables — the table
+  * LIFECYCLE as native SQL, no bridge views or quoted paths:
+  *
+  * {{{
+  *   spark.conf: spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *               [spark.sql.catalog.graft.warehouse = /path]
+  *
+  *   CREATE TABLE graft.events (k BIGINT, v STRING) [USING graftvt]
+  *   INSERT INTO graft.events SELECT ...      -- optimistic-commit append
+  *   INSERT OVERWRITE graft.events SELECT ... -- one overwrite commit
+  *   SELECT * FROM graft.events               -- DSv2 scan: data skipping,
+  *                                            --   agg/limit pushdown, DPP
+  *   SELECT * FROM graft.events VERSION AS OF 3      -- native time travel
+  *   SELECT * FROM graft.events TIMESTAMP AS OF '...'--   (loadTable hooks)
+  *   CREATE TABLE graft.copy AS SELECT ...    -- CTAS
+  *   DROP TABLE graft.events
+  * }}}
+  *
+  * Each table is one versioned directory `<warehouse>/<name>` (the
+  * transaction log IS the catalog state — `tableExists` checks the log,
+  * exactly like a path-based Delta catalog). Namespaces are flattened
+  * into the directory name with dots, so `graft.ns.t` lives at
+  * `<warehouse>/ns.t` — listTables/namespace support stays minimal by
+  * design; the reference's catalog surface is flat table names.
+  *
+  * Time travel: Spark resolves `VERSION AS OF` through
+  * `loadTable(ident, version)` and `TIMESTAMP AS OF` through
+  * `loadTable(ident, micros)` natively for catalog tables — no parser
+  * substitution involved (that path stays for bridge names and quoted
+  * paths).
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouseOpt: Option[String] = None
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouseOpt = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The catalog root: the configured warehouse, else
+    * `<spark warehouse>/_graft_catalog_<name>`.
+    */
+  private[graft] def warehouse: Path = new Path(warehouseOpt.getOrElse(
+    new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      s"_graft_catalog_$catalogName").toString))
+
+  private def fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The versioned directory of an identifier (namespace parts joined
+    * into the name with dots).
+    */
+  private[graft] def tableDir(ident: Identifier): Path =
+    new Path(warehouse, (ident.namespace().toSeq :+ ident.name()).mkString("."))
+
+  private def hasLog(dir: Path): Boolean =
+    try fs.exists(new Path(dir, "_graft_log")) catch { case _: Exception => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!fs.exists(warehouse)) return Array.empty
+    val prefix = namespace.toSeq.map(_ + ".").mkString
+    fs.listStatus(warehouse).toSeq
+      .filter(st => st.isDirectory && hasLog(st.getPath))
+      .map(_.getPath.getName)
+      .filter(n => prefix.isEmpty || n.startsWith(prefix))
+      .map(n => Identifier.of(namespace, n.stripPrefix(prefix)))
+      .toArray
+  }
+
+  private def tableAt(ident: Identifier, version: Int): Table = {
+    val dir = tableDir(ident)
+    if (!hasLog(dir)) throw new NoSuchTableException(ident)
+    val vt = new VersionedTable(spark, dir.toString)
+    val v = if (version >= 0) version else vt.latestVersion
+    new GraftVtTable(vt, v, dir.toString, vt.readAt(v).schema,
+      timeTravelled = version >= 0)
+  }
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, -1)
+
+  /** `VERSION AS OF v` (Spark hands the version text verbatim). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, version.trim.toInt)
+
+  /** `TIMESTAMP AS OF ts` (Spark hands epoch MICROseconds). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!hasLog(dir)) throw new NoSuchTableException(ident)
+    val vt = new VersionedTable(spark, dir.toString)
+    tableAt(ident, vt.versionAtTimestamp(timestampMicros / 1000L))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = hasLog(tableDir(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables are directory-chunked by the transaction " +
+        "log (OPTIMIZE/ZORDER cluster them); PARTITIONED BY is not supported")
+    val dir = tableDir(ident)
+    if (hasLog(dir)) throw new TableAlreadyExistsException(ident)
+    val vt = new VersionedTable(spark, dir.toString)
+    vt.create(schema)
+    val _ = properties // no table properties surface yet — loud is worse here:
+                       // Spark always passes provider/owner entries
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE through the graft catalog is not supported — CHECK " +
+        "constraints and maintenance run through the SQL command frontend " +
+        "(ALTER TABLE ... ADD CONSTRAINT / OPTIMIZE / VACUUM on the " +
+        "table's quoted path)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!hasLog(dir)) false
+    else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!hasLog(from)) throw new NoSuchTableException(oldIdent)
+    if (hasLog(to)) throw new TableAlreadyExistsException(newIdent)
+    require(fs.rename(from, to),
+      s"rename $from -> $to failed (target parent missing or cross-filesystem)")
+  }
+}

@@ -681,6 +681,23 @@ class VersionedTable(spark: SparkSession, dir: String,
     }
   }
 
+  /** CREATE TABLE: commit version 0 with a declared SCHEMA and no data
+    * — the catalog's table-creation primitive. The table reads as an
+    * empty frame of that schema; the first append validates against it
+    * through the shared widening policy (alignedForAppend), exactly as
+    * if data already existed. Fails loudly when the directory already
+    * holds a transaction log.
+    */
+  def create(schema: org.apache.spark.sql.types.StructType): Int = {
+    require(latestVersion < 0,
+      s"$dir already has a transaction log (latest version $latestVersion); " +
+        "create() only initializes fresh tables")
+    publish(Commit(0, "create", Seq.empty, Seq.empty, 0L,
+      System.currentTimeMillis(),
+      schemaJson = Some(SchemaCompat.nullableJson(schema))))
+    0
+  }
+
   /** Commit `df` as a new version extending the current active set.
     * Returns the committed version number. Delta-encoded: the manifest
     * records only the one added directory, whatever the table size.
@@ -1790,6 +1807,13 @@ class VersionedTable(spark: SparkSession, dir: String,
     commitAt(v) // fail fast on a vacuumed/unknown version
     val snap = snapshotAt(v)
     val active = snap.active
+    // A CREATEd-but-never-written table (or a schema-recorded version
+    // whose every directory a later delete dropped) reads as an EMPTY
+    // frame with the recorded schema — never an error.
+    if (active.isEmpty && snap.schemaJson.isDefined)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaFromJson(snap.schemaJson.get))
     require(active.nonEmpty, s"version $v of $dir has no data directories")
     val dirs = active.map(n => new Path(root, n)) // fail fast on vacuumed data
     dirs.foreach(p => require(fs.exists(p),
