@@ -253,6 +253,69 @@ object ScaleProbe {
             .filter(col("o_orderkey").between(1000L, maxKey / 100))
             .write.format("noop").mode("overwrite").save())
 
+      case "plan" =>
+        // The plan-level optimizations at scale: a K-dir range-disjoint
+        // table, then (a) metadata-only aggregates — COUNT/MIN/MAX must
+        // cost the LOG, not the data (flat in K and rows); (b) LIMIT n
+        // — must plan ~1 directory; (c) DPP — a selective dim filter
+        // over a star join must scan ~selectivity of the fact table,
+        // with the kept-directory count printed from the scan's own
+        // runtime seam.
+        val k = args.lift(1).map(_.toInt).getOrElse(20)
+        val reps = args.lift(2).map(_.toInt).getOrElse(10)
+        val tmp = java.nio.file.Files.createTempDirectory("probe-plan").toString
+        val vt = new graft.sources.VersionedTable(spark, tmp)
+        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val wide = (0 until reps).map(i =>
+            o0.select((col("o_orderkey") + lit(i * 10000000L)).as("k"),
+              col("o_totalprice").as("p"))).reduce(_ unionByName _)
+        val maxKey = reps.toLong * 10000000L
+        val span = maxKey / k
+        (0 until k).foreach(i => vt.append(
+          wide.filter(col("k") >= i * span && col("k") < (i + 1) * span)))
+        println(s"[probe] table rows = ${vt.read().count()} in $k dirs")
+        def sink(df: DataFrame) =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { pass =>
+          timed(s"full scan             p$pass")(sink(
+            spark.read.format("graftvt").load(tmp)))
+          timed(s"metadata COUNT/MIN/MAX p$pass") {
+            val r = spark.read.format("graftvt").load(tmp)
+              .agg(count(lit(1)), min(col("k")), max(col("p"))).head()
+            assert(r.getLong(0) > 0)
+          }
+          timed(s"limit 100 (1/$k dirs)  p$pass")(sink(
+            spark.read.format("graftvt").load(tmp).limit(100)))
+        }
+        // DPP: dim keys live in ONE fact slice; the runtime filter must
+        // keep ~1 of K directories.
+        val dimDir = java.nio.file.Files.createTempDirectory("probe-dim").toString
+        wide.filter(col("k") % 1000 === 0)
+          .select(col("k").as("dk"),
+            when(col("k") < span, lit("keep")).otherwise(lit("drop")).as("tag"))
+          .write.mode("overwrite").parquet(dimDir)
+        (1 to 2).foreach { pass =>
+          val fact = spark.read.format("graftvt").load(tmp)
+          val dim = spark.read.parquet(dimDir)
+          val joined = fact.join(dim.filter(col("tag") === "keep"),
+            fact("k") === dim("dk"))
+          // drive THIS QueryExecution (a .write would replan a fresh
+          // tree and the inspected scan instance would never execute)
+          timed(s"DPP star join          p$pass")(
+            assert(joined.queryExecution.toRdd.count() > 0))
+          val kept = joined.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.finalPhysicalPlan.collectWithSubqueries {
+                case b: org.apache.spark.sql.execution.datasources.v2
+                  .BatchScanExec => b.scan
+              }.collectFirst { case s: graft.sources.GraftVtScan =>
+                s.runtimeKept }.flatten
+            case _ => None
+          }
+          println(s"[probe] DPP kept dirs p$pass = $kept of $k")
+        }
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()

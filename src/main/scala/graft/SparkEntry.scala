@@ -1563,6 +1563,51 @@ object SparkEntry {
       out
     }),
 
+    // ALTER TABLE ADD/DROP COLUMNS as METADATA-ONLY schema commits: the
+    // added column reads null on old rows and real values on new ones,
+    // data files stay byte-identical (mtime-pinned), time travel keeps
+    // the pre-alter schema, DROP hides the column, and re-adding a name
+    // whose bytes still live in active directories is REFUSED (no
+    // column mapping — resurfacing old values would be silent
+    // corruption) until a rewrite clears it.
+    "s_versioned_alter" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft.gate_alter")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_alter_base")
+      s.sql("""CREATE TABLE graft.gate_alter USING graftvt AS
+              |SELECT o_orderkey, o_totalprice FROM graft_alter_base""".stripMargin)
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val vdir = cat.tableDir(org.apache.spark.sql.connector.catalog
+        .Identifier.of(Array.empty, "gate_alter")).toString
+      val local = new java.io.File(vdir.stripPrefix("file:"))
+      def dataFiles() = local.listFiles().filter(_.getName.startsWith("v"))
+        .flatMap(_.listFiles()).map(f => (f.getName, f.lastModified())).toSet
+      val before = dataFiles()
+      s.sql("ALTER TABLE graft.gate_alter ADD COLUMNS (tag STRING)")
+      val metadataOnly = dataFiles() == before
+      s.sql("INSERT INTO graft.gate_alter VALUES (900000001, 1.0, 'new')")
+      val nullOld = s.sql(
+        "SELECT count(*) FROM graft.gate_alter WHERE tag IS NULL").head.getLong(0)
+      val preAlterCols = s.sql("SELECT * FROM graft.gate_alter VERSION AS OF 1")
+        .schema.fieldNames.length
+      s.sql("ALTER TABLE graft.gate_alter DROP COLUMN tag")
+      val refused =
+        try { s.sql("ALTER TABLE graft.gate_alter ADD COLUMNS (tag STRING)"); false }
+        catch { case e: Exception => e.getMessage.contains("resurface") }
+      val out = s.sql("SELECT o_orderkey, o_totalprice FROM graft.gate_alter")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), metadataOnly, nullOld,
+          preAlterCols, refused)).toSeq
+        .toDF("o_orderkey", "o_totalprice", "metadata_only", "null_old_rows",
+          "pre_alter_cols", "readd_refused")
+      s.sql("DROP TABLE graft.gate_alter")
+      out
+    }),
+
     // Metadata-only COUNT(*): after appends, a merge, and a delete, the
     // row count resolved purely from the manifest fold (fastCount — no
     // data scan) must equal the real scan count at BOTH the current and
@@ -3966,6 +4011,18 @@ object SparkEntry {
         |  'create,append,append,update,delete' AS history_ops,
         |  (SELECT count(*) FROM orders) AS v1_rows
         |FROM upd WHERE o_orderkey % 6 <> 1""".stripMargin,
+
+    // The post-alter table: every order row plus the one tagged insert;
+    // the alter touched no data file, every pre-alter row reads the new
+    // column as null, version 1 still has the two-column schema, and
+    // the live-bytes re-add was refused.
+    "s_versioned_alter" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  true AS metadata_only,
+        |  (SELECT count(*) FROM orders) AS null_old_rows,
+        |  2 AS pre_alter_cols, true AS readd_refused
+        |FROM (SELECT o_orderkey, o_totalprice FROM orders
+        |      UNION ALL SELECT 900000001, 1.0)""".stripMargin,
 
     // The metadata detail row: version 1 (two appends), 2 directories,
     // every orders row, recorded sizes, no constraints.

@@ -127,12 +127,34 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE through the graft catalog is not supported — CHECK " +
-        "constraints and maintenance run through the SQL command frontend " +
-        "(ALTER TABLE ... ADD CONSTRAINT / OPTIMIZE / VACUUM on the " +
-        "table's quoted path)")
+  /** `ALTER TABLE graft.t ADD COLUMNS (...)` / `DROP COLUMN[S] ...` —
+    * METADATA-ONLY schema commits ([[VersionedTable.addColumns]] /
+    * [[VersionedTable.dropColumns]]): no data file is touched, old
+    * directories read added columns as null, time travel keeps each
+    * version's own schema. Anything else (type changes, renames,
+    * repositioning — all of which would need file rewrites or column
+    * mapping) fails loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!hasLog(dir)) throw new NoSuchTableException(ident)
+    val vt = new VersionedTable(spark, dir.toString)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    require(adds.size + drops.size == changes.size,
+      "the graft catalog supports ALTER TABLE ADD COLUMNS and DROP " +
+        "COLUMN[S] only (metadata-only schema evolution); CHECK " +
+        "constraints and maintenance run through the SQL command frontend")
+    adds.foreach(a => require(a.fieldNames().length == 1 && a.position() == null,
+      "ADD COLUMNS supports top-level columns without position clauses"))
+    drops.foreach(d => require(d.fieldNames().length == 1,
+      "DROP COLUMN supports top-level columns"))
+    if (adds.nonEmpty)
+      vt.addColumns(StructType(adds.map(a =>
+        org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType()))))
+    if (drops.nonEmpty) vt.dropColumns(drops.map(_.fieldNames()(0)))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -698,6 +698,84 @@ class VersionedTable(spark: SparkSession, dir: String,
     0
   }
 
+  /** ALTER TABLE ADD COLUMNS — METADATA-ONLY schema evolution, Delta's
+    * shape: the commit records the evolved schema and touches no data
+    * file; existing directories read the new columns as NULL (the
+    * parquet reader pads missing columns), time travel keeps each
+    * version's own schema, and RESTORE rolls the schema back with the
+    * data. New columns must be nullable-representable (file reads
+    * always are); duplicate names fail loudly.
+    */
+  def addColumns(cols: org.apache.spark.sql.types.StructType): Int = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    val latest = latestVersion
+    require(latest >= 0, s"$dir has no committed versions")
+    val existing = tableSchemaAt(latest)
+    val dup = cols.fieldNames.filter(n =>
+      existing.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(dup.isEmpty,
+      s"column(s) ${dup.mkString(", ")} already exist on $dir")
+    // Re-adding a previously DROPPED column would resurface its old
+    // bytes in unrewritten directories instead of reading null (this
+    // engine has no column mapping to separate logical from physical
+    // names — Delta needs exactly that feature here). The per-directory
+    // stats index records which columns a directory's files physically
+    // hold, so the hazard is detectable: fail loudly and point at the
+    // rewrite that clears it. (Stat-less column TYPES — arrays, maps —
+    // escape this guard; documented residue.)
+    val snap = snapshotAt(latest)
+    val ghost = cols.fieldNames.filter(n => snap.active.exists(d =>
+      snap.stats.get(d).exists(_.keys.exists(_.equalsIgnoreCase(n)))))
+    require(ghost.isEmpty,
+      s"column(s) ${ghost.mkString(", ")} were dropped but their bytes " +
+        s"still live in active directories of $dir — re-adding would " +
+        "resurface old values; run OPTIMIZE (full rewrite) first")
+    val evolved = org.apache.spark.sql.types.StructType(
+      existing.fields ++ cols.fields)
+    val v = latest + 1
+    publish(Commit(v, "alter", Seq.empty, Seq.empty, 0L,
+      System.currentTimeMillis(),
+      schemaJson = Some(SchemaCompat.nullableJson(evolved))))
+    v
+  }
+
+  /** ALTER TABLE DROP COLUMNS — metadata-only column removal: the
+    * recorded schema stops carrying the columns, readers never project
+    * them again, and time travel still serves them at old versions.
+    * The BYTES stay in existing files until those directories are
+    * rewritten (OPTIMIZE/UPDATE/DELETE) — which is why [[addColumns]]
+    * refuses to re-add a name whose bytes still live in an active
+    * directory (no column mapping separates logical from physical
+    * names here). Dropping every column, or a column that does not
+    * exist, fails loudly.
+    */
+  def dropColumns(names: Seq[String]): Int = {
+    require(names.nonEmpty, "dropColumns needs at least one column")
+    val latest = latestVersion
+    require(latest >= 0, s"$dir has no committed versions")
+    val existing = tableSchemaAt(latest)
+    val missing = names.filterNot(n =>
+      existing.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(missing.isEmpty,
+      s"column(s) ${missing.mkString(", ")} do not exist on $dir " +
+        s"(schema: ${existing.fieldNames.mkString(", ")})")
+    val keep = existing.fields.filterNot(f =>
+      names.exists(_.equalsIgnoreCase(f.name)))
+    require(keep.nonEmpty, s"cannot drop every column of $dir")
+    val v = latest + 1
+    publish(Commit(v, "alter", Seq.empty, Seq.empty, 0L,
+      System.currentTimeMillis(),
+      schemaJson = Some(SchemaCompat.nullableJson(
+        org.apache.spark.sql.types.StructType(keep)))))
+    v
+  }
+
+  /** The table schema of a version: the log-recorded schema when the
+    * manifest carries one, else the snapshot read's inferred schema.
+    */
+  private def tableSchemaAt(v: Int): org.apache.spark.sql.types.StructType =
+    snapshotAt(v).schemaJson.map(schemaFromJson).getOrElse(readAt(v).schema)
+
   /** Commit `df` as a new version extending the current active set.
     * Returns the committed version number. Delta-encoded: the manifest
     * records only the one added directory, whatever the table size.

@@ -147,6 +147,51 @@ class GraftCatalogSpec extends SparkSuite {
     dropQuiet("cat_dml"); dropQuiet("cat_dml_src")
   }
 
+  test("ALTER TABLE ADD/DROP COLUMNS is metadata-only; re-adding live bytes is refused") {
+    enabled
+    dropQuiet("cat_alter")
+    spark.sql("CREATE TABLE graft.cat_alter USING graftvt AS " +
+      "SELECT id AS k, id * 1.0 AS p FROM range(5)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val dir = cat.tableDir(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array.empty, "cat_alter")).toString
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    val localDir = dir.stripPrefix("file:")
+    val filesBefore = new java.io.File(localDir).listFiles()
+      .filter(_.getName.startsWith("v")).flatMap(_.listFiles())
+      .map(f => (f.getName, f.lastModified())).toSet
+    // ADD COLUMNS: old rows read the new column as null; no file touched
+    spark.sql("ALTER TABLE graft.cat_alter ADD COLUMNS (tag STRING)")
+    assert(spark.table("graft.cat_alter").schema.fieldNames.toSeq ===
+      Seq("k", "p", "tag"))
+    assert(spark.sql("SELECT count(*) FROM graft.cat_alter WHERE tag IS NULL")
+      .head.getLong(0) === 5)
+    val filesAfter = new java.io.File(localDir).listFiles()
+      .filter(_.getName.startsWith("v")).flatMap(_.listFiles())
+      .map(f => (f.getName, f.lastModified())).toSet
+    assert(filesAfter === filesBefore) // metadata-only, byte-identical
+    // new writes carry the column; time travel keeps the old schema
+    spark.sql("INSERT INTO graft.cat_alter VALUES (9, 9.0, 'x')")
+    assert(spark.sql("SELECT tag FROM graft.cat_alter WHERE k = 9")
+      .head.getString(0) === "x")
+    assert(!spark.sql("SELECT * FROM graft.cat_alter VERSION AS OF 1")
+      .schema.fieldNames.contains("tag"))
+    // DROP COLUMN hides it (bytes stay); re-adding the LIVE name is loud
+    spark.sql("ALTER TABLE graft.cat_alter DROP COLUMN tag")
+    assert(!spark.table("graft.cat_alter").schema.fieldNames.contains("tag"))
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cat_alter ADD COLUMNS (tag STRING)")
+    }
+    assert(e.getMessage.contains("resurface"))
+    // after a full rewrite the name is free again and reads null
+    spark.sql("OPTIMIZE graft.cat_alter ZORDER BY (k) INTO 1 CHUNKS")
+    spark.sql("ALTER TABLE graft.cat_alter ADD COLUMNS (tag STRING)")
+    assert(spark.sql("SELECT count(*) FROM graft.cat_alter WHERE tag IS NULL")
+      .head.getLong(0) === 6)
+    dropQuiet("cat_alter")
+  }
+
   test("schema is enforced on insert; evolution still works through the Scala API") {
     enabled
     dropQuiet("cat_schema")
