@@ -2689,6 +2689,50 @@ object SparkEntry {
     // by an interleaved out-of-band batch append through the same log
     // (optimistic concurrency admits both writers). Output = per-type
     // event counts of stream ∪ sideload, exactly once each.
+    // The NATIVE streaming sink: writeStream.format("graftvt") commits
+    // each micro-batch through the exactly-once (txnAppId, batchId)
+    // protocol — here a full stream-THROUGH pipeline (graftvt source →
+    // transform → graftvt sink), with a mid-stream source append and a
+    // RESTART on the same checkpoint (the resumed query must not
+    // re-append already-committed batches). Final per-status totals
+    // equal the whole orders table exactly once.
+    "streaming_sink_native" -> ((s, dir) => {
+      import s.implicits._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_snk_src").toString
+      val dstDir = java.nio.file.Files.createTempDirectory("graft_snk_dst").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_snk_ck").toString
+      try {
+        val vsrc = new graft.sources.VersionedTable(s, srcDir)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        vsrc.append(o.filter(col("o_orderkey") % 3 === 0))
+        def run(): Unit = {
+          val q = s.readStream.format("graftvt").load(srcDir)
+            .writeStream.format("graftvt")
+            .option("checkpointLocation", ck).start(dstDir)
+          try q.processAllAvailable() finally q.stop()
+        }
+        run()                                      // slice 0 flows through
+        vsrc.append(o.filter(col("o_orderkey") % 3 === 1))
+        run()                                      // restart: resumes, slice 1 only
+        vsrc.append(o.filter(col("o_orderkey") % 3 === 2))
+        run()                                      // restart again: slice 2 only
+        val out = new graft.sources.VersionedTable(s, dstDir).read()
+        val exactlyOnce = out.count() ==
+          out.select(col("o_orderkey")).distinct().count()
+        out.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), exactlyOnce))
+          .toSeq
+          .toDF("o_orderstatus", "n", "total", "exactly_once")
+      } finally {
+        deleteRecursively(srcDir); deleteRecursively(dstDir)
+        deleteRecursively(ck)
+      }
+    }),
+
     "streaming_to_versioned" -> ((s, dir) => {
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_vt_stream").toString
@@ -5476,6 +5520,13 @@ object SparkEntry {
         |     (SELECT user_id, ts AS signup_ts, event_id AS signup_id
         |      FROM events WHERE event_type = 'signup') s
         |ON c.user_id = s.user_id AND c.ts >= s.signup_ts""".stripMargin,
+
+    // The native sink's stream-through lands every orders row exactly
+    // once across three restarted runs of the same checkpointed query.
+    "streaming_sink_native" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, true AS exactly_once
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // Exactly-once versioned sink: the streamed events land once each
     // (batch-0 replay skipped via the txn tag) plus the 7-row

@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * tsMs-or-ISO)` — resolved ONCE per load and pinned, so schema
   * inference and scan planning cannot straddle a concurrent commit.
   */
-class GraftVtDataSource extends TableProvider with DataSourceRegister {
+class GraftVtDataSource extends TableProvider with DataSourceRegister
+    with GraftVtSinkProvider {
 
   override def shortName(): String = "graftvt"
 
@@ -72,9 +73,15 @@ class GraftVtDataSource extends TableProvider with DataSourceRegister {
           val tsMs = ts.toLongOption.getOrElse(
             java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
           vt.versionAtTimestamp(tsMs)
-        case _ => vt.latestVersion
+        case _ =>
+          // v = -1: an UNINITIALIZED directory. Tolerated here (not an
+          // error) because the streaming-WRITE path builds the table
+          // before it can fall back to the V1 sink that will CREATE it;
+          // reads of the stub fail with the explanatory name below.
+          vt.latestVersion
       }
-      require(v >= 0, s"$path has no committed versions")
+      require(v >= 0 || (vAsOf.isEmpty && tsAsOf.isEmpty),
+        s"$path has no committed versions")
       val r = (vt, v, path)
       pinned = Some(r)
       r
@@ -86,6 +93,7 @@ class GraftVtDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (vt, v, _) = resolve(options)
+    if (v < 0) return new StructType() // uninitialized: sink-creation path
     val base = vt.readAt(v).schema
     if (changeFeed(options))
       StructType(base.fields ++ GraftVtChangeFiles.cdfSchema.fields)
@@ -96,10 +104,25 @@ class GraftVtDataSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (vt, v, path) = resolve(opts)
+    if (v < 0) return new GraftVtUninitializedTable(path)
     val travelled = opts.containsKey("versionAsOf") || opts.containsKey("timestampAsOf")
     new GraftVtTable(vt, v, path, schema, travelled || changeFeed(opts),
       changeFeed(opts))
   }
+}
+
+/** The table of a directory with NO committed versions. It supports
+  * nothing — which is exactly what routes `writeStream.format("graftvt")
+  * .start(dir)` to the V1 sink fallback that will CREATE the table on
+  * its first micro-batch; any read of it fails with this name in the
+  * message.
+  */
+private[sources] class GraftVtUninitializedTable(path: String) extends Table {
+  override def name(): String =
+    s"graftvt.`$path` (no committed versions yet — append/CREATE first)"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.noneOf(classOf[TableCapability])
 }
 
 private[sources] class GraftVtTable(vt: VersionedTable, version: Int,
