@@ -1607,9 +1607,11 @@ class VersionedTable(spark: SparkSession, dir: String,
   def optimize(clusterBy: String, targetChunks: Int): Int = {
     require(targetChunks >= 1, s"targetChunks must be >= 1: $targetChunks")
     import org.apache.spark.sql.functions.col
-    // Slot claimed BEFORE the snapshot is read: an append landing while
-    // the rewrite runs makes the publish fail loudly instead of being
-    // silently dropped from the compacted active set.
+    // The snapshot is pinned BEFORE the rewrite: a commit landing while
+    // it runs trips the optimistic publish, and the retry re-commits
+    // IFF no intervening commit removed this rewrite's inputs (a plain
+    // concurrent append — the common ingestion race — rides through;
+    // its directories stay active untouched).
     val base = latestVersion
     require(base >= 0, s"$dir has no committed versions")
     val snap = readAt(base)
@@ -1861,11 +1863,26 @@ class VersionedTable(spark: SparkSession, dir: String,
         }
       fs.delete(staging, true) // _SUCCESS and friends
       if (written.isEmpty) return base // empty table: nothing to compact
-      publish(Commit(v, "optimize", written.map(_._1), removed,
-        written.map(_._2).sum, System.currentTimeMillis(),
-        addedStats = written.map(w => w._1 -> w._3).toMap,
-        addedRows = written.map(w => w._1 -> w._2).toMap))
-      v
+      // A compaction must SURVIVE concurrent ingestion — at 100 TB a
+      // multi-hour rewrite losing its slot to one tiny append would be
+      // wasted work forever. The loser's retry rides the same protocol
+      // as merge/delete with the simplest possible conflict rule: the
+      // rewrite holds IDENTICAL rows, so the ONLY true conflict is an
+      // intervening commit that removed one of this rewrite's input
+      // directories (another optimize/mutation/restore took them —
+      // re-committing would resurrect rewritten rows). Winner-added
+      // data stays active untouched (it is not in `removed`); a
+      // concurrently added constraint already validated these exact
+      // rows in its own table scan; and the commit records no schema,
+      // so the fold keeps a concurrent evolution's columns.
+      publishMutationRetrying("optimize", base, maxRetries = 5,
+        touched = removed, revalidate = Seq.empty,
+        addedMayMatch = _ => Seq.empty,
+        mkCommit = vv => Commit(vv, "optimize", written.map(_._1), removed,
+          written.map(_._2).sum, System.currentTimeMillis(),
+          addedStats = written.map(w => w._1 -> w._3).toMap,
+          addedRows = written.map(w => w._1 -> w._2).toMap),
+        validated0 = Map.empty)
     } finally keyed.unpersist()
   }
 

@@ -1207,6 +1207,47 @@ class TableManagerSpec extends SparkSuite {
     vt.beforeMutationPublish = () => ()
   }
 
+  test("optimize retry: a compaction survives concurrent appends, loses to input rewrites") {
+    val dir = tmpVt()
+    val vt = tables.versioned(dir)
+    (0 until 3).foreach(i =>
+      vt.append((0 until 90).filter(_ % 3 == i).map(j => (j.toLong, s"r$j"))
+        .toDF("k", "v")))
+    val racer = tables.versioned(dir)
+    // A plain append lands mid-rewrite (the common ingestion race): the
+    // optimize retries through and the winner's rows stay active.
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.append(Seq((500L, "mid-rewrite")).toDF("k", "v"))
+    }
+    val vOpt = vt.optimize("k", targetChunks = 2)
+    assert(vOpt === 4) // v3 = racer's append, v4 = the retried optimize
+    assert(vt.read().count() === 91)
+    assert(vt.read().filter(col("v") === "mid-rewrite").count() === 1)
+    // the append's directory is still active alongside the 2 chunks
+    assert(vt.activeDirs().size === 3)
+    // a concurrent schema EVOLUTION also rides through — the optimize
+    // commit records no schema, so the fold keeps the new column
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.StringType))))
+    }
+    vt.compact(targetChunks = 1)
+    assert(vt.read().schema.fieldNames.contains("extra"))
+    assert(vt.read().filter(col("extra").isNull).count() === 91)
+    // an intervening DELETE rewrote the optimize's inputs: loud
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.delete(col("k") === 1L)
+    }
+    val e = intercept[IllegalStateException] { vt.optimize("k", 2) }
+    assert(e.getMessage.contains("rewrote directories"))
+    vt.beforeMutationPublish = () => ()
+    assert(vt.read().count() === 90) // the delete's state, never resurrected
+  }
+
   test("delete retry: exact added-data check; two live writers both land when disjoint") {
     val dir = tmpVt()
     val vt = tables.versioned(dir)
