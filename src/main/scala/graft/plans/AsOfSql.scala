@@ -220,6 +220,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       (colName, a.substring(eq + 1).trim)
     }
     require(assigns.nonEmpty, "UPDATE needs at least one SET assignment")
+    val dup = assigns.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (n, as) if as.size > 1 => n }
+    require(dup.isEmpty,
+      s"UPDATE assigns column(s) ${dup.mkString(", ")} more than once — " +
+        "standard SQL rejects duplicate SET targets")
     val where =
       if (wherePos < 0) None
       else Some(stripStmtTail(sql.substring(wherePos + "WHERE".length)))

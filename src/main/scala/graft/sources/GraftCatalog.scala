@@ -92,7 +92,10 @@ class GraftCatalog extends TableCatalog {
     if (!hasLog(dir)) throw new NoSuchTableException(ident)
     val vt = new VersionedTable(spark, dir.toString)
     val v = if (version >= 0) version else vt.latestVersion
-    new GraftVtTable(vt, v, dir.toString, vt.readAt(v).schema,
+    // the LOG-recorded schema: loadTable runs per query during
+    // analysis, and a readAt-based inference would list every active
+    // directory each time
+    new GraftVtTable(vt, v, dir.toString, vt.tableSchema(Some(v)),
       timeTravelled = version >= 0)
   }
 

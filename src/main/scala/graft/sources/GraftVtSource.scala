@@ -94,7 +94,9 @@ class GraftVtDataSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (vt, v, _) = resolve(options)
     if (v < 0) return new StructType() // uninitialized: sink-creation path
-    val base = vt.readAt(v).schema
+    // the LOG-recorded schema — a readAt-based inference would list
+    // every active directory on every load
+    val base = vt.tableSchema(Some(v))
     if (changeFeed(options))
       StructType(base.fields ++ GraftVtChangeFiles.cdfSchema.fields)
     else base
@@ -368,15 +370,25 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
     kept.result()
   }
 
+  // Spark probes supportCompletePushDown and pushAggregation with the
+  // same Aggregation in one planning pass — memoize on its rendering so
+  // the manifest fold runs once, not once per probe.
+  private var aggProbe: Option[(String, Option[(StructType, InternalRow)])] = None
+
+  private def answerMemo(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    val key = agg.toString
+    if (!aggProbe.exists(_._1 == key))
+      aggProbe = Some((key, answerAggregation(agg)))
+    aggProbe.get._2
+  }
+
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggAnswer = answerAggregation(agg)
+    aggAnswer = answerMemo(agg)
     aggAnswer.isDefined
   }
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean = {
-    if (aggAnswer.isEmpty) aggAnswer = answerAggregation(agg)
-    aggAnswer.isDefined
-  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerMemo(agg).isDefined
 
   override def build(): Scan = {
     val spark = SparkSession.active

@@ -659,25 +659,45 @@ class VersionedTable(spark: SparkSession, dir: String,
   private def reconcileSchemaOnRetry(asOf: Int, payloadName: String,
                                      payload: org.apache.spark.sql.types.StructType)
       : String = {
-    val cur = if (asOf < 0) None else snapshotAt(asOf).schemaJson
-    cur match {
+    if (asOf < 0) return SchemaCompat.nullableJson(payload)
+    val snap = snapshotAt(asOf)
+    // A pre-schema (legacy) log still has an EXISTING schema — the
+    // footer merge readAt falls back to. Recording only the payload's
+    // fields here would silently NARROW the table (columns the payload
+    // lacks would vanish from every later read).
+    val existing: Option[org.apache.spark.sql.types.StructType] =
+      snap.schemaJson.map(schemaFromJson).orElse(
+        if (snap.active.isEmpty) None else Some(readAt(asOf).schema))
+    existing match {
       case None => SchemaCompat.nullableJson(payload)
-      case Some(j) =>
-        val current = schemaFromJson(j)
-        val conflicts = payload.fields.flatMap(f =>
-          current.find(_.name == f.name).filter(_.dataType !=
-            SchemaCompat.nullableDeep(f.dataType)).map(c =>
-            s"${f.name}: payload ${f.dataType.simpleString} vs table " +
-              s"${c.dataType.simpleString}"))
-        if (conflicts.nonEmpty) {
+      case Some(current) =>
+        def loud(msg: String): Nothing = {
           fs.delete(new Path(root, payloadName), true)
           throw new IllegalStateException(
             s"retried append to $dir conflicts with a concurrent schema " +
-              s"change (${conflicts.mkString("; ")}); re-align and re-append")
+              s"change ($msg); re-align and re-append")
         }
+        val conflicts = payload.fields.flatMap(f =>
+          current.find(_.name.equalsIgnoreCase(f.name)).filter(_.dataType !=
+            SchemaCompat.nullableDeep(f.dataType)).map(c =>
+            s"${f.name}: payload ${f.dataType.simpleString} vs table " +
+              s"${c.dataType.simpleString}"))
+        if (conflicts.nonEmpty) loud(conflicts.mkString("; "))
+        // A payload field absent from the current schema is EITHER a
+        // genuinely new column (this writer's evolution — union it) OR
+        // one a concurrent DROP COLUMN just removed — re-recording that
+        // one would resurrect its residual bytes in every unrewritten
+        // directory. The stats index distinguishes them: a dropped
+        // column's bytes still live in some active directory's stats.
+        val extra = payload.fields.filterNot(f =>
+          current.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        val dropped = extra.map(_.name).filter(n => snap.active.exists(d =>
+          snap.stats.get(d).exists(_.keys.exists(_.equalsIgnoreCase(n)))))
+        if (dropped.nonEmpty) loud(
+          s"column(s) ${dropped.mkString(", ")} were concurrently dropped " +
+            "and this payload still carries them")
         SchemaCompat.nullableJson(org.apache.spark.sql.types.StructType(
-          current.fields ++ payload.fields.filterNot(f =>
-            current.fieldNames.contains(f.name))))
+          current.fields ++ extra))
     }
   }
 
@@ -775,6 +795,19 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   private def tableSchemaAt(v: Int): org.apache.spark.sql.types.StructType =
     snapshotAt(v).schemaJson.map(schemaFromJson).getOrElse(readAt(v).schema)
+
+  /** The table schema from PURE metadata (the log-recorded schema) —
+    * what schema-inference callers (the catalog's loadTable, the DSv2
+    * provider) must use instead of `readAt(v).schema`, whose file-index
+    * construction lists every active directory on every call. Only a
+    * pre-schema legacy log pays the footer-merge fallback.
+    */
+  def tableSchema(version: Option[Int] = None)
+      : org.apache.spark.sql.types.StructType = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    tableSchemaAt(v)
+  }
 
   /** Commit `df` as a new version extending the current active set.
     * Returns the committed version number. Delta-encoded: the manifest
@@ -924,6 +957,12 @@ class VersionedTable(spark: SparkSession, dir: String,
     * wrapper: replaying "replace the table" after someone else's
     * commit changes meaning, and that decision belongs to the caller.
     */
+  /** Test seam: runs once after an appendWithRetry payload is fully
+    * written and before its first publish attempt — specs inject a
+    * concurrent commit here deterministically.
+    */
+  private[graft] var beforeAppendPublish: () => Unit = () => ()
+
   def appendWithRetry(df0: DataFrame, maxRetries: Int = 5): Int = {
     val base = latestVersion
     val (df, schemaJson0) = alignedForAppend(df0, base)
@@ -931,6 +970,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     var validated = if (base < 0) Map.empty[String, String]
       else snapshotAt(base).constraints
     val (name, rows, stats) = writePayload(df, base + 1, validated)
+    beforeAppendPublish()
     var attempt = 0
     // The attempted slot is ALWAYS the successor of a version this
     // writer has reconciled against (base at first; the re-read latest
@@ -1078,6 +1118,17 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   private def readDirs(dirs: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(n => new Path(root, n).toString): _*)
+
+  /** [[readDirs]] with the TABLE schema imposed: directories missing an
+    * evolved column read it as null, and a dropped column's residual
+    * bytes stay hidden — the read every row-level mutation must use
+    * (a physical mergeSchema read would crash on evolved columns the
+    * touched directories never held, and resurrect dropped ones).
+    */
+  private def readDirsAs(schema: org.apache.spark.sql.types.StructType,
+                         dirs: Seq[String]): DataFrame =
+    spark.read.schema(schema)
       .parquet(dirs.map(n => new Path(root, n).toString): _*)
 
   /** Delta-style MERGE — copy-on-write upsert in ONE atomic commit:
@@ -1368,7 +1419,12 @@ class VersionedTable(spark: SparkSession, dir: String,
     val latest = latestVersion
     require(latest >= 0, s"$dir has no committed versions")
     val active = snapshotAt(latest).active
-    val snap = readDirs(active)
+    if (active.isEmpty) return latest // created-but-never-written: no-op
+    // Log-recorded schema, like [[update]]: a condition on an evolved
+    // column works before any file holds it, dropped columns stay
+    // invisible to both the condition and the rewritten payload.
+    val tblSchema = tableSchemaAt(latest)
+    val snap = readDirsAs(tblSchema, active)
     // Which directories hold matching rows? One scan, metadata-sized
     // result (distinct FILE names → their parent directories).
     val touched = snap.withColumn("__graft_file", input_file_name())
@@ -1378,7 +1434,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     if (touched.isEmpty) return latest
     val keep = not(coalesce(condition, lit(false)))
     val v = latest + 1
-    val survivors = readDirs(touched).filter(keep)
+    val survivors = readDirsAs(tblSchema, touched).filter(keep)
     val (name, rows, st) = writePayload(survivors, v)
     val (added, addedStats) =
       if (rows == 0L && touched.size < active.size) {
@@ -1395,7 +1451,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (!writeChangeData) None
       else {
         val n = f"cdf-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-        readDirs(touched).filter(coalesce(condition, lit(false)))
+        readDirsAs(tblSchema, touched).filter(coalesce(condition, lit(false)))
           .withColumn("_change_type", lit("delete"))
           .write.parquet(new Path(root, n).toString)
         Some(n)
@@ -1406,8 +1462,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     // by stats: an arbitrary Column has no stat-domain form.
     val addedMayMatch: Commit => Seq[String] = c =>
       if (c.added.isEmpty) Seq.empty
-      else if (!readDirs(c.added).filter(coalesce(condition, lit(false)))
-        .isEmpty) c.added
+      else if (!readDirsAs(tblSchema, c.added)
+        .filter(coalesce(condition, lit(false))).isEmpty) c.added
       else Seq.empty
     // No constraint revalidation on retry: the survivors are a subset
     // of rows a concurrently added constraint already validated (its
@@ -1455,8 +1511,13 @@ class VersionedTable(spark: SparkSession, dir: String,
     require(latest >= 0, s"$dir has no committed versions")
     val snapState = snapshotAt(latest)
     val active = snapState.active
-    val snap = readDirs(active)
-    val schema = snap.schema
+    if (active.isEmpty) return latest // created-but-never-written: no-op
+    // The LOG-RECORDED table schema, not a physical mergeSchema read:
+    // a metadata-only evolved column must be assignable even before any
+    // file holds it, a dropped column must stay invisible, and touched
+    // directories missing an evolved column must read it as null.
+    val schema = tableSchemaAt(latest)
+    val snap = readDirsAs(schema, active)
     assignments.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"update SET column `$k` is not in the table schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
@@ -1476,7 +1537,7 @@ class VersionedTable(spark: SparkSession, dir: String,
         case None => col(f.name)
       }
     }.toIndexedSeq
-    val rewritten = readDirs(touched).select(updatedCols: _*)
+    val rewritten = readDirsAs(schema, touched).select(updatedCols: _*)
     // New values validate against the CURRENT constraints inside the
     // stats job; a violation aborts before anything publishes.
     val (name, rows, st) = writePayload(rewritten, v, snapState.constraints)
@@ -1484,7 +1545,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (!writeChangeData) None
       else {
         val n = f"cdf-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-        val matched = readDirs(touched).filter(hit)
+        val matched = readDirsAs(schema, touched).filter(hit)
         matched.withColumn("_change_type", lit("update_preimage"))
           .unionByName(matched.select(updatedCols: _*)
             .withColumn("_change_type", lit("update_postimage")))
@@ -1495,7 +1556,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     // any row the condition matches — exact scan, same rule as delete.
     val addedMayMatch: Commit => Seq[String] = c =>
       if (c.added.isEmpty) Seq.empty
-      else if (!readDirs(c.added).filter(hit).isEmpty) c.added
+      else if (!readDirsAs(schema, c.added).filter(hit).isEmpty) c.added
       else Seq.empty
     // The payload carries NEW values a concurrently added constraint
     // never saw — revalidate it on retry, same as merge.

@@ -174,6 +174,76 @@ class VersionedUpdateSpec extends SparkSuite {
       === "UPDATE t SET x = 1")
   }
 
+  test("mutations are schema-aware: evolved columns assignable, dropped ones invisible") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p")) // dir1: (k, p)
+    // metadata-only evolution: no file holds `tag` yet
+    vt.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType))))
+    // UPDATE can assign the evolved column even though dir1 predates it
+    vt.update(col("k") === 1L, Map("tag" -> lit("hot")))
+    val rows = vt.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(rows === Seq((1L, "hot"), (2L, null)))
+    // DELETE on the evolved column works the same way
+    vt.delete(col("tag") === "hot")
+    assert(vt.read().count() === 1)
+    // after a DROP, the rewrite payload must NOT carry the dropped
+    // column's residual bytes
+    vt.dropColumns(Seq("tag"))
+    vt.update(col("k") === 2L, Map("p" -> lit(99.0)))
+    assert(vt.read().schema.fieldNames.toSeq === Seq("k", "p"))
+    assert(vt.read().head.getDouble(1) === 99.0)
+    // a rewritten directory physically holds only the live schema, so
+    // re-adding the name is allowed once every ghost dir is rewritten
+    vt.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType))))
+    assert(vt.read().filter(col("tag").isNull).count() === 1)
+  }
+
+  test("mutations on a created-but-never-written table are clean no-ops / inserts") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.DoubleType))))
+    assert(vt.update(col("k") === 1L, Map("p" -> lit(0.0))) === 0) // no-op
+    assert(vt.delete(col("k") === 1L) === 0)                       // no-op
+    // merge into the empty table: pure insert
+    vt.merge(Seq((5L, 50.0)).toDF("k", "p"), Seq("k"))
+    assert(vt.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((5L, 50.0)))
+  }
+
+  test("retried append cannot resurrect a concurrently dropped column") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a", "t1")).toDF("k", "s", "tag"))
+    val racer = new graft.sources.VersionedTable(spark, dir)
+    // the racer drops `tag` between this append's write and publish
+    vt.beforeAppendPublish = () => {
+      vt.beforeAppendPublish = () => ()
+      racer.dropColumns(Seq("tag"))
+    }
+    val e = intercept[IllegalStateException] {
+      vt.appendWithRetry(Seq((2L, "b", "t2")).toDF("k", "s", "tag"))
+    }
+    assert(e.getMessage.contains("concurrently dropped"))
+    assert(!vt.read().schema.fieldNames.contains("tag")) // drop holds
+    // a disjoint-schema retried append still rides through
+    vt.beforeAppendPublish = () => {
+      vt.beforeAppendPublish = () => ()
+      racer.append(Seq((9L, "z")).toDF("k", "s"))
+    }
+    vt.appendWithRetry(Seq((3L, "c")).toDF("k", "s"))
+    assert(vt.read().count() === 3)
+  }
+
   test("fastNonNullCount answers COUNT(col) from the manifest fold only") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
