@@ -244,6 +244,8 @@ object ScaleProbe {
           .withColumn("o_totalprice", col("o_totalprice") + 1.0)
         timed("merge ~2% of keys")(vt.merge(upd, Seq("o_orderkey")))
         timed("delete ~1% of rows")(vt.delete(col("o_orderkey") % 100 === 1))
+        timed("update ~1% of rows")(vt.update(col("o_orderkey") % 100 === 2,
+          Map("o_totalprice" -> (col("o_totalprice") + 1.0))))
         timed("zorder full rewrite")(
           vt.optimizeZOrder(Seq("o_orderkey", "o_totalprice"), 8))
         val vNow = vt.latestVersion
