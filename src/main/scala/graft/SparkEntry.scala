@@ -1563,6 +1563,96 @@ object SparkEntry {
       out
     }),
 
+    // Stats-pruned DELETE discovery (Delta's data-skipping DELETE): on
+    // a table clustered into 4 range-disjoint chunks, a range DELETE's
+    // touched-directory discovery scan reads ONLY the manifest-admitted
+    // candidates (strictly fewer than the active set — at 100 TB the
+    // difference between scanning one ingestion-day and scanning the
+    // table to find the 1% it rewrites). The final state equals the
+    // oracle's recomputation.
+    "s_versioned_delete_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_delp").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        (0 until 3).foreach(i => vt.append(o.filter(col("o_orderkey") % 3 === i)))
+        vt.optimize("o_orderkey", targetChunks = 4)
+        val active = vt.activeDirs().size
+        val cut = o.agg(max(col("o_orderkey"))).head.getLong(0) / 8
+        vt.delete(col("o_orderkey") < cut)
+        val discovery = vt.lastDiscoveryDirs.size
+        vt.read().select(col("o_orderkey"), col("o_totalprice")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), discovery < active, active))
+          .toSeq
+          .toDF("o_orderkey", "o_totalprice", "discovery_pruned", "active_dirs")
+      } finally deleteRecursively(base)
+    }),
+
+    // Identity PARTITIONED BY through the native catalog — the
+    // reference's Bronze `partitionBy("ingestion_date")` layout as DDL:
+    // one INSERT spanning all order statuses lands ONE commit with one
+    // directory PER status (partition value = exact [min = max] stat),
+    // and a status-scoped read provably plans 1 of them while equaling
+    // the unpruned recomputation.
+    "s_versioned_partitioned" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft.gate_part")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_part_base")
+      s.sql("""CREATE TABLE graft.gate_part
+              |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+              |USING graftvt PARTITIONED BY (o_orderstatus)""".stripMargin)
+      s.sql("""INSERT INTO graft.gate_part
+              |SELECT o_orderkey, o_orderstatus, o_totalprice
+              |FROM graft_part_base""".stripMargin)
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val vdir = cat.tableDir(org.apache.spark.sql.connector.catalog
+        .Identifier.of(Array.empty, "gate_part")).toString
+      val vt = new graft.sources.VersionedTable(s, vdir)
+      val totalDirs = vt.activeDirs().size
+      val q = s.sql("SELECT o_orderkey, o_totalprice FROM graft.gate_part " +
+        "WHERE o_orderstatus = 'F'")
+      val kept = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+      }.collectFirst {
+        case sc: graft.sources.GraftVtScan =>
+          sc.parquet.fileIndex.rootPaths.length
+      }.get
+      val out = q.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), kept, totalDirs)).toSeq
+        .toDF("o_orderkey", "o_totalprice", "kept_dirs", "total_dirs")
+      s.sql("DROP TABLE graft.gate_part")
+      out
+    }),
+
+    // TBLPROPERTIES persist in the transaction log (CREATE → SET →
+    // UNSET), and the SAME folded state serves SHOW TBLPROPERTIES
+    // (loadTable().properties()) and DESCRIBE DETAIL.
+    "s_versioned_props" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft.gate_props")
+      s.sql("""CREATE TABLE graft.gate_props (k BIGINT) USING graftvt
+              |TBLPROPERTIES ('retention'='30d', 'team'='ml')""".stripMargin)
+      s.sql("ALTER TABLE graft.gate_props SET TBLPROPERTIES " +
+        "('retention'='7d', 'tier'='gold')")
+      s.sql("ALTER TABLE graft.gate_props UNSET TBLPROPERTIES ('team')")
+      val shown = s.sql("SHOW TBLPROPERTIES graft.gate_props").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .filter(_._1 != "provider").sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(",")
+      val detail = s.sql("DESCRIBE DETAIL graft.gate_props").head.getString(5)
+      val out = Seq((shown, detail, shown == detail))
+        .toDF("props_shown", "props_detail", "surfaces_agree")
+      s.sql("DROP TABLE graft.gate_props")
+      out
+    }),
+
     // ALTER TABLE ADD/DROP COLUMNS as METADATA-ONLY schema commits: the
     // added column reads null on old rows and real values on new ones,
     // data files stay byte-identical (mtime-pinned), time travel keeps
@@ -4055,6 +4145,29 @@ object SparkEntry {
         |  'create,append,append,update,delete' AS history_ops,
         |  (SELECT count(*) FROM orders) AS v1_rows
         |FROM upd WHERE o_orderkey % 6 <> 1""".stripMargin,
+
+    // The surviving rows after the range delete; the discovery scan was
+    // provably bounded by the manifest stats (candidates < active).
+    "s_versioned_delete_pruned" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  true AS discovery_pruned, 4 AS active_dirs
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT max(o_orderkey) // 8 FROM orders)""".stripMargin,
+
+    // The F-partition's rows; the scan provably planned 1 of the
+    // per-status directories.
+    "s_versioned_partitioned" ->
+      """SELECT o_orderkey, o_totalprice, 1 AS kept_dirs,
+        |  CAST((SELECT count(DISTINCT o_orderstatus) FROM orders) AS INTEGER)
+        |    AS total_dirs
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    // The folded property state after CREATE → SET → UNSET, identical
+    // on both serving surfaces.
+    "s_versioned_props" ->
+      """SELECT 'retention=7d,tier=gold' AS props_shown,
+        |  'retention=7d,tier=gold' AS props_detail,
+        |  true AS surfaces_agree""".stripMargin,
 
     // The post-alter table: every order row plus the one tagged insert;
     // the alter touched no data file, every pre-alter row reads the new

@@ -109,16 +109,20 @@ object VersionedSql {
   }
 
   /** A `TIMESTAMP AS OF` bound as the string the graftvt option
-    * parser accepts (epoch millis or ISO timestamp): only literal
-    * bounds are supported — the commit log is consulted at plan time,
-    * and a non-deterministic bound has no stable version to pin.
+    * parser accepts — an ISO-8601 literal only (the one format that
+    * means the same instant on every surface; the option parser
+    * rejects bare epoch numerics loudly because the native catalog's
+    * `TIMESTAMP AS OF <n>` casts them as SECONDS while this frontend
+    * historically read MILLIS). Only literal bounds are supported —
+    * the commit log is consulted at plan time, and a non-deterministic
+    * bound has no stable version to pin.
     */
   def timestampBound(e: Expression): String = e match {
     case Literal(v, StringType) => v.toString
-    case Literal(v, ByteType | ShortType | IntegerType | LongType) => v.toString
     case other => throw new IllegalArgumentException(
-      s"TIMESTAMP AS OF wants a literal timestamp string or epoch " +
-        s"millis, got ${other.sql}")
+      s"TIMESTAMP AS OF wants a literal ISO-8601 timestamp string " +
+        s"('2026-01-01 12:00:00'), got ${other.sql}; use VERSION AS OF " +
+        "to pin an exact version")
   }
 }
 
@@ -208,7 +212,8 @@ case class GraftDescribeDetail(target: String) extends LeafRunnableCommand {
     AttributeReference("num_dirs", IntegerType, nullable = false)(),
     AttributeReference("num_rows", LongType, nullable = true)(),
     AttributeReference("size_bytes", LongType, nullable = true)(),
-    AttributeReference("num_constraints", IntegerType, nullable = false)())
+    AttributeReference("num_constraints", IntegerType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] =
     VersionedSql.resolveTarget(spark, target)._1.detail().collect().toSeq

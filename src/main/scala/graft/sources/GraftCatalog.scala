@@ -115,18 +115,44 @@ class GraftCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean = hasLog(tableDir(ident))
 
+  /** Keys Spark itself injects into every CREATE — not user
+    * TBLPROPERTIES; they are filtered before the log records the rest.
+    */
+  private val reservedProps = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION)
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables are directory-chunked by the transaction " +
-        "log (OPTIMIZE/ZORDER cluster them); PARTITIONED BY is not supported")
+    // IDENTITY transforms only — `PARTITIONED BY (col)`, the
+    // reference's Bronze layout. The column list rides the transaction
+    // log; every append splits its payload one directory per distinct
+    // partition tuple, whose exact [min = max] stat makes the SAME
+    // manifest pruning that serves data skipping serve partition
+    // pruning (no second index, no Hive directory parsing). Function
+    // transforms (bucket/days/...) would need derived-value stats —
+    // rejected loudly; OPTIMIZE/ZORDER cluster within and across
+    // partitions instead.
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1 &&
+        refs(0).fieldNames().length == 1,
+        s"graft catalog tables support identity PARTITIONED BY " +
+          s"(top-level columns) only, got transform: $t")
+      refs(0).fieldNames()(0)
+    }
     val dir = tableDir(ident)
     if (hasLog(dir)) throw new TableAlreadyExistsException(ident)
     val vt = new VersionedTable(spark, dir.toString)
-    vt.create(schema)
-    val _ = properties // no table properties surface yet — loud is worse here:
-                       // Spark always passes provider/owner entries
+    // user TBLPROPERTIES (and COMMENT) persist in the transaction log
+    // and ride checkpoints; Spark-injected provider/owner/location
+    // entries are the catalog's own bookkeeping, not table state
+    vt.create(schema,
+      properties.asScala.toMap.filterNot { case (k, _) =>
+        reservedProps.contains(k) },
+      partCols)
     loadTable(ident)
   }
 
@@ -144,10 +170,13 @@ class GraftCatalog extends TableCatalog {
     val vt = new VersionedTable(spark, dir.toString)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
-    require(adds.size + drops.size == changes.size,
-      "the graft catalog supports ALTER TABLE ADD COLUMNS and DROP " +
-        "COLUMN[S] only (metadata-only schema evolution); CHECK " +
-        "constraints and maintenance run through the SQL command frontend")
+    val sets = changes.collect { case s: TableChange.SetProperty => s }
+    val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
+    require(adds.size + drops.size + sets.size + unsets.size == changes.size,
+      "the graft catalog supports ALTER TABLE ADD COLUMNS, DROP " +
+        "COLUMN[S], and SET/UNSET TBLPROPERTIES only (metadata-only " +
+        "commits); CHECK constraints and maintenance run through the " +
+        "SQL command frontend")
     adds.foreach(a => require(a.fieldNames().length == 1 && a.position() == null,
       "ADD COLUMNS supports top-level columns without position clauses"))
     drops.foreach(d => require(d.fieldNames().length == 1,
@@ -156,6 +185,10 @@ class GraftCatalog extends TableCatalog {
       vt.addColumns(StructType(adds.map(a =>
         org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType()))))
     if (drops.nonEmpty) vt.dropColumns(drops.map(_.fieldNames()(0)))
+    val userSets = sets.filterNot(s => reservedProps.contains(s.property()))
+    if (userSets.nonEmpty)
+      vt.setProperties(userSets.map(s => s.property() -> s.value()).toMap)
+    if (unsets.nonEmpty) vt.unsetProperties(unsets.map(_.property()))
     loadTable(ident)
   }
 

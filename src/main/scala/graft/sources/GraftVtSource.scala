@@ -70,9 +70,7 @@ class GraftVtDataSource extends TableProvider with DataSourceRegister
       val v = (vAsOf, tsAsOf) match {
         case (Some(ver), _) => ver
         case (_, Some(ts)) =>
-          val tsMs = ts.toLongOption.getOrElse(
-            java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
-          vt.versionAtTimestamp(tsMs)
+          vt.versionAtTimestamp(GraftVtTime.parseTimestampAsOf(ts))
         case _ =>
           // v = -1: an UNINITIALIZED directory. Tolerated here (not an
           // error) because the streaming-WRITE path builds the table
@@ -136,6 +134,26 @@ private[sources] class GraftVtTable(vt: VersionedTable, version: Int,
 
   override def name(): String = s"graftvt.`$rootPath` (version $version)"
   override def schema(): StructType = schema
+
+  /** User TBLPROPERTIES from the transaction log (plus the provider
+    * Spark expects every V2 table to report) — what `loadTable(...)
+    * .properties()` and SHOW TBLPROPERTIES serve.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    vt.tableProperties(Some(version)).foreach { case (k, v) => m.put(k, v) }
+    m.put("provider", "graftvt")
+    m
+  }
+
+  /** The declared identity partitioning (empty when unpartitioned) —
+    * DESCRIBE TABLE and SHOW CREATE read it from here.
+    */
+  override def partitioning(): Array[Transform] =
+    vt.partitionColumns(Some(version)).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   override def capabilities(): util.Set[TableCapability] =
     // BATCH_WRITE routes DataFrameWriter.save here; V1_BATCH_WRITE
     // tells the planner the produced Write is the V1 fallback shape;
@@ -587,6 +605,46 @@ private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
       : org.apache.spark.sql.connector.read.Statistics =
     parquet.estimateStatistics()
   override def description(): String = "GraftVt " + parquet.description()
+}
+
+/** The ONE user-facing `TIMESTAMP AS OF` bound parser — shared by the
+  * DSv2 `timestampAsOf` option and the SQL-text substitution frontend
+  * ([[graft.plans.VersionedSql.timestampBound]]), so the same string
+  * means the same instant on every surface.
+  */
+private[graft] object GraftVtTime {
+
+  /** Parse an ISO-8601 local timestamp (`2026-01-01 12:00:00[.SSS]`,
+    * `T` separator tolerated, date-only = midnight) to epoch millis in
+    * the SESSION timezone — exactly the zone Spark resolves a native
+    * catalog's `TIMESTAMP AS OF '<literal>'` in, so the two surfaces
+    * pin the same version for the same string. Bare epoch numerics are
+    * rejected loudly: the same number meant epoch MILLIseconds here
+    * while a native catalog `TIMESTAMP AS OF <n>` casts it as epoch
+    * SECONDS — an ambiguity no unit choice removes; `versionAsOf`
+    * serves exact pinning.
+    */
+  def parseTimestampAsOf(ts0: String): Long = {
+    val ts = ts0.trim
+    require(ts.toLongOption.isEmpty && ts.toDoubleOption.isEmpty,
+      s"ambiguous numeric timestampAsOf bound '$ts': pass an ISO-8601 " +
+        "timestamp ('2026-01-01 12:00:00') — bare epoch numbers meant " +
+        "different units on different surfaces; use versionAsOf to pin " +
+        "an exact version")
+    val norm = ts.replace(' ', 'T')
+    val full = if (norm.matches("\\d{4}-\\d{2}-\\d{2}")) norm + "T00:00:00" else norm
+    val ldt =
+      try java.time.LocalDateTime.parse(full)
+      catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"cannot parse timestampAsOf bound '$ts0' as an ISO-8601 " +
+              "timestamp ('2026-01-01 12:00:00')", e)
+      }
+    val zone = java.time.ZoneId.of(
+      SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+    ldt.atZone(zone).toInstant.toEpochMilli
+  }
 }
 
 /** The v1-Filter → manifest-stat-domain translation, shared by the

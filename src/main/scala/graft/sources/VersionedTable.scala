@@ -130,7 +130,10 @@ class VersionedTable(spark: SparkSession, dir: String,
                     constraintDrop: Option[String] = None,
                     addedRows: Map[String, Long] = Map.empty,
                     addedBytes: Map[String, Long] = Map.empty,
-                    schemaJson: Option[String] = None)
+                    schemaJson: Option[String] = None,
+                    propsSet: Map[String, String] = Map.empty,
+                    propsUnset: Seq[String] = Nil,
+                    partitionCols: Seq[String] = Nil)
 
   private def manifestPath(v: Int): Path = new Path(logDir, f"$v%08d.json")
   private def checkpointPath(v: Int): Path =
@@ -220,7 +223,17 @@ class VersionedTable(spark: SparkSession, dir: String,
           ab.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         }
       },
-      if (node.has("schema")) Some(node.get("schema").asText()) else None)
+      if (node.has("schema")) Some(node.get("schema").asText()) else None,
+      {
+        val ps = node.get("props_set")
+        if (ps == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          ps.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        }
+      },
+      readArray(node, "props_unset"),
+      readArray(node, "partition_cols"))
   }
 
   private val lastCheckpointPath = new Path(logDir, "_last_checkpoint")
@@ -311,7 +324,9 @@ class VersionedTable(spark: SparkSession, dir: String,
                               constraints: Map[String, String],
                               dirRows: Map[String, Long],
                               dirBytes: Map[String, Long],
-                              schemaJson: Option[String] = None)
+                              schemaJson: Option[String] = None,
+                              props: Map[String, String] = Map.empty,
+                              partitionCols: Seq[String] = Nil)
 
   private def checkpointAtOrBelow(v: Int): Option[(Int, Snapshot)] = {
     if (!fs.exists(logDir)) return None
@@ -338,7 +353,9 @@ class VersionedTable(spark: SparkSession, dir: String,
       Some((best, Snapshot(readArray(node, "active"),
         parseStats(node.get("stats")), txns, strMap("constraints", _.asText()),
         dirRows, dirBytes,
-        if (node.has("schema")) Some(node.get("schema").asText()) else None)))
+        if (node.has("schema")) Some(node.get("schema").asText()) else None,
+        strMap("props", _.asText()),
+        readArray(node, "partition_cols"))))
     }
   }
 
@@ -361,7 +378,9 @@ class VersionedTable(spark: SparkSession, dir: String,
         (s.constraints -- c.constraintDrop) ++ c.constraintAdd,
         s.dirRows -- c.removed ++ c.addedRows,
         s.dirBytes -- c.removed ++ c.addedBytes,
-        c.schemaJson.orElse(s.schemaJson))
+        c.schemaJson.orElse(s.schemaJson),
+        (s.props -- c.propsUnset) ++ c.propsSet,
+        if (c.partitionCols.nonEmpty) c.partitionCols else s.partitionCols)
     }
   }
 
@@ -456,6 +475,18 @@ class VersionedTable(spark: SparkSession, dir: String,
         c.addedBytes.foreach { case (d, n) => bn.put(d, n) }
       }
       c.schemaJson.foreach(node.put("schema", _))
+      if (c.propsSet.nonEmpty) {
+        val pn = node.putObject("props_set")
+        c.propsSet.foreach { case (k, v2) => pn.put(k, v2) }
+      }
+      if (c.propsUnset.nonEmpty) {
+        val pu = node.putArray("props_unset")
+        c.propsUnset.foreach(pu.add)
+      }
+      if (c.partitionCols.nonEmpty) {
+        val pc = node.putArray("partition_cols")
+        c.partitionCols.foreach(pc.add)
+      }
       writeStats(node, "added_stats", c.addedStats)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
@@ -508,6 +539,14 @@ class VersionedTable(spark: SparkSession, dir: String,
         snap.dirBytes.foreach { case (d, n) => db.put(d, n) }
       }
       snap.schemaJson.foreach(node.put("schema", _))
+      if (snap.props.nonEmpty) {
+        val pn = node.putObject("props")
+        snap.props.foreach { case (k, v2) => pn.put(k, v2) }
+      }
+      if (snap.partitionCols.nonEmpty) {
+        val pc = node.putArray("partition_cols")
+        snap.partitionCols.foreach(pc.add)
+      }
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
     if (atomicClaim(tmp, checkpointPath(v))) writeLastCheckpointHint(v)
@@ -541,6 +580,88 @@ class VersionedTable(spark: SparkSession, dir: String,
             s"$n [${constraints(n)}] on $c row(s)" }.mkString("; "))
     }
     (name, rows, stats)
+  }
+
+  /** [[writePayload]] routed by the table's declared partitioning:
+    * unpartitioned tables (and payloads missing a partition column —
+    * an evolving append reads it as null everywhere, no value to split
+    * on) write ONE directory; partitioned tables split into one
+    * directory PER DISTINCT partition tuple so the partition value is
+    * an exact [min = max] per-directory stat and every reader's
+    * manifest pruning serves partition pruning for free.
+    */
+  private def writePayloadAuto(df: DataFrame, v: Int,
+                               constraints: Map[String, String],
+                               base: Int)
+      : Seq[(String, Long, Map[String, ColStat])] = {
+    val partCols = if (base < 0) Nil else snapshotAt(base).partitionCols
+    if (partCols.isEmpty ||
+        partCols.exists(c => !df.columns.exists(_.equalsIgnoreCase(c))))
+      Seq(writePayload(df, v, constraints))
+    else writePayloadSplit(df, v, partCols, constraints)
+  }
+
+  /** The partitioned payload write — Hive layout rebuilt as manifest
+    * state: the payload is written ONCE through `partitionBy` on
+    * SHADOW copies of the partition columns (partitionBy strips its
+    * keys from the data files; the shadows are stripped, the REAL
+    * columns stay readable in every file), each staged leaf directory
+    * is renamed (metadata-only) into a top-level data directory, and
+    * its stats are computed like any other commit — the partition
+    * value lands as an exact [min = max] bound, which is precisely
+    * what [[pruneActiveAll]]/DPP prune on. No dedicated partition
+    * index exists, so a `WHERE day = X` read, an OPTIMIZE WHERE, and
+    * a stats-pruned DELETE all skip foreign partitions through the
+    * one mechanism. Stats cost one bounded job per distinct tuple —
+    * ingestion appends touch one or a few partitions; a backfill
+    * across thousands should batch per partition upstream.
+    */
+  private def writePayloadSplit(df: DataFrame, v: Int,
+                                partCols: Seq[String],
+                                constraints: Map[String, String])
+      : Seq[(String, Long, Map[String, ColStat])] = {
+    import org.apache.spark.sql.functions.col
+    val shadow = partCols.map(c => "__graft_p_" + c)
+    shadow.foreach(s => require(!df.columns.contains(s),
+      s"payload column `$s` collides with the partition staging prefix"))
+    val staged = partCols.zip(shadow).foldLeft(df)((d, cs) =>
+      d.withColumn(cs._2, col(cs._1)))
+    val staging = new Path(root,
+      f"_staging-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}")
+    staged.write.partitionBy(shadow: _*).parquet(staging.toString)
+    def leaves(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => leaves(st.getPath, depth - 1))
+    val parts = leaves(staging, shadow.size).sortBy(_.toString)
+    if (parts.isEmpty) { // empty payload: keep the 0-row schema holder
+      fs.delete(staging, true)
+      return Seq(writePayload(df, v, constraints))
+    }
+    val written = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"v$v%05d-p$i%03d-${java.util.UUID.randomUUID().toString.take(8)}"
+      require(fs.rename(p, new Path(root, name)),
+        s"staging rename $p -> $name failed")
+      name
+    }
+    fs.delete(staging, true)
+    val out = written.map { name =>
+      val (rows, stats, violations) =
+        statsOf(new Path(root, name).toString, constraints)
+      (name, rows, stats, violations.filter(_._2 > 0L))
+    }
+    val broken = out.flatMap(_._4)
+    if (broken.nonEmpty) {
+      // abort BEFORE publish, reclaiming EVERY staged directory — a
+      // partial payload must never outlive its failed commit
+      written.foreach(n => fs.delete(new Path(root, n), true))
+      throw new IllegalArgumentException(
+        s"write to $dir violates CHECK constraint(s): " +
+          broken.map { case (n, c) =>
+            s"$n [${constraints(n)}] on $c row(s)" }.mkString("; "))
+    }
+    out.map(t => (t._1, t._2, t._3))
   }
 
   /** Row count, per-column min/max, and per-CHECK-constraint violation
@@ -708,14 +829,78 @@ class VersionedTable(spark: SparkSession, dir: String,
     * if data already existed. Fails loudly when the directory already
     * holds a transaction log.
     */
-  def create(schema: org.apache.spark.sql.types.StructType): Int = {
+  def create(schema: org.apache.spark.sql.types.StructType,
+             properties: Map[String, String] = Map.empty,
+             partitionCols: Seq[String] = Nil): Int = {
     require(latestVersion < 0,
       s"$dir already has a transaction log (latest version $latestVersion); " +
         "create() only initializes fresh tables")
+    partitionCols.foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"partition column `$c` is not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
     publish(Commit(0, "create", Seq.empty, Seq.empty, 0L,
       System.currentTimeMillis(),
-      schemaJson = Some(SchemaCompat.nullableJson(schema))))
+      schemaJson = Some(SchemaCompat.nullableJson(schema)),
+      propsSet = properties, partitionCols = partitionCols))
     0
+  }
+
+  /** The identity partition columns declared at CREATE (empty for an
+    * unpartitioned table). Every append/overwrite to a partitioned
+    * table splits its payload into one directory PER DISTINCT
+    * partition tuple, with the partition value riding each directory's
+    * exact [min = max] stat — so [[pruneActiveAll]], the DSv2 scan's
+    * pushdown, and DPP all serve partition pruning from the SAME
+    * manifest machinery that serves data skipping, no second index.
+    */
+  def partitionColumns(version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    snapshotAt(v).partitionCols
+  }
+
+  /** The user TBLPROPERTIES in force at a version (default: latest) —
+    * folded from the manifest log exactly like constraints, so they
+    * survive restarts, checkpoints, and vacuum and are visible to
+    * every reader (`loadTable().properties()`, DESCRIBE DETAIL).
+    */
+  def tableProperties(version: Option[Int] = None): Map[String, String] = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    snapshotAt(v).props
+  }
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES` — a metadata-only commit
+    * recording the new/updated keys; existing keys not named keep
+    * their values. Returns the committed version.
+    */
+  def setProperties(props: Map[String, String]): Int = {
+    require(props.nonEmpty, "setProperties needs at least one property")
+    val v = latestVersion + 1
+    require(v > 0, s"$dir has no committed versions")
+    publish(Commit(v, "properties", Seq.empty, Seq.empty, 0L,
+      System.currentTimeMillis(), propsSet = props))
+    v
+  }
+
+  /** `ALTER TABLE ... UNSET TBLPROPERTIES` — metadata-only removal;
+    * unknown keys fail loudly (matching Spark's default, which has no
+    * IF EXISTS here).
+    */
+  def unsetProperties(names: Seq[String]): Int = {
+    require(names.nonEmpty, "unsetProperties needs at least one property")
+    val latest = latestVersion
+    require(latest >= 0, s"$dir has no committed versions")
+    val cur = snapshotAt(latest).props
+    val missing = names.filterNot(cur.contains)
+    require(missing.isEmpty,
+      s"propert${if (missing.size == 1) "y" else "ies"} " +
+        s"${missing.mkString(", ")} not set on $dir " +
+        s"(has: ${cur.keys.toSeq.sorted.mkString(", ")})")
+    publish(Commit(latest + 1, "properties", Seq.empty, Seq.empty, 0L,
+      System.currentTimeMillis(), propsUnset = names))
+    latest + 1
   }
 
   /** ALTER TABLE ADD COLUMNS — METADATA-ONLY schema evolution, Delta's
@@ -817,11 +1002,13 @@ class VersionedTable(spark: SparkSession, dir: String,
     val base = latestVersion
     val (df, schemaJson) = alignedForAppend(df0, base)
     val v = base + 1
-    val (name, rows, stats) = writePayload(df, v,
-      if (base < 0) Map.empty else snapshotAt(base).constraints)
-    publish(Commit(v, "append", Seq(name), Seq.empty, rows,
-      System.currentTimeMillis(), addedStats = Map(name -> stats),
-      addedRows = Map(name -> rows), schemaJson = Some(schemaJson)))
+    val parts = writePayloadAuto(df, v,
+      if (base < 0) Map.empty else snapshotAt(base).constraints, base)
+    publish(Commit(v, "append", parts.map(_._1), Seq.empty,
+      parts.map(_._2).sum, System.currentTimeMillis(),
+      addedStats = parts.map(p => p._1 -> p._3).toMap,
+      addedRows = parts.map(p => p._1 -> p._2).toMap,
+      schemaJson = Some(schemaJson)))
     v
   }
 
@@ -882,9 +1069,13 @@ class VersionedTable(spark: SparkSession, dir: String,
     val snap = snapshotAt(v)
     def total(m: Map[String, Long]): Option[Long] =
       if (snap.active.forall(m.contains)) Some(snap.active.map(m).sum) else None
+    // user TBLPROPERTIES render deterministically (key-sorted k=v)
+    val props = snap.props.toSeq.sortBy(_._1)
+      .map { case (k, v2) => s"$k=$v2" }.mkString(",")
     Seq((v, snap.active.size, total(snap.dirRows), total(snap.dirBytes),
-      snap.constraints.size))
-      .toDF("version", "num_dirs", "num_rows", "size_bytes", "num_constraints")
+      snap.constraints.size, props))
+      .toDF("version", "num_dirs", "num_rows", "size_bytes",
+        "num_constraints", "properties")
   }
 
   /** The CHECK constraints in force at the latest version (empty for a
@@ -969,7 +1160,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     var schemaJson = schemaJson0
     var validated = if (base < 0) Map.empty[String, String]
       else snapshotAt(base).constraints
-    val (name, rows, stats) = writePayload(df, base + 1, validated)
+    val parts = writePayloadAuto(df, base + 1, validated, base)
+    val names = parts.map(_._1)
     beforeAppendPublish()
     var attempt = 0
     // The attempted slot is ALWAYS the successor of a version this
@@ -981,19 +1173,30 @@ class VersionedTable(spark: SparkSession, dir: String,
     var expected = base + 1
     while (true) {
       try {
-        publish(Commit(expected, "append", Seq(name), Seq.empty, rows,
-          System.currentTimeMillis(), addedStats = Map(name -> stats),
-          addedRows = Map(name -> rows), schemaJson = Some(schemaJson)))
+        publish(Commit(expected, "append", names, Seq.empty,
+          parts.map(_._2).sum, System.currentTimeMillis(),
+          addedStats = parts.map(p => p._1 -> p._3).toMap,
+          addedRows = parts.map(p => p._1 -> p._2).toMap,
+          schemaJson = Some(schemaJson)))
         return expected
       } catch {
         case e: IllegalStateException =>
           if (attempt >= maxRetries) throw e
           attempt += 1
           // The winner may have been an addConstraint: re-validate the
-          // already-written payload against anything new before
-          // re-claiming a slot — retrying blind would publish data the
-          // new constraint never checked.
-          validated = revalidatePayload(name, validated)
+          // already-written payload (EVERY directory of a partitioned
+          // split, each against the SAME pre-loss baseline — the first
+          // directory's refreshed map must not hide a fresh constraint
+          // from the second) before re-claiming a slot — retrying blind
+          // would publish data the new constraint never checked. Any
+          // abort reclaims the whole payload, not just the violating
+          // directory.
+          val baseline = validated
+          try names.foreach(n => revalidatePayload(n, baseline))
+          catch { case t: Throwable =>
+            names.foreach(n => fs.delete(new Path(root, n), true)); throw t
+          }
+          validated = currentConstraints
           // ...or an EVOLVING append: re-merge the schema so the
           // retried manifest never hides the winner's columns (loud on
           // a type conflict — the payload's physical types are final).
@@ -1001,7 +1204,10 @@ class VersionedTable(spark: SparkSession, dir: String,
           // its successor: anything landing after this read makes the
           // next publish fail and re-enter this reconciliation.
           val upTo = latestVersion
-          schemaJson = reconcileSchemaOnRetry(upTo, name, df.schema)
+          try schemaJson = reconcileSchemaOnRetry(upTo, names.head, df.schema)
+          catch { case t: Throwable =>
+            names.foreach(n => fs.delete(new Path(root, n), true)); throw t
+          }
           expected = upTo + 1
       }
     }
@@ -1054,16 +1260,19 @@ class VersionedTable(spark: SparkSession, dir: String,
     var schemaJson = schemaJson0
     var validated = if (base < 0) Map.empty[String, String]
       else snapshotAt(base).constraints
-    val (name, rows, stats) = writePayload(df, base + 1, validated)
+    val parts = writePayloadAuto(df, base + 1, validated, base)
+    val names = parts.map(_._1)
     var attempt = 0
     // Slot discipline identical to appendWithRetry: attempt only the
     // successor of a version this writer has reconciled against.
     var expected = base + 1
     while (true) {
       try {
-        publish(Commit(expected, "append", Seq(name), Seq.empty, rows,
-          System.currentTimeMillis(), Some((app, batchId)),
-          addedStats = Map(name -> stats), addedRows = Map(name -> rows),
+        publish(Commit(expected, "append", names, Seq.empty,
+          parts.map(_._2).sum, System.currentTimeMillis(),
+          Some((app, batchId)),
+          addedStats = parts.map(p => p._1 -> p._3).toMap,
+          addedRows = parts.map(p => p._1 -> p._2).toMap,
           schemaJson = Some(schemaJson)))
         return Some(expected)
       } catch {
@@ -1074,15 +1283,23 @@ class VersionedTable(spark: SparkSession, dir: String,
           // batch: re-check before re-publishing, dropping our orphan
           // payload if the batch landed.
           if (lastCommittedBatch(app).exists(_ >= batchId)) {
-            fs.delete(new Path(root, name), true)
+            names.foreach(n => fs.delete(new Path(root, n), true))
             return None
           }
           // ...or an addConstraint / evolving append: re-validate and
-          // re-merge the schema before re-claiming.
-          validated = revalidatePayload(name, validated)
-          val upTo = latestVersion
-          schemaJson = reconcileSchemaOnRetry(upTo, name, df.schema)
-          expected = upTo + 1
+          // re-merge the schema before re-claiming (same multi-
+          // directory baseline-and-reclaim discipline as
+          // appendWithRetry).
+          val baseline = validated
+          try {
+            names.foreach(n => revalidatePayload(n, baseline))
+            validated = currentConstraints
+            val upTo = latestVersion
+            schemaJson = reconcileSchemaOnRetry(upTo, names.head, df.schema)
+            expected = upTo + 1
+          } catch { case t: Throwable =>
+            names.foreach(n => fs.delete(new Path(root, n), true)); throw t
+          }
       }
     }
     None // unreachable
@@ -1103,12 +1320,14 @@ class VersionedTable(spark: SparkSession, dir: String,
     * versions stay readable until [[vacuum]].
     */
   def overwrite(df: DataFrame): Int = {
-    val v = latestVersion + 1
-    val (name, rows, stats) = writePayload(df, v, currentConstraints)
+    val base = latestVersion
+    val v = base + 1
+    val parts = writePayloadAuto(df, v, currentConstraints, base)
     val prevActive = if (v == 0) Seq.empty else activeAt(v - 1)
-    publish(Commit(v, "overwrite", Seq(name), prevActive, rows,
-      System.currentTimeMillis(), addedStats = Map(name -> stats),
-      addedRows = Map(name -> rows),
+    publish(Commit(v, "overwrite", parts.map(_._1), prevActive,
+      parts.map(_._2).sum, System.currentTimeMillis(),
+      addedStats = parts.map(p => p._1 -> p._3).toMap,
+      addedRows = parts.map(p => p._1 -> p._2).toMap,
       schemaJson = Some(df.schema.pipe(graft.sources.SchemaCompat.nullableJson))))
     v
   }
@@ -1130,6 +1349,172 @@ class VersionedTable(spark: SparkSession, dir: String,
                          dirs: Seq[String]): DataFrame =
     spark.read.schema(schema)
       .parquet(dirs.map(n => new Path(root, n).toString): _*)
+
+  /** Test seam: the candidate directories the last [[delete]]/[[update]]
+    * discovery scan actually read (after stats pruning) — specs pin
+    * that a stat-expressible predicate bounds discovery to the
+    * manifest-admitted subset instead of the whole active set.
+    */
+  private[graft] var lastDiscoveryDirs: Seq[String] = Nil
+
+  /** Stats-pruned candidate set for a row-level mutation's
+    * touched-directory DISCOVERY scan (Delta's data-skipping
+    * DELETE/UPDATE): split the predicate into conjuncts, translate
+    * each independently to a v1 [[org.apache.spark.sql.sources.Filter]]
+    * ([[org.apache.spark.sql.execution.datasources.DataSourceStrategy
+    * .translateFilter]] — per-conjunct, so one untranslatable term
+    * never discards the others' pruning power), fold the translated
+    * terms into stat-domain ranges and null-ness facts
+    * ([[GraftVtFilters]] — the SAME translation the DSv2 scan pushes),
+    * and keep only the active directories whose recorded bounds can
+    * intersect them ([[pruneActiveAll]]). Pruning is a superset
+    * guarantee at directory granularity, so the discovery scan's
+    * row-level filter stays authoritative; a predicate with no
+    * stat-expressible conjunct falls back to the full active set.
+    * At 100 TB this is the difference between a `DELETE WHERE day = X`
+    * scanning one ingestion-day's directories and scanning the table
+    * to discover the 1% it will rewrite.
+    */
+  private def discoveryCandidates(condition: org.apache.spark.sql.Column,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  active: Seq[String],
+                                  version: Int): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, InSet => CInSet, IsNotNull => CNotNull, IsNull => CIsNull, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
+    import org.apache.spark.sql.types._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // Top-level column name of a resolved attribute reference (the
+    // condition is ANALYZED against the table schema below, so names
+    // are resolved and implicit casts sit on the literal side);
+    // anything else is not stat-indexable.
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name)
+      case _ => None
+    }
+    // A LITERAL's value in the manifest-stat domain. Internal values:
+    // timestamps are already epoch micros (the stats' exact unit);
+    // NTZ micros convert through the session zone, matching how
+    // [[statsOf]] recorded them (exact when writer and reader agree —
+    // this engine pins UTC; a mismatched pair keeps conservatively at
+    // the comparison site like any other NTZ consumer). Non-literal
+    // FOLDABLE expressions (the analyzer's Cast-on-the-literal-side
+    // coercions) evaluate once on the driver and recurse.
+    def litOf(e: Expression): Option[Any] = e match {
+      case CLit(null, _) => None
+      case CLit(v, t) => t match {
+        case ByteType => Some(v.asInstanceOf[Byte].toLong)
+        case ShortType => Some(v.asInstanceOf[Short].toLong)
+        case IntegerType => Some(v.asInstanceOf[Int].toLong)
+        case LongType => Some(v.asInstanceOf[Long])
+        case FloatType => Some(v.asInstanceOf[Float].toDouble)
+        case DoubleType => Some(v.asInstanceOf[Double])
+        case StringType => Some(v.toString)
+        case TimestampType => Some(v.asInstanceOf[Long])
+        case TimestampNTZType =>
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          val micros = v.asInstanceOf[Long]
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          val i = ldt.atZone(zone).toInstant
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case _ => None
+      }
+      case other if other.foldable =>
+        try litOf(CLit(other.eval(null), other.dataType))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+    type StatRange = (String, Option[Any], Option[Any])
+    def ranged(a: Expression, l: Expression,
+               mk: (String, Any) => StatRange)
+        : (Seq[StatRange], Seq[String], Seq[String]) =
+      ((for { n <- attrOf(a); v <- litOf(l) } yield mk(n, v)).toSeq, Nil, Nil)
+    // One conjunct's contribution: stat ranges, IS NOT NULL columns,
+    // IS NULL columns. Strict bounds relax to inclusive (superset —
+    // the discovery scan's row filter stays authoritative); reversed
+    // operand orders flip; anything else contributes nothing.
+    def facts(e: Expression): (Seq[StatRange], Seq[String], Seq[String]) = e match {
+      case CEq(a, l) if attrOf(a).isDefined =>
+        ranged(a, l, (n, v) => (n, Some(v), Some(v)))
+      case CEq(l, a) if attrOf(a).isDefined =>
+        ranged(a, l, (n, v) => (n, Some(v), Some(v)))
+      case CGt(a, l) if attrOf(a).isDefined =>
+        ranged(a, l, (n, v) => (n, Some(v), None))
+      case CGe(a, l) if attrOf(a).isDefined =>
+        ranged(a, l, (n, v) => (n, Some(v), None))
+      case CLt(a, l) if attrOf(a).isDefined =>
+        ranged(a, l, (n, v) => (n, None, Some(v)))
+      case CLe(a, l) if attrOf(a).isDefined =>
+        ranged(a, l, (n, v) => (n, None, Some(v)))
+      case CGt(l, a) if attrOf(a).isDefined =>
+        ranged(a, l, (n, v) => (n, None, Some(v)))
+      case CGe(l, a) if attrOf(a).isDefined =>
+        ranged(a, l, (n, v) => (n, None, Some(v)))
+      case CLt(l, a) if attrOf(a).isDefined =>
+        ranged(a, l, (n, v) => (n, Some(v), None))
+      case CLe(l, a) if attrOf(a).isDefined =>
+        ranged(a, l, (n, v) => (n, Some(v), None))
+      case CIn(a, vs) if attrOf(a).isDefined && vs.nonEmpty =>
+        // envelope under the SAME order the stats prune with — null
+        // members never match (SQL IN) and drop; an untranslatable
+        // member keeps conservatively
+        val bs = vs.map(litOf)
+        val nonNullLits = vs.count { case CLit(null, _) => false; case _ => true }
+        if (bs.flatten.size < nonNullLits || bs.flatten.isEmpty) (Nil, Nil, Nil)
+        else {
+          val bounds = bs.flatten
+          val lo = bounds.reduce((x, y) => if (cmpBound(x, y) <= 0) x else y)
+          val hi = bounds.reduce((x, y) => if (cmpBound(x, y) >= 0) x else y)
+          (Seq((attrOf(a).get, Some(lo), Some(hi))), Nil, Nil)
+        }
+      case s: CInSet if attrOf(s.child).isDefined && s.hset.nonEmpty =>
+        // hset holds INTERNAL values — wrap with the raw constructor
+        // (Literal.create expects external ones)
+        val lits = s.hset.toSeq.filter(_ != null).map(v =>
+          litOf(CLit(v, s.child.dataType)))
+        if (lits.exists(_.isEmpty) || lits.isEmpty) (Nil, Nil, Nil)
+        else {
+          val bounds = lits.flatten
+          val lo = bounds.reduce((x, y) => if (cmpBound(x, y) <= 0) x else y)
+          val hi = bounds.reduce((x, y) => if (cmpBound(x, y) >= 0) x else y)
+          (Seq((attrOf(s.child).get, Some(lo), Some(hi))), Nil, Nil)
+        }
+      case CNotNull(a) => (Nil, attrOf(a).toSeq, Nil)
+      case CIsNull(a) => (Nil, Nil, attrOf(a).toSeq)
+      case _ => (Nil, Nil, Nil)
+    }
+    // The condition is ANALYZED against an empty frame of the table
+    // schema (pure driver-side — nothing is listed or read): names
+    // resolve, implicit casts land on the literal side where litOf
+    // folds them. A condition that fails analysis here keeps the full
+    // active set — the real discovery scan then raises the proper
+    // error.
+    val condExpr: Option[Expression] =
+      try {
+        val probe = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        probe.filter(condition).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+      } catch { case _: Exception => None }
+    val all = condExpr.toSeq.flatMap(conjuncts)
+      .map(c => try facts(c) catch { case _: Exception => (Nil, Nil, Nil) })
+    val ranges = all.flatMap(_._1)
+    val notNull = all.flatMap(_._2)
+    val isNull = all.flatMap(_._3)
+    val kept =
+      if (ranges.isEmpty && notNull.isEmpty && isNull.isEmpty) active
+      else pruneActiveAll(ranges, Some(version), notNull, isNull)._1
+    lastDiscoveryDirs = kept
+    kept
+  }
 
   /** Delta-style MERGE — copy-on-write upsert in ONE atomic commit:
     * every source row replaces the target row with the same `keys`
@@ -1424,9 +1809,15 @@ class VersionedTable(spark: SparkSession, dir: String,
     // column works before any file holds it, dropped columns stay
     // invisible to both the condition and the rewritten payload.
     val tblSchema = tableSchemaAt(latest)
-    val snap = readDirsAs(tblSchema, active)
-    // Which directories hold matching rows? One scan, metadata-sized
-    // result (distinct FILE names → their parent directories).
+    // Which directories hold matching rows? The candidate set is first
+    // bounded by the manifest stats ([[discoveryCandidates]] — a
+    // stat-expressible predicate scans only the directories whose
+    // recorded ranges can intersect it, not the table), then ONE scan
+    // over the candidates yields a metadata-sized result (distinct FILE
+    // names → their parent directories).
+    val candidates = discoveryCandidates(condition, tblSchema, active, latest)
+    if (candidates.isEmpty) return latest // provably nothing matches
+    val snap = readDirsAs(tblSchema, candidates)
     val touched = snap.withColumn("__graft_file", input_file_name())
       .filter(condition).select(col("__graft_file")).distinct()
       .collect().map(r => new Path(r.getString(0)).getParent.getName)
@@ -1517,13 +1908,15 @@ class VersionedTable(spark: SparkSession, dir: String,
     // file holds it, a dropped column must stay invisible, and touched
     // directories missing an evolved column must read it as null.
     val schema = tableSchemaAt(latest)
-    val snap = readDirsAs(schema, active)
     assignments.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"update SET column `$k` is not in the table schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
     val hit = coalesce(condition, lit(false))
-    // Which directories hold matching rows? One scan, metadata-sized
-    // result — same discovery as [[delete]].
+    // Which directories hold matching rows? Stats-bounded candidates,
+    // then one scan — same discovery as [[delete]].
+    val candidates = discoveryCandidates(condition, schema, active, latest)
+    if (candidates.isEmpty) return latest // provably nothing matches
+    val snap = readDirsAs(schema, candidates)
     val touched = snap.withColumn("__graft_file", input_file_name())
       .filter(hit).select(col("__graft_file")).distinct()
       .collect().map(r => new Path(r.getString(0)).getParent.getName)

@@ -60,6 +60,128 @@ class GraftCatalogSpec extends SparkSuite {
     dropQuiet("cat_tt")
   }
 
+  test("the same ISO instant pins the same version on every surface") {
+    enabled
+    dropQuiet("cat_ttu")
+    spark.sql("CREATE TABLE graft.cat_ttu (k BIGINT) USING graftvt") // v0
+    spark.sql("INSERT INTO graft.cat_ttu VALUES (1), (2)")           // v1
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.cat_ttu VALUES (3)")                // v2
+    // session zone is UTC — the ONE string both surfaces parse in it
+    val iso = java.time.Instant.ofEpochMilli(betweenMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    val viaCatalog = spark.sql(
+      s"SELECT count(*) FROM graft.cat_ttu TIMESTAMP AS OF '$iso'")
+      .head.getLong(0)
+    val dir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "_graft_catalog_graft"),
+      "cat_ttu").toString
+    val viaOption = spark.read.format("graftvt")
+      .option("timestampAsOf", iso).load(dir).count()
+    assert(viaCatalog === 2L)
+    assert(viaOption === viaCatalog)
+    dropQuiet("cat_ttu")
+  }
+
+  test("TBLPROPERTIES round-trip: CREATE, SHOW, SET/UNSET, DESCRIBE DETAIL") {
+    enabled
+    dropQuiet("cat_props")
+    spark.sql("""CREATE TABLE graft.cat_props (k BIGINT) USING graftvt
+                |TBLPROPERTIES ('retention'='30d', 'team'='ml')""".stripMargin)
+    // served through loadTable().properties() → SHOW TBLPROPERTIES
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.cat_props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("retention") === Some("30d"))
+    assert(shown.get("team") === Some("ml"))
+    // ALTER SET updates/adds; UNSET removes; unknown UNSET is loud
+    spark.sql("ALTER TABLE graft.cat_props SET TBLPROPERTIES ('retention'='7d', 'tier'='gold')")
+    spark.sql("ALTER TABLE graft.cat_props UNSET TBLPROPERTIES ('team')")
+    val shown2 = spark.sql("SHOW TBLPROPERTIES graft.cat_props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown2.get("retention") === Some("7d"))
+    assert(shown2.get("tier") === Some("gold"))
+    assert(!shown2.contains("team"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cat_props UNSET TBLPROPERTIES ('nope')")
+    }
+    // DESCRIBE DETAIL serves the folded properties deterministically
+    val dir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "_graft_catalog_graft"),
+      "cat_props").toString
+    assert(spark.sql(s"DESCRIBE DETAIL '$dir'").head.getString(5) ===
+      "retention=7d,tier=gold")
+    // properties survive a checkpointed log (fold + checkpoint parse)
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    import spark.implicits._
+    (0 until 11).foreach(i => vt.append(Seq((i.toLong)).toDF("k")))
+    assert(vt.tableProperties() ===
+      Map("retention" -> "7d", "tier" -> "gold"))
+    dropQuiet("cat_props")
+  }
+
+  test("PARTITIONED BY (identity): one directory per partition value, pruned reads") {
+    enabled
+    dropQuiet("cat_part")
+    spark.sql("""CREATE TABLE graft.cat_part (k BIGINT, d STRING, v DOUBLE)
+                |USING graftvt PARTITIONED BY (d)""".stripMargin)
+    // one INSERT spanning three dates → ONE commit, THREE directories,
+    // each with an exact d stat (min = max = the partition value)
+    spark.sql("""INSERT INTO graft.cat_part
+                |SELECT id AS k,
+                |       CASE WHEN id % 3 = 0 THEN '2026-01-01'
+                |            WHEN id % 3 = 1 THEN '2026-01-02'
+                |            ELSE '2026-01-03' END AS d,
+                |       id * 1.5 AS v
+                |FROM range(300)""".stripMargin)
+    val dir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "_graft_catalog_graft"),
+      "cat_part").toString
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    assert(vt.latestVersion === 1) // create + ONE append commit
+    assert(vt.activeDirs().size === 3)
+    assert(vt.partitionColumns() === Seq("d"))
+    // the manifest provably keeps 1 of 3 directories for a d = X read
+    val (kept, skipped) =
+      vt.pruneActive("d", Some("2026-01-02"), Some("2026-01-02"))
+    assert(kept.size === 1 && skipped.size === 2)
+    // a partition-scoped scan PLANS only the kept directory, and its
+    // answer equals the unpruned recomputation
+    val q = spark.sql(
+      "SELECT count(*) AS n, round(sum(v), 2) AS s FROM graft.cat_part " +
+        "WHERE d = '2026-01-02'")
+    val scan = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collectFirst { case s: graft.sources.GraftVtScan => s.parquet }.get
+    assert(scan.fileIndex.rootPaths.length === 1)
+    val full = spark.sql("SELECT * FROM graft.cat_part").collect()
+      .filter(_.getString(1) == "2026-01-02")
+    assert(q.head.getLong(0) === full.length.toLong)
+    assert(q.head.getDouble(1) ===
+      BigDecimal(full.map(_.getDouble(2)).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // DESCRIBE shows the partitioning; the table reports it natively
+    assert(spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "cat_part"))
+      .partitioning().map(_.toString).toSeq === Seq("identity(d)"))
+    // a second INSERT into one partition adds ONE directory
+    spark.sql("INSERT INTO graft.cat_part VALUES (1000, '2026-01-01', 9.0)")
+    assert(vt.activeDirs().size === 4)
+    // DELETE WHERE d = X discovery scans only that partition's dirs
+    // (the stats-pruned candidate set is the partition, not the table)
+    vt.delete(col("d") === "2026-01-03")
+    assert(vt.lastDiscoveryDirs.size === 1)
+    assert(spark.sql("SELECT count(*) FROM graft.cat_part").head.getLong(0)
+      === 201L)
+    dropQuiet("cat_part")
+  }
+
   test("CTAS, RENAME, DROP, listTables, tableExists") {
     enabled
     dropQuiet("cat_src"); dropQuiet("cat_dst"); dropQuiet("cat_dst2")

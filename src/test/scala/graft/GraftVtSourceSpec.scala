@@ -101,11 +101,20 @@ class GraftVtSourceSpec extends SparkSuite {
     assert(spark.read.format("graftvt").option("versionAsOf", 1).load(dir).count() === 2)
     assert(spark.read.format("graftvt").option("versionAsOf", 0)
       .load(dir).select("k").head.getLong(0) === 1L)
-    assert(spark.read.format("graftvt").option("timestampAsOf", tAfterV0.toString)
+    // ISO-8601 in the session zone (UTC) — the ONE format every
+    // surface agrees on; bare epoch numerics are rejected loudly.
+    val tAfterV0Iso = java.time.Instant.ofEpochMilli(tAfterV0)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    assert(spark.read.format("graftvt").option("timestampAsOf", tAfterV0Iso)
       .load(dir).count() === 1)
+    val numericRejected = intercept[Exception] {
+      spark.read.format("graftvt").option("timestampAsOf", tAfterV0.toString)
+        .load(dir).collect()
+    }
+    assert(numericRejected.getMessage.contains("ambiguous numeric"))
     intercept[Exception] {
       spark.read.format("graftvt").option("versionAsOf", 0)
-        .option("timestampAsOf", tAfterV0.toString).load(dir).collect()
+        .option("timestampAsOf", tAfterV0Iso).load(dir).collect()
     }
     intercept[Exception] {
       spark.read.format("graftvt").option("versionAsOf", 99).load(dir).collect()

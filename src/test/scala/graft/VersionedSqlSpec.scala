@@ -36,10 +36,18 @@ class VersionedSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT k FROM $tbl VERSION AS OF 2").head.getLong(0) === 9L)
     // The un-travelled name still reads the latest snapshot (temp view).
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 1)
-    // TIMESTAMP AS OF: epoch millis after the last commit → latest.
-    val now = System.currentTimeMillis() + 1000
-    assert(spark.sql(s"SELECT count(*) FROM $tbl TIMESTAMP AS OF $now")
+    // TIMESTAMP AS OF: an ISO-8601 literal after the last commit →
+    // latest. Bare epoch numerics are rejected loudly (the native
+    // catalog would cast the same number as SECONDS — ambiguous).
+    val nowIso = java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 1000)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    assert(spark.sql(s"SELECT count(*) FROM $tbl TIMESTAMP AS OF '$nowIso'")
       .head.getLong(0) === 1)
+    val numericRejected = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $tbl TIMESTAMP AS OF " +
+        s"${System.currentTimeMillis()}").collect()
+    }
+    assert(numericRejected.getMessage.contains("ISO-8601"))
   }
 
   test("a quoted path addresses a versioned directory directly; graftvt.`path` travels") {

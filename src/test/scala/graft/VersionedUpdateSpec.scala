@@ -45,6 +45,39 @@ class VersionedUpdateSpec extends SparkSuite {
     assert(vt.update(col("k") === 99999L, Map("p" -> lit(0.0))) === v)
   }
 
+  test("delete/update discovery scans only the stats-admitted directories") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    // a CLUSTERED table: 4 range-disjoint chunks on k, so a narrow
+    // range predicate admits strictly fewer than the active set
+    vt.append((0L until 4000L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.optimize("k", 4)
+    val active = vt.activeDirs()
+    assert(active.size === 4)
+    // DELETE WHERE k < 100: the discovery read's candidate set must be
+    // exactly the pruneActiveAll-admitted directories (1 of 4), never
+    // the whole table — the 100 TB scale contract.
+    val (admitted, _) = vt.pruneActive("k", None, Some(99L))
+    vt.delete(col("k") < 100L)
+    assert(vt.lastDiscoveryDirs.toSet === admitted.toSet)
+    assert(vt.lastDiscoveryDirs.size < active.size)
+    assert(vt.read().count() === 3900)
+    // UPDATE with a conjunctive predicate: the translatable conjunct
+    // (k >= 3900) prunes even though k % 7 = 0 cannot translate.
+    val activeNow = vt.activeDirs()
+    vt.update(col("k") >= 3900L && col("k") % 7 === 0, Map("p" -> lit(-1.0)))
+    assert(vt.lastDiscoveryDirs.size < activeNow.size)
+    assert(vt.read().filter(col("p") === -1.0).count() ===
+      (3900L until 4000L).count(_ % 7 == 0))
+    // a provably-matchless predicate commits nothing and reads nothing
+    val v = vt.latestVersion
+    assert(vt.delete(col("k") > 1000000L) === v)
+    assert(vt.lastDiscoveryDirs.isEmpty)
+    // an untranslatable predicate falls back to the full active set
+    vt.delete(col("k") % 9999 === 1234)
+    assert(vt.lastDiscoveryDirs.toSet === vt.activeDirs(Some(v)).toSet)
+  }
+
   test("update casts assigned values to the column's physical type; schema never drifts") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
