@@ -318,6 +318,58 @@ object ScaleProbe {
           println(s"[probe] DPP kept dirs p$pass = $kept of $k")
         }
 
+      case "vtparity" =>
+        // DSv2-vs-Scala-API parity as the LOG grows: the same pruned
+        // range read, metadata COUNT, and DPP-shaped IN-prune through
+        // `format("graftvt")` and through the Scala API
+        // (readPrunedAll / fastCount / pruneActiveIn), at 1×/10×/100×
+        // version counts over the SAME data volume. What must hold:
+        // the DSv2 ANALYSIS path (schema inference + manifest fold per
+        // query) stays ~flat as versions grow — checkpoints bound the
+        // fold at O(interval), so a 100×-commit log must not make
+        // planning 100× slower. Wall times printed per (versions,
+        // surface); the data volume is constant, so any growth is the
+        // log's fault.
+        val repsP = args.lift(1).map(_.toInt).getOrElse(2)
+        val o0p = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        val widep = (0 until repsP).map(i =>
+            o0p.select((col("k") + lit(i * 10000000L)).as("k"), col("p")))
+          .reduce(_ unionByName _)
+        val maxK = repsP.toLong * 10000000L
+        Seq(1, 10, 100).foreach { versions =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"probe-par$versions").toString
+          val vt = new graft.sources.VersionedTable(spark, tmp)
+          val span = maxK / versions
+          (0 until versions).foreach(i => vt.append(
+            widep.filter(col("k") >= i * span && col("k") < (i + 1) * span)))
+          val lo = 1000L
+          val hi = maxK / 100
+          def sink(df: DataFrame) =
+            df.write.format("noop").mode("overwrite").save()
+          (1 to 2).foreach { pass =>
+            timed(f"v$versions%3d dsv2 pruned read   p$pass")(sink(
+              spark.read.format("graftvt").load(tmp)
+                .filter(col("k").between(lo, hi))))
+            timed(f"v$versions%3d scala pruned read  p$pass")(sink(
+              vt.readPruned("k", Some(lo), Some(hi))
+                .filter(col("k").between(lo, hi))))
+            timed(f"v$versions%3d dsv2 count         p$pass") {
+              assert(spark.read.format("graftvt").load(tmp)
+                .groupBy().count().head.getLong(0) > 0)
+            }
+            timed(f"v$versions%3d scala fastCount    p$pass") {
+              assert(vt.fastCount().exists(_ > 0))
+            }
+            val inKeys = (0 until 20).map(i => (lo + i * span): Any)
+            timed(f"v$versions%3d scala pruneIn(20)  p$pass") {
+              val (kept, _) = vt.pruneActiveIn("k", inKeys)
+              assert(kept.nonEmpty)
+            }
+          }
+        }
+
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()

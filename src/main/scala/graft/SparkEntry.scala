@@ -1630,6 +1630,51 @@ object SparkEntry {
       out
     }),
 
+    // Merge-on-read DELETE via deletion vectors: a table that opts in
+    // through TBLPROPERTIES deletes by committing a (file, row-index)
+    // sidecar — EVERY data file stays byte-identical (names, mtimes,
+    // sizes pinned), reads fold the hidden rows away and equal the
+    // copy-on-write recomputation, COUNT(*) stays metadata-exact, and
+    // OPTIMIZE compacts the read-side debt back to a clean table. At
+    // 100 TB this is the update-heavy regime Delta/Iceberg ship DVs
+    // for: a selective delete costs its matches, not a rewrite.
+    "s_versioned_dv" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft.gate_dv")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_dv_base")
+      s.sql("""CREATE TABLE graft.gate_dv (o_orderkey BIGINT, o_totalprice DOUBLE)
+              |USING graftvt
+              |TBLPROPERTIES ('graft.deletionVectors' = 'true')""".stripMargin)
+      s.sql("INSERT INTO graft.gate_dv SELECT * FROM graft_dv_base")
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val vdir = cat.tableDir(org.apache.spark.sql.connector.catalog
+        .Identifier.of(Array.empty, "gate_dv")).toString
+      val local = new java.io.File(vdir.stripPrefix("file:"))
+      def dataFiles() = local.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+      val before = dataFiles()
+      s.sql("DELETE FROM graft.gate_dv WHERE o_orderkey % 7 = 0")
+      val intact = dataFiles() == before
+      val vt = new graft.sources.VersionedTable(s, vdir)
+      val nMeta = vt.fastCount().getOrElse(-1L)
+      vt.optimize("o_orderkey", targetChunks = 2)
+      val cleared = vt.dvsAt(vt.latestVersion).isEmpty
+      val out = s.sql("SELECT o_orderkey, o_totalprice FROM graft.gate_dv")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), intact, nMeta, cleared))
+        .toSeq
+        .toDF("o_orderkey", "o_totalprice", "files_intact", "n_meta",
+          "dv_cleared")
+      s.sql("DROP TABLE graft.gate_dv")
+      out
+    }),
+
     // TBLPROPERTIES persist in the transaction log (CREATE → SET →
     // UNSET), and the SAME folded state serves SHOW TBLPROPERTIES
     // (loadTable().properties()) and DESCRIBE DETAIL.
@@ -4161,6 +4206,15 @@ object SparkEntry {
         |  CAST((SELECT count(DISTINCT o_orderstatus) FROM orders) AS INTEGER)
         |    AS total_dirs
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    // The DV delete's surviving rows (every %7 key hidden, nothing
+    // rewritten), the metadata count over them, and the post-OPTIMIZE
+    // clean state.
+    "s_versioned_dv" ->
+      """SELECT o_orderkey, o_totalprice, true AS files_intact,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0) AS n_meta,
+        |  true AS dv_cleared
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
 
     // The folded property state after CREATE → SET → UNSET, identical
     // on both serving surfaces.

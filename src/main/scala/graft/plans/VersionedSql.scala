@@ -294,7 +294,10 @@ case class GraftUpdate(target: String, assignments: Seq[(String, String)],
 /** `DELETE FROM t [WHERE cond]` —
   * [[graft.sources.VersionedTable.delete]] through SQL. No WHERE
   * empties the table (one 0-row schema-holder directory survives, so
-  * the table still reads as an empty frame).
+  * the table still reads as an empty frame). A table that opted into
+  * merge-on-read via
+  * `TBLPROPERTIES ('graft.deletionVectors' = 'true')` deletes by DV
+  * sidecar — no data file is rewritten; OPTIMIZE compacts the debt.
   */
 case class GraftDelete(target: String, where: Option[String])
     extends LeafRunnableCommand {
@@ -304,7 +307,10 @@ case class GraftDelete(target: String, where: Option[String])
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
     val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
-    val v = vt.delete(where.map(expr).getOrElse(lit(true)))
+    val useDv = vt.tableProperties()
+      .get("graft.deletionVectors").exists(_.trim.equalsIgnoreCase("true"))
+    val v = vt.delete(where.map(expr).getOrElse(lit(true)),
+      useDeletionVectors = useDv)
     bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
     Seq(Row(v))
   }

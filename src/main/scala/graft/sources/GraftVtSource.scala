@@ -362,8 +362,11 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
   private var limitRows: Option[Int] = None
 
   override def pushLimit(n: Int): Boolean = {
+    // A deletion vector hides recorded rows, so the recorded-rows
+    // directory prefix could under-cover the limit — decline.
     if (changeFeed || n <= 0 || ranges.nonEmpty || notNullCols.nonEmpty ||
-        isNullCols.nonEmpty || pushed.nonEmpty) return false
+        isNullCols.nonEmpty || pushed.nonEmpty ||
+        vt.dvsAt(version).nonEmpty) return false
     limitRows = Some(n)
     true
   }
@@ -452,6 +455,15 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
           vt.activeDirs(Some(version))
         else vt.pruneActiveAll(ranges, Some(version), notNullCols, isNullCols)._1
       val kept = limitRows.fold(keptAll)(limitPrefix(keptAll, _))
+      // A kept directory with DELETION VECTORS cannot be served by a
+      // stock parquet scan (it would resurrect the hidden rows): fall
+      // back to a V1 relation over the DV-folding read — manifest
+      // pruning still applied, filters still evaluated above the scan
+      // (every filter is retained post-scan), only the vectorized fast
+      // path is traded away until OPTIMIZE compacts the DVs out.
+      val dvs = vt.dvsAt(version)
+      if (kept.exists(dvs.contains))
+        return new GraftVtV1FoldScan(vt, version, kept, required, rootPath)
       val paths = kept.map(n => new Path(new Path(rootPath), n)).toSeq
       val index = new InMemoryFileIndex(spark, paths,
         options.asScala.toMap, Some(tableSchema), NoopCache, None, None)
@@ -468,6 +480,42 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
         version = version, staticKept = kept, staticPushed = pushed)
     }
   }
+}
+
+/** The DV-bearing snapshot's scan: a [[org.apache.spark.sql.connector
+  * .read.V1Scan]] whose relation computes the DV-FOLDED read of the
+  * manifest-pruned directories ([[VersionedTable.readFoldedDirs]]) and
+  * hands Spark its rows. Correctness-first fallback: pruning and
+  * column selection still apply, every filter runs above the scan
+  * (retained post-scan as always); only whole-stage-codegen'd
+  * vectorized reading is traded away, and only while DVs are
+  * outstanding — OPTIMIZE restores the fast path.
+  */
+private[graft] class GraftVtV1FoldScan(vt: VersionedTable, version: Int,
+                                       kept: Seq[String],
+                                       required: StructType,
+                                       rootPath: String)
+    extends org.apache.spark.sql.connector.read.V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+        import org.apache.spark.sql.functions.col
+        val df = vt.readFoldedDirs(version, kept)
+        (if (required.isEmpty) df
+         else df.select(required.fieldNames.toIndexedSeq.map(col): _*)).rdd
+      }
+    }.asInstanceOf[T]
+
+  override def description(): String =
+    s"GraftVtDvFold $rootPath (version $version, ${kept.size} dirs)"
 }
 
 /** A completely-pushed-down aggregate answered from the manifest fold:

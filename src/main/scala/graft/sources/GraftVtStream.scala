@@ -53,9 +53,33 @@ private[sources] object GraftVtChangeFiles {
   def changeDirs(vt: VersionedTable, v: Int): Seq[(String, String)] = {
     val (op, added) = vt.commitSummary(v)
     op match {
-      case "optimize" | "constraint" => Nil
+      case "optimize" | "constraint" | "properties" => Nil
+      case "delete-dv" =>
+        // a merge-on-read delete adds/removes nothing — its exact
+        // deleted rows ride the CDC sidecar it always persists (the
+        // file holds the base columns plus an unprojected embedded
+        // _change_type; the injected partition value supplies the type)
+        vt.cdfSummary(v).map((_, "delete")).toSeq
       case _ =>
-        added.map((_, "insert")) ++ vt.removedSummary(v).map((_, "delete"))
+        val removed = vt.removedSummary(v)
+        // a removed directory whose rows were partly DV-hidden cannot
+        // be synthesized at FILE granularity (the hidden rows would be
+        // re-reported as deletes); the row-level batch feed
+        // (VersionedTable.changes) folds them — point there, loudly
+        if (v > 0 && removed.exists(vt.dvsAt(v - 1).contains))
+          throw new IllegalStateException(
+            s"change-feed commit $v removed directories carrying " +
+              "deletion vectors; file-level synthesis cannot serve it — " +
+              "use the batch change feed (VersionedTable.changes), which " +
+              "folds DVs exactly")
+        // a RESTORE can re-add directories WITH their DV state — same
+        // file-granularity limit, same loud pointer
+        if (added.exists(vt.dvsAt(v).contains))
+          throw new IllegalStateException(
+            s"change-feed commit $v added directories carrying deletion " +
+              "vectors (a restore); use the batch change feed " +
+              "(VersionedTable.changes), which folds DVs exactly")
+        added.map((_, "insert")) ++ removed.map((_, "delete"))
     }
   }
 
@@ -208,7 +232,7 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
         op match {
           case "append" | "convert" => added.map((_, "insert"))
           case "optimize" => Nil // dataChange = false: same rows, never replay
-          case "constraint" => Nil // metadata-only commit
+          case "constraint" | "properties" => Nil // metadata-only commits
           case _ if ignoreChanges => added.map((_, "insert"))
           case other => throw new IllegalStateException(
             s"streaming read of $rootPath hit a '$other' commit at version $v — " +

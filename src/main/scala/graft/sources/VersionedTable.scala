@@ -133,7 +133,12 @@ class VersionedTable(spark: SparkSession, dir: String,
                     schemaJson: Option[String] = None,
                     propsSet: Map[String, String] = Map.empty,
                     propsUnset: Seq[String] = Nil,
-                    partitionCols: Seq[String] = Nil)
+                    partitionCols: Seq[String] = Nil,
+                    dvAdd: Option[String] = None,
+                    dvDirs: Seq[String] = Nil,
+                    dvDirRows: Map[String, Long] = Map.empty,
+                    dvReset: Option[(Map[String, Seq[String]],
+                                     Map[String, Long])] = None)
 
   private def manifestPath(v: Int): Path = new Path(logDir, f"$v%08d.json")
   private def checkpointPath(v: Int): Path =
@@ -233,7 +238,33 @@ class VersionedTable(spark: SparkSession, dir: String,
         }
       },
       readArray(node, "props_unset"),
-      readArray(node, "partition_cols"))
+      readArray(node, "partition_cols"),
+      if (node.has("dv_name")) Some(node.get("dv_name").asText()) else None,
+      readArray(node, "dv_dirs"),
+      {
+        val dr = node.get("dv_dir_rows")
+        if (dr == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          dr.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        }
+      },
+      {
+        val rs = node.get("dv_reset")
+        if (rs == null) None
+        else {
+          import scala.jdk.CollectionConverters._
+          val dvs = rs.properties().asScala.map(e =>
+            e.getKey -> (0 until e.getValue.size())
+              .map(e.getValue.get(_).asText())).toMap
+          val rr = node.get("dv_reset_rows")
+          val rows =
+            if (rr == null) Map.empty[String, Long]
+            else rr.properties().asScala.map(e =>
+              e.getKey -> e.getValue.asLong()).toMap
+          Some((dvs, rows))
+        }
+      })
   }
 
   private val lastCheckpointPath = new Path(logDir, "_last_checkpoint")
@@ -301,6 +332,20 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   private[sources] def removedSummary(v: Int): Seq[String] = commitAt(v).removed
 
+  /** One commit's persisted CDC directory, if any — the change-feed
+    * source for merge-on-read deletes (which always write one).
+    */
+  private[sources] def cdfSummary(v: Int): Option[String] = commitAt(v).cdf
+
+  /** The DV-FOLDED read of specific directories at a version, with the
+    * version's log schema imposed — the DSv2 scan's fallback path when
+    * a kept directory carries deletion vectors (a stock parquet scan
+    * would resurrect the hidden rows).
+    */
+  private[sources] def readFoldedDirs(version: Int,
+                                      dirs: Seq[String]): DataFrame =
+    readDirsFolded(Some(tableSchemaAt(version)), dirs, snapshotAt(version).dvs)
+
   private def commitAt(v: Int): Commit = {
     val p = manifestPath(v)
     require(fs.exists(p),
@@ -326,7 +371,9 @@ class VersionedTable(spark: SparkSession, dir: String,
                               dirBytes: Map[String, Long],
                               schemaJson: Option[String] = None,
                               props: Map[String, String] = Map.empty,
-                              partitionCols: Seq[String] = Nil)
+                              partitionCols: Seq[String] = Nil,
+                              dvs: Map[String, Seq[String]] = Map.empty,
+                              dvRowsByDir: Map[String, Long] = Map.empty)
 
   private def checkpointAtOrBelow(v: Int): Option[(Int, Snapshot)] = {
     if (!fs.exists(logDir)) return None
@@ -355,7 +402,16 @@ class VersionedTable(spark: SparkSession, dir: String,
         dirRows, dirBytes,
         if (node.has("schema")) Some(node.get("schema").asText()) else None,
         strMap("props", _.asText()),
-        readArray(node, "partition_cols"))))
+        readArray(node, "partition_cols"),
+        {
+          val dn = node.get("dvs")
+          if (dn == null) Map.empty
+          else dn.properties().asScala.map(e =>
+            e.getKey -> (0 until e.getValue.size())
+              .map(e.getValue.get(_).asText())).toMap
+        },
+        strMap("dv_rows_by_dir", _.asText()).map { case (k, s2) =>
+          k -> s2.toLong })))
     }
   }
 
@@ -380,7 +436,22 @@ class VersionedTable(spark: SparkSession, dir: String,
         s.dirBytes -- c.removed ++ c.addedBytes,
         c.schemaJson.orElse(s.schemaJson),
         (s.props -- c.propsUnset) ++ c.propsSet,
-        if (c.partitionCols.nonEmpty) c.partitionCols else s.partitionCols)
+        if (c.partitionCols.nonEmpty) c.partitionCols else s.partitionCols,
+        // Deletion-vector state: a rewritten (removed) directory's DV
+        // entries die with it (the rewrite read them folded); a
+        // delete-dv commit appends its sidecar to each touched
+        // directory's list; RESTORE replaces the whole map with the
+        // target version's.
+        c.dvReset.map(_._1).getOrElse {
+          val base = (s.dvs -- c.removed)
+          c.dvAdd.fold(base)(n => c.dvDirs.foldLeft(base)((m, d) =>
+            m + (d -> (m.getOrElse(d, Nil) :+ n))))
+        },
+        c.dvReset.map(_._2).getOrElse {
+          val base = (s.dvRowsByDir -- c.removed)
+          c.dvDirRows.foldLeft(base) { case (m, (d, r)) =>
+            m + (d -> (m.getOrElse(d, 0L) + r)) }
+        })
     }
   }
 
@@ -487,6 +558,22 @@ class VersionedTable(spark: SparkSession, dir: String,
         val pc = node.putArray("partition_cols")
         c.partitionCols.foreach(pc.add)
       }
+      c.dvAdd.foreach { n =>
+        node.put("dv_name", n)
+        val dd = node.putArray("dv_dirs")
+        c.dvDirs.foreach(dd.add)
+        val dr = node.putObject("dv_dir_rows")
+        c.dvDirRows.foreach { case (d, r) => dr.put(d, r) }
+      }
+      c.dvReset.foreach { case (dvs, rows) =>
+        val rs = node.putObject("dv_reset")
+        dvs.foreach { case (d, names) =>
+          val arr = rs.putArray(d)
+          names.foreach(arr.add)
+        }
+        val rr = node.putObject("dv_reset_rows")
+        rows.foreach { case (d, r) => rr.put(d, r) }
+      }
       writeStats(node, "added_stats", c.addedStats)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
@@ -546,6 +633,15 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (snap.partitionCols.nonEmpty) {
         val pc = node.putArray("partition_cols")
         snap.partitionCols.foreach(pc.add)
+      }
+      if (snap.dvs.nonEmpty) {
+        val dn = node.putObject("dvs")
+        snap.dvs.foreach { case (d, names) =>
+          val arr = dn.putArray(d)
+          names.foreach(arr.add)
+        }
+        val dr = node.putObject("dv_rows_by_dir")
+        snap.dvRowsByDir.foreach { case (d, r) => dr.put(d, r) }
       }
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
@@ -1025,7 +1121,10 @@ class VersionedTable(spark: SparkSession, dir: String,
     require(v >= 0, s"$dir has no committed versions")
     val snap = snapshotAt(v)
     if (snap.active.forall(snap.dirRows.contains))
-      Some(snap.active.map(snap.dirRows).sum)
+      // deletion vectors hide recorded rows — their per-directory
+      // counts ride the log, so the metadata answer stays EXACT
+      Some(snap.active.map(snap.dirRows).sum -
+        snap.active.flatMap(snap.dvRowsByDir.get).sum)
     else None
   }
 
@@ -1044,6 +1143,10 @@ class VersionedTable(spark: SparkSession, dir: String,
     val v = version.getOrElse(latestVersion)
     require(v >= 0, s"$dir has no committed versions")
     val snap = snapshotAt(v)
+    // a deletion vector may have hidden exactly the row holding a
+    // bound — recorded bounds stay valid SUPERSETS for pruning, but
+    // are no longer exact MIN/MAX answers
+    if (snap.active.exists(snap.dvs.contains)) return None
     val bounds = snap.active.map(d => snap.stats.get(d).flatMap(_.get(colName)))
     // An all-null directory records (null, null) bounds — MIN/MAX over
     // it has no exact metadata answer, same contract as missing stats.
@@ -1069,11 +1172,14 @@ class VersionedTable(spark: SparkSession, dir: String,
     val snap = snapshotAt(v)
     def total(m: Map[String, Long]): Option[Long] =
       if (snap.active.forall(m.contains)) Some(snap.active.map(m).sum) else None
+    // logical rows: recorded rows minus DV-hidden rows (exact);
+    // size_bytes stays physical, like Delta's detail
+    val dvHidden = snap.active.flatMap(snap.dvRowsByDir.get).sum
     // user TBLPROPERTIES render deterministically (key-sorted k=v)
     val props = snap.props.toSeq.sortBy(_._1)
       .map { case (k, v2) => s"$k=$v2" }.mkString(",")
-    Seq((v, snap.active.size, total(snap.dirRows), total(snap.dirBytes),
-      snap.constraints.size, props))
+    Seq((v, snap.active.size, total(snap.dirRows).map(_ - dvHidden),
+      total(snap.dirBytes), snap.constraints.size, props))
       .toDF("version", "num_dirs", "num_rows", "size_bytes",
         "num_constraints", "properties")
   }
@@ -1350,6 +1456,102 @@ class VersionedTable(spark: SparkSession, dir: String,
     spark.read.schema(schema)
       .parquet(dirs.map(n => new Path(root, n).toString): _*)
 
+  /** The deletion-vector state of a version: data directory → the DV
+    * sidecar directories whose (file, row-position) entries hide rows
+    * from it. Package-private: the DSv2 scan consults it to route
+    * DV-bearing snapshots through the folding read path.
+    */
+  private[graft] def dvsAt(v: Int): Map[String, Seq[String]] =
+    snapshotAt(v).dvs
+
+  /** A DV sidecar frame: the (directory, file, row-position) triples of
+    * every row the given sidecars hide.
+    */
+  private def dvFrame(names: Seq[String]): DataFrame =
+    spark.read.parquet(names.map(n => new Path(root, n).toString): _*)
+      .select("__graft_dv_dir", "__graft_dv_file", "__graft_dv_pos")
+
+  /** Read `dirs` with DELETION VECTORS folded — the merge-on-read path:
+    * directories without DVs read untouched (the common case pays
+    * nothing); DV-bearing directories read with the parquet reader's
+    * `_metadata` row identity (file path + row index) and anti-join
+    * the sidecar's hidden positions away. The sidecar is deleted-rows-
+    * sized (AQE broadcasts it when small), so a selective merge-on-read
+    * DELETE costs its matches at read time instead of a directory
+    * rewrite at write time — OPTIMIZE compacts the debt away (its
+    * rewrite reads folded and drops the rewritten directories' DV
+    * entries). `schema` imposed when given, mergeSchema otherwise,
+    * matching [[readDirsAs]]/[[readDirs]].
+    */
+  private def readDirsFolded(schema: Option[org.apache.spark.sql.types.StructType],
+                             dirs: Seq[String],
+                             dvs: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    def read(ds: Seq[String]): DataFrame = schema match {
+      case Some(s) => spark.read.schema(s)
+        .parquet(ds.map(n => new Path(root, n).toString): _*)
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(ds.map(n => new Path(root, n).toString): _*)
+    }
+    val dvd = dirs.filter(dvs.contains)
+    if (dvd.isEmpty) return read(dirs)
+    val clean = dirs.filterNot(dvs.contains)
+    val hidden = dvFrame(dvd.flatMap(dvs).distinct)
+    val tagged = read(dvd)
+      .withColumn("__graft_d",
+        element_at(split(col("_metadata.file_path"), "/"), -2))
+      .withColumn("__graft_f",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_i", col("_metadata.row_index"))
+    val folded = tagged.join(hidden,
+      tagged("__graft_d") === hidden("__graft_dv_dir") &&
+        tagged("__graft_f") === hidden("__graft_dv_file") &&
+        tagged("__graft_i") === hidden("__graft_dv_pos"), "left_anti")
+      .drop("__graft_d", "__graft_f", "__graft_i")
+    if (clean.isEmpty) folded
+    else read(clean).unionByName(folded, allowMissingColumns = schema.isEmpty)
+  }
+
+  /** [[readDirsFolded]] RETAINING the source file path as column `tag`
+    * (and, when `withPos`, the row index as `posTag`) — the mutation
+    * discovery scans need the file identity of each surviving row, and
+    * `input_file_name()` is only reliable BEFORE a join/exchange, so
+    * the identity is captured from the parquet reader's `_metadata` on
+    * the scan side of the DV anti-join.
+    */
+  private def readDirsFoldedTagged(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dirs: Seq[String], dvs: Map[String, Seq[String]],
+      tag: String, posTag: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    def read(ds: Seq[String]): DataFrame = {
+      val r = schema match {
+        case Some(s) => spark.read.schema(s)
+          .parquet(ds.map(n => new Path(root, n).toString): _*)
+        case None => spark.read.option("mergeSchema", "true")
+          .parquet(ds.map(n => new Path(root, n).toString): _*)
+      }
+      val t = r.withColumn(tag, col("_metadata.file_path"))
+      posTag.fold(t)(pt => t.withColumn(pt, col("_metadata.row_index")))
+    }
+    val dvd = dirs.filter(dvs.contains)
+    if (dvd.isEmpty) return read(dirs)
+    val clean = dirs.filterNot(dvs.contains)
+    val hidden = dvFrame(dvd.flatMap(dvs).distinct)
+    val tagged = read(dvd)
+      .withColumn("__graft_d", element_at(split(col(tag), "/"), -2))
+      .withColumn("__graft_f", element_at(split(col(tag), "/"), -1))
+      .withColumn("__graft_i",
+        posTag.map(col).getOrElse(col("_metadata.row_index")))
+    val folded = tagged.join(hidden,
+      tagged("__graft_d") === hidden("__graft_dv_dir") &&
+        tagged("__graft_f") === hidden("__graft_dv_file") &&
+        tagged("__graft_i") === hidden("__graft_dv_pos"), "left_anti")
+      .drop("__graft_d", "__graft_f", "__graft_i")
+    if (clean.isEmpty) folded
+    else read(clean).unionByName(folded, allowMissingColumns = schema.isEmpty)
+  }
+
   /** Test seam: the candidate directories the last [[delete]]/[[update]]
     * discovery scan actually read (after stats pruning) — specs pin
     * that a stat-expressible predicate bounds discovery to the
@@ -1619,7 +1821,8 @@ class VersionedTable(spark: SparkSession, dir: String,
         else d.withColumn(c, lit(null).cast(snapSchema(c).dataType)))
         .select(snapCols.map(col).toIndexedSeq: _*)
     val touchedData =
-      if (touched.isEmpty) None else Some(alignTo(readDirs(touched)))
+      if (touched.isEmpty) None
+      else Some(alignTo(readDirsFolded(None, touched, snapState.dvs)))
     val srcKeys = source.select(keys.map(col).toIndexedSeq: _*)
     val newData = touchedData match {
       case Some(td) =>
@@ -1757,6 +1960,9 @@ class VersionedTable(spark: SparkSession, dir: String,
     val target = snapshotAt(v)
     target.active.foreach(n => require(fs.exists(new Path(root, n)),
       s"cannot restore $dir to version $v: data directory $n was vacuumed"))
+    target.dvs.values.flatten.toSeq.distinct.foreach(n =>
+      require(fs.exists(new Path(root, n)),
+        s"cannot restore $dir to version $v: deletion vector $n was vacuumed"))
     val cur = snapshotAt(latest)
     val newV = latest + 1
     val removed = cur.active.filterNot(target.active.toSet)
@@ -1773,7 +1979,11 @@ class VersionedTable(spark: SparkSession, dir: String,
       System.currentTimeMillis(),
       addedStats = target.stats.filter(kv => added.contains(kv._1)),
       addedRows = target.dirRows.filter(kv => added.contains(kv._1)),
-      schemaJson = restoredSchema))
+      schemaJson = restoredSchema,
+      // the DV state is part of the snapshot: a restore must roll it
+      // back too (an explicit RESET — merging would leak later DVs
+      // onto directories both versions share)
+      dvReset = Some((target.dvs, target.dvRowsByDir))))
     newV
   }
 
@@ -1799,8 +2009,9 @@ class VersionedTable(spark: SparkSession, dir: String,
     * directories' survivors as delete+insert pairs too.
     */
   def delete(condition: org.apache.spark.sql.Column,
-             writeChangeData: Boolean = false, maxRetries: Int = 5): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+             writeChangeData: Boolean = false, maxRetries: Int = 5,
+             useDeletionVectors: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val latest = latestVersion
     require(latest >= 0, s"$dir has no committed versions")
     val active = snapshotAt(latest).active
@@ -1817,15 +2028,20 @@ class VersionedTable(spark: SparkSession, dir: String,
     // names → their parent directories).
     val candidates = discoveryCandidates(condition, tblSchema, active, latest)
     if (candidates.isEmpty) return latest // provably nothing matches
-    val snap = readDirsAs(tblSchema, candidates)
-    val touched = snap.withColumn("__graft_file", input_file_name())
+    val dvState = snapshotAt(latest).dvs
+    val snap = readDirsFoldedTagged(Some(tblSchema), candidates, dvState,
+      "__graft_file")
+    val touched = snap
       .filter(condition).select(col("__graft_file")).distinct()
       .collect().map(r => new Path(r.getString(0)).getParent.getName)
       .toSet.toSeq.sorted
     if (touched.isEmpty) return latest
+    if (useDeletionVectors)
+      return deleteViaDv(condition, latest, tblSchema, dvState, touched,
+        maxRetries)
     val keep = not(coalesce(condition, lit(false)))
     val v = latest + 1
-    val survivors = readDirsAs(tblSchema, touched).filter(keep)
+    val survivors = readDirsFolded(Some(tblSchema), touched, dvState).filter(keep)
     val (name, rows, st) = writePayload(survivors, v)
     val (added, addedStats) =
       if (rows == 0L && touched.size < active.size) {
@@ -1842,7 +2058,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (!writeChangeData) None
       else {
         val n = f"cdf-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-        readDirsAs(tblSchema, touched).filter(coalesce(condition, lit(false)))
+        readDirsFolded(Some(tblSchema), touched, dvState)
+          .filter(coalesce(condition, lit(false)))
           .withColumn("_change_type", lit("delete"))
           .write.parquet(new Path(root, n).toString)
         Some(n)
@@ -1865,6 +2082,70 @@ class VersionedTable(spark: SparkSession, dir: String,
         System.currentTimeMillis(), addedStats = addedStats, cdf = cdfName,
         addedRows = added.map(_ -> rows).toMap),
       validated0 = Map.empty)
+  }
+
+  /** MERGE-ON-READ delete (Delta's deletion vectors): instead of
+    * rewriting the touched directories, commit a DV SIDECAR — the
+    * (directory, file, row-index) triples of the matched rows — and
+    * let every reader anti-join them away ([[readDirsFolded]]). Every
+    * data file stays byte-identical, so a selective DELETE on a 100 TB
+    * table costs the matched rows' scan and a deleted-rows-sized write
+    * instead of rewriting whole directories; OPTIMIZE later compacts
+    * the read-side debt away (its rewrite folds the DVs and the
+    * rewritten directories' DV entries die with them). The deleted
+    * rows are ALWAYS persisted as the commit's exact CDC — the change
+    * feed has no add/remove synthesis to fall back on here, and the
+    * CDC write is the same deleted-rows size as the DV itself.
+    * Metadata answers stay honest: COUNT(*) subtracts the recorded
+    * per-directory DV row counts (still exact, still scan-free);
+    * MIN/MAX/COUNT(col) decline (a deleted row may have held the
+    * bound). Conflict rules ride [[publishMutationRetrying]] with the
+    * same exact-scan added-data test as the copy-on-write path.
+    */
+  private def deleteViaDv(condition: org.apache.spark.sql.Column,
+                          latest: Int,
+                          tblSchema: org.apache.spark.sql.types.StructType,
+                          dvState: Map[String, Seq[String]],
+                          touched: Seq[String], maxRetries: Int): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split}
+    val hit = coalesce(condition, lit(false))
+    val v0 = latest + 1
+    val matched = readDirsFoldedTagged(Some(tblSchema), touched, dvState,
+      "__graft_file", Some("__graft_pos")).filter(hit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dirOf = element_at(split(col("__graft_file"), "/"), -2)
+      val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      matched.select(
+        dirOf.as("__graft_dv_dir"),
+        element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
+        col("__graft_pos").as("__graft_dv_pos"))
+        .write.parquet(new Path(root, dvName).toString)
+      // metadata-sized: one row per touched directory
+      val perDir = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perDir.isEmpty) { // raced to nothing: no commit
+        fs.delete(new Path(root, dvName), true)
+        return latest
+      }
+      val cdfName = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      matched.drop("__graft_file", "__graft_pos")
+        .withColumn("_change_type", lit("delete"))
+        .write.parquet(new Path(root, cdfName).toString)
+      // A concurrent winner's added data conflicts iff the condition
+      // matches any of it — exact scan, same rule as copy-on-write.
+      val addedMayMatch: Commit => Seq[String] = c =>
+        if (c.added.isEmpty) Seq.empty
+        else if (!readDirsAs(tblSchema, c.added).filter(hit).isEmpty) c.added
+        else Seq.empty
+      publishMutationRetrying("delete-dv", latest, maxRetries, touched,
+        revalidate = Seq.empty, addedMayMatch,
+        mkCommit = vv => Commit(vv, "delete-dv", Seq.empty, Seq.empty, 0L,
+          System.currentTimeMillis(), cdf = Some(cdfName),
+          dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
+          dvDirRows = perDir),
+        validated0 = Map.empty)
+    } finally matched.unpersist()
   }
 
   /** Delta-style UPDATE — copy-on-write row update in ONE atomic
@@ -1896,7 +2177,7 @@ class VersionedTable(spark: SparkSession, dir: String,
   def update(condition: org.apache.spark.sql.Column,
              assignments: Map[String, org.apache.spark.sql.Column],
              writeChangeData: Boolean = false, maxRetries: Int = 5): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "update needs at least one SET assignment")
     val latest = latestVersion
     require(latest >= 0, s"$dir has no committed versions")
@@ -1916,8 +2197,10 @@ class VersionedTable(spark: SparkSession, dir: String,
     // then one scan — same discovery as [[delete]].
     val candidates = discoveryCandidates(condition, schema, active, latest)
     if (candidates.isEmpty) return latest // provably nothing matches
-    val snap = readDirsAs(schema, candidates)
-    val touched = snap.withColumn("__graft_file", input_file_name())
+    val dvState = snapState.dvs
+    val snap = readDirsFoldedTagged(Some(schema), candidates, dvState,
+      "__graft_file")
+    val touched = snap
       .filter(hit).select(col("__graft_file")).distinct()
       .collect().map(r => new Path(r.getString(0)).getParent.getName)
       .toSet.toSeq.sorted
@@ -1930,7 +2213,8 @@ class VersionedTable(spark: SparkSession, dir: String,
         case None => col(f.name)
       }
     }.toIndexedSeq
-    val rewritten = readDirsAs(schema, touched).select(updatedCols: _*)
+    val rewritten =
+      readDirsFolded(Some(schema), touched, dvState).select(updatedCols: _*)
     // New values validate against the CURRENT constraints inside the
     // stats job; a violation aborts before anything publishes.
     val (name, rows, st) = writePayload(rewritten, v, snapState.constraints)
@@ -1938,7 +2222,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (!writeChangeData) None
       else {
         val n = f"cdf-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-        val matched = readDirsAs(schema, touched).filter(hit)
+        val matched = readDirsFolded(Some(schema), touched, dvState).filter(hit)
         matched.withColumn("_change_type", lit("update_preimage"))
           .unionByName(matched.select(updatedCols: _*)
             .withColumn("_change_type", lit("update_postimage")))
@@ -1989,6 +2273,9 @@ class VersionedTable(spark: SparkSession, dir: String,
     val parts = snap.active.map { d =>
       for {
         rows <- snap.dirRows.get(d)
+        // a deletion vector may have hidden null or non-null rows —
+        // the manifest cannot tell which; never guess
+        if !snap.dvs.contains(d)
         cs <- snap.stats.get(d).flatMap(_.get(colName))
         if cs.nulls >= 0L
       } yield rows - cs.nulls
@@ -2028,13 +2315,19 @@ class VersionedTable(spark: SparkSession, dir: String,
           Seq(spark.read.parquet(new Path(root, c.cdf.get).toString)
             .withColumn("_commit_version", lit(v)))
         case _ =>
+          // synthesis folds DELETION VECTORS: an added directory serves
+          // its rows as visible AT v (a restore re-adds dirs with their
+          // DV state), a removed one as visible at v-1 — raw reads
+          // would re-report rows an earlier DV delete already emitted
           val ins =
             if (c.added.isEmpty) Nil
-            else Seq(readDirs(existing(c.added, v))
+            else Seq(readDirsFolded(None, existing(c.added, v),
+              snapshotAt(v).dvs)
               .withColumn("_change_type", lit("insert")))
           val del =
             if (c.removed.isEmpty) Nil
-            else Seq(readDirs(existing(c.removed, v))
+            else Seq(readDirsFolded(None, existing(c.removed, v),
+              snapshotAt(v - 1).dvs)
               .withColumn("_change_type", lit("delete")))
           (ins ++ del).map(_.withColumn("_commit_version", lit(v)))
       }
@@ -2110,7 +2403,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     require(base >= 0, s"$dir has no committed versions")
     val (kept, _) = pruneActive(scopeCol, lower, upper, Some(base))
     if (kept.isEmpty) return base
-    val scope = readDirs(kept)
+    val scope = readDirsFolded(None, kept, snapshotAt(base).dvs)
     scope.schema(clusterBy).dataType match {
       case _: org.apache.spark.sql.types.NumericType => ()
       case org.apache.spark.sql.types.TimestampType |
@@ -2368,12 +2661,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     dirs.foreach(p => require(fs.exists(p),
       s"data directory $p of version $v was vacuumed; only versions >= " +
         "the retention window are readable"))
-    snap.schemaJson match {
-      case Some(j) =>
-        spark.read.schema(schemaFromJson(j)).parquet(dirs.map(_.toString): _*)
-      case None =>
-        spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
-    }
+    readDirsFolded(snap.schemaJson.map(schemaFromJson), active, snap.dvs)
   }
 
   /** Normalize a caller-supplied bound to the stat domain: integrals
@@ -2538,7 +2826,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     val (kept, _) = pruneActiveAll(predicates, Some(v))
     // every directory pruned is a legitimate answer (the range holds
     // no rows): an empty frame with the snapshot's schema
-    if (kept.isEmpty) readAt(v).limit(0) else readDirs(kept)
+    if (kept.isEmpty) readAt(v).limit(0)
+    else readDirsFolded(None, kept, snapshotAt(v).dvs)
   }
 
   /** [[readAt]] with [[pruneActive]] data skipping applied: the
@@ -2680,6 +2969,21 @@ class VersionedTable(spark: SparkSession, dir: String,
     val referencedCdf: Set[String] =
       (cutoff to math.max(cutoff, latest)).flatMap(v =>
         if (fs.exists(manifestPath(v))) commitAt(v).cdf else None).toSet
+    // Deletion-vector sidecars a kept version can reference: the
+    // oldest kept snapshot's DV state plus every DV a later commit
+    // added or a later RESTORE re-referenced (its reset map may point
+    // at sidecars older than the cutoff snapshot's).
+    val referencedDv: Set[String] =
+      if (latest < 0) Set.empty
+      else snapshotAt(cutoff).dvs.values.flatten.toSet ++
+        (cutoff + 1 to latest).flatMap { v =>
+          if (!fs.exists(manifestPath(v))) Seq.empty
+          else {
+            val c = commitAt(v)
+            c.dvAdd.toSeq ++
+              c.dvReset.map(_._1.values.flatten.toSeq).getOrElse(Nil)
+          }
+        }
     var removed = 0
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
@@ -2687,12 +2991,14 @@ class VersionedTable(spark: SparkSession, dir: String,
         st.isDirectory && n.matches("v\\d{5}-.*") && !referenced.contains(n)
       val deadCdf =
         st.isDirectory && n.matches("cdf-v\\d{5}-.*") && !referencedCdf.contains(n)
+      val deadDv =
+        st.isDirectory && n.matches("dv-v\\d{5}-.*") && !referencedDv.contains(n)
       // A crashed optimize's staging dir is dead once its target slot
       // is decided (same rule as tmp manifests).
       val deadStaging =
         st.isDirectory && n.matches("_staging-v\\d{5}-.*") &&
           n.substring(10, 15).toInt <= latest
-      if (deadData || deadCdf || deadStaging) {
+      if (deadData || deadCdf || deadDv || deadStaging) {
         fs.delete(st.getPath, true); removed += 1
       }
     }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read DELETE via deletion vectors: a selective delete
+  * commits a (dir, file, row-index) sidecar instead of rewriting
+  * directories — every data file stays byte-identical, every reader
+  * folds the hidden rows away, OPTIMIZE compacts the debt, vacuum
+  * reclaims unreferenced sidecars.
+  */
+class DeletionVectorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpVt(): String =
+    java.nio.file.Files.createTempDirectory("vt_dv_spec").toString
+
+  private def dataFiles(dir: String): Set[(String, Long, Long)] = {
+    val local = new java.io.File(dir)
+    local.listFiles().filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getParentFile.getName + "/" + f.getName,
+        f.lastModified(), f.length())).toSet
+  }
+
+  test("dv delete hides rows; every data file stays byte-identical") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.append((100L until 200L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    val before = dataFiles(dir)
+    val v = vt.delete(col("k") % 3 === 0, useDeletionVectors = true)
+    assert(v === 2)
+    assert(dataFiles(dir) === before) // names, mtimes, and sizes pinned
+    assert(vt.history().orderBy("version").collect().map(_.getString(1)).toSeq
+      === Seq("append", "append", "delete-dv"))
+    // answers equal the CoW recomputation
+    val expect = (0L until 200L).filter(_ % 3 != 0)
+    assert(vt.read().select("k").collect().map(_.getLong(0)).sorted.toSeq
+      === expect)
+    // time travel still serves the pre-delete rows
+    assert(vt.readAt(1).count() === 200)
+    // COUNT(*) stays metadata-exact (recorded rows minus DV counts);
+    // bounds and per-column counts honestly decline
+    assert(vt.fastCount() === Some(expect.size.toLong))
+    assert(vt.statRange("k") === None)
+    assert(vt.fastNonNullCount("k") === None)
+    assert(vt.detail().head.getLong(2) === expect.size.toLong)
+  }
+
+  test("dv deletes compose; a later CoW mutation folds and clears them") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, "x")).toDF("k", "s"))
+    vt.delete(col("k") < 10L, useDeletionVectors = true)
+    vt.delete(col("k") >= 90L, useDeletionVectors = true) // second DV, same dir
+    assert(vt.read().count() === 80)
+    assert(vt.fastCount() === Some(80L))
+    // a dv delete of ALREADY-hidden rows is a no-op (no double commit)
+    val vNow = vt.latestVersion
+    assert(vt.delete(col("k") < 5L, useDeletionVectors = true) === vNow)
+    // CoW update reads folded (hidden rows cannot resurrect) and the
+    // rewritten directory's DV entries die with it
+    vt.update(col("k") < 50L, Map("s" -> lit("u")))
+    assert(vt.read().count() === 80)
+    assert(vt.read().filter(col("s") === "u").count() === 40) // 10..49
+    assert(vt.dvsAt(vt.latestVersion).isEmpty)
+    assert(vt.fastNonNullCount("k") === Some(80L))
+  }
+
+  test("the DSv2 scan folds DVs through a V1 fallback, pruning intact") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 2.0)).toDF("k", "p"))
+    vt.append((100L until 200L).map(k => (k, k * 2.0)).toDF("k", "p"))
+    vt.delete(col("k") % 7 === 0, useDeletionVectors = true)
+    val t = spark.read.format("graftvt").load(dir)
+    val expect = (0L until 200L).filter(_ % 7 != 0)
+    assert(t.count() === expect.size)
+    assert(t.filter(col("k") < 100L).count() === expect.count(_ < 100L))
+    // the fallback plan is the DV-folding V1 relation, not a parquet scan
+    val scans = t.filter(col("k") < 100L).queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // unfiltered COUNT(*) still answers from metadata (LocalTableScan)
+    val cnt = t.groupBy().count()
+    val local = cnt.queryExecution.executedPlan.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }
+    assert(local.nonEmpty)
+    assert(cnt.head.getLong(0) === expect.size.toLong)
+    // time travel to the pre-delete version uses the plain parquet path
+    val t1 = spark.read.format("graftvt").option("versionAsOf", 1).load(dir)
+    assert(t1.count() === 200)
+  }
+
+  test("changes() serves the dv delete exactly and folds later synthesis") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 50L).map(k => (k, k * 1.0)).toDF("k", "p")) // v0
+    vt.delete(col("k") < 5L, useDeletionVectors = true)             // v1
+    val dv = vt.changes(1, 1).collect()
+    assert(dv.map(r => (r.getLong(0), r.getString(2))).sorted.toSeq ===
+      (0L until 5L).map((_, "delete")))
+    // an overwrite's removed-dir synthesis reads the dir FOLDED — the
+    // five already-deleted rows are not re-reported
+    vt.overwrite(Seq((999L, 0.0)).toDF("k", "p"))                   // v2
+    val ow = vt.changes(2, 2).collect()
+    assert(ow.count(_.getString(2) == "delete") === 45)
+    assert(ow.count(_.getString(2) == "insert") === 1)
+  }
+
+  test("OPTIMIZE compacts DVs away; vacuum reclaims unreferenced sidecars") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.delete(col("k") % 2 === 0, useDeletionVectors = true)
+    assert(vt.dvsAt(vt.latestVersion).nonEmpty)
+    vt.optimize("k", 2)
+    assert(vt.dvsAt(vt.latestVersion).isEmpty)
+    assert(vt.read().count() === 50)
+    assert(vt.statRange("k") === Some((1L, 99L))) // bounds exact again
+    def dvDirs() = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("dv-"))
+    assert(dvDirs() === 1)
+    vt.vacuum(1)
+    assert(dvDirs() === 0)
+    assert(vt.read().count() === 50)
+  }
+
+  test("restore rolls the DV state back with the data") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 40L).map(k => (k, "a")).toDF("k", "s")) // v0
+    vt.delete(col("k") < 10L, useDeletionVectors = true)        // v1: 30 rows
+    vt.delete(col("k") >= 30L, useDeletionVectors = true)       // v2: 20 rows
+    assert(vt.read().count() === 20)
+    vt.restore(1)                                               // v3 = v1 state
+    assert(vt.read().count() === 30)
+    assert(vt.fastCount() === Some(30L))
+    vt.restore(0)                                               // v4 = no DVs
+    assert(vt.read().count() === 40)
+    assert(vt.dvsAt(vt.latestVersion).isEmpty)
+    assert(vt.fastNonNullCount("k") === Some(40L))
+  }
+}
