@@ -248,6 +248,29 @@ object ScaleProbe {
           Map("o_totalprice" -> (col("o_totalprice") + 1.0))))
         timed("zorder full rewrite")(
           vt.optimizeZOrder(Seq("o_orderkey", "o_totalprice"), 8))
+        // On the now-clustered table, a RANGE mutation's discovery scan
+        // is stats-pruned to the touched chunks (the modulo forms above
+        // are untranslatable — they measure the full-discovery floor).
+        // These two must track TOUCHED data, not table size: ~flat as
+        // reps grows while the range covers a fixed row count.
+        val rangeLo = 1000L
+        val rangeHi = rangeLo + maxKey / 200 // ~0.5% of the key space
+        timed("delete range (pruned disc)") {
+          vt.delete(col("o_orderkey").between(rangeLo, rangeHi))
+          println(s"[probe]   discovery dirs = ${vt.lastDiscoveryDirs.size} " +
+            s"of ${vt.activeDirs().size}")
+        }
+        timed("update range (pruned disc)") {
+          vt.update(col("o_orderkey").between(maxKey / 2, maxKey / 2 + maxKey / 200),
+            Map("o_totalprice" -> (col("o_totalprice") + 1.0)))
+          println(s"[probe]   discovery dirs = ${vt.lastDiscoveryDirs.size} " +
+            s"of ${vt.activeDirs().size}")
+        }
+        // DV delete: the merge-on-read cost floor — deleted-rows-sized
+        // write, zero rewrite.
+        timed("delete range (DV sidecar)")(
+          vt.delete(col("o_orderkey").between(maxKey / 4, maxKey / 4 + maxKey / 200),
+            useDeletionVectors = true))
         val vNow = vt.latestVersion
         timed("restore (metadata)")(vt.restore(vNow - 1))
         timed("pruned range read")(

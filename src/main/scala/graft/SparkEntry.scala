@@ -1698,6 +1698,47 @@ object SparkEntry {
       out
     }),
 
+    // ALTER TABLE RENAME COLUMN via log-level column mapping: the
+    // commit pins each renamed field's PHYSICAL parquet name, so NO
+    // data file is touched (mtimes pinned); reads, SQL DML, and inserts
+    // immediately address the new name; time travel keeps each
+    // version's own names; the final state equals the oracle's
+    // recomputation under the new name.
+    "s_versioned_rename" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft.gate_rn")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_rn_base")
+      s.sql("""CREATE TABLE graft.gate_rn USING graftvt AS
+              |SELECT o_orderkey, o_totalprice FROM graft_rn_base""".stripMargin)
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val vdir = cat.tableDir(org.apache.spark.sql.connector.catalog
+        .Identifier.of(Array.empty, "gate_rn")).toString
+      val local = new java.io.File(vdir.stripPrefix("file:"))
+      def dataFiles() = local.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .flatMap(_.listFiles()).map(f => (f.getName, f.lastModified())).toSet
+      val before = dataFiles()
+      s.sql("ALTER TABLE graft.gate_rn RENAME COLUMN o_totalprice TO price")
+      val metadataOnly = dataFiles() == before
+      // mutate and insert THROUGH the new name
+      s.sql("UPDATE graft.gate_rn SET price = price + 1000 " +
+        "WHERE o_orderkey % 10 = 3")
+      s.sql("INSERT INTO graft.gate_rn VALUES (900000001, 42.0)")
+      val oldName = s.sql("SELECT * FROM graft.gate_rn VERSION AS OF 1")
+        .columns.mkString(",")
+      val out = s.sql("SELECT o_orderkey, price FROM graft.gate_rn")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), metadataOnly, oldName))
+        .toSeq
+        .toDF("o_orderkey", "price", "metadata_only", "v1_columns")
+      s.sql("DROP TABLE graft.gate_rn")
+      out
+    }),
+
     // ALTER TABLE ADD/DROP COLUMNS as METADATA-ONLY schema commits: the
     // added column reads null on old rows and real values on new ones,
     // data files stay byte-identical (mtime-pinned), time travel keeps
@@ -4206,6 +4247,19 @@ object SparkEntry {
         |  CAST((SELECT count(DISTINCT o_orderstatus) FROM orders) AS INTEGER)
         |    AS total_dirs
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    // The renamed table's final state under the NEW name: the %10
+    // update applied, the tagged insert present, no data file touched,
+    // version 1 still spelling the old column name.
+    "s_versioned_rename" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000
+        |       ELSE o_totalprice END AS price,
+        |  true AS metadata_only,
+        |  'o_orderkey,o_totalprice' AS v1_columns
+        |FROM orders
+        |UNION ALL
+        |SELECT 900000001, 42.0, true, 'o_orderkey,o_totalprice'""".stripMargin,
 
     // The DV delete's surviving rows (every %7 key hidden, nothing
     // rewritten), the metadata count over them, and the post-OPTIMIZE

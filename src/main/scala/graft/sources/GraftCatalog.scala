@@ -170,21 +170,26 @@ class GraftCatalog extends TableCatalog {
     val vt = new VersionedTable(spark, dir.toString)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val sets = changes.collect { case s: TableChange.SetProperty => s }
     val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
-    require(adds.size + drops.size + sets.size + unsets.size == changes.size,
+    require(adds.size + drops.size + renames.size + sets.size +
+      unsets.size == changes.size,
       "the graft catalog supports ALTER TABLE ADD COLUMNS, DROP " +
-        "COLUMN[S], and SET/UNSET TBLPROPERTIES only (metadata-only " +
-        "commits); CHECK constraints and maintenance run through the " +
-        "SQL command frontend")
+        "COLUMN[S], RENAME COLUMN, and SET/UNSET TBLPROPERTIES only " +
+        "(metadata-only commits); CHECK constraints and maintenance run " +
+        "through the SQL command frontend")
     adds.foreach(a => require(a.fieldNames().length == 1 && a.position() == null,
       "ADD COLUMNS supports top-level columns without position clauses"))
     drops.foreach(d => require(d.fieldNames().length == 1,
       "DROP COLUMN supports top-level columns"))
+    renames.foreach(r => require(r.fieldNames().length == 1,
+      "RENAME COLUMN supports top-level columns"))
     if (adds.nonEmpty)
       vt.addColumns(StructType(adds.map(a =>
         org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType()))))
     if (drops.nonEmpty) vt.dropColumns(drops.map(_.fieldNames()(0)))
+    renames.foreach(r => vt.renameColumn(r.fieldNames()(0), r.newName()))
     val userSets = sets.filterNot(s => reservedProps.contains(s.property()))
     if (userSets.nonEmpty)
       vt.setProperties(userSets.map(s => s.property() -> s.value()).toMap)

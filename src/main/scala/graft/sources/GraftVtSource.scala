@@ -363,10 +363,13 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
 
   override def pushLimit(n: Int): Boolean = {
     // A deletion vector hides recorded rows, so the recorded-rows
-    // directory prefix could under-cover the limit — decline.
+    // directory prefix could under-cover the limit; a renamed table
+    // needs the aliasing read path the limit-prefix parquet scan lacks
+    // — decline both.
     if (changeFeed || n <= 0 || ranges.nonEmpty || notNullCols.nonEmpty ||
         isNullCols.nonEmpty || pushed.nonEmpty ||
-        vt.dvsAt(version).nonEmpty) return false
+        vt.dvsAt(version).nonEmpty || vt.renamesAt(version).nonEmpty)
+      return false
     limitRows = Some(n)
     true
   }
@@ -419,6 +422,11 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
       case None => ()
     }
     if (changeFeed) {
+      require(vt.renamesAt(version).isEmpty,
+        s"the file-level change feed of $rootPath cannot serve a table " +
+          "with renamed columns (files spell physical names); use " +
+          "VersionedTable.changes, or OPTIMIZE (full rewrite) to " +
+          "normalize the names first")
       // Change feed: the scan serves versions' added/removed files with
       // (_change_type, _commit_version) injected as PARTITION VALUES —
       // the reader appends them per row exactly as a partitioned table
@@ -456,13 +464,16 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
         else vt.pruneActiveAll(ranges, Some(version), notNullCols, isNullCols)._1
       val kept = limitRows.fold(keptAll)(limitPrefix(keptAll, _))
       // A kept directory with DELETION VECTORS cannot be served by a
-      // stock parquet scan (it would resurrect the hidden rows): fall
-      // back to a V1 relation over the DV-folding read — manifest
-      // pruning still applied, filters still evaluated above the scan
-      // (every filter is retained post-scan), only the vectorized fast
-      // path is traded away until OPTIMIZE compacts the DVs out.
+      // stock parquet scan (it would resurrect the hidden rows), and a
+      // RENAMED table's files spell physical names a logical-schema
+      // parquet scan would read as null: both fall back to a V1
+      // relation over the folding/aliasing read — manifest pruning
+      // still applied, filters still evaluated above the scan (every
+      // filter is retained post-scan), only the vectorized fast path is
+      // traded away until OPTIMIZE (full rewrite) compacts DVs out and
+      // normalizes physical names.
       val dvs = vt.dvsAt(version)
-      if (kept.exists(dvs.contains))
+      if (kept.exists(dvs.contains) || vt.renamesAt(version).nonEmpty)
         return new GraftVtV1FoldScan(vt, version, kept, required, rootPath)
       val paths = kept.map(n => new Path(new Path(rootPath), n)).toSeq
       val index = new InMemoryFileIndex(spark, paths,
@@ -513,6 +524,13 @@ private[graft] class GraftVtV1FoldScan(vt: VersionedTable, version: Int,
          else df.select(required.fieldNames.toIndexedSeq.map(col): _*)).rdd
       }
     }.asInstanceOf[T]
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"streaming $rootPath is not supported while deletion vectors are " +
+        "outstanding or columns are renamed (the fold is row-level); " +
+        "OPTIMIZE (full rewrite) compacts DVs and normalizes names")
 
   override def description(): String =
     s"GraftVtDvFold $rootPath (version $version, ${kept.size} dirs)"
@@ -638,7 +656,11 @@ private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (version >= 0) require(vt.renamesAt(version).isEmpty,
+      s"streaming $rootPath is not supported while columns are renamed " +
+        "(files spell physical names); OPTIMIZE (full rewrite) " +
+        "normalizes them")
     cdf match {
       case None =>
         new GraftVtMicroBatchStream(spark, vt, rootPath, tableSchema, required,
@@ -648,6 +670,7 @@ private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
           optionsMap, () => parquet.createReaderFactory(),
           changeFeed = true, cdfCols = cdfCols)
     }
+  }
 
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =

@@ -659,12 +659,15 @@ class VersionedTable(spark: SparkSession, dir: String,
     * (metadata-only), not a second data scan.
     */
   private def writePayload(df: DataFrame, v: Int,
-                           constraints: Map[String, String] = Map.empty)
+                           constraints: Map[String, String] = Map.empty,
+                           l2p: Map[String, String] = Map.empty)
       : (String, Long, Map[String, ColStat]) = {
     val name = f"v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(root, name)
-    df.write.parquet(dataDir.toString)
-    val (rows, stats, violations) = statsOf(dataDir.toString, constraints)
+    // column mapping: files always spell PHYSICAL names
+    toPhysicalDf(df, l2p).write.parquet(dataDir.toString)
+    val (rows, stats, violations) =
+      statsOf(dataDir.toString, constraints, l2p.map(_.swap))
     val broken = violations.filter(_._2 > 0L)
     if (broken.nonEmpty) {
       // Abort BEFORE publish: nothing was committed, the orphan payload
@@ -690,11 +693,18 @@ class VersionedTable(spark: SparkSession, dir: String,
                                constraints: Map[String, String],
                                base: Int)
       : Seq[(String, Long, Map[String, ColStat])] = {
-    val partCols = if (base < 0) Nil else snapshotAt(base).partitionCols
+    val snap = if (base < 0) None else Some(snapshotAt(base))
+    val l2p = snap.flatMap(_.schemaJson).map(j => renameMap(schemaFromJson(j)))
+      .getOrElse(Map.empty)
+    val p2l = l2p.map(_.swap)
+    // recorded partition columns are PHYSICAL (create-time) names; the
+    // payload frame speaks logical
+    val partCols = snap.map(_.partitionCols).getOrElse(Nil)
+      .map(c => p2l.getOrElse(c, c))
     if (partCols.isEmpty ||
         partCols.exists(c => !df.columns.exists(_.equalsIgnoreCase(c))))
-      Seq(writePayload(df, v, constraints))
-    else writePayloadSplit(df, v, partCols, constraints)
+      Seq(writePayload(df, v, constraints, l2p))
+    else writePayloadSplit(df, v, partCols, constraints, l2p)
   }
 
   /** The partitioned payload write — Hive layout rebuilt as manifest
@@ -714,14 +724,16 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   private def writePayloadSplit(df: DataFrame, v: Int,
                                 partCols: Seq[String],
-                                constraints: Map[String, String])
+                                constraints: Map[String, String],
+                                l2p: Map[String, String] = Map.empty)
       : Seq[(String, Long, Map[String, ColStat])] = {
     import org.apache.spark.sql.functions.col
     val shadow = partCols.map(c => "__graft_p_" + c)
     shadow.foreach(s => require(!df.columns.contains(s),
       s"payload column `$s` collides with the partition staging prefix"))
-    val staged = partCols.zip(shadow).foldLeft(df)((d, cs) =>
-      d.withColumn(cs._2, col(cs._1)))
+    val staged = toPhysicalDf(
+      partCols.zip(shadow).foldLeft(df)((d, cs) =>
+        d.withColumn(cs._2, col(cs._1))), l2p)
     val staging = new Path(root,
       f"_staging-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}")
     staged.write.partitionBy(shadow: _*).parquet(staging.toString)
@@ -733,7 +745,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     val parts = leaves(staging, shadow.size).sortBy(_.toString)
     if (parts.isEmpty) { // empty payload: keep the 0-row schema holder
       fs.delete(staging, true)
-      return Seq(writePayload(df, v, constraints))
+      return Seq(writePayload(df, v, constraints, l2p))
     }
     val written = parts.zipWithIndex.map { case (p, i) =>
       val name = f"v$v%05d-p$i%03d-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -744,7 +756,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     fs.delete(staging, true)
     val out = written.map { name =>
       val (rows, stats, violations) =
-        statsOf(new Path(root, name).toString, constraints)
+        statsOf(new Path(root, name).toString, constraints, l2p.map(_.swap))
       (name, rows, stats, violations.filter(_._2 > 0L))
     }
     val broken = out.flatMap(_._4)
@@ -775,11 +787,20 @@ class VersionedTable(spark: SparkSession, dir: String,
     * simply not indexed (readers keep the directory conservatively).
     */
   private def statsOf(dataDir: String,
-                      constraints: Map[String, String] = Map.empty)
+                      constraints: Map[String, String] = Map.empty,
+                      physToLogical: Map[String, String] = Map.empty)
       : (Long, Map[String, ColStat], Map[String, Long]) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val d = spark.read.parquet(dataDir)
+    // Column mapping: CHECK constraints reference LOGICAL names, the
+    // files spell PHYSICAL ones — evaluate over the aliased view, but
+    // KEY the recorded stats by the raw (physical) file names: physical
+    // names are stable across renames, so the stats index never needs
+    // rewriting when a column does.
+    val raw = spark.read.parquet(dataDir)
+    val d =
+      if (physToLogical.isEmpty) raw else raw.withColumnsRenamed(physToLogical)
+    val logToPhys = physToLogical.map(_.swap)
     val cols = d.schema.fields.flatMap { f =>
       f.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
@@ -813,7 +834,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       // An all-null column keeps an explicit (null, null) entry: it
       // PROVES no row can satisfy a range or IS NOT NULL predicate —
       // omitting it (the pre-round-12 shape) forced conservative keeps.
-      n -> ColStat(kind, row.get(1 + 2 * i), row.get(2 + 2 * i), nullsOf(i))
+      logToPhys.getOrElse(n, n) ->
+        ColStat(kind, row.get(1 + 2 * i), row.get(2 + 2 * i), nullsOf(i))
     }.toMap
     val base = nullBase + cols.length
     val violations = cNames.zipWithIndex.map { case (n, i) =>
@@ -859,8 +881,22 @@ class VersionedTable(spark: SparkSession, dir: String,
     val existing = snap.schemaJson.map(schemaFromJson)
       .getOrElse(readAt(base).schema)
     val aligned = SchemaCompat.alignWidening(df, existing, dir)
-    val evolved = org.apache.spark.sql.types.StructType(existing.fields ++
-      aligned.schema.fields.filterNot(f => existing.fieldNames.contains(f.name)))
+    val fresh = aligned.schema.fields.filterNot(f =>
+      existing.fieldNames.contains(f.name))
+    // Residue guard (same hazard addColumns refuses): an evolving
+    // append introducing a column whose BYTES still live in active
+    // directories — a previously dropped column, or a renamed column's
+    // physical name — would resurface foreign values on every
+    // schema-imposed read. The stats index records what files
+    // physically hold; fail loudly and point at the rewrite.
+    val ghost = fresh.map(_.name).filter(n => snap.active.exists(d =>
+      snap.stats.get(d).exists(_.keys.exists(_.equalsIgnoreCase(n)))))
+    require(ghost.isEmpty,
+      s"append to $dir introduces column(s) ${ghost.mkString(", ")} whose " +
+        "bytes still live in active directories (dropped or renamed " +
+        "away) — re-adding would resurface old values; run OPTIMIZE " +
+        "(full rewrite) first")
+    val evolved = org.apache.spark.sql.types.StructType(existing.fields ++ fresh)
     (aligned, SchemaCompat.nullableJson(evolved))
   }
 
@@ -953,7 +989,11 @@ class VersionedTable(spark: SparkSession, dir: String,
   def partitionColumns(version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(latestVersion)
     require(v >= 0, s"$dir has no committed versions")
-    snapshotAt(v).partitionCols
+    val snap = snapshotAt(v)
+    // recorded names are PHYSICAL (create-time); serve logical
+    val p2l = snap.schemaJson.map(j => renameMap(schemaFromJson(j)).map(_.swap))
+      .getOrElse(Map.empty)
+    snap.partitionCols.map(c => p2l.getOrElse(c, c))
   }
 
   /** The user TBLPROPERTIES in force at a version (default: latest) —
@@ -1077,6 +1117,108 @@ class VersionedTable(spark: SparkSession, dir: String,
   private def tableSchemaAt(v: Int): org.apache.spark.sql.types.StructType =
     snapshotAt(v).schemaJson.map(schemaFromJson).getOrElse(readAt(v).schema)
 
+  // ---- Column mapping (ALTER TABLE RENAME COLUMN) --------------------
+  // A renamed field keeps its PHYSICAL parquet name (the name its bytes
+  // carry in every file — stable across any number of renames) in the
+  // schema field's metadata under this key; the field's `name` is the
+  // LOGICAL name users see. Delta separates the two with column IDs for
+  // exactly this feature; here the log schema carries the map, reads
+  // physicalize-then-alias, writes back-rename — data files are never
+  // touched by a rename, and time travel keeps each version's names.
+  private val PhysicalKey = "graftPhysical"
+
+  private def physicalNameOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** logical → physical, only where they differ (empty for tables that
+    * never renamed — every mapped path is a no-op then).
+    */
+  private def renameMap(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    schema.fields.iterator.flatMap { f =>
+      val p = physicalNameOf(f)
+      if (p != f.name) Some(f.name -> p) else None
+    }.toMap
+
+  /** The schema as the parquet FILES spell it (physical names, same
+    * types/order/metadata-free).
+    */
+  private def physicalize(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = physicalNameOf(f),
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  /** Map a LOGICAL column name to its physical stats/file name at a
+    * version (identity for never-renamed tables and unknown names).
+    */
+  private def toPhysicalName(colName: String, snap: Snapshot): String =
+    snap.schemaJson.map(schemaFromJson) match {
+      case Some(s) => s.fields.find(_.name.equalsIgnoreCase(colName))
+        .map(physicalNameOf).getOrElse(colName)
+      case None => colName
+    }
+
+  /** Rename a DataFrame's columns logical→physical before a file write
+    * (identity when the table never renamed).
+    */
+  private def toPhysicalDf(df: DataFrame,
+                           l2p: Map[String, String]): DataFrame =
+    if (l2p.isEmpty) df else df.withColumnsRenamed(l2p)
+
+  /** ALTER TABLE RENAME COLUMN — METADATA-ONLY, via the column map: the
+    * commit records the schema with the field renamed and its physical
+    * name pinned; no data file is touched, old versions keep their own
+    * names, and mutations/reads address the new name immediately. The
+    * new name must not collide with a live logical name NOR with
+    * physical bytes still in active directories (the same residue guard
+    * as [[addColumns]] — a collision would silently resurface foreign
+    * values). Renaming a column BACK to its own physical name drops the
+    * mapping entry.
+    */
+  def renameColumn(oldName: String, newName: String): Int = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructType}
+    require(oldName.nonEmpty && newName.nonEmpty, "names must be non-empty")
+    val latest = latestVersion
+    require(latest >= 0, s"$dir has no committed versions")
+    val schema = tableSchemaAt(latest)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column `$oldName` does not exist on $dir " +
+          s"(schema: ${schema.fieldNames.mkString(", ")})"))
+    require(!newName.equalsIgnoreCase(oldName),
+      s"rename to the same name: $oldName")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column `$newName` already exists on $dir")
+    val physical = physicalNameOf(field)
+    // residue guard: bytes named `newName` in any active directory
+    // (a dropped column, or another live column's physical name) would
+    // be mis-addressed the moment physical(new) == newName anywhere
+    val snap = snapshotAt(latest)
+    if (!physical.equalsIgnoreCase(newName)) {
+      val ghost = snap.active.exists(d => snap.stats.get(d)
+        .exists(_.keys.exists(_.equalsIgnoreCase(newName))))
+      require(!ghost,
+        s"cannot rename `$oldName` to `$newName` on $dir: bytes named " +
+          s"`$newName` still live in active directories — run OPTIMIZE " +
+          "(full rewrite) first")
+    }
+    val renamed = StructType(schema.fields.map { g =>
+      if (!g.name.equalsIgnoreCase(oldName)) g
+      else if (physical.equalsIgnoreCase(newName))
+        // renamed back to its own physical: the mapping entry dissolves
+        g.copy(name = newName, metadata = Metadata.empty)
+      else g.copy(name = newName, metadata = new MetadataBuilder()
+        .withMetadata(g.metadata).putString(PhysicalKey, physical).build())
+    })
+    val v = latest + 1
+    publish(Commit(v, "alter", Seq.empty, Seq.empty, 0L,
+      System.currentTimeMillis(),
+      schemaJson = Some(SchemaCompat.nullableJson(renamed))))
+    v
+  }
+
   /** The table schema from PURE metadata (the log-recorded schema) —
     * what schema-inference callers (the catalog's loadTable, the DSv2
     * provider) must use instead of `readAt(v).schema`, whose file-index
@@ -1147,7 +1289,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     // bound — recorded bounds stay valid SUPERSETS for pruning, but
     // are no longer exact MIN/MAX answers
     if (snap.active.exists(snap.dvs.contains)) return None
-    val bounds = snap.active.map(d => snap.stats.get(d).flatMap(_.get(colName)))
+    val physName = toPhysicalName(colName, snap)
+    val bounds = snap.active.map(d => snap.stats.get(d).flatMap(_.get(physName)))
     // An all-null directory records (null, null) bounds — MIN/MAX over
     // it has no exact metadata answer, same contract as missing stats.
     if (bounds.isEmpty || bounds.exists(b => b.isEmpty || b.exists(_.min == null)))
@@ -1331,7 +1474,12 @@ class VersionedTable(spark: SparkSession, dir: String,
     val now = currentConstraints
     val fresh = now.filter { case (n, ex) => !validated.get(n).contains(ex) }
     if (fresh.nonEmpty) {
-      val (_, _, violations) = statsOf(new Path(root, name).toString, fresh)
+      val latestNow = latestVersion
+      val p2l =
+        if (latestNow < 0) Map.empty[String, String]
+        else renameMap(tableSchemaAt(latestNow)).map(_.swap)
+      val (_, _, violations) =
+        statsOf(new Path(root, name).toString, fresh, p2l)
       val broken = violations.filter(_._2 > 0L)
       if (broken.nonEmpty) {
         fs.delete(new Path(root, name), true)
@@ -1452,9 +1600,14 @@ class VersionedTable(spark: SparkSession, dir: String,
     * touched directories never held, and resurrect dropped ones).
     */
   private def readDirsAs(schema: org.apache.spark.sql.types.StructType,
-                         dirs: Seq[String]): DataFrame =
-    spark.read.schema(schema)
+                         dirs: Seq[String]): DataFrame = {
+    // column mapping: files spell physical names — read them, serve
+    // logical (identity for never-renamed tables)
+    val l2p = renameMap(schema)
+    val raw = spark.read.schema(physicalize(schema))
       .parquet(dirs.map(n => new Path(root, n).toString): _*)
+    if (l2p.isEmpty) raw else raw.withColumnsRenamed(l2p.map(_.swap))
+  }
 
   /** The deletion-vector state of a version: data directory → the DV
     * sidecar directories whose (file, row-position) entries hide rows
@@ -1463,6 +1616,15 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   private[graft] def dvsAt(v: Int): Map[String, Seq[String]] =
     snapshotAt(v).dvs
+
+  /** The column-mapping state of a version (logical → physical, only
+    * where differing; empty for never-renamed tables) — the DSv2 scan
+    * consults it to route renamed snapshots through the aliasing read
+    * path, exactly like [[dvsAt]] routes DV-bearing ones.
+    */
+  private[graft] def renamesAt(v: Int): Map[String, String] =
+    snapshotAt(v).schemaJson.map(j => renameMap(schemaFromJson(j)))
+      .getOrElse(Map.empty)
 
   /** A DV sidecar frame: the (directory, file, row-position) triples of
     * every row the given sidecars hide.
@@ -1485,16 +1647,24 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   private def readDirsFolded(schema: Option[org.apache.spark.sql.types.StructType],
                              dirs: Seq[String],
-                             dvs: Map[String, Seq[String]]): DataFrame = {
+                             dvs: Map[String, Seq[String]],
+                             physToLogical: Map[String, String] = Map.empty)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
+    // column mapping: an imposed schema carries its own map; a
+    // mergeSchema read gets the caller's current physical→logical map
+    val p2l = schema.map(sc => renameMap(sc).map(_.swap))
+      .getOrElse(physToLogical)
+    def alias(df: DataFrame): DataFrame =
+      if (p2l.isEmpty) df else df.withColumnsRenamed(p2l)
     def read(ds: Seq[String]): DataFrame = schema match {
-      case Some(s) => spark.read.schema(s)
+      case Some(s) => spark.read.schema(physicalize(s))
         .parquet(ds.map(n => new Path(root, n).toString): _*)
       case None => spark.read.option("mergeSchema", "true")
         .parquet(ds.map(n => new Path(root, n).toString): _*)
     }
     val dvd = dirs.filter(dvs.contains)
-    if (dvd.isEmpty) return read(dirs)
+    if (dvd.isEmpty) return alias(read(dirs))
     val clean = dirs.filterNot(dvs.contains)
     val hidden = dvFrame(dvd.flatMap(dvs).distinct)
     val tagged = read(dvd)
@@ -1508,8 +1678,8 @@ class VersionedTable(spark: SparkSession, dir: String,
         tagged("__graft_f") === hidden("__graft_dv_file") &&
         tagged("__graft_i") === hidden("__graft_dv_pos"), "left_anti")
       .drop("__graft_d", "__graft_f", "__graft_i")
-    if (clean.isEmpty) folded
-    else read(clean).unionByName(folded, allowMissingColumns = schema.isEmpty)
+    alias(if (clean.isEmpty) folded
+      else read(clean).unionByName(folded, allowMissingColumns = schema.isEmpty))
   }
 
   /** [[readDirsFolded]] RETAINING the source file path as column `tag`
@@ -1524,9 +1694,12 @@ class VersionedTable(spark: SparkSession, dir: String,
       dirs: Seq[String], dvs: Map[String, Seq[String]],
       tag: String, posTag: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
+    val p2l = schema.map(sc => renameMap(sc).map(_.swap)).getOrElse(Map.empty)
+    def alias(df: DataFrame): DataFrame =
+      if (p2l.isEmpty) df else df.withColumnsRenamed(p2l)
     def read(ds: Seq[String]): DataFrame = {
       val r = schema match {
-        case Some(s) => spark.read.schema(s)
+        case Some(s) => spark.read.schema(physicalize(s))
           .parquet(ds.map(n => new Path(root, n).toString): _*)
         case None => spark.read.option("mergeSchema", "true")
           .parquet(ds.map(n => new Path(root, n).toString): _*)
@@ -1535,7 +1708,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       posTag.fold(t)(pt => t.withColumn(pt, col("_metadata.row_index")))
     }
     val dvd = dirs.filter(dvs.contains)
-    if (dvd.isEmpty) return read(dirs)
+    if (dvd.isEmpty) return alias(read(dirs))
     val clean = dirs.filterNot(dvs.contains)
     val hidden = dvFrame(dvd.flatMap(dvs).distinct)
     val tagged = read(dvd)
@@ -1814,7 +1987,11 @@ class VersionedTable(spark: SparkSession, dir: String,
     // append means an old directory can predate a column — pad it with
     // typed nulls so a merge whose key span only touches old data still
     // runs (and unions cleanly with the source).
-    val snapSchema = read().schema
+    // the LOG schema, not read().schema: the read aliases physical →
+    // logical and drops the column-mapping metadata the rename paths
+    // need (types and names are identical)
+    val snapSchema = tableSchemaAt(latest)
+    val mergeL2p = renameMap(snapSchema)
     def alignTo(df: DataFrame): DataFrame =
       snapCols.foldLeft(df)((d, c) =>
         if (d.columns.contains(c)) d
@@ -1822,7 +1999,8 @@ class VersionedTable(spark: SparkSession, dir: String,
         .select(snapCols.map(col).toIndexedSeq: _*)
     val touchedData =
       if (touched.isEmpty) None
-      else Some(alignTo(readDirsFolded(None, touched, snapState.dvs)))
+      else Some(alignTo(readDirsFolded(None, touched, snapState.dvs,
+        mergeL2p.map(_.swap))))
     val srcKeys = source.select(keys.map(col).toIndexedSeq: _*)
     val newData = touchedData match {
       case Some(td) =>
@@ -1830,7 +2008,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       case None => srcAligned
     }
     val v = latest + 1
-    val (name, rows, st) = writePayload(newData, v, snapState.constraints)
+    val (name, rows, st) = writePayload(newData, v, snapState.constraints,
+      renameMap(snapSchema))
     if (touched.isEmpty && rows == 0L) {
       // Empty/all-null-key source touching nothing: a no-op. Committing
       // would add a stat-less empty directory every prune keeps forever.
@@ -1848,8 +2027,8 @@ class VersionedTable(spark: SparkSession, dir: String,
           .withColumn("_change_type", lit("update_postimage")))
         val ins = tgtKeys.fold(srcAligned)(tk => srcAligned.join(tk, keys, "left_anti"))
           .withColumn("_change_type", lit("insert"))
-        (pre.toSeq ++ post.toSeq :+ ins).reduce(_.unionByName(_))
-          .write.parquet(new Path(root, n).toString)
+        toPhysicalDf((pre.toSeq ++ post.toSeq :+ ins).reduce(_.unionByName(_)),
+          mergeL2p).write.parquet(new Path(root, n).toString)
         Some(n)
       }
     // Which of a concurrent winner's added directories may hold rows
@@ -1861,7 +2040,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       case Some(Some(preds)) => c.added.filter { d =>
         c.addedStats.get(d) match {
           case None => true // no stats recorded: conservative
-          case Some(st) => preds.forall { case (cn, lo, hi) =>
+          case Some(st) => preds.forall { case (cn0, lo, hi) =>
+            val cn = mergeL2p.getOrElse(cn0, cn0)
             st.get(cn) match {
               case None => true
               case Some(cs) if cs.min == null => false // all-null key: no match
@@ -1906,7 +2086,8 @@ class VersionedTable(spark: SparkSession, dir: String,
   private def publishMutationRetrying(op: String, base: Int, maxRetries: Int,
       touched: Seq[String], revalidate: Seq[String],
       addedMayMatch: Commit => Seq[String], mkCommit: Int => Commit,
-      validated0: Map[String, String]): Int = {
+      validated0: Map[String, String],
+      schemaConflicts: Commit => Boolean = _ => false): Int = {
     beforeMutationPublish()
     var validated = validated0
     var checkedThrough = base
@@ -1932,6 +2113,10 @@ class VersionedTable(spark: SparkSession, dir: String,
             if (conflicts.nonEmpty) throw new IllegalStateException(
               s"concurrent commit $w (${c.op}) of $dir added data that may " +
                 s"match this $op's predicate (${conflicts.mkString(", ")}); " +
+                s"re-run the $op on the new snapshot", e)
+            if (schemaConflicts(c)) throw new IllegalStateException(
+              s"concurrent commit $w (${c.op}) of $dir changed the table " +
+                s"schema while this $op carried its own schema commit; " +
                 s"re-run the $op on the new snapshot", e)
             if (c.constraintAdd.isDefined)
               revalidate.foreach(p => validated = revalidatePayload(p, validated))
@@ -2042,7 +2227,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     val keep = not(coalesce(condition, lit(false)))
     val v = latest + 1
     val survivors = readDirsFolded(Some(tblSchema), touched, dvState).filter(keep)
-    val (name, rows, st) = writePayload(survivors, v)
+    val (name, rows, st) = writePayload(survivors, v,
+      l2p = renameMap(tblSchema))
     val (added, addedStats) =
       if (rows == 0L && touched.size < active.size) {
         // every row of every touched dir matched; other dirs remain
@@ -2058,9 +2244,9 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (!writeChangeData) None
       else {
         val n = f"cdf-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-        readDirsFolded(Some(tblSchema), touched, dvState)
+        toPhysicalDf(readDirsFolded(Some(tblSchema), touched, dvState)
           .filter(coalesce(condition, lit(false)))
-          .withColumn("_change_type", lit("delete"))
+          .withColumn("_change_type", lit("delete")), renameMap(tblSchema))
           .write.parquet(new Path(root, n).toString)
         Some(n)
       }
@@ -2129,8 +2315,8 @@ class VersionedTable(spark: SparkSession, dir: String,
         return latest
       }
       val cdfName = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-      matched.drop("__graft_file", "__graft_pos")
-        .withColumn("_change_type", lit("delete"))
+      toPhysicalDf(matched.drop("__graft_file", "__graft_pos")
+        .withColumn("_change_type", lit("delete")), renameMap(tblSchema))
         .write.parquet(new Path(root, cdfName).toString)
       // A concurrent winner's added data conflicts iff the condition
       // matches any of it — exact scan, same rule as copy-on-write.
@@ -2217,15 +2403,17 @@ class VersionedTable(spark: SparkSession, dir: String,
       readDirsFolded(Some(schema), touched, dvState).select(updatedCols: _*)
     // New values validate against the CURRENT constraints inside the
     // stats job; a violation aborts before anything publishes.
-    val (name, rows, st) = writePayload(rewritten, v, snapState.constraints)
+    val (name, rows, st) = writePayload(rewritten, v, snapState.constraints,
+      renameMap(schema))
     val cdfName =
       if (!writeChangeData) None
       else {
         val n = f"cdf-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
         val matched = readDirsFolded(Some(schema), touched, dvState).filter(hit)
-        matched.withColumn("_change_type", lit("update_preimage"))
+        toPhysicalDf(matched.withColumn("_change_type", lit("update_preimage"))
           .unionByName(matched.select(updatedCols: _*)
-            .withColumn("_change_type", lit("update_postimage")))
+            .withColumn("_change_type", lit("update_postimage"))),
+          renameMap(schema))
           .write.parquet(new Path(root, n).toString)
         Some(n)
       }
@@ -2276,7 +2464,7 @@ class VersionedTable(spark: SparkSession, dir: String,
         // a deletion vector may have hidden null or non-null rows —
         // the manifest cannot tell which; never guess
         if !snap.dvs.contains(d)
-        cs <- snap.stats.get(d).flatMap(_.get(colName))
+        cs <- snap.stats.get(d).flatMap(_.get(toPhysicalName(colName, snap)))
         if cs.nulls >= 0L
       } yield rows - cs.nulls
     }
@@ -2307,12 +2495,16 @@ class VersionedTable(spark: SparkSession, dir: String,
         s"data directory $n of commit $v was vacuumed; its changes are gone"))
       dirs
     }
+    val p2lNow = snapshotAt(toVersion).schemaJson
+      .map(j => renameMap(schemaFromJson(j)).map(_.swap)).getOrElse(Map.empty)
+    def aliasNow(df: DataFrame): DataFrame =
+      if (p2lNow.isEmpty) df else df.withColumnsRenamed(p2lNow)
     val frames = (fromVersion to toVersion).flatMap { v =>
       val c = commitAt(v)
       c.op match {
         case "optimize" => Nil
         case _ if c.cdf.isDefined => // merge/delete committed with CDC
-          Seq(spark.read.parquet(new Path(root, c.cdf.get).toString)
+          Seq(aliasNow(spark.read.parquet(new Path(root, c.cdf.get).toString))
             .withColumn("_commit_version", lit(v)))
         case _ =>
           // synthesis folds DELETION VECTORS: an added directory serves
@@ -2321,13 +2513,13 @@ class VersionedTable(spark: SparkSession, dir: String,
           // would re-report rows an earlier DV delete already emitted
           val ins =
             if (c.added.isEmpty) Nil
-            else Seq(readDirsFolded(None, existing(c.added, v),
-              snapshotAt(v).dvs)
+            else Seq(aliasNow(readDirsFolded(None, existing(c.added, v),
+              snapshotAt(v).dvs))
               .withColumn("_change_type", lit("insert")))
           val del =
             if (c.removed.isEmpty) Nil
-            else Seq(readDirsFolded(None, existing(c.removed, v),
-              snapshotAt(v - 1).dvs)
+            else Seq(aliasNow(readDirsFolded(None, existing(c.removed, v),
+              snapshotAt(v - 1).dvs))
               .withColumn("_change_type", lit("delete")))
           (ins ++ del).map(_.withColumn("_commit_version", lit(v)))
       }
@@ -2403,7 +2595,10 @@ class VersionedTable(spark: SparkSession, dir: String,
     require(base >= 0, s"$dir has no committed versions")
     val (kept, _) = pruneActive(scopeCol, lower, upper, Some(base))
     if (kept.isEmpty) return base
-    val scope = readDirsFolded(None, kept, snapshotAt(base).dvs)
+    val scopeSnap = snapshotAt(base)
+    val scope = readDirsFolded(None, kept, scopeSnap.dvs,
+      scopeSnap.schemaJson.map(j => renameMap(schemaFromJson(j)).map(_.swap))
+        .getOrElse(Map.empty))
     scope.schema(clusterBy).dataType match {
       case _: org.apache.spark.sql.types.NumericType => ()
       case org.apache.spark.sql.types.TimestampType |
@@ -2567,6 +2762,22 @@ class VersionedTable(spark: SparkSession, dir: String,
     require(targetChunks >= 1, s"targetChunks must be >= 1: $targetChunks")
     import org.apache.spark.sql.functions.{col, lit, when}
     val v = base + 1
+    // Column mapping at the rewrite: a FULL rewrite (every active
+    // directory removed) NORMALIZES — files are written under the
+    // current logical names and the committed schema drops its
+    // physical-name map, restoring the vectorized DSv2 path a renamed
+    // table traded away; a partial rewrite (OPTIMIZE ... WHERE)
+    // back-renames so all files keep spelling physical names.
+    val logSchema = snapshotAt(base).schemaJson.map(schemaFromJson)
+    val l2pAll = logSchema.map(renameMap).getOrElse(Map.empty)
+    val normalizing =
+      l2pAll.nonEmpty && removed.toSet == activeAt(base).toSet
+    val writeL2p = if (normalizing) Map.empty[String, String] else l2pAll
+    val normalizedSchemaJson =
+      if (!normalizing) None
+      else logSchema.map(sc => SchemaCompat.nullableJson(
+        org.apache.spark.sql.types.StructType(sc.fields.map(f =>
+          f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))))
     // The cluster key is evaluated ONCE: the quantile pass and the
     // write re-scan this frame, and a z-order key in particular is an
     // expensive projection that must not be recomputed per pass.
@@ -2592,10 +2803,10 @@ class VersionedTable(spark: SparkSession, dir: String,
           .otherwise(search(0, cuts.length))
       val staging = new Path(root,
         f"_staging-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}")
-      keyed.withColumn("__graft_chunk", chunkId)
+      toPhysicalDf(keyed.withColumn("__graft_chunk", chunkId)
         .repartition(col("__graft_chunk"))
         .sortWithinPartitions(col("__graft_chunk"), col(ck))
-        .drop(ck)
+        .drop(ck), writeL2p)
         .write.partitionBy("__graft_chunk").parquet(staging.toString)
       val written = fs.listStatus(staging).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
@@ -2604,7 +2815,8 @@ class VersionedTable(spark: SparkSession, dir: String,
           val name = f"v$v%05d-opt$i%03d-${java.util.UUID.randomUUID().toString.take(8)}"
           val target = new Path(root, name)
           fs.rename(st.getPath, target)
-          val (rows, stats, _) = statsOf(target.toString)
+          val (rows, stats, _) =
+            statsOf(target.toString, Map.empty, writeL2p.map(_.swap))
           if (rows == 0L) { fs.delete(target, true); None }
           else Some((name, rows, stats))
         }
@@ -2620,16 +2832,25 @@ class VersionedTable(spark: SparkSession, dir: String,
       // re-committing would resurrect rewritten rows). Winner-added
       // data stays active untouched (it is not in `removed`); a
       // concurrently added constraint already validated these exact
-      // rows in its own table scan; and the commit records no schema,
-      // so the fold keeps a concurrent evolution's columns.
+      // rows in its own table scan; and the commit records no schema
+      // (the fold keeps a concurrent evolution's columns) — EXCEPT a
+      // normalizing full rewrite, which commits the map-free schema its
+      // files now spell. A concurrent schema change would take the slot
+      // first and this retry re-reads nothing schema-dependent, so the
+      // normalized JSON stays consistent with the rewritten files.
       publishMutationRetrying("optimize", base, maxRetries = 5,
         touched = removed, revalidate = Seq.empty,
         addedMayMatch = _ => Seq.empty,
         mkCommit = vv => Commit(vv, "optimize", written.map(_._1), removed,
           written.map(_._2).sum, System.currentTimeMillis(),
           addedStats = written.map(w => w._1 -> w._3).toMap,
-          addedRows = written.map(w => w._1 -> w._2).toMap),
-        validated0 = Map.empty)
+          addedRows = written.map(w => w._1 -> w._2).toMap,
+          schemaJson = normalizedSchemaJson),
+        validated0 = Map.empty,
+        // a normalizing rewrite re-records the schema: a concurrent
+        // schema commit (alter/evolving append) in the retry window
+        // must fail loudly, not be silently overwritten
+        schemaConflicts = c => normalizing && c.schemaJson.isDefined)
     } finally keyed.unpersist()
   }
 
@@ -2751,8 +2972,10 @@ class VersionedTable(spark: SparkSession, dir: String,
     val v = version.getOrElse(latestVersion)
     require(v >= 0, s"$dir has no committed versions")
     val snapState = snapshotAt(v)
+    // predicates arrive in LOGICAL names; the stats index is keyed by
+    // the stable PHYSICAL names (identity for never-renamed tables)
     val norm = predicates.map { case (c, lo, hi) =>
-      (c, lo.map(normBound), hi.map(normBound)) }
+      (toPhysicalName(c, snapState), lo.map(normBound), hi.map(normBound)) }
     snapState.active.partition { d =>
       def statOf(c: String): Option[ColStat] =
         snapState.stats.get(d).flatMap(_.get(c))
@@ -2765,10 +2988,10 @@ class VersionedTable(spark: SparkSession, dir: String,
             !(lo.exists(l => cmpBound(st.max, l) < 0) ||
               hi.exists(h => cmpBound(st.min, h) > 0))
         }
-      } && notNullCols.forall(c => statOf(c) match {
+      } && notNullCols.forall(c => statOf(toPhysicalName(c, snapState)) match {
         case Some(st) => st.min != null // all-null: IS NOT NULL matches nothing
         case None => true
-      }) && isNullCols.forall(c => statOf(c) match {
+      }) && isNullCols.forall(c => statOf(toPhysicalName(c, snapState)) match {
         case Some(st) => st.nulls != 0L // zero nulls: IS NULL matches nothing
         case None => true
       })
@@ -2786,11 +3009,12 @@ class VersionedTable(spark: SparkSession, dir: String,
     * only when stats are absent — an all-null column provably holds no
     * match and prunes. Returns (kept, skipped) like [[pruneActiveAll]].
     */
-  def pruneActiveIn(colName: String, values: Seq[Any],
+  def pruneActiveIn(colName0: String, values: Seq[Any],
                     version: Option[Int] = None): (Seq[String], Seq[String]) = {
     val v = version.getOrElse(latestVersion)
     require(v >= 0, s"$dir has no committed versions")
     val snapState = snapshotAt(v)
+    val colName = toPhysicalName(colName0, snapState)
     val norm = values.filter(_ != null).map(normBound).distinct
       .sortWith((a, b) => cmpBound(a, b) < 0).toIndexedSeq
     if (norm.isEmpty)
@@ -2827,7 +3051,12 @@ class VersionedTable(spark: SparkSession, dir: String,
     // every directory pruned is a legitimate answer (the range holds
     // no rows): an empty frame with the snapshot's schema
     if (kept.isEmpty) readAt(v).limit(0)
-    else readDirsFolded(None, kept, snapshotAt(v).dvs)
+    else {
+      val sn = snapshotAt(v)
+      readDirsFolded(None, kept, sn.dvs,
+        sn.schemaJson.map(j => renameMap(schemaFromJson(j)).map(_.swap))
+          .getOrElse(Map.empty))
+    }
   }
 
   /** [[readAt]] with [[pruneActive]] data skipping applied: the
