@@ -252,25 +252,31 @@ object ScaleProbe {
         // is stats-pruned to the touched chunks (the modulo forms above
         // are untranslatable — they measure the full-discovery floor).
         // These two must track TOUCHED data, not table size: ~flat as
-        // reps grows while the range covers a fixed row count.
-        val rangeLo = 1000L
-        val rangeHi = rangeLo + maxKey / 200 // ~0.5% of the key space
-        timed("delete range (pruned disc)") {
-          vt.delete(col("o_orderkey").between(rangeLo, rangeHi))
-          println(s"[probe]   discovery dirs = ${vt.lastDiscoveryDirs.size} " +
-            s"of ${vt.activeDirs().size}")
+        // reps grows while the range covers a fixed ~0.5% of the REAL
+        // key population (statRange — maxKey is the sparse shift bound,
+        // not where rows actually live).
+        val (realLo, realHi) = vt.statRange("o_orderkey")
+          .map { case (a, b) => (a.asInstanceOf[Long], b.asInstanceOf[Long]) }
+          .getOrElse((0L, maxKey))
+        val span200 = math.max(1L, (realHi - realLo) / 200)
+        def rangeProbe(label: String, lo: Long)(run: (Long, Long) => Unit): Unit = {
+          val pre = vt.activeDirs().size
+          timed(label) {
+            run(lo, lo + span200)
+            println(s"[probe]   discovery dirs = ${vt.lastDiscoveryDirs.size} " +
+              s"of $pre")
+          }
         }
-        timed("update range (pruned disc)") {
-          vt.update(col("o_orderkey").between(maxKey / 2, maxKey / 2 + maxKey / 200),
-            Map("o_totalprice" -> (col("o_totalprice") + 1.0)))
-          println(s"[probe]   discovery dirs = ${vt.lastDiscoveryDirs.size} " +
-            s"of ${vt.activeDirs().size}")
-        }
+        rangeProbe("delete range (pruned disc)", realLo + span200)(
+          (a, b) => vt.delete(col("o_orderkey").between(a, b)))
+        rangeProbe("update range (pruned disc)", realLo + 5 * span200)(
+          (a, b) => vt.update(col("o_orderkey").between(a, b),
+            Map("o_totalprice" -> (col("o_totalprice") + 1.0))))
         // DV delete: the merge-on-read cost floor — deleted-rows-sized
         // write, zero rewrite.
         timed("delete range (DV sidecar)")(
-          vt.delete(col("o_orderkey").between(maxKey / 4, maxKey / 4 + maxKey / 200),
-            useDeletionVectors = true))
+          vt.delete(col("o_orderkey").between(realLo + 10 * span200,
+            realLo + 11 * span200), useDeletionVectors = true))
         val vNow = vt.latestVersion
         timed("restore (metadata)")(vt.restore(vNow - 1))
         timed("pruned range read")(

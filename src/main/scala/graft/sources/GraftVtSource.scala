@@ -42,8 +42,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * into the parquet reader.
   *
   * Time travel: `option("versionAsOf", v)` / `option("timestampAsOf",
-  * tsMs-or-ISO)` — resolved ONCE per load and pinned, so schema
-  * inference and scan planning cannot straddle a concurrent commit.
+  * "<ISO-8601>")` — ISO only (bare epoch numerics are rejected: they
+  * meant different units on different surfaces); resolved ONCE per
+  * load and pinned, so schema inference and scan planning cannot
+  * straddle a concurrent commit.
   */
 class GraftVtDataSource extends TableProvider with DataSourceRegister
     with GraftVtSinkProvider {
