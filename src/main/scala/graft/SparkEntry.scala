@@ -1659,8 +1659,16 @@ object SparkEntry {
         .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getName, f.lastModified(), f.length())).toSet
       val before = dataFiles()
+      // merge-on-read UPDATE first: originals hidden behind a DV, the
+      // updated images APPENDED — every pre-existing file untouched
+      s.sql("UPDATE graft.gate_dv SET o_totalprice = o_totalprice + 1000 " +
+        "WHERE o_orderkey % 11 = 0")
+      val afterUpdate = dataFiles()
+      val updateIntact = before.subsetOf(afterUpdate)
+      // then the merge-on-read DELETE: nothing at all is written to the
+      // data directories (only the sidecar + CDC)
       s.sql("DELETE FROM graft.gate_dv WHERE o_orderkey % 7 = 0")
-      val intact = dataFiles() == before
+      val intact = dataFiles() == afterUpdate && updateIntact
       val vt = new graft.sources.VersionedTable(s, vdir)
       val nMeta = vt.fastCount().getOrElse(-1L)
       vt.optimize("o_orderkey", targetChunks = 2)
@@ -4261,11 +4269,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 900000001, 42.0, true, 'o_orderkey,o_totalprice'""".stripMargin,
 
-    // The DV delete's surviving rows (every %7 key hidden, nothing
-    // rewritten), the metadata count over them, and the post-OPTIMIZE
-    // clean state.
+    // The merge-on-read UPDATE's CASE applied, then the DV delete's
+    // survivors (every %7 key hidden) — with NOTHING rewritten: the
+    // update appended its images, the delete wrote only a sidecar.
     "s_versioned_dv" ->
-      """SELECT o_orderkey, o_totalprice, true AS files_intact,
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1000
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  true AS files_intact,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0) AS n_meta,
         |  true AS dv_cleared
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,

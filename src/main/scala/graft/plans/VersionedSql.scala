@@ -284,8 +284,12 @@ case class GraftUpdate(target: String, assignments: Seq[(String, String)],
     import org.apache.spark.sql.functions.{expr, lit}
     val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
     val cond = where.map(expr).getOrElse(lit(true))
+    // merge-on-read opt-in, same property as DELETE
+    val useDv = vt.tableProperties()
+      .get("graft.deletionVectors").exists(_.trim.equalsIgnoreCase("true"))
     val v = vt.update(cond,
-      assignments.map { case (c, e) => c -> expr(e) }.toMap)
+      assignments.map { case (c, e) => c -> expr(e) }.toMap,
+      useDeletionVectors = useDv)
     bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
     Seq(Row(v))
   }

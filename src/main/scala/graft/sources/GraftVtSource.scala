@@ -521,9 +521,11 @@ private[graft] class GraftVtV1FoldScan(vt: VersionedTable, version: Int,
       override def schema: StructType = required
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
         import org.apache.spark.sql.functions.col
-        val df = vt.readFoldedDirs(version, kept)
-        (if (required.isEmpty) df
-         else df.select(required.fieldNames.toIndexedSeq.map(col): _*)).rdd
+        // column pruning reaches the parquet reader (the fold imposes
+        // only the required fields); an EMPTY projection still selects
+        // — zero-column rows, not full ones (schema() promises empty)
+        vt.readFoldedDirs(version, kept, Some(required))
+          .select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
       }
     }.asInstanceOf[T]
 

@@ -60,6 +60,15 @@ private[sources] object GraftVtChangeFiles {
         // file holds the base columns plus an unprojected embedded
         // _change_type; the injected partition value supplies the type)
         vt.cdfSummary(v).map((_, "delete")).toSeq
+      case "update-dv" =>
+        // a DV update's CDC mixes pre- and post-images in ONE sidecar —
+        // file-level synthesis injects a single type per directory and
+        // cannot split them; the row-level batch feed serves it exactly
+        throw new IllegalStateException(
+          s"change-feed commit $v is a merge-on-read UPDATE; file-level " +
+            "synthesis cannot split its pre/post images — use the batch " +
+            "change feed (VersionedTable.changes), which serves the " +
+            "persisted CDC exactly")
       case _ =>
         val removed = vt.removedSummary(v)
         // a removed directory whose rows were partly DV-hidden cannot

@@ -342,9 +342,20 @@ class VersionedTable(spark: SparkSession, dir: String,
     * a kept directory carries deletion vectors (a stock parquet scan
     * would resurrect the hidden rows).
     */
-  private[sources] def readFoldedDirs(version: Int,
-                                      dirs: Seq[String]): DataFrame =
-    readDirsFolded(Some(tableSchemaAt(version)), dirs, snapshotAt(version).dvs)
+  private[sources] def readFoldedDirs(version: Int, dirs: Seq[String],
+                                      required: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val full = tableSchemaAt(version)
+    // impose only the REQUIRED fields (with their column-mapping
+    // metadata from the full schema) so the parquet reader prunes
+    // columns exactly like the vectorized path would
+    val schema = required match {
+      case None => full
+      case Some(r) => org.apache.spark.sql.types.StructType(
+        r.fieldNames.flatMap(n => full.fields.find(_.name.equalsIgnoreCase(n))))
+    }
+    readDirsFolded(Some(schema), dirs, snapshotAt(version).dvs)
+  }
 
   private def commitAt(v: Int): Commit = {
     val p = manifestPath(v)
@@ -691,12 +702,22 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   private def writePayloadAuto(df: DataFrame, v: Int,
                                constraints: Map[String, String],
-                               base: Int)
+                               base: Int,
+                               keepPhysical: Boolean = true)
       : Seq[(String, Long, Map[String, ColStat])] = {
     val snap = if (base < 0) None else Some(snapshotAt(base))
-    val l2p = snap.flatMap(_.schemaJson).map(j => renameMap(schemaFromJson(j)))
+    // keepPhysical = false (OVERWRITE): the payload REPLACES the active
+    // set, so the files are written under the frame's own names and the
+    // column map dissolves with the directories that needed it —
+    // recording the old physical names would leave the new files
+    // spelling names the new schema no longer maps.
+    val l2p =
+      if (!keepPhysical) Map.empty[String, String]
+      else snap.flatMap(_.schemaJson).map(j => renameMap(schemaFromJson(j)))
+        .getOrElse(Map.empty)
+    val p2l = snap.flatMap(_.schemaJson)
+      .map(j => renameMap(schemaFromJson(j)).map(_.swap))
       .getOrElse(Map.empty)
-    val p2l = l2p.map(_.swap)
     // recorded partition columns are PHYSICAL (create-time) names; the
     // payload frame speaks logical
     val partCols = snap.map(_.partitionCols).getOrElse(Nil)
@@ -1103,6 +1124,18 @@ class VersionedTable(spark: SparkSession, dir: String,
     val keep = existing.fields.filterNot(f =>
       names.exists(_.equalsIgnoreCase(f.name)))
     require(keep.nonEmpty, s"cannot drop every column of $dir")
+    // same dependency rule as renameColumn: a CHECK constraint
+    // referencing a dropped column would fail analysis on every later
+    // write's validation job
+    val refd = snapshotAt(latest).constraints.filter { case (_, ex) =>
+      names.exists(n =>
+        ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+          .findFirstIn(ex).isDefined)
+    }
+    require(refd.isEmpty,
+      s"cannot drop column(s) ${names.mkString(", ")} on $dir: CHECK " +
+        s"constraint(s) ${refd.keys.mkString(", ")} reference them — " +
+        "drop or rewrite the constraints first")
     val v = latest + 1
     publish(Commit(v, "alter", Seq.empty, Seq.empty, 0L,
       System.currentTimeMillis(),
@@ -1192,6 +1225,17 @@ class VersionedTable(spark: SparkSession, dir: String,
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
       s"column `$newName` already exists on $dir")
     val physical = physicalNameOf(field)
+    // a CHECK constraint referencing the old name would fail analysis
+    // on every later write — refuse, like Delta's constraint dependency
+    // check (word-boundary match: conservative, never silent)
+    val refd = snapshotAt(latest).constraints.filter { case (_, ex) =>
+      ("""(?i)\b""" + java.util.regex.Pattern.quote(oldName) + """\b""").r
+        .findFirstIn(ex).isDefined
+    }
+    require(refd.isEmpty,
+      s"cannot rename `$oldName` on $dir: CHECK constraint(s) " +
+        s"${refd.keys.mkString(", ")} reference it — drop or rewrite " +
+        "them first")
     // residue guard: bytes named `newName` in any active directory
     // (a dropped column, or another live column's physical name) would
     // be mis-addressed the moment physical(new) == newName anywhere
@@ -1576,7 +1620,8 @@ class VersionedTable(spark: SparkSession, dir: String,
   def overwrite(df: DataFrame): Int = {
     val base = latestVersion
     val v = base + 1
-    val parts = writePayloadAuto(df, v, currentConstraints, base)
+    val parts = writePayloadAuto(df, v, currentConstraints, base,
+      keepPhysical = false)
     val prevActive = if (v == 0) Seq.empty else activeAt(v - 1)
     publish(Commit(v, "overwrite", parts.map(_._1), prevActive,
       parts.map(_._2).sum, System.currentTimeMillis(),
@@ -2270,6 +2315,86 @@ class VersionedTable(spark: SparkSession, dir: String,
       validated0 = Map.empty)
   }
 
+  /** MERGE-ON-READ update (Delta's DV-based UPDATE): ONE commit hides
+    * the matched rows behind a DV sidecar AND appends a directory
+    * holding their updated images — no touched directory is rewritten,
+    * so a selective UPDATE costs the matched rows twice (the sidecar
+    * and the new images) instead of the touched directories once;
+    * the win is exactly Delta's: wherever matches are a small fraction
+    * of the directories they live in. The appended images validate
+    * against CHECK constraints like any payload, carry fresh stats
+    * (so pruning serves them), and the exact CDC
+    * (update_preimage/postimage) is always persisted — the change feed
+    * has no synthesis for a DV commit. OPTIMIZE compacts the sidecar
+    * debt away; readers fold it like any DV.
+    */
+  private def updateViaDv(condition: org.apache.spark.sql.Column,
+                          assignments: Map[String, org.apache.spark.sql.Column],
+                          latest: Int,
+                          schema: org.apache.spark.sql.types.StructType,
+                          dvState: Map[String, Seq[String]],
+                          touched: Seq[String],
+                          constraints: Map[String, String],
+                          maxRetries: Int): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split}
+    val hit = coalesce(condition, lit(false))
+    val v0 = latest + 1
+    val matched = readDirsFoldedTagged(Some(schema), touched, dvState,
+      "__graft_file", Some("__graft_pos")).filter(hit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dirOf = element_at(split(col("__graft_file"), "/"), -2)
+      val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      matched.select(
+        dirOf.as("__graft_dv_dir"),
+        element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
+        col("__graft_pos").as("__graft_dv_pos"))
+        .write.parquet(new Path(root, dvName).toString)
+      val perDir = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perDir.isEmpty) { // raced to nothing: no commit
+        fs.delete(new Path(root, dvName), true)
+        return latest
+      }
+      // the updated images: every assigned column replaced, CAST to the
+      // physical type (the schema never drifts) — same projection as
+      // the copy-on-write path, applied to the matches only
+      val updatedCols = schema.fields.map { f =>
+        assignments.get(f.name) match {
+          case Some(e) => e.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq
+      val pre = matched.drop("__graft_file", "__graft_pos")
+      val images = pre.select(updatedCols: _*)
+      // images are a PAYLOAD: constraint-validated in their stats job;
+      // an abort must reclaim the already-written sidecar too (a
+      // violation is a NORMAL outcome, not a crash for vacuum)
+      val (name, rows, st) =
+        try writePayload(images, v0, constraints, renameMap(schema))
+        catch { case t: Throwable =>
+          fs.delete(new Path(root, dvName), true); throw t
+        }
+      val cdfName = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      toPhysicalDf(pre.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(images.withColumn("_change_type", lit("update_postimage"))),
+        renameMap(schema))
+        .write.parquet(new Path(root, cdfName).toString)
+      val addedMayMatch: Commit => Seq[String] = c =>
+        if (c.added.isEmpty) Seq.empty
+        else if (!readDirsAs(schema, c.added).filter(hit).isEmpty) c.added
+        else Seq.empty
+      publishMutationRetrying("update-dv", latest, maxRetries, touched,
+        revalidate = Seq(name), addedMayMatch,
+        mkCommit = vv => Commit(vv, "update-dv", Seq(name), Seq.empty, rows,
+          System.currentTimeMillis(), addedStats = Map(name -> st),
+          cdf = Some(cdfName), addedRows = Map(name -> rows),
+          dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
+          dvDirRows = perDir),
+        validated0 = constraints)
+    } finally matched.unpersist()
+  }
+
   /** MERGE-ON-READ delete (Delta's deletion vectors): instead of
     * rewriting the touched directories, commit a DV SIDECAR — the
     * (directory, file, row-index) triples of the matched rows — and
@@ -2362,7 +2487,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     */
   def update(condition: org.apache.spark.sql.Column,
              assignments: Map[String, org.apache.spark.sql.Column],
-             writeChangeData: Boolean = false, maxRetries: Int = 5): Int = {
+             writeChangeData: Boolean = false, maxRetries: Int = 5,
+             useDeletionVectors: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "update needs at least one SET assignment")
     val latest = latestVersion
@@ -2391,6 +2517,9 @@ class VersionedTable(spark: SparkSession, dir: String,
       .collect().map(r => new Path(r.getString(0)).getParent.getName)
       .toSet.toSeq.sorted
     if (touched.isEmpty) return latest
+    if (useDeletionVectors)
+      return updateViaDv(condition, assignments, latest, schema, dvState,
+        touched, snapState.constraints, maxRetries)
     val v = latest + 1
     val updatedCols = schema.fields.map { f =>
       assignments.get(f.name) match {

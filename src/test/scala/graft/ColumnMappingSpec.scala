@@ -132,6 +132,46 @@ class ColumnMappingSpec extends SparkSuite {
     assert(vt.read().columns.toSeq === Seq("k", "s"))
   }
 
+  test("overwrite replaces the map: files and schema agree afterwards") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    vt.renameColumn("s", "label")
+    // the overwrite payload DEFINES the table anew — its files spell
+    // the new names and the column map dissolves with the old data
+    vt.overwrite(Seq((9L, "z"), (10L, "y")).toDF("k", "label"))
+    assert(vt.renamesAt(vt.latestVersion).isEmpty)
+    assert(vt.read().orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "z"), (10L, "y")))
+    // the DSv2 path is the plain parquet scan again, values intact
+    assert(spark.read.format("graftvt").load(dir)
+      .filter(col("label") === "z").count() === 1)
+    // pre-overwrite version still maps
+    assert(vt.readAt(1).columns.toSeq === Seq("k", "label"))
+    assert(vt.readAt(1).head.getString(1) === "a")
+  }
+
+  test("constraint-referenced columns cannot be renamed or dropped") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, 5.0)).toDF("k", "p"))
+    vt.addConstraint("pos_p", "p >= 0")
+    val e1 = intercept[Exception](vt.renameColumn("p", "price"))
+    assert(e1.getMessage.contains("pos_p"))
+    val e2 = intercept[Exception](vt.dropColumns(Seq("p")))
+    assert(e2.getMessage.contains("pos_p"))
+    // unrelated columns still rename; dropping the constraint unblocks
+    vt.renameColumn("k", "id")
+    vt.dropConstraint("pos_p")
+    vt.renameColumn("p", "price")
+    assert(vt.read().columns.toSeq === Seq("id", "price"))
+    // writes through the renamed schema still validate fresh constraints
+    vt.addConstraint("pos_price", "price >= 0")
+    intercept[Exception](vt.append(Seq((2L, -1.0)).toDF("id", "price")))
+    vt.append(Seq((2L, 1.0)).toDF("id", "price"))
+    assert(vt.read().count() === 2)
+  }
+
   test("changes() and CDC serve the current names across a rename") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)

@@ -128,6 +128,42 @@ class DeletionVectorSpec extends SparkSuite {
     assert(vt.read().count() === 50)
   }
 
+  test("dv update hides originals and appends images; files intact; count exact") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.append((100L until 200L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    val before = dataFiles(dir)
+    val v = vt.update(col("k") % 10 === 0, Map("p" -> lit(-5.0)),
+      useDeletionVectors = true)
+    assert(v === 2)
+    // the ORIGINAL files are untouched; ONE new directory (the images)
+    assert(before.subsetOf(dataFiles(dir)))
+    assert(vt.activeDirs().size === 3)
+    assert(vt.history().orderBy("version").collect().map(_.getString(1)).toSeq
+      === Seq("append", "append", "update-dv"))
+    // values: every %10 key updated, everything else untouched
+    assert(vt.read().filter(col("p") === -5.0).count() === 20)
+    assert(vt.read().count() === 200)
+    assert(vt.fastCount() === Some(200L)) // hidden == appended: exact
+    // exact CDC pre/post images
+    val ch = vt.changes(2, 2)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() === 20)
+    assert(ch.filter(col("_change_type") === "update_postimage")
+      .filter(col("p") === -5.0).count() === 20)
+    // constraints validate the NEW images and abort cleanly pre-publish
+    vt.addConstraint("p_floor", "p >= -100")
+    val vNow = vt.latestVersion
+    intercept[Exception](vt.update(col("k") === 1L,
+      Map("p" -> lit(-1000.0)), useDeletionVectors = true))
+    assert(vt.latestVersion === vNow)
+    // a CoW pass over the dv'd dirs folds first: no resurrection
+    vt.update(col("k") < 50L, Map("p" -> lit(7.0)))
+    assert(vt.read().count() === 200)
+    assert(vt.read().filter(col("p") === 7.0).count() === 50)
+    assert(vt.read().filter(col("p") === -5.0).count() === 15) // 100..190 %10
+  }
+
   test("restore rolls the DV state back with the data") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
