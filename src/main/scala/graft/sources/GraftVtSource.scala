@@ -508,9 +508,26 @@ private[graft] class GraftVtV1FoldScan(vt: VersionedTable, version: Int,
                                        kept: Seq[String],
                                        required: StructType,
                                        rootPath: String)
-    extends org.apache.spark.sql.connector.read.V1Scan {
+    extends org.apache.spark.sql.connector.read.V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Recorded manifest statistics (rows minus DV-hidden, physical
+    * bytes) — without these Spark treats a V1 relation as
+    * default-sized and never broadcasts a small DV'd/renamed table.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val (rowsOpt, bytesOpt) = vt.dirStats(version, kept)
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytesOpt.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        rowsOpt.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
 
   override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
       with org.apache.spark.sql.sources.TableScan](

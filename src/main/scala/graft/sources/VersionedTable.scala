@@ -342,6 +342,25 @@ class VersionedTable(spark: SparkSession, dir: String,
     * a kept directory carries deletion vectors (a stock parquet scan
     * would resurrect the hidden rows).
     */
+  /** Recorded (logical rows, physical bytes) of specific directories
+    * at a version — the V1 fallback scan's reported statistics, so
+    * joins against DV/renamed snapshots still plan sanely. None when
+    * any directory predates recording.
+    */
+  private[sources] def dirStats(version: Int, dirs: Seq[String])
+      : (Option[Long], Option[Long]) = {
+    val snap = snapshotAt(version)
+    val rows =
+      if (dirs.forall(snap.dirRows.contains))
+        Some(dirs.map(snap.dirRows).sum -
+          dirs.flatMap(snap.dvRowsByDir.get).sum)
+      else None
+    val bytes =
+      if (dirs.forall(snap.dirBytes.contains)) Some(dirs.map(snap.dirBytes).sum)
+      else None
+    (rows, bytes)
+  }
+
   private[sources] def readFoldedDirs(version: Int, dirs: Seq[String],
                                       required: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
@@ -2267,8 +2286,11 @@ class VersionedTable(spark: SparkSession, dir: String,
       .toSet.toSeq.sorted
     if (touched.isEmpty) return latest
     if (useDeletionVectors)
-      return deleteViaDv(condition, latest, tblSchema, dvState, touched,
-        maxRetries)
+      deleteViaDv(condition, latest, tblSchema, dvState, touched,
+        maxRetries) match {
+        case Some(v) => return v
+        case None => () // matched fraction too large: rewrite pays off
+      }
     val keep = not(coalesce(condition, lit(false)))
     val v = latest + 1
     val survivors = readDirsFolded(Some(tblSchema), touched, dvState).filter(keep)
@@ -2335,7 +2357,7 @@ class VersionedTable(spark: SparkSession, dir: String,
                           dvState: Map[String, Seq[String]],
                           touched: Seq[String],
                           constraints: Map[String, String],
-                          maxRetries: Int): Int = {
+                          maxRetries: Int): Option[Int] = {
     import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split}
     val hit = coalesce(condition, lit(false))
     val v0 = latest + 1
@@ -2344,18 +2366,17 @@ class VersionedTable(spark: SparkSession, dir: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dirOf = element_at(split(col("__graft_file"), "/"), -2)
+      // counts first — the same DV-vs-rewrite policy as delete
+      val perDir = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perDir.isEmpty) return Some(latest) // raced to nothing: no commit
+      if (!dvFractionOk(perDir, latest)) return None // rewrite instead
       val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
       matched.select(
         dirOf.as("__graft_dv_dir"),
         element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
         col("__graft_pos").as("__graft_dv_pos"))
         .write.parquet(new Path(root, dvName).toString)
-      val perDir = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (perDir.isEmpty) { // raced to nothing: no commit
-        fs.delete(new Path(root, dvName), true)
-        return latest
-      }
       // the updated images: every assigned column replaced, CAST to the
       // physical type (the schema never drifts) — same projection as
       // the copy-on-write path, applied to the matches only
@@ -2384,14 +2405,14 @@ class VersionedTable(spark: SparkSession, dir: String,
         if (c.added.isEmpty) Seq.empty
         else if (!readDirsAs(schema, c.added).filter(hit).isEmpty) c.added
         else Seq.empty
-      publishMutationRetrying("update-dv", latest, maxRetries, touched,
+      Some(publishMutationRetrying("update-dv", latest, maxRetries, touched,
         revalidate = Seq(name), addedMayMatch,
         mkCommit = vv => Commit(vv, "update-dv", Seq(name), Seq.empty, rows,
           System.currentTimeMillis(), addedStats = Map(name -> st),
           cdf = Some(cdfName), addedRows = Map(name -> rows),
           dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
           dvDirRows = perDir),
-        validated0 = constraints)
+        validated0 = constraints))
     } finally matched.unpersist()
   }
 
@@ -2417,7 +2438,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                           latest: Int,
                           tblSchema: org.apache.spark.sql.types.StructType,
                           dvState: Map[String, Seq[String]],
-                          touched: Seq[String], maxRetries: Int): Int = {
+                          touched: Seq[String], maxRetries: Int)
+      : Option[Int] = {
     import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split}
     val hit = coalesce(condition, lit(false))
     val v0 = latest + 1
@@ -2426,19 +2448,23 @@ class VersionedTable(spark: SparkSession, dir: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dirOf = element_at(split(col("__graft_file"), "/"), -2)
+      // metadata-sized: one row per touched directory — computed FIRST,
+      // both for the commit's per-dir counts and for the POLICY: when
+      // the matches dominate the touched directories, accumulating a
+      // rows-sized sidecar every reader must anti-join forever is
+      // strictly worse than the rewrite — fall back to copy-on-write
+      // (Delta tunes the same trade; the sidecar is for SELECTIVE
+      // deletes).
+      val perDir = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perDir.isEmpty) return Some(latest) // raced to nothing: no commit
+      if (!dvFractionOk(perDir, latest)) return None // rewrite instead
       val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
       matched.select(
         dirOf.as("__graft_dv_dir"),
         element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
         col("__graft_pos").as("__graft_dv_pos"))
         .write.parquet(new Path(root, dvName).toString)
-      // metadata-sized: one row per touched directory
-      val perDir = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (perDir.isEmpty) { // raced to nothing: no commit
-        fs.delete(new Path(root, dvName), true)
-        return latest
-      }
       val cdfName = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
       toPhysicalDf(matched.drop("__graft_file", "__graft_pos")
         .withColumn("_change_type", lit("delete")), renameMap(tblSchema))
@@ -2449,14 +2475,35 @@ class VersionedTable(spark: SparkSession, dir: String,
         if (c.added.isEmpty) Seq.empty
         else if (!readDirsAs(tblSchema, c.added).filter(hit).isEmpty) c.added
         else Seq.empty
-      publishMutationRetrying("delete-dv", latest, maxRetries, touched,
+      Some(publishMutationRetrying("delete-dv", latest, maxRetries, touched,
         revalidate = Seq.empty, addedMayMatch,
         mkCommit = vv => Commit(vv, "delete-dv", Seq.empty, Seq.empty, 0L,
           System.currentTimeMillis(), cdf = Some(cdfName),
           dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
           dvDirRows = perDir),
-        validated0 = Map.empty)
+        validated0 = Map.empty))
     } finally matched.unpersist()
+  }
+
+  /** The DV-vs-rewrite policy: a DV commits only while every touched
+    * directory's CUMULATIVE hidden fraction (existing sidecar debt plus
+    * this mutation's matches) stays at or below the threshold — table
+    * property `graft.deletionVectors.maxFraction`, default 0.5. A
+    * directory without a recorded row count declines (a rewrite is
+    * always correct; an unbounded sidecar is not).
+    */
+  private def dvFractionOk(matchedPerDir: Map[String, Long],
+                           latest: Int): Boolean = {
+    val snap = snapshotAt(latest)
+    val threshold = snap.props.get("graft.deletionVectors.maxFraction")
+      .flatMap(_.toDoubleOption).getOrElse(0.5)
+    matchedPerDir.forall { case (d, m) =>
+      snap.dirRows.get(d) match {
+        case Some(rows) if rows > 0L =>
+          (snap.dvRowsByDir.getOrElse(d, 0L) + m).toDouble / rows <= threshold
+        case _ => false // unknown size: rewrite, never an unbounded sidecar
+      }
+    }
   }
 
   /** Delta-style UPDATE — copy-on-write row update in ONE atomic
@@ -2518,8 +2565,11 @@ class VersionedTable(spark: SparkSession, dir: String,
       .toSet.toSeq.sorted
     if (touched.isEmpty) return latest
     if (useDeletionVectors)
-      return updateViaDv(condition, assignments, latest, schema, dvState,
-        touched, snapState.constraints, maxRetries)
+      updateViaDv(condition, assignments, latest, schema, dvState,
+        touched, snapState.constraints, maxRetries) match {
+        case Some(v) => return v
+        case None => () // matched fraction too large: rewrite pays off
+      }
     val v = latest + 1
     val updatedCols = schema.fields.map { f =>
       assignments.get(f.name) match {

@@ -164,6 +164,44 @@ class DeletionVectorSpec extends SparkSuite {
     assert(vt.read().filter(col("p") === -5.0).count() === 15) // 100..190 %10
   }
 
+  test("DV-vs-rewrite policy: dominant matches rewrite; the threshold is tunable") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    val before = dataFiles(dir)
+    // 90% of the directory matches: an ever-growing sidecar would be
+    // strictly worse than the rewrite — the engine rewrites
+    vt.delete(col("k") < 90L, useDeletionVectors = true)
+    assert(vt.history().orderBy("version").collect().map(_.getString(1)).last
+      === "delete")
+    assert(dataFiles(dir) !== before)
+    assert(vt.read().count() === 10)
+    assert(vt.dvsAt(vt.latestVersion).isEmpty)
+    // with the threshold raised, the same shape commits a sidecar
+    val dir2 = tmpVt()
+    val vt2 = new graft.sources.VersionedTable(spark, dir2)
+    vt2.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt2.setProperties(Map("graft.deletionVectors.maxFraction" -> "0.95"))
+    val before2 = dataFiles(dir2)
+    vt2.delete(col("k") < 90L, useDeletionVectors = true)
+    assert(vt2.history().orderBy("version").collect().map(_.getString(1)).last
+      === "delete-dv")
+    assert(dataFiles(dir2) === before2)
+    assert(vt2.read().count() === 10)
+    // cumulative debt counts: a second small DV pushing PAST the
+    // default threshold on vt's twin rewrites instead
+    val dir3 = tmpVt()
+    val vt3 = new graft.sources.VersionedTable(spark, dir3)
+    vt3.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt3.delete(col("k") < 40L, useDeletionVectors = true)  // 0.40: DV
+    assert(vt3.dvsAt(vt3.latestVersion).nonEmpty)
+    vt3.delete(col("k") >= 80L, useDeletionVectors = true) // 0.40+0.20: rewrite
+    assert(vt3.history().orderBy("version").collect().map(_.getString(1)).last
+      === "delete")
+    assert(vt3.dvsAt(vt3.latestVersion).isEmpty)
+    assert(vt3.read().count() === 40)
+  }
+
   test("restore rolls the DV state back with the data") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
