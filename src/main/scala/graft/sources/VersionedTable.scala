@@ -500,28 +500,23 @@ class VersionedTable(spark: SparkSession, dir: String,
 
   /** Claim `target` with the content of `tmp`, atomically failing if
     * another writer already claimed it — the per-backend LogStore
-    * primitive Delta builds its whole protocol on. On the LOCAL
-    * filesystem a rename REPLACES an existing target (POSIX rename(2)),
-    * so an exists-then-rename has a window where two racers both
-    * "win" and one manifest is silently lost; hard-linking the tmp onto
-    * the target is the correct local primitive — link(2) fails EEXIST
-    * atomically in the kernel. Distributed filesystems (HDFS) get the
-    * exists+rename path, whose rename-onto-existing DOES fail
-    * atomically there; an object store would need an external
-    * coordinator, exactly as Delta documents for S3.
+    * primitive Delta builds its whole protocol on, now a PLUGGABLE
+    * seam ([[GraftLogStore]]): local hard-link (link(2) fails EEXIST
+    * atomically; a POSIX rename would REPLACE and let two racers both
+    * "win") and HDFS exists+no-overwrite-rename ship built in; an
+    * object store registers its external coordinator via
+    * `spark.graft.logstore.class` — [[graft.LogStoreSpec]] carries the
+    * reference S3-shaped implementation and the single-winner race
+    * test a custom store must pass.
     */
+  // The pluggable single-winner publish primitive — resolved once per
+  // table instance ([[GraftLogStore]]: local hard-link / HDFS
+  // no-overwrite rename by default; an object store plugs its external
+  // coordinator in via spark.graft.logstore.class).
+  private lazy val logStore: GraftLogStore = GraftLogStore.resolve(spark)
+
   private def atomicClaim(tmp: Path, target: Path): Boolean =
-    if (fs.getScheme == "file")
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(target.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        fs.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    else !fs.exists(target) && fs.rename(tmp, target)
+    logStore.atomicClaim(fs, tmp, target)
 
   /** Atomically publish manifest `c` as version `c.version`: write to a
     * `.tmp` sibling, then [[atomicClaim]] the final slot — of two
