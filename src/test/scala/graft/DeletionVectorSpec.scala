@@ -202,6 +202,48 @@ class DeletionVectorSpec extends SparkSuite {
     assert(vt3.read().count() === 40)
   }
 
+  test("DV mutations ride the disjoint-writer retry: non-matching appends pass, conflicts are loud") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    // a concurrent append of rows the condition CANNOT match lands
+    // between the DV write and its publish: the retry proves
+    // disjointness (exact scan of the winner's added dirs) and commits
+    val racer = new graft.sources.VersionedTable(spark, dir)
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.append((1000L until 1010L).map(k => (k, 0.0)).toDF("k", "p"))
+    }
+    vt.delete(col("k") < 10L, useDeletionVectors = true)
+    assert(vt.history().orderBy("version").collect().map(_.getString(1)).toSeq
+      === Seq("append", "append", "delete-dv"))
+    assert(vt.read().count() === 100) // 90 survivors + 10 raced-in rows
+    // a concurrent append of MATCHING data fails loudly — committing
+    // the DV would silently miss rows the delete never saw
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.append(Seq((5L, 5.0)).toDF("k", "p")) // k=5 < 20: matches
+    }
+    val e = intercept[IllegalStateException] {
+      vt.delete(col("k") < 20L, useDeletionVectors = true)
+    }
+    assert(e.getMessage.contains("may match"))
+    // nothing half-committed: the loser's sidecar never published
+    assert(vt.history().orderBy("version").collect().map(_.getString(1)).last
+      === "append")
+    assert(vt.read().filter(col("k") === 5L).count() === 1)
+    // the same rules hold for the DV update
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.append((2000L until 2005L).map(k => (k, 0.0)).toDF("k", "p"))
+    }
+    vt.update(col("k") === 15L, Map("p" -> lit(-9.0)),
+      useDeletionVectors = true)
+    assert(vt.history().orderBy("version").collect().map(_.getString(1)).last
+      === "update-dv")
+    assert(vt.read().filter(col("p") === -9.0).count() === 1)
+  }
+
   test("restore rolls the DV state back with the data") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
