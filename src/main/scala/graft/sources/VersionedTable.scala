@@ -1499,11 +1499,17 @@ class VersionedTable(spark: SparkSession, dir: String,
           // abort reclaims the whole payload, not just the violating
           // directory.
           val baseline = validated
-          try names.foreach(n => revalidatePayload(n, baseline))
+          // ONE constraint read covers the whole loop AND becomes the
+          // next baseline — a constraint committed between a per-
+          // directory re-read and a post-loop re-read would be marked
+          // validated without ever being checked against the payload.
+          val nowConstraints = currentConstraints
+          try names.foreach(n =>
+            revalidatePayload(n, baseline, Some(nowConstraints)))
           catch { case t: Throwable =>
             names.foreach(n => fs.delete(new Path(root, n), true)); throw t
           }
-          validated = currentConstraints
+          validated = nowConstraints
           // ...or an EVOLVING append: re-merge the schema so the
           // retried manifest never hides the winner's columns (loud on
           // a type conflict — the payload's physical types are final).
@@ -1524,12 +1530,18 @@ class VersionedTable(spark: SparkSession, dir: String,
   /** Re-check the written payload `name` against constraints that
     * appeared since `validated` was read (retry-loop support): returns
     * the now-current constraint set, or deletes the payload and throws
-    * if a new constraint rejects it.
+    * if a new constraint rejects it. Callers revalidating SEVERAL
+    * directories must pass ONE `nowSnapshot` read before the loop and
+    * assign exactly that snapshot afterwards — re-reading per directory
+    * (or once more after the loop) opens a window where a constraint
+    * committed between the reads is marked validated without any
+    * directory ever being checked against it.
     */
   private def revalidatePayload(name: String,
-                                validated: Map[String, String])
+                                validated: Map[String, String],
+                                nowSnapshot: Option[Map[String, String]] = None)
       : Map[String, String] = {
-    val now = currentConstraints
+    val now = nowSnapshot.getOrElse(currentConstraints)
     val fresh = now.filter { case (n, ex) => !validated.get(n).contains(ex) }
     if (fresh.nonEmpty) {
       val latestNow = latestVersion
@@ -1604,8 +1616,11 @@ class VersionedTable(spark: SparkSession, dir: String,
           // appendWithRetry).
           val baseline = validated
           try {
-            names.foreach(n => revalidatePayload(n, baseline))
-            validated = currentConstraints
+            // same single-read discipline as appendWithRetry
+            val nowConstraints = currentConstraints
+            names.foreach(n =>
+              revalidatePayload(n, baseline, Some(nowConstraints)))
+            validated = nowConstraints
             val upTo = latestVersion
             schemaJson = reconcileSchemaOnRetry(upTo, names.head, df.schema)
             expected = upTo + 1
@@ -2168,6 +2183,28 @@ class VersionedTable(spark: SparkSession, dir: String,
               s"concurrent commit $w (${c.op}) of $dir rewrote directories " +
                 s"this $op read (${removedHit.mkString(", ")}); re-run the " +
                 s"$op on the new snapshot", e)
+            // A winner that ATTACHED a deletion vector to a directory
+            // this mutation read is as fatal as a rewrite of it: this
+            // mutation's output (a rewrite computed from the pre-DV
+            // fold, or a second DV whose per-dir counts would double-
+            // count) would resurrect the winner's deleted rows or
+            // corrupt the metadata-exact COUNT(*). Same rule as Delta:
+            // any concurrent modification of a read file conflicts.
+            val dvHit =
+              (if (c.dvAdd.isDefined) c.dvDirs.toSet else Set.empty[String])
+                .intersect(touched.toSet)
+            if (dvHit.nonEmpty) throw new IllegalStateException(
+              s"concurrent commit $w (${c.op}) of $dir attached deletion " +
+                s"vectors to directories this $op read " +
+                s"(${dvHit.mkString(", ")}); re-run the $op on the new " +
+                "snapshot", e)
+            // A RESTORE replaces the whole DV map — the rows this
+            // mutation read may no longer be the table. Unprovable:
+            // fail loudly.
+            if (c.dvReset.isDefined) throw new IllegalStateException(
+              s"concurrent commit $w (${c.op}) of $dir reset the table's " +
+                s"deletion-vector state while this $op was in flight; " +
+                s"re-run the $op on the new snapshot", e)
             val conflicts = addedMayMatch(c)
             if (conflicts.nonEmpty) throw new IllegalStateException(
               s"concurrent commit $w (${c.op}) of $dir added data that may " +
@@ -2177,8 +2214,14 @@ class VersionedTable(spark: SparkSession, dir: String,
               s"concurrent commit $w (${c.op}) of $dir changed the table " +
                 s"schema while this $op carried its own schema commit; " +
                 s"re-run the $op on the new snapshot", e)
-            if (c.constraintAdd.isDefined)
-              revalidate.foreach(p => validated = revalidatePayload(p, validated))
+            if (c.constraintAdd.isDefined) {
+              // one read, every payload checked against it, that same
+              // snapshot becomes the baseline (see revalidatePayload)
+              val nowConstraints = currentConstraints
+              revalidate.foreach(p =>
+                revalidatePayload(p, validated, Some(nowConstraints)))
+              validated = nowConstraints
+            }
           }
           checkedThrough = newLatest
       }
@@ -2952,6 +2995,19 @@ class VersionedTable(spark: SparkSession, dir: String,
       else logSchema.map(sc => SchemaCompat.nullableJson(
         org.apache.spark.sql.types.StructType(sc.fields.map(f =>
           f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))))
+    // Recorded partition columns are create-time PHYSICAL names; a
+    // normalizing rewrite dissolves the physical map, so they must be
+    // re-recorded under the logical names the map-free schema now
+    // spells — otherwise partitionColumns() serves a name absent from
+    // the schema and later appends silently stop splitting.
+    val normalizedPartitionCols = {
+      val recorded = snapshotAt(base).partitionCols
+      if (!normalizing || recorded.isEmpty) Nil
+      else {
+        val p2l = l2pAll.map(_.swap)
+        recorded.map(c => p2l.getOrElse(c, c))
+      }
+    }
     // The cluster key is evaluated ONCE: the quantile pass and the
     // write re-scan this frame, and a z-order key in particular is an
     // expensive projection that must not be recomputed per pass.
@@ -3019,7 +3075,8 @@ class VersionedTable(spark: SparkSession, dir: String,
           written.map(_._2).sum, System.currentTimeMillis(),
           addedStats = written.map(w => w._1 -> w._3).toMap,
           addedRows = written.map(w => w._1 -> w._2).toMap,
-          schemaJson = normalizedSchemaJson),
+          schemaJson = normalizedSchemaJson,
+          partitionCols = normalizedPartitionCols),
         validated0 = Map.empty,
         // a normalizing rewrite re-records the schema: a concurrent
         // schema commit (alter/evolving append) in the retry window

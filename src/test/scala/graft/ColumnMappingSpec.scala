@@ -227,5 +227,23 @@ class ColumnMappingSpec extends SparkSuite {
     val (kept, _) = vt.pruneActive("day", Some("x"), Some("x"))
     assert(kept.size === 2)
     assert(vt.read().filter(col("day") === "x").count() === 2)
+    // A FULL rewrite normalizes the column map away — the commit must
+    // re-record the partition columns under the now-logical names, or
+    // partitionColumns() would serve a name absent from the schema and
+    // appends would silently stop splitting.
+    vt.optimize(clusterBy = "k", targetChunks = 1)
+    assert(vt.partitionColumns() === Seq("day"))
+    assert(vt.read().schema.fieldNames.toSeq === Seq("k", "day"))
+    val before = vt.activeDirs().size
+    vt.append(Seq((5L, "x"), (6L, "w")).toDF("k", "day"))
+    assert(vt.activeDirs().size === before + 2) // still one dir per value
+    val (kept2, _) = vt.pruneActive("day", Some("w"), Some("w"))
+    assert(kept2.size === 1)
+    assert(vt.read().filter(col("day") === "w").count() === 1)
+    // and a SECOND rename after normalization keeps working
+    vt.renameColumn("day", "dt")
+    assert(vt.partitionColumns() === Seq("dt"))
+    vt.append(Seq((7L, "w")).toDF("k", "dt"))
+    assert(vt.read().filter(col("dt") === "w").count() === 2)
   }
 }

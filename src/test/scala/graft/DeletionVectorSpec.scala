@@ -244,6 +244,61 @@ class DeletionVectorSpec extends SparkSuite {
     assert(vt.read().filter(col("p") === -9.0).count() === 1)
   }
 
+  test("a concurrent DV attachment to a read directory conflicts loudly; disjoint DVs retry through") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))   // dir A
+    vt.append((100L until 200L).map(k => (k, k * 1.0)).toDF("k", "p")) // dir B
+    val racer = new graft.sources.VersionedTable(spark, dir)
+    // CASE 1: a racing DV DELETE on the SAME directory this copy-on-
+    // write delete read must fail loudly — the loser's rewrite was
+    // computed from the pre-DV fold and would resurrect the winner's
+    // deleted rows.
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.delete(col("k") < 5L, useDeletionVectors = true) // DV on dir A
+    }
+    val e1 = intercept[IllegalStateException] {
+      vt.delete(col("k") < 10L) // CoW, touches dir A
+    }
+    assert(e1.getMessage.contains("deletion vector"))
+    // the winner's DV held: k < 5 stays hidden, nothing resurrected
+    assert(vt.read().count() === 195)
+    // CASE 2: two racing DV mutations on ONE directory must not both
+    // commit — dvRowsByDir would double-count and COUNT(*) would lie.
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.delete(col("k") >= 20L && col("k") < 25L,
+        useDeletionVectors = true) // second DV, also dir A
+    }
+    val e2 = intercept[IllegalStateException] {
+      vt.delete(col("k") >= 10L && col("k") < 15L,
+        useDeletionVectors = true) // DV, dir A
+    }
+    assert(e2.getMessage.contains("deletion vector"))
+    assert(vt.read().count() === 190) // 5 + 5 hidden, loser never landed
+    assert(vt.fastCount() === Some(190L)) // metadata count stays exact
+    // CASE 3: a racing DV on a DISJOINT directory retries through —
+    // the overwhelmingly common case, no spurious failure.
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.delete(col("k") >= 190L, useDeletionVectors = true) // dir B
+    }
+    vt.delete(col("k") < 30L, useDeletionVectors = true) // dir A only
+    assert(vt.read().count() === 160) // 30 + 10 hidden across both dirs
+    assert(vt.fastCount() === Some(160L))
+    // CASE 4: a concurrent RESTORE resets the DV map — unprovable,
+    // loud.
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      racer.restore(2)
+    }
+    val e3 = intercept[IllegalStateException] {
+      vt.delete(col("k") === 50L, useDeletionVectors = true)
+    }
+    assert(e3.getMessage.contains("reset"))
+  }
+
   test("restore rolls the DV state back with the data") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
