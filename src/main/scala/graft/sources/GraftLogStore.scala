@@ -39,10 +39,179 @@ trait GraftLogStore {
   def atomicClaim(fs: FileSystem, tmp: Path, target: Path): Boolean
 }
 
+/** The external ARBITER a no-atomic-rename store needs: putIfAbsent
+  * over commit slots. This is the whole interface Delta's
+  * S3DynamoDBLogStore reduces to — map [[claim]] onto your
+  * coordination service's conditional write:
+  *  - DynamoDB: `putItem` with `attribute_not_exists(slot)`;
+  *  - S3 itself (2024+ conditional writes): `PUT` with
+  *    `If-None-Match: *` on a claims prefix;
+  *  - ZooKeeper/etcd: create-if-absent of an ephemeral-free node;
+  *  - any SQL store: `INSERT` on a primary key.
+  * `value` is the claimer's tmp-manifest path — recorded so that a
+  * LATER claimer can roll a crashed winner's upload forward (the
+  * recovery Delta documents for S3: the claim is the commit; the
+  * object write is completable by anyone).
+  */
+trait GraftClaimCoordinator {
+
+  /** putIfAbsent: true iff THIS call uniquely claimed `slot`. */
+  def claim(slot: String, value: String): Boolean
+
+  /** The recorded value of an already-claimed slot (for recovery). */
+  def claimedValue(slot: String): Option[String]
+}
+
+/** A claims DIRECTORY on any store with atomic no-overwrite create
+  * (HDFS, NFS, a small EBS/EFS mount, local disk) — the minimal
+  * coordinator when the DATA lives on an object store but a strongly
+  * consistent filesystem is reachable. One tiny file per commit slot;
+  * vacuum of the table may clear old claim files freely (a slot is
+  * never re-contended once its manifest exists).
+  */
+class GraftDirectoryClaimCoordinator(dir: Path, fs: FileSystem)
+    extends GraftClaimCoordinator {
+
+  private def slotPath(slot: String): Path =
+    // slots are full target paths: flatten to a filename (the claim
+    // namespace is per-coordinator-directory)
+    new Path(dir, java.lang.Integer.toHexString(slot.hashCode) + "-" +
+      new Path(slot).getName + ".claim")
+
+  override def claim(slot: String, value: String): Boolean = {
+    fs.mkdirs(dir)
+    val p = slotPath(slot)
+    if (fs.getScheme == "file")
+      // Hadoop's LOCAL create(overwrite = false) is an exists-check
+      // then create — racy; O_CREAT|O_EXCL via NIO is the kernel-atomic
+      // form (same reasoning as the hard-link publish in [[GraftLogStore]])
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          value.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    else
+      try {
+        // on HDFS-semantics stores create(overwrite = false) IS the
+        // namenode-atomic no-overwrite primitive
+        val out = fs.create(p, false)
+        try out.write(value.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException => false // already claimed
+      }
+  }
+
+  override def claimedValue(slot: String): Option[String] = {
+    val p = slotPath(slot)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(bytes.toString("UTF-8"))
+      } finally in.close()
+    }
+  }
+}
+
+/** A JVM-global claims map — single-process arbitration (concurrent
+  * writer THREADS in one application, and the default rig for specs).
+  * Multi-process writers need [[GraftDirectoryClaimCoordinator]] or a
+  * service-backed [[GraftClaimCoordinator]].
+  */
+object GraftInProcessClaimCoordinator extends GraftClaimCoordinator {
+  private val claims =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  override def claim(slot: String, value: String): Boolean =
+    claims.putIfAbsent(slot, value) == null
+  override def claimedValue(slot: String): Option[String] =
+    Option(claims.get(slot))
+}
+
+/** The object-store commit protocol (Delta's S3 LogStore shape, over
+  * the [[GraftClaimCoordinator]] seam): the CLAIM is the commit — the
+  * winner then uploads the manifest with a plain overwrite-tolerant
+  * put, safe because only the claim winner (or a recoverer copying
+  * the IDENTICAL bytes) ever writes the target. Configure with
+  * {{{
+  *   spark.conf.set("spark.graft.logstore.class",
+  *     "graft.sources.GraftCoordinatedLogStore")
+  *   spark.conf.set("spark.graft.logstore.coordinatorDir", "/mnt/claims")
+  * }}}
+  * — without `coordinatorDir` the in-process map arbitrates (single
+  * JVM only). Crash recovery: if a winner dies between claim and
+  * upload, any later claimer of the slot finds the claim present but
+  * the target absent and ROLLS THE UPLOAD FORWARD from the tmp path
+  * the claim recorded (tmp files are only deleted after a completed
+  * upload, so the bytes are still there); it still returns false —
+  * the slot belongs to the crashed winner's commit, which is now
+  * complete.
+  */
+class GraftCoordinatedLogStore extends GraftLogStore {
+
+  private def coordinator(fs: FileSystem): GraftClaimCoordinator =
+    SparkSession.active.conf
+      .getOption(GraftLogStore.CoordinatorDirKey).filter(_.nonEmpty) match {
+      case Some(d) => new GraftDirectoryClaimCoordinator(new Path(d), fs)
+      case None => GraftInProcessClaimCoordinator
+    }
+
+  /** Overwrite-tolerant put (the S3 PUT stand-in): copy then delete —
+    * deliberately NOT a rename, nothing here relies on rename
+    * atomicity. `deleteTmp = false` on the recovery path (the crashed
+    * winner's retry may still hold the handle).
+    */
+  private def put(fs: FileSystem, tmp: Path, target: Path,
+                  deleteTmp: Boolean): Unit = {
+    val in = fs.open(tmp)
+    val out = fs.create(target, true)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally { in.close(); out.close() }
+    if (deleteTmp) fs.delete(tmp, false)
+  }
+
+  override def atomicClaim(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+    val coord = coordinator(fs)
+    if (coord.claim(target.toString, tmp.toString)) {
+      put(fs, tmp, target, deleteTmp = true)
+      true
+    } else {
+      // lost the slot: if the winner crashed pre-upload, complete its
+      // commit from the tmp path its claim recorded (identical bytes —
+      // a duplicate copy is harmless; best-effort because a LIVE winner
+      // mid-upload may hold a lease on the target, and then it will
+      // finish the upload itself)
+      if (!fs.exists(target))
+        try coord.claimedValue(target.toString).map(new Path(_))
+          .filter(fs.exists).foreach(wtmp =>
+            put(fs, wtmp, target, deleteTmp = false))
+        catch { case _: java.io.IOException => () }
+      false
+    }
+  }
+}
+
 object GraftLogStore {
 
   /** Session conf key naming a custom [[GraftLogStore]] class. */
   val ConfKey = "spark.graft.logstore.class"
+
+  /** Claims directory for [[GraftCoordinatedLogStore]] — a path on a
+    * strongly consistent filesystem (atomic no-overwrite create).
+    */
+  val CoordinatorDirKey = "spark.graft.logstore.coordinatorDir"
 
   /** The built-in backend dispatch (see trait doc). */
   object Default extends GraftLogStore {

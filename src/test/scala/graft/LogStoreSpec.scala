@@ -1,46 +1,7 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-
-/** An EXTERNAL-COORDINATOR log store in the S3 shape: the backing
-  * "store" has NO atomic no-overwrite rename (a plain copy-then-delete
-  * stands in for an object PUT, which would overwrite silently), so
-  * single-winner arbitration comes from an external claims table —
-  * here a JVM-global map standing in for the DynamoDB table Delta's
-  * S3 LogStore uses. putIfAbsent is the ONLY atomicity relied on.
-  */
-class ExternalCoordinatorLogStore extends graft.sources.GraftLogStore {
-  override def atomicClaim(fs: FileSystem, tmp: Path,
-                           target: Path): Boolean = {
-    ExternalCoordinatorLogStore.calls.incrementAndGet()
-    // claim the slot in the COORDINATOR first; the storage write below
-    // is then uncontended (an S3 PUT may overwrite, but only the claim
-    // winner ever attempts it)
-    if (ExternalCoordinatorLogStore.claims
-        .putIfAbsent(target.toString, "claimed") != null) {
-      return false
-    }
-    // "object PUT": non-atomic copy + delete — deliberately NOT a rename
-    val in = fs.open(tmp)
-    val out = fs.create(target, false)
-    try {
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally { in.close(); out.close() }
-    fs.delete(tmp, false)
-    true
-  }
-}
-
-object ExternalCoordinatorLogStore {
-  val claims = new ConcurrentHashMap[String, String]()
-  val calls = new AtomicInteger(0)
-}
 
 /** A store that always loses — proves the protocol treats a claim
   * refusal as the ordinary optimistic-concurrency loss (loud, never a
@@ -53,8 +14,11 @@ class AlwaysLosesLogStore extends graft.sources.GraftLogStore {
 
 /** The pluggable commit-claim seam ([[graft.sources.GraftLogStore]]):
   * the whole protocol above the one-method primitive is
-  * backend-agnostic, so an object store only needs to supply
-  * single-winner claims (the S3 seam Delta documents).
+  * backend-agnostic. [[graft.sources.GraftCoordinatedLogStore]] is the
+  * MAIN-TREE object-store implementation (claim-is-the-commit over a
+  * [[graft.sources.GraftClaimCoordinator]], Delta's S3 LogStore shape)
+  * — this spec races it, crashes it mid-commit, and runs the full
+  * table protocol over it.
   */
 class LogStoreSpec extends SparkSuite {
   import spark.implicits._
@@ -62,14 +26,23 @@ class LogStoreSpec extends SparkSuite {
   private def tmpVt(): String =
     java.nio.file.Files.createTempDirectory("vt_ls_spec").toString
 
-  private def withStore[A](cls: String)(body: => A): A = {
+  private def withStore[A](cls: String, coordDir: Option[String] = None)
+      (body: => A): A = {
     spark.conf.set(graft.sources.GraftLogStore.ConfKey, cls)
-    try body finally spark.conf.unset(graft.sources.GraftLogStore.ConfKey)
+    coordDir.foreach(d =>
+      spark.conf.set(graft.sources.GraftLogStore.CoordinatorDirKey, d))
+    try body finally {
+      spark.conf.unset(graft.sources.GraftLogStore.ConfKey)
+      spark.conf.unset(graft.sources.GraftLogStore.CoordinatorDirKey)
+    }
   }
 
-  test("the full protocol runs over an external-coordinator store") {
-    withStore(classOf[ExternalCoordinatorLogStore].getName) {
-      val before = ExternalCoordinatorLogStore.calls.get()
+  private val coordinated =
+    classOf[graft.sources.GraftCoordinatedLogStore].getName
+
+  test("the full protocol runs over the coordinated store (directory claims)") {
+    val claims = tmpVt()
+    withStore(coordinated, Some(claims)) {
       val dir = tmpVt()
       val vt = new graft.sources.VersionedTable(spark, dir)
       vt.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
@@ -79,10 +52,80 @@ class LogStoreSpec extends SparkSuite {
       assert(vt.read().orderBy("k").collect().map(_.getLong(0)).toSeq
         === Seq(1L, 3L))
       assert(vt.history().count() === 4)
-      // every commit (and checkpoint, if any) went through the plugin
-      assert(ExternalCoordinatorLogStore.calls.get() - before >= 4)
+      // every commit claimed through the coordinator directory
+      assert(new java.io.File(claims).listFiles()
+        .count(_.getName.endsWith(".claim")) >= 4)
       // time travel still resolves: manifests were really written
       assert(vt.readAt(1).count() === 3)
+    }
+  }
+
+  test("4-writer race on one slot: exactly one winner, everyone loud") {
+    val claims = tmpVt()
+    val work = tmpVt()
+    val fs = new Path(work).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    withStore(coordinated, Some(claims)) {
+      val store = new graft.sources.GraftCoordinatedLogStore()
+      val target = new Path(work, "00000001.json")
+      val prepared = (0 until 4).map { i =>
+        val tmp = new Path(work, s".tmp-$i")
+        val out = fs.create(tmp, false)
+        out.write(s"""{"writer":$i}""".getBytes("UTF-8")); out.close()
+        (i, tmp)
+      }
+      val acc = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Int, Boolean)]())
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = prepared.map { case (i, tmp) =>
+        new Thread(() => {
+          gate.await()
+          acc.add((i, store.atomicClaim(fs, tmp, target)))
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      val results = scala.jdk.CollectionConverters
+        .ListHasAsScala(acc).asScala.toList
+      assert(results.count(_._2) === 1)
+      val winner = results.find(_._2).get._1
+      // the target holds EXACTLY the winner's bytes
+      val in = fs.open(target)
+      val content = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      assert(content === s"""{"writer":$winner}""")
+      // winner's tmp is gone; losers' tmps remain for reclamation
+      assert(!fs.exists(new Path(work, s".tmp-$winner")))
+      assert(results.filterNot(_._2).forall { case (i, _) =>
+        fs.exists(new Path(work, s".tmp-$i")) })
+    }
+  }
+
+  test("crashed winner's commit rolls forward from the recorded claim") {
+    val claims = tmpVt()
+    val work = tmpVt()
+    val fs = new Path(work).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    withStore(coordinated, Some(claims)) {
+      val target = new Path(work, "00000002.json")
+      // the "crashed winner": claimed the slot, wrote its tmp, died
+      // before the upload — simulate by claiming directly
+      val crashedTmp = new Path(work, ".tmp-crashed")
+      val out = fs.create(crashedTmp, false)
+      out.write("""{"writer":"crashed"}""".getBytes("UTF-8")); out.close()
+      val coord = new graft.sources.GraftDirectoryClaimCoordinator(
+        new Path(claims), fs)
+      assert(coord.claim(target.toString, crashedTmp.toString))
+      assert(!fs.exists(target)) // wedged: claim without manifest
+      // a later writer loses the claim AND completes the upload
+      val store = new graft.sources.GraftCoordinatedLogStore()
+      val laterTmp = new Path(work, ".tmp-later")
+      val out2 = fs.create(laterTmp, false)
+      out2.write("""{"writer":"later"}""".getBytes("UTF-8")); out2.close()
+      assert(!store.atomicClaim(fs, laterTmp, target))
+      val in = fs.open(target)
+      val content = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      assert(content === """{"writer":"crashed"}""") // the CLAIM is the commit
     }
   }
 
@@ -110,6 +153,17 @@ class LogStoreSpec extends SparkSuite {
         vt.append(Seq((1L, "a")).toDF("k", "s"))
       }
       assert(e.getMessage.contains("spark.graft.logstore.class"))
+    }
+  }
+
+  test("in-process coordinator arbitrates when no directory is configured") {
+    withStore(coordinated) {
+      val dir = tmpVt()
+      val vt = new graft.sources.VersionedTable(spark, dir)
+      vt.append(Seq((1L, "a")).toDF("k", "s"))
+      vt.append(Seq((2L, "b")).toDF("k", "s"))
+      assert(vt.read().count() === 2)
+      assert(vt.latestVersion === 1)
     }
   }
 }
