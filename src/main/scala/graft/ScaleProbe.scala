@@ -284,6 +284,54 @@ object ScaleProbe {
             .filter(col("o_orderkey").between(1000L, maxKey / 100))
             .write.format("noop").mode("overwrite").save())
 
+      case "dvread" =>
+        // The DV READ path at scale: a K-dir range-disjoint table with
+        // a growing share of directories carrying deletion vectors,
+        // read through the DSv2 scan. The round-14 claim to verify:
+        // the vectorized per-file row-index fold keeps a 1-DV-in-K
+        // read within ~1.3× of the clean read, and WAY below the
+        // row-based V1 fallback it replaced (forced here via a tiny
+        // inline-position budget) — so a long-lived DV no longer turns
+        // every read of a hot table row-based.
+        val k = args.lift(1).map(_.toInt).getOrElse(20)
+        val reps = args.lift(2).map(_.toInt).getOrElse(1)
+        val tmp = java.nio.file.Files.createTempDirectory("probe-dvread").toString
+        val vt = new graft.sources.VersionedTable(spark, tmp)
+        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val wide = (0 until reps).map(i =>
+            o0.select((col("o_orderkey") + lit(i * 10000000L)).as("k"),
+              col("o_totalprice").as("p"))).reduce(_ unionByName _)
+        val maxKey = reps.toLong * 10000000L
+        val span = maxKey / k
+        (0 until k).foreach(i => vt.append(
+          wide.filter(col("k") >= i * span && col("k") < (i + 1) * span)))
+        println(s"[probe] table rows = ${vt.read().count()} in $k dirs")
+        def sink(df: DataFrame) =
+          df.write.format("noop").mode("overwrite").save()
+        def readTimes(tag: String): Unit = {
+          timed(f"full read  $tag%-18s")(sink(
+            spark.read.format("graftvt").load(tmp)))
+          timed(f"range read $tag%-18s")(sink(
+            spark.read.format("graftvt").load(tmp)
+              .filter(col("k") < span)))
+        }
+        (1 to 2).foreach(p => readTimes(s"clean p$p"))
+        Seq(1.0 / k, 0.1, 0.5).distinct.foreach { frac =>
+          val dirs = math.max(1, math.round(frac * k).toInt)
+          val bound = dirs * span
+          val v0 = vt.latestVersion
+          vt.delete(col("k") % 37 === 5 && col("k") < bound,
+            useDeletionVectors = true)
+          println(s"[probe] dv dirs = ${vt.dvsAt(vt.latestVersion).size} of $k")
+          readTimes(f"dv $frac%.2f")
+          // the pre-round-14 shape: force the row-based V1 fold
+          spark.conf.set("spark.graft.dv.maxInlinePositions", "1")
+          readTimes(f"dv $frac%.2f V1")
+          spark.conf.unset("spark.graft.dv.maxInlinePositions")
+          vt.restore(v0) // each share level starts from the clean table
+        }
+
       case "plan" =>
         // The plan-level optimizations at scale: a K-dir range-disjoint
         // table, then (a) metadata-only aggregates — COUNT/MIN/MAX must

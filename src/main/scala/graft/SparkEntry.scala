@@ -1500,9 +1500,14 @@ object SparkEntry {
       try {
         val vt = new graft.sources.VersionedTable(s, base)
         val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
-        vt.append(o.filter(col("o_orderkey") < 5000L))
-        vt.append(o.filter(col("o_orderkey") >= 5000L && col("o_orderkey") < 10000L))
-        vt.append(o.filter(col("o_orderkey") >= 10000L))
+        // tertile split bounds FROM the data (fixed bounds would leave
+        // empty directories at small scale factors)
+        val maxKey = o.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+          .head.getLong(0)
+        val (b1, b2) = (maxKey / 3, 2 * maxKey / 3)
+        vt.append(o.filter(col("o_orderkey") < b1))
+        vt.append(o.filter(col("o_orderkey") >= b1 && col("o_orderkey") < b2))
+        vt.append(o.filter(col("o_orderkey") >= b2))
         val tbl = s.read.format("graftvt").load(base)
         def kept(df: org.apache.spark.sql.DataFrame): Int =
           df.queryExecution.optimizedPlan.collect {
@@ -1514,10 +1519,10 @@ object SparkEntry {
           }.get
         val small = tbl.limit(100)
         val big = tbl.limit(10_000_000)
-        val filtered = tbl.filter(col("o_orderkey") >= 10000L).limit(50)
+        val filtered = tbl.filter(col("o_orderkey") >= b2).limit(50)
         Seq((small.count(), kept(small), big.count(), kept(big),
           filtered.count(), kept(filtered),
-          filtered.collect().forall(_.getLong(0) >= 10000L)))
+          filtered.collect().forall(_.getLong(0) >= b2)))
           .toDF("n_small", "dirs_small", "n_big", "dirs_big",
             "n_filtered", "dirs_filtered", "filtered_rows_match")
       } finally deleteRecursively(base)
@@ -1680,6 +1685,69 @@ object SparkEntry {
         .toDF("o_orderkey", "o_totalprice", "files_intact", "n_meta",
           "dv_cleared")
       s.sql("DROP TABLE graft.gate_dv")
+      out
+    }),
+
+    // Merge-on-read MERGE INTO via deletion vectors: on a DV-enabled
+    // table an upsert hides the MATCHED target rows behind a sidecar
+    // and appends every source row — no pre-existing data file is
+    // rewritten (names, mtimes, sizes pinned), the final state equals
+    // the copy-on-write recomputation, COUNT(*) stays metadata-exact,
+    // the persisted CDC is exact (pre/post/insert), and OPTIMIZE
+    // compacts the debt back to a clean table. At 100 TB this is the
+    // upsert-heavy ingestion regime: a selective MERGE costs its
+    // matches twice, not every touched directory once.
+    "s_versioned_merge_dv" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft.gate_mdv")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_mdv_base")
+      s.sql("""CREATE TABLE graft.gate_mdv (o_orderkey BIGINT, o_totalprice DOUBLE)
+              |USING graftvt
+              |TBLPROPERTIES ('graft.deletionVectors' = 'true')""".stripMargin)
+      s.sql("INSERT INTO graft.gate_mdv SELECT * FROM graft_mdv_base")
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val vdir = cat.tableDir(org.apache.spark.sql.connector.catalog
+        .Identifier.of(Array.empty, "gate_mdv")).toString
+      val local = new java.io.File(vdir.stripPrefix("file:"))
+      def dataFiles() = local.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+      val before = dataFiles()
+      s.sql("""MERGE INTO graft.gate_mdv t USING (
+              |  SELECT o_orderkey, 0.5 AS o_totalprice
+              |  FROM graft_mdv_base WHERE o_orderkey % 11 = 3
+              |  UNION ALL
+              |  SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
+              |  FROM graft_mdv_base WHERE o_orderkey % 13 = 1) src
+              |ON t.o_orderkey = src.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val intact = before.subsetOf(dataFiles()) // originals byte-identical
+      val vt = new graft.sources.VersionedTable(s, vdir)
+      val mergeV = vt.latestVersion
+      val mergeOp = vt.history().filter(col("version") === mergeV)
+        .head.getAs[String]("op")
+      val nMeta = vt.fastCount().getOrElse(-1L)
+      // the persisted CDC is exact: matched keys as pre+post pairs,
+      // unmatched source keys as inserts
+      val cdcSig = vt.changes(mergeV, mergeV)
+        .groupBy("_change_type").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(",")
+      vt.optimize("o_orderkey", targetChunks = 2)
+      val cleared = vt.dvsAt(vt.latestVersion).isEmpty
+      val out = s.sql("SELECT o_orderkey, o_totalprice FROM graft.gate_mdv")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), intact, mergeOp, nMeta,
+          cdcSig, cleared))
+        .toSeq
+        .toDF("o_orderkey", "o_totalprice", "files_intact", "merge_op",
+          "n_meta", "cdc_sig", "dv_cleared")
+      s.sql("DROP TABLE graft.gate_mdv")
       out
     }),
 
@@ -4280,6 +4348,35 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0) AS n_meta,
         |  true AS dv_cleared
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // The DV merge's final state: matched keys (%11=3) re-priced at
+    // 0.5, shifted copies of the %13=1 keys inserted, nothing else
+    // moved — with every pre-merge data file byte-identical, the
+    // commit's op recorded as merge-dv, COUNT(*) metadata-exact, and
+    // the CDC carrying exactly one pre+post pair per match and one
+    // insert per unmatched source row.
+    "s_versioned_merge_dv" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 3 THEN 0.5 ELSE o_totalprice END
+        |      AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice FROM orders
+        |  WHERE o_orderkey % 13 = 1
+        |)
+        |SELECT o_orderkey, o_totalprice,
+        |  true AS files_intact,
+        |  'merge-dv' AS merge_op,
+        |  (SELECT count(*) FROM merged) AS n_meta,
+        |  'insert=' || (SELECT count(*) FROM orders WHERE o_orderkey % 13 = 1)
+        |    || ',update_postimage='
+        |    || (SELECT count(*) FROM orders WHERE o_orderkey % 11 = 3)
+        |    || ',update_preimage='
+        |    || (SELECT count(*) FROM orders WHERE o_orderkey % 11 = 3)
+        |    AS cdc_sig,
+        |  true AS dv_cleared
+        |FROM merged""".stripMargin,
 
     // The folded property state after CREATE → SET → UNSET, identical
     // on both serving surfaces.

@@ -53,6 +53,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "(?:\\s+WHERE\\s+(`[^`]+`|\\w+)\\s+BETWEEN\\s+(-?[\\d.]+)\\s+AND\\s+(-?[\\d.]+))?" +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?" +
       "(?:\\s+INTO\\s+(\\d+)\\s+CHUNKS)?\\s*;?\\s*$").r
+  // the DV-debt maintenance selector: scope by accumulated hidden
+  // fraction (manifest metadata), not by data predicate
+  private val OptimizeDvRe =
+    ("(?is)^\\s*OPTIMIZE\\s+" + TargetPat +
+      "\\s+WHERE\\s+__dv_fraction\\s*>=\\s*([\\d.]+)" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?" +
+      "(?:\\s+INTO\\s+(\\d+)\\s+CHUNKS)?\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + TargetPat + "\\s*;?\\s*$").r
   private val DetailRe =
@@ -88,6 +95,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def maintenanceCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      case OptimizeDvRe(target, frac, cols, chunks) =>
+        val zorder = Option(cols).toSeq.flatMap(_.split(',').toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        Some(GraftOptimize(target, zorder, Option(chunks).map(_.toInt),
+          dvFraction = Some(frac.toDouble)))
       case OptimizeRe(target, whereCol, whereLo, whereHi, cols, chunks) =>
         val zorder = Option(cols).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)

@@ -157,7 +157,8 @@ case class GraftDescribeHistory(target: String) extends LeafRunnableCommand {
   */
 case class GraftOptimize(target: String, zorder: Seq[String],
                          chunks: Option[Int],
-                         where: Option[(String, Any, Any)] = None)
+                         where: Option[(String, Any, Any)] = None,
+                         dvFraction: Option[Double] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
@@ -166,15 +167,22 @@ case class GraftOptimize(target: String, zorder: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
     val n = chunks.getOrElse(vt.defaultTargetChunks())
-    val v = (where, zorder) match {
-      case (None, Nil) => vt.compact(n)
-      case (None, Seq(c)) => vt.optimize(c, n)
-      case (None, cs) => vt.optimizeZOrder(cs, n)
-      case (Some((wc, lo, hi)), Nil) =>
+    val v = (dvFraction, where, zorder) match {
+      // `WHERE __dv_fraction >= x`: the debt-first maintenance selector
+      // — scope by accumulated hidden fraction, pure manifest metadata
+      case (Some(f), _, Nil) => vt.optimizeDvDebt(f, n)
+      case (Some(f), _, Seq(c)) => vt.optimizeDvDebt(f, n, Some(c))
+      case (Some(_), _, _) => throw new IllegalArgumentException(
+        "OPTIMIZE ... WHERE __dv_fraction with a multi-column ZORDER BY " +
+          "is not supported; cluster a single column")
+      case (None, None, Nil) => vt.compact(n)
+      case (None, None, Seq(c)) => vt.optimize(c, n)
+      case (None, None, cs) => vt.optimizeZOrder(cs, n)
+      case (None, Some((wc, lo, hi)), Nil) =>
         vt.optimizeWhere(wc, n, wc, Some(lo), Some(hi))
-      case (Some((wc, lo, hi)), Seq(c)) =>
+      case (None, Some((wc, lo, hi)), Seq(c)) =>
         vt.optimizeWhere(c, n, wc, Some(lo), Some(hi))
-      case (Some(_), _) => throw new IllegalArgumentException(
+      case (None, Some(_), _) => throw new IllegalArgumentException(
         "OPTIMIZE ... WHERE with a multi-column ZORDER BY is not " +
           "supported; scope and cluster a single column")
     }
@@ -341,7 +349,10 @@ case class GraftMerge(target: String, sourceSql: String, keys: Seq[String])
     val sourceDf =
       if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
       else spark.table(src)
-    val v = vt.merge(sourceDf, keys)
+    // merge-on-read opt-in, same property as DELETE/UPDATE
+    val useDv = vt.tableProperties()
+      .get("graft.deletionVectors").exists(_.trim.equalsIgnoreCase("true"))
+    val v = vt.merge(sourceDf, keys, useDeletionVectors = useDv)
     bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
     Seq(Row(v))
   }

@@ -364,13 +364,8 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
   private var limitRows: Option[Int] = None
 
   override def pushLimit(n: Int): Boolean = {
-    // A deletion vector hides recorded rows, so the recorded-rows
-    // directory prefix could under-cover the limit; a renamed table
-    // needs the aliasing read path the limit-prefix parquet scan lacks
-    // — decline both.
     if (changeFeed || n <= 0 || ranges.nonEmpty || notNullCols.nonEmpty ||
-        isNullCols.nonEmpty || pushed.nonEmpty ||
-        vt.dvsAt(version).nonEmpty || vt.renamesAt(version).nonEmpty)
+        isNullCols.nonEmpty || pushed.nonEmpty)
       return false
     limitRows = Some(n)
     true
@@ -378,19 +373,23 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
 
   override def isPartiallyPushed(): Boolean = true
 
-  /** The shortest active-dir prefix whose recorded rows reach `n`; a
+  /** The shortest active-dir prefix whose recorded EFFECTIVE rows
+    * (recorded minus DV-hidden — a deletion vector hides recorded
+    * rows, so the raw count would under-cover the limit) reach `n`; a
     * directory with unrecorded rows counts as 0 (conservative — the
     * walk continues past it, never stops short of provable coverage).
     */
   private def limitPrefix(active: Seq[String], n: Int): Seq[String] = {
     val snapRows = vt.dirRowCounts(Some(version))
+    val dvHidden = vt.dvRowCountsAt(version)
     var acc = 0L
     val kept = Vector.newBuilder[String]
     var i = 0
     while (i < active.length && acc < n) {
       val d = active(i)
       kept += d
-      acc += snapRows.getOrElse(d, 0L)
+      acc += math.max(0L,
+        snapRows.getOrElse(d, 0L) - dvHidden.getOrElse(d, 0L))
       i += 1
     }
     kept.result()
@@ -443,54 +442,87 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
         GraftVtChangeFiles.cdfSchema(n)))
       val emptyIndex = new InMemoryFileIndex(spark, Nil,
         options.asScala.toMap, Some(baseSchema), NoopCache, None, None)
-      val readerScan = ParquetScan(spark,
+      def mkCdfScan(readData: StructType): ParquetScan = ParquetScan(spark,
         spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
         emptyIndex,
         dataSchema = baseSchema,
-        readDataSchema = dataCols,
+        readDataSchema = readData,
         readPartitionSchema = cdfStruct,
         pushedFilters = Array.empty,
         options = options)
+      val readerScan = mkCdfScan(dataCols)
+      // the marker-schema factories: embedded change type (mixed DV-CDC
+      // sidecars read per type) and row index (removed/restored DV'd
+      // directories fold) — both appended AFTER the data columns,
+      // BEFORE the injected cdf partition columns
+      val cdfReaders = GraftVtCdfReaders(
+        mkPlain = () => readerScan.createReaderFactory(),
+        mkTyped = () => mkCdfScan(StructType(dataCols.fields :+
+          StructField(GraftVtChangeFiles.ChangeType,
+            org.apache.spark.sql.types.StringType))).createReaderFactory(),
+        mkDv = () => mkCdfScan(GraftVtFoldedRead.withRowIndex(dataCols))
+          .createReaderFactory(),
+        dataTypes = dataCols.fields.map(_.dataType),
+        cdfTypes = cdfStruct.fields.map(_.dataType))
       val fromV = Option(options.get("startingVersion")).map(_.trim.toInt)
         .getOrElse(0)
       val toV = Option(options.get("endingVersion")).map(_.trim.toInt)
         .getOrElse(version)
       new GraftVtScan(spark, vt, rootPath, baseSchema,
-        StructType(dataCols.fields ++ cdfStruct.fields),
+        StructType(dataCols.fields ++ cdfStruct.fields), dataCols,
         options.asScala.toMap, readerScan,
-        cdf = Some((fromV, toV, cdfCols)))
+        cdf = Some((fromV, toV, cdfCols)), cdfReaders = Some(cdfReaders))
     } else {
       val keptAll =
         if (ranges.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty)
           vt.activeDirs(Some(version))
         else vt.pruneActiveAll(ranges, Some(version), notNullCols, isNullCols)._1
       val kept = limitRows.fold(keptAll)(limitPrefix(keptAll, _))
-      // A kept directory with DELETION VECTORS cannot be served by a
-      // stock parquet scan (it would resurrect the hidden rows), and a
-      // RENAMED table's files spell physical names a logical-schema
-      // parquet scan would read as null: both fall back to a V1
-      // relation over the folding/aliasing read — manifest pruning
-      // still applied, filters still evaluated above the scan (every
-      // filter is retained post-scan), only the vectorized fast path is
-      // traded away until OPTIMIZE (full rewrite) compacts DVs out and
-      // normalizes physical names.
       val dvs = vt.dvsAt(version)
-      if (kept.exists(dvs.contains) || vt.renamesAt(version).nonEmpty)
-        return new GraftVtV1FoldScan(vt, version, kept, required, rootPath)
-      val paths = kept.map(n => new Path(new Path(rootPath), n)).toSeq
+      val l2p = vt.renamesAt(version)
+      // A table carrying extreme DV debt (hidden rows past the inline
+      // budget — the per-file positions ride the task descriptors)
+      // takes the row-based folding fallback; anything below it reads
+      // VECTORIZED, DVs filtered per file by row index. Renames never
+      // force the fallback: the inner parquet scans read the PHYSICAL
+      // schema (identical types and order — InternalRows are
+      // positional) and the scan reports the logical one.
+      val dvKept = kept.filter(dvs.contains)
+      if (dvKept.nonEmpty) {
+        val dvRows = vt.dvRowCountsAt(version)
+        val hiddenTotal = dvKept.iterator
+          .map(d => dvRows.getOrElse(d, Long.MaxValue / 1024)).sum
+        val maxInline = spark.conf
+          .get("spark.graft.dv.maxInlinePositions", "8000000").toLong
+        if (hiddenTotal > maxInline)
+          return new GraftVtV1FoldScan(vt, version, kept, required, rootPath)
+      }
+      // Physicalize once: schema the files spell, projection in file
+      // names, pushed filters with attributes re-addressed (an
+      // untranslatable conjunct just drops — every filter is retained
+      // post-scan, so parquet-level pushdown is only ever a bonus).
+      val physTable = vt.physicalize(tableSchema)
+      val physRequired = vt.physicalize(StructType(required.fields.map(f =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(f))))
+      val physPushed =
+        if (l2p.isEmpty) pushed
+        else pushed.flatMap(GraftVtFilters.toPhysicalFilter(_, l2p))
+      val cleanKept = kept.filterNot(dvs.contains)
+      val paths = cleanKept.map(n => new Path(new Path(rootPath), n)).toSeq
       val index = new InMemoryFileIndex(spark, paths,
-        options.asScala.toMap, Some(tableSchema), NoopCache, None, None)
+        options.asScala.toMap, Some(physTable), NoopCache, None, None)
       val parquet = ParquetScan(spark,
         spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
         index,
-        dataSchema = tableSchema,
-        readDataSchema = required,
+        dataSchema = physTable,
+        readDataSchema = physRequired,
         readPartitionSchema = new StructType(),
-        pushedFilters = pushed,
+        pushedFilters = physPushed,
         options = options)
-      new GraftVtScan(spark, vt, rootPath, tableSchema, required,
+      new GraftVtScan(spark, vt, rootPath, physTable, required, physRequired,
         options.asScala.toMap, parquet,
-        version = version, staticKept = kept, staticPushed = pushed)
+        version = version, staticKept = kept, staticPushed = physPushed,
+        dvMap = dvs)
     }
   }
 }
@@ -592,14 +624,17 @@ private[graft] class GraftVtAggregateScan(schema: StructType,
   * non-matching rows, so a conservative keep can never change answers.
   */
 private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
-                                   rootPath: String, tableSchema: StructType,
+                                   rootPath: String, physTable: StructType,
                                    required: StructType,
+                                   physRequired: StructType,
                                    optionsMap: Map[String, String],
                                    parquet0: ParquetScan,
                                    cdf: Option[(Int, Int, Seq[String])] = None,
                                    version: Int = -1,
                                    staticKept: Seq[String] = Nil,
-                                   staticPushed: Array[Filter] = Array.empty)
+                                   staticPushed: Array[Filter] = Array.empty,
+                                   dvMap: Map[String, Seq[String]] = Map.empty,
+                                   cdfReaders: Option[GraftVtCdfReaders] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -610,6 +645,31 @@ private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
   @volatile private[graft] var runtimeKept: Option[Int] = None
 
   def parquet: ParquetScan = current
+
+  private def dvKeptOf(kept: Seq[String]): Seq[String] =
+    if (dvMap.isEmpty) Nil else kept.filter(dvMap.contains)
+
+  /** Hidden positions collected ONCE per scan over the initially-kept
+    * DV'd directories (a runtime filter only shrinks the kept set, and
+    * pruned directories' files are simply never planned).
+    */
+  private lazy val hiddenPositions: Map[String, Array[Long]] =
+    vt.dvHiddenPositions(version, dvKeptOf(staticKept))
+
+  private def mkParquetScan(dirs: Seq[String], readSchema: StructType)
+      : ParquetScan = {
+    val paths = dirs.map(n => new Path(new Path(rootPath), n)).toSeq
+    val index = new InMemoryFileIndex(spark, paths, optionsMap,
+      Some(physTable), NoopCache, None, None)
+    ParquetScan(spark,
+      spark.sessionState.newHadoopConfWithOptions(optionsMap),
+      index,
+      dataSchema = physTable,
+      readDataSchema = readSchema,
+      readPartitionSchema = new StructType(),
+      pushedFilters = staticPushed,
+      options = new CaseInsensitiveStringMap(optionsMap.asJava))
+  }
 
   /** Runtime-filterable columns: every top-level column the manifest
     * stats can index — restricted to the scan's OUTPUT (Spark resolves
@@ -650,53 +710,72 @@ private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
           kept = kept.intersect(vt.pruneActiveAll(rs, Some(version))._1)
     }
     if (kept.size < currentKept.size) {
-      val paths = kept.map(n => new Path(new Path(rootPath), n))
-      val index = new InMemoryFileIndex(spark, paths, optionsMap,
-        Some(tableSchema), NoopCache, None, None)
-      current = ParquetScan(spark,
-        spark.sessionState.newHadoopConfWithOptions(optionsMap),
-        index,
-        dataSchema = tableSchema,
-        readDataSchema = required,
-        readPartitionSchema = new StructType(),
-        pushedFilters = staticPushed,
-        options = new CaseInsensitiveStringMap(optionsMap.asJava))
+      current = mkParquetScan(kept.filterNot(dvMap.contains), physRequired)
       currentKept = kept
     }
     runtimeKept = Some(kept.size)
   }
 
-  override def readSchema(): StructType =
-    if (cdf.isDefined) required else parquet.readSchema()
+  override def readSchema(): StructType = required
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = cdf match {
-    case None => parquet.toBatch
+    case None =>
+      val dvd = dvKeptOf(currentKept)
+      if (dvd.isEmpty) parquet.toBatch
+      else {
+        // DV'd directories read through their OWN parquet scan with the
+        // row-index column appended; the combined batch filters their
+        // hidden rows per file and serves DV-free directories untouched.
+        val dvScan = mkParquetScan(dvd,
+          GraftVtFoldedRead.withRowIndex(physRequired))
+        new GraftVtDvBatch(parquet.toBatch, dvScan.toBatch,
+          hiddenPositions, physRequired.fields.map(_.dataType))
+      }
     case Some((fromV, toV, cdfCols)) =>
       new GraftVtCdfBatch(spark, vt, rootPath, fromV, toV, cdfCols,
-        () => parquet.createReaderFactory())
+        cdfReaders.get)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    if (version >= 0) require(vt.renamesAt(version).isEmpty,
-      s"streaming $rootPath is not supported while columns are renamed " +
-        "(files spell physical names); OPTIMIZE (full rewrite) " +
-        "normalizes them")
     cdf match {
       case None =>
-        new GraftVtMicroBatchStream(spark, vt, rootPath, tableSchema, required,
-          optionsMap, () => parquet.createReaderFactory())
+        new GraftVtMicroBatchStream(spark, vt, rootPath, physTable,
+          physRequired, optionsMap, () => parquet.createReaderFactory(),
+          // a second factory whose read schema appends the row-index
+          // column — what DV partitions (snapshot-init over a DV'd
+          // table, a restore's re-added sidecarred dirs) read through
+          mkDvReaderFactory = Some(() => mkParquetScan(Nil,
+            GraftVtFoldedRead.withRowIndex(physRequired)).createReaderFactory()),
+          dvTypes = physRequired.fields.map(_.dataType))
       case Some((_, _, cdfCols)) =>
-        new GraftVtMicroBatchStream(spark, vt, rootPath, tableSchema, required,
-          optionsMap, () => parquet.createReaderFactory(),
-          changeFeed = true, cdfCols = cdfCols)
+        new GraftVtMicroBatchStream(spark, vt, rootPath, physTable,
+          physRequired, optionsMap, () => parquet.createReaderFactory(),
+          changeFeed = true, cdfCols = cdfCols, cdfReaders = cdfReaders)
     }
   }
 
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
-    parquet.estimateStatistics()
-  override def description(): String = "GraftVt " + parquet.description()
+    if (dvKeptOf(currentKept).isEmpty) parquet.estimateStatistics()
+    else new org.apache.spark.sql.connector.read.Statistics {
+      // the parquet scan's byte count misses the DV'd directories and
+      // its row estimate would include hidden rows — serve the
+      // manifest's exact numbers instead (rows minus hidden)
+      private val (rowsOpt, bytesOpt) = vt.dirStats(version, currentKept)
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytesOpt.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        rowsOpt.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
+
+  override def description(): String = {
+    val dvd = dvKeptOf(currentKept)
+    val tag = if (dvd.isEmpty) "" else s" [dv-folded ${dvd.size} dirs]"
+    "GraftVt " + parquet.description() + tag
+  }
 }
 
 /** The ONE user-facing `TIMESTAMP AS OF` bound parser — shared by the
@@ -822,6 +901,51 @@ private[sources] object GraftVtFilters {
       case And(l, r) => toRanges(l, cmp) ++ toRanges(r, cmp)
       case _ => Nil
     }
+
+  /** Re-address a pushed filter's attributes LOGICAL → PHYSICAL so
+    * parquet-level pushdown (row-group/page skipping) keeps working on
+    * a renamed table — the files spell physical names. `None` for any
+    * shape not enumerated: the conjunct simply drops from the inner
+    * scan's pushed set, and since every filter is retained post-scan,
+    * a dropped conjunct only forfeits a skip, never an answer. A
+    * dotted name maps its FIRST segment (renames are top-level-only).
+    */
+  def toPhysicalFilter(f: Filter, l2p: Map[String, String]): Option[Filter] = {
+    def m(a: String): String = {
+      val (head, rest) = a.indexOf('.') match {
+        case -1 => (a, "")
+        case i => (a.substring(0, i), a.substring(i))
+      }
+      val mapped = l2p.getOrElse(head,
+        l2p.collectFirst { case (k, v) if k.equalsIgnoreCase(head) => v }
+          .getOrElse(head))
+      mapped + rest
+    }
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(m(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(m(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(m(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(m(a), v))
+      case LessThan(a, v) => Some(LessThan(m(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(m(a), v))
+      case In(a, vs) => Some(In(m(a), vs))
+      case IsNull(a) => Some(IsNull(m(a)))
+      case IsNotNull(a) => Some(IsNotNull(m(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(m(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(m(a), v))
+      case StringContains(a, v) => Some(StringContains(m(a), v))
+      case And(l, r) => for {
+        l2 <- toPhysicalFilter(l, l2p); r2 <- toPhysicalFilter(r, l2p)
+      } yield And(l2, r2)
+      case Or(l, r) => for {
+        l2 <- toPhysicalFilter(l, l2p); r2 <- toPhysicalFilter(r, l2p)
+      } yield Or(l2, r2)
+      case Not(c) => toPhysicalFilter(c, l2p).map(Not)
+      case t: AlwaysTrue => Some(t)
+      case ff: AlwaysFalse => Some(ff)
+      case _ => None
+    }
+  }
 
   /** Null-ness conjuncts prune on the manifest's null counts: IS NOT
     * NULL skips all-null directories, IS NULL skips zero-null ones

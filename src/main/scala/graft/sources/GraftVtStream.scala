@@ -42,15 +42,30 @@ private[sources] object GraftVtChangeFiles {
       case CommitVersion => version
     })
 
-  /** The (directory, change-type) pairs commit `v` contributes to a
-    * CHANGE FEED: appends synthesize `insert` from their added
-    * directories, mutations also `delete` from their removed ones —
-    * the same add/remove synthesis [[VersionedTable.changes]] serves
-    * (the coarse form: rewritten-but-unchanged rows appear as
-    * delete+insert pairs; exact persisted CDC stays a batch `changes()`
-    * feature). `optimize` emits nothing — identical data by contract.
+  /** One directory's contribution to a change feed at one commit:
+    * PLAIN directories serve every row under the injected type;
+    * DV-FOLD directories filter the `dvVersion` snapshot's hidden rows
+    * by row index first (a removed DV'd directory must not re-report
+    * rows an earlier DV delete already emitted; a restore can re-add
+    * directories WITH sidecars); TYPED-CDC directories are the mixed
+    * sidecars of merge-on-read UPDATE/MERGE commits, filtered per
+    * EMBEDDED change type.
     */
-  def changeDirs(vt: VersionedTable, v: Int): Seq[(String, String)] = {
+  sealed trait ChangeUnit { def dir: String; def changeType: String }
+  case class PlainChange(dir: String, changeType: String) extends ChangeUnit
+  case class DvFoldChange(dir: String, changeType: String, dvVersion: Int)
+      extends ChangeUnit
+  case class TypedCdcChange(dir: String, changeType: String) extends ChangeUnit
+
+  /** The change units commit `v` contributes to a CHANGE FEED: appends
+    * synthesize `insert` from their added directories, mutations also
+    * `delete` from their removed ones — the add/remove synthesis
+    * [[VersionedTable.changes]] serves (rewritten-but-unchanged rows
+    * appear as delete+insert pairs); DV commits serve their PERSISTED
+    * exact CDC (delete-dv whole, update-dv/merge-dv split per embedded
+    * type). `optimize` emits nothing — identical data by contract.
+    */
+  def changeDirs(vt: VersionedTable, v: Int): Seq[ChangeUnit] = {
     val (op, added) = vt.commitSummary(v)
     op match {
       case "optimize" | "constraint" | "properties" => Nil
@@ -59,55 +74,93 @@ private[sources] object GraftVtChangeFiles {
         // deleted rows ride the CDC sidecar it always persists (the
         // file holds the base columns plus an unprojected embedded
         // _change_type; the injected partition value supplies the type)
-        vt.cdfSummary(v).map((_, "delete")).toSeq
+        vt.cdfSummary(v).map(PlainChange(_, "delete")).toSeq
       case "update-dv" =>
-        // a DV update's CDC mixes pre- and post-images in ONE sidecar —
-        // file-level synthesis injects a single type per directory and
-        // cannot split them; the row-level batch feed serves it exactly
-        throw new IllegalStateException(
-          s"change-feed commit $v is a merge-on-read UPDATE; file-level " +
-            "synthesis cannot split its pre/post images — use the batch " +
-            "change feed (VersionedTable.changes), which serves the " +
-            "persisted CDC exactly")
+        vt.cdfSummary(v).toSeq.flatMap(d => Seq(
+          TypedCdcChange(d, "update_preimage"),
+          TypedCdcChange(d, "update_postimage")))
+      case "merge-dv" =>
+        vt.cdfSummary(v).toSeq.flatMap(d => Seq(
+          TypedCdcChange(d, "update_preimage"),
+          TypedCdcChange(d, "update_postimage"),
+          TypedCdcChange(d, "insert")))
       case _ =>
         val removed = vt.removedSummary(v)
-        // a removed directory whose rows were partly DV-hidden cannot
-        // be synthesized at FILE granularity (the hidden rows would be
-        // re-reported as deletes); the row-level batch feed
-        // (VersionedTable.changes) folds them — point there, loudly
-        if (v > 0 && removed.exists(vt.dvsAt(v - 1).contains))
-          throw new IllegalStateException(
-            s"change-feed commit $v removed directories carrying " +
-              "deletion vectors; file-level synthesis cannot serve it — " +
-              "use the batch change feed (VersionedTable.changes), which " +
-              "folds DVs exactly")
-        // a RESTORE can re-add directories WITH their DV state — same
-        // file-granularity limit, same loud pointer
-        if (added.exists(vt.dvsAt(v).contains))
-          throw new IllegalStateException(
-            s"change-feed commit $v added directories carrying deletion " +
-              "vectors (a restore); use the batch change feed " +
-              "(VersionedTable.changes), which folds DVs exactly")
-        added.map((_, "insert")) ++ removed.map((_, "delete"))
+        val dvsNow = vt.dvsAt(v)
+        val dvsPrev = if (v > 0) vt.dvsAt(v - 1) else Map.empty[String, Seq[String]]
+        added.map(d =>
+          if (dvsNow.contains(d)) DvFoldChange(d, "insert", v)
+          else PlainChange(d, "insert")) ++
+          removed.map(d =>
+            if (dvsPrev.contains(d)) DvFoldChange(d, "delete", v - 1)
+            else PlainChange(d, "delete"))
     }
   }
 
+  private def filesUnder(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                         d: String, v: Int, changeType: String,
+                         cdfCols: Seq[String]): Seq[PartitionedFile] = {
+    val p = new Path(root, d)
+    require(fs.exists(p),
+      s"data directory $d of version $v was vacuumed; its rows cannot " +
+        "be served — start from a retained version")
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => PartitionedFile(partitionValues(cdfCols, changeType, v),
+        org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+        0L, st.getLen, Array.empty[String],
+        st.getModificationTime, st.getLen, Map.empty))
+  }
+
   def filesOf(spark: SparkSession, root: Path, vt: VersionedTable,
-              dirsWithType: Seq[(String, String)], v: Int,
+              units: Seq[ChangeUnit], v: Int,
               cdfCols: Seq[String]): Seq[PartitionedFile] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dirsWithType.flatMap { case (d, changeType) =>
-      val p = new Path(root, d)
-      require(fs.exists(p),
-        s"data directory $d of version $v was vacuumed; its rows cannot " +
-          "be served — start from a retained version")
-      fs.listStatus(p).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(st => PartitionedFile(partitionValues(cdfCols, changeType, v),
-          org.apache.spark.paths.SparkPath.fromPath(st.getPath),
-          0L, st.getLen, Array.empty[String],
-          st.getModificationTime, st.getLen, Map.empty))
+    units.flatMap(u => filesUnder(fs, root, u.dir, v, u.changeType, cdfCols))
+  }
+
+  /** Plan the change units of versions `vs` into input partitions:
+    * plain files pack normally (row-only-wrapped when markers share
+    * the batch — the exec node needs uniform columnar support),
+    * typed-CDC files pack per wanted type, DV-fold directories go one
+    * file per partition with exactly that file's hidden positions.
+    */
+  def planUnits(spark: SparkSession, root: Path, vt: VersionedTable,
+                unitsByVersion: Seq[(Int, Seq[ChangeUnit])],
+                cdfCols: Seq[String]): Array[InputPartition] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val plain = Seq.newBuilder[PartitionedFile]
+    val typedFiles = Seq.newBuilder[(String, PartitionedFile)]
+    val markers = Array.newBuilder[InputPartition]
+    var hasMarkers = false
+    unitsByVersion.foreach { case (v, units) =>
+      units.foreach {
+        case PlainChange(d, t) => plain ++= filesUnder(fs, root, d, v, t, cdfCols)
+        case TypedCdcChange(d, t) =>
+          hasMarkers = true
+          typedFiles ++= filesUnder(fs, root, d, v, t, cdfCols).map((t, _))
+        case DvFoldChange(d, t, dvV) =>
+          hasMarkers = true
+          val hidden = vt.dvHiddenPositions(dvV, Seq(d))
+          filesUnder(fs, root, d, v, t, cdfCols).foreach { f =>
+            val p = f.toPath
+            markers += GraftVtDvPartition(FilePartition(0, Array(f)),
+              hidden.getOrElse(p.getParent.getName + "/" + p.getName,
+                Array.emptyLongArray))
+          }
+      }
     }
+    typedFiles.result().groupBy(_._1).foreach { case (t, fsOfT) =>
+      FilePartition.getFilePartitions(spark, fsOfT.map(_._2), maxBytes)
+        .foreach(fp => markers += GraftVtTypedCdcPartition(fp, t))
+    }
+    val plainParts: Array[InputPartition] =
+      FilePartition.getFilePartitions(spark, plain.result(), maxBytes)
+        .map(fp =>
+          if (hasMarkers) GraftVtRowOnlyPartition(fp): InputPartition
+          else fp: InputPartition).toArray
+    plainParts ++ markers.result()
   }
 }
 
@@ -122,19 +175,18 @@ private[sources] class GraftVtCdfBatch(spark: SparkSession,
                                        vt: VersionedTable, rootPath: String,
                                        fromV: Int, toV: Int,
                                        cdfCols: Seq[String],
-                                       mkReaderFactory: () => PartitionReaderFactory)
+                                       readers: GraftVtCdfReaders)
     extends org.apache.spark.sql.connector.read.Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(rootPath)
-    val files = (fromV to toV).flatMap(v =>
-      GraftVtChangeFiles.filesOf(spark, root, vt,
-        GraftVtChangeFiles.changeDirs(vt, v), v, cdfCols))
-    FilePartition.getFilePartitions(spark, files,
-      spark.sessionState.conf.filesMaxPartitionBytes).toArray
+    val units = (fromV to toV).map(v =>
+      (v, GraftVtChangeFiles.changeDirs(vt, v)))
+    GraftVtChangeFiles.planUnits(spark, root, vt, units, cdfCols)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = mkReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory =
+    readers.mkFactory()
 }
 
 /** The versioned table as a STREAMING SOURCE (Delta's streaming reads):
@@ -175,7 +227,10 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
                               options: Map[String, String],
                               mkReaderFactory: () => PartitionReaderFactory,
                               changeFeed: Boolean = false,
-                              cdfCols: Seq[String] = Nil)
+                              cdfCols: Seq[String] = Nil,
+                              mkDvReaderFactory: Option[() => PartitionReaderFactory] = None,
+                              dvTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty,
+                              cdfReaders: Option[GraftVtCdfReaders] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val root = new Path(rootPath)
@@ -228,45 +283,85 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
     }
   }
 
-  /** The parquet files commit `v` streams, per the commit-kind rules.
-    * A CHANGE FEED stream serves the add/remove synthesis (every
-    * commit kind welcome); a plain row stream requires append-only
-    * history unless ignoreChanges.
+  /** The parquet files commit `v` streams on a PLAIN row stream —
+    * append-only history required unless ignoreChanges (the change
+    * feed plans through [[GraftVtChangeFiles.planUnits]] instead).
     */
   private def filesOf(v: Int): Seq[PartitionedFile] = {
-    val dirsWithType: Seq[(String, String)] =
-      if (changeFeed) GraftVtChangeFiles.changeDirs(vt, v)
-      else {
-        val (op, added) = vt.commitSummary(v)
-        op match {
-          case "append" | "convert" => added.map((_, "insert"))
-          case "optimize" => Nil // dataChange = false: same rows, never replay
-          case "constraint" | "properties" => Nil // metadata-only commits
-          case _ if ignoreChanges => added.map((_, "insert"))
-          case other => throw new IllegalStateException(
-            s"streaming read of $rootPath hit a '$other' commit at version $v — " +
-              "a streamed table must be append-only past the stream's start; " +
-              "set option(\"ignoreChanges\", \"true\") to receive the commit's " +
-              "rewritten rows (rows the rewrite did not change arrive AGAIN), " +
-              "or option(\"readChangeFeed\", \"true\") for tagged changes")
-        }
-      }
-    GraftVtChangeFiles.filesOf(spark, root, vt, dirsWithType, v, cdfCols)
+    val (op, added) = vt.commitSummary(v)
+    val dirsWithType: Seq[(String, String)] = op match {
+      case "append" | "convert" => added.map((_, "insert"))
+      case "optimize" => Nil // dataChange = false: same rows, never replay
+      case "constraint" | "properties" => Nil // metadata-only commits
+      case _ if ignoreChanges => added.map((_, "insert"))
+      case other => throw new IllegalStateException(
+        s"streaming read of $rootPath hit a '$other' commit at version $v — " +
+          "a streamed table must be append-only past the stream's start; " +
+          "set option(\"ignoreChanges\", \"true\") to receive the commit's " +
+          "rewritten rows (rows the rewrite did not change arrive AGAIN), " +
+          "or option(\"readChangeFeed\", \"true\") for tagged changes")
+    }
+    GraftVtChangeFiles.filesOf(spark, root, vt,
+      dirsWithType.map { case (d, t) => GraftVtChangeFiles.PlainChange(d, t) },
+      v, cdfCols)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftVtOffset].version
     val e = end.asInstanceOf[GraftVtOffset].version
-    val files =
-      if (!changeFeed && snapshotInit && s < 0)
+    if (changeFeed)
+      // the change feed plans through the shared unit planner: DV
+      // commits serve their persisted CDC (split per embedded type),
+      // removed/restored DV'd directories fold by row index
+      return GraftVtChangeFiles.planUnits(spark, root, vt,
+        (s + 1 to e).map(v => (v, GraftVtChangeFiles.changeDirs(vt, v))),
+        cdfCols)
+    // Each planned file carries the VERSION whose DV state governs it:
+    // the snapshot-initial batch folds the snapshot version's DVs; a
+    // replayed commit's added directories fold that commit's own DV
+    // state (a RESTORE can re-add directories WITH sidecars).
+    val files: Seq[(Int, PartitionedFile)] =
+      if (snapshotInit && s < 0)
         // The initial batch IS the snapshot at `e`: active directories,
         // not a commit-by-commit replay — a historical overwrite or
         // merge is already folded into the active set.
         GraftVtChangeFiles.filesOf(spark, root, vt,
-          vt.activeDirs(Some(e)).map((_, "insert")), e, cdfCols)
-      else (s + 1 to e).flatMap(filesOf)
-    FilePartition.getFilePartitions(spark, files,
-      spark.sessionState.conf.filesMaxPartitionBytes).toArray
+          vt.activeDirs(Some(e))
+            .map(GraftVtChangeFiles.PlainChange(_, "insert")),
+          e, cdfCols).map((e, _))
+      else (s + 1 to e).flatMap(v => filesOf(v).map((v, _)))
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    if (mkDvReaderFactory.isEmpty ||
+        !files.exists { case (v, f) =>
+          vt.dvsAt(v).contains(f.toPath.getParent.getName) })
+      return FilePartition.getFilePartitions(spark, files.map(_._2),
+        maxBytes).toArray
+    // DV-bearing directories in this batch: their files become one-file
+    // DV partitions (row-index filtered, exactly the batch scan's
+    // mechanism); everything else packs normally but rides row-only
+    // markers — one batch must be uniformly (non-)columnar.
+    val clean = Seq.newBuilder[PartitionedFile]
+    val dvParts = Array.newBuilder[InputPartition]
+    files.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, vfiles) =>
+      val dvs = vt.dvsAt(v)
+      val (dvFiles, rest) = vfiles.map(_._2)
+        .partition(f => dvs.contains(f.toPath.getParent.getName))
+      clean ++= rest
+      if (dvFiles.nonEmpty) {
+        val dirs = dvFiles.map(_.toPath.getParent.getName).distinct
+        val hidden = vt.dvHiddenPositions(v, dirs)
+        dvFiles.foreach { f =>
+          val p = f.toPath
+          dvParts += GraftVtDvPartition(FilePartition(0, Array(f)),
+            hidden.getOrElse(p.getParent.getName + "/" + p.getName,
+              Array.emptyLongArray))
+        }
+      }
+    }
+    val cleanParts: Array[InputPartition] =
+      FilePartition.getFilePartitions(spark, clean.result(), maxBytes)
+        .map(GraftVtRowOnlyPartition(_): InputPartition).toArray
+    cleanParts ++ dvParts.result()
   }
 
   /** Delegated to the batch [[org.apache.spark.sql.execution
@@ -277,7 +372,15 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
     * replicate key by key — and the factory is file-agnostic, so it
     * reads any [[FilePartition]] this stream plans.
     */
-  override def createReaderFactory(): PartitionReaderFactory = mkReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (changeFeed) cdfReaders.fold(mkReaderFactory())(_.mkFactory())
+    else mkDvReaderFactory match {
+      case Some(mkDv) =>
+        // dispatching factory: DV partitions filter hidden rows, clean
+        // partitions (and whole DV-free batches) delegate untouched
+        new GraftVtDvReaderFactory(mkReaderFactory(), mkDv(), dvTypes)
+      case None => mkReaderFactory()
+    }
 
   override def commit(end: Offset): Unit = () // the engine's checkpoint is the record
   override def stop(): Unit = ()

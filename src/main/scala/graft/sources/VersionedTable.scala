@@ -1191,7 +1191,7 @@ class VersionedTable(spark: SparkSession, dir: String,
   /** The schema as the parquet FILES spell it (physical names, same
     * types/order/metadata-free).
     */
-  private def physicalize(schema: org.apache.spark.sql.types.StructType)
+  private[sources] def physicalize(schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       f.copy(name = physicalNameOf(f),
@@ -1700,6 +1700,39 @@ class VersionedTable(spark: SparkSession, dir: String,
     snapshotAt(v).schemaJson.map(j => renameMap(schemaFromJson(j)))
       .getOrElse(Map.empty)
 
+  /** Per-directory DV-hidden row counts of a version (empty when no
+    * DVs are outstanding) — the DSv2 scan's effective-row arithmetic
+    * (limit-prefix coverage, inline-position budgeting) without any
+    * sidecar read.
+    */
+  private[sources] def dvRowCountsAt(v: Int): Map[String, Long] =
+    snapshotAt(v).dvRowsByDir
+
+  /** The hidden row positions of the given directories at a version,
+    * keyed `"<dir>/<file>"`, each value SORTED ascending — the
+    * vectorized DV read path ships each file's slice with its own
+    * input partition and two-pointers them away as the parquet reader
+    * streams indices in order. One plan-time job over the sidecars;
+    * deleted-rows-sized, and the caller budgets it against the
+    * manifest-recorded per-directory hidden counts BEFORE calling (an
+    * over-budget table takes the row-based folding fallback instead).
+    */
+  private[sources] def dvHiddenPositions(v: Int, dirs: Seq[String])
+      : Map[String, Array[Long]] = {
+    import org.apache.spark.sql.functions.col
+    val dvs = snapshotAt(v).dvs
+    val sidecars = dirs.flatMap(dvs.get).flatten.distinct
+    if (sidecars.isEmpty) return Map.empty
+    val dirSet = dirs.toSet
+    dvFrame(sidecars)
+      .filter(col("__graft_dv_dir").isInCollection(dirSet))
+      .collect()
+      .groupBy(r => r.getString(0) + "/" + r.getString(1))
+      .map { case (k, rows) =>
+        k -> rows.map(_.getLong(2)).distinct.sorted
+      }
+  }
+
   /** A DV sidecar frame: the (directory, file, row-position) triples of
     * every row the given sidecars hide.
     */
@@ -1795,8 +1828,10 @@ class VersionedTable(spark: SparkSession, dir: String,
         tagged("__graft_f") === hidden("__graft_dv_file") &&
         tagged("__graft_i") === hidden("__graft_dv_pos"), "left_anti")
       .drop("__graft_d", "__graft_f", "__graft_i")
-    if (clean.isEmpty) folded
-    else read(clean).unionByName(folded, allowMissingColumns = schema.isEmpty)
+    // alias on the DV branch too: a caller's condition addresses the
+    // LOGICAL names whether or not sidecars are outstanding
+    alias(if (clean.isEmpty) folded
+      else read(clean).unionByName(folded, allowMissingColumns = schema.isEmpty))
   }
 
   /** Test seam: the candidate directories the last [[delete]]/[[update]]
@@ -1994,7 +2029,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     * touched directories at write time; off by default.
     */
   def merge(source: DataFrame, keys: Seq[String],
-            writeChangeData: Boolean = false, maxRetries: Int = 5): Int = {
+            writeChangeData: Boolean = false, maxRetries: Int = 5,
+            useDeletionVectors: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin, unix_micros}
     import org.apache.spark.sql.types._
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -2071,11 +2107,42 @@ class VersionedTable(spark: SparkSession, dir: String,
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(snapSchema(c).dataType)))
         .select(snapCols.map(col).toIndexedSeq: _*)
+    // Which of a concurrent winner's added directories may hold rows
+    // matching the merge keys: its recorded stats tested against the
+    // source's conjunctive span, same rule as the touched prune.
+    // (Hoisted above the merge-on-read branch — both commit shapes ride
+    // the same disjointness test.)
+    val addedMayMatch: Commit => Seq[String] = c => spanState match {
+      case Some(None) => Seq.empty // pure insert: nothing can match
+      case None => c.added // unindexable keys: unprovable, conservative
+      case Some(Some(preds)) => c.added.filter { d =>
+        c.addedStats.get(d) match {
+          case None => true // no stats recorded: conservative
+          case Some(st) => preds.forall { case (cn0, lo, hi) =>
+            val cn = mergeL2p.getOrElse(cn0, cn0)
+            st.get(cn) match {
+              case None => true
+              case Some(cs) if cs.min == null => false // all-null key: no match
+              case Some(cs) =>
+                !(lo.exists(l => cmpBound(cs.max, normBound(l)) < 0) ||
+                  hi.exists(h => cmpBound(cs.min, normBound(h)) > 0))
+            }
+          }
+        }
+      }
+    }
+    val srcKeys = source.select(keys.map(col).toIndexedSeq: _*)
+    if (useDeletionVectors && touched.nonEmpty)
+      mergeViaDv(srcAligned, srcKeys, keys, latest, snapSchema, mergeL2p,
+        snapState.dvs, snapState.constraints, touched, addedMayMatch,
+        maxRetries) match {
+        case Some(v) => return v
+        case None => () // matched fraction too large: rewrite pays off
+      }
     val touchedData =
       if (touched.isEmpty) None
       else Some(alignTo(readDirsFolded(None, touched, snapState.dvs,
         mergeL2p.map(_.swap))))
-    val srcKeys = source.select(keys.map(col).toIndexedSeq: _*)
     val newData = touchedData match {
       case Some(td) =>
         td.join(srcKeys, keys, "left_anti").unionByName(srcAligned)
@@ -2105,28 +2172,6 @@ class VersionedTable(spark: SparkSession, dir: String,
           mergeL2p).write.parquet(new Path(root, n).toString)
         Some(n)
       }
-    // Which of a concurrent winner's added directories may hold rows
-    // matching the merge keys: its recorded stats tested against the
-    // source's conjunctive span, same rule as the touched prune.
-    val addedMayMatch: Commit => Seq[String] = c => spanState match {
-      case Some(None) => Seq.empty // pure insert: nothing can match
-      case None => c.added // unindexable keys: unprovable, conservative
-      case Some(Some(preds)) => c.added.filter { d =>
-        c.addedStats.get(d) match {
-          case None => true // no stats recorded: conservative
-          case Some(st) => preds.forall { case (cn0, lo, hi) =>
-            val cn = mergeL2p.getOrElse(cn0, cn0)
-            st.get(cn) match {
-              case None => true
-              case Some(cs) if cs.min == null => false // all-null key: no match
-              case Some(cs) =>
-                !(lo.exists(l => cmpBound(cs.max, normBound(l)) < 0) ||
-                  hi.exists(h => cmpBound(cs.min, normBound(h)) > 0))
-            }
-          }
-        }
-      }
-    }
     publishMutationRetrying("merge", latest, maxRetries, touched,
       revalidate = Seq(name), addedMayMatch,
       mkCommit = vv => Commit(vv, "merge", Seq(name), touched, rows,
@@ -2449,6 +2494,86 @@ class VersionedTable(spark: SparkSession, dir: String,
           System.currentTimeMillis(), addedStats = Map(name -> st),
           cdf = Some(cdfName), addedRows = Map(name -> rows),
           dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
+          dvDirRows = perDir),
+        validated0 = constraints))
+    } finally matched.unpersist()
+  }
+
+  /** MERGE-ON-READ upsert (the DV commit shape applied to MERGE — the
+    * reference's whole append+dedup ingestion pattern, and Delta's
+    * headline DV use case): ONE commit hides the MATCHED target rows
+    * behind a DV sidecar and appends a directory holding every source
+    * row (updated images AND inserts) — no touched directory is
+    * rewritten, so an upsert-heavy pipeline pays the matched rows
+    * twice instead of every touched directory once. Directories whose
+    * key span admitted them but held no actual match are left entirely
+    * alone (the CoW path rewrites them; the DV path provably cannot
+    * change them). The appended payload validates against CHECK
+    * constraints and carries fresh stats; the exact CDC
+    * (update_preimage / update_postimage / insert) is ALWAYS persisted
+    * — the change feed has no synthesis for a DV commit. The same
+    * cumulative-fraction policy as delete/update decides DV vs
+    * rewrite; `None` = caller falls back to copy-on-write.
+    */
+  private def mergeViaDv(srcAligned: DataFrame, srcKeys: DataFrame,
+                         keys: Seq[String], latest: Int,
+                         schema: org.apache.spark.sql.types.StructType,
+                         mergeL2p: Map[String, String],
+                         dvState: Map[String, Seq[String]],
+                         constraints: Map[String, String],
+                         touched: Seq[String],
+                         addedMayMatch: Commit => Seq[String],
+                         maxRetries: Int): Option[Int] = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, split}
+    val v0 = latest + 1
+    // the matched target rows WITH file identity (existing DVs folded —
+    // a row an earlier delete hid must not be re-hidden or double-
+    // counted); the imposed schema pads evolved-away columns with null
+    val matched = readDirsFoldedTagged(Some(schema), touched, dvState,
+      "__graft_file", Some("__graft_pos"))
+      .join(srcKeys, keys, "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dirOf = element_at(split(col("__graft_file"), "/"), -2)
+      val perDir = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perDir.nonEmpty && !dvFractionOk(perDir, latest)) return None
+      val dvName =
+        if (perDir.isEmpty) None // pure insert into touched span: no DV
+        else Some(f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}")
+      dvName.foreach { n =>
+        matched.select(
+          dirOf.as("__graft_dv_dir"),
+          element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
+          col("__graft_pos").as("__graft_dv_pos"))
+          .write.parquet(new Path(root, n).toString)
+      }
+      val (name, rows, st) =
+        try writePayload(srcAligned, v0, constraints, mergeL2p)
+        catch { case t: Throwable =>
+          dvName.foreach(n => fs.delete(new Path(root, n), true)); throw t
+        }
+      if (rows == 0L && perDir.isEmpty) {
+        // empty source touching nothing: a no-op, not an empty commit
+        fs.delete(new Path(root, name), true)
+        return Some(latest)
+      }
+      val pre = matched.drop("__graft_file", "__graft_pos")
+      val tgtKeys = pre.select(keys.map(col).toIndexedSeq: _*)
+      val cdfName = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      toPhysicalDf(
+        pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(srcAligned.join(tgtKeys, keys, "left_semi")
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(srcAligned.join(tgtKeys, keys, "left_anti")
+            .withColumn("_change_type", lit("insert"))),
+        mergeL2p).write.parquet(new Path(root, cdfName).toString)
+      Some(publishMutationRetrying("merge-dv", latest, maxRetries, touched,
+        revalidate = Seq(name), addedMayMatch,
+        mkCommit = vv => Commit(vv, "merge-dv", Seq(name), Seq.empty, rows,
+          System.currentTimeMillis(), addedStats = Map(name -> st),
+          cdf = Some(cdfName), addedRows = Map(name -> rows),
+          dvAdd = dvName, dvDirs = perDir.keys.toSeq.sorted,
           dvDirRows = perDir),
         validated0 = constraints))
     } finally matched.unpersist()
@@ -2827,6 +2952,70 @@ class VersionedTable(spark: SparkSession, dir: String,
     val ck = "__graft_ck"
     rewriteClustered(scope.withColumn(ck, col(clusterBy).cast("double")),
       ck, targetChunks, base, kept)
+  }
+
+  /** DV-DEBT-scoped OPTIMIZE — `OPTIMIZE t WHERE __dv_fraction >= x`:
+    * rewrite ONLY the directories whose cumulative hidden fraction
+    * (sidecar rows over recorded rows) has reached `minFraction` —
+    * the maintenance selector merge-on-read tables need: predicate
+    * scope says WHERE the data lives, but DV debt accrues wherever
+    * mutations LANDED, and at 100 TB the two are unrelated. All
+    * bookkeeping is manifest metadata (per-directory hidden counts) —
+    * no data or sidecar is read to pick the scope. Clusters on
+    * `clusterBy` when given, else deterministic hash bin-packing (the
+    * [[compact]] key). Returns the current version unchanged when no
+    * directory carries that much debt, so a cron'd
+    * debt sweep is free while the table is clean.
+    */
+  def optimizeDvDebt(minFraction: Double, targetChunks: Int,
+                     clusterBy: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
+    require(minFraction > 0.0 && minFraction <= 1.0,
+      s"minFraction must be in (0, 1]: $minFraction")
+    val base = latestVersion
+    require(base >= 0, s"$dir has no committed versions")
+    val snap = snapshotAt(base)
+    val kept = snap.active.filter { d =>
+      val hidden = snap.dvRowsByDir.getOrElse(d, 0L)
+      hidden > 0L && (snap.dirRows.get(d) match {
+        case Some(rows) if rows > 0L => hidden.toDouble / rows >= minFraction
+        case _ => true // debt of unknown proportion: compact it
+      })
+    }
+    if (kept.isEmpty) return base
+    val p2l = snap.schemaJson
+      .map(j => renameMap(schemaFromJson(j)).map(_.swap)).getOrElse(Map.empty)
+    val scope = readDirsFolded(None, kept, snap.dvs, p2l)
+    val ck = "__graft_ck"
+    val keyed = clusterBy match {
+      case Some(c) =>
+        scope.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => ()
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => ()
+          case other => throw new IllegalArgumentException(
+            s"optimize clusterBy must be numeric or timestamp, got " +
+              s"${other.simpleString}")
+        }
+        scope.withColumn(ck, col(c).cast("double"))
+      case None =>
+        def hashable(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.MapType => false
+            case a: org.apache.spark.sql.types.ArrayType =>
+              hashable(a.elementType)
+            case s: org.apache.spark.sql.types.StructType =>
+              s.fields.forall(f => hashable(f.dataType))
+            case _ => true
+          }
+        val hashCols = scope.schema.fields
+          .filter(f => hashable(f.dataType)).map(f => col(f.name))
+        if (hashCols.isEmpty) scope.withColumn(ck, lit(0.0))
+        else scope.withColumn(ck,
+          pmod(xxhash64(struct(hashCols.toIndexedSeq: _*)), lit(1000000L))
+            .cast("double"))
+    }
+    rewriteClustered(keyed, ck, targetChunks, base, kept)
   }
 
   /** Bare OPTIMIZE — bin-packing compaction without a cluster key

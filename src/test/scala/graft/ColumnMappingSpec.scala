@@ -83,14 +83,19 @@ class ColumnMappingSpec extends SparkSuite {
     // pre-rename version reads through the plain parquet path
     assert(spark.read.format("graftvt").option("versionAsOf", 0).load(dir)
       .columns.toSeq === Seq("k", "p"))
-    // streaming a renamed table is refused loudly
-    val e = intercept[Exception] {
-      spark.readStream.format("graftvt").load(dir).writeStream
-        .format("noop").option("checkpointLocation", tmpVt()).start()
-        .processAllAvailable()
-    }
-    assert(e.getMessage.contains("renamed") ||
-      (e.getCause != null && e.getCause.getMessage.contains("renamed")))
+    // streaming a renamed table serves the logical names (the reader
+    // factory reads the physical schema; rows are positional)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = spark.readStream.format("graftvt").load(dir).writeStream
+      .option("checkpointLocation", tmpVt())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(b.columns.toSeq === Seq("k", "price"))
+        sunk ++= b.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(sunk.size === 100)
+    assert(sunk.map(_._2).max === 198.0)
     // a FULL rewrite normalizes: files spell the logical names, the map
     // dissolves, the vectorized DSv2 path returns
     vt.optimize("k", 2)

@@ -67,7 +67,7 @@ class DeletionVectorSpec extends SparkSuite {
     assert(vt.fastNonNullCount("k") === Some(80L))
   }
 
-  test("the DSv2 scan folds DVs through a V1 fallback, pruning intact") {
+  test("the DSv2 scan folds DVs VECTORIZED: BatchScan stays, answers exact") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
     vt.append((0L until 100L).map(k => (k, k * 2.0)).toDF("k", "p"))
@@ -77,11 +77,21 @@ class DeletionVectorSpec extends SparkSuite {
     val expect = (0L until 200L).filter(_ % 7 != 0)
     assert(t.count() === expect.size)
     assert(t.filter(col("k") < 100L).count() === expect.count(_ < 100L))
-    // the fallback plan is the DV-folding V1 relation, not a parquet scan
-    val scans = t.filter(col("k") < 100L).queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    // the DV fold rides the parquet BatchScan (row-index filtering),
+    // NOT the row-based V1 relation
+    val plan = t.filter(col("k") < 100L).queryExecution.executedPlan
+    val batchScans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
-    assert(scans.nonEmpty)
+    assert(batchScans.nonEmpty)
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }.isEmpty)
+    // filters still pushed to the inner parquet scans
+    assert(batchScans.head.scan.asInstanceOf[graft.sources.GraftVtScan]
+      .parquet.pushedFilters.nonEmpty)
+    // full values (not just counts) are exact through the fold
+    assert(t.select("k").collect().map(_.getLong(0)).sorted === expect.toArray)
     // unfiltered COUNT(*) still answers from metadata (LocalTableScan)
     val cnt = t.groupBy().count()
     val local = cnt.queryExecution.executedPlan.collect {
@@ -92,6 +102,168 @@ class DeletionVectorSpec extends SparkSuite {
     // time travel to the pre-delete version uses the plain parquet path
     val t1 = spark.read.format("graftvt").option("versionAsOf", 1).load(dir)
     assert(t1.count() === 200)
+  }
+
+  test("over the inline-position budget the scan falls back to the row fold") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 2.0)).toDF("k", "p"))
+    vt.delete(col("k") % 2 === 0, useDeletionVectors = true)
+    spark.conf.set("spark.graft.dv.maxInlinePositions", "10")
+    try {
+      val t = spark.read.format("graftvt").load(dir)
+      assert(t.count() === 50)
+      val scans = t.filter(col("k") > 0L).queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+      }
+      assert(scans.nonEmpty) // the budgeted fallback is the V1 fold
+    } finally spark.conf.unset("spark.graft.dv.maxInlinePositions")
+  }
+
+  test("OPTIMIZE WHERE __dv_fraction compacts exactly the debt-heavy dirs") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.append((100L until 200L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.append((200L until 300L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.delete(col("k") < 40L, useDeletionVectors = true)   // dir1: 0.40 debt
+    vt.delete(col("k").between(100L, 104L), useDeletionVectors = true) // dir2: 0.05
+    assert(vt.dvsAt(vt.latestVersion).size === 2)
+    def files() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val before = files()
+    // debt threshold 0.2: ONLY the 40%-hidden directory rewrites
+    val v1 = vt.optimizeDvDebt(0.2, targetChunks = 1)
+    val dvsLeft = vt.dvsAt(v1)
+    assert(dvsLeft.size === 1) // dir2's small debt survives untouched
+    assert(vt.read().count() === 255)
+    // the untouched dirs' files are byte-identical (low-debt + clean)
+    assert(files().intersect(before).size >= 2)
+    // SQL form sweeps the rest; a second sweep is a metadata no-op
+    spark.sql(s"OPTIMIZE '$dir' WHERE __dv_fraction >= 0.01 INTO 1 CHUNKS")
+    assert(vt.dvsAt(vt.latestVersion).isEmpty)
+    assert(vt.read().count() === 255)
+    val vNow = vt.latestVersion
+    assert(vt.optimizeDvDebt(0.01, 1) === vNow)
+  }
+
+  test("merge-on-read MERGE: matched rows hidden, source appended, files intact") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.append((100L until 200L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    val before = dataFiles()
+    val src = Seq((10L, -1.0), (110L, -2.0), (500L, 5.0)).toDF("k", "p")
+    val v = vt.merge(src, Seq("k"), useDeletionVectors = true)
+    assert(vt.history().filter(col("version") === v)
+      .head.getAs[String]("op") === "merge-dv")
+    assert(before.subsetOf(dataFiles())) // originals byte-identical
+    assert(vt.dvsAt(v).keySet.size === 2) // one DV per touched dir
+    val got = vt.read().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 201)
+    assert(got(10L) === -1.0 && got(110L) === -2.0 && got(500L) === 5.0)
+    assert(got(11L) === 11.0) // untouched rows intact
+    assert(vt.fastCount() === Some(201L)) // metadata-exact through the DV
+    // exact CDC: one pre+post pair per match, one insert
+    val cdc = vt.changes(v, v).groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdc === Map("update_preimage" -> 2L, "update_postimage" -> 2L,
+      "insert" -> 1L))
+    // a dominant-match merge declines the DV and rewrites (policy)
+    val big = (0L until 200L).map(k => (k, 9.9)).toDF("k", "p")
+    val v2 = vt.merge(big, Seq("k"), useDeletionVectors = true)
+    assert(vt.history().filter(col("version") === v2)
+      .head.getAs[String]("op") === "merge")
+    assert(vt.dvsAt(v2).isEmpty) // the rewrite folded the DV debt away
+    assert(vt.read().count() === 201)
+    assert(vt.read().filter(col("p") === 9.9).count() === 200)
+  }
+
+  test("mutations on a renamed table with outstanding DVs fold and alias") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.renameColumn("k", "id")
+    vt.delete(col("id") < 10L, useDeletionVectors = true)
+    // a second DV mutation reads the FOLDED, ALIASED snapshot (the
+    // tagged fold must serve logical names with sidecars outstanding)
+    vt.delete(col("id") >= 95L, useDeletionVectors = true)
+    assert(vt.read().count() === 85)
+    vt.update(col("id") === 50L, Map("p" -> lit(-1.0)),
+      useDeletionVectors = true)
+    assert(vt.read().filter(col("p") === -1.0).head.getLong(0) === 50L)
+    // merge through the renamed key with DVs outstanding
+    vt.merge(Seq((50L, 77.0), (1000L, 1.0)).toDF("id", "p"), Seq("id"),
+      useDeletionVectors = true)
+    val got = vt.read().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 86)
+    assert(got(50L) === 77.0 && got(1000L) === 1.0)
+  }
+
+  test("DVs and renames compose on the vectorized path") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 2.0)).toDF("k", "p"))
+    vt.append((100L until 200L).map(k => (k, k * 2.0)).toDF("k", "p"))
+    vt.renameColumn("k", "id")
+    vt.delete(col("id") % 5 === 0, useDeletionVectors = true)
+    val t = spark.read.format("graftvt").load(dir)
+    val expect = (0L until 200L).filter(_ % 5 != 0)
+    assert(t.columns.toSeq === Seq("id", "p"))
+    assert(t.count() === expect.size)
+    // a filter on the LOGICAL name prunes dirs AND pushes to parquet
+    // under the physical name, on the BatchScan path
+    val q = t.filter(col("id").between(20L, 140L))
+    assert(q.collect().map(_.getLong(0)).sorted ===
+      expect.filter(k => k >= 20 && k <= 140).toArray)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val inner = scans.head.scan.asInstanceOf[graft.sources.GraftVtScan].parquet
+    assert(inner.pushedFilters.exists(_.references.contains("k"))) // physical
+  }
+
+  test("snapshot-init streaming over a DV'd table serves the folded rows") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 2.0)).toDF("k", "p"))
+    vt.append((100L until 200L).map(k => (k, k * 2.0)).toDF("k", "p"))
+    vt.delete(col("k") % 3 === 0, useDeletionVectors = true)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graftvt").load(dir).writeStream
+      .option("checkpointLocation", tmpVt())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sunk ++= b.collect().map(_.getLong(0)); ()
+      }.start()
+    q.processAllAvailable()
+    // a post-start append still tails in (clean batch after a DV'd one)
+    vt.append(Seq((500L, 1.0)).toDF("k", "p"))
+    q.processAllAvailable(); q.stop()
+    val expect = (0L until 200L).filter(_ % 3 != 0) :+ 500L
+    assert(sunk.sorted === expect.sorted.toArray)
+  }
+
+  test("LIMIT pushdown under DVs covers with effective rows") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 2.0)).toDF("k", "p"))   // 100 rows
+    vt.append((100L until 200L).map(k => (k, k * 2.0)).toDF("k", "p")) // 100 rows
+    vt.setProperties(Map("graft.deletionVectors.maxFraction" -> "0.95"))
+    // hide 90 of the first directory's rows: a raw recorded-rows prefix
+    // of LIMIT 50 would stop at dir 1 (100 recorded) and serve only 10
+    vt.delete(col("k") < 90L, useDeletionVectors = true)
+    assert(vt.dvsAt(vt.latestVersion).nonEmpty) // DV, not a rewrite
+    val t = spark.read.format("graftvt").load(dir)
+    val got = t.limit(50).collect()
+    assert(got.length === 50)
+    assert(got.map(_.getLong(0)).forall(k => k >= 90L))
   }
 
   test("changes() serves the dv delete exactly and folds later synthesis") {
