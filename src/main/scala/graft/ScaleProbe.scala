@@ -309,14 +309,16 @@ object ScaleProbe {
         println(s"[probe] table rows = ${vt.read().count()} in $k dirs")
         def sink(df: DataFrame) =
           df.write.format("noop").mode("overwrite").save()
-        def readTimes(tag: String): Unit = {
-          timed(f"full read  $tag%-18s")(sink(
+        def readTimes(tag: String): Unit = (1 to 2).foreach { p =>
+          // p1 pays the one-offs (sidecar collect, fresh plan); p2 is
+          // the steady-state number the comparison reads
+          timed(f"full read  $tag%-14s p$p")(sink(
             spark.read.format("graftvt").load(tmp)))
-          timed(f"range read $tag%-18s")(sink(
+          timed(f"range read $tag%-14s p$p")(sink(
             spark.read.format("graftvt").load(tmp)
               .filter(col("k") < span)))
         }
-        (1 to 2).foreach(p => readTimes(s"clean p$p"))
+        readTimes("clean")
         Seq(1.0 / k, 0.1, 0.5).distinct.foreach { frac =>
           val dirs = math.max(1, math.round(frac * k).toInt)
           val bound = dirs * span

@@ -227,6 +227,7 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var allFilters: Array[Filter] = Array.empty
   private var ranges: Seq[(String, Option[Any], Option[Any])] = Nil
   private var notNullCols: Seq[String] = Nil
   private var isNullCols: Seq[String] = Nil
@@ -244,6 +245,7 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
     GraftVtFilters.toNullness(f)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    allFilters = filters
     ranges = filters.toSeq.flatMap(toRanges)
     val nullness = filters.toSeq.map(toNullness)
     notNullCols = nullness.flatMap(_._1)
@@ -423,11 +425,6 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
       case None => ()
     }
     if (changeFeed) {
-      require(vt.renamesAt(version).isEmpty,
-        s"the file-level change feed of $rootPath cannot serve a table " +
-          "with renamed columns (files spell physical names); use " +
-          "VersionedTable.changes, or OPTIMIZE (full rewrite) to " +
-          "normalize the names first")
       // Change feed: the scan serves versions' added/removed files with
       // (_change_type, _commit_version) injected as PARTITION VALUES —
       // the reader appends them per row exactly as a partitioned table
@@ -440,29 +437,35 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
         .filter(GraftVtChangeFiles.cdfSchema.fieldNames.contains).toSeq
       val cdfStruct = StructType(cdfCols.map(n =>
         GraftVtChangeFiles.cdfSchema(n)))
+      // physical schemas like the batch scan: every data file and CDC
+      // sidecar spells the STABLE physical names whatever renames came
+      // later — rows are positional, the reported schema stays logical
+      val physBase = vt.physicalize(baseSchema)
+      val physDataCols = vt.physicalize(StructType(dataCols.fields.map(f =>
+        baseSchema.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(f))))
       val emptyIndex = new InMemoryFileIndex(spark, Nil,
-        options.asScala.toMap, Some(baseSchema), NoopCache, None, None)
+        options.asScala.toMap, Some(physBase), NoopCache, None, None)
       def mkCdfScan(readData: StructType): ParquetScan = ParquetScan(spark,
         spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
         emptyIndex,
-        dataSchema = baseSchema,
+        dataSchema = physBase,
         readDataSchema = readData,
         readPartitionSchema = cdfStruct,
         pushedFilters = Array.empty,
         options = options)
-      val readerScan = mkCdfScan(dataCols)
+      val readerScan = mkCdfScan(physDataCols)
       // the marker-schema factories: embedded change type (mixed DV-CDC
       // sidecars read per type) and row index (removed/restored DV'd
       // directories fold) — both appended AFTER the data columns,
       // BEFORE the injected cdf partition columns
       val cdfReaders = GraftVtCdfReaders(
         mkPlain = () => readerScan.createReaderFactory(),
-        mkTyped = () => mkCdfScan(StructType(dataCols.fields :+
+        mkTyped = () => mkCdfScan(StructType(physDataCols.fields :+
           StructField(GraftVtChangeFiles.ChangeType,
             org.apache.spark.sql.types.StringType))).createReaderFactory(),
-        mkDv = () => mkCdfScan(GraftVtFoldedRead.withRowIndex(dataCols))
+        mkDv = () => mkCdfScan(GraftVtFoldedRead.withRowIndex(physDataCols))
           .createReaderFactory(),
-        dataTypes = dataCols.fields.map(_.dataType),
+        dataTypes = physDataCols.fields.map(_.dataType),
         cdfTypes = cdfStruct.fields.map(_.dataType))
       val fromV = Option(options.get("startingVersion")).map(_.trim.toInt)
         .getOrElse(0)
@@ -501,12 +504,16 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
       // names, pushed filters with attributes re-addressed (an
       // untranslatable conjunct just drops — every filter is retained
       // post-scan, so parquet-level pushdown is only ever a bonus).
+      // The INNER scans get ALL pushed conjuncts, not just the
+      // manifest-prunable subset: parquet's own row-group/page skipping
+      // handles shapes (string prefix, IN lists, OR trees) the
+      // directory-stats index never indexes.
       val physTable = vt.physicalize(tableSchema)
       val physRequired = vt.physicalize(StructType(required.fields.map(f =>
         tableSchema.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(f))))
       val physPushed =
-        if (l2p.isEmpty) pushed
-        else pushed.flatMap(GraftVtFilters.toPhysicalFilter(_, l2p))
+        if (l2p.isEmpty) allFilters
+        else allFilters.flatMap(GraftVtFilters.toPhysicalFilter(_, l2p))
       val cleanKept = kept.filterNot(dvs.contains)
       val paths = cleanKept.map(n => new Path(new Path(rootPath), n)).toSeq
       val index = new InMemoryFileIndex(spark, paths,

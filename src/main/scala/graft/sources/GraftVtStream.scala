@@ -142,6 +142,17 @@ private[sources] object GraftVtChangeFiles {
           typedFiles ++= filesUnder(fs, root, d, v, t, cdfCols).map((t, _))
         case DvFoldChange(d, t, dvV) =>
           hasMarkers = true
+          // no row-fold fallback on the feed: refuse unbounded debt
+          // loudly (same budget as the batch scan's vectorized path)
+          val maxInline = spark.conf
+            .get("spark.graft.dv.maxInlinePositions", "8000000").toLong
+          val debt = vt.dvRowCountsAt(dvV)
+            .getOrElse(d, Long.MaxValue / 1024)
+          require(debt <= maxInline,
+            s"change feed of $root: directory $d carries $debt DV-hidden " +
+              s"rows at version $dvV, past " +
+              s"spark.graft.dv.maxInlinePositions ($maxInline); use the " +
+              "row-level batch feed (VersionedTable.changes) for this range")
           val hidden = vt.dvHiddenPositions(dvV, Seq(d))
           filesUnder(fs, root, d, v, t, cdfCols).foreach { f =>
             val p = f.toPath
@@ -339,11 +350,24 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
     // DV-bearing directories in this batch: their files become one-file
     // DV partitions (row-index filtered, exactly the batch scan's
     // mechanism); everything else packs normally but rides row-only
-    // markers — one batch must be uniformly (non-)columnar.
+    // markers — one batch must be uniformly (non-)columnar. Unlike the
+    // batch scan there is NO row-fold fallback here, so debt past the
+    // inline budget refuses loudly instead of collecting unbounded.
+    val maxInline = spark.conf
+      .get("spark.graft.dv.maxInlinePositions", "8000000").toLong
     val clean = Seq.newBuilder[PartitionedFile]
     val dvParts = Array.newBuilder[InputPartition]
     files.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, vfiles) =>
       val dvs = vt.dvsAt(v)
+      val dvRows = vt.dvRowCountsAt(v)
+      val debt = vfiles.map(_._2.toPath.getParent.getName).distinct
+        .filter(dvs.contains)
+        .map(d => dvRows.getOrElse(d, Long.MaxValue / 1024)).sum
+      require(debt <= maxInline,
+        s"streaming $rootPath: version $v carries $debt DV-hidden rows, " +
+          s"past spark.graft.dv.maxInlinePositions ($maxInline); run " +
+          "OPTIMIZE (or a WHERE __dv_fraction sweep) to compact the debt " +
+          "before streaming this snapshot")
       val (dvFiles, rest) = vfiles.map(_._2)
         .partition(f => dvs.contains(f.toPath.getParent.getName))
       clean ++= rest

@@ -44,6 +44,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and delete data directories no kept version references.
   */
 object VersionedTable {
+
+  /** JVM-global hidden-position cache for the vectorized DV read path,
+    * keyed (table dir, version, requested dirs): manifests are
+    * immutable per version, so repeated plans of the same DV'd
+    * snapshot — dashboards, a join reading the table twice — skip the
+    * per-plan sidecar collect. Bounded: cleared wholesale past 64
+    * entries (entries are deleted-rows-sized; the budget guard in the
+    * scan keeps each small).
+    */
+  private val dvPosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Array[Long]]]()
+
+  private[sources] def dvPosCached(key: String)
+      (load: => Map[String, Array[Long]]): Map[String, Array[Long]] = {
+    val hit = dvPosCache.get(key)
+    if (hit != null) return hit
+    val v = load
+    if (dvPosCache.size > 64) dvPosCache.clear()
+    dvPosCache.put(key, v)
+    v
+  }
+
   /** CONVERT an existing FLAT parquet directory into a versioned table
     * IN PLACE (Delta's `CONVERT TO DELTA`): every `*.parquet` file is
     * RENAMED (metadata-only — no data copied or rewritten, whatever
@@ -1723,14 +1745,22 @@ class VersionedTable(spark: SparkSession, dir: String,
     val dvs = snapshotAt(v).dvs
     val sidecars = dirs.flatMap(dvs.get).flatten.distinct
     if (sidecars.isEmpty) return Map.empty
-    val dirSet = dirs.toSet
-    dvFrame(sidecars)
-      .filter(col("__graft_dv_dir").isInCollection(dirSet))
-      .collect()
-      .groupBy(r => r.getString(0) + "/" + r.getString(1))
-      .map { case (k, rows) =>
-        k -> rows.map(_.getLong(2)).distinct.sorted
-      }
+    // manifests are immutable per version: repeated plans of the same
+    // DV'd snapshot serve from the JVM-global cache, no sidecar re-read.
+    // The key carries the SIDECAR names (UUID-suffixed), not just the
+    // version — a DROP + re-CREATE at the same path reuses versions but
+    // can never reuse a sidecar name.
+    VersionedTable.dvPosCached(
+      s"$dir@${sidecars.sorted.mkString("+")}@${dirs.sorted.mkString(",")}") {
+      val dirSet = dirs.toSet
+      dvFrame(sidecars)
+        .filter(col("__graft_dv_dir").isInCollection(dirSet))
+        .collect()
+        .groupBy(r => r.getString(0) + "/" + r.getString(1))
+        .map { case (k, rows) =>
+          k -> rows.map(_.getLong(2)).distinct.sorted
+        }
+    }
   }
 
   /** A DV sidecar frame: the (directory, file, row-position) triples of

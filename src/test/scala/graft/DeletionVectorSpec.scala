@@ -250,6 +250,34 @@ class DeletionVectorSpec extends SparkSuite {
     assert(sunk.sorted === expect.sorted.toArray)
   }
 
+  test("runtime (DPP) pruning composes with the DV fold") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    // 3 range-disjoint fact dirs; DV on the FIRST (the one DPP keeps)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.append((100L until 200L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.append((200L until 300L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.delete(col("k") % 10 === 0, useDeletionVectors = true)
+    val dimDir = tmpVt()
+    (0L until 300L).map(i => (i, if (i < 100) "keep" else "drop"))
+      .toDF("dk", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.format("graftvt").load(dir)
+    val joined = fact.join(dim.filter(col("tag") === "keep"),
+      fact("k") === dim("dk"))
+    // 100 keep-keys minus the 10 DV-hidden multiples of 10 below 100
+    assert(joined.collect().length === 90)
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan
+      case p => p
+    }
+    val scan = finalPlan.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case s: graft.sources.GraftVtScan => s }.get
+    assert(scan.runtimeKept === Some(1)) // runtime-pruned to the DV'd dir
+  }
+
   test("LIMIT pushdown under DVs covers with effective rows") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)

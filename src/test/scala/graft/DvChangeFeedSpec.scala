@@ -62,6 +62,32 @@ class DvChangeFeedSpec extends SparkSuite {
     assert(got.count(_._3 == "insert") === 1)
   }
 
+  test("CDF serves renamed tables under the logical names") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 40L).map(k => (k, k * 1.0)).toDF("k", "p"))    // v0
+    vt.renameColumn("p", "price")                                       // v1
+    vt.delete(col("k") < 3L, useDeletionVectors = true)                 // v2
+    vt.append(Seq((100L, 9.0)).toDF("k", "price"))                      // v3
+    val feed = spark.read.format("graftvt")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2).option("endingVersion", 3)
+      .load(dir)
+    assert(feed.columns.toSeq ===
+      Seq("k", "price", "_change_type", "_commit_version"))
+    val got = feed.select("k", "price", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3)))
+      .toSeq.sorted
+    val want = sig(vt.changes(2, 3)
+      .withColumnRenamed("price", "p")
+      .select("k", "p", "_change_type", "_commit_version"))
+      .map { case (k, p, t, v) => (k, p, t, v) }
+    assert(got === want)
+    assert(got.count(_._3 == "delete") === 3)
+    assert(got.count(_._3 == "insert") === 1)
+  }
+
   test("streaming CDF: a DV DELETE lands mid-stream, sink equals batch CDF") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
