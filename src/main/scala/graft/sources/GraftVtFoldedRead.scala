@@ -28,14 +28,33 @@ private[sources] class GraftVtDvBatch(clean: Batch, dv: Batch,
                                       dataTypes: Array[DataType])
     extends Batch {
 
+  private val cleanFactory = clean.createReaderFactory()
+  private val dvFactory = dv.createReaderFactory()
+
+  /** Whether the WHOLE batch can stay COLUMNAR: every projected type
+    * has a vector-copy path AND both parquet factories report columnar
+    * support (their check reads conf + schema, not the partition).
+    * When true, DV'd files filter at BATCH granularity (surviving rows
+    * copied into fresh vectors — a copy of the minority) and the
+    * DV-free majority keeps the untouched vectorized + whole-stage
+    * path; when false, everything reads rows (the exec node requires
+    * all-or-nothing columnar across one batch's partitions).
+    */
+  private val columnarOk: Boolean =
+    dataTypes.forall(GraftVtColumnarDv.supportedType) &&
+      (try {
+        val dummy = FilePartition(0, Array.empty)
+        cleanFactory.supportColumnarReads(dummy) &&
+          dvFactory.supportColumnarReads(dummy)
+      } catch { case _: Exception => false })
+
   override def planInputPartitions(): Array[InputPartition] = {
-    // clean partitions ride row-only markers: this batch exists because
-    // DV partitions exist, and the exec node needs uniform (non-)
-    // columnar support across one batch's partitions
-    val cleanParts: Array[InputPartition] = clean.planInputPartitions().map {
-      case fp: FilePartition => GraftVtRowOnlyPartition(fp)
-      case other => other
-    }
+    val cleanParts: Array[InputPartition] =
+      if (columnarOk) clean.planInputPartitions()
+      else clean.planInputPartitions().map {
+        case fp: FilePartition => GraftVtRowOnlyPartition(fp)
+        case other => other
+      }
     // one PartitionedFile per partition: the hidden-position slice is
     // keyed by file, and row indices only increase within one file's
     // range — a multi-file partition would interleave index spaces
@@ -52,8 +71,8 @@ private[sources] class GraftVtDvBatch(clean: Batch, dv: Batch,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftVtDvReaderFactory(clean.createReaderFactory(),
-      dv.createReaderFactory(), dataTypes)
+    new GraftVtDvReaderFactory(cleanFactory, dvFactory, dataTypes,
+      columnarOk)
 }
 
 /** One DV'd parquet file (possibly a byte-range split of it) plus the
@@ -152,7 +171,8 @@ private[sources] class GraftVtCdfReaderFactory(plain: PartitionReaderFactory,
   */
 private[sources] class GraftVtDvReaderFactory(clean: PartitionReaderFactory,
                                               dv: PartitionReaderFactory,
-                                              dataTypes: Array[DataType])
+                                              dataTypes: Array[DataType],
+                                              columnarDv: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -163,19 +183,24 @@ private[sources] class GraftVtDvReaderFactory(clean: PartitionReaderFactory,
       case other => clean.createReader(other)
     }
 
-  /** DV and row-only partitions read as rows; anything else delegates —
-    * so a batch WITHOUT deletion vectors keeps whatever columnar
-    * support the clean factory reports (the planner plans row-only
-    * markers exactly when a batch mixes).
+  /** With `columnarDv` the whole batch stays columnar (DV files filter
+    * at batch granularity); otherwise DV and row-only partitions read
+    * as rows and DV-free batches keep whatever the clean factory
+    * reports (the planner plans row-only markers exactly when a batch
+    * mixes).
     */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case _: GraftVtDvPartition | _: GraftVtRowOnlyPartition => false
+    case _: GraftVtDvPartition => columnarDv
+    case _: GraftVtRowOnlyPartition => false
     case other => clean.supportColumnarReads(other)
   }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     p match {
+      case d: GraftVtDvPartition if columnarDv =>
+        new GraftVtDvColumnarReader(dv.createColumnarReader(d.inner),
+          d.hidden, dataTypes)
       case _: GraftVtDvPartition | _: GraftVtRowOnlyPartition =>
         throw new UnsupportedOperationException(
           "DV/row-only partitions read row-based")
@@ -249,6 +274,164 @@ private[sources] class GraftVtDvRowReader(inner: PartitionReader[InternalRow],
     extends GraftVtFilteringReader(inner, dataTypes,
       Array.range(0, dataTypes.length),
       GraftVtFilteringReader.dvKeep(hidden, dataTypes.length))
+
+private[sources] object GraftVtColumnarDv {
+  import org.apache.spark.sql.types._
+
+  /** Types the vector-copy path handles — every atomic type the stats
+    * index meets in practice; anything else (nested, interval, variant)
+    * takes the row path.
+    */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+         LongType | TimestampType | TimestampNTZType | FloatType |
+         DoubleType | StringType | BinaryType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+}
+
+/** The COLUMNAR DV filter: each incoming batch's trailing row-index
+  * vector drives the same sorted-positions two-pointer as the row
+  * reader; a batch with no hidden rows passes through ZERO-COPY (its
+  * vectors re-wrapped without the index column), a batch with hits has
+  * its surviving rows copied into fresh on-heap vectors. The copy only
+  * ever touches the DV'd files — the DV-free majority of the table
+  * reads through the stock columnar path untouched, so whole-stage
+  * codegen and batch processing survive an outstanding DV.
+  */
+private[sources] class GraftVtDvColumnarReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    hidden: Array[Long], dataTypes: Array[DataType])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+  import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+
+  private val width = dataTypes.length
+  private var ptr = 0
+  private var out: ColumnarBatch = _
+  private var outOwned = false // only COPIED batches may be closed here
+
+  private def closeOut(): Unit =
+    if (out != null && outOwned) { out.close(); out = null }
+
+  override def next(): Boolean = {
+    closeOut()
+    while (inner.next()) {
+      val b = inner.get()
+      val n = b.numRows()
+      val idxCol = b.column(width)
+      val keep = new Array[Int](n)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        val idx = idxCol.getLong(i)
+        while (ptr < hidden.length && hidden(ptr) < idx) ptr += 1
+        if (ptr >= hidden.length || hidden(ptr) != idx) {
+          keep(m) = i; m += 1
+        }
+        i += 1
+      }
+      if (m == n) {
+        // nothing hidden here: re-wrap the inner vectors minus the
+        // index column — zero copy, vectors stay owned by the inner
+        // reader (consumed before the next call per reader contract)
+        out = new ColumnarBatch(
+          Array.tabulate[ColumnVector](width)(b.column), n)
+        outOwned = false
+        return true
+      }
+      if (m > 0) {
+        val vecs = Array.tabulate[ColumnVector](width) { c =>
+          val dst = new OnHeapColumnVector(m, dataTypes(c))
+          copyRows(b.column(c), keep, m, dst, dataTypes(c))
+          dst
+        }
+        out = new ColumnarBatch(vecs, m)
+        outOwned = true
+        return true
+      }
+      // whole batch hidden: keep scanning
+    }
+    false
+  }
+
+  private def copyRows(src: ColumnVector, keep: Array[Int], m: Int,
+                       dst: WritableColumnVector,
+                       dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    var j = 0
+    dt match {
+      case BooleanType => while (j < m) {
+        val i = keep(j)
+        if (src.isNullAt(i)) dst.putNull(j) else dst.putBoolean(j, src.getBoolean(i))
+        j += 1
+      }
+      case ByteType => while (j < m) {
+        val i = keep(j)
+        if (src.isNullAt(i)) dst.putNull(j) else dst.putByte(j, src.getByte(i))
+        j += 1
+      }
+      case ShortType => while (j < m) {
+        val i = keep(j)
+        if (src.isNullAt(i)) dst.putNull(j) else dst.putShort(j, src.getShort(i))
+        j += 1
+      }
+      case IntegerType | DateType => while (j < m) {
+        val i = keep(j)
+        if (src.isNullAt(i)) dst.putNull(j) else dst.putInt(j, src.getInt(i))
+        j += 1
+      }
+      case LongType | TimestampType | TimestampNTZType => while (j < m) {
+        val i = keep(j)
+        if (src.isNullAt(i)) dst.putNull(j) else dst.putLong(j, src.getLong(i))
+        j += 1
+      }
+      case FloatType => while (j < m) {
+        val i = keep(j)
+        if (src.isNullAt(i)) dst.putNull(j) else dst.putFloat(j, src.getFloat(i))
+        j += 1
+      }
+      case DoubleType => while (j < m) {
+        val i = keep(j)
+        if (src.isNullAt(i)) dst.putNull(j) else dst.putDouble(j, src.getDouble(i))
+        j += 1
+      }
+      case StringType => while (j < m) {
+        val i = keep(j)
+        if (src.isNullAt(i)) dst.putNull(j)
+        else {
+          val u = src.getUTF8String(i).getBytes
+          dst.putByteArray(j, u, 0, u.length)
+        }
+        j += 1
+      }
+      case BinaryType => while (j < m) {
+        val i = keep(j)
+        if (src.isNullAt(i)) dst.putNull(j)
+        else {
+          val bs = src.getBinary(i)
+          dst.putByteArray(j, bs, 0, bs.length)
+        }
+        j += 1
+      }
+      case d: DecimalType => while (j < m) {
+        val i = keep(j)
+        if (src.isNullAt(i)) dst.putNull(j)
+        else dst.putDecimal(j, src.getDecimal(i, d.precision, d.scale),
+          d.precision)
+        j += 1
+      }
+      case other => throw new IllegalStateException(
+        s"unsupported columnar DV copy type $other — guarded by " +
+          "GraftVtColumnarDv.supportedType") // unreachable by construction
+    }
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = out
+  override def close(): Unit = { closeOut(); inner.close() }
+}
 
 /** The change feed's three reader factories (plain / embedded-type /
   * row-index marker schemas) plus the types the dispatching factory's

@@ -90,6 +90,9 @@ class DeletionVectorSpec extends SparkSuite {
     // filters still pushed to the inner parquet scans
     assert(batchScans.head.scan.asInstanceOf[graft.sources.GraftVtScan]
       .parquet.pushedFilters.nonEmpty)
+    // the exec stays COLUMNAR: DV'd files filter at batch granularity,
+    // the DV-free majority keeps vectorized + whole-stage untouched
+    assert(batchScans.head.supportsColumnar)
     // full values (not just counts) are exact through the fold
     assert(t.select("k").collect().map(_.getLong(0)).sorted === expect.toArray)
     // unfiltered COUNT(*) still answers from metadata (LocalTableScan)
@@ -118,6 +121,29 @@ class DeletionVectorSpec extends SparkSuite {
       }
       assert(scans.nonEmpty) // the budgeted fallback is the V1 fold
     } finally spark.conf.unset("spark.graft.dv.maxInlinePositions")
+  }
+
+  test("columnar DV filter: dense deletes, strings, whole-files hidden") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    // several files per dir (repartition), string + double + long cols
+    vt.append(spark.range(0, 10000).toDF("k")
+      .withColumn("s", concat(lit("v"), col("k")))
+      .withColumn("p", col("k") * 1.5).repartition(4))
+    vt.setProperties(Map("graft.deletionVectors.maxFraction" -> "0.95"))
+    // dense delete: 90% hidden — some batches/files end up fully hidden
+    vt.delete(col("k") % 10 =!= 0, useDeletionVectors = true)
+    val t = spark.read.format("graftvt").load(dir)
+    val got = t.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = (0L until 10000L by 10)
+      .map(k => (k, s"v$k", k * 1.5))
+    assert(got.sortBy(_._1).toSeq === want)
+    // sparse delete on top (second sidecar on the same dir): both fold
+    vt.setProperties(Map("graft.deletionVectors.maxFraction" -> "0.99"))
+    vt.delete(col("k") === 5000L, useDeletionVectors = true)
+    assert(spark.read.format("graftvt").load(dir).count() === 999)
+    assert(spark.read.format("graftvt").load(dir)
+      .agg(sum("k")).head.getLong(0) === want.map(_._1).sum - 5000L)
   }
 
   test("OPTIMIZE WHERE __dv_fraction compacts exactly the debt-heavy dirs") {
