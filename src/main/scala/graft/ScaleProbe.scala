@@ -283,6 +283,13 @@ object ScaleProbe {
           vt.readPruned("o_orderkey", Some(1000L), Some(maxKey / 100))
             .filter(col("o_orderkey").between(1000L, maxKey / 100))
             .write.format("noop").mode("overwrite").save())
+        // Merge-on-read MERGE last (own timing, perturbs nothing above):
+        // the same ~2% upsert as the CoW merge, via one DV sidecar + one
+        // appended payload — must track the MATCHED rows, not the
+        // touched directories.
+        timed("merge-dv ~2% of keys")(
+          vt.merge(upd.withColumn("o_totalprice", col("o_totalprice") + 2.0),
+            Seq("o_orderkey"), useDeletionVectors = true))
 
       case "dvread" =>
         // The DV READ path at scale: a K-dir range-disjoint table with

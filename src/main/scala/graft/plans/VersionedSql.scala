@@ -37,6 +37,13 @@ import org.apache.spark.sql.types._
   */
 object VersionedSql {
 
+  /** The merge-on-read opt-in every DML runner consults:
+    * `TBLPROPERTIES ('graft.deletionVectors' = 'true')`.
+    */
+  private[plans] def dvOptIn(vt: graft.sources.VersionedTable): Boolean =
+    vt.tableProperties()
+      .get("graft.deletionVectors").exists(_.trim.equalsIgnoreCase("true"))
+
   /** Resolve a command target: `'path'`/`"path"` literal → the
     * directory itself; otherwise the managed bridge for the (possibly
     * backticked) table name. Returns the table plus, for bridge names,
@@ -292,9 +299,7 @@ case class GraftUpdate(target: String, assignments: Seq[(String, String)],
     import org.apache.spark.sql.functions.{expr, lit}
     val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
     val cond = where.map(expr).getOrElse(lit(true))
-    // merge-on-read opt-in, same property as DELETE
-    val useDv = vt.tableProperties()
-      .get("graft.deletionVectors").exists(_.trim.equalsIgnoreCase("true"))
+    val useDv = VersionedSql.dvOptIn(vt)
     val v = vt.update(cond,
       assignments.map { case (c, e) => c -> expr(e) }.toMap,
       useDeletionVectors = useDv)
@@ -319,8 +324,7 @@ case class GraftDelete(target: String, where: Option[String])
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
     val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
-    val useDv = vt.tableProperties()
-      .get("graft.deletionVectors").exists(_.trim.equalsIgnoreCase("true"))
+    val useDv = VersionedSql.dvOptIn(vt)
     val v = vt.delete(where.map(expr).getOrElse(lit(true)),
       useDeletionVectors = useDv)
     bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
@@ -349,9 +353,7 @@ case class GraftMerge(target: String, sourceSql: String, keys: Seq[String])
     val sourceDf =
       if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
       else spark.table(src)
-    // merge-on-read opt-in, same property as DELETE/UPDATE
-    val useDv = vt.tableProperties()
-      .get("graft.deletionVectors").exists(_.trim.equalsIgnoreCase("true"))
+    val useDv = VersionedSql.dvOptIn(vt)
     val v = vt.merge(sourceDf, keys, useDeletionVectors = useDv)
     bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
     Seq(Row(v))

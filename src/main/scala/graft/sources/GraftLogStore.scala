@@ -72,39 +72,57 @@ trait GraftClaimCoordinator {
 class GraftDirectoryClaimCoordinator(dir: Path, fs: FileSystem)
     extends GraftClaimCoordinator {
 
-  private def slotPath(slot: String): Path =
-    // slots are full target paths: flatten to a filename (the claim
-    // namespace is per-coordinator-directory)
-    new Path(dir, java.lang.Integer.toHexString(slot.hashCode) + "-" +
-      new Path(slot).getName + ".claim")
+  private def slotPath(slot: String): Path = {
+    // slots are full target paths: flatten to a filename. The digest is
+    // a full SHA-256 prefix (128 bits) of the WHOLE slot string — a
+    // 32-bit hash would let two different tables' same-numbered
+    // manifests collide in a shared coordinator directory, and the
+    // recovery path would then roll a FOREIGN table's bytes forward.
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(slot.getBytes("UTF-8")).take(16)
+      .map(b => f"$b%02x").mkString
+    new Path(dir, digest + "-" + new Path(slot).getName + ".claim")
+  }
 
+  /** Claim = make the fully-written content file appear at the slot
+    * path ATOMICALLY: the value is first written to a private tmp (a
+    * failure there is a FAILED claim attempt and throws — it must not
+    * read as "someone else holds the slot", which would let a writer
+    * roll ITS OWN half-claim forward and then also retry as a loser,
+    * duplicating the commit), then linked/renamed into place with the
+    * backend's atomic no-overwrite primitive.
+    */
   override def claim(slot: String, value: String): Boolean = {
     fs.mkdirs(dir)
     val p = slotPath(slot)
-    if (fs.getScheme == "file")
-      // Hadoop's LOCAL create(overwrite = false) is an exists-check
-      // then create — racy; O_CREAT|O_EXCL via NIO is the kernel-atomic
-      // form (same reasoning as the hard-link publish in [[GraftLogStore]])
+    if (fs.exists(p)) return false // fast path; the create still arbitrates
+    val tmp = new Path(dir,
+      s".claim-tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    if (fs.getScheme == "file") {
+      // kernel-atomic publish: hard-link the complete tmp onto the
+      // claim path — link(2) fails EEXIST atomically (Hadoop's LOCAL
+      // create(overwrite = false) is a racy exists-check-then-create)
+      val localTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+      java.nio.file.Files.write(localTmp, value.getBytes("UTF-8"))
       try {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(p.toUri.getPath),
-          value.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(p.toUri.getPath), localTmp)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(localTmp)
+    } else {
+      // HDFS-semantics stores: write the tmp fully (any failure here
+      // propagates — the claim was NOT taken), then the namenode-atomic
+      // no-overwrite rename arbitrates
+      val out = fs.create(tmp, false)
+      try out.write(value.getBytes("UTF-8")) finally out.close()
+      val won = try fs.rename(tmp, p) catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       }
-    else
-      try {
-        // on HDFS-semantics stores create(overwrite = false) IS the
-        // namenode-atomic no-overwrite primitive
-        val out = fs.create(p, false)
-        try out.write(value.getBytes("UTF-8")) finally out.close()
-        true
-      } catch {
-        case _: java.io.IOException => false // already claimed
-      }
+      if (!won) fs.delete(tmp, false)
+      won
+    }
   }
 
   override def claimedValue(slot: String): Option[String] = {
@@ -126,15 +144,25 @@ class GraftDirectoryClaimCoordinator(dir: Path, fs: FileSystem)
 /** A JVM-global claims map — single-process arbitration (concurrent
   * writer THREADS in one application, and the default rig for specs).
   * Multi-process writers need [[GraftDirectoryClaimCoordinator]] or a
-  * service-backed [[GraftClaimCoordinator]].
+  * service-backed [[GraftClaimCoordinator]]. Insertion-ordered and
+  * BOUNDED: a slot is never re-contended once its manifest exists, so
+  * evicting the oldest entries past the cap cannot hand out a second
+  * win — it only forgets recovery hints for long-completed commits.
   */
 object GraftInProcessClaimCoordinator extends GraftClaimCoordinator {
-  private val claims =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val MaxEntries = 65536
+  private val claims = new java.util.LinkedHashMap[String, String]() {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, String]): Boolean =
+      size() > MaxEntries
+  }
   override def claim(slot: String, value: String): Boolean =
-    claims.putIfAbsent(slot, value) == null
+    claims.synchronized {
+      if (claims.containsKey(slot)) false
+      else { claims.put(slot, value); true }
+    }
   override def claimedValue(slot: String): Option[String] =
-    Option(claims.get(slot))
+    claims.synchronized(Option(claims.get(slot)))
 }
 
 /** The object-store commit protocol (Delta's S3 LogStore shape, over
@@ -173,12 +201,14 @@ class GraftCoordinatedLogStore extends GraftLogStore {
   private def put(fs: FileSystem, tmp: Path, target: Path,
                   deleteTmp: Boolean): Unit = {
     val in = fs.open(tmp)
-    val out = fs.create(target, true)
     try {
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally { in.close(); out.close() }
+      val out = fs.create(target, true)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+    } finally in.close()
     if (deleteTmp) fs.delete(tmp, false)
   }
 
@@ -192,12 +222,16 @@ class GraftCoordinatedLogStore extends GraftLogStore {
       // commit from the tmp path its claim recorded (identical bytes —
       // a duplicate copy is harmless; best-effort because a LIVE winner
       // mid-upload may hold a lease on the target, and then it will
-      // finish the upload itself)
+      // finish the upload itself). A malformed/empty recorded value is
+      // skipped, never fatal — the claim file is a hint, not the commit.
       if (!fs.exists(target))
-        try coord.claimedValue(target.toString).map(new Path(_))
+        try coord.claimedValue(target.toString).filter(_.trim.nonEmpty)
+          .map(v => new Path(v.trim))
           .filter(fs.exists).foreach(wtmp =>
             put(fs, wtmp, target, deleteTmp = false))
-        catch { case _: java.io.IOException => () }
+        catch {
+          case _: java.io.IOException | _: IllegalArgumentException => ()
+        }
       false
     }
   }

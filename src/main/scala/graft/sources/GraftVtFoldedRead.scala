@@ -55,17 +55,10 @@ private[sources] class GraftVtDvBatch(clean: Batch, dv: Batch,
         case fp: FilePartition => GraftVtRowOnlyPartition(fp)
         case other => other
       }
-    // one PartitionedFile per partition: the hidden-position slice is
-    // keyed by file, and row indices only increase within one file's
-    // range — a multi-file partition would interleave index spaces
     val dvParts: Array[InputPartition] = dv.planInputPartitions().flatMap {
-      case fp: FilePartition => fp.files.map { f =>
-        val p = f.toPath
-        val key = p.getParent.getName + "/" + p.getName
-        GraftVtDvPartition(FilePartition(0, Array(f)),
-          hidden.getOrElse(key, Array.emptyLongArray)): InputPartition
-      }
-      case other => Array(other: InputPartition) // defensive: clean path
+      case fp: FilePartition =>
+        GraftVtFoldedRead.dvPartitionsFor(fp.files.toSeq, hidden)
+      case other => Seq(other) // defensive: clean path
     }
     cleanParts ++ dvParts
   }
@@ -464,4 +457,30 @@ private[sources] object GraftVtFoldedRead {
 
   def withRowIndex(schema: StructType): StructType =
     StructType(schema.fields :+ RowIndexField)
+
+  /** The ONE budget every DV position consumer reads: the batch scan
+    * falls back to the row fold past it, streams and the change feed
+    * refuse loudly (they have no fold).
+    */
+  val MaxInlinePositionsKey = "spark.graft.dv.maxInlinePositions"
+  val MaxInlinePositionsDefault = 8000000L
+
+  def maxInlinePositions(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(MaxInlinePositionsKey,
+      MaxInlinePositionsDefault.toString).toLong
+
+  /** One-file DV partitions for the given files: the hidden-position
+    * slice is keyed `"<dir>/<file>"` and row indices only increase
+    * within one file's range — the ONE construction every DV-planning
+    * path (batch scan, plain stream, change feed) shares, so the
+    * keying convention cannot drift between them.
+    */
+  def dvPartitionsFor(files: Seq[org.apache.spark.sql.execution.datasources.PartitionedFile],
+                      hidden: Map[String, Array[Long]]): Seq[InputPartition] =
+    files.map { f =>
+      val p = f.toPath
+      GraftVtDvPartition(FilePartition(0, Array(f)),
+        hidden.getOrElse(p.getParent.getName + "/" + p.getName,
+          Array.emptyLongArray)): InputPartition
+    }
 }

@@ -495,9 +495,7 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
         val dvRows = vt.dvRowCountsAt(version)
         val hiddenTotal = dvKept.iterator
           .map(d => dvRows.getOrElse(d, Long.MaxValue / 1024)).sum
-        val maxInline = spark.conf
-          .get("spark.graft.dv.maxInlinePositions", "8000000").toLong
-        if (hiddenTotal > maxInline)
+        if (hiddenTotal > GraftVtFoldedRead.maxInlinePositions(spark))
           return new GraftVtV1FoldScan(vt, version, kept, required, rootPath)
       }
       // Physicalize once: schema the files spell, projection in file

@@ -144,22 +144,18 @@ private[sources] object GraftVtChangeFiles {
           hasMarkers = true
           // no row-fold fallback on the feed: refuse unbounded debt
           // loudly (same budget as the batch scan's vectorized path)
-          val maxInline = spark.conf
-            .get("spark.graft.dv.maxInlinePositions", "8000000").toLong
+          val maxInline = GraftVtFoldedRead.maxInlinePositions(spark)
           val debt = vt.dvRowCountsAt(dvV)
             .getOrElse(d, Long.MaxValue / 1024)
           require(debt <= maxInline,
             s"change feed of $root: directory $d carries $debt DV-hidden " +
               s"rows at version $dvV, past " +
-              s"spark.graft.dv.maxInlinePositions ($maxInline); use the " +
-              "row-level batch feed (VersionedTable.changes) for this range")
+              s"${GraftVtFoldedRead.MaxInlinePositionsKey} ($maxInline); " +
+              "use the row-level batch feed (VersionedTable.changes) for " +
+              "this range")
           val hidden = vt.dvHiddenPositions(dvV, Seq(d))
-          filesUnder(fs, root, d, v, t, cdfCols).foreach { f =>
-            val p = f.toPath
-            markers += GraftVtDvPartition(FilePartition(0, Array(f)),
-              hidden.getOrElse(p.getParent.getName + "/" + p.getName,
-                Array.emptyLongArray))
-          }
+          markers ++= GraftVtFoldedRead.dvPartitionsFor(
+            filesUnder(fs, root, d, v, t, cdfCols), hidden)
       }
     }
     typedFiles.result().groupBy(_._1).foreach { case (t, fsOfT) =>
@@ -342,9 +338,14 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
           e, cdfCols).map((e, _))
       else (s + 1 to e).flatMap(v => filesOf(v).map((v, _)))
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    // ONE snapshot fold per distinct version in the batch — the
+    // per-file predicate below must not re-fold the manifest log for
+    // every planned file (O(files × log length) I/O at planning time)
+    val dvByV: Map[Int, Map[String, Seq[String]]] =
+      files.map(_._1).distinct.map(v => v -> vt.dvsAt(v)).toMap
     if (mkDvReaderFactory.isEmpty ||
         !files.exists { case (v, f) =>
-          vt.dvsAt(v).contains(f.toPath.getParent.getName) })
+          dvByV(v).contains(f.toPath.getParent.getName) })
       return FilePartition.getFilePartitions(spark, files.map(_._2),
         maxBytes).toArray
     // DV-bearing directories in this batch: their files become one-file
@@ -353,33 +354,27 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
     // markers — one batch must be uniformly (non-)columnar. Unlike the
     // batch scan there is NO row-fold fallback here, so debt past the
     // inline budget refuses loudly instead of collecting unbounded.
-    val maxInline = spark.conf
-      .get("spark.graft.dv.maxInlinePositions", "8000000").toLong
+    val maxInline = GraftVtFoldedRead.maxInlinePositions(spark)
     val clean = Seq.newBuilder[PartitionedFile]
     val dvParts = Array.newBuilder[InputPartition]
     files.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, vfiles) =>
-      val dvs = vt.dvsAt(v)
+      val dvs = dvByV(v)
       val dvRows = vt.dvRowCountsAt(v)
       val debt = vfiles.map(_._2.toPath.getParent.getName).distinct
         .filter(dvs.contains)
         .map(d => dvRows.getOrElse(d, Long.MaxValue / 1024)).sum
       require(debt <= maxInline,
         s"streaming $rootPath: version $v carries $debt DV-hidden rows, " +
-          s"past spark.graft.dv.maxInlinePositions ($maxInline); run " +
-          "OPTIMIZE (or a WHERE __dv_fraction sweep) to compact the debt " +
-          "before streaming this snapshot")
+          s"past ${GraftVtFoldedRead.MaxInlinePositionsKey} ($maxInline); " +
+          "run OPTIMIZE (or a WHERE __dv_fraction sweep) to compact the " +
+          "debt before streaming this snapshot")
       val (dvFiles, rest) = vfiles.map(_._2)
         .partition(f => dvs.contains(f.toPath.getParent.getName))
       clean ++= rest
       if (dvFiles.nonEmpty) {
         val dirs = dvFiles.map(_.toPath.getParent.getName).distinct
         val hidden = vt.dvHiddenPositions(v, dirs)
-        dvFiles.foreach { f =>
-          val p = f.toPath
-          dvParts += GraftVtDvPartition(FilePartition(0, Array(f)),
-            hidden.getOrElse(p.getParent.getName + "/" + p.getName,
-              Array.emptyLongArray))
-        }
+        dvParts ++= GraftVtFoldedRead.dvPartitionsFor(dvFiles, hidden)
       }
     }
     val cleanParts: Array[InputPartition] =

@@ -472,7 +472,26 @@ class VersionedTable(spark: SparkSession, dir: String,
     * on a checkpointed log, never O(v). Directories without recorded
     * stats map to an empty stat set (readers keep them conservatively).
     */
+  /** Per-instance snapshot memo: a version's folded state is IMMUTABLE
+    * once its manifest exists (publish is atomic, manifests are never
+    * rewritten), so repeated `snapshotAt` of the same version — the
+    * scan builder alone consults dvs/renames/stats/rows off one
+    * version several times per plan — must not re-fold the log each
+    * time. Bounded: cleared wholesale past 32 entries.
+    */
+  private val snapMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Snapshot]()
+
   private def snapshotAt(v: Int): Snapshot = {
+    val hit = snapMemo.get(v)
+    if (hit != null) return hit
+    val computed = snapshotAtUncached(v)
+    if (snapMemo.size > 32) snapMemo.clear()
+    snapMemo.put(v, computed)
+    computed
+  }
+
+  private def snapshotAtUncached(v: Int): Snapshot = {
     val (start, base) = checkpointAtOrBelow(v).getOrElse(
       (-1, Snapshot(Seq.empty, Map.empty, Map.empty, Map.empty, Map.empty,
         Map.empty)))
@@ -3607,6 +3626,10 @@ class VersionedTable(spark: SparkSession, dir: String,
   def vacuum(keepLast: Int): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val latest = latestVersion
+    // memoized snapshots of about-to-be-vacuumed versions must not
+    // outlive their manifests (a later snapshotAt must throw, not serve
+    // a state whose data directories are being reclaimed)
+    snapMemo.clear()
     // Clamp to the oldest SURVIVING version: a keepLast larger than a
     // previous vacuum's window cannot resurrect deleted manifests, and
     // resolving below them would walk off the log.
@@ -3690,6 +3713,9 @@ class VersionedTable(spark: SparkSession, dir: String,
         .map(_.take(8).toInt).foldLeft(-1)(math.max)
       if (best >= 0) writeLastCheckpointHint(best)
     }
+    // vacuum's own reference computation may have memoized versions it
+    // then deleted — drop them so later snapshotAt calls fail loudly
+    snapMemo.clear()
     removed
   }
 }

@@ -123,6 +123,29 @@ class DeletionVectorSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.dv.maxInlinePositions")
   }
 
+  test("schema evolution composes with the DV fold: old dirs pad nulls") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 50L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType))))
+    vt.append((50L until 100L).map(k => (k, k * 1.0, s"x$k")).toDF("k", "p", "s"))
+    // one DV delete spanning BOTH the pre-evolution and post-evolution
+    // directories: the vectorized fold must read the old dir with the
+    // evolved schema (s as null) and both folded
+    vt.delete(col("k") % 5 === 0, useDeletionVectors = true)
+    val t = spark.read.format("graftvt").load(dir)
+    assert(t.count() === 80)
+    val got = t.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2)))
+      .toMap
+    assert(got(1L) === null)        // pre-evolution row pads null
+    assert(got(51L) === "x51")      // post-evolution row serves the value
+    assert(!got.contains(5L) && !got.contains(50L)) // hidden on both sides
+    assert(t.filter(col("s").isNull).count() === 40)
+  }
+
   test("columnar DV filter: dense deletes, strings, whole-files hidden") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)

@@ -129,6 +129,46 @@ class LogStoreSpec extends SparkSuite {
     }
   }
 
+  test("claim namespace separates same-numbered manifests of different tables") {
+    val claims = tmpVt()
+    val fs = new Path(claims).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val coord = new graft.sources.GraftDirectoryClaimCoordinator(
+      new Path(claims), fs)
+    // two TABLES sharing one coordinator directory, same version number:
+    // both claims must win (distinct slots — a colliding namespace would
+    // refuse the second table's commit forever and cross-feed recovery)
+    assert(coord.claim("/data/t1/_graft_log/00000005.json", "tmp1"))
+    assert(coord.claim("/data/t2/_graft_log/00000005.json", "tmp2"))
+    assert(coord.claimedValue("/data/t1/_graft_log/00000005.json")
+      === Some("tmp1"))
+    assert(coord.claimedValue("/data/t2/_graft_log/00000005.json")
+      === Some("tmp2"))
+    // and the same slot twice still has exactly one winner
+    assert(!coord.claim("/data/t1/_graft_log/00000005.json", "tmp3"))
+  }
+
+  test("a failed claim write is a FAILURE, never 'already claimed'") {
+    val claims = tmpVt()
+    val work = tmpVt()
+    val fs = new Path(work).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val coord = new graft.sources.GraftDirectoryClaimCoordinator(
+      new Path(claims), fs)
+    // a claim that could not fully write must leave NO claim behind —
+    // the caller retries the claim, it does not demote to a loser (a
+    // loser would roll its own half-claim forward and then also retry
+    // the commit at the next slot, duplicating rows)
+    assert(coord.claim("slot-a", "v1"))
+    assert(coord.claimedValue("slot-a") === Some("v1")) // fully written
+    val claimFiles = new java.io.File(claims).listFiles()
+      .filter(_.getName.endsWith(".claim"))
+    assert(claimFiles.length === 1)
+    // no tmp residue from the atomic publish
+    assert(!new java.io.File(claims).listFiles()
+      .exists(_.getName.startsWith(".claim-tmp")))
+  }
+
   test("a lost claim is the ordinary optimistic loss: loud, no partial commit") {
     val dir = tmpVt()
     val vt0 = new graft.sources.VersionedTable(spark, dir)
