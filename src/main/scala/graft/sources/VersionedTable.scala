@@ -2564,7 +2564,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     * cumulative-fraction policy as delete/update decides DV vs
     * rewrite; `None` = caller falls back to copy-on-write.
     */
-  private def mergeViaDv(srcAligned: DataFrame, srcKeys: DataFrame,
+  private def mergeViaDv(srcAligned0: DataFrame, srcKeys: DataFrame,
                          keys: Seq[String], latest: Int,
                          schema: org.apache.spark.sql.types.StructType,
                          mergeL2p: Map[String, String],
@@ -2575,6 +2575,12 @@ class VersionedTable(spark: SparkSession, dir: String,
                          maxRetries: Int): Option[Int] = {
     import org.apache.spark.sql.functions.{col, element_at, lit, split}
     val v0 = latest + 1
+    // The source is evaluated THREE times on this path (the appended
+    // payload, the CDC post-images semi-join, the CDC inserts
+    // anti-join) — cache it, or an expensive source pipeline costs the
+    // whole merge 3× and the merge-on-read saving evaporates.
+    val srcAligned = srcAligned0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the matched target rows WITH file identity (existing DVs folded —
     // a row an earlier delete hid must not be re-hidden or double-
     // counted); the imposed schema pads evolved-away columns with null
@@ -2625,7 +2631,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           dvAdd = dvName, dvDirs = perDir.keys.toSeq.sorted,
           dvDirRows = perDir),
         validated0 = constraints))
-    } finally matched.unpersist()
+    } finally { matched.unpersist(); srcAligned.unpersist() }
   }
 
   /** MERGE-ON-READ delete (Delta's deletion vectors): instead of
