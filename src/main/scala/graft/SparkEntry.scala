@@ -1688,6 +1688,53 @@ object SparkEntry {
       out
     }),
 
+    // The VECTORIZED DV read path, driver-checked: a table with one
+    // DV'd directory among several still reads through the parquet
+    // BatchScan (no row-based V1 relation anywhere in the plan), the
+    // exec node keeps COLUMNAR output (whole-stage codegen survives an
+    // outstanding DV), manifest pruning still applies, and the answers
+    // equal the oracle's recomputation. At 100 TB this is the
+    // difference between "one DV makes every read of a hot table
+    // row-based until OPTIMIZE" and "a DV costs only its own files".
+    "s_versioned_dv_scan" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_dvscan").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val maxKey = o.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+          .head.getLong(0)
+        val (b1, b2) = (maxKey / 3, 2 * maxKey / 3)
+        vt.append(o.filter(col("o_orderkey") < b1))
+        vt.append(o.filter(col("o_orderkey") >= b1 && col("o_orderkey") < b2))
+        vt.append(o.filter(col("o_orderkey") >= b2))
+        // DV on the FIRST directory only
+        vt.delete(col("o_orderkey") % 9 === 0 && col("o_orderkey") < b1,
+          useDeletionVectors = true)
+        val tbl = s.read.format("graftvt").load(base)
+        // <= b2-1, not < b2: strict bounds relax to inclusive in the
+        // stats pruner (superset), which would keep dir 3 whose min IS b2
+        val q = tbl.filter(col("o_orderkey") <= b2 - 1)
+        val plan = q.queryExecution.executedPlan
+        val batchScans = plan.collect {
+          case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bs
+        }
+        val v1Scans = plan.collect {
+          case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+        }
+        val keptDirs = batchScans.headOption.map(_.scan
+          .asInstanceOf[graft.sources.GraftVtScan].parquet
+          .fileIndex.rootPaths.length).getOrElse(-1)
+        val columnar = batchScans.headOption.exists(_.supportsColumnar)
+        q.collect().map(r => (r.getLong(0), r.getDouble(1),
+          batchScans.nonEmpty && v1Scans.isEmpty, columnar,
+          keptDirs + 1)).toSeq // kept = 1 clean + 1 DV'd (the DV side
+          // plans its own scan; parquet covers the clean dir)
+          .toDF("o_orderkey", "o_totalprice", "batch_scan", "columnar",
+            "kept_dirs")
+      } finally deleteRecursively(base)
+    }),
+
     // Merge-on-read MERGE INTO via deletion vectors: on a DV-enabled
     // table an upsert hides the MATCHED target rows behind a sidecar
     // and appends every source row — no pre-existing data file is
@@ -4348,6 +4395,17 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0) AS n_meta,
         |  true AS dv_cleared
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // The filtered survivors of the DV'd + clean thirds, with the plan
+    // flags pinned: BatchScan present and columnar, no V1 relation,
+    // exactly the 2 in-range directories planned.
+    "s_versioned_dv_scan" ->
+      """WITH b AS (SELECT max(o_orderkey) AS mx FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |  true AS batch_scan, true AS columnar, 2 AS kept_dirs
+        |FROM orders, b
+        |WHERE o_orderkey < (2 * mx) // 3
+        |  AND NOT (o_orderkey % 9 = 0 AND o_orderkey < mx // 3)""".stripMargin,
 
     // The DV merge's final state: matched keys (%11=3) re-priced at
     // 0.5, shifted copies of the %13=1 keys inserted, nothing else
