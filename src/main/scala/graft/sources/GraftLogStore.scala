@@ -101,27 +101,35 @@ class GraftDirectoryClaimCoordinator(dir: Path, fs: FileSystem)
     if (fs.getScheme == "file") {
       // kernel-atomic publish: hard-link the complete tmp onto the
       // claim path — link(2) fails EEXIST atomically (Hadoop's LOCAL
-      // create(overwrite = false) is a racy exists-check-then-create)
+      // create(overwrite = false) is a racy exists-check-then-create).
+      // The tmp is reclaimed on EVERY exit, including a failed write
+      // (a failed claim attempt throws — and must not leave garbage in
+      // a shared coordinator directory).
       val localTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
-      java.nio.file.Files.write(localTmp, value.getBytes("UTF-8"))
       try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(p.toUri.getPath), localTmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
+        java.nio.file.Files.write(localTmp, value.getBytes("UTF-8"))
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath), localTmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
       } finally java.nio.file.Files.deleteIfExists(localTmp)
     } else {
       // HDFS-semantics stores: write the tmp fully (any failure here
       // propagates — the claim was NOT taken), then the namenode-atomic
-      // no-overwrite rename arbitrates
-      val out = fs.create(tmp, false)
-      try out.write(value.getBytes("UTF-8")) finally out.close()
-      val won = try fs.rename(tmp, p) catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      }
-      if (!won) fs.delete(tmp, false)
-      won
+      // no-overwrite rename arbitrates; the tmp is reclaimed on every
+      // non-winning exit, including a throwing rename
+      var won = false
+      try {
+        val out = fs.create(tmp, false)
+        try out.write(value.getBytes("UTF-8")) finally out.close()
+        won = try fs.rename(tmp, p) catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+        won
+      } finally if (!won) fs.delete(tmp, false)
     }
   }
 
@@ -144,25 +152,26 @@ class GraftDirectoryClaimCoordinator(dir: Path, fs: FileSystem)
 /** A JVM-global claims map — single-process arbitration (concurrent
   * writer THREADS in one application, and the default rig for specs).
   * Multi-process writers need [[GraftDirectoryClaimCoordinator]] or a
-  * service-backed [[GraftClaimCoordinator]]. Insertion-ordered and
-  * BOUNDED: a slot is never re-contended once its manifest exists, so
-  * evicting the oldest entries past the cap cannot hand out a second
-  * win — it only forgets recovery hints for long-completed commits.
+  * service-backed [[GraftClaimCoordinator]].
+  *
+  * Deliberately UNBOUNDED: evicting a claim would let a stale writer
+  * (one that read latest = v−1, stalled arbitrarily long, then woke)
+  * win slot v a SECOND time and overwrite the committed manifest —
+  * the single-winner invariant the whole protocol rests on has no
+  * safe eviction without consulting the storage, which a coordinator
+  * cannot do. The retained cost is one small string pair per commit
+  * for the process lifetime (~100 bytes/commit — an hourly-commit
+  * pipeline retains ~1 MB/year); a deployment that cannot carry that
+  * uses the directory coordinator, whose claims live with the log and
+  * vacuum with it.
   */
 object GraftInProcessClaimCoordinator extends GraftClaimCoordinator {
-  private val MaxEntries = 65536
-  private val claims = new java.util.LinkedHashMap[String, String]() {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[String, String]): Boolean =
-      size() > MaxEntries
-  }
+  private val claims =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   override def claim(slot: String, value: String): Boolean =
-    claims.synchronized {
-      if (claims.containsKey(slot)) false
-      else { claims.put(slot, value); true }
-    }
+    claims.putIfAbsent(slot, value) == null
   override def claimedValue(slot: String): Option[String] =
-    claims.synchronized(Option(claims.get(slot)))
+    Option(claims.get(slot))
 }
 
 /** The object-store commit protocol (Delta's S3 LogStore shape, over

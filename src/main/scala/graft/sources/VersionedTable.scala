@@ -484,7 +484,13 @@ class VersionedTable(spark: SparkSession, dir: String,
 
   private def snapshotAt(v: Int): Snapshot = {
     val hit = snapMemo.get(v)
-    if (hit != null) return hit
+    // a hit still verifies the version's log entry EXISTS — another
+    // process's (or another instance's) vacuum may have reclaimed it,
+    // and the contract is a loud error then, not a stale snapshot
+    // served from memory (one exists() probe vs a full log re-fold)
+    if (hit != null &&
+        (fs.exists(manifestPath(v)) || fs.exists(checkpointPath(v))))
+      return hit
     val computed = snapshotAtUncached(v)
     if (snapMemo.size > 32) snapMemo.clear()
     snapMemo.put(v, computed)
@@ -2573,14 +2579,30 @@ class VersionedTable(spark: SparkSession, dir: String,
                          touched: Seq[String],
                          addedMayMatch: Commit => Seq[String],
                          maxRetries: Int): Option[Int] = {
-    import org.apache.spark.sql.functions.{col, element_at, lit, split}
-    val v0 = latest + 1
     // The source is evaluated THREE times on this path (the appended
     // payload, the CDC post-images semi-join, the CDC inserts
     // anti-join) — cache it, or an expensive source pipeline costs the
-    // whole merge 3× and the merge-on-read saving evaporates.
+    // whole merge 3× and the merge-on-read saving evaporates. Both
+    // persists release in finally even when CONSTRUCTION throws (a
+    // leaked cache entry pins the plan for the session).
     val srcAligned = srcAligned0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeViaDvBody(srcAligned, srcKeys, keys, latest, schema, mergeL2p,
+      dvState, constraints, touched, addedMayMatch, maxRetries)
+    finally srcAligned.unpersist()
+  }
+
+  private def mergeViaDvBody(srcAligned: DataFrame, srcKeys: DataFrame,
+                             keys: Seq[String], latest: Int,
+                             schema: org.apache.spark.sql.types.StructType,
+                             mergeL2p: Map[String, String],
+                             dvState: Map[String, Seq[String]],
+                             constraints: Map[String, String],
+                             touched: Seq[String],
+                             addedMayMatch: Commit => Seq[String],
+                             maxRetries: Int): Option[Int] = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, split}
+    val v0 = latest + 1
     // the matched target rows WITH file identity (existing DVs folded —
     // a row an earlier delete hid must not be re-hidden or double-
     // counted); the imposed schema pads evolved-away columns with null

@@ -167,6 +167,16 @@ class LogStoreSpec extends SparkSuite {
     // no tmp residue from the atomic publish
     assert(!new java.io.File(claims).listFiles()
       .exists(_.getName.startsWith(".claim-tmp")))
+    // INJECTED failure: an unwritable coordinator location (a FILE
+    // where the directory should be) must THROW — returning false here
+    // would be the old 'failure reads as already-claimed' bug, which
+    // let a writer roll its own half-claim forward and also retry the
+    // commit, duplicating rows
+    val notADir = java.nio.file.Files.createTempFile("claims", ".f")
+    val broken = new graft.sources.GraftDirectoryClaimCoordinator(
+      new Path(notADir.toString), fs)
+    intercept[Exception](broken.claim("slot-b", "v2"))
+    assert(broken.claimedValue("slot-b").isEmpty) // nothing half-claimed
   }
 
   test("a lost claim is the ordinary optimistic loss: loud, no partial commit") {
