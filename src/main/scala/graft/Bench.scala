@@ -128,7 +128,18 @@ object Bench {
     // the post-run reading kept for continuity with earlier rounds
     // (self-load-dominated).
     val loadavg = loadavgNow
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"baseline":$baselines,"loadavg":$loadavg,"loadavg_start":$loadavgStart,"loadavg_ambient":$loadavgAmbient,"runs":$suiteRuns,"sf":"$sfDir"}"""
+    // Per-stage decomposition of multi-phase gates (recorded by the
+    // gate bodies; last warm run wins) — the attributable before/after
+    // a lifecycle blob's single timer can't provide.
+    val stages = {
+      import scala.jdk.CollectionConverters._
+      SparkEntry.gateStages.asScala.toSeq.sortBy(_._1).map { case (g, m) =>
+        "\"" + g + "\":" + m.toSeq.sortBy(_._1)
+          .map { case (st, sec) => "\"" + st + "\":" + r3(sec) }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    }
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"baseline":$baselines,"stages":$stages,"loadavg":$loadavg,"loadavg_start":$loadavgStart,"loadavg_ambient":$loadavgAmbient,"runs":$suiteRuns,"sf":"$sfDir"}"""
     println(line)
     // Terminal scrollback can truncate a 100+-query line (round 5's
     // committed bench lost its first ~40 queries that way): persist

@@ -334,10 +334,6 @@ object ScaleProbe {
             useDeletionVectors = true)
           println(s"[probe] dv dirs = ${vt.dvsAt(vt.latestVersion).size} of $k")
           readTimes(f"dv $frac%.2f")
-          // the pre-round-14 shape: force the row-based V1 fold
-          spark.conf.set("spark.graft.dv.maxInlinePositions", "1")
-          readTimes(f"dv $frac%.2f V1")
-          spark.conf.unset("spark.graft.dv.maxInlinePositions")
           vt.restore(v0) // each share level starts from the clean table
         }
 

@@ -273,6 +273,24 @@ object SparkEntry {
     */
   val baselineQueries: Seq[String] = Seq("dedup_embedding", "dedup_ngram_sample")
 
+  /** Per-stage wall-clock of multi-phase gates (`gate -> stage -> sec`),
+    * recorded by the gate bodies as they run and emitted by
+    * [[graft.Bench]] as the JSON's `stages` field — a lifecycle gate's
+    * timer is otherwise a blob no read-path change can be attributed
+    * against. Last completed run wins (Bench times each gate twice;
+    * the second, warm run is the one that lands).
+    */
+  val gateStages =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+
+  private def staged[T](gate: String, stage: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    gateStages.merge(gate, Map(stage -> sec), (old, one) => old ++ one)
+    r
+  }
+
   // ---------------------------------------------------------------------
   // Core relational inventory (SURVEY §2.1–§2.9)
   // ---------------------------------------------------------------------
@@ -1650,10 +1668,12 @@ object SparkEntry {
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
         .createOrReplaceTempView("graft_dv_base")
-      s.sql("""CREATE TABLE graft.gate_dv (o_orderkey BIGINT, o_totalprice DOUBLE)
-              |USING graftvt
-              |TBLPROPERTIES ('graft.deletionVectors' = 'true')""".stripMargin)
-      s.sql("INSERT INTO graft.gate_dv SELECT * FROM graft_dv_base")
+      staged("s_versioned_dv", "create") {
+        s.sql("""CREATE TABLE graft.gate_dv (o_orderkey BIGINT, o_totalprice DOUBLE)
+                |USING graftvt
+                |TBLPROPERTIES ('graft.deletionVectors' = 'true')""".stripMargin)
+        s.sql("INSERT INTO graft.gate_dv SELECT * FROM graft_dv_base")
+      }
       val cat = s.sessionState.catalogManager.catalog("graft")
         .asInstanceOf[graft.sources.GraftCatalog]
       val vdir = cat.tableDir(org.apache.spark.sql.connector.catalog
@@ -1666,24 +1686,37 @@ object SparkEntry {
       val before = dataFiles()
       // merge-on-read UPDATE first: originals hidden behind a DV, the
       // updated images APPENDED — every pre-existing file untouched
-      s.sql("UPDATE graft.gate_dv SET o_totalprice = o_totalprice + 1000 " +
-        "WHERE o_orderkey % 11 = 0")
+      staged("s_versioned_dv", "update_dv") {
+        s.sql("UPDATE graft.gate_dv SET o_totalprice = o_totalprice + 1000 " +
+          "WHERE o_orderkey % 11 = 0")
+      }
       val afterUpdate = dataFiles()
       val updateIntact = before.subsetOf(afterUpdate)
       // then the merge-on-read DELETE: nothing at all is written to the
       // data directories (only the sidecar + CDC)
-      s.sql("DELETE FROM graft.gate_dv WHERE o_orderkey % 7 = 0")
+      staged("s_versioned_dv", "delete_dv") {
+        s.sql("DELETE FROM graft.gate_dv WHERE o_orderkey % 7 = 0")
+      }
       val intact = dataFiles() == afterUpdate && updateIntact
       val vt = new graft.sources.VersionedTable(s, vdir)
       val nMeta = vt.fastCount().getOrElse(-1L)
-      vt.optimize("o_orderkey", targetChunks = 2)
+      // the DV'd read, timed on its own: this is the number a read-path
+      // change moves (the post-optimize read below is the clean path)
+      staged("s_versioned_dv", "read_dv") {
+        s.sql("SELECT sum(o_totalprice) FROM graft.gate_dv").collect()
+      }
+      staged("s_versioned_dv", "optimize") {
+        vt.optimize("o_orderkey", targetChunks = 2)
+      }
       val cleared = vt.dvsAt(vt.latestVersion).isEmpty
-      val out = s.sql("SELECT o_orderkey, o_totalprice FROM graft.gate_dv")
-        .collect()
-        .map(r => (r.getLong(0), r.getDouble(1), intact, nMeta, cleared))
-        .toSeq
-        .toDF("o_orderkey", "o_totalprice", "files_intact", "n_meta",
-          "dv_cleared")
+      val out = staged("s_versioned_dv", "read") {
+        s.sql("SELECT o_orderkey, o_totalprice FROM graft.gate_dv")
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), intact, nMeta, cleared))
+          .toSeq
+          .toDF("o_orderkey", "o_totalprice", "files_intact", "n_meta",
+            "dv_cleared")
+      }
       s.sql("DROP TABLE graft.gate_dv")
       out
     }),
@@ -1796,6 +1829,102 @@ object SparkEntry {
           "n_meta", "cdc_sig", "dv_cleared")
       s.sql("DROP TABLE graft.gate_mdv")
       out
+    }),
+
+    // The FULL MERGE clause surface in one statement — conditional
+    // UPDATE, matched DELETE, filtered column-list INSERT, and both
+    // NOT MATCHED BY SOURCE forms — against a merge-on-read table:
+    // the commit lands as ONE merge-dv version (pre-merge data files
+    // byte-identical), the persisted CDC carries exactly the clause
+    // outcomes, and the final state equals the oracle's relational
+    // recomputation of first-match-wins clause semantics.
+    "s_versioned_merge_clauses" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft.gate_mcl")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_mcl_base")
+      s.sql("""CREATE TABLE graft.gate_mcl (o_orderkey BIGINT,
+              |  o_orderstatus STRING, o_totalprice DOUBLE)
+              |USING graftvt
+              |TBLPROPERTIES ('graft.deletionVectors' = 'true')""".stripMargin)
+      s.sql("""INSERT INTO graft.gate_mcl
+              |SELECT * FROM graft_mcl_base WHERE o_orderkey % 4 <> 0""".stripMargin)
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val vdir = cat.tableDir(org.apache.spark.sql.connector.catalog
+        .Identifier.of(Array.empty, "gate_mcl")).toString
+      val local = new java.io.File(vdir.stripPrefix("file:"))
+      def dataFiles() = local.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+      val before = dataFiles()
+      s.sql("""MERGE INTO graft.gate_mcl t USING (
+              |  SELECT * FROM graft_mcl_base WHERE o_orderkey % 6 = 0) s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED AND s.o_totalprice > 150000 THEN
+              |  UPDATE SET o_totalprice = s.o_totalprice * 2, o_orderstatus = 'H'
+              |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
+              |WHEN NOT MATCHED AND s.o_totalprice > 100000 THEN
+              |  INSERT (o_orderkey, o_totalprice)
+              |  VALUES (s.o_orderkey + 100000000, s.o_totalprice)
+              |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 1 THEN
+              |  UPDATE SET o_orderstatus = 'S'
+              |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 2 THEN
+              |  DELETE""".stripMargin)
+      val intact = before.subsetOf(dataFiles()) // originals byte-identical
+      val vt = new graft.sources.VersionedTable(s, vdir)
+      val mergeV = vt.latestVersion
+      val mergeOp = vt.history().filter(col("version") === mergeV)
+        .head.getAs[String]("op")
+      val cdcSig = vt.changes(mergeV, mergeV)
+        .groupBy("_change_type").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(",")
+      val out = s.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.gate_mcl")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2),
+          intact, mergeOp, cdcSig))
+        .toSeq
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice",
+          "files_intact", "merge_op", "cdc_sig")
+      s.sql("DROP TABLE graft.gate_mcl")
+      out
+    }),
+
+    // Metadata-only sidecar coalescing: three DV deletes stack three
+    // sidecars on one directory; coalesceDv merges them into ONE
+    // commit-free-of-data (no file rewritten, hidden counts carried),
+    // and the folded read + metadata COUNT are byte-identical before
+    // and after. Runs on `nation` (25 rows at every SF) — the gate
+    // costs metadata, not data.
+    "s_versioned_coalesce_dv" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_coal").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        vt.append(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+        vt.delete(col("n_nationkey").isin(1, 2), useDeletionVectors = true)
+        vt.delete(col("n_nationkey").isin(5, 6), useDeletionVectors = true)
+        vt.delete(col("n_nationkey").isin(9, 10), useDeletionVectors = true)
+        val d = vt.dvsAt(3).keys.head
+        val sidecarsBefore = vt.dvsAt(3)(d).distinct.size
+        val v = vt.coalesceDv()
+        val sidecarsAfter = vt.dvsAt(v)(d).distinct.size
+        val op = vt.history().orderBy(col("version")).collect()
+          .last.getAs[String]("op")
+        val nMeta = vt.fastCount().getOrElse(-1L)
+        s.read.format("graftvt").load(base)
+          .select("n_nationkey", "n_name").collect()
+          .map(r => (r.getInt(0), r.getString(1), sidecarsBefore,
+            sidecarsAfter, op, nMeta))
+          .toSeq
+          .toDF("n_nationkey", "n_name", "sidecars_before",
+            "sidecars_after", "coalesce_op", "n_meta")
+      } finally deleteRecursively(base)
     }),
 
     // TBLPROPERTIES persist in the transaction log (CREATE → SET →
@@ -4435,6 +4564,60 @@ object SparkEntry {
         |    AS cdc_sig,
         |  true AS dv_cleared
         |FROM merged""".stripMargin,
+
+    // First-match-wins clause semantics recomputed relationally: the
+    // matched CASE chain (update > delete > carry), the NOT MATCHED BY
+    // SOURCE chain on the anti-join side, the filtered column-list
+    // inserts (o_orderstatus NULL), one merge-dv commit with files
+    // intact and the CDC counting exactly the clause outcomes.
+    "s_versioned_merge_clauses" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+        |  FROM orders WHERE o_orderkey % 4 <> 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+        |  FROM orders WHERE o_orderkey % 6 = 0),
+        |m AS (
+        |  SELECT t.k,
+        |    CASE WHEN s.k IS NOT NULL AND s.pr > 150000 THEN 'u'
+        |         WHEN s.k IS NOT NULL AND s.st = 'F' THEN 'd'
+        |         WHEN s.k IS NOT NULL THEN 'c'
+        |         WHEN t.k % 10 = 1 THEN 'nu'
+        |         WHEN t.k % 10 = 2 THEN 'nd'
+        |         ELSE 'c' END AS act,
+        |    t.st, t.pr, s.pr AS spr
+        |  FROM tgt t LEFT JOIN src s ON t.k = s.k),
+        |ins AS (
+        |  SELECT s.k + 100000000 AS k, CAST(NULL AS VARCHAR) AS st, s.pr
+        |  FROM src s LEFT JOIN tgt t ON t.k = s.k
+        |  WHERE t.k IS NULL AND s.pr > 100000),
+        |fin AS (
+        |  SELECT k,
+        |    CASE act WHEN 'u' THEN 'H' WHEN 'nu' THEN 'S' ELSE st END AS st,
+        |    CASE act WHEN 'u' THEN spr * 2 ELSE pr END AS pr
+        |  FROM m WHERE act NOT IN ('d', 'nd')
+        |  UNION ALL SELECT k, st, pr FROM ins)
+        |SELECT k AS o_orderkey, st AS o_orderstatus, pr AS o_totalprice,
+        |  true AS files_intact, 'merge-dv' AS merge_op,
+        |  'delete=' || (SELECT count(*) FROM m WHERE act IN ('d', 'nd'))
+        |  || ',insert=' || (SELECT count(*) FROM ins)
+        |  || ',update_postimage='
+        |  || (SELECT count(*) FROM m WHERE act IN ('u', 'nu'))
+        |  || ',update_preimage='
+        |  || (SELECT count(*) FROM m WHERE act IN ('u', 'nu'))
+        |  AS cdc_sig
+        |FROM fin""".stripMargin,
+
+    // Three stacked sidecars merged to one, no data touched, the read
+    // and the metadata count unchanged.
+    "s_versioned_coalesce_dv" ->
+      """SELECT n_nationkey, n_name,
+        |  CAST(3 AS INTEGER) AS sidecars_before,
+        |  CAST(1 AS INTEGER) AS sidecars_after,
+        |  'coalesce-dv' AS coalesce_op,
+        |  CAST(19 AS BIGINT) AS n_meta
+        |FROM nation
+        |WHERE n_nationkey NOT IN (1, 2, 5, 6, 9, 10)""".stripMargin,
 
     // The folded property state after CREATE → SET → UNSET, identical
     // on both serving surfaces.

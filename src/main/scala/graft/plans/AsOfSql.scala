@@ -141,9 +141,6 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val UpdateHeadRe = "(?is)^\\s*UPDATE\\b".r
   private val DeleteHeadRe = "(?is)^\\s*DELETE\\s+FROM\\b".r
   private val MergeHeadRe = "(?is)^\\s*MERGE\\s+INTO\\b".r
-  private val MergeTailRe =
-    ("(?is)^WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+" +
-      "WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*$").r
 
   /** Offset of the first occurrence of word `kw` at paren depth 0 in
     * `masked`, at or after `from`; -1 when absent.
@@ -197,6 +194,46 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def targetShaped(t: String): Boolean = t.matches(TargetPat)
 
+  /** Split one `col = expr` assignment at its first depth-0 '='. The
+    * LHS is a plain (possibly backticked, possibly alias-qualified)
+    * column name, so scanning the RAW slice is safe: an '=' inside an
+    * RHS string literal can only appear AFTER the real one.
+    */
+  private def splitAssignment(stmt: String)(a: String): (String, String) = {
+    var depth = 0
+    var eq = -1
+    var i = 0
+    while (i < a.length && eq < 0) {
+      a.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '=' if depth == 0 => eq = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(eq > 0, s"$stmt: malformed SET assignment `$a`")
+    // a MERGE SET target may be written alias-qualified (`t.col = ...`)
+    // — the alias is redundant (only target columns are assignable)
+    // and stripped. A fully-backticked LHS is taken verbatim (it may
+    // legitimately contain a dot).
+    val lhs = a.substring(0, eq).trim
+    val colName =
+      if (lhs.length >= 2 && lhs.head == '`' && lhs.last == '`' &&
+          lhs.indexOf('`', 1) == lhs.length - 1)
+        lhs.substring(1, lhs.length - 1)
+      else lhs.split("\\.").last.trim.stripPrefix("`").stripSuffix("`")
+    (colName, a.substring(eq + 1).trim)
+  }
+
+  private def requireNoDupTargets(names: Seq[String], stmt: String): Unit = {
+    val dup = names.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (n, as) if as.size > 1 => n }
+    require(dup.isEmpty,
+      s"$stmt assigns column(s) ${dup.mkString(", ")} more than once — " +
+        "standard SQL rejects duplicate SET targets")
+  }
+
   /** `UPDATE t SET c = e [, ...] [WHERE cond]` over a versioned target
     * → [[GraftUpdate]]; anything else returns None for Spark's parser.
     */
@@ -210,33 +247,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val wherePos = topLevelKeyword(masked, setEnd, "WHERE")
     val assignEnd = if (wherePos < 0) sql.length else wherePos
     val assigns = splitTopLevelCommas(masked, sql, setEnd, assignEnd)
-      .map(stripStmtTail).filter(_.nonEmpty).map { a =>
-      // The first depth-0 '=' of the assignment splits column from
-      // expression. The LHS is a plain (possibly backticked) column
-      // name, so scanning the RAW slice is safe: an '=' inside an RHS
-      // string literal can only appear AFTER the real one.
-      var depth = 0
-      var eq = -1
-      var i = 0
-      while (i < a.length && eq < 0) {
-        a.charAt(i) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case '=' if depth == 0 => eq = i
-          case _ => ()
-        }
-        i += 1
-      }
-      require(eq > 0, s"UPDATE: malformed SET assignment `$a`")
-      val colName = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
-      (colName, a.substring(eq + 1).trim)
-    }
+      .map(stripStmtTail).filter(_.nonEmpty).map(splitAssignment("UPDATE"))
     require(assigns.nonEmpty, "UPDATE needs at least one SET assignment")
-    val dup = assigns.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
-      .collect { case (n, as) if as.size > 1 => n }
-    require(dup.isEmpty,
-      s"UPDATE assigns column(s) ${dup.mkString(", ")} more than once — " +
-        "standard SQL rejects duplicate SET targets")
+    requireNoDupTargets(assigns.map(_._1), "UPDATE")
     val where =
       if (wherePos < 0) None
       else Some(stripStmtTail(sql.substring(wherePos + "WHERE".length)))
@@ -261,35 +274,46 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   /** `MERGE INTO t [[AS] a] USING (<src name or subquery>) [[AS] s]
-    * ON <same-name equi-keys> WHEN MATCHED THEN UPDATE SET * WHEN NOT
-    * MATCHED THEN INSERT *` over a versioned target → [[GraftMerge]].
-    * The clause tail is matched exactly: a supported-looking MERGE with
-    * any other WHEN form fails loudly rather than silently upserting.
+    * ON <same-name equi-keys> WHEN ...` over a versioned target. The
+    * exact two-clause upsert (`WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *`) maps to [[GraftMerge]]'s specialized
+    * path; every other clause combination parses through
+    * [[parseMergeClauses]] into [[GraftMergeClauses]] (conditional
+    * UPDATE/DELETE, column-list INSERT, NOT MATCHED BY SOURCE).
+    * Unsupported forms fail loudly rather than silently upserting.
     */
   private def mergeCommand(sql: String, masked: String): Option[LogicalPlan] = {
     val m = MergeHeadRe.findFirstMatchIn(masked).getOrElse(return None)
     val usingPos = topLevelKeyword(masked, m.end, "USING")
     if (usingPos < 0) return None
-    // target: first token; optional [AS] alias tolerated and unused
-    // (keys come from the ON clause's column NAMES)
+    // target: first token; optional [AS] alias (clause expressions
+    // reference it; keys come from the ON clause's column NAMES)
     val targetToks = sql.substring(m.end, usingPos).trim.split("\\s+").toSeq
     val target = targetToks.headOption.getOrElse(return None)
     if (!targetShaped(target) || !versionedTarget(target)) return None
+    def aliasOf(toks: Seq[String], where: String): Option[String] = toks match {
+      case Seq() => None
+      case Seq(a) if !a.equalsIgnoreCase("AS") =>
+        Some(a.stripPrefix("`").stripSuffix("`"))
+      case Seq(as, a) if as.equalsIgnoreCase("AS") =>
+        Some(a.stripPrefix("`").stripSuffix("`"))
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO (versioned): unexpected tokens after $where: " +
+          other.mkString(" "))
+    }
+    val tgtAliasExp = aliasOf(targetToks.drop(1), "target")
     val onPos = topLevelKeyword(masked, usingPos + "USING".length, "ON")
     require(onPos > 0, "MERGE INTO (versioned): missing ON clause")
     val whenPos = topLevelKeyword(masked, onPos + "ON".length, "WHEN")
     require(whenPos > 0, "MERGE INTO (versioned): missing WHEN clauses")
-    require(MergeTailRe.findFirstIn(masked.substring(whenPos)).isDefined,
-      "MERGE INTO (versioned) supports exactly `WHEN MATCHED THEN UPDATE " +
-        "SET * WHEN NOT MATCHED THEN INSERT *` (the upsert form)")
-    // source: `(subquery) [alias]` or `name [alias]` — the matching
-    // close paren is found on the MASKED slice (parens inside literals
-    // never count) and both slices share coordinates (same substring
-    // bounds, untrimmed).
+    // source: `(subquery) [[AS] alias]` or `name [[AS] alias]` — the
+    // matching close paren is found on the MASKED slice (parens inside
+    // literals never count) and both slices share coordinates (same
+    // substring bounds, untrimmed).
     val srcStart = usingPos + "USING".length
     val srcRaw = sql.substring(srcStart, onPos)
     val srcMasked = masked.substring(srcStart, onPos)
-    val sourceSql =
+    val (sourceSql, srcAliasExp) =
       if (srcRaw.trim.startsWith("(")) {
         val lead = srcMasked.indexOf('(')
         var depth = 0
@@ -304,8 +328,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           i += 1
         }
         require(close > 0, "MERGE INTO (versioned): unbalanced USING (...)")
-        srcRaw.substring(lead, close + 1)
-      } else srcRaw.trim.split("\\s+").head
+        (srcRaw.substring(lead, close + 1),
+          aliasOf(srcRaw.substring(close + 1).trim.split("\\s+").toSeq
+            .filter(_.nonEmpty), "USING source"))
+      } else {
+        val toks = srcRaw.trim.split("\\s+").toSeq
+        (toks.head, aliasOf(toks.drop(1), "USING source"))
+      }
     // ON: conjunction of same-name equality keys
     val condRaw = sql.substring(onPos + "ON".length, whenPos)
     val condMasked = masked.substring(onPos + "ON".length, whenPos)
@@ -327,10 +356,180 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case EqKey(_, c1, _, c2) if c1.equalsIgnoreCase(c2) => c1
       case other => throw new IllegalArgumentException(
         s"MERGE INTO (versioned): ON term `$other` must be a same-name " +
-          "equality key (t.k = s.k) — that is the upsert contract the " +
+          "equality key (t.k = s.k) — that is the contract the " +
           "stat-pruned merge implements")
     }
-    Some(GraftMerge(target, sourceSql, keys))
+    val clauses = parseMergeClauses(sql, masked, whenPos)
+    val matched = clauses.collect { case (0, c) => c }
+    val notMatched = clauses.collect { case (1, c) => c }
+    val nmbs = clauses.collect { case (2, c) => c }
+    val legacyUpsert = nmbs.isEmpty &&
+      matched == Seq(SqlMergeClause(None, SqlMergeAction.UpdateAll)) &&
+      notMatched == Seq(SqlMergeClause(None, SqlMergeAction.InsertAll))
+    if (legacyUpsert) return Some(GraftMerge(target, sourceSql, keys))
+    // aliases: explicit > name-derived; a DERIVED alias that collides
+    // with a key or the other side falls back to an unreferencable
+    // placeholder (the user never wrote it, so nothing references it —
+    // an EXPLICIT collision reaches mergeClauses and fails loudly)
+    def namePart(n: String): Option[String] = {
+      val t = n.trim
+      if (t.isEmpty || t.startsWith("'") || t.startsWith("\"") ||
+          t.startsWith("(")) None
+      else Some(t.split('.').last.stripPrefix("`").stripSuffix("`"))
+    }
+    val targetAlias = tgtAliasExp.getOrElse(
+      namePart(target).filterNot(a => keys.exists(_.equalsIgnoreCase(a)) ||
+        srcAliasExp.exists(_.equalsIgnoreCase(a))).getOrElse("__target"))
+    val sourceAlias = srcAliasExp.getOrElse(
+      namePart(sourceSql).filterNot(a =>
+        keys.exists(_.equalsIgnoreCase(a)) ||
+          a.equalsIgnoreCase(targetAlias)).getOrElse("__source"))
+    Some(GraftMergeClauses(target, sourceSql, keys, targetAlias, sourceAlias,
+      matched, notMatched, nmbs))
+  }
+
+  private val NmbsHeadRe =
+    "(?is)^\\s*WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE\\b".r
+  private val NotMatchedHeadRe =
+    "(?is)^\\s*WHEN\\s+NOT\\s+MATCHED(\\s+BY\\s+TARGET)?\\b".r
+  private val MatchedHeadRe = "(?is)^\\s*WHEN\\s+MATCHED\\b".r
+  private val AndLeadRe = "(?is)^\\s*AND\\b".r
+  private val UpdateAllRe = "(?is)^UPDATE\\s+SET\\s+\\*\\s*$".r
+  private val UpdateSetRe = "(?is)^UPDATE\\s+SET\\b".r
+  private val DeleteActRe = "(?is)^DELETE\\s*$".r
+  private val InsertAllRe = "(?is)^INSERT\\s+\\*\\s*$".r
+  private val InsertColsRe = "(?is)^INSERT\\s*\\(".r
+
+  /** Parse the WHEN-clause tail of a versioned MERGE from `whenPos`.
+    * Returns (kind, clause) pairs in statement order; kind 0 =
+    * MATCHED, 1 = NOT MATCHED [BY TARGET], 2 = NOT MATCHED BY SOURCE.
+    * Clause boundaries are depth-0 WHEN keywords of the masked text —
+    * a CASE WHEN inside a clause condition must therefore be
+    * parenthesized (unparenthesized, its WHEN reads as a clause head
+    * and the fragment fails loudly as an unrecognized clause).
+    */
+  private def parseMergeClauses(sql: String, masked: String, whenPos: Int)
+      : Seq[(Int, SqlMergeClause)] = {
+    val whens = {
+      val buf = scala.collection.mutable.ArrayBuffer[Int](whenPos)
+      var p = topLevelKeyword(masked, whenPos + "WHEN".length, "WHEN")
+      while (p >= 0) {
+        buf += p
+        p = topLevelKeyword(masked, p + "WHEN".length, "WHEN")
+      }
+      buf.toSeq
+    }
+    (whens :+ sql.length).sliding(2).toSeq.map { case Seq(a, b) =>
+      val raw = sql.substring(a, b)
+      val mk = masked.substring(a, b)
+      val (kind, headEnd) = NmbsHeadRe.findFirstMatchIn(mk)
+        .map(h => (2, h.end))
+        .orElse(NotMatchedHeadRe.findFirstMatchIn(mk).map(h => (1, h.end)))
+        .orElse(MatchedHeadRe.findFirstMatchIn(mk).map(h => (0, h.end)))
+        .getOrElse(throw new IllegalArgumentException(
+          "MERGE INTO (versioned): unrecognized clause " +
+            s"`${stripStmtTail(raw).take(60)}`"))
+      val thenPos = topLevelKeyword(mk, headEnd, "THEN")
+      require(thenPos > 0, "MERGE INTO (versioned): clause missing THEN: " +
+        s"`${stripStmtTail(raw).take(60)}`")
+      val cond: Option[String] = {
+        val mkBetween = mk.substring(headEnd, thenPos)
+        if (mkBetween.trim.isEmpty) None
+        else {
+          val am = AndLeadRe.findFirstMatchIn(mkBetween).getOrElse(
+            throw new IllegalArgumentException(
+              "MERGE INTO (versioned): expected `AND <condition>` before " +
+                s"THEN, got `${raw.substring(headEnd, thenPos).trim.take(60)}`"))
+          Some(raw.substring(headEnd + am.end, thenPos).trim)
+            .filter(_.nonEmpty)
+        }
+      }
+      (kind, SqlMergeClause(cond,
+        parseMergeAction(kind, raw.substring(thenPos + "THEN".length),
+          mk.substring(thenPos + "THEN".length))))
+    }
+  }
+
+  /** One clause action after THEN. `raw0`/`mk0` share coordinates; the
+    * trim window is computed on the MASKED text (a trailing comment is
+    * spaces there) and sliced from both.
+    */
+  private def parseMergeAction(kind: Int, raw0: String, mk0: String)
+      : SqlMergeAction = {
+    var s = 0
+    var e = mk0.length
+    // leading: masked whitespace only (a leading comment is all spaces
+    // in the masked text, so the aligned raw slice starts past it too)
+    while (s < e && mk0.charAt(s).isWhitespace) s += 1
+    // trailing: strip ONLY chars that are junk in BOTH texts — masked
+    // whitespace alone is ambiguous (a blanked string literal is
+    // spaces there but CONTENT in the raw text, e.g. `SET c = 'H'`)
+    var trimming = true
+    while (trimming && e > s) {
+      val cm = mk0.charAt(e - 1)
+      val cr = raw0.charAt(e - 1)
+      if ((cm.isWhitespace && cr.isWhitespace) || (cm == ';' && cr == ';'))
+        e -= 1
+      else trimming = false
+    }
+    val raw = raw0.substring(s, e)
+    val mk = mk0.substring(s, e)
+    def fail(expected: String): Nothing = throw new IllegalArgumentException(
+      s"MERGE INTO (versioned): $expected, got `${raw.take(60)}`")
+    if (kind == 1) {
+      // NOT MATCHED: INSERT only
+      if (InsertAllRe.findFirstIn(mk).isDefined) return SqlMergeAction.InsertAll
+      val im = InsertColsRe.findFirstMatchIn(mk).getOrElse(
+        fail("WHEN NOT MATCHED supports INSERT * or " +
+          "INSERT (cols) VALUES (exprs)"))
+      val open = im.end - 1
+      def closeOf(from: Int): Int = {
+        var depth = 0
+        var i = from
+        while (i < mk.length) {
+          mk.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) return i
+            case _ => ()
+          }
+          i += 1
+        }
+        fail("unbalanced parentheses in INSERT")
+      }
+      val close = closeOf(open)
+      val cols = splitTopLevelCommas(mk, raw, open + 1, close)
+        .map(_.trim.split('.').last.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty)
+      require(cols.nonEmpty, "MERGE INSERT needs at least one column")
+      requireNoDupTargets(cols, "MERGE INSERT")
+      val vm = "(?is)^\\s*VALUES\\s*\\(".r
+        .findFirstMatchIn(mk.substring(close + 1))
+        .getOrElse(fail("expected VALUES (...) after the INSERT column list"))
+      val vopen = close + 1 + vm.end - 1
+      val vclose = closeOf(vopen)
+      require(mk.substring(vclose + 1).trim.isEmpty,
+        "MERGE INTO (versioned): unexpected text after INSERT ... VALUES " +
+          s"(...): `${raw.substring(vclose + 1).trim.take(60)}`")
+      val vals = splitTopLevelCommas(mk, raw, vopen + 1, vclose)
+        .map(_.trim).filter(_.nonEmpty)
+      require(cols.length == vals.length,
+        s"MERGE INSERT lists ${cols.length} column(s) but " +
+          s"${vals.length} value(s)")
+      SqlMergeAction.InsertValues(cols, vals)
+    } else {
+      // MATCHED / NOT MATCHED BY SOURCE: UPDATE or DELETE
+      if (DeleteActRe.findFirstIn(mk).isDefined) return SqlMergeAction.Delete
+      if (UpdateAllRe.findFirstIn(mk).isDefined) return SqlMergeAction.UpdateAll
+      val um = UpdateSetRe.findFirstMatchIn(mk).getOrElse(
+        fail((if (kind == 2) "WHEN NOT MATCHED BY SOURCE" else "WHEN MATCHED") +
+          " supports UPDATE SET .../UPDATE SET */DELETE"))
+      val assigns = splitTopLevelCommas(mk, raw, um.end, raw.length)
+        .map(stripStmtTail).filter(_.nonEmpty)
+        .map(splitAssignment("MERGE UPDATE"))
+      require(assigns.nonEmpty, "MERGE UPDATE needs at least one SET assignment")
+      requireNoDupTargets(assigns.map(_._1), "MERGE UPDATE")
+      SqlMergeAction.UpdateSet(assigns)
+    }
   }
 
   private def dmlCommand(sqlText: String): Option[LogicalPlan] = {

@@ -360,6 +360,79 @@ case class GraftMerge(target: String, sourceSql: String, keys: Seq[String])
   }
 }
 
+/** Textual MERGE clause action as the parser captured it — expression
+  * TEXT, bound with `expr(...)` at run time (same convention as
+  * [[GraftUpdate]]), so any Spark SQL expression works in conditions,
+  * SET right-hand sides, and INSERT values.
+  */
+sealed trait SqlMergeAction
+object SqlMergeAction {
+  case object UpdateAll extends SqlMergeAction
+  final case class UpdateSet(assignments: Seq[(String, String)])
+      extends SqlMergeAction
+  case object Delete extends SqlMergeAction
+  case object InsertAll extends SqlMergeAction
+  final case class InsertValues(columns: Seq[String], values: Seq[String])
+      extends SqlMergeAction
+}
+
+/** One parsed `WHEN ... [AND cond] THEN action` clause. */
+final case class SqlMergeClause(condition: Option[String],
+                                action: SqlMergeAction)
+
+/** The full-clause MERGE surface —
+  * `WHEN MATCHED [AND c] THEN UPDATE SET c=e,... | UPDATE SET STAR |
+  * DELETE`, `WHEN NOT MATCHED [AND c] THEN INSERT STAR | (cols)
+  * VALUES (...)`, `WHEN NOT MATCHED BY SOURCE [AND c] THEN
+  * UPDATE/DELETE` (STAR = the asterisk form) — mapped
+  * onto [[graft.sources.VersionedTable.mergeClauses]]. The exact
+  * two-clause upsert (`UPDATE SET *` + `INSERT *`, both
+  * unconditioned) keeps riding [[GraftMerge]]'s specialized path.
+  * Expressions reference `targetAlias.col` / `sourceAlias.col`
+  * (resolved as struct fields of the clause join) and the merge keys
+  * unqualified.
+  */
+case class GraftMergeClauses(target: String, sourceSql: String,
+                             keys: Seq[String],
+                             targetAlias: String, sourceAlias: String,
+                             matched: Seq[SqlMergeClause],
+                             notMatched: Seq[SqlMergeClause],
+                             notMatchedBySource: Seq[SqlMergeClause])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    def bind(c: SqlMergeClause): graft.sources.MergeClause =
+      graft.sources.MergeClause(c.condition.map(expr), c.action match {
+        case SqlMergeAction.UpdateAll =>
+          graft.sources.MergeAction.Update(None)
+        case SqlMergeAction.UpdateSet(as) =>
+          graft.sources.MergeAction.Update(
+            Some(as.map { case (k, v) => k -> expr(v) }.toMap))
+        case SqlMergeAction.Delete => graft.sources.MergeAction.Delete
+        case SqlMergeAction.InsertAll =>
+          graft.sources.MergeAction.Insert(None)
+        case SqlMergeAction.InsertValues(cols, vals) =>
+          graft.sources.MergeAction.Insert(
+            Some(cols.zip(vals.map(expr)).toMap))
+      })
+    val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
+    val src = sourceSql.trim
+    val sourceDf =
+      if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
+      else spark.table(src)
+    val v = vt.mergeClauses(sourceDf, keys,
+      matched.map(bind), notMatched.map(bind),
+      notMatchedBySource.map(bind),
+      targetAlias = targetAlias, sourceAlias = sourceAlias,
+      useDeletionVectors = VersionedSql.dvOptIn(vt))
+    bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
+    Seq(Row(v))
+  }
+}
+
 /** `VACUUM t RETAIN n VERSIONS` —
   * [[graft.sources.VersionedTable.vacuum]] through SQL: keep the last
   * n versions, reclaim everything older plus crash orphans.

@@ -60,14 +60,28 @@ trait GraftClaimCoordinator {
 
   /** The recorded value of an already-claimed slot (for recovery). */
   def claimedValue(slot: String): Option[String]
+
+  /** Drop a slot's recorded claim once its commit is DURABLY VISIBLE
+    * in the log (the manifest exists) — the claim's only remaining
+    * purpose, crash roll-forward, is moot then. Safe ONLY because the
+    * log store's winner path independently refuses to write a slot
+    * whose manifest already exists: a stale writer that re-claims a
+    * released slot can never rewrite a committed manifest. Default
+    * no-op (a directory coordinator's claims live with the log and
+    * vacuum with it).
+    */
+  def release(slot: String): Unit = ()
 }
 
 /** A claims DIRECTORY on any store with atomic no-overwrite create
   * (HDFS, NFS, a small EBS/EFS mount, local disk) — the minimal
   * coordinator when the DATA lives on an object store but a strongly
-  * consistent filesystem is reachable. One tiny file per commit slot;
-  * vacuum of the table may clear old claim files freely (a slot is
-  * never re-contended once its manifest exists).
+  * consistent filesystem is reachable. One tiny file per commit slot.
+  * Claim files may be cleaned up ONLY for slots whose manifest is
+  * durably present in the log (the winner path's exists-check then
+  * keeps a re-claimed slot from ever rewriting it); never clear the
+  * claim of an in-flight or crashed commit — it carries the
+  * roll-forward pointer.
   */
 class GraftDirectoryClaimCoordinator(dir: Path, fs: FileSystem)
     extends GraftClaimCoordinator {
@@ -154,16 +168,15 @@ class GraftDirectoryClaimCoordinator(dir: Path, fs: FileSystem)
   * Multi-process writers need [[GraftDirectoryClaimCoordinator]] or a
   * service-backed [[GraftClaimCoordinator]].
   *
-  * Deliberately UNBOUNDED: evicting a claim would let a stale writer
-  * (one that read latest = v−1, stalled arbitrarily long, then woke)
-  * win slot v a SECOND time and overwrite the committed manifest —
-  * the single-winner invariant the whole protocol rests on has no
-  * safe eviction without consulting the storage, which a coordinator
-  * cannot do. The retained cost is one small string pair per commit
-  * for the process lifetime (~100 bytes/commit — an hourly-commit
-  * pipeline retains ~1 MB/year); a deployment that cannot carry that
-  * uses the directory coordinator, whose claims live with the log and
-  * vacuum with it.
+  * BOUNDED: the log store [[GraftClaimCoordinator.release releases]] a
+  * slot as soon as its manifest is durably visible, so the map only
+  * retains IN-FLIGHT (or crashed-pre-upload) commits — O(concurrent
+  * writers), not O(commit history). Eviction is safe because the
+  * winner path consults the STORAGE before writing: a stale writer
+  * that re-claims a released slot finds the manifest present and
+  * loses, never overwriting it. A crashed winner's claim is never
+  * released (its manifest doesn't exist yet), so crash roll-forward
+  * keeps its pointer.
   */
 object GraftInProcessClaimCoordinator extends GraftClaimCoordinator {
   private val claims =
@@ -172,6 +185,9 @@ object GraftInProcessClaimCoordinator extends GraftClaimCoordinator {
     claims.putIfAbsent(slot, value) == null
   override def claimedValue(slot: String): Option[String] =
     Option(claims.get(slot))
+  override def release(slot: String): Unit = claims.remove(slot)
+  /** Spec seam: entries currently retained. */
+  private[graft] def retained: Int = claims.size
 }
 
 /** The object-store commit protocol (Delta's S3 LogStore shape, over
@@ -202,29 +218,57 @@ class GraftCoordinatedLogStore extends GraftLogStore {
       case None => GraftInProcessClaimCoordinator
     }
 
-  /** Overwrite-tolerant put (the S3 PUT stand-in): copy then delete —
-    * deliberately NOT a rename, nothing here relies on rename
-    * atomicity. `deleteTmp = false` on the recovery path (the crashed
-    * winner's retry may still hold the handle).
+  /** Publish `tmp`'s bytes at `target`. On visible-at-close stores
+    * (S3-style PUT — this class's design center) a direct
+    * overwrite-tolerant create is exactly the PUT stand-in. On
+    * visible-BEFORE-close filesystems (local, HDFS) a direct create
+    * would expose a truncated manifest to concurrent readers and a
+    * crash mid-copy would leave a torn file the recovery path then
+    * trusts — there the bytes are staged beside the target and RENAMED
+    * into place (atomic on both); a failed rename means another
+    * identical-bytes writer (a loser's crash roll-forward of the same
+    * recorded tmp) won the final step, which is success. `deleteTmp =
+    * false` on the recovery path (the crashed winner's retry may still
+    * hold the handle).
     */
   private def put(fs: FileSystem, tmp: Path, target: Path,
                   deleteTmp: Boolean): Unit = {
+    val scheme = fs.getScheme
+    val staged =
+      if (scheme == "file" || scheme == "hdfs")
+        new Path(target.getParent,
+          s".${target.getName}.put-${java.util.UUID.randomUUID().toString.take(8)}")
+      else target
     val in = fs.open(tmp)
     try {
-      val out = fs.create(target, true)
+      val out = fs.create(staged, true)
       try {
         val buf = new Array[Byte](64 * 1024)
         var n = in.read(buf)
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       } finally out.close()
     } finally in.close()
+    if (staged != target && !fs.rename(staged, target))
+      fs.delete(staged, false) // identical bytes already landed: done
     if (deleteTmp) fs.delete(tmp, false)
   }
 
   override def atomicClaim(fs: FileSystem, tmp: Path, target: Path): Boolean = {
     val coord = coordinator(fs)
     if (coord.claim(target.toString, tmp.toString)) {
+      if (fs.exists(target)) {
+        // a committed manifest is NEVER rewritten: this is a re-claim
+        // of a slot released (or cleaned up) after its commit became
+        // durable — a stale writer that computed the slot from a stale
+        // latestVersion. Surrender the claim and lose.
+        coord.release(target.toString)
+        return false
+      }
       put(fs, tmp, target, deleteTmp = true)
+      // durably visible: the claim's roll-forward pointer is dead
+      // weight from here — release it so the in-process map stays
+      // O(in-flight), not O(history)
+      coord.release(target.toString)
       true
     } else {
       // lost the slot: if the winner crashed pre-upload, complete its

@@ -24,29 +24,31 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * file's deletes.
   */
 private[sources] class GraftVtDvBatch(clean: Batch, dv: Batch,
-                                      hidden: Map[String, Array[Long]],
-                                      dataTypes: Array[DataType])
+                                      dvPaths: Map[String, Seq[String]],
+                                      dataTypes: Array[DataType],
+                                      conf: GraftDvBitmap.SerConf)
     extends Batch {
 
   private val cleanFactory = clean.createReaderFactory()
   private val dvFactory = dv.createReaderFactory()
 
-  /** Whether the WHOLE batch can stay COLUMNAR: every projected type
-    * has a vector-copy path AND both parquet factories report columnar
-    * support (their check reads conf + schema, not the partition).
-    * When true, DV'd files filter at BATCH granularity (surviving rows
-    * copied into fresh vectors — a copy of the minority) and the
-    * DV-free majority keeps the untouched vectorized + whole-stage
-    * path; when false, everything reads rows (the exec node requires
+  /** Whether the WHOLE batch can stay COLUMNAR: exactly when both
+    * parquet factories report columnar support (their check reads
+    * conf + schema, not the partition — nested projections qualify
+    * whenever the nested vectorized reader does). When true, DV'd
+    * files filter at BATCH granularity through zero-copy selection
+    * views ([[GraftVtSelectedVector]] — every type, nested included)
+    * and the DV-free majority keeps the untouched vectorized +
+    * whole-stage path; when false (the parquet reader itself declined
+    * the schema), everything reads rows (the exec node requires
     * all-or-nothing columnar across one batch's partitions).
     */
   private val columnarOk: Boolean =
-    dataTypes.forall(GraftVtColumnarDv.supportedType) &&
-      (try {
-        val dummy = FilePartition(0, Array.empty)
-        cleanFactory.supportColumnarReads(dummy) &&
-          dvFactory.supportColumnarReads(dummy)
-      } catch { case _: Exception => false })
+    try {
+      val dummy = FilePartition(0, Array.empty)
+      cleanFactory.supportColumnarReads(dummy) &&
+        dvFactory.supportColumnarReads(dummy)
+    } catch { case _: Exception => false }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val cleanParts: Array[InputPartition] =
@@ -57,7 +59,7 @@ private[sources] class GraftVtDvBatch(clean: Batch, dv: Batch,
       }
     val dvParts: Array[InputPartition] = dv.planInputPartitions().flatMap {
       case fp: FilePartition =>
-        GraftVtFoldedRead.dvPartitionsFor(fp.files.toSeq, hidden)
+        GraftVtFoldedRead.dvPartitionsFor(fp.files.toSeq, dvPaths)
       case other => Seq(other) // defensive: clean path
     }
     cleanParts ++ dvParts
@@ -65,14 +67,16 @@ private[sources] class GraftVtDvBatch(clean: Batch, dv: Batch,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftVtDvReaderFactory(cleanFactory, dvFactory, dataTypes,
-      columnarOk)
+      conf, columnarOk)
 }
 
 /** One DV'd parquet file (possibly a byte-range split of it) plus the
-  * sorted hidden row indices of exactly that file.
+  * PATHS of exactly that file's bitmap sidecars — the task descriptor
+  * carries file names, never positions; the executor that reads the
+  * file decodes its own bitmaps ([[GraftDvBitmap.loadUnion]]).
   */
 private[sources] case class GraftVtDvPartition(inner: FilePartition,
-                                               hidden: Array[Long])
+                                               dvPaths: Seq[String])
     extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -113,7 +117,8 @@ private[sources] class GraftVtCdfReaderFactory(plain: PartitionReaderFactory,
                                                typed: PartitionReaderFactory,
                                                dv: PartitionReaderFactory,
                                                dataTypes: Array[DataType],
-                                               cdfTypes: Array[DataType])
+                                               cdfTypes: Array[DataType],
+                                               conf: GraftDvBitmap.SerConf)
     extends PartitionReaderFactory {
 
   private def outIndices: Array[Int] =
@@ -132,7 +137,8 @@ private[sources] class GraftVtCdfReaderFactory(plain: PartitionReaderFactory,
       case d: GraftVtDvPartition =>
         new GraftVtFilteringReader(dv.createReader(d.inner),
           outTypes, outIndices,
-          GraftVtFilteringReader.dvKeep(d.hidden, dataTypes.length))
+          GraftVtFilteringReader.dvKeep(
+            GraftDvBitmap.loadUnion(conf.value, d.dvPaths), dataTypes.length))
       case r: GraftVtRowOnlyPartition => plain.createReader(r.inner)
       case other => plain.createReader(other)
     }
@@ -165,13 +171,15 @@ private[sources] class GraftVtCdfReaderFactory(plain: PartitionReaderFactory,
 private[sources] class GraftVtDvReaderFactory(clean: PartitionReaderFactory,
                                               dv: PartitionReaderFactory,
                                               dataTypes: Array[DataType],
+                                              conf: GraftDvBitmap.SerConf,
                                               columnarDv: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case d: GraftVtDvPartition =>
-        new GraftVtDvRowReader(dv.createReader(d.inner), d.hidden, dataTypes)
+        new GraftVtDvRowReader(dv.createReader(d.inner),
+          GraftDvBitmap.loadUnion(conf.value, d.dvPaths), dataTypes)
       case r: GraftVtRowOnlyPartition => clean.createReader(r.inner)
       case other => clean.createReader(other)
     }
@@ -193,7 +201,7 @@ private[sources] class GraftVtDvReaderFactory(clean: PartitionReaderFactory,
     p match {
       case d: GraftVtDvPartition if columnarDv =>
         new GraftVtDvColumnarReader(dv.createColumnarReader(d.inner),
-          d.hidden, dataTypes)
+          GraftDvBitmap.loadUnion(conf.value, d.dvPaths), dataTypes)
       case _: GraftVtDvPartition | _: GraftVtRowOnlyPartition =>
         throw new UnsupportedOperationException(
           "DV/row-only partitions read row-based")
@@ -268,28 +276,78 @@ private[sources] class GraftVtDvRowReader(inner: PartitionReader[InternalRow],
       Array.range(0, dataTypes.length),
       GraftVtFilteringReader.dvKeep(hidden, dataTypes.length))
 
-private[sources] object GraftVtColumnarDv {
+/** A zero-copy SELECTION view of a column vector: accesses remap
+  * through `sel` (the surviving row ids of a DV-filtered batch) at
+  * read time, for EVERY type — structs wrap their children recursively
+  * (the final `getStruct` builds a ColumnarRow over THIS vector, whose
+  * field reads come back through the remapped children; the same
+  * composition serves intervals and variants), while arrays and maps
+  * delegate whole handles (`getArray`/`getMap` are built by the inner
+  * vector and never consult the parent again). This is what keeps a
+  * projection with nested/map columns COLUMNAR on the DV path — the
+  * pre-r15 copy path handled atomic types only and dropped the whole
+  * batch, clean majority included, to rows otherwise. The view borrows
+  * the inner reader's vectors (valid until its next batch, the same
+  * contract as the zero-copy pass-through), so `close()` is a no-op.
+  */
+private[sources] class GraftVtSelectedVector(
+    inner: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(inner.dataType) {
   import org.apache.spark.sql.types._
 
-  /** Types the vector-copy path handles — every atomic type the stats
-    * index meets in practice; anything else (nested, interval, variant)
-    * takes the row path.
-    */
-  def supportedType(dt: DataType): Boolean = dt match {
-    case BooleanType | ByteType | ShortType | IntegerType | DateType |
-         LongType | TimestampType | TimestampNTZType | FloatType |
-         DoubleType | StringType | BinaryType => true
-    case _: DecimalType => true
+  override def close(): Unit = () // inner vectors stay owned by their reader
+  // conservative over-approximations: a subset can only have fewer
+  // nulls; consumers use these to SKIP null checks, never to add them
+  override def hasNull: Boolean = inner.hasNull
+  override def numNulls(): Int = inner.numNulls()
+  override def isNullAt(rowId: Int): Boolean = inner.isNullAt(sel(rowId))
+  override def getBoolean(rowId: Int): Boolean = inner.getBoolean(sel(rowId))
+  override def getByte(rowId: Int): Byte = inner.getByte(sel(rowId))
+  override def getShort(rowId: Int): Short = inner.getShort(sel(rowId))
+  override def getInt(rowId: Int): Int = inner.getInt(sel(rowId))
+  override def getLong(rowId: Int): Long = inner.getLong(sel(rowId))
+  override def getFloat(rowId: Int): Float = inner.getFloat(sel(rowId))
+  override def getDouble(rowId: Int): Double = inner.getDouble(sel(rowId))
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    inner.getArray(sel(rowId))
+  override def getMap(rowId: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    inner.getMap(sel(rowId))
+  override def getDecimal(rowId: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    inner.getDecimal(sel(rowId), precision, scale)
+  override def getUTF8String(rowId: Int): org.apache.spark.unsafe.types.UTF8String =
+    inner.getUTF8String(sel(rowId))
+  override def getBinary(rowId: Int): Array[Byte] = inner.getBinary(sel(rowId))
+
+  // Children are remapped ONLY for the types whose final accessors
+  // compose over getChild with the PARENT's row id (struct fields,
+  // interval parts, variant value/metadata); array/map element vectors
+  // are reached through inner-built handles and must stay raw.
+  private val wrapKids: Boolean = dataType() match {
+    case _: StructType | CalendarIntervalType | VariantType => true
     case _ => false
   }
+  private val kidCache =
+    new java.util.HashMap[Integer, org.apache.spark.sql.vectorized.ColumnVector]()
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    if (!wrapKids) inner.getChild(ordinal)
+    else { // single task thread: a plain memo avoids an alloc per field access
+      var k = kidCache.get(ordinal)
+      if (k == null) {
+        k = new GraftVtSelectedVector(inner.getChild(ordinal), sel)
+        kidCache.put(ordinal, k)
+      }
+      k
+    }
 }
 
 /** The COLUMNAR DV filter: each incoming batch's trailing row-index
   * vector drives the same sorted-positions two-pointer as the row
   * reader; a batch with no hidden rows passes through ZERO-COPY (its
-  * vectors re-wrapped without the index column), a batch with hits has
-  * its surviving rows copied into fresh on-heap vectors. The copy only
-  * ever touches the DV'd files — the DV-free majority of the table
+  * vectors re-wrapped without the index column), a batch with hits
+  * serves its surviving rows through zero-copy SELECTION views
+  * ([[GraftVtSelectedVector]] — every type, nested included). Only the
+  * DV'd files ever pay the remap — the DV-free majority of the table
   * reads through the stock columnar path untouched, so whole-stage
   * codegen and batch processing survive an outstanding DV.
   */
@@ -299,18 +357,13 @@ private[sources] class GraftVtDvColumnarReader(
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
-  import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
 
   private val width = dataTypes.length
   private var ptr = 0
   private var out: ColumnarBatch = _
-  private var outOwned = false // only COPIED batches may be closed here
-
-  private def closeOut(): Unit =
-    if (out != null && outOwned) { out.close(); out = null }
 
   override def next(): Boolean = {
-    closeOut()
+    out = null
     while (inner.next()) {
       val b = inner.get()
       val n = b.numRows()
@@ -332,17 +385,12 @@ private[sources] class GraftVtDvColumnarReader(
         // reader (consumed before the next call per reader contract)
         out = new ColumnarBatch(
           Array.tabulate[ColumnVector](width)(b.column), n)
-        outOwned = false
         return true
       }
       if (m > 0) {
-        val vecs = Array.tabulate[ColumnVector](width) { c =>
-          val dst = new OnHeapColumnVector(m, dataTypes(c))
-          copyRows(b.column(c), keep, m, dst, dataTypes(c))
-          dst
-        }
-        out = new ColumnarBatch(vecs, m)
-        outOwned = true
+        val sel = java.util.Arrays.copyOf(keep, m)
+        out = new ColumnarBatch(Array.tabulate[ColumnVector](width)(c =>
+          new GraftVtSelectedVector(b.column(c), sel)), m)
         return true
       }
       // whole batch hidden: keep scanning
@@ -350,80 +398,8 @@ private[sources] class GraftVtDvColumnarReader(
     false
   }
 
-  private def copyRows(src: ColumnVector, keep: Array[Int], m: Int,
-                       dst: WritableColumnVector,
-                       dt: org.apache.spark.sql.types.DataType): Unit = {
-    import org.apache.spark.sql.types._
-    var j = 0
-    dt match {
-      case BooleanType => while (j < m) {
-        val i = keep(j)
-        if (src.isNullAt(i)) dst.putNull(j) else dst.putBoolean(j, src.getBoolean(i))
-        j += 1
-      }
-      case ByteType => while (j < m) {
-        val i = keep(j)
-        if (src.isNullAt(i)) dst.putNull(j) else dst.putByte(j, src.getByte(i))
-        j += 1
-      }
-      case ShortType => while (j < m) {
-        val i = keep(j)
-        if (src.isNullAt(i)) dst.putNull(j) else dst.putShort(j, src.getShort(i))
-        j += 1
-      }
-      case IntegerType | DateType => while (j < m) {
-        val i = keep(j)
-        if (src.isNullAt(i)) dst.putNull(j) else dst.putInt(j, src.getInt(i))
-        j += 1
-      }
-      case LongType | TimestampType | TimestampNTZType => while (j < m) {
-        val i = keep(j)
-        if (src.isNullAt(i)) dst.putNull(j) else dst.putLong(j, src.getLong(i))
-        j += 1
-      }
-      case FloatType => while (j < m) {
-        val i = keep(j)
-        if (src.isNullAt(i)) dst.putNull(j) else dst.putFloat(j, src.getFloat(i))
-        j += 1
-      }
-      case DoubleType => while (j < m) {
-        val i = keep(j)
-        if (src.isNullAt(i)) dst.putNull(j) else dst.putDouble(j, src.getDouble(i))
-        j += 1
-      }
-      case StringType => while (j < m) {
-        val i = keep(j)
-        if (src.isNullAt(i)) dst.putNull(j)
-        else {
-          val u = src.getUTF8String(i).getBytes
-          dst.putByteArray(j, u, 0, u.length)
-        }
-        j += 1
-      }
-      case BinaryType => while (j < m) {
-        val i = keep(j)
-        if (src.isNullAt(i)) dst.putNull(j)
-        else {
-          val bs = src.getBinary(i)
-          dst.putByteArray(j, bs, 0, bs.length)
-        }
-        j += 1
-      }
-      case d: DecimalType => while (j < m) {
-        val i = keep(j)
-        if (src.isNullAt(i)) dst.putNull(j)
-        else dst.putDecimal(j, src.getDecimal(i, d.precision, d.scale),
-          d.precision)
-        j += 1
-      }
-      case other => throw new IllegalStateException(
-        s"unsupported columnar DV copy type $other — guarded by " +
-          "GraftVtColumnarDv.supportedType") // unreachable by construction
-    }
-  }
-
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = out
-  override def close(): Unit = { closeOut(); inner.close() }
+  override def close(): Unit = inner.close()
 }
 
 /** The change feed's three reader factories (plain / embedded-type /
@@ -436,10 +412,11 @@ private[sources] case class GraftVtCdfReaders(
     mkTyped: () => PartitionReaderFactory,
     mkDv: () => PartitionReaderFactory,
     dataTypes: Array[DataType],
-    cdfTypes: Array[DataType]) {
+    cdfTypes: Array[DataType],
+    conf: GraftDvBitmap.SerConf) {
   def mkFactory(): PartitionReaderFactory =
     new GraftVtCdfReaderFactory(mkPlain(), mkTyped(), mkDv(),
-      dataTypes, cdfTypes)
+      dataTypes, cdfTypes, conf)
 }
 
 private[sources] object GraftVtFoldedRead {
@@ -458,29 +435,18 @@ private[sources] object GraftVtFoldedRead {
   def withRowIndex(schema: StructType): StructType =
     StructType(schema.fields :+ RowIndexField)
 
-  /** The ONE budget every DV position consumer reads: the batch scan
-    * falls back to the row fold past it, streams and the change feed
-    * refuse loudly (they have no fold).
-    */
-  val MaxInlinePositionsKey = "spark.graft.dv.maxInlinePositions"
-  val MaxInlinePositionsDefault = 8000000L
-
-  def maxInlinePositions(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get(MaxInlinePositionsKey,
-      MaxInlinePositionsDefault.toString).toLong
-
-  /** One-file DV partitions for the given files: the hidden-position
-    * slice is keyed `"<dir>/<file>"` and row indices only increase
-    * within one file's range — the ONE construction every DV-planning
-    * path (batch scan, plain stream, change feed) shares, so the
-    * keying convention cannot drift between them.
+  /** One-file DV partitions for the given files: the bitmap-path
+    * slice is keyed `"<dir>/<file>"` — the ONE construction every
+    * DV-planning path (batch scan, plain stream, change feed) shares,
+    * so the keying convention cannot drift between them. Partitions
+    * carry PATHS (tens of bytes); the executors decode.
     */
   def dvPartitionsFor(files: Seq[org.apache.spark.sql.execution.datasources.PartitionedFile],
-                      hidden: Map[String, Array[Long]]): Seq[InputPartition] =
+                      dvPaths: Map[String, Seq[String]]): Seq[InputPartition] =
     files.map { f =>
       val p = f.toPath
       GraftVtDvPartition(FilePartition(0, Array(f)),
-        hidden.getOrElse(p.getParent.getName + "/" + p.getName,
-          Array.emptyLongArray)): InputPartition
+        dvPaths.getOrElse(p.getParent.getName + "/" + p.getName,
+          Seq.empty)): InputPartition
     }
 }

@@ -466,7 +466,8 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
         mkDv = () => mkCdfScan(GraftVtFoldedRead.withRowIndex(physDataCols))
           .createReaderFactory(),
         dataTypes = physDataCols.fields.map(_.dataType),
-        cdfTypes = cdfStruct.fields.map(_.dataType))
+        cdfTypes = cdfStruct.fields.map(_.dataType),
+        conf = new GraftDvBitmap.SerConf(spark.sessionState.newHadoopConf()))
       val fromV = Option(options.get("startingVersion")).map(_.trim.toInt)
         .getOrElse(0)
       val toV = Option(options.get("endingVersion")).map(_.trim.toInt)
@@ -483,21 +484,13 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
       val kept = limitRows.fold(keptAll)(limitPrefix(keptAll, _))
       val dvs = vt.dvsAt(version)
       val l2p = vt.renamesAt(version)
-      // A table carrying extreme DV debt (hidden rows past the inline
-      // budget — the per-file positions ride the task descriptors)
-      // takes the row-based folding fallback; anything below it reads
-      // VECTORIZED, DVs filtered per file by row index. Renames never
-      // force the fallback: the inner parquet scans read the PHYSICAL
-      // schema (identical types and order — InternalRows are
-      // positional) and the scan reports the logical one.
-      val dvKept = kept.filter(dvs.contains)
-      if (dvKept.nonEmpty) {
-        val dvRows = vt.dvRowCountsAt(version)
-        val hiddenTotal = dvKept.iterator
-          .map(d => dvRows.getOrElse(d, Long.MaxValue / 1024)).sum
-        if (hiddenTotal > GraftVtFoldedRead.maxInlinePositions(spark))
-          return new GraftVtV1FoldScan(vt, version, kept, required, rootPath)
-      }
+      // Every DV'd read is VECTORIZED, whatever the debt: partitions
+      // carry bitmap PATHS, executors decode exactly their own file's
+      // hidden rows ([[GraftDvBitmap]]) — there is no inline budget,
+      // no driver collect, and no row-fold fallback. Renames don't
+      // change this: the inner parquet scans read the PHYSICAL schema
+      // (identical types and order — InternalRows are positional) and
+      // the scan reports the logical one.
       // Physicalize once: schema the files spell, projection in file
       // names, pushed filters with attributes re-addressed (an
       // untranslatable conjunct just drops — every filter is retained
@@ -530,68 +523,6 @@ private[sources] class GraftVtScanBuilder(vt: VersionedTable, version: Int,
         dvMap = dvs)
     }
   }
-}
-
-/** The DV-bearing snapshot's scan: a [[org.apache.spark.sql.connector
-  * .read.V1Scan]] whose relation computes the DV-FOLDED read of the
-  * manifest-pruned directories ([[VersionedTable.readFoldedDirs]]) and
-  * hands Spark its rows. Correctness-first fallback: pruning and
-  * column selection still apply, every filter runs above the scan
-  * (retained post-scan as always); only whole-stage-codegen'd
-  * vectorized reading is traded away, and only while DVs are
-  * outstanding — OPTIMIZE restores the fast path.
-  */
-private[graft] class GraftVtV1FoldScan(vt: VersionedTable, version: Int,
-                                       kept: Seq[String],
-                                       required: StructType,
-                                       rootPath: String)
-    extends org.apache.spark.sql.connector.read.V1Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-
-  override def readSchema(): StructType = required
-
-  /** Recorded manifest statistics (rows minus DV-hidden, physical
-    * bytes) — without these Spark treats a V1 relation as
-    * default-sized and never broadcasts a small DV'd/renamed table.
-    */
-  override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics =
-    new org.apache.spark.sql.connector.read.Statistics {
-      private val (rowsOpt, bytesOpt) = vt.dirStats(version, kept)
-      override def sizeInBytes(): java.util.OptionalLong =
-        bytesOpt.fold(java.util.OptionalLong.empty())(
-          java.util.OptionalLong.of)
-      override def numRows(): java.util.OptionalLong =
-        rowsOpt.fold(java.util.OptionalLong.empty())(
-          java.util.OptionalLong.of)
-    }
-
-  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
-      with org.apache.spark.sql.sources.TableScan](
-      context: org.apache.spark.sql.SQLContext): T =
-    new org.apache.spark.sql.sources.BaseRelation
-        with org.apache.spark.sql.sources.TableScan {
-      override def sqlContext: org.apache.spark.sql.SQLContext = context
-      override def schema: StructType = required
-      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-        import org.apache.spark.sql.functions.col
-        // column pruning reaches the parquet reader (the fold imposes
-        // only the required fields); an EMPTY projection still selects
-        // — zero-column rows, not full ones (schema() promises empty)
-        vt.readFoldedDirs(version, kept, Some(required))
-          .select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
-      }
-    }.asInstanceOf[T]
-
-  override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    throw new UnsupportedOperationException(
-      s"streaming $rootPath is not supported while deletion vectors are " +
-        "outstanding or columns are renamed (the fold is row-level); " +
-        "OPTIMIZE (full rewrite) compacts DVs and normalizes names")
-
-  override def description(): String =
-    s"GraftVtDvFold $rootPath (version $version, ${kept.size} dirs)"
 }
 
 /** A completely-pushed-down aggregate answered from the manifest fold:
@@ -654,12 +585,13 @@ private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
   private def dvKeptOf(kept: Seq[String]): Seq[String] =
     if (dvMap.isEmpty) Nil else kept.filter(dvMap.contains)
 
-  /** Hidden positions collected ONCE per scan over the initially-kept
-    * DV'd directories (a runtime filter only shrinks the kept set, and
-    * pruned directories' files are simply never planned).
+  /** Bitmap PATHS listed ONCE per scan over the initially-kept DV'd
+    * directories (a runtime filter only shrinks the kept set, and
+    * pruned directories' files are simply never planned) —
+    * metadata-sized; the executors decode the positions.
     */
-  private lazy val hiddenPositions: Map[String, Array[Long]] =
-    vt.dvHiddenPositions(version, dvKeptOf(staticKept))
+  private lazy val dvBitmapPaths: Map[String, Seq[String]] =
+    vt.dvBitmapPaths(version, dvKeptOf(staticKept))
 
   private def mkParquetScan(dirs: Seq[String], readSchema: StructType)
       : ParquetScan = {
@@ -734,7 +666,8 @@ private[graft] class GraftVtScan(spark: SparkSession, vt: VersionedTable,
         val dvScan = mkParquetScan(dvd,
           GraftVtFoldedRead.withRowIndex(physRequired))
         new GraftVtDvBatch(parquet.toBatch, dvScan.toBatch,
-          hiddenPositions, physRequired.fields.map(_.dataType))
+          dvBitmapPaths, physRequired.fields.map(_.dataType),
+          new GraftDvBitmap.SerConf(spark.sessionState.newHadoopConf()))
       }
     case Some((fromV, toV, cdfCols)) =>
       new GraftVtCdfBatch(spark, vt, rootPath, fromV, toV, cdfCols,

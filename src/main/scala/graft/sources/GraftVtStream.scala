@@ -142,20 +142,11 @@ private[sources] object GraftVtChangeFiles {
           typedFiles ++= filesUnder(fs, root, d, v, t, cdfCols).map((t, _))
         case DvFoldChange(d, t, dvV) =>
           hasMarkers = true
-          // no row-fold fallback on the feed: refuse unbounded debt
-          // loudly (same budget as the batch scan's vectorized path)
-          val maxInline = GraftVtFoldedRead.maxInlinePositions(spark)
-          val debt = vt.dvRowCountsAt(dvV)
-            .getOrElse(d, Long.MaxValue / 1024)
-          require(debt <= maxInline,
-            s"change feed of $root: directory $d carries $debt DV-hidden " +
-              s"rows at version $dvV, past " +
-              s"${GraftVtFoldedRead.MaxInlinePositionsKey} ($maxInline); " +
-              "use the row-level batch feed (VersionedTable.changes) for " +
-              "this range")
-          val hidden = vt.dvHiddenPositions(dvV, Seq(d))
+          // bitmap paths, never positions: debt size is irrelevant to
+          // the feed — each partition's executor decodes its own file
           markers ++= GraftVtFoldedRead.dvPartitionsFor(
-            filesUnder(fs, root, d, v, t, cdfCols), hidden)
+            filesUnder(fs, root, d, v, t, cdfCols),
+            vt.dvBitmapPaths(dvV, Seq(d)))
       }
     }
     typedFiles.result().groupBy(_._1).foreach { case (t, fsOfT) =>
@@ -351,30 +342,20 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
     // DV-bearing directories in this batch: their files become one-file
     // DV partitions (row-index filtered, exactly the batch scan's
     // mechanism); everything else packs normally but rides row-only
-    // markers — one batch must be uniformly (non-)columnar. Unlike the
-    // batch scan there is NO row-fold fallback here, so debt past the
-    // inline budget refuses loudly instead of collecting unbounded.
-    val maxInline = GraftVtFoldedRead.maxInlinePositions(spark)
+    // markers — one batch must be uniformly (non-)columnar. Partitions
+    // carry bitmap PATHS only, so debt size never concentrates
+    // anywhere: no budget, no refusal.
     val clean = Seq.newBuilder[PartitionedFile]
     val dvParts = Array.newBuilder[InputPartition]
     files.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, vfiles) =>
       val dvs = dvByV(v)
-      val dvRows = vt.dvRowCountsAt(v)
-      val debt = vfiles.map(_._2.toPath.getParent.getName).distinct
-        .filter(dvs.contains)
-        .map(d => dvRows.getOrElse(d, Long.MaxValue / 1024)).sum
-      require(debt <= maxInline,
-        s"streaming $rootPath: version $v carries $debt DV-hidden rows, " +
-          s"past ${GraftVtFoldedRead.MaxInlinePositionsKey} ($maxInline); " +
-          "run OPTIMIZE (or a WHERE __dv_fraction sweep) to compact the " +
-          "debt before streaming this snapshot")
       val (dvFiles, rest) = vfiles.map(_._2)
         .partition(f => dvs.contains(f.toPath.getParent.getName))
       clean ++= rest
       if (dvFiles.nonEmpty) {
         val dirs = dvFiles.map(_.toPath.getParent.getName).distinct
-        val hidden = vt.dvHiddenPositions(v, dirs)
-        dvParts ++= GraftVtFoldedRead.dvPartitionsFor(dvFiles, hidden)
+        dvParts ++= GraftVtFoldedRead.dvPartitionsFor(dvFiles,
+          vt.dvBitmapPaths(v, dirs))
       }
     }
     val cleanParts: Array[InputPartition] =
@@ -397,7 +378,8 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
       case Some(mkDv) =>
         // dispatching factory: DV partitions filter hidden rows, clean
         // partitions (and whole DV-free batches) delegate untouched
-        new GraftVtDvReaderFactory(mkReaderFactory(), mkDv(), dvTypes)
+        new GraftVtDvReaderFactory(mkReaderFactory(), mkDv(), dvTypes,
+          new GraftDvBitmap.SerConf(spark.sessionState.newHadoopConf()))
       case None => mkReaderFactory()
     }
 

@@ -45,24 +45,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  /** JVM-global hidden-position cache for the vectorized DV read path,
-    * keyed (table dir, version, requested dirs): manifests are
+  /** JVM-global bitmap-PATH cache for the vectorized DV read path,
+    * keyed (table dir, sidecar set, requested dirs): manifests are
     * immutable per version, so repeated plans of the same DV'd
     * snapshot — dashboards, a join reading the table twice — skip the
-    * per-plan sidecar collect. Bounded: cleared wholesale past 64
-    * entries (entries are deleted-rows-sized; the budget guard in the
-    * scan keeps each small).
+    * per-plan sidecar listing. Entries hold file paths only (strings,
+    * never positions — the executors decode their own bitmaps), so 64
+    * retained entries are KBs, not GBs. Cleared wholesale past 64.
     */
-  private val dvPosCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Array[Long]]]()
+  private val dvPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[String]]]()
 
-  private[sources] def dvPosCached(key: String)
-      (load: => Map[String, Array[Long]]): Map[String, Array[Long]] = {
-    val hit = dvPosCache.get(key)
+  private[sources] def dvPathsCached(key: String)
+      (load: => Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    val hit = dvPathCache.get(key)
     if (hit != null) return hit
     val v = load
-    if (dvPosCache.size > 64) dvPosCache.clear()
-    dvPosCache.put(key, v)
+    if (dvPathCache.size > 64) dvPathCache.clear()
+    dvPathCache.put(key, v)
     v
   }
 
@@ -383,20 +383,6 @@ class VersionedTable(spark: SparkSession, dir: String,
     (rows, bytes)
   }
 
-  private[sources] def readFoldedDirs(version: Int, dirs: Seq[String],
-                                      required: Option[org.apache.spark.sql.types.StructType] = None)
-      : DataFrame = {
-    val full = tableSchemaAt(version)
-    // impose only the REQUIRED fields (with their column-mapping
-    // metadata from the full schema) so the parquet reader prunes
-    // columns exactly like the vectorized path would
-    val schema = required match {
-      case None => full
-      case Some(r) => org.apache.spark.sql.types.StructType(
-        r.fieldNames.flatMap(n => full.fields.find(_.name.equalsIgnoreCase(n))))
-    }
-    readDirsFolded(Some(schema), dirs, snapshotAt(version).dvs)
-  }
 
   private def commitAt(v: Int): Commit = {
     val p = manifestPath(v)
@@ -1755,45 +1741,36 @@ class VersionedTable(spark: SparkSession, dir: String,
   private[sources] def dvRowCountsAt(v: Int): Map[String, Long] =
     snapshotAt(v).dvRowsByDir
 
-  /** The hidden row positions of the given directories at a version,
-    * keyed `"<dir>/<file>"`, each value SORTED ascending — the
-    * vectorized DV read path ships each file's slice with its own
-    * input partition and two-pointers them away as the parquet reader
-    * streams indices in order. One plan-time job over the sidecars;
-    * deleted-rows-sized, and the caller budgets it against the
-    * manifest-recorded per-directory hidden counts BEFORE calling (an
-    * over-budget table takes the row-based folding fallback instead).
+  /** The bitmap paths hiding rows of the given directories at a
+    * version, keyed `"<dir>/<file>"` — what the vectorized DV read
+    * path ships in its one-file input partitions. Metadata-sized
+    * (paths, never positions: each EXECUTOR decodes exactly the
+    * bitmaps of the file it reads), so there is no inline budget, no
+    * driver collect, and no fallback — a table's total hidden count
+    * never concentrates on one machine.
     */
-  private[sources] def dvHiddenPositions(v: Int, dirs: Seq[String])
-      : Map[String, Array[Long]] = {
-    import org.apache.spark.sql.functions.col
+  private[sources] def dvBitmapPaths(v: Int, dirs: Seq[String])
+      : Map[String, Seq[String]] = {
     val dvs = snapshotAt(v).dvs
     val sidecars = dirs.flatMap(dvs.get).flatten.distinct
     if (sidecars.isEmpty) return Map.empty
     // manifests are immutable per version: repeated plans of the same
-    // DV'd snapshot serve from the JVM-global cache, no sidecar re-read.
-    // The key carries the SIDECAR names (UUID-suffixed), not just the
-    // version — a DROP + re-CREATE at the same path reuses versions but
-    // can never reuse a sidecar name.
-    VersionedTable.dvPosCached(
+    // DV'd snapshot serve from the JVM-global cache, no sidecar
+    // re-listing. The key carries the SIDECAR names (UUID-suffixed),
+    // not just the version — a DROP + re-CREATE at the same path
+    // reuses versions but can never reuse a sidecar name.
+    VersionedTable.dvPathsCached(
       s"$dir@${sidecars.sorted.mkString("+")}@${dirs.sorted.mkString(",")}") {
-      val dirSet = dirs.toSet
-      dvFrame(sidecars)
-        .filter(col("__graft_dv_dir").isInCollection(dirSet))
-        .collect()
-        .groupBy(r => r.getString(0) + "/" + r.getString(1))
-        .map { case (k, rows) =>
-          k -> rows.map(_.getLong(2)).distinct.sorted
-        }
+      GraftDvBitmap.pathsByFile(spark, root, sidecars, dirs)
     }
   }
 
   /** A DV sidecar frame: the (directory, file, row-position) triples of
-    * every row the given sidecars hide.
+    * every row the given sidecars hide — decoded distributedly from
+    * the per-file bitmaps (the anti-join fold consumers' view).
     */
   private def dvFrame(names: Seq[String]): DataFrame =
-    spark.read.parquet(names.map(n => new Path(root, n).toString): _*)
-      .select("__graft_dv_dir", "__graft_dv_file", "__graft_dv_pos")
+    GraftDvBitmap.asFrame(spark, root, names)
 
   /** Read `dirs` with DELETION VECTORS folded — the merge-on-read path:
     * directories without DVs read untouched (the common case pays
@@ -2086,8 +2063,7 @@ class VersionedTable(spark: SparkSession, dir: String,
   def merge(source: DataFrame, keys: Seq[String],
             writeChangeData: Boolean = false, maxRetries: Int = 5,
             useDeletionVectors: Boolean = false): Int = {
-    import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin, unix_micros}
-    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, lit}
     require(keys.nonEmpty, "merge needs at least one key column")
     keys.foreach(k => require(source.columns.contains(k),
       s"merge key `$k` missing from source (has: ${source.columns.mkString(", ")})"))
@@ -2100,49 +2076,15 @@ class VersionedTable(spark: SparkSession, dir: String,
     val srcAligned = source.select(snapCols.map(col).toIndexedSeq: _*)
 
     // Touched-directory pruning over EVERY indexable merge key, in the
-    // stat domain — conjunctive, matching the equality semantics: a
-    // target row matches only when ALL keys equal, so a directory is
-    // touched only when EVERY key's recorded range can intersect the
-    // source's span ([[pruneActiveAll]]); a multi-key merge therefore
-    // never rewrites a directory a single key's span alone would admit.
-    // Unindexable key TYPES contribute no predicate (conservative); a
-    // key whose source values are ALL NULL means no source row can
-    // match any target row at all (SQL equality never matches null) —
-    // touch nothing, every source row inserts. All spans ride ONE
-    // scalar aggregate over the source.
-    val keyDomain: Seq[(String, Option[org.apache.spark.sql.Column])] =
-      keys.map { k =>
-        k -> (source.schema(k).dataType match {
-          case ByteType | ShortType | IntegerType | LongType =>
-            Some(col(k).cast("long"))
-          case TimestampType | TimestampNTZType =>
-            Some(unix_micros(col(k).cast("timestamp")))
-          case FloatType | DoubleType => Some(col(k).cast("double"))
-          case StringType => Some(col(k))
-          case _ => None
-        })
-      }
-    val indexable = keyDomain.collect { case (k, Some(c)) => (k, c) }
+    // stat domain ([[mergeSpanState]]) — conjunctive, matching the
+    // equality semantics: a target row matches only when ALL keys
+    // equal, so a directory is touched only when EVERY key's recorded
+    // range can intersect the source's span ([[pruneActiveAll]]); a
+    // multi-key merge therefore never rewrites a directory a single
+    // key's span alone would admit.
     val snapState = snapshotAt(latest)
     val active = snapState.active
-    // The span triple doubles as the retry protocol's conflict test:
-    // None = unprovable (unindexable keys — any concurrently added data
-    // may match); Some(None) = provably matchless (an all-null key —
-    // pure insert, nothing can conflict); Some(Some(preds)) = the
-    // conjunctive bounds concurrent adds are tested against.
-    val spanState: Option[Option[Seq[(String, Option[Any], Option[Any])]]] =
-      if (indexable.isEmpty) None
-      else {
-        val aggs = indexable.flatMap { case (_, c) => Seq(fmin(c), fmax(c)) }
-        val row = source.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
-        val spans = indexable.zipWithIndex.map { case ((k, _), i) =>
-          if (row.isNullAt(2 * i)) None
-          else Some((k, Some(row.get(2 * i)): Option[Any],
-            Some(row.get(2 * i + 1)): Option[Any]))
-        }
-        if (spans.exists(_.isEmpty)) Some(None) // an all-null key: no matches
-        else Some(Some(spans.flatten))
-      }
+    val spanState = mergeSpanState(source, keys)
     val touched: Seq[String] = spanState match {
       case None => active
       case Some(None) => Seq.empty
@@ -2167,25 +2109,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     // source's conjunctive span, same rule as the touched prune.
     // (Hoisted above the merge-on-read branch — both commit shapes ride
     // the same disjointness test.)
-    val addedMayMatch: Commit => Seq[String] = c => spanState match {
-      case Some(None) => Seq.empty // pure insert: nothing can match
-      case None => c.added // unindexable keys: unprovable, conservative
-      case Some(Some(preds)) => c.added.filter { d =>
-        c.addedStats.get(d) match {
-          case None => true // no stats recorded: conservative
-          case Some(st) => preds.forall { case (cn0, lo, hi) =>
-            val cn = mergeL2p.getOrElse(cn0, cn0)
-            st.get(cn) match {
-              case None => true
-              case Some(cs) if cs.min == null => false // all-null key: no match
-              case Some(cs) =>
-                !(lo.exists(l => cmpBound(cs.max, normBound(l)) < 0) ||
-                  hi.exists(h => cmpBound(cs.min, normBound(h)) > 0))
-            }
-          }
-        }
-      }
-    }
+    val addedMayMatch = mergeAddedMayMatch(spanState, mergeL2p)
     val srcKeys = source.select(keys.map(col).toIndexedSeq: _*)
     if (useDeletionVectors && touched.nonEmpty)
       mergeViaDv(srcAligned, srcKeys, keys, latest, snapSchema, mergeL2p,
@@ -2233,6 +2157,390 @@ class VersionedTable(spark: SparkSession, dir: String,
         System.currentTimeMillis(), addedStats = Map(name -> st),
         cdf = cdfName, addedRows = Map(name -> rows)),
       validated0 = snapState.constraints)
+  }
+
+  /** Conjunctive per-key span of a merge source in the STAT domain —
+    * the shared foundation of touched-directory pruning and the
+    * concurrent-add conflict test for every merge commit shape.
+    * `None` = unprovable (an unindexable key TYPE contributes no
+    * predicate — any concurrently added data may match); `Some(None)`
+    * = provably matchless (a key whose source values are ALL NULL —
+    * SQL equality never matches null, so no source row can match any
+    * target row); `Some(Some(preds))` = the conjunctive bounds. All
+    * spans ride ONE scalar aggregate over the source.
+    */
+  private def mergeSpanState(source: DataFrame, keys: Seq[String])
+      : Option[Option[Seq[(String, Option[Any], Option[Any])]]] = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, unix_micros}
+    import org.apache.spark.sql.types._
+    val keyDomain: Seq[(String, Option[org.apache.spark.sql.Column])] =
+      keys.map { k =>
+        k -> (source.schema(k).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(col(k).cast("long"))
+          case TimestampType | TimestampNTZType =>
+            Some(unix_micros(col(k).cast("timestamp")))
+          case FloatType | DoubleType => Some(col(k).cast("double"))
+          case StringType => Some(col(k))
+          case _ => None
+        })
+      }
+    val indexable = keyDomain.collect { case (k, Some(c)) => (k, c) }
+    if (indexable.isEmpty) None
+    else {
+      val aggs = indexable.flatMap { case (_, c) => Seq(fmin(c), fmax(c)) }
+      val row = source.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+      val spans = indexable.zipWithIndex.map { case ((k, _), i) =>
+        if (row.isNullAt(2 * i)) None
+        else Some((k, Some(row.get(2 * i)): Option[Any],
+          Some(row.get(2 * i + 1)): Option[Any]))
+      }
+      if (spans.exists(_.isEmpty)) Some(None) // an all-null key: no matches
+      else Some(Some(spans.flatten))
+    }
+  }
+
+  /** Stat test of a concurrent winner's added directories against a
+    * merge span — the retry protocol's added-data conflict rule,
+    * shared by every merge commit shape.
+    */
+  private def mergeAddedMayMatch(
+      spanState: Option[Option[Seq[(String, Option[Any], Option[Any])]]],
+      mergeL2p: Map[String, String]): Commit => Seq[String] = c =>
+    spanState match {
+      case Some(None) => Seq.empty // pure insert: nothing can match
+      case None => c.added // unindexable keys: unprovable, conservative
+      case Some(Some(preds)) => c.added.filter { d =>
+        c.addedStats.get(d) match {
+          case None => true // no stats recorded: conservative
+          case Some(st) => preds.forall { case (cn0, lo, hi) =>
+            val cn = mergeL2p.getOrElse(cn0, cn0)
+            st.get(cn) match {
+              case None => true
+              case Some(cs) if cs.min == null => false // all-null key: no match
+              case Some(cs) =>
+                !(lo.exists(l => cmpBound(cs.max, normBound(l)) < 0) ||
+                  hi.exists(h => cmpBound(cs.min, normBound(h)) > 0))
+            }
+          }
+        }
+      }
+    }
+
+  /** The FULL Delta-shaped MERGE clause surface in one atomic commit:
+    * `WHEN MATCHED [AND c] THEN UPDATE SET .../DELETE`, `WHEN NOT
+    * MATCHED [AND c] THEN INSERT ...`, `WHEN NOT MATCHED BY SOURCE
+    * [AND c] THEN UPDATE SET .../DELETE` — first-match-wins within
+    * each group, a target row no clause claims is carried through
+    * unchanged, a source row no INSERT claims is dropped.
+    *
+    * The join is ONE full-outer join on the same-name equality `keys`
+    * (the same contract as [[merge]] — per-key conjunctive stat
+    * pruning and the disjoint-writer retry both hang off the key
+    * spans), with each side packed into a struct named by its alias so
+    * clause expressions reference `t.col` / `s.col` naturally and the
+    * keys stay available unqualified. Clause conditions evaluate as
+    * one CASE chain per row class — no per-clause re-scan; the
+    * evaluated join is persisted and every output (payload, deletion
+    * vector, CDC, policy counts) projects from it.
+    *
+    * Commit shapes, decided by what the clauses actually DID:
+    *   - nothing affected, nothing inserted → no-op (no commit);
+    *   - inserts only → append-shaped commit (touched directories are
+    *     provably unchanged — rewriting them would be pure write
+    *     amplification);
+    *   - `useDeletionVectors` and the affected rows pass the same
+    *     cumulative-fraction policy as delete/update → merge-on-read:
+    *     ONE sidecar hides every updated/deleted target row, the
+    *     payload appends post-images + inserts, data files stay
+    *     byte-identical, exact CDC always persists;
+    *   - otherwise copy-on-write: touched directories are rewritten
+    *     (carried rows + post-images + inserts).
+    *
+    * `WHEN NOT MATCHED BY SOURCE` reads the WHOLE active set (any
+    * target row may be claimed), so span pruning is off and any
+    * concurrent add conflicts — the price of the clause, same as
+    * Delta. A target row matched by MORE than one source row fails
+    * loudly (the update/delete/carry outcome would be
+    * nondeterministic); dedupe the source on the keys first.
+    */
+  def mergeClauses(source: DataFrame, keys: Seq[String],
+                   matched: Seq[MergeClause],
+                   notMatched: Seq[MergeClause],
+                   notMatchedBySource: Seq[MergeClause] = Nil,
+                   targetAlias: String = "t", sourceAlias: String = "s",
+                   writeChangeData: Boolean = false, maxRetries: Int = 5,
+                   useDeletionVectors: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split, struct, sum, when}
+    import MergeAction.{Delete => MDelete, Insert => MInsert, Update => MUpdate}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    keys.foreach(k => require(source.columns.contains(k),
+      s"merge key `$k` missing from source (has: ${source.columns.mkString(", ")})"))
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeClauses needs at least one WHEN clause")
+    matched.foreach(c => require(!c.action.isInstanceOf[MInsert],
+      "WHEN MATCHED supports UPDATE/DELETE, not INSERT"))
+    notMatchedBySource.foreach(c => require(!c.action.isInstanceOf[MInsert],
+      "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE, not INSERT"))
+    notMatched.foreach(c => require(c.action.isInstanceOf[MInsert],
+      "WHEN NOT MATCHED supports INSERT only"))
+    def lastOnlyUnconditioned(cs: Seq[MergeClause], label: String): Unit =
+      cs.dropRight(1).foreach(c => require(c.condition.isDefined,
+        s"only the last $label clause may omit its AND condition — " +
+          "clauses after an unconditioned one are unreachable"))
+    lastOnlyUnconditioned(matched, "WHEN MATCHED")
+    lastOnlyUnconditioned(notMatched, "WHEN NOT MATCHED")
+    lastOnlyUnconditioned(notMatchedBySource, "WHEN NOT MATCHED BY SOURCE")
+    keys.foreach(k => Seq(targetAlias, sourceAlias).foreach(a =>
+      require(!a.equalsIgnoreCase(k),
+        s"merge alias `$a` collides with key column `$k` — alias the " +
+          "table/source explicitly in the MERGE statement")))
+    require(!targetAlias.equalsIgnoreCase(sourceAlias),
+      s"target and source aliases must differ (both `$targetAlias`)")
+
+    val latest = latestVersion
+    require(latest >= 0, s"$dir has no committed versions")
+    val snapSchema = tableSchemaAt(latest)
+    val snapCols = snapSchema.fieldNames.toSeq
+    keys.foreach(k => require(snapCols.contains(k),
+      s"merge key `$k` missing from table (has: ${snapCols.mkString(", ")})"))
+    val starForms = matched.exists(_.action == MUpdate(None)) ||
+      notMatched.exists(_.action == MInsert(None))
+    if (starForms) require(source.columns.sorted.sameElements(snapCols.sorted),
+      s"UPDATE SET * / INSERT * need source schema = table schema; " +
+        s"source has ${source.columns.sorted.mkString(",")}, table has " +
+        snapCols.sorted.mkString(","))
+    def validCols(names: Iterable[String], what: String): Unit =
+      names.foreach(c => require(snapCols.contains(c),
+        s"$what column `$c` is not a table column (${snapCols.mkString(", ")})"))
+    (matched ++ notMatchedBySource).foreach(_.action match {
+      case MUpdate(Some(a)) => validCols(a.keys, "UPDATE SET")
+      case _ => ()
+    })
+    notMatched.foreach(_.action match {
+      case MInsert(Some(v)) => validCols(v.keys, "INSERT")
+      case _ => ()
+    })
+
+    val mergeL2p = renameMap(snapSchema)
+    val snapState = snapshotAt(latest)
+    val active = snapState.active
+    // NOT MATCHED BY SOURCE claims rows no key span can bound: every
+    // active directory is read and every concurrent add conflicts.
+    val spanState =
+      if (notMatchedBySource.nonEmpty) None else mergeSpanState(source, keys)
+    val touched: Seq[String] = spanState match {
+      case None => active
+      case Some(None) => Seq.empty
+      case Some(Some(preds)) => pruneActiveAll(preds, Some(latest))._1
+    }
+    val addedMayMatch = mergeAddedMayMatch(spanState, mergeL2p)
+
+    val tCol = col(targetAlias)
+    val sCol = col(sourceAlias)
+    val src = source.select((keys.map(col) :+
+      struct(source.columns.toIndexedSeq.map(col): _*).as(sourceAlias)): _*)
+    val joined0 =
+      if (touched.isEmpty) {
+        // span-disjoint (or empty-active) target: every source row is
+        // a NOT MATCHED row; a typed null struct keeps one code path
+        val tgtStructT = org.apache.spark.sql.types.StructType(
+          snapSchema.fields.map(_.copy(
+            metadata = org.apache.spark.sql.types.Metadata.empty)))
+        src.withColumn("__graft_file",
+            lit(null).cast(org.apache.spark.sql.types.StringType))
+          .withColumn("__graft_pos",
+            lit(null).cast(org.apache.spark.sql.types.LongType))
+          .withColumn(targetAlias, lit(null).cast(tgtStructT))
+      } else {
+        val tgt = readDirsFoldedTagged(Some(snapSchema), touched,
+          snapState.dvs, "__graft_file", Some("__graft_pos"))
+          .select((keys.map(col) :+ col("__graft_file") :+
+            col("__graft_pos") :+
+            struct(snapCols.map(col): _*).as(targetAlias)): _*)
+        tgt.join(src, keys, "full_outer")
+      }
+    val isM = tCol.isNotNull && sCol.isNotNull
+    val isS = tCol.isNull && sCol.isNotNull
+    val isT = tCol.isNotNull && sCol.isNull
+    // first-match-wins: one CASE chain per row class; 0 = no clause
+    // claims the row (matched/target-only rows carry, source-only drop)
+    def chain(cs: Seq[MergeClause]): org.apache.spark.sql.Column =
+      cs.zipWithIndex.reverse.foldLeft(lit(0)) { case (els, (cl, i)) =>
+        when(cl.condition.map(c => coalesce(c, lit(false)))
+          .getOrElse(lit(true)), lit(i + 1)).otherwise(els)
+      }
+    val acted = joined0.withColumn("__graft_act",
+        when(isM, chain(matched))
+          .when(isS, chain(notMatched))
+          .when(isT, chain(notMatchedBySource))
+          .otherwise(lit(0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val act = col("__graft_act")
+      def idxs(cs: Seq[MergeClause])(p: MergeAction => Boolean): Seq[Int] =
+        cs.zipWithIndex.collect { case (c, i) if p(c.action) => i + 1 }
+      val isUpd: MergeAction => Boolean =
+        { case _: MUpdate => true; case _ => false }
+      val mUpd = idxs(matched)(isUpd)
+      val mDel = idxs(matched)(_ == MDelete)
+      val nUpd = idxs(notMatchedBySource)(isUpd)
+      val nDel = idxs(notMatchedBySource)(_ == MDelete)
+      def actIn(is: Seq[Int]): org.apache.spark.sql.Column =
+        if (is.isEmpty) lit(false) else act.isin(is: _*)
+      val affected = (isM || isT) && act > 0
+      val insApplied = isS && act > 0
+      // one pass over the cached join: affected / inserted / matched
+      val cRow = acted.agg(
+        sum(when(affected, 1L).otherwise(0L)),
+        sum(when(insApplied, 1L).otherwise(0L)),
+        sum(when(isM, 1L).otherwise(0L))).head()
+      def cnt(i: Int): Long = if (cRow.isNullAt(i)) 0L else cRow.getLong(i)
+      val (affectedCnt, insertCnt, matchedCnt) = (cnt(0), cnt(1), cnt(2))
+      if (matchedCnt > 0) {
+        val dup = acted.filter(isM)
+          .groupBy(col("__graft_file"), col("__graft_pos")).count()
+          .filter(col("count") > 1).limit(1).count() > 0
+        require(!dup, "MERGE found a target row matched by more than one " +
+          "source row — the update/delete/carry outcome would be " +
+          "nondeterministic; dedupe the source on the merge keys first")
+      }
+      if (affectedCnt == 0L && insertCnt == 0L) return latest // no-op
+
+      val castTo = snapSchema.fields.map(f => f.name -> f.dataType).toMap
+      def tF(c: String) = tCol.getField(c)
+      def sF(c: String) = sCol.getField(c)
+      val tImage: Seq[org.apache.spark.sql.Column] =
+        snapCols.map(c => tF(c).cast(castTo(c)).as(c))
+      def updImage(assignments: Option[Map[String, org.apache.spark.sql.Column]])
+          : Seq[org.apache.spark.sql.Column] = {
+        val a = assignments.getOrElse(snapCols.map(c => c -> sF(c)).toMap)
+        snapCols.map(c => a.getOrElse(c, tF(c)).cast(castTo(c)).as(c))
+      }
+      def insImage(values: Option[Map[String, org.apache.spark.sql.Column]])
+          : Seq[org.apache.spark.sql.Column] = {
+        val v = values.getOrElse(snapCols.map(c => c -> sF(c)).toMap)
+        snapCols.map(c => v.getOrElse(c, lit(null)).cast(castTo(c)).as(c))
+      }
+      def unionAll(dfs: Seq[DataFrame]): Option[DataFrame] =
+        dfs.reduceOption(_.unionByName(_))
+      // post-images/inserts are per-clause projections (each clause has
+      // its own expressions); pre-images are one filter over t.*
+      def perClause(cs: Seq[MergeClause], rowClass: org.apache.spark.sql.Column)
+          (img: MergeAction => Option[Seq[org.apache.spark.sql.Column]])
+          : Seq[DataFrame] =
+        cs.zipWithIndex.flatMap { case (cl, i) =>
+          img(cl.action).map(cols =>
+            acted.filter(rowClass && act === (i + 1)).select(cols: _*))
+        }
+      val updOf: MergeAction => Option[Seq[org.apache.spark.sql.Column]] = {
+        case MUpdate(a) => Some(updImage(a))
+        case _ => None
+      }
+      val updPost = unionAll(
+        perClause(matched, isM)(updOf) ++
+          perClause(notMatchedBySource, isT)(updOf))
+      val inserts = unionAll(perClause(notMatched, isS) {
+        case MInsert(v) => Some(insImage(v))
+        case _ => None
+      })
+      val updPre =
+        if (mUpd.isEmpty && nUpd.isEmpty) None
+        else Some(acted.filter((isM && actIn(mUpd)) || (isT && actIn(nUpd)))
+          .select(tImage: _*))
+      val delPre =
+        if (mDel.isEmpty && nDel.isEmpty) None
+        else Some(acted.filter((isM && actIn(mDel)) || (isT && actIn(nDel)))
+          .select(tImage: _*))
+      def cdcFrame: DataFrame =
+        (updPre.map(_.withColumn("_change_type", lit("update_preimage"))).toSeq ++
+          updPost.map(_.withColumn("_change_type", lit("update_postimage"))) ++
+          delPre.map(_.withColumn("_change_type", lit("delete"))) ++
+          inserts.map(_.withColumn("_change_type", lit("insert"))))
+          .reduce(_.unionByName(_))
+      val v0 = latest + 1
+      val constraints = snapState.constraints
+
+      if (affectedCnt == 0L) {
+        // inserts only: the touched directories are provably unchanged
+        // — an append-shaped commit, never a rewrite
+        val (name, rows, st) =
+          writePayload(inserts.get, v0, constraints, mergeL2p)
+        val cdfName =
+          if (!writeChangeData) None
+          else {
+            val n = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+            toPhysicalDf(cdcFrame, mergeL2p)
+              .write.parquet(new Path(root, n).toString)
+            Some(n)
+          }
+        return publishMutationRetrying("merge", latest, maxRetries, touched,
+          revalidate = Seq(name), addedMayMatch,
+          mkCommit = vv => Commit(vv, "merge", Seq(name), Seq.empty, rows,
+            System.currentTimeMillis(), addedStats = Map(name -> st),
+            cdf = cdfName, addedRows = Map(name -> rows)),
+          validated0 = constraints)
+      }
+
+      val dirOf = element_at(split(col("__graft_file"), "/"), -2)
+      lazy val perDir: Map[String, Long] =
+        acted.filter(affected).groupBy(dirOf.as("__graft_dv_dir")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (useDeletionVectors && dvFractionOk(perDir, latest)) {
+        // merge-on-read: hide the claimed rows, append images+inserts
+        val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+        GraftDvBitmap.write(spark, root, dvName, acted.filter(affected).select(
+          dirOf.as("__graft_dv_dir"),
+          element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
+          col("__graft_pos").as("__graft_dv_pos")))
+        val payload = unionAll(updPost.toSeq ++ inserts.toSeq)
+        val (added, addedRows, addedStats, rows) =
+          try payload match {
+            case Some(p) =>
+              val (name, r, st) = writePayload(p, v0, constraints, mergeL2p)
+              (Seq(name), Map(name -> r), Map(name -> st), r)
+            case None => // pure delete clauses: sidecar-only commit
+              (Seq.empty[String], Map.empty[String, Long],
+                Map.empty[String, Map[String, ColStat]], 0L)
+          } catch { case t: Throwable =>
+            fs.delete(new Path(root, dvName), true); throw t
+          }
+        // exact CDC ALWAYS: the change feed has no synthesis for a DV
+        // commit
+        val cdfName = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+        toPhysicalDf(cdcFrame, mergeL2p)
+          .write.parquet(new Path(root, cdfName).toString)
+        return publishMutationRetrying("merge-dv", latest, maxRetries,
+          touched, revalidate = added, addedMayMatch,
+          mkCommit = vv => Commit(vv, "merge-dv", added, Seq.empty, rows,
+            System.currentTimeMillis(), addedStats = addedStats,
+            cdf = Some(cdfName), addedRows = addedRows,
+            dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
+            dvDirRows = perDir),
+          validated0 = constraints)
+      }
+
+      // copy-on-write: rewrite the touched directories — carried rows
+      // byte-equal, claimed rows replaced by their post-images, plus
+      // the inserts
+      val carried = acted.filter((isM || isT) && act === 0).select(tImage: _*)
+      val payload = unionAll(Seq(carried) ++ updPost.toSeq ++ inserts.toSeq).get
+      val (name, rows, st) = writePayload(payload, v0, constraints, mergeL2p)
+      val cdfName =
+        if (!writeChangeData) None
+        else {
+          val n = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+          toPhysicalDf(cdcFrame, mergeL2p)
+            .write.parquet(new Path(root, n).toString)
+          Some(n)
+        }
+      publishMutationRetrying("merge", latest, maxRetries, touched,
+        revalidate = Seq(name), addedMayMatch,
+        mkCommit = vv => Commit(vv, "merge", Seq(name), touched, rows,
+          System.currentTimeMillis(), addedStats = Map(name -> st),
+          cdf = cdfName, addedRows = Map(name -> rows)),
+        validated0 = constraints)
+    } finally acted.unpersist()
   }
 
   /** Test seam: runs once after a merge/delete result is fully written
@@ -2510,11 +2818,10 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (perDir.isEmpty) return Some(latest) // raced to nothing: no commit
       if (!dvFractionOk(perDir, latest)) return None // rewrite instead
       val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-      matched.select(
+      GraftDvBitmap.write(spark, root, dvName, matched.select(
         dirOf.as("__graft_dv_dir"),
         element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
-        col("__graft_pos").as("__graft_dv_pos"))
-        .write.parquet(new Path(root, dvName).toString)
+        col("__graft_pos").as("__graft_dv_pos")))
       // the updated images: every assigned column replaced, CAST to the
       // physical type (the schema never drifts) — same projection as
       // the copy-on-write path, applied to the matches only
@@ -2619,11 +2926,10 @@ class VersionedTable(spark: SparkSession, dir: String,
         if (perDir.isEmpty) None // pure insert into touched span: no DV
         else Some(f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}")
       dvName.foreach { n =>
-        matched.select(
+        GraftDvBitmap.write(spark, root, n, matched.select(
           dirOf.as("__graft_dv_dir"),
           element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
-          col("__graft_pos").as("__graft_dv_pos"))
-          .write.parquet(new Path(root, n).toString)
+          col("__graft_pos").as("__graft_dv_pos")))
       }
       val (name, rows, st) =
         try writePayload(srcAligned, v0, constraints, mergeL2p)
@@ -2653,7 +2959,9 @@ class VersionedTable(spark: SparkSession, dir: String,
           dvAdd = dvName, dvDirs = perDir.keys.toSeq.sorted,
           dvDirRows = perDir),
         validated0 = constraints))
-    } finally { matched.unpersist(); srcAligned.unpersist() }
+      // srcAligned is released by mergeViaDv's own finally — exactly
+      // one owner, even on the success path
+    } finally matched.unpersist()
   }
 
   /** MERGE-ON-READ delete (Delta's deletion vectors): instead of
@@ -2700,11 +3008,10 @@ class VersionedTable(spark: SparkSession, dir: String,
       if (perDir.isEmpty) return Some(latest) // raced to nothing: no commit
       if (!dvFractionOk(perDir, latest)) return None // rewrite instead
       val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-      matched.select(
+      GraftDvBitmap.write(spark, root, dvName, matched.select(
         dirOf.as("__graft_dv_dir"),
         element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
-        col("__graft_pos").as("__graft_dv_pos"))
-        .write.parquet(new Path(root, dvName).toString)
+        col("__graft_pos").as("__graft_dv_pos")))
       val cdfName = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
       toPhysicalDf(matched.drop("__graft_file", "__graft_pos")
         .withColumn("_change_type", lit("delete")), renameMap(tblSchema))
@@ -3029,6 +3336,62 @@ class VersionedTable(spark: SparkSession, dir: String,
     val ck = "__graft_ck"
     rewriteClustered(scope.withColumn(ck, col(clusterBy).cast("double")),
       ck, targetChunks, base, kept)
+  }
+
+  /** METADATA-ONLY DV maintenance: merge every directory's stacked
+    * sidecars into ONE (per-file bitmaps unioned) without touching a
+    * single data file. N DV commits against a hot directory leave N
+    * bitmaps per file that every reader unions at decode time; a data
+    * rewrite ([[optimizeDvDebt]]) removes the debt entirely but pays
+    * the directory's full write cost. This is the cheap middle step —
+    * one deleted-rows-sized job, one commit, k→1 bitmaps per file —
+    * triggered by sidecar COUNT the way [[optimizeDvDebt]] triggers on
+    * hidden fraction. Hidden-row counts (and therefore the
+    * metadata-exact COUNT(*)) are carried through unchanged; older
+    * versions keep reading their own sidecars until [[vacuum]].
+    * Returns the committed version (unchanged when no directory stacks
+    * `minSidecars`). A concurrent commit of any kind invalidates the
+    * merged map — the loser recomputes from the new snapshot, up to
+    * `maxRetries` times.
+    */
+  def coalesceDv(minSidecars: Int = 2, maxRetries: Int = 5): Int = {
+    import org.apache.spark.sql.functions.col
+    require(minSidecars >= 2, s"minSidecars must be >= 2: $minSidecars")
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion
+      require(latest >= 0, s"$dir has no committed versions")
+      val snap = snapshotAt(latest)
+      val victims = snap.dvs.collect {
+        case (d, scs) if scs.distinct.size >= minSidecars => d -> scs.distinct
+      }
+      if (victims.isEmpty) return latest
+      val v0 = latest + 1
+      val merged = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      val victimSet = victims.keySet
+      GraftDvBitmap.write(spark, root, merged,
+        GraftDvBitmap.asFrame(spark, root,
+          victims.values.flatten.toSeq.distinct)
+          .filter(col("__graft_dv_dir").isInCollection(victimSet)))
+      val newDvs = snap.dvs.map { case (d, scs) =>
+        d -> (if (victimSet.contains(d)) Seq(merged) else scs)
+      }
+      try {
+        publish(Commit(v0, "coalesce-dv", Seq.empty, Seq.empty, 0L,
+          System.currentTimeMillis(),
+          dvReset = Some((newDvs, snap.dvRowsByDir))))
+        return v0
+      } catch {
+        case e: IllegalStateException =>
+          // lost the slot: the merged map may be stale (the winner may
+          // have attached or folded sidecars) — drop this attempt's
+          // merge and recompute from the new snapshot
+          fs.delete(new Path(root, merged), true)
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    sys.error("unreachable: the retry loop returns or throws")
   }
 
   /** DV-DEBT-scoped OPTIMIZE — `OPTIMIZE t WHERE __dv_fraction >= x`:

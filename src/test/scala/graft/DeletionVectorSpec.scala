@@ -107,20 +107,29 @@ class DeletionVectorSpec extends SparkSuite {
     assert(t1.count() === 200)
   }
 
-  test("over the inline-position budget the scan falls back to the row fold") {
+  test("DV debt has no budget: heavy hidden sets still read through the vectorized scan") {
+    // pre-r15 this size class dropped to a row-based V1 fold (or made
+    // streams refuse); with per-file bitmap sidecars the partitions
+    // carry PATHS and every executor decodes its own file — the plan
+    // shape is identical to a light DV and the answer stays exact
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)
-    vt.append((0L until 100L).map(k => (k, k * 2.0)).toDF("k", "p"))
-    vt.delete(col("k") % 2 === 0, useDeletionVectors = true)
-    spark.conf.set("spark.graft.dv.maxInlinePositions", "10")
-    try {
-      val t = spark.read.format("graftvt").load(dir)
-      assert(t.count() === 50)
-      val scans = t.filter(col("k") > 0L).queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
-      }
-      assert(scans.nonEmpty) // the budgeted fallback is the V1 fold
-    } finally spark.conf.unset("spark.graft.dv.maxInlinePositions")
+    vt.append((0L until 30000L).map(k => (k, k * 2.0)).toDF("k", "p"))
+    vt.delete(col("k") % 3 =!= 0L, useDeletionVectors = false) // keep table small
+    vt.delete(col("k") % 2 === 0L && col("k") % 3 === 0L,
+      useDeletionVectors = true) // 5000 hidden rows in one sidecar
+    val t = spark.read.format("graftvt").load(dir)
+    assert(t.count() === 5000)
+    val exec = t.filter(col("k") > 0L).queryExecution.executedPlan
+    // the DSv2 batch scan serves it — no V1 RowDataSourceScan anywhere
+    assert(exec.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }.isEmpty)
+    assert(exec.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.nonEmpty)
+    assert(t.select("k").collect().map(_.getLong(0)).sorted ===
+      (0L until 30000L).filter(k => k % 3 == 0 && k % 2 != 0).toArray)
   }
 
   test("schema evolution composes with the DV fold: old dirs pad nulls") {
@@ -562,5 +571,93 @@ class DeletionVectorSpec extends SparkSuite {
     assert(vt.read().count() === 40)
     assert(vt.dvsAt(vt.latestVersion).isEmpty)
     assert(vt.fastNonNullCount("k") === Some(40L))
+  }
+
+  test("a STRUCT-projecting DV'd read stays columnar and exact (selection views, not row fall-off)") {
+    // pre-r15 any nested type in the projection dropped the WHOLE
+    // batch — clean majority included — onto the row path
+    // (all-or-nothing columnarOk); the zero-copy selection view reads
+    // every type, so only the parquet reader's own nested-columnar
+    // support decides
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 300L).map(k => (k, (k * 2, s"s$k"), Seq(k, k + 1)))
+      .toDF("k", "st", "arr")
+      .withColumn("mp", org.apache.spark.sql.functions.map(lit("a"), col("k"))))
+    vt.delete(col("k") % 3L === 1L, useDeletionVectors = true)
+    val t = spark.read.format("graftvt").load(dir)
+    val q = t.select("k", "st", "arr").filter(col("k") < 250L)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.supportsColumnar,
+      "nested projection must keep the DV'd scan columnar")
+    val rows = q.collect().map(r => (r.getLong(0),
+      r.getStruct(1).getLong(0), r.getStruct(1).getString(1),
+      r.getSeq[Long](2).toList)).sortBy(_._1)
+    val want = (0L until 250L).filter(_ % 3 != 1)
+      .map(k => (k, k * 2, s"s$k", List(k, k + 1)))
+    assert(rows.toList === want.toList)
+    // a STORED map column rides the same view
+    val m = t.select("k", "mp").filter(col("k") < 9L)
+      .collect().map(r => (r.getLong(0), r.getMap[String, Long](1)("a")))
+      .sortBy(_._1).toList
+    assert(m === (0L until 9L).filter(_ % 3 != 1).map(k => (k, k)).toList)
+  }
+
+  test("bitmap codec roundtrips, unions, and rejects foreign bytes") {
+    import graft.sources.GraftDvBitmap
+    def rt(a: Array[Long]): Array[Long] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      GraftDvBitmap.encode(a, new java.io.DataOutputStream(bos))
+      GraftDvBitmap.decode(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray)))
+    }
+    assert(rt(Array.emptyLongArray) === Array.emptyLongArray)
+    val dense = Array.tabulate(10000)(_.toLong * 3)
+    assert(rt(dense) === dense)
+    val sparse = Array(0L, 127L, 128L, 1L << 20, 1L << 45, Long.MaxValue - 1)
+    assert(rt(sparse) === sparse)
+    assert(GraftDvBitmap.union(Seq(Array(1L, 5L, 9L), Array(5L, 7L),
+      Array.emptyLongArray)) === Array(1L, 5L, 7L, 9L))
+    intercept[Exception] {
+      GraftDvBitmap.decode(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream("PAR1nope".getBytes)))
+    }
+  }
+
+  test("coalesceDv merges stacked sidecars metadata-only: k sidecars become 1, reads identical") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 200L).map(k => (k, k * 1.0)).toDF("k", "p")) // v0
+    vt.delete(col("k") < 20L, useDeletionVectors = true)             // v1
+    vt.delete(col("k") >= 180L, useDeletionVectors = true)           // v2
+    vt.delete(col("k") % 50L === 25L, useDeletionVectors = true)     // v3
+    val theDir = vt.dvsAt(3).keys.head
+    assert(vt.dvsAt(3)(theDir).size === 3)
+    val before = vt.read().orderBy("k").collect().map(_.getLong(0)).toSeq
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    val v = vt.coalesceDv()
+    assert(v === 4)
+    assert(vt.history().orderBy("version").collect().last
+      .getAs[String]("op") === "coalesce-dv")
+    // ONE sidecar now serves the directory; rows, metadata count, and
+    // the vectorized read are unchanged; data files untouched
+    assert(vt.dvsAt(4)(theDir).size === 1)
+    assert(vt.read().orderBy("k").collect().map(_.getLong(0)).toSeq === before)
+    assert(vt.fastCount() === Some(before.size.toLong))
+    dataFiles.foreach { case (p, ts) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.lastModified() === ts, s"rewritten: $p")
+    }
+    // time travel pre-coalesce still reads the ORIGINAL sidecars
+    assert(spark.read.format("graftvt").option("versionAsOf", 3).load(dir)
+      .count() === before.size.toLong)
+    // the coalesce emits no row changes
+    assert(vt.changes(4, 4).count() === 0L)
+    // idempotent: a second sweep finds nothing to merge
+    assert(vt.coalesceDv() === 4)
   }
 }

@@ -216,4 +216,45 @@ class LogStoreSpec extends SparkSuite {
       assert(vt.latestVersion === 1)
     }
   }
+
+  test("the in-process map stays O(in-flight): completed commits release their claims") {
+    withStore(coordinated) {
+      val dir = tmpVt()
+      val vt = new graft.sources.VersionedTable(spark, dir)
+      val before = graft.sources.GraftInProcessClaimCoordinator.retained
+      (0 until 8).foreach(i => vt.append(Seq((i.toLong, "x")).toDF("k", "s")))
+      assert(vt.latestVersion === 7)
+      // every slot released on durable visibility — nothing retained
+      // beyond whatever unrelated in-flight work the suite carries
+      assert(graft.sources.GraftInProcessClaimCoordinator.retained <= before)
+    }
+  }
+
+  test("a re-claimed released slot can never rewrite a committed manifest") {
+    withStore(coordinated) {
+      val work = tmpVt()
+      val fs = new org.apache.hadoop.fs.Path(work).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val store = new graft.sources.GraftCoordinatedLogStore()
+      val target = new org.apache.hadoop.fs.Path(work, "00000005.json")
+      def mkTmp(name: String, content: String): org.apache.hadoop.fs.Path = {
+        val p = new org.apache.hadoop.fs.Path(work, name)
+        val out = fs.create(p, false)
+        out.write(content.getBytes("UTF-8")); out.close()
+        p
+      }
+      // the real winner commits and (internally) releases its claim
+      assert(store.atomicClaim(fs, mkTmp(".tmp-w", """{"w":1}"""), target))
+      // a stale writer that computed the same slot re-claims it — the
+      // exists-check surrenders the claim; the manifest is untouched
+      assert(!store.atomicClaim(fs, mkTmp(".tmp-stale", """{"w":2}"""), target))
+      val in = fs.open(target)
+      val content = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      assert(content === """{"w":1}""")
+      // and no staged .put- litter survives beside the log
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(work))
+        .exists(_.getPath.getName.contains(".put-")))
+    }
+  }
 }

@@ -171,11 +171,12 @@ class VersionedUpdateSpec extends SparkSuite {
     assert(merged === Seq((1L, "WHERE SET", 11.0), (3L, "C!", 333.0),
       (9L, "new", 900.0)))
     // unsupported WHEN forms fail loudly, never silently approximate
+    // (matched-DELETE itself is a supported clause — MergeClausesSpec)
     val e = intercept[Exception] {
       spark.sql(s"""MERGE INTO '$dir' t USING vt_upd_src src ON t.k = src.k
-                   |WHEN MATCHED THEN DELETE""".stripMargin)
+                   |WHEN MATCHED THEN UPSERT EVERYTHING""".stripMargin)
     }
-    assert(e.getMessage.contains("upsert form"))
+    assert(e.getMessage.contains("UPDATE SET"))
     // UPDATE without WHERE touches every row; DELETE FROM empties
     spark.sql(s"UPDATE '$dir' SET p = 0")
     assert(vt.read().agg(sum("p")).head.getDouble(0) === 0.0)
