@@ -337,6 +337,49 @@ object ScaleProbe {
           vt.restore(v0) // each share level starts from the clean table
         }
 
+      case "dvheavy" =>
+        // DEBT WITHOUT A BUDGET: the pre-r15 design collected every
+        // hidden position to the driver and capped the vectorized path
+        // at 8M positions (past it: row-fold fallback on batch,
+        // refusal on streams). The per-file bitmap sidecars remove the
+        // cap — this probe builds a 100×-class table, hides >8M rows
+        // in ONE DV commit, and times the still-vectorized read.
+        val k = args.lift(1).map(_.toInt).getOrElse(20)
+        val reps = args.lift(2).map(_.toInt).getOrElse(120)
+        val tmp = java.nio.file.Files.createTempDirectory("probe-dvheavy").toString
+        val vt = new graft.sources.VersionedTable(spark, tmp)
+        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val wide = (0 until reps).map(i =>
+            o0.select((col("o_orderkey") + lit(i * 10000000L)).as("k"),
+              col("o_totalprice").as("p"))).reduce(_ unionByName _)
+        val maxKey = reps.toLong * 10000000L
+        val span = maxKey / k
+        (0 until k).foreach(i => vt.append(
+          wide.filter(col("k") >= i * span && col("k") < (i + 1) * span)))
+        val total = vt.read().count()
+        println(s"[probe] table rows = $total in $k dirs")
+        def sink(df: DataFrame) =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach(p => timed(s"clean full read      p$p")(
+          sink(spark.read.format("graftvt").load(tmp))))
+        timed("DV delete ~50% (one commit)")(
+          vt.delete(col("k") % 2 === 0, useDeletionVectors = true))
+        // metadata-exact count under the DV proves the hidden volume
+        val remaining = spark.read.format("graftvt").load(tmp).count()
+        println(s"[probe] hidden rows = ${total - remaining} " +
+          "(pre-r15 budget was 8M)")
+        val t = spark.read.format("graftvt").load(tmp)
+        val scans = t.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+        println(s"[probe] vectorized = ${scans.nonEmpty && scans.head.supportsColumnar}" +
+          s" (BatchScan present, columnar output)")
+        (1 to 2).foreach(p => timed(s"DV'd full read       p$p")(
+          sink(spark.read.format("graftvt").load(tmp))))
+        (1 to 2).foreach(p => timed(s"DV'd range read 1/$k  p$p")(
+          sink(spark.read.format("graftvt").load(tmp).filter(col("k") < span))))
+
       case "plan" =>
         // The plan-level optimizations at scale: a K-dir range-disjoint
         // table, then (a) metadata-only aggregates — COUNT/MIN/MAX must
