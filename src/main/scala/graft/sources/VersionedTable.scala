@@ -2340,25 +2340,44 @@ class VersionedTable(spark: SparkSession, dir: String,
     val sCol = col(sourceAlias)
     val src = source.select((keys.map(col) :+
       struct(source.columns.toIndexedSeq.map(col): _*).as(sourceAlias)): _*)
+    // Join shape by what the clauses can CLAIM — a full-outer join can
+    // never broadcast, so it is reserved for the one clause set that
+    // needs both unmatched sides:
+    //   - no NOT MATCHED clauses → target-side rows suffice: LEFT
+    //     OUTER, and a small source broadcasts into the touched scan;
+    //   - NOT MATCHED only (no MATCHED/BY SOURCE) → per-target-row
+    //     outcomes don't exist: the source anti-joins the target KEYS
+    //     (a column-pruned scan) and no target row enters the frame;
+    //   - otherwise → full outer (both unmatched sides are claimable).
+    def nullTagged(df: DataFrame): DataFrame = {
+      val tgtStructT = org.apache.spark.sql.types.StructType(
+        snapSchema.fields.map(_.copy(
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+      df.withColumn("__graft_file",
+          lit(null).cast(org.apache.spark.sql.types.StringType))
+        .withColumn("__graft_pos",
+          lit(null).cast(org.apache.spark.sql.types.LongType))
+        .withColumn(targetAlias, lit(null).cast(tgtStructT))
+    }
+    val insertOnly = matched.isEmpty && notMatchedBySource.isEmpty
     val joined0 =
       if (touched.isEmpty) {
         // span-disjoint (or empty-active) target: every source row is
         // a NOT MATCHED row; a typed null struct keeps one code path
-        val tgtStructT = org.apache.spark.sql.types.StructType(
-          snapSchema.fields.map(_.copy(
-            metadata = org.apache.spark.sql.types.Metadata.empty)))
-        src.withColumn("__graft_file",
-            lit(null).cast(org.apache.spark.sql.types.StringType))
-          .withColumn("__graft_pos",
-            lit(null).cast(org.apache.spark.sql.types.LongType))
-          .withColumn(targetAlias, lit(null).cast(tgtStructT))
+        nullTagged(src)
       } else {
-        val tgt = readDirsFoldedTagged(Some(snapSchema), touched,
+        lazy val tgt = readDirsFoldedTagged(Some(snapSchema), touched,
           snapState.dvs, "__graft_file", Some("__graft_pos"))
           .select((keys.map(col) :+ col("__graft_file") :+
             col("__graft_pos") :+
             struct(snapCols.map(col): _*).as(targetAlias)): _*)
-        tgt.join(src, keys, "full_outer")
+        if (insertOnly)
+          nullTagged(src.join(
+            readDirsFoldedTagged(Some(snapSchema), touched, snapState.dvs,
+              "__graft_file").select(keys.map(col): _*),
+            keys, "left_anti"))
+        else if (notMatched.isEmpty) tgt.join(src, keys, "left_outer")
+        else tgt.join(src, keys, "full_outer")
       }
     val isM = tCol.isNotNull && sCol.isNotNull
     val isS = tCol.isNull && sCol.isNotNull

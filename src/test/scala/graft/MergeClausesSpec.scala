@@ -116,6 +116,33 @@ class MergeClausesSpec extends SparkSuite {
     assert(v2 === 1 && vt.latestVersion === 1)
   }
 
+  test("no-NOT-MATCHED clause sets ride the left-outer shape with identical semantics") {
+    // without INSERT clauses the join drops to LEFT OUTER (broadcastable
+    // at scale — full outer never is); outcomes must be unchanged
+    val dir = tmpVt()
+    val vt = seed(dir)
+    vt.mergeClauses(srcRows.toDF("k", "v", "cat"), Seq("k"),
+      matchedClauses, notMatched = Nil,
+      notMatchedBySource = Seq(
+        MergeClause(Some(expr("t.k = 7")), MergeAction.Delete)))
+    // 1 updated, 2 deleted, 3/4 carried, 7 NMBS-deleted, NO inserts
+    assert(rows(vt) === Seq((1L, 100.0, "x"), (3L, 30.0, "a"), (4L, 40.0, "b")))
+  }
+
+  test("insert-only clause sets anti-join the target keys: append shape, no target row read") {
+    val dir = tmpVt()
+    val vt = seed(dir)
+    val v = vt.mergeClauses(srcRows.toDF("k", "v", "cat"), Seq("k"),
+      matched = Nil, notMatched = notMatchedClauses)
+    assert(v === 1)
+    val h = vt.history().orderBy("version").collect().last
+    assert(h.getAs[String]("op") === "merge")
+    assert(h.getAs[Int]("num_active_dirs") === 2) // nothing removed
+    // matched keys 1/2/3 untouched; 5 inserted; 6 dropped (cond false)
+    assert(rows(vt) === Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "a"),
+      (4L, 40.0, "b"), (5L, 50.0, null), (7L, 70.0, "z")))
+  }
+
   test("SQL frontend: full clause surface with aliases over a quoted path") {
     val dir = tmpVt()
     val vt = seed(dir)
