@@ -60,6 +60,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "\\s+WHERE\\s+__dv_fraction\\s*>=\\s*([\\d.]+)" +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?" +
       "(?:\\s+INTO\\s+(\\d+)\\s+CHUNKS)?\\s*;?\\s*$").r
+  // the metadata-only sidecar merge: scope by STACKED SIDECAR COUNT
+  // the way __dv_fraction scopes by hidden share — no data rewritten
+  private val OptimizeDvSidecarsRe =
+    ("(?is)^\\s*OPTIMIZE\\s+" + TargetPat +
+      "\\s+WHERE\\s+__dv_sidecars\\s*>=\\s*(\\d+)\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + TargetPat + "\\s*;?\\s*$").r
   private val DetailRe =
@@ -95,6 +100,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def maintenanceCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      case OptimizeDvSidecarsRe(target, minSc) =>
+        Some(GraftCoalesceDv(target, minSc.toInt))
       case OptimizeDvRe(target, frac, cols, chunks) =>
         val zorder = Option(cols).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)

@@ -198,6 +198,30 @@ case class GraftOptimize(target: String, zorder: Seq[String],
   }
 }
 
+/** `OPTIMIZE t WHERE __dv_sidecars >= n` — the METADATA-ONLY sidecar
+  * merge ([[graft.sources.VersionedTable.coalesceDv]]): every
+  * directory stacking at least `n` deletion-vector sidecars gets them
+  * unioned into one, no data file touched — the cheap middle step
+  * between letting bitmaps stack and paying a data rewrite. Returns
+  * the committed version (unchanged when nothing stacks that high) and
+  * the number of directories coalesced.
+  */
+case class GraftCoalesceDv(target: String, minSidecars: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("coalesced_dirs", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
+    val before = vt.dvsAt(vt.latestVersion)
+      .count(_._2.distinct.size >= minSidecars)
+    val v = vt.coalesceDv(minSidecars)
+    bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
+    Seq(Row(v, before))
+  }
+}
+
 /** `RESTORE [TABLE] t TO VERSION AS OF v` —
   * [[graft.sources.VersionedTable.restore]] through SQL: roll the
   * table back to version `v` as a NEW commit (pure metadata — nothing

@@ -660,4 +660,21 @@ class DeletionVectorSpec extends SparkSuite {
     // idempotent: a second sweep finds nothing to merge
     assert(vt.coalesceDv() === 4)
   }
+
+  test("OPTIMIZE ... WHERE __dv_sidecars >= n drives coalesceDv through SQL") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.delete(col("k") < 5L, useDeletionVectors = true)
+    vt.delete(col("k") >= 95L, useDeletionVectors = true)
+    val d = vt.dvsAt(2).keys.head
+    assert(vt.dvsAt(2)(d).size === 2)
+    // below the threshold: committed version unchanged, nothing merged
+    val none = spark.sql(s"OPTIMIZE '$dir' WHERE __dv_sidecars >= 3").head
+    assert(none.getInt(0) === 2 && none.getInt(1) === 0)
+    val got = spark.sql(s"OPTIMIZE '$dir' WHERE __dv_sidecars >= 2").head
+    assert(got.getInt(0) === 3 && got.getInt(1) === 1)
+    assert(vt.dvsAt(3)(d).size === 1)
+    assert(vt.read().count() === 90)
+  }
 }
