@@ -337,6 +337,50 @@ object ScaleProbe {
           vt.restore(v0) // each share level starts from the clean table
         }
 
+      case "mclauses" =>
+        // The clause-merge join shapes at scale: a ~0.3% source against
+        // a 100×-class table, (A) a no-NOT-MATCHED clause set — the
+        // LEFT OUTER shape, where the small source should broadcast —
+        // vs (B) the general update+insert set — FULL OUTER, the shape
+        // that can never broadcast. Both on the DV commit shape.
+        val k = args.lift(1).map(_.toInt).getOrElse(20)
+        val reps = args.lift(2).map(_.toInt).getOrElse(100)
+        val tmp = java.nio.file.Files.createTempDirectory("probe-mcl").toString
+        val vt = new graft.sources.VersionedTable(spark, tmp)
+        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val wide = (0 until reps).map(i =>
+            o0.select((col("o_orderkey") + lit(i * 10000000L)).as("k"),
+              col("o_totalprice").as("p"))).reduce(_ unionByName _)
+        val maxKey = reps.toLong * 10000000L
+        val span = maxKey / k
+        (0 until k).foreach(i => vt.append(
+          wide.filter(col("k") >= i * span && col("k") < (i + 1) * span)))
+        println(s"[probe] table rows = ${vt.read().count()} in $k dirs")
+        val srcDf = wide.filter(col("k") % 347 === 5) // ~0.3% of keys
+          .withColumn("p", col("p") + 1.0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[probe] source rows = ${srcDf.count()}")
+        import graft.sources.{MergeAction, MergeClause}
+        import org.apache.spark.sql.functions.expr
+        val vA = vt.latestVersion
+        timed("A: matched-only clauses (left-outer shape)")(
+          vt.mergeClauses(srcDf, Seq("k"),
+            matched = Seq(
+              MergeClause(Some(expr("s.p > t.p")), MergeAction.Update(
+                Some(Map("p" -> expr("s.p"))))),
+              MergeClause(None, MergeAction.Delete)),
+            notMatched = Nil, useDeletionVectors = true))
+        vt.restore(vA)
+        timed("B: update+insert clauses (full-outer shape)")(
+          vt.mergeClauses(srcDf, Seq("k"),
+            matched = Seq(MergeClause(Some(expr("s.p > t.p")),
+              MergeAction.Update(Some(Map("p" -> expr("s.p")))))),
+            notMatched = Seq(MergeClause(None, MergeAction.Insert(
+              Some(Map("k" -> expr("s.k + 1000000000"), "p" -> expr("s.p")))))),
+            useDeletionVectors = true))
+        srcDf.unpersist()
+
       case "dvheavy" =>
         // DEBT WITHOUT A BUDGET: the pre-r15 design collected every
         // hidden position to the driver and capped the vectorized path

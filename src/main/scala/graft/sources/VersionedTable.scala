@@ -2341,14 +2341,18 @@ class VersionedTable(spark: SparkSession, dir: String,
     val src = source.select((keys.map(col) :+
       struct(source.columns.toIndexedSeq.map(col): _*).as(sourceAlias)): _*)
     // Join shape by what the clauses can CLAIM — a full-outer join can
-    // never broadcast, so it is reserved for the one clause set that
-    // needs both unmatched sides:
+    // never broadcast, so one is never planned:
     //   - no NOT MATCHED clauses → target-side rows suffice: LEFT
     //     OUTER, and a small source broadcasts into the touched scan;
     //   - NOT MATCHED only (no MATCHED/BY SOURCE) → per-target-row
     //     outcomes don't exist: the source anti-joins the target KEYS
     //     (a column-pruned scan) and no target row enters the frame;
-    //   - otherwise → full outer (both unmatched sides are claimable).
+    //   - otherwise the full-outer row set is DECOMPOSED as
+    //     LEFT OUTER ∪ (source ANTI target-keys): identical rows, but
+    //     both halves broadcast when the source is small, and the
+    //     second scan of the touched set reads KEY COLUMNS only — at
+    //     worst ~the key width extra in the large-source regime, vs 2×
+    //     in the small-source one (measured: ScaleProbe mclauses).
     def nullTagged(df: DataFrame): DataFrame = {
       val tgtStructT = org.apache.spark.sql.types.StructType(
         snapSchema.fields.map(_.copy(
@@ -2371,13 +2375,13 @@ class VersionedTable(spark: SparkSession, dir: String,
           .select((keys.map(col) :+ col("__graft_file") :+
             col("__graft_pos") :+
             struct(snapCols.map(col): _*).as(targetAlias)): _*)
-        if (insertOnly)
-          nullTagged(src.join(
-            readDirsFoldedTagged(Some(snapSchema), touched, snapState.dvs,
-              "__graft_file").select(keys.map(col): _*),
-            keys, "left_anti"))
+        lazy val srcOnly = nullTagged(src.join(
+          readDirsFoldedTagged(Some(snapSchema), touched, snapState.dvs,
+            "__graft_file").select(keys.map(col): _*),
+          keys, "left_anti"))
+        if (insertOnly) srcOnly
         else if (notMatched.isEmpty) tgt.join(src, keys, "left_outer")
-        else tgt.join(src, keys, "full_outer")
+        else tgt.join(src, keys, "left_outer").unionByName(srcOnly)
       }
     val isM = tCol.isNotNull && sCol.isNotNull
     val isS = tCol.isNull && sCol.isNotNull
@@ -2394,6 +2398,13 @@ class VersionedTable(spark: SparkSession, dir: String,
           .when(isS, chain(notMatched))
           .when(isT, chain(notMatchedBySource))
           .otherwise(lit(0)))
+    // Persist only the rows some clause CLAIMED — deleted/updated/
+    // inserted-sized, not touched-sized. A 0.3%-selectivity merge into
+    // a 100×-scale table must not materialize the whole touched join
+    // (the specialized upsert path persists its semi-join matches for
+    // the same reason); carried rows are re-derived only by the
+    // copy-on-write rewrite, which re-reads everything by definition.
+    val actedHot = acted.filter(col("__graft_act") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val act = col("__graft_act")
@@ -2409,14 +2420,13 @@ class VersionedTable(spark: SparkSession, dir: String,
         if (is.isEmpty) lit(false) else act.isin(is: _*)
       val affected = (isM || isT) && act > 0
       val insApplied = isS && act > 0
-      // one pass over the cached join: affected / inserted / matched
-      val cRow = acted.agg(
-        sum(when(affected, 1L).otherwise(0L)),
-        sum(when(insApplied, 1L).otherwise(0L)),
-        sum(when(isM, 1L).otherwise(0L))).head()
-      def cnt(i: Int): Long = if (cRow.isNullAt(i)) 0L else cRow.getLong(i)
-      val (affectedCnt, insertCnt, matchedCnt) = (cnt(0), cnt(1), cnt(2))
-      if (matchedCnt > 0) {
+      // Multi-match detection pays only when it CAN happen: a target
+      // row matched twice implies the source carries a duplicate key —
+      // one small agg on the source gates the (join-sized) exact test.
+      val srcDups = !insertOnly && touched.nonEmpty &&
+        source.groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count() > 0
+      if (srcDups) {
         val dup = acted.filter(isM)
           .groupBy(col("__graft_file"), col("__graft_pos")).count()
           .filter(col("count") > 1).limit(1).count() > 0
@@ -2424,6 +2434,12 @@ class VersionedTable(spark: SparkSession, dir: String,
           "source row — the update/delete/carry outcome would be " +
           "nondeterministic; dedupe the source on the merge keys first")
       }
+      // one pass over the (cached, claimed-rows-only) join
+      val cRow = actedHot.agg(
+        sum(when(affected, 1L).otherwise(0L)),
+        sum(when(insApplied, 1L).otherwise(0L))).head()
+      def cnt(i: Int): Long = if (cRow.isNullAt(i)) 0L else cRow.getLong(i)
+      val (affectedCnt, insertCnt) = (cnt(0), cnt(1))
       if (affectedCnt == 0L && insertCnt == 0L) return latest // no-op
 
       val castTo = snapSchema.fields.map(f => f.name -> f.dataType).toMap
@@ -2450,7 +2466,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           : Seq[DataFrame] =
         cs.zipWithIndex.flatMap { case (cl, i) =>
           img(cl.action).map(cols =>
-            acted.filter(rowClass && act === (i + 1)).select(cols: _*))
+            actedHot.filter(rowClass && act === (i + 1)).select(cols: _*))
         }
       val updOf: MergeAction => Option[Seq[org.apache.spark.sql.Column]] = {
         case MUpdate(a) => Some(updImage(a))
@@ -2465,11 +2481,11 @@ class VersionedTable(spark: SparkSession, dir: String,
       })
       val updPre =
         if (mUpd.isEmpty && nUpd.isEmpty) None
-        else Some(acted.filter((isM && actIn(mUpd)) || (isT && actIn(nUpd)))
+        else Some(actedHot.filter((isM && actIn(mUpd)) || (isT && actIn(nUpd)))
           .select(tImage: _*))
       val delPre =
         if (mDel.isEmpty && nDel.isEmpty) None
-        else Some(acted.filter((isM && actIn(mDel)) || (isT && actIn(nDel)))
+        else Some(actedHot.filter((isM && actIn(mDel)) || (isT && actIn(nDel)))
           .select(tImage: _*))
       def cdcFrame: DataFrame =
         (updPre.map(_.withColumn("_change_type", lit("update_preimage"))).toSeq ++
@@ -2503,12 +2519,12 @@ class VersionedTable(spark: SparkSession, dir: String,
 
       val dirOf = element_at(split(col("__graft_file"), "/"), -2)
       lazy val perDir: Map[String, Long] =
-        acted.filter(affected).groupBy(dirOf.as("__graft_dv_dir")).count()
+        actedHot.filter(affected).groupBy(dirOf.as("__graft_dv_dir")).count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       if (useDeletionVectors && dvFractionOk(perDir, latest)) {
         // merge-on-read: hide the claimed rows, append images+inserts
         val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-        GraftDvBitmap.write(spark, root, dvName, acted.filter(affected).select(
+        GraftDvBitmap.write(spark, root, dvName, actedHot.filter(affected).select(
           dirOf.as("__graft_dv_dir"),
           element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
           col("__graft_pos").as("__graft_dv_pos")))
@@ -2542,6 +2558,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       // copy-on-write: rewrite the touched directories — carried rows
       // byte-equal, claimed rows replaced by their post-images, plus
       // the inserts
+      // copy-on-write re-derives the carried rows from the UNPERSISTED
+      // join — the rewrite reads every touched row by definition
       val carried = acted.filter((isM || isT) && act === 0).select(tImage: _*)
       val payload = unionAll(Seq(carried) ++ updPost.toSeq ++ inserts.toSeq).get
       val (name, rows, st) = writePayload(payload, v0, constraints, mergeL2p)
@@ -2559,7 +2577,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           System.currentTimeMillis(), addedStats = Map(name -> st),
           cdf = cdfName, addedRows = Map(name -> rows)),
         validated0 = constraints)
-    } finally acted.unpersist()
+    } finally actedHot.unpersist()
   }
 
   /** Test seam: runs once after a merge/delete result is fully written
