@@ -37,6 +37,29 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
+    /** The shared 100×-class synthetic table of the dvread / mclauses /
+      * dvheavy / plan probes: sf orders replicated `reps`× with shifted
+      * keys as (k, p), appended as `k` range-disjoint directories.
+      * Returns (table, dir, widened frame, exclusive key bound, per-dir
+      * span) — one definition, so cross-probe comparisons stay
+      * comparisons of the SAME table shape.
+      */
+    def buildWideOrders(prefix: String, k: Int, reps: Int)
+        : (graft.sources.VersionedTable, String, DataFrame, Long, Long) = {
+      val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+      val vt = new graft.sources.VersionedTable(spark, tmp)
+      val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val wide = (0 until reps).map(i =>
+          o0.select((col("o_orderkey") + lit(i * 10000000L)).as("k"),
+            col("o_totalprice").as("p"))).reduce(_ unionByName _)
+      val maxKey = reps.toLong * 10000000L
+      val span = maxKey / k
+      (0 until k).foreach(i => vt.append(
+        wide.filter(col("k") >= i * span && col("k") < (i + 1) * span)))
+      (vt, tmp, wide, maxKey, span)
+    }
+
     def timed(label: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
       body
@@ -302,17 +325,7 @@ object ScaleProbe {
         // every read of a hot table row-based.
         val k = args.lift(1).map(_.toInt).getOrElse(20)
         val reps = args.lift(2).map(_.toInt).getOrElse(1)
-        val tmp = java.nio.file.Files.createTempDirectory("probe-dvread").toString
-        val vt = new graft.sources.VersionedTable(spark, tmp)
-        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
-          .select(col("o_orderkey"), col("o_totalprice"))
-        val wide = (0 until reps).map(i =>
-            o0.select((col("o_orderkey") + lit(i * 10000000L)).as("k"),
-              col("o_totalprice").as("p"))).reduce(_ unionByName _)
-        val maxKey = reps.toLong * 10000000L
-        val span = maxKey / k
-        (0 until k).foreach(i => vt.append(
-          wide.filter(col("k") >= i * span && col("k") < (i + 1) * span)))
+        val (vt, tmp, wide, maxKey, span) = buildWideOrders("probe-dvread", k, reps)
         println(s"[probe] table rows = ${vt.read().count()} in $k dirs")
         def sink(df: DataFrame) =
           df.write.format("noop").mode("overwrite").save()
@@ -345,17 +358,7 @@ object ScaleProbe {
         // that can never broadcast. Both on the DV commit shape.
         val k = args.lift(1).map(_.toInt).getOrElse(20)
         val reps = args.lift(2).map(_.toInt).getOrElse(100)
-        val tmp = java.nio.file.Files.createTempDirectory("probe-mcl").toString
-        val vt = new graft.sources.VersionedTable(spark, tmp)
-        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
-          .select(col("o_orderkey"), col("o_totalprice"))
-        val wide = (0 until reps).map(i =>
-            o0.select((col("o_orderkey") + lit(i * 10000000L)).as("k"),
-              col("o_totalprice").as("p"))).reduce(_ unionByName _)
-        val maxKey = reps.toLong * 10000000L
-        val span = maxKey / k
-        (0 until k).foreach(i => vt.append(
-          wide.filter(col("k") >= i * span && col("k") < (i + 1) * span)))
+        val (vt, tmp, wide, maxKey, span) = buildWideOrders("probe-mcl", k, reps)
         println(s"[probe] table rows = ${vt.read().count()} in $k dirs")
         val srcDf = wide.filter(col("k") % 347 === 5) // ~0.3% of keys
           .withColumn("p", col("p") + 1.0)
@@ -390,17 +393,7 @@ object ScaleProbe {
         // in ONE DV commit, and times the still-vectorized read.
         val k = args.lift(1).map(_.toInt).getOrElse(20)
         val reps = args.lift(2).map(_.toInt).getOrElse(120)
-        val tmp = java.nio.file.Files.createTempDirectory("probe-dvheavy").toString
-        val vt = new graft.sources.VersionedTable(spark, tmp)
-        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
-          .select(col("o_orderkey"), col("o_totalprice"))
-        val wide = (0 until reps).map(i =>
-            o0.select((col("o_orderkey") + lit(i * 10000000L)).as("k"),
-              col("o_totalprice").as("p"))).reduce(_ unionByName _)
-        val maxKey = reps.toLong * 10000000L
-        val span = maxKey / k
-        (0 until k).foreach(i => vt.append(
-          wide.filter(col("k") >= i * span && col("k") < (i + 1) * span)))
+        val (vt, tmp, wide, maxKey, span) = buildWideOrders("probe-dvheavy", k, reps)
         val total = vt.read().count()
         println(s"[probe] table rows = $total in $k dirs")
         def sink(df: DataFrame) =
@@ -434,17 +427,7 @@ object ScaleProbe {
         // runtime seam.
         val k = args.lift(1).map(_.toInt).getOrElse(20)
         val reps = args.lift(2).map(_.toInt).getOrElse(10)
-        val tmp = java.nio.file.Files.createTempDirectory("probe-plan").toString
-        val vt = new graft.sources.VersionedTable(spark, tmp)
-        val o0 = spark.read.parquet(s"$sfDir/orders.parquet")
-          .select(col("o_orderkey"), col("o_totalprice"))
-        val wide = (0 until reps).map(i =>
-            o0.select((col("o_orderkey") + lit(i * 10000000L)).as("k"),
-              col("o_totalprice").as("p"))).reduce(_ unionByName _)
-        val maxKey = reps.toLong * 10000000L
-        val span = maxKey / k
-        (0 until k).foreach(i => vt.append(
-          wide.filter(col("k") >= i * span && col("k") < (i + 1) * span)))
+        val (vt, tmp, wide, maxKey, span) = buildWideOrders("probe-plan", k, reps)
         println(s"[probe] table rows = ${vt.read().count()} in $k dirs")
         def sink(df: DataFrame) =
           df.write.format("noop").mode("overwrite").save()

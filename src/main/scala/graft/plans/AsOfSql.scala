@@ -222,15 +222,29 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     require(eq > 0, s"$stmt: malformed SET assignment `$a`")
     // a MERGE SET target may be written alias-qualified (`t.col = ...`)
     // — the alias is redundant (only target columns are assignable)
-    // and stripped. A fully-backticked LHS is taken verbatim (it may
-    // legitimately contain a dot).
-    val lhs = a.substring(0, eq).trim
-    val colName =
-      if (lhs.length >= 2 && lhs.head == '`' && lhs.last == '`' &&
-          lhs.indexOf('`', 1) == lhs.length - 1)
-        lhs.substring(1, lhs.length - 1)
-      else lhs.split("\\.").last.trim.stripPrefix("`").stripSuffix("`")
-    (colName, a.substring(eq + 1).trim)
+    // and stripped
+    (lastNamePart(a.substring(0, eq)), a.substring(eq + 1).trim)
+  }
+
+  /** The last dot-separated segment of a possibly-qualified,
+    * possibly-backticked identifier — splitting only on dots OUTSIDE
+    * backticks, so a column literally named `a.b` survives whether or
+    * not it is alias-qualified.
+    */
+  private def lastNamePart(s0: String): String = {
+    val s = s0.trim
+    var last = 0
+    var inTick = false
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '`' => inTick = !inTick
+        case '.' if !inTick => last = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    s.substring(last).trim.stripPrefix("`").stripSuffix("`")
   }
 
   private def requireNoDupTargets(names: Seq[String], stmt: String): Unit = {
@@ -505,7 +519,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
       val close = closeOf(open)
       val cols = splitTopLevelCommas(mk, raw, open + 1, close)
-        .map(_.trim.split('.').last.trim.stripPrefix("`").stripSuffix("`"))
+        .map(lastNamePart)
         .filter(_.nonEmpty)
       require(cols.nonEmpty, "MERGE INSERT needs at least one column")
       requireNoDupTargets(cols, "MERGE INSERT")

@@ -196,12 +196,25 @@ private[graft] object GraftDvBitmap {
     sidecars.flatMap { sc =>
       val base = new Path(root, sc)
       if (!fs.exists(base)) Nil
-      else fs.listStatus(base).filter(_.isDirectory).toSeq.flatMap { d =>
-        fs.listStatus(d.getPath).toSeq
-          .filter(_.getPath.getName.endsWith(".dvb"))
-          .map(f => (d.getPath.getName,
-            f.getPath.getName.stripSuffix(".dvb"),
-            f.getPath.toString))
+      else {
+        val entries = fs.listStatus(base).toSeq
+        // a PRE-BITMAP sidecar (the earlier (dir,file,pos) parquet
+        // layout) must fail LOUDLY, not read as an empty hidden set —
+        // silently resurrecting deleted rows is the one outcome a
+        // format change may never have
+        require(!entries.exists(e =>
+          e.isFile && e.getPath.getName.endsWith(".parquet")),
+          s"deletion-vector sidecar $sc under $root is in the " +
+            "pre-bitmap (positions parquet) layout this reader no " +
+            "longer speaks; rewrite the table's DV debt with OPTIMIZE " +
+            "under the writing version before upgrading readers")
+        entries.filter(_.isDirectory).flatMap { d =>
+          fs.listStatus(d.getPath).toSeq
+            .filter(_.getPath.getName.endsWith(".dvb"))
+            .map(f => (d.getPath.getName,
+              f.getPath.getName.stripSuffix(".dvb"),
+              f.getPath.toString))
+        }
       }
     }
   }

@@ -248,8 +248,19 @@ class GraftCoordinatedLogStore extends GraftLogStore {
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       } finally out.close()
     } finally in.close()
-    if (staged != target && !fs.rename(staged, target))
-      fs.delete(staged, false) // identical bytes already landed: done
+    if (staged != target && !fs.rename(staged, target)) {
+      fs.delete(staged, false)
+      // a failed rename is only benign when the target actually exists
+      // (another identical-bytes writer — a loser's crash roll-forward
+      // of the same recorded tmp — won the final step). Any OTHER
+      // cause (quota, lease, a vanished parent) must FAIL the commit:
+      // reporting success with no manifest would let the released slot
+      // be re-claimed and a different commit land at this version,
+      // silently losing this one.
+      if (!fs.exists(target)) throw new java.io.IOException(
+        s"manifest publish failed: rename $staged -> $target returned " +
+          "false and no manifest exists at the target")
+    }
     if (deleteTmp) fs.delete(tmp, false)
   }
 

@@ -2321,25 +2321,35 @@ class VersionedTable(spark: SparkSession, dir: String,
       case MInsert(Some(v)) => validCols(v.keys, "INSERT")
       case _ => ()
     })
-
     val mergeL2p = renameMap(snapSchema)
     val snapState = snapshotAt(latest)
     val active = snapState.active
+    val tCol = col(targetAlias)
+    val sCol = col(sourceAlias)
+    // The source pipeline is evaluated ONCE and cached: the span
+    // aggregate, the duplicate-key gate, the clause join (twice, when
+    // the full-outer decomposition's anti side runs), and the
+    // copy-on-write carried recompute all read this projection — an
+    // unpersisted source would re-run an arbitrary pipeline for each
+    // (the same reasoning as mergeViaDv's srcAligned persist), and a
+    // non-deterministic one could diverge between them.
+    val src = source.select((keys.map(col) :+
+      struct(source.columns.toIndexedSeq.map(col): _*).as(sourceAlias)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // NOT MATCHED BY SOURCE claims rows no key span can bound: every
     // active directory is read and every concurrent add conflicts.
+    // Spans are computed from the PERSISTED projection (keys are
+    // top-level columns there), so this is a cache read, not a
+    // source re-evaluation.
     val spanState =
-      if (notMatchedBySource.nonEmpty) None else mergeSpanState(source, keys)
+      if (notMatchedBySource.nonEmpty) None else mergeSpanState(src, keys)
     val touched: Seq[String] = spanState match {
       case None => active
       case Some(None) => Seq.empty
       case Some(Some(preds)) => pruneActiveAll(preds, Some(latest))._1
     }
     val addedMayMatch = mergeAddedMayMatch(spanState, mergeL2p)
-
-    val tCol = col(targetAlias)
-    val sCol = col(sourceAlias)
-    val src = source.select((keys.map(col) :+
-      struct(source.columns.toIndexedSeq.map(col): _*).as(sourceAlias)): _*)
     // Join shape by what the clauses can CLAIM — a full-outer join can
     // never broadcast, so one is never planned:
     //   - no NOT MATCHED clauses → target-side rows suffice: LEFT
@@ -2383,6 +2393,29 @@ class VersionedTable(spark: SparkSession, dir: String,
         else if (notMatched.isEmpty) tgt.join(src, keys, "left_outer")
         else tgt.join(src, keys, "left_outer").unionByName(srcOnly)
       }
+    // Clause expressions must be DETERMINISTIC: the classification is
+    // evaluated more than once (counts + payload + CDC project from
+    // the cached claimed rows, but the copy-on-write rewrite re-derives
+    // the carried rows from the unpersisted join), and a rand()-style
+    // condition would let a row be BOTH post-imaged and carried.
+    // Checked on the ANALYZED form (an unresolved function node cannot
+    // know its own determinism), resolved against the clause join.
+    def requireDet(c: org.apache.spark.sql.Column, what: String): Unit =
+      require(joined0.select(c.as("__graft_det_probe"))
+        .queryExecution.analyzed.expressions.forall(_.deterministic),
+        s"$what must be deterministic, got: $c — a non-deterministic " +
+          "clause expression can classify a row differently between " +
+          "the counted outcome and the rewrite")
+    (matched ++ notMatched ++ notMatchedBySource).foreach { cl =>
+      cl.condition.foreach(requireDet(_, "a MERGE clause condition"))
+      cl.action match {
+        case MUpdate(Some(a)) =>
+          a.values.foreach(requireDet(_, "an UPDATE SET expression"))
+        case MInsert(Some(v)) =>
+          v.values.foreach(requireDet(_, "an INSERT value expression"))
+        case _ => ()
+      }
+    }
     val isM = tCol.isNotNull && sCol.isNotNull
     val isS = tCol.isNull && sCol.isNotNull
     val isT = tCol.isNotNull && sCol.isNull
@@ -2424,7 +2457,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       // row matched twice implies the source carries a duplicate key —
       // one small agg on the source gates the (join-sized) exact test.
       val srcDups = !insertOnly && touched.nonEmpty &&
-        source.groupBy(keys.map(col): _*).count()
+        src.groupBy(keys.map(col): _*).count()
           .filter(col("count") > 1).limit(1).count() > 0
       if (srcDups) {
         val dup = acted.filter(isM)
@@ -2578,6 +2611,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           cdf = cdfName, addedRows = Map(name -> rows)),
         validated0 = constraints)
     } finally actedHot.unpersist()
+    } finally src.unpersist()
   }
 
   /** Test seam: runs once after a merge/delete result is fully written
@@ -2645,8 +2679,14 @@ class VersionedTable(spark: SparkSession, dir: String,
                 "snapshot", e)
             // A RESTORE replaces the whole DV map — the rows this
             // mutation read may no longer be the table. Unprovable:
-            // fail loudly.
-            if (c.dvReset.isDefined) throw new IllegalStateException(
+            // fail loudly. coalesce-dv is the one PROVABLY-SAFE
+            // dvReset: it merges existing sidecars without changing a
+            // single row's visibility or any per-dir hidden count, so
+            // everything this mutation read — and the sidecar/rewrite
+            // it computed — remains exactly valid; background sidecar
+            // maintenance must never kill a concurrent writer.
+            if (c.dvReset.isDefined && c.op != "coalesce-dv")
+              throw new IllegalStateException(
               s"concurrent commit $w (${c.op}) of $dir reset the table's " +
                 s"deletion-vector state while this $op was in flight; " +
                 s"re-run the $op on the new snapshot", e)

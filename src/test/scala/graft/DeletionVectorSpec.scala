@@ -661,6 +661,37 @@ class DeletionVectorSpec extends SparkSuite {
     assert(vt.coalesceDv() === 4)
   }
 
+  test("a pre-bitmap (positions parquet) sidecar fails loudly, never as an empty hidden set") {
+    val dir = java.nio.file.Files.createTempDirectory("vt_dv_oldfmt").toString
+    val fake = new java.io.File(dir, "dv-v00001-deadbeef")
+    fake.mkdirs()
+    java.nio.file.Files.write(fake.toPath.resolve("part-00000.parquet"),
+      "PAR1".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.GraftDvBitmap.listBitmaps(spark,
+        new org.apache.hadoop.fs.Path(dir), Seq("dv-v00001-deadbeef"))
+    }
+    assert(e.getMessage.contains("pre-bitmap"))
+  }
+
+  test("an in-flight DV mutation retries THROUGH a concurrent coalesce-dv (maintenance never kills writers)") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 200L).map(k => (k, k * 1.0)).toDF("k", "p")) // v0
+    vt.delete(col("k") < 10L, useDeletionVectors = true)             // v1
+    vt.delete(col("k") >= 190L, useDeletionVectors = true)           // v2
+    val racer = new graft.sources.VersionedTable(spark, dir)
+    vt.beforeMutationPublish = () => {
+      vt.beforeMutationPublish = () => ()
+      assert(racer.coalesceDv() === 3) // wins the slot mid-flight
+    }
+    // loses slot 3, retries, commits at 4 — NOT the loud dvReset abort
+    val v = vt.delete(col("k") === 100L, useDeletionVectors = true)
+    assert(v === 4)
+    assert(vt.read().count() === 179)
+    assert(vt.fastCount() === Some(179L))
+  }
+
   test("OPTIMIZE ... WHERE __dv_sidecars >= n drives coalesceDv through SQL") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)

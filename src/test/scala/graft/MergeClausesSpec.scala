@@ -198,5 +198,24 @@ class MergeClausesSpec extends SparkSuite {
         matchedClauses, notMatchedClauses, targetAlias = "k")
     }
     assert(collide.getMessage.contains("collides"))
+    // non-deterministic clause expressions are rejected up front: the
+    // classification is evaluated more than once (counts/CDC vs the
+    // copy-on-write carried recompute)
+    val nonDet = intercept[Exception] {
+      vt.mergeClauses(srcRows.toDF("k", "v", "cat"), Seq("k"),
+        Seq(MergeClause(Some(expr("rand() < 0.5")), MergeAction.Delete)),
+        notMatched = Nil)
+    }
+    assert(nonDet.getMessage.contains("deterministic"))
+  }
+
+  test("alias-qualified SET targets parse (the alias is redundant and stripped)") {
+    val dir = tmpVt()
+    val vt = seed(dir)
+    srcRows.toDF("k", "v", "cat").createOrReplaceTempView("mrgcl_src3")
+    spark.sql(
+      s"""MERGE INTO '$dir' AS t USING mrgcl_src3 AS s ON t.k = s.k
+         |WHEN MATCHED AND s.v > t.v THEN UPDATE SET t.v = s.v""".stripMargin)
+    assert(rows(vt).find(_._1 == 1L).map(_._2) === Some(100.0))
   }
 }
