@@ -497,9 +497,39 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val mk = mk0.substring(s, e)
     def fail(expected: String): Nothing = throw new IllegalArgumentException(
       s"MERGE INTO (versioned): $expected, got `${raw.take(60)}`")
+    // Tail-emptiness on the MASKED text alone is a hole: a blanked
+    // string literal is spaces there but CONTENT in the raw text, so
+    // `DELETE 'junk'` would parse as if the junk were absent. Every
+    // "nothing may follow" check therefore also scans the RAW tail,
+    // which may contain only whitespace, semicolons, and COMPLETE
+    // comments (a trailing comment is legitimately spaces in mk).
+    def rawTailBenign(from: Int): Boolean = {
+      val sl = raw
+      var i = from
+      val n = sl.length
+      var ok = true
+      while (ok && i < n) {
+        val c = sl.charAt(i)
+        if (c.isWhitespace || c == ';') i += 1
+        else if (c == '-' && i + 1 < n && sl.charAt(i + 1) == '-') {
+          while (i < n && sl.charAt(i) != '\n') i += 1
+        } else if (c == '/' && i + 1 < n && sl.charAt(i + 1) == '*') {
+          val close = sl.indexOf("*/", i + 2)
+          if (close < 0) ok = false else i = close + 2
+        } else ok = false
+      }
+      ok
+    }
+    def requireRawTail(from: Int, what: String): Unit =
+      require(rawTailBenign(from),
+        s"MERGE INTO (versioned): unexpected text after $what: " +
+          s"`${raw.substring(from).trim.take(60)}`")
     if (kind == 1) {
       // NOT MATCHED: INSERT only
-      if (InsertAllRe.findFirstIn(mk).isDefined) return SqlMergeAction.InsertAll
+      if (InsertAllRe.findFirstIn(mk).isDefined) {
+        requireRawTail(mk.indexOf('*') + 1, "INSERT *")
+        return SqlMergeAction.InsertAll
+      }
       val im = InsertColsRe.findFirstMatchIn(mk).getOrElse(
         fail("WHEN NOT MATCHED supports INSERT * or " +
           "INSERT (cols) VALUES (exprs)"))
@@ -531,6 +561,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(mk.substring(vclose + 1).trim.isEmpty,
         "MERGE INTO (versioned): unexpected text after INSERT ... VALUES " +
           s"(...): `${raw.substring(vclose + 1).trim.take(60)}`")
+      requireRawTail(vclose + 1, "INSERT ... VALUES (...)")
       val vals = splitTopLevelCommas(mk, raw, vopen + 1, vclose)
         .map(_.trim).filter(_.nonEmpty)
       require(cols.length == vals.length,
@@ -539,8 +570,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SqlMergeAction.InsertValues(cols, vals)
     } else {
       // MATCHED / NOT MATCHED BY SOURCE: UPDATE or DELETE
-      if (DeleteActRe.findFirstIn(mk).isDefined) return SqlMergeAction.Delete
-      if (UpdateAllRe.findFirstIn(mk).isDefined) return SqlMergeAction.UpdateAll
+      if (DeleteActRe.findFirstIn(mk).isDefined) {
+        requireRawTail("DELETE".length, "DELETE")
+        return SqlMergeAction.Delete
+      }
+      if (UpdateAllRe.findFirstIn(mk).isDefined) {
+        requireRawTail(mk.indexOf('*') + 1, "UPDATE SET *")
+        return SqlMergeAction.UpdateAll
+      }
       val um = UpdateSetRe.findFirstMatchIn(mk).getOrElse(
         fail((if (kind == 2) "WHEN NOT MATCHED BY SOURCE" else "WHEN MATCHED") +
           " supports UPDATE SET .../UPDATE SET */DELETE"))

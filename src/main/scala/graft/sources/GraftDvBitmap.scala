@@ -150,12 +150,31 @@ private[graft] object GraftDvBitmap {
       .foreachPartition { it: Iterator[Row] =>
         var cur: (String, String) = null
         val buf = scala.collection.mutable.ArrayBuffer[Long]()
+        // Each bitmap is staged at an ATTEMPT-UNIQUE temp name and
+        // renamed into place (the log store's put() pattern): a zombie
+        // or speculative duplicate attempt that keeps writing after the
+        // job succeeded can then never tear a published sidecar — its
+        // late bytes land in its own temp, and a failed rename-over-
+        // existing just means the identical-bytes twin already won.
+        val attempt = java.util.UUID.randomUUID().toString.take(8)
         def flush(): Unit = if (cur != null) {
-          val target = new Path(new Path(base, cur._1), cur._2 + ".dvb")
+          val dirPath = new Path(base, cur._1)
+          val target = new Path(dirPath, cur._2 + ".dvb")
+          val staged = new Path(dirPath, s".${cur._2}.dvb-$attempt.tmp")
           val fs = target.getFileSystem(conf.value)
           val os = new java.io.DataOutputStream(
-            new java.io.BufferedOutputStream(fs.create(target, true)))
+            new java.io.BufferedOutputStream(fs.create(staged, true)))
           try encode(buf.toArray, os) finally os.close()
+          if (!fs.rename(staged, target)) {
+            fs.delete(staged, false)
+            // benign only when a duplicate attempt's identical bytes
+            // already occupy the target; any other rename failure must
+            // fail the task, or the commit would publish a sidecar
+            // name with no bitmap behind it
+            if (!fs.exists(target)) throw new java.io.IOException(
+              s"bitmap publish failed: rename $staged -> $target " +
+                "returned false and no bitmap exists at the target")
+          }
           buf.clear()
         }
         it.foreach { r =>
@@ -178,8 +197,11 @@ private[graft] object GraftDvBitmap {
     import spark.implicits._
     val conf = new SerConf(spark.sessionState.newHadoopConf())
     val entries = listBitmaps(spark, root, sidecars)
+    // partitions SCALE with the listing (~64 bitmap decodes per task,
+    // floor 32 tasks): a flat cap would serialize entries/32 file
+    // opens per task on a many-bitmap table's mutation-discovery fold
     spark.sparkContext.parallelize(entries,
-      math.max(1, math.min(entries.size, 32)))
+      math.max(1, math.min(entries.size, math.max(32, entries.size / 64))))
       .flatMap { case (dir, file, path) =>
         load(conf.value, path).iterator.map(pos => (dir, file, pos))
       }

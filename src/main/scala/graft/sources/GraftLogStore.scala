@@ -275,6 +275,19 @@ class GraftCoordinatedLogStore extends GraftLogStore {
         coord.release(target.toString)
         return false
       }
+      if (GraftLogStore.slotSuperseded(fs, target)) {
+        // exists(target) alone does not prove the slot is open:
+        // committed manifests legitimately DISAPPEAR (vacuum deletes
+        // every manifest below its cutoff; DROP + re-CREATE wipes the
+        // log dir). A maximally stale writer that computed this slot,
+        // stalled past a vacuum, then woke would otherwise publish a
+        // bogus manifest at an old version — an acknowledged commit no
+        // current reader resolves, and a stray file below the
+        // surviving floor. Validate against the log's CURRENT state
+        // and surrender, same as the exists-true branch.
+        coord.release(target.toString)
+        return false
+      }
       put(fs, tmp, target, deleteTmp = true)
       // durably visible: the claim's roll-forward pointer is dead
       // weight from here — release it so the in-process map stays
@@ -288,7 +301,11 @@ class GraftCoordinatedLogStore extends GraftLogStore {
       // mid-upload may hold a lease on the target, and then it will
       // finish the upload itself). A malformed/empty recorded value is
       // skipped, never fatal — the claim file is a hint, not the commit.
-      if (!fs.exists(target))
+      // A SUPERSEDED slot is never rolled forward: if the manifest is
+      // absent because vacuum reclaimed it (not because the winner
+      // crashed), completing the "upload" would plant a stray manifest
+      // below the surviving floor.
+      if (!fs.exists(target) && !GraftLogStore.slotSuperseded(fs, target))
         try coord.claimedValue(target.toString).filter(_.trim.nonEmpty)
           .map(v => new Path(v.trim))
           .filter(fs.exists).foreach(wtmp =>
@@ -311,11 +328,40 @@ object GraftLogStore {
     */
   val CoordinatorDirKey = "spark.graft.logstore.coordinatorDir"
 
+  /** True iff `target` names a DELTA-MANIFEST slot the log's CURRENT
+    * state proves already decided or unreachable — i.e. a slot only a
+    * maximally STALE writer would still try to publish. Two proofs:
+    *  - the NEXT version's manifest exists → this slot's version is
+    *    <= the latest committed version (manifests are dense above any
+    *    surviving checkpoint; this version's own manifest can only be
+    *    absent because vacuum reclaimed it);
+    *  - the version is > 0 and the PREVIOUS version resolves neither
+    *    as a manifest nor a checkpoint → the writer's basis is below
+    *    the vacuum floor, or the whole log was dropped and re-created.
+    * A winner must refuse such a slot: exists(target) alone cannot
+    * arbitrate it, because committed manifests legitimately disappear
+    * (vacuum, DROP + re-CREATE), and publishing there would acknowledge
+    * a commit no current reader resolves. Non-manifest targets
+    * (checkpoints — versions the publisher proved committed) are never
+    * superseded by this rule.
+    */
+  def slotSuperseded(fs: FileSystem, target: Path): Boolean = {
+    val name = target.getName
+    if (!name.matches("\\d{8}\\.json")) return false
+    val v = name.take(8).toInt
+    val logDir = target.getParent
+    def manifest(i: Int) = new Path(logDir, f"$i%08d.json")
+    def checkpoint(i: Int) = new Path(logDir, f"$i%08d.checkpoint.json")
+    fs.exists(manifest(v + 1)) ||
+      (v > 0 && !fs.exists(manifest(v - 1)) && !fs.exists(checkpoint(v - 1)))
+  }
+
   /** The built-in backend dispatch (see trait doc). */
   object Default extends GraftLogStore {
     override def atomicClaim(fs: FileSystem, tmp: Path,
                              target: Path): Boolean =
-      if (fs.getScheme == "file")
+      if (slotSuperseded(fs, target)) false
+      else if (fs.getScheme == "file")
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(target.toUri.getPath),

@@ -40,6 +40,18 @@ class LogStoreSpec extends SparkSuite {
   private val coordinated =
     classOf[graft.sources.GraftCoordinatedLogStore].getName
 
+  /** Seed dense predecessor manifests 0..n at `work` — real logs are
+    * dense below the slot being raced for, and the stores now REFUSE a
+    * slot whose predecessor does not resolve (the stale-writer guard),
+    * so a synthetic race dir must look like a real log.
+    */
+  private def seedManifests(fs: FileSystem, work: String, n: Int): Unit =
+    (0 to n).foreach { v =>
+      val p = new Path(work, f"$v%08d.json")
+      val out = fs.create(p, false)
+      out.write(s"""{"seed":$v}""".getBytes("UTF-8")); out.close()
+    }
+
   test("the full protocol runs over the coordinated store (directory claims)") {
     val claims = tmpVt()
     withStore(coordinated, Some(claims)) {
@@ -67,6 +79,7 @@ class LogStoreSpec extends SparkSuite {
       spark.sparkContext.hadoopConfiguration)
     withStore(coordinated, Some(claims)) {
       val store = new graft.sources.GraftCoordinatedLogStore()
+      seedManifests(fs, work, 0)
       val target = new Path(work, "00000001.json")
       val prepared = (0 until 4).map { i =>
         val tmp = new Path(work, s".tmp-$i")
@@ -106,6 +119,7 @@ class LogStoreSpec extends SparkSuite {
     val fs = new Path(work).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     withStore(coordinated, Some(claims)) {
+      seedManifests(fs, work, 1)
       val target = new Path(work, "00000002.json")
       // the "crashed winner": claimed the slot, wrote its tmp, died
       // before the upload — simulate by claiming directly
@@ -236,6 +250,7 @@ class LogStoreSpec extends SparkSuite {
       val fs = new org.apache.hadoop.fs.Path(work).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       val store = new graft.sources.GraftCoordinatedLogStore()
+      seedManifests(fs, work, 4)
       val target = new org.apache.hadoop.fs.Path(work, "00000005.json")
       def mkTmp(name: String, content: String): org.apache.hadoop.fs.Path = {
         val p = new org.apache.hadoop.fs.Path(work, name)
@@ -256,5 +271,49 @@ class LogStoreSpec extends SparkSuite {
       assert(!fs.listStatus(new org.apache.hadoop.fs.Path(work))
         .exists(_.getPath.getName.contains(".put-")))
     }
+  }
+
+  test("a maximally stale writer cannot publish below the vacuum floor") {
+    // exists(target) alone cannot arbitrate a slot whose manifest was
+    // legitimately RECLAIMED: vacuum deletes every manifest below its
+    // cutoff, and a writer that computed its slot before the vacuum,
+    // stalled, then woke would find the target absent and publish a
+    // bogus manifest at an old version — an acknowledged commit no
+    // current reader resolves. Both stores must refuse such a slot.
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    (0 until 6).foreach(i => vt.append(Seq((i.toLong, "x")).toDF("k", "s")))
+    vt.vacuum(keepLast = 2) // manifests 0..3 reclaimed, 4..5 survive
+    val logDir = new Path(dir, "_graft_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(logDir, "00000002.json")))
+    def mkTmp(name: String): Path = {
+      val p = new Path(logDir, name)
+      val out = fs.create(p, false)
+      out.write("""{"writer":"stale"}""".getBytes("UTF-8")); out.close()
+      p
+    }
+    // slot 3: just below the floor — the NEXT manifest (4) survives,
+    // proving the slot already decided (the v+1 branch)
+    val t2 = new Path(logDir, "00000003.json")
+    // slot 1: deep below the floor — neither neighbor resolves
+    // (the v-1 branch)
+    val t1 = new Path(logDir, "00000001.json")
+    assert(!graft.sources.GraftLogStore.Default
+      .atomicClaim(fs, mkTmp(".tmp-st-d2"), t2))
+    assert(!graft.sources.GraftLogStore.Default
+      .atomicClaim(fs, mkTmp(".tmp-st-d1"), t1))
+    val coord = new graft.sources.GraftCoordinatedLogStore()
+    assert(!coord.atomicClaim(fs, mkTmp(".tmp-st-c2"), t2))
+    assert(!coord.atomicClaim(fs, mkTmp(".tmp-st-c1"), t1))
+    assert(!fs.exists(t2) && !fs.exists(t1)) // nothing planted
+    // the surviving log still reads and appends normally
+    assert(vt.latestVersion === 5)
+    vt.append(Seq((9L, "y")).toDF("k", "s"))
+    assert(vt.latestVersion === 6)
+    // ...and a CHECKPOINT slot is never staleness-refused (the
+    // publisher proved its version committed before writing it)
+    assert(!graft.sources.GraftLogStore.slotSuperseded(fs,
+      new Path(logDir, "00000004.checkpoint.json")))
   }
 }

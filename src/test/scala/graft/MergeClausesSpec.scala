@@ -209,6 +209,36 @@ class MergeClausesSpec extends SparkSuite {
     assert(nonDet.getMessage.contains("deterministic"))
   }
 
+  test("trailing junk that is a string literal is rejected, not dropped") {
+    // the masker blanks string literals to spaces, so a masked-text-only
+    // tail check would read `DELETE 'junk'` as `DELETE` — the parser
+    // must validate action tails against the RAW text too
+    val dir = tmpVt()
+    seed(dir)
+    val parser = spark.sessionState.sqlParser
+    def rejects(actionTail: String): Unit = {
+      val e = intercept[Exception] {
+        parser.parsePlan(
+          s"""MERGE INTO '$dir' t USING mrgcl_junk s ON t.k = s.k
+             |$actionTail""".stripMargin)
+      }
+      assert(e.getMessage.contains("unexpected text after") ||
+        e.getMessage.contains("supports"), s"$actionTail -> ${e.getMessage}")
+    }
+    rejects("WHEN MATCHED THEN DELETE 'junk'")
+    rejects("WHEN MATCHED THEN UPDATE SET * 'junk'")
+    rejects("WHEN NOT MATCHED THEN INSERT * 'junk'")
+    rejects("WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k) 'junk'")
+    // trailing COMMENTS stay legal — they are spaces in the masked text
+    // and complete comment tokens in the raw one
+    val ok = parser.parsePlan(
+      s"""MERGE INTO '$dir' t USING mrgcl_junk s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE -- cleanup
+         |WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k) /* note */""".stripMargin)
+      .asInstanceOf[graft.plans.GraftMergeClauses]
+    assert(ok.matched.size === 1 && ok.notMatched.size === 1)
+  }
+
   test("alias-qualified SET targets parse (the alias is redundant and stripped)") {
     val dir = tmpVt()
     val vt = seed(dir)
