@@ -1895,6 +1895,56 @@ object SparkEntry {
       out
     }),
 
+    // MERGE schema evolution: the source carries a column the table
+    // does not have; MERGE WITH SCHEMA EVOLUTION adds it as a
+    // metadata-only widening ON the merge commit itself (no separate
+    // alter), star forms expand over the source's columns, untouched
+    // rows read the new column as null, time travel keeps the
+    // pre-merge 2-column schema, and the SAME statement WITHOUT the
+    // modifier is refused (the strict star contract is unchanged).
+    "s_versioned_merge_evolve" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_mev").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        vt.append(t(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        t(s, dir, "orders").filter(col("o_orderkey") % 6 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .createOrReplaceTempView("graft_mev_src")
+        val strictRefused =
+          try {
+            s.sql(s"""MERGE INTO '$base' t USING graft_mev_src s
+                     |ON t.o_orderkey = s.o_orderkey
+                     |WHEN MATCHED AND s.o_orderstatus IS NOT NULL THEN
+                     |  UPDATE SET *
+                     |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            false
+          } catch { case e: Exception =>
+            Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .exists(t => Option(t.getMessage)
+                .exists(_.contains("source schema = table schema")))
+          }
+        val preVersion = vt.latestVersion
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO '$base' t
+                 |USING graft_mev_src s ON t.o_orderkey = s.o_orderkey
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val alterCommits = vt.history().filter(col("op") === "alter").count()
+        val schemaCols = vt.tableSchema().fieldNames.mkString(",")
+        val preCols = vt.readAt(preVersion).schema.fieldNames.length
+        s.read.format("graftvt").load(base)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus").collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            if (r.isNullAt(2)) null else r.getString(2),
+            schemaCols, preCols, alterCommits, strictRefused))
+          .toSeq
+          .toDF("o_orderkey", "o_totalprice", "o_orderstatus",
+            "schema_cols", "pre_cols", "alter_commits", "strict_refused")
+      } finally deleteRecursively(base)
+    }),
+
     // Metadata-only sidecar coalescing: three DV deletes stack three
     // sidecars on one directory; coalesceDv merges them into ONE
     // commit-free-of-data (no file rewritten, hidden counts carried),
@@ -4606,6 +4656,30 @@ object SparkEntry {
         |  || ',update_preimage='
         |  || (SELECT count(*) FROM m WHERE act IN ('u', 'nu'))
         |  AS cdc_sig
+        |FROM fin""".stripMargin,
+
+    // The evolved merge recomputed: matched rows take the source's
+    // price and gain the new status column, unmatched target rows keep
+    // theirs and read it as null, source-only rows insert with it; the
+    // widening rode the merge commit (0 alter commits), the pre-merge
+    // version kept 2 columns, and the modifier-less statement refused.
+    "s_versioned_merge_evolve" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS pr FROM orders
+        |  WHERE o_orderkey % 4 <> 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS pr, o_orderstatus AS st
+        |  FROM orders WHERE o_orderkey % 6 = 0),
+        |fin AS (
+        |  SELECT t.k, COALESCE(s.pr, t.pr) AS pr, s.st
+        |  FROM tgt t LEFT JOIN src s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, s.pr, s.st FROM src s LEFT JOIN tgt t ON t.k = s.k
+        |  WHERE t.k IS NULL)
+        |SELECT k AS o_orderkey, pr AS o_totalprice, st AS o_orderstatus,
+        |  'o_orderkey,o_totalprice,o_orderstatus' AS schema_cols,
+        |  2 AS pre_cols, CAST(0 AS BIGINT) AS alter_commits,
+        |  true AS strict_refused
         |FROM fin""".stripMargin,
 
     // Three stacked sidecars merged to one, no data touched, the read

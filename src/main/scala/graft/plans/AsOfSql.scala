@@ -147,7 +147,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // would swallow it, leaving an empty target slice.
   private val UpdateHeadRe = "(?is)^\\s*UPDATE\\b".r
   private val DeleteHeadRe = "(?is)^\\s*DELETE\\s+FROM\\b".r
-  private val MergeHeadRe = "(?is)^\\s*MERGE\\s+INTO\\b".r
+  // Delta's schema-evolution opt-in spelling: the WITH SCHEMA
+  // EVOLUTION modifier sits between MERGE and INTO.
+  private val MergeHeadRe =
+    "(?is)^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\b".r
 
   /** Offset of the first occurrence of word `kw` at paren depth 0 in
     * `masked`, at or after `from`; -1 when absent.
@@ -305,6 +308,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     */
   private def mergeCommand(sql: String, masked: String): Option[LogicalPlan] = {
     val m = MergeHeadRe.findFirstMatchIn(masked).getOrElse(return None)
+    val evolve = m.group(1) != null
     val usingPos = topLevelKeyword(masked, m.end, "USING")
     if (usingPos < 0) return None
     // target: first token; optional [AS] alias (clause expressions
@@ -387,7 +391,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val legacyUpsert = nmbs.isEmpty &&
       matched == Seq(SqlMergeClause(None, SqlMergeAction.UpdateAll)) &&
       notMatched == Seq(SqlMergeClause(None, SqlMergeAction.InsertAll))
-    if (legacyUpsert) return Some(GraftMerge(target, sourceSql, keys))
+    // the specialized upsert path has no evolution — WITH SCHEMA
+    // EVOLUTION routes even the exact two-clause form to the general
+    // clause engine (the CDC-apply pattern this modifier exists for)
+    if (legacyUpsert && !evolve) return Some(GraftMerge(target, sourceSql, keys))
     // aliases: explicit > name-derived; a DERIVED alias that collides
     // with a key or the other side falls back to an unreferencable
     // placeholder (the user never wrote it, so nothing references it —
@@ -406,7 +413,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         keys.exists(_.equalsIgnoreCase(a)) ||
           a.equalsIgnoreCase(targetAlias)).getOrElse("__source"))
     Some(GraftMergeClauses(target, sourceSql, keys, targetAlias, sourceAlias,
-      matched, notMatched, nmbs))
+      matched, notMatched, nmbs, evolveSchema = evolve))
   }
 
   private val NmbsHeadRe =

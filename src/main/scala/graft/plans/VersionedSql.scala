@@ -421,7 +421,8 @@ case class GraftMergeClauses(target: String, sourceSql: String,
                              targetAlias: String, sourceAlias: String,
                              matched: Seq[SqlMergeClause],
                              notMatched: Seq[SqlMergeClause],
-                             notMatchedBySource: Seq[SqlMergeClause])
+                             notMatchedBySource: Seq[SqlMergeClause],
+                             evolveSchema: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)())
@@ -451,7 +452,8 @@ case class GraftMergeClauses(target: String, sourceSql: String,
       matched.map(bind), notMatched.map(bind),
       notMatchedBySource.map(bind),
       targetAlias = targetAlias, sourceAlias = sourceAlias,
-      useDeletionVectors = VersionedSql.dvOptIn(vt))
+      useDeletionVectors = VersionedSql.dvOptIn(vt),
+      evolveSchema = evolveSchema)
     bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
     Seq(Row(v))
   }

@@ -228,8 +228,9 @@ private[graft] object GraftDvBitmap {
           e.isFile && e.getPath.getName.endsWith(".parquet")),
           s"deletion-vector sidecar $sc under $root is in the " +
             "pre-bitmap (positions parquet) layout this reader no " +
-            "longer speaks; rewrite the table's DV debt with OPTIMIZE " +
-            "under the writing version before upgrading readers")
+            "longer speaks; run VersionedTable.migrateDv() — a " +
+            "metadata-only transcode commit that touches no data " +
+            "file — to upgrade the table's live DV state")
         entries.filter(_.isDirectory).flatMap { d =>
           fs.listStatus(d.getPath).toSeq
             .filter(_.getPath.getName.endsWith(".dvb"))

@@ -2263,6 +2263,22 @@ class VersionedTable(spark: SparkSession, dir: String,
     * Delta. A target row matched by MORE than one source row fails
     * loudly (the update/delete/carry outcome would be
     * nondeterministic); dedupe the source on the keys first.
+    *
+    * `evolveSchema` (Delta's withSchemaEvolution; SQL spelling
+    * `MERGE WITH SCHEMA EVOLUTION INTO ...`): source columns absent
+    * from the table are added — nullable, metadata-only, the
+    * [[addColumns]] widening composed into the MERGE COMMIT ITSELF
+    * (atomic: a failed or no-op merge leaves no orphan schema change).
+    * Star forms then expand over the SOURCE's columns: `UPDATE SET *`
+    * leaves table-only columns at their target values, `INSERT *`
+    * fills them with null; existing files read the new columns as
+    * null. Adding a name whose bytes still live in active directories
+    * (a dropped column, a renamed column's physical name) fails
+    * loudly — same residue rule as [[addColumns]]. Type differences
+    * on EXISTING columns are not evolution: images cast to the
+    * table's type, as always. The reference's driver-side schema
+    * reconciliation (`Second Experiment/GPT 5 nano.py:106-175` —
+    * add-missing-as-typed-null, reorder) is this feature's ancestor.
     */
   def mergeClauses(source: DataFrame, keys: Seq[String],
                    matched: Seq[MergeClause],
@@ -2270,7 +2286,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                    notMatchedBySource: Seq[MergeClause] = Nil,
                    targetAlias: String = "t", sourceAlias: String = "s",
                    writeChangeData: Boolean = false, maxRetries: Int = 5,
-                   useDeletionVectors: Boolean = false): Int = {
+                   useDeletionVectors: Boolean = false,
+                   evolveSchema: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split, struct, sum, when}
     import MergeAction.{Delete => MDelete, Insert => MInsert, Update => MUpdate}
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -2300,16 +2317,57 @@ class VersionedTable(spark: SparkSession, dir: String,
 
     val latest = latestVersion
     require(latest >= 0, s"$dir has no committed versions")
-    val snapSchema = tableSchemaAt(latest)
+    val snapState = snapshotAt(latest)
+    val snapSchema0 = tableSchemaAt(latest)
+    // MERGE SCHEMA EVOLUTION (Delta's withSchemaEvolution, composed
+    // with this table's metadata-only widening): source columns absent
+    // from the table are ADDED — nullable, metadata-free — and the
+    // evolved schema rides the MERGE COMMIT ITSELF (one atomic commit:
+    // a failed merge leaves no orphan alter; a no-op merge evolves
+    // nothing). Existing files keep scanning, reading the new columns
+    // as null, exactly like addColumns. Same residue guard as
+    // addColumns: bytes under the new name still living in an active
+    // directory (a dropped column, or a renamed column's physical
+    // name) would resurface foreign values — fail loudly. Type
+    // differences on EXISTING columns are not evolution; the image
+    // casts keep the table's type, as before.
+    val newFields: Seq[org.apache.spark.sql.types.StructField] =
+      if (!evolveSchema) Seq.empty
+      else source.schema.fields.toSeq
+        .filterNot(f => snapSchema0.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        .map(f => org.apache.spark.sql.types.StructField(
+          f.name, f.dataType, nullable = true))
+    newFields.foreach { f =>
+      val ghost = snapState.active.exists(d => snapState.stats.get(d)
+        .exists(_.keys.exists(_.equalsIgnoreCase(f.name))))
+      require(!ghost,
+        s"MERGE schema evolution cannot add column `${f.name}` to $dir: " +
+          "bytes under that name still live in active directories (a " +
+          "dropped column, or a renamed column's physical name) and " +
+          "would resurface old values; run OPTIMIZE (full rewrite) first")
+    }
+    val snapSchema =
+      if (newFields.isEmpty) snapSchema0
+      else org.apache.spark.sql.types.StructType(
+        snapSchema0.fields ++ newFields)
     val snapCols = snapSchema.fieldNames.toSeq
     keys.foreach(k => require(snapCols.contains(k),
       s"merge key `$k` missing from table (has: ${snapCols.mkString(", ")})"))
     val starForms = matched.exists(_.action == MUpdate(None)) ||
       notMatched.exists(_.action == MInsert(None))
-    if (starForms) require(source.columns.sorted.sameElements(snapCols.sorted),
-      s"UPDATE SET * / INSERT * need source schema = table schema; " +
-        s"source has ${source.columns.sorted.mkString(",")}, table has " +
-        snapCols.sorted.mkString(","))
+    // Without evolution the star forms demand schema EQUALITY (the
+    // historical contract — a silently-dropped source column would be
+    // a wrong answer). With evolution the source is a SUBSET of the
+    // evolved schema by construction: UPDATE SET * assigns the source
+    // columns (table-only columns keep their target values), INSERT *
+    // fills table-only columns with null — Delta's evolved-star
+    // semantics.
+    if (starForms && !evolveSchema)
+      require(source.columns.sorted.sameElements(snapCols.sorted),
+        s"UPDATE SET * / INSERT * need source schema = table schema " +
+          "(or evolveSchema = true); " +
+          s"source has ${source.columns.sorted.mkString(",")}, table has " +
+          snapCols.sorted.mkString(","))
     def validCols(names: Iterable[String], what: String): Unit =
       names.foreach(c => require(snapCols.contains(c),
         s"$what column `$c` is not a table column (${snapCols.mkString(", ")})"))
@@ -2322,8 +2380,14 @@ class VersionedTable(spark: SparkSession, dir: String,
       case _ => ()
     })
     val mergeL2p = renameMap(snapSchema)
-    val snapState = snapshotAt(latest)
     val active = snapState.active
+    // the commit carries the evolved schema; a concurrent schema
+    // change would make it stale — refuse loudly in the retry loop
+    val evolvedJson: Option[String] =
+      if (newFields.isEmpty) None
+      else Some(SchemaCompat.nullableJson(snapSchema))
+    val schemaRace: Commit => Boolean =
+      if (evolvedJson.isEmpty) _ => false else _.schemaJson.isDefined
     val tCol = col(targetAlias)
     val sCol = col(sourceAlias)
     // The source pipeline is evaluated ONCE and cached: the span
@@ -2480,14 +2544,22 @@ class VersionedTable(spark: SparkSession, dir: String,
       def sF(c: String) = sCol.getField(c)
       val tImage: Seq[org.apache.spark.sql.Column] =
         snapCols.map(c => tF(c).cast(castTo(c)).as(c))
+      // Star-form expansion covers the SOURCE's columns: identical to
+      // all-of-snapCols in the strict (equality-checked) case; under
+      // schema evolution the source is a subset of the evolved schema,
+      // and table-only columns keep their target value (UPDATE) or
+      // insert as null (INSERT).
+      val starCols: Map[String, org.apache.spark.sql.Column] =
+        snapCols.filter(c => source.columns.exists(_.equalsIgnoreCase(c)))
+          .map(c => c -> sF(c)).toMap
       def updImage(assignments: Option[Map[String, org.apache.spark.sql.Column]])
           : Seq[org.apache.spark.sql.Column] = {
-        val a = assignments.getOrElse(snapCols.map(c => c -> sF(c)).toMap)
+        val a = assignments.getOrElse(starCols)
         snapCols.map(c => a.getOrElse(c, tF(c)).cast(castTo(c)).as(c))
       }
       def insImage(values: Option[Map[String, org.apache.spark.sql.Column]])
           : Seq[org.apache.spark.sql.Column] = {
-        val v = values.getOrElse(snapCols.map(c => c -> sF(c)).toMap)
+        val v = values.getOrElse(starCols)
         snapCols.map(c => v.getOrElse(c, lit(null)).cast(castTo(c)).as(c))
       }
       def unionAll(dfs: Seq[DataFrame]): Option[DataFrame] =
@@ -2546,8 +2618,9 @@ class VersionedTable(spark: SparkSession, dir: String,
           revalidate = Seq(name), addedMayMatch,
           mkCommit = vv => Commit(vv, "merge", Seq(name), Seq.empty, rows,
             System.currentTimeMillis(), addedStats = Map(name -> st),
-            cdf = cdfName, addedRows = Map(name -> rows)),
-          validated0 = constraints)
+            cdf = cdfName, addedRows = Map(name -> rows),
+            schemaJson = evolvedJson),
+          validated0 = constraints, schemaConflicts = schemaRace)
       }
 
       val dirOf = element_at(split(col("__graft_file"), "/"), -2)
@@ -2584,8 +2657,8 @@ class VersionedTable(spark: SparkSession, dir: String,
             System.currentTimeMillis(), addedStats = addedStats,
             cdf = Some(cdfName), addedRows = addedRows,
             dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
-            dvDirRows = perDir),
-          validated0 = constraints)
+            dvDirRows = perDir, schemaJson = evolvedJson),
+          validated0 = constraints, schemaConflicts = schemaRace)
       }
 
       // copy-on-write: rewrite the touched directories — carried rows
@@ -2608,8 +2681,9 @@ class VersionedTable(spark: SparkSession, dir: String,
         revalidate = Seq(name), addedMayMatch,
         mkCommit = vv => Commit(vv, "merge", Seq(name), touched, rows,
           System.currentTimeMillis(), addedStats = Map(name -> st),
-          cdf = cdfName, addedRows = Map(name -> rows)),
-        validated0 = constraints)
+          cdf = cdfName, addedRows = Map(name -> rows),
+          schemaJson = evolvedJson),
+        validated0 = constraints, schemaConflicts = schemaRace)
     } finally actedHot.unpersist()
     } finally src.unpersist()
   }
@@ -3463,6 +3537,80 @@ class VersionedTable(spark: SparkSession, dir: String,
           // lost the slot: the merged map may be stale (the winner may
           // have attached or folded sidecars) — drop this attempt's
           // merge and recompute from the new snapshot
+          fs.delete(new Path(root, merged), true)
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    sys.error("unreachable: the retry loop returns or throws")
+  }
+
+  /** METADATA-ONLY migration of pre-bitmap deletion-vector sidecars
+    * (the earlier (dir, file, pos) positions-parquet layout) to the
+    * GDV1 bitmap layout: every legacy sidecar's triples are transcoded
+    * into ONE new bitmap sidecar per migration commit, the affected
+    * directories' sidecar lists are re-pointed in a single `dvReset`
+    * commit, and the per-directory HIDDEN COUNTS are carried verbatim
+    * — no data file is read, touched, or rewritten (the upgrade cliff
+    * the loud-fail in [[GraftDvBitmap.listBitmaps]] would otherwise
+    * resolve only through a full OPTIMIZE). Directories mixing legacy
+    * and bitmap sidecars fold BOTH into the merged sidecar (same
+    * union the read would have performed). Returns the current version
+    * unchanged when no legacy sidecar is live, so running it on an
+    * already-migrated table is free. Time travel to versions BELOW the
+    * migration still resolves the legacy sidecars and keeps failing
+    * loudly — the migration upgrades the live state, not history;
+    * vacuum reclaims the legacy files with those versions. Losing a
+    * commit race drops the transcode and recomputes, same protocol as
+    * [[coalesceDv]].
+    */
+  def migrateDv(maxRetries: Int = 5): Int = {
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion
+      require(latest >= 0, s"$dir has no committed versions")
+      val snap = snapshotAt(latest)
+      val all = snap.dvs.values.flatten.toSeq.distinct
+      val legacy = all.filter { sc =>
+        val p = new Path(root, sc)
+        fs.exists(p) && fs.listStatus(p).exists(e =>
+          e.isFile && e.getPath.getName.endsWith(".parquet"))
+      }.toSet
+      if (legacy.isEmpty) return latest
+      val victims = snap.dvs.collect {
+        case (d, scs) if scs.exists(legacy.contains) => d -> scs.distinct
+      }
+      val victimSet = victims.keySet
+      val legacyNames = victims.values.flatten.filter(legacy.contains)
+        .toSeq.distinct
+      val bitmapNames = victims.values.flatten.filterNot(legacy.contains)
+        .toSeq.distinct
+      val v0 = latest + 1
+      val merged = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      val legacyDf = spark.read
+        .parquet(legacyNames.map(n => new Path(root, n).toString): _*)
+        .select(col("__graft_dv_dir").cast("string"),
+          col("__graft_dv_file").cast("string"),
+          col("__graft_dv_pos").cast("long"))
+      val triples =
+        if (bitmapNames.isEmpty) legacyDf
+        else legacyDf.unionByName(
+          GraftDvBitmap.asFrame(spark, root, bitmapNames))
+      GraftDvBitmap.write(spark, root, merged,
+        triples.filter(col("__graft_dv_dir").isInCollection(victimSet)))
+      val newDvs = snap.dvs.map { case (d, scs) =>
+        d -> (if (victimSet.contains(d)) Seq(merged) else scs.distinct)
+      }
+      try {
+        publish(Commit(v0, "migrate-dv", Seq.empty, Seq.empty, 0L,
+          System.currentTimeMillis(),
+          dvReset = Some((newDvs, snap.dvRowsByDir))))
+        return v0
+      } catch {
+        case e: IllegalStateException =>
+          // lost the slot: recompute from the new snapshot (the winner
+          // may itself have migrated or reset sidecars)
           fs.delete(new Path(root, merged), true)
           attempt += 1
           if (attempt > maxRetries) throw e
