@@ -25,9 +25,15 @@ import org.apache.spark.sql.SparkSession
   * {{{ spark.conf.set("spark.graft.logstore.class", "com.example.MyStore") }}}
   * — the class needs a no-arg constructor; it is resolved once per
   * [[VersionedTable]] instance. The contract to uphold is ONLY the
-  * single-winner property above; [[graft.LogStoreSpec]] carries a
-  * reference external-coordinator implementation and the race test a
-  * custom store must pass.
+  * single-winner property above. The SHIPPABLE object-store stack is
+  * in the main tree: [[GraftCoordinatedLogStore]] (claim-is-the-commit
+  * + crash roll-forward) over a [[GraftClaimCoordinator]] — use
+  * [[GraftDirectoryClaimCoordinator]] when a strongly consistent
+  * filesystem is reachable, or name a 2-method conditional-PUT
+  * coordinator of your own via `spark.graft.logstore.coordinatorClass`
+  * (the DynamoDB/S3-conditional-write mapping is documented on the
+  * coordinator trait); `graft.LogStoreSpec` carries the race test any
+  * custom store or coordinator must pass.
   */
 trait GraftLogStore {
 
@@ -211,12 +217,34 @@ object GraftInProcessClaimCoordinator extends GraftClaimCoordinator {
   */
 class GraftCoordinatedLogStore extends GraftLogStore {
 
-  private def coordinator(fs: FileSystem): GraftClaimCoordinator =
-    SparkSession.active.conf
-      .getOption(GraftLogStore.CoordinatorDirKey).filter(_.nonEmpty) match {
-      case Some(d) => new GraftDirectoryClaimCoordinator(new Path(d), fs)
-      case None => GraftInProcessClaimCoordinator
+  private def coordinator(fs: FileSystem): GraftClaimCoordinator = {
+    val conf = SparkSession.active.conf
+    conf.getOption(GraftLogStore.CoordinatorClassKey)
+      .filter(_.nonEmpty) match {
+      case Some(cn) =>
+        // a SERVICE-backed coordinator (DynamoDB conditional putItem,
+        // S3 If-None-Match, etcd create-if-absent, SQL INSERT-on-PK):
+        // the user ships ONLY the 2-method GraftClaimCoordinator and
+        // names it here — the commit protocol, crash roll-forward, and
+        // claim lifecycle all ride this class unchanged. Fails loudly
+        // on misconfiguration: a silent fallback would arbitrate with
+        // a different atomicity story than the one asked for.
+        try Class.forName(cn).getDeclaredConstructor().newInstance()
+          .asInstanceOf[GraftClaimCoordinator]
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"${GraftLogStore.CoordinatorClassKey} = $cn could not be " +
+              "instantiated as a graft.sources.GraftClaimCoordinator " +
+              "(no-arg constructor required)", e)
+        }
+      case None =>
+        conf.getOption(GraftLogStore.CoordinatorDirKey)
+          .filter(_.nonEmpty) match {
+          case Some(d) => new GraftDirectoryClaimCoordinator(new Path(d), fs)
+          case None => GraftInProcessClaimCoordinator
+        }
     }
+  }
 
   /** Publish `tmp`'s bytes at `target`. On visible-at-close stores
     * (S3-style PUT — this class's design center) a direct
@@ -327,6 +355,14 @@ object GraftLogStore {
     * strongly consistent filesystem (atomic no-overwrite create).
     */
   val CoordinatorDirKey = "spark.graft.logstore.coordinatorDir"
+
+  /** Session conf key naming a custom [[GraftClaimCoordinator]] class
+    * for [[GraftCoordinatedLogStore]] — the seam a service-backed
+    * arbiter (DynamoDB, S3 conditional writes, etcd, SQL) plugs into
+    * without re-implementing the commit protocol. Takes precedence
+    * over [[CoordinatorDirKey]].
+    */
+  val CoordinatorClassKey = "spark.graft.logstore.coordinatorClass"
 
   /** True iff `target` names a DELTA-MANIFEST slot the log's CURRENT
     * state proves already decided or unreachable — i.e. a slot only a

@@ -2721,9 +2721,14 @@ class VersionedTable(spark: SparkSession, dir: String,
     var attempt = 0
     while (true) {
       val v = checkedThrough + 1
+      // the post-commit maintenance hook runs OUTSIDE this try: an
+      // IllegalStateException escaping it must never read as a slot
+      // conflict here, or the already-committed mutation would retry
+      // and commit twice
+      var committed = false
       try {
         publish(mkCommit(v))
-        return v
+        committed = true
       } catch {
         case e: IllegalStateException =>
           if (attempt >= maxRetries) throw e
@@ -2784,8 +2789,74 @@ class VersionedTable(spark: SparkSession, dir: String,
           }
           checkedThrough = newLatest
       }
+      if (committed) {
+        autoMaintain()
+        return v
+      }
     }
     -1 // unreachable
+  }
+
+  /** Post-commit OPT-IN auto-maintenance (Delta's auto-compaction
+    * shape): after every successful row-level mutation commit, the
+    * table's own TBLPROPERTIES decide whether a maintenance commit
+    * piggybacks in the same session — without it a 100 TB table under
+    * a steady delete stream accrues DV debt until a human notices.
+    * At most ONE maintenance commit per property per trigger:
+    *  - `graft.autoOptimize.dvFraction` = x in (0, 1]: directories
+    *    whose cumulative hidden fraction reached x are rewritten via
+    *    [[optimizeDvDebt]] (chunk count = #debt directories, or
+    *    `graft.autoOptimize.targetChunks`);
+    *  - `graft.autoCoalesce.minSidecars` = k >= 2: directories
+    *    stacking >= k sidecars get them merged metadata-only via
+    *    [[coalesceDv]].
+    * Maintenance LOSES races gracefully: a concurrent commit aborts
+    * the attempt silently — the user's mutation already succeeded, and
+    * the next mutation re-triggers the check. Never recursive: the
+    * maintenance this hook triggers never re-triggers it (the rewrite
+    * path commits through the same retry loop, so a thread-local
+    * guard breaks the cycle; a triggered optimize also never
+    * auto-coalesces behind the user's back). Malformed property values
+    * are ignored (a typo must not fail a committed mutation); genuine
+    * maintenance errors propagate — this engine never fails silently.
+    */
+  private val maintaining = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private def autoMaintain(): Unit = {
+    if (maintaining.get()) return
+    maintaining.set(true)
+    try autoMaintainBody() finally maintaining.set(false)
+  }
+
+  private def autoMaintainBody(): Unit = {
+    val latest = latestVersion
+    if (latest < 0) return
+    val snap = snapshotAt(latest)
+    val props = snap.props
+    props.get("graft.autoOptimize.dvFraction").flatMap(_.toDoubleOption)
+      .filter(x => x > 0.0 && x <= 1.0).foreach { x =>
+        val debtDirs = snap.active.count { d =>
+          val hidden = snap.dvRowsByDir.getOrElse(d, 0L)
+          hidden > 0L && (snap.dirRows.get(d) match {
+            case Some(rows) if rows > 0L => hidden.toDouble / rows >= x
+            case _ => true
+          })
+        }
+        if (debtDirs > 0) {
+          val chunks = props.get("graft.autoOptimize.targetChunks")
+            .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(debtDirs)
+          try optimizeDvDebt(x, chunks)
+          catch { case _: IllegalStateException => () }
+        }
+      }
+    props.get("graft.autoCoalesce.minSidecars").flatMap(_.toIntOption)
+      .filter(_ >= 2).foreach { k =>
+        if (snap.dvs.values.exists(_.distinct.size >= k))
+          try coalesceDv(k, maxRetries = 0)
+          catch { case _: IllegalStateException => () }
+      }
   }
 
   /** Delta-style RESTORE — roll the table back to version `v` as a NEW

@@ -743,6 +743,68 @@ class DeletionVectorSpec extends SparkSuite {
     assert(vt.fastCount() === Some(179L))
   }
 
+  test("opt-in auto-coalesce: a delete stream keeps sidecars bounded, zero manual calls") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 400L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.setProperties(Map("graft.autoCoalesce.minSidecars" -> "2"))
+    // four DV deletes: every time a directory stacks 2 sidecars, the
+    // post-commit hook coalesces them in the same session
+    (0L until 4L).foreach(i =>
+      vt.delete(col("k") === i, useDeletionVectors = true))
+    val dvs = vt.dvsAt(vt.latestVersion)
+    assert(dvs.values.forall(_.distinct.size <= 1),
+      s"sidecars not bounded: $dvs")
+    assert(vt.history().filter(col("op") === "coalesce-dv").count() >= 2)
+    assert(vt.read().count() === 396)
+    assert(vt.fastCount() === Some(396L))
+    // without the property nothing triggers (the default is manual)
+    val dir2 = tmpVt()
+    val vt2 = new graft.sources.VersionedTable(spark, dir2)
+    vt2.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    (0L until 3L).foreach(i =>
+      vt2.delete(col("k") === i, useDeletionVectors = true))
+    assert(vt2.dvsAt(vt2.latestVersion).values.head.distinct.size === 3)
+  }
+
+  test("opt-in auto-optimize: DV debt past the fraction threshold is rewritten away") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.setProperties(Map("graft.autoOptimize.dvFraction" -> "0.3"))
+    // 20% hidden: below the threshold, the debt stays
+    val v1 = vt.delete(col("k") < 20L, useDeletionVectors = true)
+    assert(vt.dvsAt(vt.latestVersion).nonEmpty)
+    assert(vt.latestVersion === v1) // no maintenance commit happened
+    // cumulative 35%: the post-commit hook rewrites the debt away
+    vt.delete(col("k") >= 85L, useDeletionVectors = true)
+    assert(vt.dvsAt(vt.latestVersion).isEmpty, "debt not cleared")
+    assert(vt.history().filter(col("op") === "optimize").count() === 1)
+    assert(vt.read().orderBy("k").collect().map(_.getLong(0)).toSeq
+      === (20L until 85L))
+    assert(vt.fastCount() === Some(65L))
+    // a triggered optimize never cascades more maintenance commits:
+    // exactly delete, delete(+dv), optimize beyond the property commit
+    assert(vt.history().count() === 5) // append, props, dv, dv, optimize
+  }
+
+  test("auto-maintenance losing its race never fails the committed mutation") {
+    val dir = tmpVt()
+    // a coalesce that ALWAYS loses (simulated race loss): the hook must
+    // swallow it — the user's delete already committed
+    val vt = new graft.sources.VersionedTable(spark, dir) {
+      override def coalesceDv(minSidecars: Int, maxRetries: Int): Int =
+        throw new IllegalStateException("simulated lost maintenance race")
+    }
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.setProperties(Map("graft.autoCoalesce.minSidecars" -> "2"))
+    (0L until 3L).foreach(i =>
+      vt.delete(col("k") === i, useDeletionVectors = true))
+    // every delete committed; the sidecars simply stayed stacked
+    assert(vt.read().count() === 97)
+    assert(vt.dvsAt(vt.latestVersion).values.head.distinct.size === 3)
+  }
+
   test("OPTIMIZE ... WHERE __dv_sidecars >= n drives coalesceDv through SQL") {
     val dir = tmpVt()
     val vt = new graft.sources.VersionedTable(spark, dir)

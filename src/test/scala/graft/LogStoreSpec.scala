@@ -12,6 +12,23 @@ class AlwaysLosesLogStore extends graft.sources.GraftLogStore {
                            target: Path): Boolean = false
 }
 
+/** A user-shaped SERVICE coordinator: conditional put over a shared KV
+  * map (what a DynamoDB putItem-with-attribute_not_exists or an S3
+  * If-None-Match PUT reduces to) — named via
+  * `spark.graft.logstore.coordinatorClass` with nothing else written.
+  */
+class FakeKvServiceCoordinator extends graft.sources.GraftClaimCoordinator {
+  import FakeKvServiceCoordinator.kv
+  override def claim(slot: String, value: String): Boolean =
+    kv.putIfAbsent(slot, value) == null
+  override def claimedValue(slot: String): Option[String] =
+    Option(kv.get(slot))
+  override def release(slot: String): Unit = kv.remove(slot)
+}
+object FakeKvServiceCoordinator {
+  val kv = new java.util.concurrent.ConcurrentHashMap[String, String]()
+}
+
 /** The pluggable commit-claim seam ([[graft.sources.GraftLogStore]]):
   * the whole protocol above the one-method primitive is
   * backend-agnostic. [[graft.sources.GraftCoordinatedLogStore]] is the
@@ -271,6 +288,50 @@ class LogStoreSpec extends SparkSuite {
       assert(!fs.listStatus(new org.apache.hadoop.fs.Path(work))
         .exists(_.getPath.getName.contains(".put-")))
     }
+  }
+
+  test("a config-named service coordinator runs the full protocol and crash recovery") {
+    spark.conf.set(graft.sources.GraftLogStore.CoordinatorClassKey,
+      classOf[FakeKvServiceCoordinator].getName)
+    try withStore(coordinated) {
+      val dir = tmpVt()
+      val vt = new graft.sources.VersionedTable(spark, dir)
+      vt.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+      vt.delete(col("k") === 2L)
+      assert(vt.read().collect().map(_.getLong(0)).toSeq === Seq(1L))
+      assert(vt.history().count() === 2)
+      // crash roll-forward rides the user's coordinator unchanged: a
+      // "crashed winner" claimed slot 2 through the KV service, wrote
+      // its tmp, died before the upload; a later loser completes it
+      val work = tmpVt()
+      val fs = new Path(work).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      seedManifests(fs, work, 1)
+      val target = new Path(work, "00000002.json")
+      val crashedTmp = new Path(work, ".tmp-crashed")
+      val out = fs.create(crashedTmp, false)
+      out.write("""{"writer":"crashed"}""".getBytes("UTF-8")); out.close()
+      assert(new FakeKvServiceCoordinator()
+        .claim(target.toString, crashedTmp.toString))
+      val store = new graft.sources.GraftCoordinatedLogStore()
+      val laterTmp = new Path(work, ".tmp-later")
+      val out2 = fs.create(laterTmp, false)
+      out2.write("""{"writer":"later"}""".getBytes("UTF-8")); out2.close()
+      assert(!store.atomicClaim(fs, laterTmp, target))
+      val in = fs.open(target)
+      val content = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      assert(content === """{"writer":"crashed"}""")
+      // misconfiguration is loud, never a silent different protocol
+      spark.conf.set(graft.sources.GraftLogStore.CoordinatorClassKey,
+        "com.example.NoSuchCoordinator")
+      val vt2 = new graft.sources.VersionedTable(spark, tmpVt())
+      val e = intercept[Exception] {
+        vt2.append(Seq((1L, "a")).toDF("k", "s"))
+      }
+      assert(e.getMessage.contains("coordinatorClass"))
+    } finally spark.conf.unset(
+      graft.sources.GraftLogStore.CoordinatorClassKey)
   }
 
   test("a maximally stale writer cannot publish below the vacuum floor") {
