@@ -1945,6 +1945,57 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // Streaming CDC-APPLY: the same evolved upsert arriving as THREE
+    // micro-batches through the foreachBatch merge sink — each batch
+    // commits a txn-tagged MERGE (UPDATE SET * / INSERT *, schema
+    // evolution on), so the final table equals the one-shot merge and
+    // a replay of an already-committed batch is an idempotent SKIP
+    // (Delta's txnAppId/txnVersion protocol applied to merges).
+    "s_streaming_merge_apply" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_smrg").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        vt.append(t(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        val src = t(s, dir, "orders").filter(col("o_orderkey") % 6 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val tmp = stageMicroBatches(Seq(
+          src.filter(col("o_orderkey") % 18 === 0),
+          src.filter(col("o_orderkey") % 18 === 6),
+          src.filter(col("o_orderkey") % 18 === 12)))
+        val stream = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp)
+        StreamingJobs.runMergeToVersionedTable(s, stream, base,
+          Seq("o_orderkey"), app = "gate-cdc", evolveSchema = true,
+          statePartitions = Some(8))
+        deleteRecursively(tmp)
+        val mergeCommits = vt.history()
+          .filter(col("op").isin("merge", "merge-dv")).count()
+        // replay batch 0: already committed under (gate-cdc, 0) — the
+        // merge must skip, leaving the version untouched
+        val before = vt.latestVersion
+        val replayV = vt.mergeClauses(
+          src.filter(col("o_orderkey") % 18 === 0), Seq("o_orderkey"),
+          matched = Seq(graft.sources.MergeClause(None,
+            graft.sources.MergeAction.Update(None))),
+          notMatched = Seq(graft.sources.MergeClause(None,
+            graft.sources.MergeAction.Insert(None))),
+          evolveSchema = true, txn = Some(("gate-cdc", 0L)))
+        val replaySkipped = replayV == before && vt.latestVersion == before
+        val schemaCols = vt.tableSchema().fieldNames.mkString(",")
+        s.read.format("graftvt").load(base)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus").collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            if (r.isNullAt(2)) null else r.getString(2),
+            mergeCommits, replaySkipped, schemaCols))
+          .toSeq
+          .toDF("o_orderkey", "o_totalprice", "o_orderstatus",
+            "merge_commits", "replay_skipped", "schema_cols")
+      } finally deleteRecursively(base)
+    }),
+
     // Metadata-only sidecar coalescing: three DV deletes stack three
     // sidecars on one directory; coalesceDv merges them into ONE
     // commit-free-of-data (no file rewritten, hidden counts carried),
@@ -4680,6 +4731,27 @@ object SparkEntry {
         |  'o_orderkey,o_totalprice,o_orderstatus' AS schema_cols,
         |  2 AS pre_cols, CAST(0 AS BIGINT) AS alter_commits,
         |  true AS strict_refused
+        |FROM fin""".stripMargin,
+
+    // The micro-batched CDC apply equals the one-shot evolved merge:
+    // three disjoint-key batches upserted, three merge commits, the
+    // replayed batch skipped, the evolved schema recorded.
+    "s_streaming_merge_apply" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS pr FROM orders
+        |  WHERE o_orderkey % 4 <> 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS pr, o_orderstatus AS st
+        |  FROM orders WHERE o_orderkey % 6 = 0),
+        |fin AS (
+        |  SELECT t.k, COALESCE(s.pr, t.pr) AS pr, s.st
+        |  FROM tgt t LEFT JOIN src s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, s.pr, s.st FROM src s LEFT JOIN tgt t ON t.k = s.k
+        |  WHERE t.k IS NULL)
+        |SELECT k AS o_orderkey, pr AS o_totalprice, st AS o_orderstatus,
+        |  CAST(3 AS BIGINT) AS merge_commits, true AS replay_skipped,
+        |  'o_orderkey,o_totalprice,o_orderstatus' AS schema_cols
         |FROM fin""".stripMargin,
 
     // Three stacked sidecars merged to one, no data touched, the read

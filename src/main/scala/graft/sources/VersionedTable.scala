@@ -2287,7 +2287,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                    targetAlias: String = "t", sourceAlias: String = "s",
                    writeChangeData: Boolean = false, maxRetries: Int = 5,
                    useDeletionVectors: Boolean = false,
-                   evolveSchema: Boolean = false): Int = {
+                   evolveSchema: Boolean = false,
+                   txn: Option[(String, Long)] = None): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split, struct, sum, when}
     import MergeAction.{Delete => MDelete, Insert => MInsert, Update => MUpdate}
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -2315,6 +2316,17 @@ class VersionedTable(spark: SparkSession, dir: String,
     require(!targetAlias.equalsIgnoreCase(sourceAlias),
       s"target and source aliases must differ (both `$targetAlias`)")
 
+    // Idempotent REPLAY protocol (Delta's txnAppId/txnVersion, the
+    // appendStreamBatch rule applied to merges): a batch this app
+    // already committed is SKIPPED — the foreachBatch CDC-apply sink's
+    // crash-between-commit-and-checkpoint heals as a no-op instead of
+    // double-applying a batch. Replays are the restart shape
+    // (sequential); a concurrent same-batch racer loses on the
+    // touched-directory conflict like any other concurrent mutation.
+    txn.foreach { case (app, b) =>
+      require(app.nonEmpty, "app id must be non-empty")
+      if (lastCommittedBatch(app).exists(_ >= b)) return latestVersion
+    }
     val latest = latestVersion
     require(latest >= 0, s"$dir has no committed versions")
     val snapState = snapshotAt(latest)
@@ -2617,7 +2629,7 @@ class VersionedTable(spark: SparkSession, dir: String,
         return publishMutationRetrying("merge", latest, maxRetries, touched,
           revalidate = Seq(name), addedMayMatch,
           mkCommit = vv => Commit(vv, "merge", Seq(name), Seq.empty, rows,
-            System.currentTimeMillis(), addedStats = Map(name -> st),
+            System.currentTimeMillis(), txn, addedStats = Map(name -> st),
             cdf = cdfName, addedRows = Map(name -> rows),
             schemaJson = evolvedJson),
           validated0 = constraints, schemaConflicts = schemaRace)
@@ -2654,7 +2666,7 @@ class VersionedTable(spark: SparkSession, dir: String,
         return publishMutationRetrying("merge-dv", latest, maxRetries,
           touched, revalidate = added, addedMayMatch,
           mkCommit = vv => Commit(vv, "merge-dv", added, Seq.empty, rows,
-            System.currentTimeMillis(), addedStats = addedStats,
+            System.currentTimeMillis(), txn, addedStats = addedStats,
             cdf = Some(cdfName), addedRows = addedRows,
             dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
             dvDirRows = perDir, schemaJson = evolvedJson),
@@ -2680,7 +2692,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       publishMutationRetrying("merge", latest, maxRetries, touched,
         revalidate = Seq(name), addedMayMatch,
         mkCommit = vv => Commit(vv, "merge", Seq(name), touched, rows,
-          System.currentTimeMillis(), addedStats = Map(name -> st),
+          System.currentTimeMillis(), txn, addedStats = Map(name -> st),
           cdf = cdfName, addedRows = Map(name -> rows),
           schemaJson = evolvedJson),
         validated0 = constraints, schemaConflicts = schemaRace)

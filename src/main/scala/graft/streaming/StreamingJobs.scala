@@ -815,6 +815,54 @@ object StreamingJobs {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** foreachBatch CDC-APPLY sink into a
+    * [[graft.sources.VersionedTable]] — the streaming upsert a
+    * change-feed consumer runs (Delta's foreachBatch-merge idiom):
+    * every micro-batch MERGEs on `keys` (UPDATE SET * / INSERT *)
+    * through the transaction log tagged (app, batchId), so a crash
+    * between the merge commit and the checkpoint heals as an
+    * idempotent SKIP on replay — a batch is never double-applied.
+    * `evolveSchema` lets the feed grow columns mid-stream (the widening
+    * rides the merge commit, old rows read null);
+    * `useDeletionVectors` opts each batch into merge-on-read under the
+    * table's fraction policy. Batches must not carry duplicate keys
+    * (the merge multi-match guard fails loudly — dedupe upstream,
+    * e.g. last-change-per-key within the batch).
+    */
+  def runMergeToVersionedTable(spark: SparkSession, df: DataFrame,
+                               dir: String, keys: Seq[String],
+                               app: String = "cdc-apply",
+                               evolveSchema: Boolean = false,
+                               useDeletionVectors: Boolean = false,
+                               statePartitions: Option[Int] = None,
+                               checkpoint: Option[String] = None): Unit = {
+    import graft.sources.{MergeAction, MergeClause}
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    def run(ckpt: String): Unit = {
+      val q = df.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          new graft.sources.VersionedTable(batch.sparkSession, dir)
+            .mergeClauses(batch, keys,
+              matched = Seq(MergeClause(None, MergeAction.Update(None))),
+              notMatched = Seq(MergeClause(None, MergeAction.Insert(None))),
+              evolveSchema = evolveSchema,
+              useDeletionVectors = useDeletionVectors,
+              txn = Some((app, batchId)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    try checkpoint match {
+      case Some(ckpt) => run(ckpt)
+      case None => withEphemeralCheckpoint(run)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous test/verify harness).
     *

@@ -170,6 +170,42 @@ class MergeEvolveSpec extends SparkSuite {
     assert(e.getMessage.contains("schema"))
   }
 
+  test("streaming CDC apply: micro-batched evolved upserts, exactly-once on full replay") {
+    val dir = tmpVt()
+    val vt = seed(dir)
+    // two disjoint-key micro-batches carrying the NEW column
+    val b0 = Seq((1L, 100.0, "x", "t1")).toDF("k", "v", "cat", "tag")
+    val b1 = Seq((5L, 50.0, "new", "t5")).toDF("k", "v", "cat", "tag")
+    val staged = java.nio.file.Files.createTempDirectory("vt_smrg_spec").toString
+    b0.coalesce(1).write.mode("append").parquet(staged)
+    // distinct mtime slots so maxFilesPerTrigger delivers b0 first
+    new java.io.File(staged).listFiles().foreach(_.setLastModified(
+      System.currentTimeMillis() - 120000L))
+    b1.coalesce(1).write.mode("append").parquet(staged)
+    def stream = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    graft.streaming.StreamingJobs.runMergeToVersionedTable(spark, stream,
+      dir, Seq("k"), app = "spec-cdc", evolveSchema = true,
+      statePartitions = Some(4))
+    assert(rows4(vt) === Seq(
+      (1L, 100.0, "x", "t1"), (2L, 20.0, "b", null), (3L, 30.0, "a", null),
+      (4L, 40.0, "b", null), (5L, 50.0, "new", "t5"), (7L, 70.0, "z", null)))
+    val vAfter = vt.latestVersion
+    // FULL replay from a fresh checkpoint: every batch re-delivers with
+    // the same batchIds — all skip on the txn protocol, zero new commits
+    graft.streaming.StreamingJobs.runMergeToVersionedTable(spark, stream,
+      dir, Seq("k"), app = "spec-cdc", evolveSchema = true,
+      statePartitions = Some(4))
+    assert(vt.latestVersion === vAfter)
+    assert(rows4(vt).size === 6)
+    // a different app id is NOT a replay: its merge applies (no-op row
+    // set here, but the txn namespace separation is the point)
+    val v2 = vt.mergeClauses(b0, Seq("k"),
+      matched = Seq(MergeClause(None, MergeAction.Update(None))),
+      notMatched = Nil, evolveSchema = true, txn = Some(("other-app", 0L)))
+    assert(v2 === vAfter + 1)
+  }
+
   test("SQL: MERGE WITH SCHEMA EVOLUTION INTO routes the exact upsert to the clause engine") {
     val dir = tmpVt()
     val vt = seed(dir)
