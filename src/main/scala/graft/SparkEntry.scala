@@ -1945,6 +1945,38 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // METADATA-ONLY type widening: int->bigint and float->double
+    // recorded on the log, zero data files touched (mtimes pinned),
+    // old narrow pages upcast at scan, a post-widen append carries a
+    // beyond-int key, and time travel keeps the pre-widen types.
+    "s_versioned_widen" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_wid").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        vt.append(t(s, dir, "orders")
+          .select(col("o_orderkey").cast("int").as("k"),
+            col("o_totalprice").cast("float").as("pr")))
+        val local = new java.io.File(base)
+        def dataFiles() = local.listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("v"))
+          .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified(), f.length())).toSet
+        val before = dataFiles()
+        val preV = vt.latestVersion
+        vt.widenColumn("k", org.apache.spark.sql.types.LongType)
+        vt.widenColumn("pr", org.apache.spark.sql.types.DoubleType)
+        val metadataOnly = dataFiles() == before
+        val preNarrow = vt.readAt(preV).schema.fields.map(_.dataType.simpleString)
+          .mkString(",") == "int,float"
+        vt.append(Seq((3000000000L, 0.5)).toDF("k", "pr"))
+        s.read.format("graftvt").load(base).select("k", "pr").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), metadataOnly, preNarrow))
+          .toSeq
+          .toDF("k", "pr", "metadata_only", "pre_narrow")
+      } finally deleteRecursively(base)
+    }),
+
     // Streaming CDC-APPLY: the same evolved upsert arriving as THREE
     // micro-batches through the foreachBatch merge sink — each batch
     // commits a txn-tagged MERGE (UPDATE SET * / INSERT *, schema
@@ -4732,6 +4764,17 @@ object SparkEntry {
         |  2 AS pre_cols, CAST(0 AS BIGINT) AS alter_commits,
         |  true AS strict_refused
         |FROM fin""".stripMargin,
+
+    // Every order row upcast through the widened schema plus the one
+    // beyond-int append; the widening touched no file and the pre-widen
+    // version kept int/float.
+    "s_versioned_widen" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS pr,
+        |  true AS metadata_only, true AS pre_narrow
+        |FROM orders
+        |UNION ALL
+        |SELECT 3000000000, 0.5, true, true""".stripMargin,
 
     // The micro-batched CDC apply equals the one-shot evolved merge:
     // three disjoint-key batches upserted, three merge commits, the

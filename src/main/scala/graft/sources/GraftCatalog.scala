@@ -156,13 +156,15 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  /** `ALTER TABLE graft.t ADD COLUMNS (...)` / `DROP COLUMN[S] ...` —
-    * METADATA-ONLY schema commits ([[VersionedTable.addColumns]] /
-    * [[VersionedTable.dropColumns]]): no data file is touched, old
-    * directories read added columns as null, time travel keeps each
-    * version's own schema. Anything else (type changes, renames,
-    * repositioning — all of which would need file rewrites or column
-    * mapping) fails loudly.
+  /** `ALTER TABLE graft.t ADD COLUMNS (...)` / `DROP COLUMN[S]` /
+    * `RENAME COLUMN` / `ALTER COLUMN ... TYPE` — METADATA-ONLY schema
+    * commits ([[VersionedTable.addColumns]] /
+    * [[VersionedTable.dropColumns]] / [[VersionedTable.renameColumn]]
+    * via column mapping / [[VersionedTable.widenColumn]] via reader
+    * upcast): no data file is touched, old directories read added
+    * columns as null and widened columns upcast at scan, time travel
+    * keeps each version's own schema. Anything else (narrowing,
+    * repositioning — which would need file rewrites) fails loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -171,25 +173,30 @@ class GraftCatalog extends TableCatalog {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val widens = changes.collect { case w: TableChange.UpdateColumnType => w }
     val sets = changes.collect { case s: TableChange.SetProperty => s }
     val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
-    require(adds.size + drops.size + renames.size + sets.size +
+    require(adds.size + drops.size + renames.size + widens.size + sets.size +
       unsets.size == changes.size,
       "the graft catalog supports ALTER TABLE ADD COLUMNS, DROP " +
-        "COLUMN[S], RENAME COLUMN, and SET/UNSET TBLPROPERTIES only " +
-        "(metadata-only commits); CHECK constraints and maintenance run " +
-        "through the SQL command frontend")
+        "COLUMN[S], RENAME COLUMN, ALTER COLUMN ... TYPE (lossless " +
+        "widening), and SET/UNSET TBLPROPERTIES only (metadata-only " +
+        "commits); CHECK constraints and maintenance run through the " +
+        "SQL command frontend")
     adds.foreach(a => require(a.fieldNames().length == 1 && a.position() == null,
       "ADD COLUMNS supports top-level columns without position clauses"))
     drops.foreach(d => require(d.fieldNames().length == 1,
       "DROP COLUMN supports top-level columns"))
     renames.foreach(r => require(r.fieldNames().length == 1,
       "RENAME COLUMN supports top-level columns"))
+    widens.foreach(w => require(w.fieldNames().length == 1,
+      "ALTER COLUMN TYPE supports top-level columns"))
     if (adds.nonEmpty)
       vt.addColumns(StructType(adds.map(a =>
         org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType()))))
     if (drops.nonEmpty) vt.dropColumns(drops.map(_.fieldNames()(0)))
     renames.foreach(r => vt.renameColumn(r.fieldNames()(0), r.newName()))
+    widens.foreach(w => vt.widenColumn(w.fieldNames()(0), w.newDataType()))
     val userSets = sets.filterNot(s => reservedProps.contains(s.property()))
     if (userSets.nonEmpty)
       vt.setProperties(userSets.map(s => s.property() -> s.value()).toMap)

@@ -1148,6 +1148,84 @@ class VersionedTable(spark: SparkSession, dir: String,
     v
   }
 
+  /** The LOSSLESS type-widening allowlist (Delta's type widening,
+    * restricted to conversions Spark 4's vectorized parquet reader
+    * upcasts natively — probe-verified): integral chain
+    * byte→short→int→long, float→double, byte/short/int→double (exact
+    * in a 52-bit mantissa), date→timestamp_ntz (midnight), integral→
+    * decimal with enough integer digits, and decimal→decimal growing
+    * both scale headroom and integer digits. long→double and any
+    * narrowing are NOT widenings (lossy) and refuse.
+    */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(dt: DataType): Int = dt match {
+      case ByteType => 3
+      case ShortType => 5
+      case IntegerType => 10
+      case LongType => 19
+      case _ => Int.MaxValue
+    }
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case (i @ (ByteType | ShortType | IntegerType | LongType), d: DecimalType) =>
+        d.precision - d.scale >= intDigits(i)
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE — METADATA-ONLY type widening: the
+    * commit records the schema with the column's type widened and
+    * touches no data file; existing files keep their narrow physical
+    * type and the parquet reader UPCASTS at scan (int32 pages read as
+    * long — Spark 4's reader supports every conversion [[widensTo]]
+    * allows), new files write the wide type, time travel keeps each
+    * version's own type, and stat pruning keeps working because the
+    * stats domain was already type-normalized (integrals→long,
+    * floats→double, mixed compares coerce). Narrowing, incompatible
+    * changes, and partition columns refuse loudly (identity partition
+    * directories are named by the ingest-time type's rendering).
+    */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Int = {
+    val latest = latestVersion
+    require(latest >= 0, s"$dir has no committed versions")
+    val schema = tableSchemaAt(latest)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column `$name` does not exist on $dir " +
+          s"(schema: ${schema.fieldNames.mkString(", ")})"))
+    require(field.dataType != to,
+      s"column `$name` already has type ${to.simpleString}")
+    require(widensTo(field.dataType, to),
+      s"cannot change column `$name` from ${field.dataType.simpleString} " +
+        s"to ${to.simpleString}: only lossless widenings are metadata-only " +
+        "(byte/short/int->long, float->double, byte/short/int->double, " +
+        "date->timestamp_ntz, integral/decimal->wider decimal); anything " +
+        "else needs a rewrite")
+    val snap = snapshotAt(latest)
+    require(!snap.partitionCols.exists(_.equalsIgnoreCase(name)),
+      s"cannot widen partition column `$name` on $dir: identity partition " +
+        "directories are named by the written type's rendering")
+    // metadata (the column-mapping physical name) rides the widened
+    // field untouched — widening never changes where the bytes live
+    val widened = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(name)) f.copy(dataType = to) else f))
+    val v = latest + 1
+    publish(Commit(v, "alter", Seq.empty, Seq.empty, 0L,
+      System.currentTimeMillis(),
+      schemaJson = Some(SchemaCompat.nullableJson(widened))))
+    v
+  }
+
   /** ALTER TABLE DROP COLUMNS — metadata-only column removal: the
     * recorded schema stops carrying the columns, readers never project
     * them again, and time travel still serves them at old versions.
@@ -2358,10 +2436,31 @@ class VersionedTable(spark: SparkSession, dir: String,
           "dropped column, or a renamed column's physical name) and " +
           "would resurface old values; run OPTIMIZE (full rewrite) first")
     }
+    // Evolution also WIDENS existing columns the source spells wider
+    // (the widensTo allowlist — a long-keyed CDC feed into an int
+    // column): the widened type rides the same merge commit, old files
+    // upcast at scan, post-images and carried rows cast to the wide
+    // type. A source type that neither matches nor widens is NOT
+    // evolution — the image cast keeps the table's type, as always.
+    val widenedCols: Map[String, org.apache.spark.sql.types.DataType] =
+      if (!evolveSchema) Map.empty
+      else source.schema.fields.flatMap { f =>
+        snapSchema0.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+          case Some(ex) if widensTo(ex.dataType, f.dataType) =>
+            require(!snapState.partitionCols.exists(_.equalsIgnoreCase(ex.name)),
+              s"MERGE schema evolution cannot widen partition column " +
+                s"`${ex.name}` on $dir (identity partition directories " +
+                "are named by the written type's rendering)")
+            Some(ex.name -> f.dataType)
+          case _ => None
+        }
+      }.toMap
     val snapSchema =
-      if (newFields.isEmpty) snapSchema0
+      if (newFields.isEmpty && widenedCols.isEmpty) snapSchema0
       else org.apache.spark.sql.types.StructType(
-        snapSchema0.fields ++ newFields)
+        snapSchema0.fields.map(f =>
+          widenedCols.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
+          ++ newFields)
     val snapCols = snapSchema.fieldNames.toSeq
     keys.foreach(k => require(snapCols.contains(k),
       s"merge key `$k` missing from table (has: ${snapCols.mkString(", ")})"))
@@ -2396,7 +2495,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     // the commit carries the evolved schema; a concurrent schema
     // change would make it stale — refuse loudly in the retry loop
     val evolvedJson: Option[String] =
-      if (newFields.isEmpty) None
+      if (newFields.isEmpty && widenedCols.isEmpty) None
       else Some(SchemaCompat.nullableJson(snapSchema))
     val schemaRace: Commit => Boolean =
       if (evolvedJson.isEmpty) _ => false else _.schemaJson.isDefined
