@@ -2352,10 +2352,12 @@ class VersionedTable(spark: SparkSession, dir: String,
     * fills them with null; existing files read the new columns as
     * null. Adding a name whose bytes still live in active directories
     * (a dropped column, a renamed column's physical name) fails
-    * loudly — same residue rule as [[addColumns]]. Type differences
-    * on EXISTING columns are not evolution: images cast to the
-    * table's type, as always. The reference's driver-side schema
-    * reconciliation (`Second Experiment/GPT 5 nano.py:106-175` —
+    * loudly — same residue rule as [[addColumns]]. Existing columns
+    * the source spells WIDER (the [[widenColumn]] allowlist) widen on
+    * the same commit; any other type difference is not evolution and
+    * the images cast to the table's type, as always. The reference's
+    * driver-side schema reconciliation
+    * (`Second Experiment/GPT 5 nano.py:106-175` —
     * add-missing-as-typed-null, reorder) is this feature's ancestor.
     */
   def mergeClauses(source: DataFrame, keys: Seq[String],
@@ -2418,9 +2420,10 @@ class VersionedTable(spark: SparkSession, dir: String,
     // as null, exactly like addColumns. Same residue guard as
     // addColumns: bytes under the new name still living in an active
     // directory (a dropped column, or a renamed column's physical
-    // name) would resurface foreign values — fail loudly. Type
-    // differences on EXISTING columns are not evolution; the image
-    // casts keep the table's type, as before.
+    // name) would resurface foreign values — fail loudly. Existing
+    // columns widen below when the source spells them wider; any
+    // OTHER type difference is not evolution and the image casts keep
+    // the table's type, as before.
     val newFields: Seq[org.apache.spark.sql.types.StructField] =
       if (!evolveSchema) Seq.empty
       else source.schema.fields.toSeq

@@ -135,6 +135,15 @@ class WidenColumnSpec extends SparkSuite {
     vt.delete(col("k") >= 95L, useDeletionVectors = true)
     assert(vt.read().count() === 85)
     assert(vt.readAt(1).count() === 90) // time travel across both
+    // and an EVOLVE-WIDEN merge over the DV'd narrow files: the folded
+    // tagged read imposes the re-widened schema under selection views
+    vt.mergeClauses(Seq((50L, 5.5), (200L, 2.5)).toDF("k", "v"), Seq("k"),
+      matched = Seq(MergeClause(None, MergeAction.Update(None))),
+      notMatched = Seq(MergeClause(None, MergeAction.Insert(None))),
+      evolveSchema = true, useDeletionVectors = true)
+    assert(vt.tableSchema()("v").dataType === DoubleType)
+    assert(vt.read().count() === 86)
+    assert(vt.read().filter(col("k") === 50L).head.getDouble(1) === 5.5)
   }
 
   test("MERGE schema evolution widens existing columns the source spells wider") {
