@@ -1977,6 +1977,37 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // PROTOCOL / TABLE FEATURES (Delta's table-features action): each
+    // gated capability's FIRST use announces a required feature in the
+    // log (widening, column mapping, bitmap DVs); snapshots fold the
+    // set, DESCRIBE DETAIL surfaces it, and a snapshot demanding an
+    // unknown feature refuses loudly on read AND write (spec-pinned in
+    // TableFeaturesSpec) — a future manifest requirement can never be
+    // silently ignored. The gate pins the positive surface: the
+    // feature set after widen+rename+DV-delete, and the table still
+    // answering exactly through all three.
+    "s_versioned_features" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_feat").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        vt.append(t(s, dir, "orders")
+          .select(col("o_orderkey").cast("int").as("k"),
+            col("o_totalprice").as("pr")))
+        val freshEmpty = vt.tableFeatures().isEmpty
+        vt.widenColumn("k", org.apache.spark.sql.types.LongType)
+        vt.renameColumn("pr", "price")
+        vt.delete(col("k") % 7 === 0, useDeletionVectors = true)
+        val feats = vt.detail().head.getString(6)
+        s.read.format("graftvt").load(base)
+          .agg(count(lit(1)).as("cnt"), sum(col("price")).as("total"))
+          .collect()
+          .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100) / 100.0,
+            freshEmpty, feats))
+          .toSeq.toDF("n", "total", "fresh_empty", "features")
+      } finally deleteRecursively(base)
+    }),
+
     // Streaming CDC-APPLY: the same evolved upsert arriving as THREE
     // micro-batches through the foreachBatch merge sink — each batch
     // commits a txn-tagged MERGE (UPDATE SET * / INSERT *, schema
@@ -4775,6 +4806,16 @@ object SparkEntry {
         |FROM orders
         |UNION ALL
         |SELECT 3000000000, 0.5, true, true""".stripMargin,
+
+    // Widen + rename + DV-delete each announce their feature; the
+    // folded set is deterministic and the surviving rows answer
+    // exactly through the upcast, the mapping, and the DV fold.
+    "s_versioned_features" ->
+      """SELECT count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  true AS fresh_empty,
+        |  'bitmap-dv,column-mapping,type-widening' AS features
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
 
     // The micro-batched CDC apply equals the one-shot evolved merge:
     // three disjoint-key batches upserted, three merge commits, the

@@ -252,7 +252,8 @@ case class GraftDescribeDetail(target: String) extends LeafRunnableCommand {
     AttributeReference("num_rows", LongType, nullable = true)(),
     AttributeReference("size_bytes", LongType, nullable = true)(),
     AttributeReference("num_constraints", IntegerType, nullable = false)(),
-    AttributeReference("properties", StringType, nullable = false)())
+    AttributeReference("properties", StringType, nullable = false)(),
+    AttributeReference("features", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] =
     VersionedSql.resolveTarget(spark, target)._1.detail().collect().toSeq

@@ -392,22 +392,39 @@ object GraftLogStore {
       (v > 0 && !fs.exists(manifest(v - 1)) && !fs.exists(checkpoint(v - 1)))
   }
 
-  /** The built-in backend dispatch (see trait doc). */
+  /** The built-in backend dispatch (see trait doc). The stale-slot
+    * guard is kept OFF the contested path: the claim primitive itself
+    * arbitrates first (link/exists — a loser exits with zero staleness
+    * probes), and only an apparent WINNER pays the [[slotSuperseded]]
+    * validation, rolling its claim back if the slot turns out to be
+    * below the vacuum floor. The roll-back window (a stray manifest
+    * visible for the probes' duration) is the same TOCTOU window the
+    * probe-first ordering had between its probes and the link.
+    */
   object Default extends GraftLogStore {
     override def atomicClaim(fs: FileSystem, tmp: Path,
-                             target: Path): Boolean =
-      if (slotSuperseded(fs, target)) false
-      else if (fs.getScheme == "file")
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          fs.delete(tmp, false)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      else !fs.exists(target) && fs.rename(tmp, target)
+                             target: Path): Boolean = {
+      val won =
+        if (fs.getScheme == "file")
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            fs.delete(tmp, false)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        else !fs.exists(target) && fs.rename(tmp, target)
+      if (!won) false
+      else if (slotSuperseded(fs, target)) {
+        // a maximally stale writer "won" a slot the log's current
+        // state proves decided/unreachable — undo the claim (the
+        // target is this writer's own just-linked bytes)
+        fs.delete(target, false)
+        false
+      } else true
+    }
   }
 
   /** Resolve the session's log store: the configured class, else the

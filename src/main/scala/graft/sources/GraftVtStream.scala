@@ -201,11 +201,25 @@ private[sources] class GraftVtCdfBatch(spark: SparkSession,
   *  - `append` commits stream their added directories;
   *  - `optimize` commits are SKIPPED — a compaction rewrites the same
   *    rows (dataChange = false), and replaying them would duplicate;
+  *  - `alter` (schema) commits add no rows; whether the stream
+  *    continues is the SCHEMA-CHANGE CONTRACT below;
   *  - any other mutation (overwrite / merge / delete / restore) fails
   *    LOUDLY unless `option("ignoreChanges", "true")`, which then
   *    streams the commit's added directories — rewritten-but-unchanged
   *    rows arrive again, the same documented duplication Delta's
   *    ignoreChanges accepts.
+  *
+  * SCHEMA-CHANGE CONTRACT: the read schema is PINNED at stream start.
+  * A mid-stream schema commit that stays servable under the pinned
+  * schema — ADD COLUMNS (new columns are simply never projected),
+  * DROP (missing columns pad null), RENAME (metadata-only; bytes keep
+  * their physical names) — is served transparently. A change the
+  * pinned schema CANNOT serve — a type WIDENING (new files spell a
+  * pinned column wider than the pinned type), or an overwrite's
+  * incompatible schema under ignoreChanges — fails at the first batch
+  * that crosses it with an explicit "schema changed at version N —
+  * restart the stream" error, never a raw parquet cast failure
+  * ([[assertSchemaServable]]).
   *
   * Options: `startingVersion` (a number = first version to serve,
   * inclusive; `"latest"` = only commits after stream start; default 0
@@ -291,6 +305,11 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
       case "append" | "convert" => added.map((_, "insert"))
       case "optimize" => Nil // dataChange = false: same rows, never replay
       case "constraint" | "properties" => Nil // metadata-only commits
+      // a schema commit adds/removes no rows; whether the stream can
+      // keep serving its PINNED schema past it is decided by the
+      // schema-change guard in planInputPartitions, never by a raw
+      // parquet cast failure rows later
+      case "alter" => Nil
       case _ if ignoreChanges => added.map((_, "insert"))
       case other => throw new IllegalStateException(
         s"streaming read of $rootPath hit a '$other' commit at version $v — " +
@@ -304,9 +323,32 @@ class GraftVtMicroBatchStream(spark: SparkSession, vt: VersionedTable,
       v, cdfCols)
   }
 
+  /** MID-STREAM SCHEMA-CHANGE GUARD (Delta's contract): the read
+    * schema is PINNED at stream start; a schema commit arriving
+    * mid-stream either keeps being served under the pinned schema
+    * (add / drop / rename — all servable: extra columns prune, missing
+    * ones pad null, renames move no bytes) or fails HERE with an
+    * explicit "restart the stream" error — never rows later as a raw
+    * parquet cast failure when the first wide-typed file arrives.
+    * Every commit carrying a recorded schema is checked (alter,
+    * overwrite-under-ignoreChanges, merge-borne evolution, and the
+    * appends that follow them), so the guard fires at the earliest
+    * version the divergence is visible.
+    */
+  private def assertSchemaServable(v: Int, recorded: Option[String]): Unit =
+    recorded.foreach(j => vt.streamSchemaViolation(readSchema, j).foreach(
+      detail => throw new IllegalStateException(
+        s"the schema of $rootPath changed at version $v in a way this " +
+          s"stream cannot serve ($detail); streaming reads pin their " +
+          "schema at stream start — restart the stream (and downstream " +
+          "consumers) to adopt the new schema")))
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftVtOffset].version
     val e = end.asInstanceOf[GraftVtOffset].version
+    if (snapshotInit && s < 0 && !changeFeed)
+      assertSchemaServable(e, vt.snapshotSchemaJson(e))
+    else (s + 1 to e).foreach(v => assertSchemaServable(v, vt.commitSchemaJson(v)))
     if (changeFeed)
       // the change feed plans through the shared unit planner: DV
       // commits serve their persisted CDC (split per embedded type),

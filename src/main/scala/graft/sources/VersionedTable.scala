@@ -45,6 +45,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
+  /** TABLE FEATURES (Delta's protocol / table-features action): names
+    * a table's log can DEMAND of its readers and writers. The first
+    * commit that uses a capability an oblivious reader would silently
+    * corrupt on (serve deleted rows, stale names, truncated values)
+    * records the feature; the snapshot fold unions them; and
+    * [[VersionedTable.snapshotAt]] refuses any snapshot demanding a
+    * feature outside [[KnownFeatures]] — so a FUTURE feature degrades
+    * to a loud, actionable refusal instead of a wrong answer. Features
+    * are monotonic once announced; versions before the announcement
+    * keep reading.
+    */
+  val FeatureBitmapDv = "bitmap-dv"
+  val FeatureColumnMapping = "column-mapping"
+  val FeatureTypeWidening = "type-widening"
+  val FeatureAbsolutePaths = "absolute-paths"
+
+  /** Every feature THIS build implements end-to-end. */
+  val KnownFeatures: Set[String] =
+    Set(FeatureBitmapDv, FeatureColumnMapping, FeatureTypeWidening,
+      FeatureAbsolutePaths)
+
   /** JVM-global bitmap-PATH cache for the vectorized DV read path,
     * keyed (table dir, sidecar set, requested dirs): manifests are
     * immutable per version, so repeated plans of the same DV'd
@@ -160,7 +181,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                     dvDirs: Seq[String] = Nil,
                     dvDirRows: Map[String, Long] = Map.empty,
                     dvReset: Option[(Map[String, Seq[String]],
-                                     Map[String, Long])] = None)
+                                     Map[String, Long])] = None,
+                    featuresAdd: Seq[String] = Nil)
 
   private def manifestPath(v: Int): Path = new Path(logDir, f"$v%08d.json")
   private def checkpointPath(v: Int): Path =
@@ -286,7 +308,8 @@ class VersionedTable(spark: SparkSession, dir: String,
               e.getKey -> e.getValue.asLong()).toMap
           Some((dvs, rows))
         }
-      })
+      },
+      readArray(node, "features_add"))
   }
 
   private val lastCheckpointPath = new Path(logDir, "_last_checkpoint")
@@ -411,7 +434,8 @@ class VersionedTable(spark: SparkSession, dir: String,
                               props: Map[String, String] = Map.empty,
                               partitionCols: Seq[String] = Nil,
                               dvs: Map[String, Seq[String]] = Map.empty,
-                              dvRowsByDir: Map[String, Long] = Map.empty)
+                              dvRowsByDir: Map[String, Long] = Map.empty,
+                              features: Set[String] = Set.empty)
 
   private def checkpointAtOrBelow(v: Int): Option[(Int, Snapshot)] = {
     if (!fs.exists(logDir)) return None
@@ -449,7 +473,8 @@ class VersionedTable(spark: SparkSession, dir: String,
               .map(e.getValue.get(_).asText())).toMap
         },
         strMap("dv_rows_by_dir", _.asText()).map { case (k, s2) =>
-          k -> s2.toLong })))
+          k -> s2.toLong },
+        readArray(node, "features").toSet)))
     }
   }
 
@@ -478,6 +503,21 @@ class VersionedTable(spark: SparkSession, dir: String,
         (fs.exists(manifestPath(v)) || fs.exists(checkpointPath(v))))
       return hit
     val computed = snapshotAtUncached(v)
+    // PROTOCOL GATE (Delta's minReader/table-features check): a
+    // snapshot demanding a feature this library does not implement is
+    // refused OUTRIGHT — for reads and writes alike, since every
+    // operation resolves a snapshot first. Silently ignoring an
+    // unknown manifest requirement could serve deleted rows, stale
+    // names, or truncated values; versions BEFORE the feature arrived
+    // keep reading (the fold is per-version). Enforced before the
+    // memo, so an unreadable snapshot is never cached.
+    val unknown = computed.features -- VersionedTable.KnownFeatures
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"table $dir (at version $v) requires feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this reader/writer does " +
+        s"not implement (implemented: " +
+        s"${VersionedTable.KnownFeatures.toSeq.sorted.mkString(", ")}); " +
+        "upgrade the library to operate on this table")
     if (snapMemo.size > 32) snapMemo.clear()
     snapMemo.put(v, computed)
     computed
@@ -514,7 +554,10 @@ class VersionedTable(spark: SparkSession, dir: String,
           val base = (s.dvRowsByDir -- c.removed)
           c.dvDirRows.foldLeft(base) { case (m, (d, r)) =>
             m + (d -> (m.getOrElse(d, 0L) + r)) }
-        })
+        },
+        // required table features are MONOTONIC (Delta's protocol
+        // action): once announced, every later snapshot demands them
+        s.features ++ c.featuresAdd)
     }
   }
 
@@ -568,9 +611,22 @@ class VersionedTable(spark: SparkSession, dir: String,
     // Every committed directory carries its byte size in the log (the
     // listing is metadata-only), so DESCRIBE DETAIL and size-based
     // maintenance decisions never scan the table.
-    val c = if (c0.added.nonEmpty && c0.addedBytes.isEmpty)
+    val c1 = if (c0.added.nonEmpty && c0.addedBytes.isEmpty)
       c0.copy(addedBytes = c0.added.map(n => n -> dirSizeBytes(n)).toMap)
     else c0
+    // TABLE FEATURES implied by commit CONTENT (Delta's protocol
+    // action): a commit attaching or resetting bitmap deletion vectors
+    // requires every future reader to understand them — record the
+    // requirement on the commit itself, so a reader that does not
+    // implement the feature refuses the TABLE up front instead of
+    // tripping over a sidecar (or, worse, silently ignoring it and
+    // resurrecting deleted rows). Explicit featuresAdd (widening,
+    // column mapping, clones) ride through; re-announcing is free —
+    // the snapshot folds features as a set.
+    val c = if (c1.dvAdd.isDefined || c1.dvReset.exists(_._1.nonEmpty))
+      c1.copy(featuresAdd = (c1.featuresAdd :+ VersionedTable.FeatureBitmapDv)
+        .distinct)
+    else c1
     fs.mkdirs(logDir)
     // Writer-unique tmp name: two racers sharing one tmp path would
     // overwrite each other's half-written manifest before the rename
@@ -632,13 +688,17 @@ class VersionedTable(spark: SparkSession, dir: String,
         val rr = node.putObject("dv_reset_rows")
         rows.foreach { case (d, r) => rr.put(d, r) }
       }
+      if (c.featuresAdd.nonEmpty) {
+        val fa = node.putArray("features_add")
+        c.featuresAdd.foreach(fa.add)
+      }
       writeStats(node, "added_stats", c.addedStats)
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
     val target = manifestPath(c.version)
     if (!atomicClaim(tmp, target)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new GraftConflictException(
         s"concurrent commit: version ${c.version} of $dir was published by " +
           "another writer; re-read the table and retry the commit")
     }
@@ -700,6 +760,10 @@ class VersionedTable(spark: SparkSession, dir: String,
         }
         val dr = node.putObject("dv_rows_by_dir")
         snap.dvRowsByDir.foreach { case (d, r) => dr.put(d, r) }
+      }
+      if (snap.features.nonEmpty) {
+        val fn = node.putArray("features")
+        snap.features.toSeq.sorted.foreach(fn.add)
       }
       out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     } finally out.close()
@@ -994,7 +1058,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       case Some(current) =>
         def loud(msg: String): Nothing = {
           fs.delete(new Path(root, payloadName), true)
-          throw new IllegalStateException(
+          throw new GraftConflictException(
             s"retried append to $dir conflicts with a concurrent schema " +
               s"change ($msg); re-align and re-append")
         }
@@ -1222,7 +1286,8 @@ class VersionedTable(spark: SparkSession, dir: String,
     val v = latest + 1
     publish(Commit(v, "alter", Seq.empty, Seq.empty, 0L,
       System.currentTimeMillis(),
-      schemaJson = Some(SchemaCompat.nullableJson(widened))))
+      schemaJson = Some(SchemaCompat.nullableJson(widened)),
+      featuresAdd = Seq(VersionedTable.FeatureTypeWidening)))
     v
   }
 
@@ -1384,9 +1449,59 @@ class VersionedTable(spark: SparkSession, dir: String,
     val v = latest + 1
     publish(Commit(v, "alter", Seq.empty, Seq.empty, 0L,
       System.currentTimeMillis(),
-      schemaJson = Some(SchemaCompat.nullableJson(renamed))))
+      schemaJson = Some(SchemaCompat.nullableJson(renamed)),
+      // a rename-BACK dissolves the mapping, but readers of the
+      // in-between versions still need the feature — announce whenever
+      // the rename machinery is in play
+      featuresAdd = Seq(VersionedTable.FeatureColumnMapping)))
     v
   }
+
+  /** STREAM SERVABILITY of one log-recorded schema under a reader's
+    * schema PINNED at stream start (Delta pins the query schema the
+    * same way): the pinned read stays correct as long as every pinned
+    * column's bytes can still be served AS the pinned type — files
+    * written under the recorded schema may spell a pinned column
+    * NARROWER (the reader upcasts, exactly the [[widensTo]] set), may
+    * LACK it (parquet pads null), or may carry EXTRA columns (pruned
+    * away); matching is by PHYSICAL name, so a rename (metadata-only,
+    * bytes unmoved) never breaks a running stream. What CANNOT be
+    * served is a pinned column the table now writes WIDER (or
+    * incompatibly — an overwrite's arbitrary new type): the vectorized
+    * reader has no lossless narrowing. Returns the violation text for
+    * the stream's explicit restart-required error, or None when the
+    * recorded schema is servable. Both sides must be physicalized
+    * metadata-free schemas.
+    */
+  private[sources] def streamSchemaViolation(
+      pinnedPhys: org.apache.spark.sql.types.StructType,
+      recordedJson: String): Option[String] = {
+    val committed = physicalize(schemaFromJson(recordedJson))
+    val byName = committed.fields.iterator
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+    val broken = pinnedPhys.fields.flatMap { f =>
+      byName.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(t) if t != f.dataType && !widensTo(t, f.dataType) =>
+          Some(s"column `${f.name}` is pinned as ${f.dataType.simpleString} " +
+            s"but the table now records ${t.simpleString}")
+        case _ => None
+      }
+    }
+    if (broken.isEmpty) None else Some(broken.mkString("; "))
+  }
+
+  /** The schema one COMMIT recorded, if any — what the streaming
+    * source's mid-stream schema-change guard inspects per replayed
+    * version.
+    */
+  private[sources] def commitSchemaJson(v: Int): Option[String] =
+    commitAt(v).schemaJson
+
+  /** The folded schema of a version (None for pre-schema legacy logs)
+    * — the snapshot-initial batch's guard input.
+    */
+  private[sources] def snapshotSchemaJson(v: Int): Option[String] =
+    snapshotAt(v).schemaJson
 
   /** The table schema from PURE metadata (the log-recorded schema) —
     * what schema-inference callers (the catalog's loadTable, the DSv2
@@ -1416,6 +1531,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       addedStats = parts.map(p => p._1 -> p._3).toMap,
       addedRows = parts.map(p => p._1 -> p._2).toMap,
       schemaJson = Some(schemaJson)))
+    runPostCommitMaintenance(v)
     v
   }
 
@@ -1491,9 +1607,21 @@ class VersionedTable(spark: SparkSession, dir: String,
     val props = snap.props.toSeq.sortBy(_._1)
       .map { case (k, v2) => s"$k=$v2" }.mkString(",")
     Seq((v, snap.active.size, total(snap.dirRows).map(_ - dvHidden),
-      total(snap.dirBytes), snap.constraints.size, props))
+      total(snap.dirBytes), snap.constraints.size, props,
+      snap.features.toSeq.sorted.mkString(",")))
       .toDF("version", "num_dirs", "num_rows", "size_bytes",
-        "num_constraints", "properties")
+        "num_constraints", "properties", "features")
+  }
+
+  /** The REQUIRED TABLE FEATURES of a version (empty for tables that
+    * never used a gated capability) — the protocol surface
+    * [[VersionedTable.KnownFeatures]] is checked against on every
+    * snapshot resolution.
+    */
+  def tableFeatures(version: Option[Int] = None): Set[String] = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    snapshotAt(v).features
   }
 
   /** The CHECK constraints in force at the latest version (empty for a
@@ -1596,6 +1724,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           addedStats = parts.map(p => p._1 -> p._3).toMap,
           addedRows = parts.map(p => p._1 -> p._2).toMap,
           schemaJson = Some(schemaJson)))
+        runPostCommitMaintenance(expected)
         return expected
       } catch {
         case e: IllegalStateException =>
@@ -1709,6 +1838,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           addedStats = parts.map(p => p._1 -> p._3).toMap,
           addedRows = parts.map(p => p._1 -> p._2).toMap,
           schemaJson = Some(schemaJson)))
+        runPostCommitMaintenance(expected)
         return Some(expected)
       } catch {
         case e: IllegalStateException =>
@@ -1753,6 +1883,14 @@ class VersionedTable(spark: SparkSession, dir: String,
     val latest = latestVersion
     if (latest < 0) None else snapshotAt(latest).txns.get(app)
   }
+
+  /** The newest batch id committed under writer-app `app`, if any —
+    * Delta's `txnVersion(appId)` lookup, public so streaming sinks can
+    * refuse a configuration that would silently skip data (a reused
+    * app id with a fresh checkpoint replays batch ids from 0, and the
+    * idempotence protocol would discard every one of them as a replay).
+    */
+  def lastTxnBatch(app: String): Option[Long] = lastCommittedBatch(app)
 
   /** Commit `df` as a new version REPLACING the active set. Old
     * versions stay readable until [[vacuum]].
@@ -2496,12 +2634,28 @@ class VersionedTable(spark: SparkSession, dir: String,
     val mergeL2p = renameMap(snapSchema)
     val active = snapState.active
     // the commit carries the evolved schema; a concurrent schema
-    // change would make it stale — refuse loudly in the retry loop
+    // change would make it stale — refuse loudly in the retry loop.
+    // "Schema change" means the intervening commit's recorded schema
+    // DIFFERS from this merge's base schema: every plain append also
+    // carries a schemaJson (of the unchanged table schema), and
+    // treating presence alone as a conflict would non-retryably abort
+    // an evolving merge on any concurrent schema-identical append —
+    // the overwhelmingly common race at ingestion scale. Both sides
+    // normalize through the same codec so the comparison never trips
+    // on serialization noise.
     val evolvedJson: Option[String] =
       if (newFields.isEmpty && widenedCols.isEmpty) None
       else Some(SchemaCompat.nullableJson(snapSchema))
+    // a merge-borne WIDENING makes old files upcast-read forever —
+    // announce the feature on the merge commit itself
+    val mergeFeatures: Seq[String] =
+      if (widenedCols.isEmpty) Nil
+      else Seq(VersionedTable.FeatureTypeWidening)
+    val baseSchemaCanon = SchemaCompat.nullableJson(snapSchema0)
     val schemaRace: Commit => Boolean =
-      if (evolvedJson.isEmpty) _ => false else _.schemaJson.isDefined
+      if (evolvedJson.isEmpty) _ => false
+      else _.schemaJson.exists(j =>
+        SchemaCompat.nullableJson(schemaFromJson(j)) != baseSchemaCanon)
     val tCol = col(targetAlias)
     val sCol = col(sourceAlias)
     // The source pipeline is evaluated ONCE and cached: the span
@@ -2733,8 +2887,8 @@ class VersionedTable(spark: SparkSession, dir: String,
           mkCommit = vv => Commit(vv, "merge", Seq(name), Seq.empty, rows,
             System.currentTimeMillis(), txn, addedStats = Map(name -> st),
             cdf = cdfName, addedRows = Map(name -> rows),
-            schemaJson = evolvedJson),
-          validated0 = constraints, schemaConflicts = schemaRace)
+            schemaJson = evolvedJson, featuresAdd = mergeFeatures),
+          validated0 = constraints, schemaConflicts = schemaRace, txn = txn)
       }
 
       val dirOf = element_at(split(col("__graft_file"), "/"), -2)
@@ -2771,8 +2925,8 @@ class VersionedTable(spark: SparkSession, dir: String,
             System.currentTimeMillis(), txn, addedStats = addedStats,
             cdf = Some(cdfName), addedRows = addedRows,
             dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
-            dvDirRows = perDir, schemaJson = evolvedJson),
-          validated0 = constraints, schemaConflicts = schemaRace)
+            dvDirRows = perDir, schemaJson = evolvedJson, featuresAdd = mergeFeatures),
+          validated0 = constraints, schemaConflicts = schemaRace, txn = txn)
       }
 
       // copy-on-write: rewrite the touched directories — carried rows
@@ -2796,8 +2950,8 @@ class VersionedTable(spark: SparkSession, dir: String,
         mkCommit = vv => Commit(vv, "merge", Seq(name), touched, rows,
           System.currentTimeMillis(), txn, addedStats = Map(name -> st),
           cdf = cdfName, addedRows = Map(name -> rows),
-          schemaJson = evolvedJson),
-        validated0 = constraints, schemaConflicts = schemaRace)
+          schemaJson = evolvedJson, featuresAdd = mergeFeatures),
+        validated0 = constraints, schemaConflicts = schemaRace, txn = txn)
     } finally actedHot.unpersist()
     } finally src.unpersist()
   }
@@ -2828,7 +2982,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       touched: Seq[String], revalidate: Seq[String],
       addedMayMatch: Commit => Seq[String], mkCommit: Int => Commit,
       validated0: Map[String, String],
-      schemaConflicts: Commit => Boolean = _ => false): Int = {
+      schemaConflicts: Commit => Boolean = _ => false,
+      txn: Option[(String, Long)] = None): Int = {
     beforeMutationPublish()
     var validated = validated0
     var checkedThrough = base
@@ -2848,10 +3003,22 @@ class VersionedTable(spark: SparkSession, dir: String,
           if (attempt >= maxRetries) throw e
           attempt += 1
           val newLatest = latestVersion
+          // The winner may have been a REPLAY RACER of this very
+          // (app, batch) — re-check the txn tag BEFORE the conflict
+          // scan (mirroring appendStreamBatch's loop): where the
+          // conflict detectors are inert (an all-null-key span yields
+          // no addedMayMatch) a blind retry would commit the same
+          // batch twice, and even where they fire, the racer should
+          // SKIP gracefully, not fail loudly. The orphan payload this
+          // attempt wrote is unreferenced and reclaimed by vacuum —
+          // the same policy as any lost-race payload.
+          txn.foreach { case (app, b) =>
+            if (lastCommittedBatch(app).exists(_ >= b)) return newLatest
+          }
           (checkedThrough + 1 to newLatest).foreach { w =>
             val c = commitAt(w)
             val removedHit = c.removed.toSet.intersect(touched.toSet)
-            if (removedHit.nonEmpty) throw new IllegalStateException(
+            if (removedHit.nonEmpty) throw new GraftConflictException(
               s"concurrent commit $w (${c.op}) of $dir rewrote directories " +
                 s"this $op read (${removedHit.mkString(", ")}); re-run the " +
                 s"$op on the new snapshot", e)
@@ -2865,7 +3032,7 @@ class VersionedTable(spark: SparkSession, dir: String,
             val dvHit =
               (if (c.dvAdd.isDefined) c.dvDirs.toSet else Set.empty[String])
                 .intersect(touched.toSet)
-            if (dvHit.nonEmpty) throw new IllegalStateException(
+            if (dvHit.nonEmpty) throw new GraftConflictException(
               s"concurrent commit $w (${c.op}) of $dir attached deletion " +
                 s"vectors to directories this $op read " +
                 s"(${dvHit.mkString(", ")}); re-run the $op on the new " +
@@ -2879,16 +3046,16 @@ class VersionedTable(spark: SparkSession, dir: String,
             // it computed — remains exactly valid; background sidecar
             // maintenance must never kill a concurrent writer.
             if (c.dvReset.isDefined && c.op != "coalesce-dv")
-              throw new IllegalStateException(
+              throw new GraftConflictException(
               s"concurrent commit $w (${c.op}) of $dir reset the table's " +
                 s"deletion-vector state while this $op was in flight; " +
                 s"re-run the $op on the new snapshot", e)
             val conflicts = addedMayMatch(c)
-            if (conflicts.nonEmpty) throw new IllegalStateException(
+            if (conflicts.nonEmpty) throw new GraftConflictException(
               s"concurrent commit $w (${c.op}) of $dir added data that may " +
                 s"match this $op's predicate (${conflicts.mkString(", ")}); " +
                 s"re-run the $op on the new snapshot", e)
-            if (schemaConflicts(c)) throw new IllegalStateException(
+            if (schemaConflicts(c)) throw new GraftConflictException(
               s"concurrent commit $w (${c.op}) of $dir changed the table " +
                 s"schema while this $op carried its own schema commit; " +
                 s"re-run the $op on the new snapshot", e)
@@ -2904,7 +3071,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           checkedThrough = newLatest
       }
       if (committed) {
-        autoMaintain()
+        runPostCommitMaintenance(v)
         return v
       }
     }
@@ -2912,11 +3079,17 @@ class VersionedTable(spark: SparkSession, dir: String,
   }
 
   /** Post-commit OPT-IN auto-maintenance (Delta's auto-compaction
-    * shape): after every successful row-level mutation commit, the
-    * table's own TBLPROPERTIES decide whether a maintenance commit
-    * piggybacks in the same session — without it a 100 TB table under
-    * a steady delete stream accrues DV debt until a human notices.
+    * shape): after every successful row-level mutation OR append
+    * commit, the table's own TBLPROPERTIES decide whether a
+    * maintenance commit piggybacks in the same session — without it a
+    * 100 TB table under a steady delete stream accrues DV debt, and a
+    * steady append stream accrues small files, until a human notices.
     * At most ONE maintenance commit per property per trigger:
+    *  - `graft.autoCompact.minFiles` = k >= 2 (with
+    *    `graft.autoCompact.smallBytes`, default 32 MiB): when k active
+    *    DV-free directories each sit under the byte threshold, they
+    *    are folded into one via [[compactDirs]] (unpartitioned tables;
+    *    recorded manifest bytes decide — no filesystem walk);
     *  - `graft.autoOptimize.dvFraction` = x in (0, 1]: directories
     *    whose cumulative hidden fraction reached x are rewritten via
     *    [[optimizeDvDebt]] (chunk count = #debt directories, or
@@ -2931,12 +3104,41 @@ class VersionedTable(spark: SparkSession, dir: String,
     * path commits through the same retry loop, so a thread-local
     * guard breaks the cycle; a triggered optimize also never
     * auto-coalesces behind the user's back). Malformed property values
-    * are ignored (a typo must not fail a committed mutation); genuine
-    * maintenance errors propagate — this engine never fails silently.
+    * are ignored (a typo must not fail a committed mutation).
+    *
+    * FAILURE CONTRACT (the hook runs AFTER the user's commit is
+    * durable, so no outcome here may make that commit look failed —
+    * a caller that retried "the failure" would double-apply a
+    * committed mutation):
+    *  - a lost maintenance race ([[GraftConflictException]]) is
+    *    swallowed — the mutation already succeeded, and the next
+    *    mutation re-triggers the check;
+    *  - ANY OTHER failure (a genuine invariant violation inside
+    *    optimizeDvDebt/coalesceDv/compaction) propagates, but wrapped
+    *    as [[GraftPostCommitMaintenanceException]] — a distinct
+    *    non-IllegalStateException type carrying the committed version,
+    *    documented as "your mutation committed; do not retry it".
+    *    Never silent, never mistakable for a commit failure.
     */
   private val maintaining = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
+
+  private def runPostCommitMaintenance(committedVersion: Int): Unit =
+    try autoMaintain()
+    catch {
+      case _: GraftConflictException => () // race loss: best-effort hook
+      case t: Throwable => throw new GraftPostCommitMaintenanceException(
+        committedVersion,
+        s"the mutation COMMITTED at version $committedVersion of $dir; " +
+          "only the post-commit auto-maintenance failed — do NOT retry " +
+          s"the mutation (cause: ${t.getMessage})", t)
+    }
+
+  /** Test seam: runs at the top of each triggered maintenance pass —
+    * specs inject failures deterministically to pin the contract above.
+    */
+  private[graft] var autoMaintainFault: () => Unit = () => ()
 
   private def autoMaintain(): Unit = {
     if (maintaining.get()) return
@@ -2945,10 +3147,34 @@ class VersionedTable(spark: SparkSession, dir: String,
   }
 
   private def autoMaintainBody(): Unit = {
+    autoMaintainFault()
     val latest = latestVersion
     if (latest < 0) return
     val snap = snapshotAt(latest)
     val props = snap.props
+    // APPEND small-file debt (Delta's auto-compaction): when >=
+    // `graft.autoCompact.minFiles` active DV-free directories each sit
+    // under `graft.autoCompact.smallBytes` (recorded manifest bytes —
+    // no filesystem walk), ONE maintenance commit folds exactly those
+    // directories into one. DV'd directories belong to the DV hooks
+    // below; identity-partitioned tables are skipped (their directory-
+    // per-value layout is the point — compact them deliberately with
+    // OPTIMIZE ... WHERE). The trigger recounts from zero after each
+    // fold, so a steady append stream holds at most minFiles+1 small
+    // directories at rest.
+    props.get("graft.autoCompact.minFiles").flatMap(_.toIntOption)
+      .filter(_ >= 2).foreach { k =>
+        val smallBytes = props.get("graft.autoCompact.smallBytes")
+          .flatMap(_.toLongOption).filter(_ > 0L)
+          .getOrElse(32L * 1024 * 1024)
+        if (snap.partitionCols.isEmpty) {
+          val small = snap.active.filter(d => !snap.dvs.contains(d) &&
+            snap.dirBytes.get(d).exists(_ < smallBytes))
+          if (small.size >= k)
+            try compactDirs(small, latest)
+            catch { case _: GraftConflictException => () }
+        }
+      }
     props.get("graft.autoOptimize.dvFraction").flatMap(_.toDoubleOption)
       .filter(x => x > 0.0 && x <= 1.0).foreach { x =>
         val debtDirs = snap.active.count { d =>
@@ -2962,14 +3188,14 @@ class VersionedTable(spark: SparkSession, dir: String,
           val chunks = props.get("graft.autoOptimize.targetChunks")
             .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(debtDirs)
           try optimizeDvDebt(x, chunks)
-          catch { case _: IllegalStateException => () }
+          catch { case _: GraftConflictException => () }
         }
       }
     props.get("graft.autoCoalesce.minSidecars").flatMap(_.toIntOption)
       .filter(_ >= 2).foreach { k =>
         if (snap.dvs.values.exists(_.distinct.size >= k))
           try coalesceDv(k, maxRetries = 0)
-          catch { case _: IllegalStateException => () }
+          catch { case _: GraftConflictException => () }
       }
   }
 
@@ -3672,6 +3898,27 @@ class VersionedTable(spark: SparkSession, dir: String,
     val ck = "__graft_ck"
     rewriteClustered(scope.withColumn(ck, col(clusterBy).cast("double")),
       ck, targetChunks, base, kept)
+  }
+
+  /** Fold EXACTLY `dirs` (small-file debt — the auto-compaction hook's
+    * unit of work) into one directory via the clustered-rewrite
+    * machinery with a constant key and a single chunk: the same
+    * commit protocol, column-mapping back-rename, and
+    * concurrent-ingestion retry as OPTIMIZE, scoped to the named
+    * directories — every other directory survives byte-identical.
+    * Callers pass DV-free directories only (a DV'd directory's debt is
+    * [[optimizeDvDebt]]'s job). Returns the committed version.
+    */
+  private def compactDirs(dirs: Seq[String], base: Int): Int = {
+    import org.apache.spark.sql.functions.lit
+    val snap = snapshotAt(base)
+    val p2l = snap.schemaJson
+      .map(j => renameMap(schemaFromJson(j)).map(_.swap))
+      .getOrElse(Map.empty)
+    val scope = readDirsFolded(None, dirs, snap.dvs, p2l)
+    rewriteClustered(
+      scope.withColumn("__graft_ck", lit(0.0).cast("double")),
+      "__graft_ck", targetChunks = 1, base, dirs)
   }
 
   /** METADATA-ONLY DV maintenance: merge every directory's stacked

@@ -778,6 +778,33 @@ object StreamingJobs {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Refuse a (table, app, checkpoint) configuration the idempotence
+    * protocol would silently turn into DATA LOSS: with no stable
+    * checkpoint, Structured Streaming restarts batch ids at 0, and if
+    * `app` has already committed batches to this table, every replayed
+    * id at or below the newest committed one is skipped as a "replay"
+    * — new data silently discarded. The txn protocol is only safe with
+    * a stable checkpoint and an app id unique to the logical stream
+    * (the same contract as Delta's `txnAppId`/`txnVersion`); this
+    * guard makes the unsafe reuse loud at stream start instead.
+    */
+  private def requireSafeTxnConfig(spark: SparkSession, dir: String,
+                                   app: String,
+                                   checkpoint: Option[String]): Unit = {
+    require(app.trim.nonEmpty, "app id must be non-empty")
+    if (checkpoint.isEmpty) {
+      val vt = new graft.sources.VersionedTable(spark, dir)
+      if (vt.latestVersion >= 0) vt.lastTxnBatch(app).foreach(last =>
+        throw new IllegalArgumentException(
+          s"app id '$app' already committed batches (newest id $last) to " +
+            s"$dir, but this run has no stable checkpoint: batch ids " +
+            "restart at 0 and the idempotence protocol would silently " +
+            "skip every one of them as a replay. Pass the stream's " +
+            "original checkpointLocation to resume exactly-once, or use " +
+            "a fresh app id unique to this logical stream."))
+    }
+  }
+
   /** foreachBatch sink into a [[graft.sources.VersionedTable]] — the
     * streaming→ACID-table bridge: every micro-batch commits through
     * the transaction log tagged (app, batchId), so a crash between the
@@ -786,12 +813,14 @@ object StreamingJobs {
     * partition-overwrite dance [[runToTable]] needs on a plain parquet
     * table — and concurrent batch writers can append to the same table
     * through the same optimistic-concurrency log while the stream
-    * runs.
+    * runs. The APP-ID CONTRACT on [[runMergeToVersionedTable]] applies
+    * here identically ([[requireSafeTxnConfig]]).
     */
   def runToVersionedTable(spark: SparkSession, df: DataFrame, dir: String,
-                          app: String = "stream",
+                          app: String,
                           statePartitions: Option[Int] = None,
                           checkpoint: Option[String] = None): Unit = {
+    requireSafeTxnConfig(spark, dir, app, checkpoint)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
@@ -828,15 +857,25 @@ object StreamingJobs {
     * table's fraction policy. Batches must not carry duplicate keys
     * (the merge multi-match guard fails loudly — dedupe upstream,
     * e.g. last-change-per-key within the batch).
+    *
+    * APP-ID CONTRACT (same as Delta's `txnAppId`): `app` must be
+    * UNIQUE PER LOGICAL STREAM and stable across that stream's
+    * restarts, and exactly-once holds only with a STABLE `checkpoint`
+    * — the txn protocol skips any batch id at or below the app's
+    * newest committed one, so a reused app id with a fresh checkpoint
+    * (batch ids restart at 0) would silently discard genuinely new
+    * data as "replays". [[requireSafeTxnConfig]] refuses exactly that
+    * configuration up front.
     */
   def runMergeToVersionedTable(spark: SparkSession, df: DataFrame,
                                dir: String, keys: Seq[String],
-                               app: String = "cdc-apply",
+                               app: String,
                                evolveSchema: Boolean = false,
                                useDeletionVectors: Boolean = false,
                                statePartitions: Option[Int] = None,
                                checkpoint: Option[String] = None): Unit = {
     import graft.sources.{MergeAction, MergeClause}
+    requireSafeTxnConfig(spark, dir, app, checkpoint)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))

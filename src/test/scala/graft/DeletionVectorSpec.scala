@@ -790,11 +790,13 @@ class DeletionVectorSpec extends SparkSuite {
 
   test("auto-maintenance losing its race never fails the committed mutation") {
     val dir = tmpVt()
-    // a coalesce that ALWAYS loses (simulated race loss): the hook must
-    // swallow it — the user's delete already committed
+    // a coalesce that ALWAYS loses (simulated race loss — conflicts are
+    // GraftConflictException by contract): the hook must swallow it —
+    // the user's delete already committed
     val vt = new graft.sources.VersionedTable(spark, dir) {
       override def coalesceDv(minSidecars: Int, maxRetries: Int): Int =
-        throw new IllegalStateException("simulated lost maintenance race")
+        throw new graft.sources.GraftConflictException(
+          "simulated lost maintenance race")
     }
     vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
     vt.setProperties(Map("graft.autoCoalesce.minSidecars" -> "2"))
@@ -803,6 +805,36 @@ class DeletionVectorSpec extends SparkSuite {
     // every delete committed; the sidecars simply stayed stacked
     assert(vt.read().count() === 97)
     assert(vt.dvsAt(vt.latestVersion).values.head.distinct.size === 3)
+  }
+
+  test("a NON-conflict maintenance failure propagates distinctly — and the mutation stays committed") {
+    val dir = tmpVt()
+    val vt = new graft.sources.VersionedTable(spark, dir)
+    vt.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "p"))
+    vt.setProperties(Map("graft.autoCoalesce.minSidecars" -> "2"))
+    // a genuine invariant violation inside the hook must surface —
+    // never silently dropped like a race loss — but as the dedicated
+    // post-commit type (NOT an IllegalStateException a retry loop
+    // could mistake for a slot conflict), carrying the committed
+    // version so the caller knows NOT to re-run the mutation
+    vt.autoMaintainFault =
+      () => throw new RuntimeException("injected invariant violation")
+    val e = intercept[graft.sources.GraftPostCommitMaintenanceException] {
+      vt.delete(col("k") === 0L, useDeletionVectors = true)
+    }
+    vt.autoMaintainFault = () => ()
+    assert(e.getMessage.contains("COMMITTED"))
+    assert(e.committedVersion === vt.latestVersion)
+    // the delete is durably in the log, applied exactly once
+    assert(vt.read().count() === 99)
+    assert(vt.history().orderBy(org.apache.spark.sql.functions.desc("version"))
+      .head.getString(1) === "delete-dv")
+    // ...and a conflict-typed fault from the same seam stays silent
+    vt.autoMaintainFault = () => throw new graft.sources.GraftConflictException(
+      "injected race loss")
+    assert(vt.delete(col("k") === 1L, useDeletionVectors = true) ===
+      vt.latestVersion)
+    assert(vt.read().count() === 98)
   }
 
   test("OPTIMIZE ... WHERE __dv_sidecars >= n drives coalesceDv through SQL") {

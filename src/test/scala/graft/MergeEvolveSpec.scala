@@ -170,6 +170,55 @@ class MergeEvolveSpec extends SparkSuite {
     assert(e.getMessage.contains("schema"))
   }
 
+  test("a concurrent SCHEMA-IDENTICAL append retries through a carried evolution") {
+    val dir = tmpVt()
+    val vt = seed(dir)
+    val racer = new graft.sources.VersionedTable(spark, dir)
+    // every append carries a schemaJson of the (unchanged) table schema
+    // — its PRESENCE alone must not read as a schema conflict, or an
+    // evolving merge could never land under a plain ingestion stream.
+    // Keys far from the merge's span, so the added-data detector passes.
+    vt.beforeMutationPublish = () => {
+      racer.append(Seq((1000L, 0.5, "q")).toDF("k", "v", "cat"))
+      vt.beforeMutationPublish = () => ()
+    }
+    val v = vt.mergeClauses(evoSrc.toDF("k", "v", "cat", "tag"), Seq("k"),
+      matched = Seq(MergeClause(None, MergeAction.Update(None))),
+      notMatched = Seq(MergeClause(None, MergeAction.Insert(None))),
+      evolveSchema = true)
+    assert(v === vt.latestVersion)
+    assert(vt.tableSchema().fieldNames.toSeq === Seq("k", "v", "cat", "tag"))
+    // both writes survived: the racer's row (tag null) and the merge's
+    val got = rows4(vt)
+    assert(got.contains((1000L, 0.5, "q", null)))
+    assert(got.contains((5L, 50.0, "new", "t5")))
+    assert(got.contains((1L, 100.0, "x", "t1")))
+  }
+
+  test("a concurrent duplicate (app,batch) racer resolves as a SKIP, never a double-commit") {
+    val dir = tmpVt()
+    val vt = seed(dir)
+    val racer = new graft.sources.VersionedTable(spark, dir)
+    val src = evoSrc.toDF("k", "v", "cat", "tag")
+    def mergeIt(t: graft.sources.VersionedTable): Int =
+      t.mergeClauses(src, Seq("k"),
+        matched = Seq(MergeClause(None, MergeAction.Update(None))),
+        notMatched = Seq(MergeClause(None, MergeAction.Insert(None))),
+        evolveSchema = true, txn = Some(("dup-app", 7L)))
+    // the twin lands the SAME (app, batch) while ours is in flight: the
+    // retry loop must re-check the txn tag and return gracefully as a
+    // skip — not fail loudly, and above all not commit the batch twice
+    vt.beforeMutationPublish = () => {
+      mergeIt(racer)
+      vt.beforeMutationPublish = () => ()
+    }
+    val v = mergeIt(vt)
+    assert(v === vt.latestVersion)
+    assert(vt.history().filter(col("op").isin("merge", "merge-dv")).count()
+      === 1)
+    assert(rows4(vt).count(_._1 == 5L) === 1)
+  }
+
   test("streaming CDC apply: micro-batched evolved upserts, exactly-once on full replay") {
     val dir = tmpVt()
     val vt = seed(dir)
@@ -184,20 +233,38 @@ class MergeEvolveSpec extends SparkSuite {
     b1.coalesce(1).write.mode("append").parquet(staged)
     def stream = spark.readStream.schema(b0.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
+    val ckpt = java.nio.file.Files.createTempDirectory("vt_smrg_ck").toString
     graft.streaming.StreamingJobs.runMergeToVersionedTable(spark, stream,
       dir, Seq("k"), app = "spec-cdc", evolveSchema = true,
-      statePartitions = Some(4))
+      statePartitions = Some(4), checkpoint = Some(ckpt))
     assert(rows4(vt) === Seq(
       (1L, 100.0, "x", "t1"), (2L, 20.0, "b", null), (3L, 30.0, "a", null),
       (4L, 40.0, "b", null), (5L, 50.0, "new", "t5"), (7L, 70.0, "z", null)))
     val vAfter = vt.latestVersion
-    // FULL replay from a fresh checkpoint: every batch re-delivers with
-    // the same batchIds — all skip on the txn protocol, zero new commits
+    // RESTART on the same stable checkpoint: nothing new to deliver,
+    // zero new commits — exactly-once across restarts
     graft.streaming.StreamingJobs.runMergeToVersionedTable(spark, stream,
       dir, Seq("k"), app = "spec-cdc", evolveSchema = true,
-      statePartitions = Some(4))
+      statePartitions = Some(4), checkpoint = Some(ckpt))
     assert(vt.latestVersion === vAfter)
     assert(rows4(vt).size === 6)
+    // a txn replay (crash between the merge commit and the checkpoint
+    // write) heals as a SKIP: batch 0 re-offered under the same app id
+    // leaves the version untouched
+    val replayV = vt.mergeClauses(b0, Seq("k"),
+      matched = Seq(MergeClause(None, MergeAction.Update(None))),
+      notMatched = Seq(MergeClause(None, MergeAction.Insert(None))),
+      evolveSchema = true, txn = Some(("spec-cdc", 0L)))
+    assert(replayV === vAfter)
+    // the UNSAFE configuration — an app id that already committed
+    // batches, re-run WITHOUT a stable checkpoint (batch ids restart
+    // at 0, every batch would silently skip) — is refused up front
+    val unsafe = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingJobs.runMergeToVersionedTable(spark, stream,
+        dir, Seq("k"), app = "spec-cdc", evolveSchema = true,
+        statePartitions = Some(4))
+    }
+    assert(unsafe.getMessage.contains("checkpoint"))
     // a different app id is NOT a replay: its merge applies (no-op row
     // set here, but the txn namespace separation is the point)
     val v2 = vt.mergeClauses(b0, Seq("k"),
