@@ -2008,6 +2008,109 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    // SHALLOW CLONE: a metadata-only table fork — the clone's v0
+    // references the source's directories by absolute path (zero data
+    // files copied, source files byte-identical — mtimes pinned), the
+    // clone then diverges locally (a delete rewrites into the CLONE's
+    // root) while the source keeps its rows. At 100 TB this is how a
+    // dev/eval fork costs one manifest write instead of a copy job.
+    "s_versioned_clone" -> ((s, dir) => {
+      import s.implicits._
+      val src = java.nio.file.Files.createTempDirectory("graft_vt_cln_s").toString
+      val dst = java.nio.file.Files.createTempDirectory("graft_vt_cln_d").toString
+      try {
+        new java.io.File(dst).delete()
+        val vt = new graft.sources.VersionedTable(s, src)
+        vt.append(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+        def files(d: String) = new java.io.File(d).listFiles().toSeq
+          .filter(f => f.isDirectory && f.getName.matches("v\\d{5}-.*"))
+          .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified(), f.length())).toSet
+        val before = files(src)
+        vt.shallowClone(dst)
+        val clone = new graft.sources.VersionedTable(s, dst)
+        val zeroCopied = files(dst).isEmpty
+        // diverge: the clone drops the 'F' rows; the source is untouched
+        clone.delete(col("o_orderstatus") === "F")
+        val srcIntact = files(src) == before
+        val srcRows = vt.fastCount().getOrElse(-1L)
+        // materialize BEFORE the finally reclaims the temp tables
+        clone.read().groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            zeroCopied, srcIntact, srcRows))
+          .toSeq
+          .toDF("o_orderstatus", "n", "total", "zero_copied", "src_intact",
+            "src_rows")
+      } finally { deleteRecursively(src); deleteRecursively(dst) }
+    }),
+
+    // Append AUTO-COMPACTION (opt-in, Delta's shape): six tiny appends
+    // under graft.autoCompact.minFiles=4 leave THREE directories at
+    // rest — the post-commit hook folded the first four into one as a
+    // single maintenance commit, with zero manual OPTIMIZE calls. The
+    // row set is untouched; history pins exactly one optimize commit.
+    "s_versioned_autocompact" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_ac").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        vt.append(o.filter(col("o_orderkey") % 6 === 0))
+        vt.setProperties(Map(
+          "graft.autoCompact.minFiles" -> "4",
+          "graft.autoCompact.smallBytes" -> (32L * 1024 * 1024).toString))
+        (1 to 5).foreach(i => vt.append(o.filter(col("o_orderkey") % 6 === i)))
+        val dirsAtRest = vt.activeDirs().size
+        val ops = vt.history().groupBy(col("op")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        vt.read()
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), dirsAtRest,
+            ops.getOrElse("append", 0L), ops.getOrElse("optimize", 0L)))
+          .toSeq
+          .toDF("n", "total", "dirs_at_rest", "appends", "auto_optimizes")
+      } finally deleteRecursively(base)
+    }),
+
+    // Path-based SQL ALTER: ADD COLUMNS / RENAME COLUMN / ALTER COLUMN
+    // TYPE straight over a quoted path — metadata-only commits (file
+    // set pinned), the evolved read padding/upcasting exactly.
+    "s_versioned_sql_alter" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_vt_sqa").toString
+      try {
+        val vt = new graft.sources.VersionedTable(s, base)
+        vt.append(t(s, dir, "orders")
+          .select(col("o_orderkey").cast("int").as("k"),
+            col("o_totalprice").as("pr")))
+        def files() = new java.io.File(base).listFiles().toSeq
+          .filter(f => f.isDirectory && f.getName.matches("v\\d{5}-.*"))
+          .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified(), f.length())).toSet
+        val before = files()
+        s.sql(s"ALTER TABLE '$base' ADD COLUMNS (tag STRING)")
+        s.sql(s"ALTER TABLE '$base' RENAME COLUMN pr TO price")
+        s.sql(s"ALTER TABLE '$base' ALTER COLUMN k TYPE BIGINT")
+        val metadataOnly = files() == before
+        s.read.format("graftvt").load(base)
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("price")), 2).as("total"),
+            sum(when(col("tag").isNull, 1L).otherwise(0L)).as("tag_nulls"),
+            max(col("k")).as("max_k"))
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+            r.getLong(3), metadataOnly))
+          .toSeq
+          .toDF("n", "total", "tag_nulls", "max_k", "metadata_only")
+      } finally deleteRecursively(base)
+    }),
+
     // Streaming CDC-APPLY: the same evolved upsert arriving as THREE
     // micro-batches through the foreachBatch merge sink — each batch
     // commits a txn-tagged MERGE (UPDATE SET * / INSERT *, schema
@@ -4816,6 +4919,30 @@ object SparkEntry {
         |  true AS fresh_empty,
         |  'bitmap-dv,column-mapping,type-widening' AS features
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+
+    // Clone-side delete of the 'F' rows; the source keeps every row.
+    "s_versioned_clone" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  true AS zero_copied, true AS src_intact,
+        |  (SELECT count(*) FROM orders) AS src_rows
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // Six appends partition the orders rows by o_orderkey % 6; the
+    // hook's single fold leaves exactly three directories.
+    "s_versioned_autocompact" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  3 AS dirs_at_rest, 6 AS appends, 1 AS auto_optimizes
+        |FROM orders""".stripMargin,
+
+    // Three metadata-only SQL ALTERs: the new column reads null
+    // everywhere, the renamed/widened columns serve every row.
+    "s_versioned_sql_alter" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  count(*) AS tag_nulls, max(CAST(o_orderkey AS BIGINT)) AS max_k,
+        |  true AS metadata_only
+        |FROM orders""".stripMargin,
 
     // The micro-batched CDC apply equals the one-shot evolved merge:
     // three disjoint-key batches upserted, three merge commits, the

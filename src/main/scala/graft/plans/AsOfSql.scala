@@ -75,6 +75,32 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DropConstraintRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + TargetPat +
       "\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$").r
+  // Path-based schema evolution — the SQL-only user's route to the
+  // metadata-only alters (the V2 catalog serves registered catalogs;
+  // these serve quoted paths and bridge names). Column operands are
+  // single identifiers by construction: a dotted (nested) path fails
+  // the pattern and falls through to Spark, whose V2 analysis refuses
+  // it with the documented top-level-only contract.
+  private val AddColumnsRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + TargetPat +
+      "\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*$").r
+  private val RenameColumnRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + TargetPat +
+      "\\s+RENAME\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+TO\\s+(`[^`]+`|\\w+)" +
+      "\\s*;?\\s*$").r
+  private val AlterColTypeRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + TargetPat +
+      "\\s+ALTER\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+" +
+      "(.+?)\\s*;?\\s*$").r
+  private val DropColumnsRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + TargetPat +
+      "\\s+DROP\\s+COLUMNS?\\s+\\(?\\s*([^();]+?)\\s*\\)?\\s*;?\\s*$").r
+  private val ShallowCloneRe =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+('[^']*'|\"[^\"]*\")\\s+SHALLOW\\s+CLONE\\s+" +
+      TargetPat + "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
+
+  private def stripTick(s: String): String =
+    s.trim.stripPrefix("`").stripSuffix("`")
   private val VacuumRe =
     ("(?is)^\\s*VACUUM\\s+" + TargetPat +
       "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$").r
@@ -125,6 +151,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftAddConstraint(target, name, expr.trim))
       case DropConstraintRe(target, name) if versionedTarget(target) =>
         Some(GraftDropConstraint(target, name))
+      case AddColumnsRe(target, ddl) if versionedTarget(target) =>
+        Some(GraftAddColumns(target, ddl.trim))
+      case RenameColumnRe(target, from, to) if versionedTarget(target) =>
+        Some(GraftRenameColumn(target, stripTick(from), stripTick(to)))
+      case AlterColTypeRe(target, colName, ddl) if versionedTarget(target) =>
+        Some(GraftAlterColumnType(target, stripTick(colName), ddl.trim))
+      case DropColumnsRe(target, cols) if versionedTarget(target) =>
+        Some(GraftDropColumns(target,
+          cols.split(',').toSeq.map(c => stripTick(c)).filter(_.nonEmpty)))
+      case ShallowCloneRe(dst, src, ver) if versionedTarget(src) =>
+        Some(GraftShallowClone(dst.substring(1, dst.length - 1), src,
+          Option(ver).map(_.toInt)))
       case VacuumRe(target, keep) => Some(GraftVacuum(target, keep.toInt))
       case RestoreRe(target, v) => Some(GraftRestore(target, v.toInt))
       case ConvertRe(path) =>

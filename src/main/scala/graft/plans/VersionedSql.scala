@@ -476,3 +476,96 @@ case class GraftVacuum(target: String, keepLast: Int)
     Seq(Row(removed))
   }
 }
+
+/** `ALTER TABLE t ADD COLUMN[S] (name type, ...)` over a quoted path
+  * or bridge name — [[graft.sources.VersionedTable.addColumns]]: a
+  * METADATA-ONLY schema commit; existing directories read the new
+  * columns as null. The SQL-only user's path to schema evolution — the
+  * V2 catalog route needs a registered catalog.
+  */
+case class GraftAddColumns(target: String, colsDdl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
+    val parsed = try StructType.fromDDL(colsDdl) catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"ALTER TABLE ... ADD COLUMNS could not parse `$colsDdl` — note " +
+          "that nested field paths (a.b) are not supported: schema " +
+          "evolution is top-level only", e)
+    }
+    val v = vt.addColumns(parsed)
+    bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` —
+  * [[graft.sources.VersionedTable.renameColumn]] via column mapping:
+  * metadata-only; files keep their physical names.
+  */
+case class GraftRenameColumn(target: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
+    val v = vt.renameColumn(from, to)
+    bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE newType` (also Spark's
+  * `SET DATA TYPE` spelling) —
+  * [[graft.sources.VersionedTable.widenColumn]]: lossless metadata-only
+  * widening; anything else refuses loudly.
+  */
+case class GraftAlterColumnType(target: String, column: String, ddl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
+    val v = vt.widenColumn(column, DataType.fromDDL(ddl))
+    bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN[S] a[, b...]` —
+  * [[graft.sources.VersionedTable.dropColumns]]: metadata-only; bytes
+  * stay until a rewrite, and re-adding the name refuses while they do.
+  */
+case class GraftDropColumns(target: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vt, bridge) = VersionedSql.resolveTarget(spark, target)
+    val v = vt.dropColumns(cols)
+    bridge.foreach(new graft.sources.TableManager(spark).refreshVersioned)
+    Seq(Row(v))
+  }
+}
+
+/** `CREATE TABLE 'dst' SHALLOW CLONE src [VERSION AS OF n]` —
+  * [[graft.sources.VersionedTable.shallowClone]]: a metadata-only
+  * table fork; zero data files copied.
+  */
+case class GraftShallowClone(targetPath: String, source: String,
+                             version: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vt, _) = VersionedSql.resolveTarget(spark, source)
+    Seq(Row(vt.shallowClone(targetPath, version)))
+  }
+}

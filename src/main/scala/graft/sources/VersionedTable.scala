@@ -2596,6 +2596,34 @@ class VersionedTable(spark: SparkSession, dir: String,
           case _ => None
         }
       }.toMap
+    // NESTED-FIELD CONTRACT (explicit, not silent): evolution operates
+    // on TOP-LEVEL columns. A source column whose type differs from
+    // the table's, is no widening, and involves a nested type on
+    // either side can neither evolve metadata-only nor cast safely —
+    // refuse loudly (scalar non-widening diffs keep the historical
+    // cast-to-table-type rule, documented below on the image casts).
+    if (evolveSchema) source.schema.fields.foreach { f =>
+      snapSchema0.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { ex =>
+        def nested(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.StructType |
+                 _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType => true
+            case _ => false
+          }
+        // nullability normalizes away: file reads always serve
+        // nullable, so struct-internal nullable flags are not a diff
+        require(SchemaCompat.nullableDeep(ex.dataType) ==
+            SchemaCompat.nullableDeep(f.dataType) ||
+          widensTo(ex.dataType, f.dataType) ||
+          (!nested(ex.dataType) && !nested(f.dataType)),
+          s"MERGE schema evolution cannot reconcile nested column " +
+            s"`${f.name}`: table has ${ex.dataType.simpleString}, source " +
+            s"has ${f.dataType.simpleString} — nested-field evolution is " +
+            "not supported; cast the source to the table's nested type " +
+            "upstream (top-level add/widen evolve fine)")
+      }
+    }
     val snapSchema =
       if (newFields.isEmpty && widenedCols.isEmpty) snapSchema0
       else org.apache.spark.sql.types.StructType(
@@ -3244,6 +3272,85 @@ class VersionedTable(spark: SparkSession, dir: String,
     newV
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): fork
+    * this table's CURRENT state (or `version`) into a NEW transaction
+    * log at `targetDir` whose v0 manifest REFERENCES the source's data
+    * directories by absolute path — zero data files copied, whatever
+    * the table size: forking a 100 TB table for a dev/eval run is one
+    * manifest write. Stats, schema, TBLPROPERTIES, partition columns,
+    * deletion-vector state, and required features all ride the clone
+    * commit (the clone additionally requires the `absolute-paths`
+    * feature, so an older reader refuses it loudly instead of
+    * resolving foreign names against the wrong root); CHECK
+    * constraints are re-published as follow-up constraint commits
+    * (already validated — the rows are the source's). Streaming txn
+    * tags are NOT copied (a clone is a new table; replaying a source
+    * stream into it must not skip). Time travel on the clone starts at
+    * the clone: version 0 IS the fork point.
+    *
+    * Divergence after the fork is free in both directions: mutations
+    * on the clone rewrite touched directories into the CLONE's root
+    * and drop the foreign references from its manifest (the source's
+    * files are never touched — the clone's own vacuum lists only its
+    * root, so it can never reclaim source data); the source keeps
+    * writing normally.
+    *
+    * THE VACUUM HAZARD (the same caveat Delta documents): the source
+    * does NOT know about clones — a `vacuum` on the SOURCE that
+    * reclaims a directory the clone still references breaks the
+    * clone's reads (loudly, at scan planning: the path is gone).
+    * Retain source history for as long as clones of it must live, or
+    * OPTIMIZE the clone (a full rewrite localizes every reference) to
+    * cut the tie. Both tables must live on one filesystem (the
+    * references are scheme-less absolute paths). Returns the clone's
+    * committed version (0).
+    */
+  def shallowClone(targetDir: String, version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion)
+    require(v >= 0, s"$dir has no committed versions")
+    val target = new VersionedTable(spark, targetDir)
+    require(target.latestVersion < 0,
+      s"cannot clone into $targetDir: it already has a transaction log")
+    require(fs.getUri == target.fs.getUri,
+      s"shallow clone must stay on one filesystem (source ${fs.getUri}, " +
+        s"target ${target.fs.getUri}): the clone references the source's " +
+        "directories by absolute path")
+    val snap = snapshotAt(v)
+    def abs(n: String): String = new Path(root, n).toUri.getPath
+    val rows = snap.active.map(n => snap.dirRows.getOrElse(n, 0L)).sum
+    target.publish(target.Commit(0, "clone",
+      added = snap.active.map(abs),
+      removed = Seq.empty,
+      numRows = rows,
+      tsMs = System.currentTimeMillis(),
+      // ColStat is instance-path-dependent: rebuild under the target
+      addedStats = snap.stats.map { case (d, st) => abs(d) -> st.map {
+        case (c, cs) => c -> target.ColStat(cs.kind, cs.min, cs.max, cs.nulls)
+      } },
+      addedRows = snap.dirRows.map { case (d, r) => abs(d) -> r },
+      addedBytes = snap.dirBytes.map { case (d, b) => abs(d) -> b },
+      schemaJson = snap.schemaJson,
+      propsSet = snap.props,
+      partitionCols = snap.partitionCols,
+      dvReset =
+        if (snap.dvs.isEmpty) None
+        else Some((
+          snap.dvs.map { case (d, scs) => abs(d) -> scs.map(abs) },
+          snap.dvRowsByDir.map { case (d, r) => abs(d) -> r })),
+      featuresAdd =
+        (snap.features + VersionedTable.FeatureAbsolutePaths).toSeq.sorted))
+    // constraints bind the table, not a snapshot: re-announce each on
+    // its own commit (no validation scan — these exact rows already
+    // passed it on the source)
+    snap.constraints.toSeq.sortBy(_._1).zipWithIndex.foreach {
+      case ((name, ex), i) =>
+        target.publish(target.Commit(i + 1, "constraint", Seq.empty,
+          Seq.empty, 0L, System.currentTimeMillis(),
+          constraintAdd = Some((name, ex))))
+    }
+    0
+  }
+
   /** Delta-style DELETE — copy-on-write row deletion in ONE atomic
     * commit. One scan over the current snapshot (tagged with
     * `input_file_name`) finds the directories that actually hold
@@ -3265,6 +3372,25 @@ class VersionedTable(spark: SparkSession, dir: String,
     * exact; without it the synthesis reports the rewritten
     * directories' survivors as delete+insert pairs too.
     */
+  /** Resolve scanned FILE paths back to the MANIFEST names of their
+    * parent directories. The last path segment is NOT always the
+    * manifest key: a shallow clone references foreign directories by
+    * absolute path, so the resolution goes through each candidate's
+    * fully-resolved location. Unmatched parents fail loudly — a file
+    * outside the candidate set would mean the scan read something the
+    * snapshot never planned.
+    */
+  private def touchedManifestNames(filePaths: Seq[String],
+                                   candidates: Seq[String]): Seq[String] = {
+    val byPath: Map[String, String] =
+      candidates.map(n => new Path(root, n).toUri.getPath -> n).toMap
+    filePaths.map(f => new Path(f).getParent.toUri.getPath)
+      .distinct.map(p => byPath.getOrElse(p,
+        sys.error(s"scanned file parent $p is not a candidate directory " +
+          s"of $dir — snapshot/scan mismatch")))
+      .sorted
+  }
+
   def delete(condition: org.apache.spark.sql.Column,
              writeChangeData: Boolean = false, maxRetries: Int = 5,
              useDeletionVectors: Boolean = false): Int = {
@@ -3288,10 +3414,9 @@ class VersionedTable(spark: SparkSession, dir: String,
     val dvState = snapshotAt(latest).dvs
     val snap = readDirsFoldedTagged(Some(tblSchema), candidates, dvState,
       "__graft_file")
-    val touched = snap
-      .filter(condition).select(col("__graft_file")).distinct()
-      .collect().map(r => new Path(r.getString(0)).getParent.getName)
-      .toSet.toSeq.sorted
+    val touched = touchedManifestNames(
+      snap.filter(condition).select(col("__graft_file")).distinct()
+        .collect().map(_.getString(0)).toSeq, candidates)
     if (touched.isEmpty) return latest
     if (useDeletionVectors)
       deleteViaDv(condition, latest, tblSchema, dvState, touched,
@@ -3668,10 +3793,9 @@ class VersionedTable(spark: SparkSession, dir: String,
     val dvState = snapState.dvs
     val snap = readDirsFoldedTagged(Some(schema), candidates, dvState,
       "__graft_file")
-    val touched = snap
-      .filter(hit).select(col("__graft_file")).distinct()
-      .collect().map(r => new Path(r.getString(0)).getParent.getName)
-      .toSet.toSeq.sorted
+    val touched = touchedManifestNames(
+      snap.filter(hit).select(col("__graft_file")).distinct()
+        .collect().map(_.getString(0)).toSeq, candidates)
     if (touched.isEmpty) return latest
     if (useDeletionVectors)
       updateViaDv(condition, assignments, latest, schema, dvState,
