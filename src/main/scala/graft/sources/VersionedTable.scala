@@ -1523,6 +1523,7 @@ class VersionedTable(spark: SparkSession, dir: String,
   def append(df0: DataFrame): Int = {
     val base = latestVersion
     val (df, schemaJson) = alignedForAppend(df0, base)
+    val armed = Some(maintenanceArmed(base))
     val v = base + 1
     val parts = writePayloadAuto(df, v,
       if (base < 0) Map.empty else snapshotAt(base).constraints, base)
@@ -1531,7 +1532,7 @@ class VersionedTable(spark: SparkSession, dir: String,
       addedStats = parts.map(p => p._1 -> p._3).toMap,
       addedRows = parts.map(p => p._1 -> p._2).toMap,
       schemaJson = Some(schemaJson)))
-    runPostCommitMaintenance(v)
+    runPostCommitMaintenance(v, armed)
     v
   }
 
@@ -1703,6 +1704,7 @@ class VersionedTable(spark: SparkSession, dir: String,
   def appendWithRetry(df0: DataFrame, maxRetries: Int = 5): Int = {
     val base = latestVersion
     val (df, schemaJson0) = alignedForAppend(df0, base)
+    val armed = Some(maintenanceArmed(base))
     var schemaJson = schemaJson0
     var validated = if (base < 0) Map.empty[String, String]
       else snapshotAt(base).constraints
@@ -1724,7 +1726,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           addedStats = parts.map(p => p._1 -> p._3).toMap,
           addedRows = parts.map(p => p._1 -> p._2).toMap,
           schemaJson = Some(schemaJson)))
-        runPostCommitMaintenance(expected)
+        runPostCommitMaintenance(expected, armed)
         return expected
       } catch {
         case e: IllegalStateException =>
@@ -1821,6 +1823,7 @@ class VersionedTable(spark: SparkSession, dir: String,
     if (lastCommittedBatch(app).exists(_ >= batchId)) return None
     val base = latestVersion
     val (df, schemaJson0) = alignedForAppend(df0, base)
+    val armed = Some(maintenanceArmed(base))
     var schemaJson = schemaJson0
     var validated = if (base < 0) Map.empty[String, String]
       else snapshotAt(base).constraints
@@ -1838,7 +1841,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           addedStats = parts.map(p => p._1 -> p._3).toMap,
           addedRows = parts.map(p => p._1 -> p._2).toMap,
           schemaJson = Some(schemaJson)))
-        runPostCommitMaintenance(expected)
+        runPostCommitMaintenance(expected, armed)
         return Some(expected)
       } catch {
         case e: IllegalStateException =>
@@ -3152,7 +3155,26 @@ class VersionedTable(spark: SparkSession, dir: String,
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
-  private def runPostCommitMaintenance(committedVersion: Int): Unit =
+  /** The TBLPROPERTIES keys that can arm the post-commit hook. */
+  private val maintenanceKeys = Seq("graft.autoCompact.minFiles",
+    "graft.autoOptimize.dvFraction", "graft.autoCoalesce.minSidecars")
+
+  /** True iff the base snapshot's properties arm the post-commit hook
+    * — computed BEFORE the commit (the base snapshot is already folded
+    * there), so acknowledging a committed write never performs work
+    * that could fail. A property set concurrently with the write arms
+    * the hook from the next commit on — the same next-commit semantics
+    * any post-commit trigger has.
+    */
+  private def maintenanceArmed(base: Int): Boolean =
+    base >= 0 && maintenanceKeys.exists(snapshotAt(base).props.contains)
+
+  private def runPostCommitMaintenance(committedVersion: Int,
+      armed: Option[Boolean] = None): Unit = {
+    // ZERO-COST WHEN UNCONFIGURED: tables that never opted in pay
+    // nothing per commit — not even the latest-version probe; armed
+    // tables re-read the post-commit state properly inside the hook.
+    if (armed.contains(false)) return
     try autoMaintain()
     catch {
       case _: GraftConflictException => () // race loss: best-effort hook
@@ -3162,6 +3184,7 @@ class VersionedTable(spark: SparkSession, dir: String,
           "only the post-commit auto-maintenance failed — do NOT retry " +
           s"the mutation (cause: ${t.getMessage})", t)
     }
+  }
 
   /** Test seam: runs at the top of each triggered maintenance pass —
     * specs inject failures deterministically to pin the contract above.
