@@ -49,6 +49,11 @@ object Bench {
     // pass is reported as -1 and listed in "failed" — a crash must not
     // masquerade as a fast run.
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      // Label every job with its gate (guide §1.5): event-log and UI
+      // analysis can then attribute each of a gate's jobs without
+      // timeline guesswork. Thread-local, cleared after the gate so
+      // nothing leaks into the next one.
+      spark.sparkContext.setJobDescription(s"gate:$name")
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -58,7 +63,7 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
-        }
+        } finally spark.sparkContext.setJobDescription(null)
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Optional comma-separated name filter for single-query iteration;

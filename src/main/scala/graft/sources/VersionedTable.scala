@@ -786,10 +786,35 @@ class VersionedTable(spark: SparkSession, dir: String,
       : (String, Long, Map[String, ColStat]) = {
     val name = f"v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(root, name)
+    // The stats/constraint aggregates ride the WRITE JOB ITSELF
+    // (CollectMetrics directly under the file write, so it executes in
+    // the write's result stage — accumulator updates deduplicate per
+    // partition there, making the metrics exact even under task
+    // retries). The read-back scan this replaces was a full second
+    // pass over every written byte per commit — at table scale that
+    // halves commit I/O; at gate scale it removes one whole
+    // driver-sequenced job plus a schema-inference footer read per
+    // commit. Values are identical by construction: the same aggregate
+    // expressions over the same rows the write serializes (parquet
+    // round-trips every indexed type losslessly — long, double,
+    // micros-precision timestamp, string).
+    val (statCols, cNames, aggs) = statAggPlan(df.schema, constraints)
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_stats_$name")
+    val observed = df.observe(obs,
+      aggs.head.as("_0"),
+      aggs.tail.zipWithIndex.map { case (a, i) => a.as(s"_${i + 1}") }: _*)
     // column mapping: files always spell PHYSICAL names
-    toPhysicalDf(df, l2p).write.parquet(dataDir.toString)
+    toPhysicalDf(observed, l2p).write.parquet(dataDir.toString)
+    // The metrics arrive via an ASYNC listener bus: poll briefly, and
+    // if the bus dropped the event (bounded queue under pressure —
+    // never observed, but a hung commit would be worse than a second
+    // scan) fall back to the historical read-back, which computes the
+    // same numbers from the files.
     val (rows, stats, violations) =
-      statsOf(dataDir.toString, constraints, l2p.map(_.swap))
+      awaitObserved(obs).map(m =>
+        decodeStatRow(statCols, cNames, l2p, i => m.getOrElse(s"_$i", null)))
+      .getOrElse(statsOf(dataDir.toString, constraints, l2p.map(_.swap)))
     val broken = violations.filter(_._2 > 0L)
     if (broken.nonEmpty) {
       // Abort BEFORE publish: nothing was committed, the orphan payload
@@ -886,9 +911,15 @@ class VersionedTable(spark: SparkSession, dir: String,
       name
     }
     fs.delete(staging, true)
+    // ONE grouped stats job over every new directory (was one job PER
+    // distinct partition tuple — a backfill across k partitions paid k
+    // driver-sequenced aggregate jobs plus k schema inferences; the
+    // grouped form pays one two-stage job whose shuffle is one row per
+    // directory).
+    val grouped = statsOfDirs(written, constraints, l2p.map(_.swap))
     val out = written.map { name =>
-      val (rows, stats, violations) =
-        statsOf(new Path(root, name).toString, constraints, l2p.map(_.swap))
+      val (rows, stats, violations) = grouped.getOrElse(name,
+        (0L, Map.empty[String, ColStat], Map.empty[String, Long]))
       (name, rows, stats, violations.filter(_._2 > 0L))
     }
     val broken = out.flatMap(_._4)
@@ -922,8 +953,6 @@ class VersionedTable(spark: SparkSession, dir: String,
                       constraints: Map[String, String] = Map.empty,
                       physToLogical: Map[String, String] = Map.empty)
       : (Long, Map[String, ColStat], Map[String, Long]) = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
     // Column mapping: CHECK constraints reference LOGICAL names, the
     // files spell PHYSICAL ones — evaluate over the aliased view, but
     // KEY the recorded stats by the raw (physical) file names: physical
@@ -933,7 +962,34 @@ class VersionedTable(spark: SparkSession, dir: String,
     val d =
       if (physToLogical.isEmpty) raw else raw.withColumnsRenamed(physToLogical)
     val logToPhys = physToLogical.map(_.swap)
-    val cols = d.schema.fields.flatMap { f =>
+    val (cols, cNames, aggs) = statAggPlan(d.schema, constraints)
+    val row = d.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    decodeStatRow(cols, cNames, logToPhys, row.get)
+  }
+
+  /** The stat/constraint aggregate list of [[statsOf]] in reusable
+    * form — ONE definition serves the read-back path ([[statsOf]]),
+    * the write-fused path ([[writePayload]]'s observe), and the
+    * grouped multi-directory path ([[statsOfDirs]]), so the three can
+    * never drift. Layout (positional): count, then (min, max) per
+    * indexable column, then a null count per indexable column, then a
+    * violation count per CHECK constraint (sorted by name).
+    * Supported kinds: integral → Long, timestamp → epoch micros
+    * (exact — a seconds-truncated max could wrongly prune the row
+    * holding it), fractional → Double, string as-is; other types are
+    * simply not indexed (readers keep the directory conservatively).
+    * CHECK violation counts use SQL semantics: a NULL constraint
+    * result passes, so a violation is exactly `expr <=> false`. NULL
+    * counts feed IS NULL / IS NOT NULL pruning and all-null-directory
+    * range skipping (Delta's nullCount statistic).
+    */
+  private def statAggPlan(schema: org.apache.spark.sql.types.StructType,
+                          constraints: Map[String, String])
+      : (Array[(String, String, org.apache.spark.sql.Column)],
+         Seq[String], Seq[org.apache.spark.sql.Column]) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val cols = schema.fields.flatMap { f =>
       f.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           Some((f.name, "l", col(f.name).cast("long")))
@@ -945,11 +1001,6 @@ class VersionedTable(spark: SparkSession, dir: String,
         case _ => None
       }
     }
-    // CHECK constraint violation counts ride the SAME single job as
-    // the stats (SQL semantics: a NULL constraint result passes, so a
-    // violation is exactly `expr <=> false`), as do per-column NULL
-    // counts (IS NULL / IS NOT NULL pruning and all-null-directory
-    // range skipping need them — Delta's nullCount statistic).
     val cNames = constraints.keys.toSeq.sorted
     val cAggs = cNames.map(n =>
       sum(when(expr(constraints(n)) <=> lit(false), 1L).otherwise(0L)))
@@ -958,22 +1009,86 @@ class VersionedTable(spark: SparkSession, dir: String,
     val aggs = ((count(lit(1)) +:
       cols.flatMap { case (_, _, c) => Seq(min(c), max(c)) }.toSeq) ++
       nullAggs) ++ cAggs
-    val row = d.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    (cols, cNames, aggs)
+  }
+
+  /** Decode one [[statAggPlan]]-shaped value vector (`get(i)` = the
+    * i-th aggregate, 0 = count) into the (rows, stats, violations)
+    * triple [[statsOf]] returns. Stats are keyed by PHYSICAL name via
+    * `logToPhys` — physical names are stable across renames, so the
+    * stats index never needs rewriting when a column does. An all-null
+    * column keeps an explicit (null, null) entry: it PROVES no row can
+    * satisfy a range or IS NOT NULL predicate — omitting it (the
+    * pre-round-12 shape) forced conservative keeps.
+    */
+  private def decodeStatRow(cols: Array[(String, String, org.apache.spark.sql.Column)],
+                            cNames: Seq[String],
+                            logToPhys: Map[String, String],
+                            get: Int => Any)
+      : (Long, Map[String, ColStat], Map[String, Long]) = {
+    def longAt(i: Int): Long = get(i) match {
+      case null => 0L
+      case l: java.lang.Long => l.longValue()
+      case other => other.toString.toLong
+    }
     val nullBase = 1 + 2 * cols.length
-    def nullsOf(i: Int): Long =
-      if (row.isNullAt(nullBase + i)) 0L else row.getLong(nullBase + i)
     val stats = cols.zipWithIndex.map { case ((n, kind, _), i) =>
-      // An all-null column keeps an explicit (null, null) entry: it
-      // PROVES no row can satisfy a range or IS NOT NULL predicate —
-      // omitting it (the pre-round-12 shape) forced conservative keeps.
       logToPhys.getOrElse(n, n) ->
-        ColStat(kind, row.get(1 + 2 * i), row.get(2 + 2 * i), nullsOf(i))
+        ColStat(kind, get(1 + 2 * i), get(2 + 2 * i), longAt(nullBase + i))
     }.toMap
     val base = nullBase + cols.length
     val violations = cNames.zipWithIndex.map { case (n, i) =>
-      n -> (if (row.isNullAt(base + i)) 0L else row.getLong(base + i))
+      n -> longAt(base + i)
     }.toMap
-    (row.getLong(0), stats, violations)
+    (longAt(0), stats, violations)
+  }
+
+  /** Wait for a write-fused observation's metrics. The listener bus
+    * delivering them is asynchronous, so the common case is a handful
+    * of milliseconds after the write action returns; None after the
+    * bound means the bus dropped the event — the caller falls back to
+    * the read-back scan rather than hanging a commit forever.
+    */
+  private def awaitObserved(obs: org.apache.spark.sql.Observation,
+                            maxWaitMs: Long = 30000L)
+      : Option[Map[String, Any]] = {
+    import org.apache.spark.sql.GraftSqlBridge.observedOrEmpty
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var m = observedOrEmpty(obs)
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(2L)
+      m = observedOrEmpty(obs)
+    }
+    if (m.isEmpty) None else Some(m.toMap)
+  }
+
+  /** Per-directory [[statsOf]] for SEVERAL directories in ONE job:
+    * all paths are scanned in a single frame and grouped by the
+    * file's parent directory name (the partial aggregation shrinks
+    * the shuffle to one row per directory). Directory names here are
+    * engine-generated (`v00001-p000-<uuid>`), so the
+    * `input_file_name()` parse is never exposed to user path
+    * characters. Returns a map keyed by directory NAME; a directory
+    * absent from the map wrote zero rows.
+    */
+  private def statsOfDirs(names: Seq[String],
+                          constraints: Map[String, String] = Map.empty,
+                          physToLogical: Map[String, String] = Map.empty)
+      : Map[String, (Long, Map[String, ColStat], Map[String, Long])] = {
+    import org.apache.spark.sql.functions._
+    if (names.isEmpty) return Map.empty
+    val raw = spark.read.parquet(
+      names.map(n => new Path(root, n).toString): _*)
+    val d =
+      if (physToLogical.isEmpty) raw else raw.withColumnsRenamed(physToLogical)
+    val logToPhys = physToLogical.map(_.swap)
+    val (cols, cNames, aggs) = statAggPlan(d.schema, constraints)
+    val dirCol = regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
+    val rows = d.groupBy(dirCol.as("__graft_stats_dir"))
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()
+    rows.map { r =>
+      r.getString(0) -> decodeStatRow(cols, cNames, logToPhys, i => r.get(i + 1))
+    }.toMap
   }
 
   /** Schema-compatibility gate for the append paths: validate `df`
@@ -4471,18 +4586,23 @@ class VersionedTable(spark: SparkSession, dir: String,
         .sortWithinPartitions(col("__graft_chunk"), col(ck))
         .drop(ck), writeL2p)
         .write.partitionBy("__graft_chunk").parquet(staging.toString)
-      val written = fs.listStatus(staging).toSeq
+      val renamed = fs.listStatus(staging).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .sortBy(_.getPath.getName.split('=').last.toLong)
-        .zipWithIndex.flatMap { case (st, i) =>
+        .zipWithIndex.map { case (st, i) =>
           val name = f"v$v%05d-opt$i%03d-${java.util.UUID.randomUUID().toString.take(8)}"
-          val target = new Path(root, name)
-          fs.rename(st.getPath, target)
-          val (rows, stats, _) =
-            statsOf(target.toString, Map.empty, writeL2p.map(_.swap))
-          if (rows == 0L) { fs.delete(target, true); None }
-          else Some((name, rows, stats))
+          fs.rename(st.getPath, new Path(root, name))
+          name
         }
+      // ONE grouped stats job over every chunk (was one job PER chunk:
+      // a targetChunks=8 optimize paid 8 sequential aggregate jobs).
+      val chunkStats = statsOfDirs(renamed, Map.empty, writeL2p.map(_.swap))
+      val written = renamed.flatMap { name =>
+        chunkStats.get(name) match {
+          case Some((rows, stats, _)) if rows > 0L => Some((name, rows, stats))
+          case _ => fs.delete(new Path(root, name), true); None
+        }
+      }
       fs.delete(staging, true) // _SUCCESS and friends
       if (written.isEmpty) return base // empty table: nothing to compact
       // A compaction must SURVIVE concurrent ingestion — at 100 TB a

@@ -20,6 +20,14 @@ object GraftSqlBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[CDataFrame].queryExecution.analyzed
 
+  /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
+    * `private[sql]`; the public `get` blocks with no timeout, and a
+    * dropped listener event would hang the caller forever): empty
+    * until the async listener bus delivers the query's metrics.
+    */
+  def observedOrEmpty(obs: Observation): Map[String, Any] =
+    obs.getOrEmpty
+
   /** The planner strategies an extensions object would inject — lets a
     * test assert the `spark.sql.extensions` wiring without building a
     * second SparkSession (the builder reuses the active one).
