@@ -2504,8 +2504,23 @@ class VersionedTable(spark: SparkSession, dir: String,
     * spans ride ONE scalar aggregate over the source.
     */
   private def mergeSpanState(source: DataFrame, keys: Seq[String])
-      : Option[Option[Seq[(String, Option[Any], Option[Any])]]] = {
-    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, unix_micros}
+      : Option[Option[Seq[(String, Option[Any], Option[Any])]]] =
+    mergeSpanAndDupState(source, keys, needDup = false)._1
+
+  /** The merge source's key-span state and (optionally) its
+    * duplicate-key flag in ONE pass. When `needDup` is set, the span
+    * min/max fold over the `groupBy(keys)` counts — min over distinct
+    * keys equals min over rows, and the keyed shuffle is exactly the
+    * one the duplicate gate paid as its own separate job before the
+    * fusion (one full source pass per merge removed). Without
+    * `needDup` (insert-only merges, the CDC append shape) the span
+    * stays the cheap global aggregate: map-side partials to one row,
+    * no keyed shuffle.
+    */
+  private def mergeSpanAndDupState(source: DataFrame, keys: Seq[String],
+                                   needDup: Boolean)
+      : (Option[Option[Seq[(String, Option[Any], Option[Any])]]], Boolean) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin, unix_micros}
     import org.apache.spark.sql.types._
     val keyDomain: Seq[(String, Option[org.apache.spark.sql.Column])] =
       keys.map { k =>
@@ -2520,17 +2535,35 @@ class VersionedTable(spark: SparkSession, dir: String,
         })
       }
     val indexable = keyDomain.collect { case (k, Some(c)) => (k, c) }
-    if (indexable.isEmpty) None
-    else {
-      val aggs = indexable.flatMap { case (_, c) => Seq(fmin(c), fmax(c)) }
-      val row = source.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    if (indexable.isEmpty) {
+      // span unprovable (unindexable key type); the duplicate gate
+      // still needs its own bounded probe when asked for
+      val dups = needDup &&
+        source.groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count() > 0
+      (None, dups)
+    } else {
+      val spanAggs = indexable.flatMap { case (_, c) => Seq(fmin(c), fmax(c)) }
+      val (row, dups) =
+        if (!needDup) {
+          (source.agg(spanAggs.head, spanAggs.tail.toIndexedSeq: _*).head(),
+            false)
+        } else {
+          val grouped = source.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("__graft_kn"))
+          val aggs = spanAggs :+ fmax(col("__graft_kn"))
+          val r = grouped.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+          val dupIdx = 2 * indexable.size
+          (r, !r.isNullAt(dupIdx) && r.getLong(dupIdx) > 1L)
+        }
       val spans = indexable.zipWithIndex.map { case ((k, _), i) =>
         if (row.isNullAt(2 * i)) None
         else Some((k, Some(row.get(2 * i)): Option[Any],
           Some(row.get(2 * i + 1)): Option[Any]))
       }
-      if (spans.exists(_.isEmpty)) Some(None) // an all-null key: no matches
-      else Some(Some(spans.flatten))
+      // an all-null key: no matches
+      if (spans.exists(_.isEmpty)) (Some(None), dups)
+      else (Some(Some(spans.flatten)), dups)
     }
   }
 
@@ -2820,8 +2853,20 @@ class VersionedTable(spark: SparkSession, dir: String,
     // Spans are computed from the PERSISTED projection (keys are
     // top-level columns there), so this is a cache read, not a
     // source re-evaluation.
-    val spanState =
-      if (notMatchedBySource.nonEmpty) None else mergeSpanState(src, keys)
+    // ONE cached-source pass serves BOTH the span state and the
+    // duplicate-key gate (the gate's groupBy(keys) was previously its
+    // own full source pass per merge); insert-only merges keep the
+    // cheap global span aggregate (no keyed shuffle).
+    val needDupGate = matched.nonEmpty || notMatchedBySource.nonEmpty
+    val (spanState, srcHasDupKeys) =
+      if (notMatchedBySource.nonEmpty) {
+        // NOT MATCHED BY SOURCE touches every directory — no span is
+        // computed; the duplicate gate keeps its own bounded probe.
+        val dups = active.nonEmpty &&
+          src.groupBy(keys.map(col): _*).count()
+            .filter(col("count") > 1).limit(1).count() > 0
+        (None: Option[Option[Seq[(String, Option[Any], Option[Any])]]], dups)
+      } else mergeSpanAndDupState(src, keys, needDup = needDupGate)
     val touched: Seq[String] = spanState match {
       case None => active
       case Some(None) => Seq.empty
@@ -2934,9 +2979,8 @@ class VersionedTable(spark: SparkSession, dir: String,
       // Multi-match detection pays only when it CAN happen: a target
       // row matched twice implies the source carries a duplicate key —
       // one small agg on the source gates the (join-sized) exact test.
-      val srcDups = !insertOnly && touched.nonEmpty &&
-        src.groupBy(keys.map(col): _*).count()
-          .filter(col("count") > 1).limit(1).count() > 0
+      // the flag rode the span job (or the BY SOURCE probe) above
+      val srcDups = !insertOnly && touched.nonEmpty && srcHasDupKeys
       if (srcDups) {
         val dup = acted.filter(isM)
           .groupBy(col("__graft_file"), col("__graft_pos")).count()
