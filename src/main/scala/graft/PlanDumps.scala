@@ -85,6 +85,93 @@ object PlanDumps {
       "# the keyed shuffle is the one the duplicate gate already paid.\n" +
       "# Insert-only merges keep the global aggregate (no keyed shuffle).\n\n" +
       fmt(fused))
+
+    // ---- DV mutation: per-directory policy counts ride the bitmap
+    // write (deleteViaDv / updateViaDv / mergeViaDvBody / mergeClauses)
+    val matched = spark.read.parquet(dir)
+      .withColumn("__graft_file", input_file_name())
+      .withColumn("__graft_pos", monotonically_increasing_id())
+      .filter(col("id") % 7 === 0)
+    val dirOf = element_at(split(col("__graft_file"), "/"), -2)
+    val countJob = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
+    w("dv_counts_before.txt",
+      "# BEFORE (rounds <=16): every merge-on-read mutation (DELETE /\n" +
+      "# UPDATE / MERGE via deletion vectors, in all four code paths) ran\n" +
+      "# this SEPARATE groupBy(directory).count() job over the persisted\n" +
+      "# matched rows FIRST — to decide the DV-vs-rewrite policy and to\n" +
+      "# record the commit's per-directory hidden counts — and only then\n" +
+      "# ran the bitmap-write job over the very same rows. Two full\n" +
+      "# passes over the matches per mutation.\n\n" + fmt(countJob))
+    val triples = matched.select(
+      dirOf.as("__graft_dv_dir"),
+      element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
+      col("__graft_pos").as("__graft_dv_pos"))
+      .repartition(col("__graft_dv_dir"), col("__graft_dv_file"))
+      .sortWithinPartitions("__graft_dv_dir", "__graft_dv_file",
+        "__graft_dv_pos")
+    w("dv_counts_after.txt",
+      "# AFTER (round 17): the sidecar is written OPTIMISTICALLY and the\n" +
+      "# per-directory counts ride the bitmap-write job itself — one\n" +
+      "# (dir, count) tuple per flushed bitmap into a collection\n" +
+      "# accumulator (exact-once per successful task inside actions), so\n" +
+      "# the separate count job is gone: ONE pass over the matches per\n" +
+      "# mutation. The policy is checked from the returned counts; a\n" +
+      "# refused or empty sidecar is deleted before any commit exists.\n" +
+      "# (Plan below is the single remaining pass — the bitmap write's\n" +
+      "# shuffle+sort; foreachPartition wraps it.)\n\n" + fmt(triples))
+
+    // ---- changes(): per-version parquet footer inference skipped on
+    // constant-schema tables
+    val cdfDemo = tmp + "/cdf-v00004-demo"
+    df.withColumn("_change_type", lit("insert")).write.parquet(cdfDemo)
+    val inferRead = spark.read.option("mergeSchema", "true").parquet(cdfDemo)
+    w("cdf_changes_before.txt",
+      "# BEFORE (rounds <=16): changes(from, to) planned every synthesis\n" +
+      "# frame with mergeSchema inference and every persisted-CDC frame\n" +
+      "# with plain schema inference — one driver-side file listing plus\n" +
+      "# a parquet footer-read JOB per frame, O(versions in range) of\n" +
+      "# them per changes() call, all recomputing a schema the log\n" +
+      "# already records.\n\n" + fmt(inferRead))
+    val knownSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(f => f.copy(metadata =
+        org.apache.spark.sql.types.Metadata.empty)))
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+    val imposedRead = spark.read.schema(knownSchema).parquet(cdfDemo)
+    w("cdf_changes_after.txt",
+      "# AFTER (round 17): when every commit in 0..toVersion recorded the\n" +
+      "# SAME schema (checked from the already-parsed manifests — pure\n" +
+      "# metadata), every data file and CDC payload provably spells\n" +
+      "# exactly that physical schema, so changes() IMPOSES it on every\n" +
+      "# frame read: zero footer-inference jobs, zero mergeSchema\n" +
+      "# listings. Any schema evolution / rename / widen in history\n" +
+      "# falls back to the historical inference path unchanged.\n\n" +
+      fmt(imposedRead))
+    // ---- rewriteClustered: chunk stats from the cache, not a re-read
+    val chunkDemo = tmp + "/chunks"
+    df.withColumn("__graft_chunk", (col("id") % 3).cast("long"))
+      .write.partitionBy("__graft_chunk").parquet(chunkDemo)
+    val readBack = spark.read.parquet(chunkDemo + "/__graft_chunk=0",
+      chunkDemo + "/__graft_chunk=1")
+      .groupBy(regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
+        .as("__graft_stats_dir"))
+      .agg(count(lit(1)), statCols: _*)
+    w("optimize_stats_before.txt",
+      "# BEFORE (this round's first pass): OPTIMIZE/ZORDER/auto-compaction\n" +
+      "# computed per-chunk skipping stats with ONE grouped job — but that\n" +
+      "# job RE-READ every byte the rewrite had just written (scan of the\n" +
+      "# renamed chunk directories, grouped by parent dir):\n\n" +
+      fmt(readBack))
+    val cacheSide = df.withColumn("__graft_chunk", (col("id") % 3).cast("long"))
+      .groupBy(col("__graft_chunk"))
+      .agg(count(lit(1)), statCols: _*)
+    w("optimize_stats_after.txt",
+      "# AFTER (round 17, second pass): the grouped stats job aggregates\n" +
+      "# the CACHED cluster frame by chunk id — the frame the write itself\n" +
+      "# serialized (persisted for the quantile pass already) — and keys\n" +
+      "# the results back to directories through the chunk ids the staging\n" +
+      "# layout recorded. Same aggregates, same rows (parquet round-trips\n" +
+      "# every indexed type losslessly); the full re-read of the rewritten\n" +
+      "# table per OPTIMIZE is gone.\n\n" + fmt(cacheSide))
     println(s"PLANS WRITTEN to $out")
     spark.stop()
   }

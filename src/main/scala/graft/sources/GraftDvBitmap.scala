@@ -134,12 +134,25 @@ private[graft] object GraftDvBitmap {
     * group streamed out as one `.dvb` under
     * `<root>/<dvName>/<dir>/<file>.dvb`. Deleted-rows-sized shuffle,
     * no driver involvement beyond the job.
+    *
+    * Returns the PER-DIRECTORY hidden-row counts (post-dedup, i.e.
+    * exactly the positions the bitmaps encode), so callers that need
+    * the DV-vs-rewrite policy numbers and the commit's `dvDirRows` do
+    * not pay a SECOND pass over the triples for a `groupBy(dir)`
+    * count. Counts ride a collection accumulator fed once per flushed
+    * bitmap; accumulator updates inside ACTIONS are applied exactly
+    * once per successful task (restarted/speculative duplicates are
+    * discarded by the DAGScheduler), so the counts are exact under
+    * retries.
     */
   def write(spark: SparkSession, root: Path, dvName: String,
-            triples: DataFrame): Unit = {
+            triples: DataFrame): Map[String, Long] = {
     import org.apache.spark.sql.functions.col
     val conf = new SerConf(spark.sessionState.newHadoopConf())
     val base = new Path(root, dvName).toString
+    val dirCounts =
+      spark.sparkContext.collectionAccumulator[(String, Long)](
+        s"graft.dv.dirRows.$dvName")
     triples
       .select(col("__graft_dv_dir").cast("string"),
         col("__graft_dv_file").cast("string"),
@@ -175,6 +188,7 @@ private[graft] object GraftDvBitmap {
               s"bitmap publish failed: rename $staged -> $target " +
                 "returned false and no bitmap exists at the target")
           }
+          dirCounts.add((cur._1, buf.length.toLong))
           buf.clear()
         }
         it.foreach { r =>
@@ -186,6 +200,9 @@ private[graft] object GraftDvBitmap {
         }
         flush()
       }
+    import scala.jdk.CollectionConverters._
+    dirCounts.value.asScala.toSeq.groupBy(_._1)
+      .map { case (d, xs) => d -> xs.iterator.map(_._2).sum }
   }
 
   /** The (dir, file, pos) frame of the given sidecars — the fold/anti-

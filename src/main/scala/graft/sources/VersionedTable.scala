@@ -3082,41 +3082,51 @@ class VersionedTable(spark: SparkSession, dir: String,
       }
 
       val dirOf = element_at(split(col("__graft_file"), "/"), -2)
-      lazy val perDir: Map[String, Long] =
-        actedHot.filter(affected).groupBy(dirOf.as("__graft_dv_dir")).count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (useDeletionVectors && dvFractionOk(perDir, latest)) {
-        // merge-on-read: hide the claimed rows, append images+inserts
-        val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-        GraftDvBitmap.write(spark, root, dvName, actedHot.filter(affected).select(
-          dirOf.as("__graft_dv_dir"),
-          element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
-          col("__graft_pos").as("__graft_dv_pos")))
-        val payload = unionAll(updPost.toSeq ++ inserts.toSeq)
-        val (added, addedRows, addedStats, rows) =
-          try payload match {
-            case Some(p) =>
-              val (name, r, st) = writePayload(p, v0, constraints, mergeL2p)
-              (Seq(name), Map(name -> r), Map(name -> st), r)
-            case None => // pure delete clauses: sidecar-only commit
-              (Seq.empty[String], Map.empty[String, Long],
-                Map.empty[String, Map[String, ColStat]], 0L)
-          } catch { case t: Throwable =>
-            fs.delete(new Path(root, dvName), true); throw t
-          }
-        // exact CDC ALWAYS: the change feed has no synthesis for a DV
-        // commit
-        val cdfName = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-        toPhysicalDf(cdcFrame, mergeL2p)
-          .write.parquet(new Path(root, cdfName).toString)
-        return publishMutationRetrying("merge-dv", latest, maxRetries,
-          touched, revalidate = added, addedMayMatch,
-          mkCommit = vv => Commit(vv, "merge-dv", added, Seq.empty, rows,
-            System.currentTimeMillis(), txn, addedStats = addedStats,
-            cdf = Some(cdfName), addedRows = addedRows,
-            dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
-            dvDirRows = perDir, schemaJson = evolvedJson, featuresAdd = mergeFeatures),
-          validated0 = constraints, schemaConflicts = schemaRace, txn = txn)
+      // the sidecar is written optimistically and the per-dir counts
+      // ride its write job (one pass over the claimed rows instead of
+      // a groupBy(dir) count first — see [[deleteViaDv]]); a policy
+      // refusal deletes it and falls through to copy-on-write
+      val dvAttempt: Option[(String, Map[String, Long])] =
+        if (!useDeletionVectors) None
+        else {
+          val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+          val perDir = GraftDvBitmap.write(spark, root, dvName,
+            actedHot.filter(affected).select(
+              dirOf.as("__graft_dv_dir"),
+              element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
+              col("__graft_pos").as("__graft_dv_pos")))
+          if (dvFractionOk(perDir, latest)) Some((dvName, perDir))
+          else { fs.delete(new Path(root, dvName), true); None }
+        }
+      dvAttempt match {
+        case Some((dvName, perDir)) =>
+          // merge-on-read: hide the claimed rows, append images+inserts
+          val payload = unionAll(updPost.toSeq ++ inserts.toSeq)
+          val (added, addedRows, addedStats, rows) =
+            try payload match {
+              case Some(p) =>
+                val (name, r, st) = writePayload(p, v0, constraints, mergeL2p)
+                (Seq(name), Map(name -> r), Map(name -> st), r)
+              case None => // pure delete clauses: sidecar-only commit
+                (Seq.empty[String], Map.empty[String, Long],
+                  Map.empty[String, Map[String, ColStat]], 0L)
+            } catch { case t: Throwable =>
+              fs.delete(new Path(root, dvName), true); throw t
+            }
+          // exact CDC ALWAYS: the change feed has no synthesis for a DV
+          // commit
+          val cdfName = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+          toPhysicalDf(cdcFrame, mergeL2p)
+            .write.parquet(new Path(root, cdfName).toString)
+          return publishMutationRetrying("merge-dv", latest, maxRetries,
+            touched, revalidate = added, addedMayMatch,
+            mkCommit = vv => Commit(vv, "merge-dv", added, Seq.empty, rows,
+              System.currentTimeMillis(), txn, addedStats = addedStats,
+              cdf = Some(cdfName), addedRows = addedRows,
+              dvAdd = Some(dvName), dvDirs = perDir.keys.toSeq.sorted,
+              dvDirRows = perDir, schemaJson = evolvedJson, featuresAdd = mergeFeatures),
+            validated0 = constraints, schemaConflicts = schemaRace, txn = txn)
+        case None => ()
       }
 
       // copy-on-write: rewrite the touched directories — carried rows
@@ -3681,16 +3691,22 @@ class VersionedTable(spark: SparkSession, dir: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dirOf = element_at(split(col("__graft_file"), "/"), -2)
-      // counts first — the same DV-vs-rewrite policy as delete
-      val perDir = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (perDir.isEmpty) return Some(latest) // raced to nothing: no commit
-      if (!dvFractionOk(perDir, latest)) return None // rewrite instead
+      // sidecar written optimistically, per-dir counts ride its write
+      // job — the same DV-vs-rewrite policy as delete, checked after
+      // (a refused sidecar is deleted; see [[deleteViaDv]])
       val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-      GraftDvBitmap.write(spark, root, dvName, matched.select(
+      val perDir = GraftDvBitmap.write(spark, root, dvName, matched.select(
         dirOf.as("__graft_dv_dir"),
         element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
         col("__graft_pos").as("__graft_dv_pos")))
+      if (perDir.isEmpty) { // raced to nothing: no commit
+        fs.delete(new Path(root, dvName), true)
+        return Some(latest)
+      }
+      if (!dvFractionOk(perDir, latest)) { // rewrite instead
+        fs.delete(new Path(root, dvName), true)
+        return None
+      }
       // the updated images: every assigned column replaced, CAST to the
       // physical type (the schema never drifts) — same projection as
       // the copy-on-write path, applied to the matches only
@@ -3788,18 +3804,25 @@ class VersionedTable(spark: SparkSession, dir: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dirOf = element_at(split(col("__graft_file"), "/"), -2)
-      val perDir = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (perDir.nonEmpty && !dvFractionOk(perDir, latest)) return None
-      val dvName =
-        if (perDir.isEmpty) None // pure insert into touched span: no DV
-        else Some(f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}")
-      dvName.foreach { n =>
-        GraftDvBitmap.write(spark, root, n, matched.select(
-          dirOf.as("__graft_dv_dir"),
-          element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
-          col("__graft_pos").as("__graft_dv_pos")))
+      // sidecar written optimistically, per-dir counts ride its write
+      // job (one pass over the matches — see [[deleteViaDv]]); a
+      // match-free merge is a pure insert into the touched span and
+      // carries no DV, a policy refusal drops the sidecar and falls
+      // back to copy-on-write
+      val dvTry = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      val perDir = GraftDvBitmap.write(spark, root, dvTry, matched.select(
+        dirOf.as("__graft_dv_dir"),
+        element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
+        col("__graft_pos").as("__graft_dv_pos")))
+      if (perDir.nonEmpty && !dvFractionOk(perDir, latest)) {
+        fs.delete(new Path(root, dvTry), true)
+        return None
       }
+      val dvName =
+        if (perDir.isEmpty) { // pure insert into touched span: no DV
+          fs.delete(new Path(root, dvTry), true)
+          None
+        } else Some(dvTry)
       val (name, rows, st) =
         try writePayload(srcAligned, v0, constraints, mergeL2p)
         catch { case t: Throwable =>
@@ -3865,22 +3888,30 @@ class VersionedTable(spark: SparkSession, dir: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dirOf = element_at(split(col("__graft_file"), "/"), -2)
-      // metadata-sized: one row per touched directory — computed FIRST,
-      // both for the commit's per-dir counts and for the POLICY: when
-      // the matches dominate the touched directories, accumulating a
+      // The sidecar is written OPTIMISTICALLY and the per-directory
+      // counts ride its write job ([[GraftDvBitmap.write]]'s return) —
+      // one pass over the matches instead of a separate groupBy(dir)
+      // count job first. The POLICY still gates the commit: when the
+      // matches dominate the touched directories, accumulating a
       // rows-sized sidecar every reader must anti-join forever is
-      // strictly worse than the rewrite — fall back to copy-on-write
-      // (Delta tunes the same trade; the sidecar is for SELECTIVE
-      // deletes).
-      val perDir = matched.groupBy(dirOf.as("__graft_dv_dir")).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (perDir.isEmpty) return Some(latest) // raced to nothing: no commit
-      if (!dvFractionOk(perDir, latest)) return None // rewrite instead
+      // strictly worse than the rewrite — drop the just-written
+      // sidecar and fall back to copy-on-write (Delta tunes the same
+      // trade; the sidecar is for SELECTIVE deletes). The wasted write
+      // on that path is deleted-rows-sized, paid only when a full
+      // directory rewrite follows anyway.
       val dvName = f"dv-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-      GraftDvBitmap.write(spark, root, dvName, matched.select(
+      val perDir = GraftDvBitmap.write(spark, root, dvName, matched.select(
         dirOf.as("__graft_dv_dir"),
         element_at(split(col("__graft_file"), "/"), -1).as("__graft_dv_file"),
         col("__graft_pos").as("__graft_dv_pos")))
+      if (perDir.isEmpty) { // raced to nothing: no commit
+        fs.delete(new Path(root, dvName), true)
+        return Some(latest)
+      }
+      if (!dvFractionOk(perDir, latest)) { // rewrite instead
+        fs.delete(new Path(root, dvName), true)
+        return None
+      }
       val cdfName = f"cdf-v$v0%05d-${java.util.UUID.randomUUID().toString.take(8)}"
       toPhysicalDf(matched.drop("__graft_file", "__graft_pos")
         .withColumn("_change_type", lit("delete")), renameMap(tblSchema))
@@ -4093,13 +4124,35 @@ class VersionedTable(spark: SparkSession, dir: String,
       .map(j => renameMap(schemaFromJson(j)).map(_.swap)).getOrElse(Map.empty)
     def aliasNow(df: DataFrame): DataFrame =
       if (p2lNow.isEmpty) df else df.withColumnsRenamed(p2lNow)
+    // When every commit up to toVersion recorded the SAME schema (the
+    // common case: no evolution, no rename, no widen in the table's
+    // whole history), every data file AND every persisted CDC payload
+    // provably spells exactly that physical schema — impose it on
+    // every read below and skip the per-version parquet footer
+    // inference (one driver-side listing + schema job per frame,
+    // O(versions) of them per changes() call). Any schema variation
+    // in history falls back to the historical mergeSchema inference,
+    // byte-for-byte the old behavior. Metadata-only check: commit
+    // manifests are already parsed and cached.
+    val uniformPhys: Option[org.apache.spark.sql.types.StructType] = {
+      val defined = (0 to toVersion).iterator
+        .flatMap(v => commitAt(v).schemaJson).toSeq.distinct
+      if (defined.size == 1) Some(physicalize(schemaFromJson(defined.head)))
+      else None
+    }
     val frames = (fromVersion to toVersion).flatMap { v =>
       val c = commitAt(v)
       c.op match {
         case "optimize" => Nil
         case _ if c.cdf.isDefined => // merge/delete committed with CDC
-          Seq(aliasNow(spark.read.parquet(new Path(root, c.cdf.get).toString))
-            .withColumn("_commit_version", lit(v)))
+          val cdfPath = new Path(root, c.cdf.get).toString
+          val cdfRead = uniformPhys match {
+            case Some(ps) => spark.read
+              .schema(ps.add("_change_type", org.apache.spark.sql.types.StringType))
+              .parquet(cdfPath)
+            case None => spark.read.parquet(cdfPath)
+          }
+          Seq(aliasNow(cdfRead).withColumn("_commit_version", lit(v)))
         case _ =>
           // synthesis folds DELETION VECTORS: an added directory serves
           // its rows as visible AT v (a restore re-adds dirs with their
@@ -4107,12 +4160,12 @@ class VersionedTable(spark: SparkSession, dir: String,
           // would re-report rows an earlier DV delete already emitted
           val ins =
             if (c.added.isEmpty) Nil
-            else Seq(aliasNow(readDirsFolded(None, existing(c.added, v),
+            else Seq(aliasNow(readDirsFolded(uniformPhys, existing(c.added, v),
               snapshotAt(v).dvs))
               .withColumn("_change_type", lit("insert")))
           val del =
             if (c.removed.isEmpty) Nil
-            else Seq(aliasNow(readDirsFolded(None, existing(c.removed, v),
+            else Seq(aliasNow(readDirsFolded(uniformPhys, existing(c.removed, v),
               snapshotAt(v - 1).dvs))
               .withColumn("_change_type", lit("delete")))
           (ins ++ del).map(_.withColumn("_commit_version", lit(v)))
@@ -4632,17 +4685,34 @@ class VersionedTable(spark: SparkSession, dir: String,
         .write.partitionBy("__graft_chunk").parquet(staging.toString)
       val renamed = fs.listStatus(staging).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .sortBy(_.getPath.getName.split('=').last.toLong)
-        .zipWithIndex.map { case (st, i) =>
+        .map(st => (st.getPath.getName.split('=').last.toLong, st.getPath))
+        .sortBy(_._1)
+        .zipWithIndex.map { case ((id, p), i) =>
           val name = f"v$v%05d-opt$i%03d-${java.util.UUID.randomUUID().toString.take(8)}"
-          fs.rename(st.getPath, new Path(root, name))
-          name
+          fs.rename(p, new Path(root, name))
+          (id, name)
         }
-      // ONE grouped stats job over every chunk (was one job PER chunk:
-      // a targetChunks=8 optimize paid 8 sequential aggregate jobs).
-      val chunkStats = statsOfDirs(renamed, Map.empty, writeL2p.map(_.swap))
-      val written = renamed.flatMap { name =>
-        chunkStats.get(name) match {
+      // ONE grouped stats job per rewrite (was one job PER chunk until
+      // round 17, then one grouped READ-BACK job) — now grouped by
+      // chunk id over the CACHED cluster frame instead of re-reading
+      // every byte just written: same aggregates over the same rows
+      // the write serialized (parquet round-trips every indexed type
+      // losslessly — the writePayload-fusion argument), keyed back to
+      // directories through the chunk ids the staging layout recorded.
+      // At table scale this removes a full re-read of the rewritten
+      // data per OPTIMIZE/ZORDER/auto-compaction.
+      val statsFrame = keyed.withColumn("__graft_chunk", chunkId).drop(ck)
+      val (cols, cNames, aggs) = statAggPlan(
+        org.apache.spark.sql.types.StructType(
+          statsFrame.schema.fields.filterNot(_.name == "__graft_chunk")),
+        Map.empty)
+      val chunkStats = statsFrame.groupBy(col("__graft_chunk"))
+        .agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()
+        .map(r => r.getLong(0) ->
+          decodeStatRow(cols, cNames, writeL2p, i => r.get(i + 1)))
+        .toMap
+      val written = renamed.flatMap { case (id, name) =>
+        chunkStats.get(id) match {
           case Some((rows, stats, _)) if rows > 0L => Some((name, rows, stats))
           case _ => fs.delete(new Path(root, name), true); None
         }

@@ -107,4 +107,33 @@ class StatsFusionSpec extends SparkSuite {
     val (kept, skipped) = vt.pruneActive("id", Some(10L), Some(20L))
     assert(kept.size === 1 && skipped.size === 3)
   }
+
+  test("cache-side chunk stats equal a read-back recount, incl. renamed columns") {
+    // round-17 second pass: the rewrite's grouped stats job reads the
+    // CACHED cluster frame (grouped by chunk id) instead of re-reading
+    // the written files — the recorded per-directory stats must equal
+    // what a scan of the written files recomputes, keyed by PHYSICAL
+    // name on a renamed (column-mapped) table where the rewrite
+    // back-renames (partial) or normalizes (full).
+    val dir = freshDir()
+    val vt = new VersionedTable(spark, dir)
+    vt.append(spark.range(0, 300).select(col("id"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("id") * 2.0).as("price")))
+    vt.renameColumn("price", "amount") // files keep spelling `price`
+    vt.optimize("id", targetChunks = 3)
+    val dirs = vt.activeDirs()
+    assert(dirs.size === 3)
+    // recorded metadata answers vs a full recount of the written files
+    assert(vt.fastCount() === Some(300L))
+    assert(vt.statRange("id") === Some((0L, 299L)))
+    assert(vt.statRange("amount") === Some((2.0, 598.0)))
+    assert(vt.fastNonNullCount("amount") === Some(240L))
+    val readBack = vt.read()
+    assert(readBack.count() === 300L)
+    assert(readBack.agg(min(col("amount")), max(col("amount"))).head() ===
+      org.apache.spark.sql.Row(2.0, 598.0))
+    // per-chunk disjointness survives the rename
+    val (kept, skipped) = vt.pruneActive("id", Some(250L), Some(260L))
+    assert(kept.size === 1 && skipped.size === 2)
+  }
 }
